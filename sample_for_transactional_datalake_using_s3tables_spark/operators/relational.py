@@ -1,0 +1,845 @@
+"""Relational operator inventory (SURVEY.md sections 2.3 and 2.6).
+
+The reference declares its query surface in Athena SQL -- its whole corpus
+is three queries (reference README.md:143-205): a smoke scan+LIMIT, "Risk
+Analysis by Region and Merchant Category" (README.md:169-185), and "Hourly
+Transaction Pattern Analysis" (README.md:189-205). Those exercise
+scan/limit, projection, date-window filters, multi-key hash aggregation,
+COUNT(*)/SUM(CAST)/conditional CASE counts/COUNT(DISTINCT), HAVING,
+ORDER BY. Everything else (joins, windows, rollup/cube, set ops,
+subqueries, scalar functions) is capability the reference delegates to
+Athena-over-Iceberg; we implement the full surface Spark-first.
+
+Mapping of reference fixtures onto driver testdata (FIXTURES.md F4): the
+``events`` table plays the transactions-fact role; the TPC-H-ish star
+covers joins and the analytic surface.
+
+Determinism rules shared with the DuckDB oracles:
+
+- LIMIT/top-k queries always carry a total ORDER BY with a unique
+  tiebreak column -- otherwise the row *set* is engine-dependent.
+- Aggregates over floating columns cast to DECIMAL per row *before*
+  SUM, so addition is exact and shuffle-order-independent. Per-row
+  double arithmetic (identical IEEE expression shape on both sides)
+  stays in double.
+- Averages are computed as exact-decimal-sum cast to double divided by
+  COUNT, avoiding engine-specific decimal-division scale rules.
+
+Scale notes: every query here is a declarative DataFrame plan --
+Catalyst pushes filters/projections into the parquet scan, dimension
+joins broadcast (region/nation/customer at TPC-H proportions stay tiny
+relative to fact tables), and the only shuffles are the groupBy/join
+keys themselves. AQE handles skew and partition coalescing.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.testdata import load_table
+
+DEC = "decimal(18,2)"
+DEC4 = "decimal(18,4)"
+
+
+def _with_week_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events rows from the trailing 7 days (relative to max ts -- the
+    data is fixed, so CURRENT_DATE from the reference queries
+    (README.md:181) is re-anchored to the dataset's own "now")."""
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts").alias("_mx"))
+    return (
+        events.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("_mx") - F.expr("INTERVAL 7 DAYS"))
+        .drop("_mx")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q1/Q2: scan + LIMIT, projection  (reference README.md:144)
+# --------------------------------------------------------------------------
+
+def scan_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * ... LIMIT 100 smoke scan (README.md:144), made
+    deterministic with a unique-key ORDER BY."""
+    return load_table(spark, sf_dir, "events").orderBy("event_id").limit(100)
+
+
+def projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit column list projection (README.md:171-179); Catalyst
+    prunes the parquet scan to exactly these columns."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3/Q4: date-window filters (README.md:181, README.md:202) -- the
+# partition-pruning predicates at scale.
+# --------------------------------------------------------------------------
+
+def filter_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE ts >= <dataset now> - INTERVAL 7 DAY (README.md:181)."""
+    return _with_week_window(spark, sf_dir).select(
+        "event_id", F.col("ts").cast("date").alias("event_date"), "event_type", "value"
+    )
+
+
+def filter_date_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE date = <dataset today> (README.md:202)."""
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max(F.col("ts").cast("date")).alias("_mxd"))
+    return (
+        events.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts").cast("date") == F.col("_mxd"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship: Risk Analysis (README.md:169-185) re-expressed on events.
+# Exercises Q5 multi-key groupBy, Q6 COUNT(*), Q7 SUM(CAST), Q8
+# conditional counts, Q10 HAVING, Q11 ORDER BY DESC, Q13-Q17 scalars.
+# --------------------------------------------------------------------------
+
+def risk_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _with_week_window(spark, sf_dir)
+        .groupBy(
+            F.col("ts").cast("date").alias("event_date"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("total_events"),
+            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_value"),
+            F.count(F.when(F.col("value") > 100, 1)).alias("high_value_events"),
+            F.count(F.when(F.col("value") > 300, 1)).alias("very_high_value_events"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .filter(F.col("high_value_events") > 0)
+        .orderBy(F.col("high_value_events").desc(), "event_date", "event_type")
+    )
+
+
+RISK_ANALYSIS_SQL = """
+SELECT CAST(ts AS DATE) AS event_date,
+       event_type,
+       COUNT(*) AS total_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+       COUNT(CASE WHEN value > 100 THEN 1 END) AS high_value_events,
+       COUNT(CASE WHEN value > 300 THEN 1 END) AS very_high_value_events,
+       COUNT(DISTINCT user_id) AS unique_users
+FROM events
+WHERE ts >= (SELECT MAX(ts) - INTERVAL 7 DAY FROM events)
+GROUP BY 1, 2
+HAVING COUNT(CASE WHEN value > 100 THEN 1 END) > 0
+ORDER BY high_value_events DESC, event_date, event_type
+"""
+
+
+def hourly_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly Transaction Pattern Analysis (README.md:189-205): 4-key
+    groupBy + COUNT DISTINCT + conditional counts on the dataset's
+    last day, ORDER BY hour, total DESC (README.md:202-204)."""
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max(F.col("ts").cast("date")).alias("_mxd"))
+    return (
+        events.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts").cast("date") == F.col("_mxd"))
+        .groupBy(
+            F.col("ts").cast("date").alias("event_date"),
+            F.hour("ts").alias("event_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("total_events"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_value"),
+            F.count(F.when(F.col("value") > 200, 1)).alias("large_events"),
+        )
+        .orderBy("event_hour", F.col("total_value").desc(), "event_type")
+    )
+
+
+HOURLY_PATTERN_SQL = """
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS event_hour,
+       event_type,
+       COUNT(*) AS total_events,
+       COUNT(DISTINCT user_id) AS unique_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+       COUNT(CASE WHEN value > 200 THEN 1 END) AS large_events
+FROM events
+WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
+GROUP BY 1, 2, 3
+ORDER BY event_hour, total_value DESC, event_type
+"""
+
+
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-filtered aggregate battery (README.md:177-179 pattern)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("total_events"),
+            F.count(F.when(F.col("value") > 50, 1)).alias("over_50"),
+            F.count(F.when(F.col("value") > 150, 1)).alias("over_150"),
+            F.sum(F.when(F.col("value") > 150, F.col("value").cast(DEC)).otherwise(F.lit(0).cast(DEC)))
+            .cast(DEC)
+            .alias("value_over_150"),
+        )
+    )
+
+
+CONDITIONAL_AGG_SQL = """
+SELECT event_type,
+       COUNT(*) AS total_events,
+       COUNT(CASE WHEN value > 50 THEN 1 END) AS over_50,
+       COUNT(CASE WHEN value > 150 THEN 1 END) AS over_150,
+       CAST(SUM(CASE WHEN value > 150 THEN CAST(value AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS value_over_150
+FROM events
+GROUP BY event_type
+"""
+
+
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) (README.md:198). The scalable variant is
+    ``approx_count_distinct`` (HLL) -- exact is what the oracle checks."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("unique_users"),
+            F.count("*").alias("total_events"),
+        )
+    )
+
+
+COUNT_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS unique_users, COUNT(*) AS total_events
+FROM events GROUP BY event_type
+"""
+
+
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation HAVING on an aggregate (README.md:183)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") > 10)
+    )
+
+
+HAVING_FILTER_SQL = """
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id HAVING COUNT(*) > 10
+"""
+
+
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k = ORDER BY ... LIMIT k; Spark plans TakeOrderedAndProject
+    (no full sort, no single-node shuffle of the whole table)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_value"))
+        .orderBy(F.col("total_value").desc(), "user_id")
+        .limit(10)
+    )
+
+
+TOPK_SQL = """
+SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+FROM events GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytics on the star schema (SURVEY 2.6 extension surface).
+# --------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem -- the headline
+    scan-heavy aggregate; per-row double arithmetic, decimal-exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # Cast to decimal BEFORE multiplying: decimal arithmetic is exact and
+    # shuffle-order-independent, whereas rounding double *products* to
+    # decimal is not cross-engine-stable at tie boundaries.
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = ep * (1 - F.col("l_discount")).cast("decimal(4,2)")
+    charge = disc_price * (1 + F.col("l_tax")).cast("decimal(4,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_base_price"),
+            F.sum(disc_price).cast(DEC4).alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6)) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join fact-to-dims: orders |><| customer |><| nation |><|
+    region, revenue per region/nation. Dimension sides are broadcast --
+    at 100 TB the fact shuffle disappears entirely and the join is a
+    map-side hash probe."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).alias("revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+REVENUE_BY_REGION_SQL = """
+SELECT r_name, n_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast(DEC)), F.lit(0).cast(DEC))
+            .cast(DEC)
+            .alias("total_spent"),
+        )
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT c_custkey, c_mktsegment,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one open ('O') order."""
+    customer = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions (SURVEY 2.6).
+# --------------------------------------------------------------------------
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per customer over order recency; keep top 3."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_totalprice").cast(DEC).alias("total_price"),
+            "rn",
+        )
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price, rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer (unbounded-preceding frame), exact
+    decimal accumulation so the result is frame-order-deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast(DEC).alias("running_spent"),
+    )
+
+
+WINDOW_RUNNING_SUM_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))
+         AS running_spent
+FROM orders
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead across each user's event sequence."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+WINDOW_LAG_LEAD_SQL = """
+SELECT user_id, event_id,
+       LAG(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+       LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube; set operations; DISTINCT.
+# --------------------------------------------------------------------------
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("n_customers"))
+
+
+ROLLUP_AGG_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).alias("revenue"),
+    )
+
+
+CUBE_AGG_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (spark.sql)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of user populations from two event classes."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "purchase").select("user_id")
+    b = events.filter(F.col("event_type") == "signup").select("user_id")
+    return a.union(b).distinct()
+
+
+SET_UNION_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+UNION
+SELECT user_id FROM events WHERE event_type = 'signup'
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "purchase").select("user_id")
+    b = events.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+SET_INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) == DataFrame.subtract: customers with a
+    partially-shipped order but no open order."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.subtract(b)
+
+
+SET_EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT == dropDuplicates (exact dedup primitive)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+DISTINCT_ROWS_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface: strings, dates, JSON, CASE (SURVEY 2.6).
+# --------------------------------------------------------------------------
+
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_type").contains("BRASS"), F.lit("brass"))
+        .otherwise(F.lit("other"))
+        .alias("material"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+       SUBSTRING(p_type, 1, 5) AS type_prefix,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       CASE WHEN p_type LIKE '%BRASS%' THEN 'brass' ELSE 'other' END AS material,
+       REPLACE(p_name, ' ', '_') AS name_snake
+FROM part
+"""
+
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+    )
+
+
+DATE_FUNCS_SQL = """
+SELECT o_orderkey,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+       CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS order_day,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS order_quarter,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(o_orderdate AS DATE) + 30 AS due_date
+FROM orders
+"""
+
+
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props string column."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_id", k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.min("k").alias("min_k"), F.max("k").alias("max_k"))
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
+def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 10, "small")
+        .when(F.col("value") < 100, "medium")
+        .when(F.col("value") < 250, "large")
+        .otherwise("huge")
+    )
+    return (
+        events.groupBy(bucket.alias("value_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.col("value").cast(DEC)).cast(DEC).alias("min_value"),
+            F.max(F.col("value").cast(DEC)).cast(DEC).alias("max_value"),
+        )
+    )
+
+
+CASE_BUCKETING_SQL = """
+SELECT CASE WHEN value < 10 THEN 'small'
+            WHEN value < 100 THEN 'medium'
+            WHEN value < 250 THEN 'large'
+            ELSE 'huge' END AS value_bucket,
+       COUNT(*) AS n_events,
+       CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_value,
+       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_value
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Subqueries.
+# --------------------------------------------------------------------------
+
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (uncorrelated subquery) -- planned as a (broadcast) semi join."""
+    orders = load_table(spark, sf_dir, "orders")
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return orders.join(
+        F.broadcast(building), orders.o_custkey == building.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", F.col("o_totalprice").cast(DEC).alias("total_price"))
+
+
+IN_SUBQUERY_SQL = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-aggregate subquery: orders above 2x the global mean price
+    (mean computed as exact decimal sum / count; see module docstring)."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count("*")).alias("_avg")
+    )
+    return (
+        orders.crossJoin(F.broadcast(stats))
+        .filter(F.col("o_totalprice") > 2 * F.col("_avg"))
+        .select("o_orderkey", F.col("o_totalprice").cast(DEC).alias("total_price"))
+    )
+
+
+SCALAR_SUBQUERY_SQL = """
+SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+FROM orders
+WHERE o_totalprice > 2 * (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders
+)
+"""
+
+
+def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with an extra predicate, via the SQL surface so
+    Catalyst's subquery decorrelation is exercised."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_ce_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ce_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM _ce_customer
+        WHERE EXISTS (
+          SELECT 1 FROM _ce_orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 400000
+        )
+        """
+    )
+
+
+CORRELATED_EXISTS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry.
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "scan_limit": scan_limit,
+    "projection": projection,
+    "filter_date_range": filter_date_range,
+    "filter_date_eq": filter_date_eq,
+    "risk_analysis": risk_analysis,
+    "hourly_pattern": hourly_pattern,
+    "conditional_agg": conditional_agg,
+    "count_distinct": count_distinct,
+    "having_filter": having_filter,
+    "topk": topk,
+    "pricing_summary": pricing_summary,
+    "revenue_by_region": revenue_by_region,
+    "join_left": join_left,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "window_rank": window_rank,
+    "window_running_sum": window_running_sum,
+    "window_lag_lead": window_lag_lead,
+    "rollup_agg": rollup_agg,
+    "cube_agg": cube_agg,
+    "grouping_sets": grouping_sets,
+    "set_union": set_union,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+    "distinct_rows": distinct_rows,
+    "string_funcs": string_funcs,
+    "date_funcs": date_funcs,
+    "json_extract": json_extract,
+    "case_bucketing": case_bucketing,
+    "in_subquery": in_subquery,
+    "scalar_subquery": scalar_subquery,
+    "correlated_exists": correlated_exists,
+}
+
+ORACLES = {
+    "scan_limit": "SELECT * FROM events ORDER BY event_id LIMIT 100",
+    "projection": "SELECT event_id, event_type, user_id, value FROM events",
+    "filter_date_range": """
+        SELECT event_id, CAST(ts AS DATE) AS event_date, event_type, value
+        FROM events WHERE ts >= (SELECT MAX(ts) - INTERVAL 7 DAY FROM events)
+    """,
+    "filter_date_eq": """
+        SELECT event_id, user_id, event_type, value FROM events
+        WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
+    """,
+    "risk_analysis": RISK_ANALYSIS_SQL,
+    "hourly_pattern": HOURLY_PATTERN_SQL,
+    "conditional_agg": CONDITIONAL_AGG_SQL,
+    "count_distinct": COUNT_DISTINCT_SQL,
+    "having_filter": HAVING_FILTER_SQL,
+    "topk": TOPK_SQL,
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "revenue_by_region": REVENUE_BY_REGION_SQL,
+    "join_left": JOIN_LEFT_SQL,
+    "join_semi": JOIN_SEMI_SQL,
+    "join_anti": JOIN_ANTI_SQL,
+    "window_rank": WINDOW_RANK_SQL,
+    "window_running_sum": WINDOW_RUNNING_SUM_SQL,
+    "window_lag_lead": WINDOW_LAG_LEAD_SQL,
+    "rollup_agg": ROLLUP_AGG_SQL,
+    "cube_agg": CUBE_AGG_SQL,
+    "grouping_sets": GROUPING_SETS_SQL,
+    "set_union": SET_UNION_SQL,
+    "set_intersect": SET_INTERSECT_SQL,
+    "set_except": SET_EXCEPT_SQL,
+    "distinct_rows": DISTINCT_ROWS_SQL,
+    "string_funcs": STRING_FUNCS_SQL,
+    "date_funcs": DATE_FUNCS_SQL,
+    "json_extract": JSON_EXTRACT_SQL,
+    "case_bucketing": CASE_BUCKETING_SQL,
+    "in_subquery": IN_SUBQUERY_SQL,
+    "scalar_subquery": SCALAR_SUBQUERY_SQL,
+    "correlated_exists": CORRELATED_EXISTS_SQL,
+}

@@ -1,0 +1,83 @@
+"""SparkSession factory and engine configuration.
+
+The reference performs zero query optimization itself -- it delegates to
+Athena/Trino and Firehose/Iceberg (SURVEY.md section 4). Our "optimizer
+work" is therefore configuration: AQE on, UTC semantics, sane shuffle
+parallelism, Arrow for the (rare) pandas-UDF paths.
+
+Two entry points:
+
+- :func:`get_spark` builds a session for local runs / tests / bench.
+- :func:`configure` applies the *runtime-mutable* subset of the engine
+  configuration to an existing session (the correctness driver owns its
+  own SparkSession; every query entry point calls ``configure`` so the
+  engine semantics hold regardless of who built the session).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-mutable SQL confs: safe to set on a live (possibly foreign) session.
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic time semantics; the DuckDB oracle reads naive/UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS) which
+    # Spark has no native type for; read as epoch-nanos long and convert
+    # (sources/testdata.py normalizes back to TimestampType).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-planning: partition coalescing + skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas_udf / mapInPandas / toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+# Build-time confs (need a fresh session).
+def _builder_confs(shuffle_partitions: int) -> dict[str, str]:
+    return {
+        **RUNTIME_CONFS,
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # 128 MB split targets hold at 100 TB: ~800k input splits, fine for
+        # a 1000-executor cluster; local runs simply get fewer, larger tasks.
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+    }
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply engine runtime semantics to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-mutable in this deployment; engine code paths tolerate it.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "s3tables-spark-engine",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build the engine's SparkSession for local execution.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or all
+    cores. Shuffle parallelism defaults to the core count: on a real
+    cluster this would instead be sized to ~2-3x total executor cores
+    (or left to AQE coalescing from a high initial value).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 4)
+    b = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for k, v in _builder_confs(shuffle_partitions).items():
+        b = b.config(k, v)
+    return configure(b.getOrCreate())

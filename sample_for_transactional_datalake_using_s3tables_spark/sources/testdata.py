@@ -1,0 +1,63 @@
+"""Loaders for the driver's deterministic parquet tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings. One parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Normalization performed here (and nowhere else -- every operator goes
+through this loader so the rest of the engine sees clean Spark types):
+
+- ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
+  only as epoch-nanos LongType (``spark.sql.legacy.parquet.nanosAsLong``);
+  we convert to TimestampType at microsecond precision -- identical to
+  what DuckDB (the correctness oracle) yields for the same file.
+
+At 100 TB these loads are partition-pruned, column-pruned parquet scans;
+nothing here forces a full materialization or a shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
+
+from ..plans.session import configure
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with normalized Spark types."""
+    configure(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # epoch-nanos -> TimestampType (micros, matching the DuckDB read).
+        # Integer `div`, not `/`: float division loses precision at 1e18.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the SQL entry points)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
