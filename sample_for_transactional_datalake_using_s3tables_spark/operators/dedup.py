@@ -1,4 +1,347 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators for LLM training-data pipelines.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+The reference's only dedup-adjacent capability is keyed upsert
+(Firehose ``unique_keys``, reference stack/firehose.py:99,159); these are
+the north-star extensions: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+and embedding-cosine near-dup over ``documents``/``embeddings``.
+
+Scale design:
+- exact dedup is a hash groupBy on the text (or its md5) -- one shuffle.
+- MinHash+LSH: signatures are per-row Column expressions (no shuffle),
+  candidates come from a self-equi-join on (band_id, band_key) -- i.e.
+  the classic band-bucket join; verification joins back only candidate
+  rows. At 100 TB the band join shuffles only (doc_id, 4 x 16-byte keys),
+  never the text.
+- SimHash is per-row expressions; near-dup clusters = equi-join on the
+  16-bit signature (or banded nibbles for hamming<k).
+- n-gram Jaccard is blocked (here by (lang, source)) to bound pairs.
+- embedding near-dup joins within label blocks with exact quantized
+  cosine (functions/vectors.py).
+
+Everything is pure Column expressions -- no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.textfns import TOKENS_SQL, md5_int_sql, shingles, shingles_sql, tokens
+from ..functions.vectors import (
+    QUANTIZE_SQL,
+    cosine_from_ints,
+    cosine_from_ints_sql,
+    dot_int,
+    dot_int_sql,
+    quantize,
+)
+from ..sources.testdata import load_table
+
+# MinHash parameters: 12 hashes in 4 bands of 3 rows.
+MINHASH_K = 12
+MINHASH_BANDS = 4
+MINHASH_R = MINHASH_K // MINHASH_BANDS
+
+SIMHASH_BITS = 16
+
+_TOK = TOKENS_SQL.format(col="text")
+_SHINGLES = f"list_distinct({shingles_sql(_TOK)})"
+
+
+# --------------------------------------------------------------------------
+# Exact dedup.
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash groupBy on content): keep min doc_id per text.
+
+    At scale, group on md5(text) instead of the text itself so the
+    shuffle moves 16 bytes per row, not documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("kept_doc"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS kept_doc, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH.
+# --------------------------------------------------------------------------
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = F.array_distinct(shingles(tokens(F.col("text"))))
+    return docs.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures -> banded LSH candidate pairs -> exact Jaccard.
+
+    Signature: ``mh_i = min over shingles of md5int(f"{i}:" + shingle)``;
+    band key = md5 of the band's signature triple. Candidates share any
+    band key; the final column is the *exact* shingle-set Jaccard of the
+    candidate pair (int division -> portable double)."""
+    base = _doc_shingles(spark, sf_dir)
+    sig = base.select(
+        "doc_id",
+        "sh",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s, i=i: F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
+                    ).cast("bigint"),
+                )
+            ).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ],
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{b * MINHASH_R + j}")
+                                    for j in range(MINHASH_R)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.band_key")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    return (
+        cand.join(base.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(base.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter
+                / (F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter)
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _minhash_sql() -> str:
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> {md5_int_sql(repr(str(i) + ':') + ' || s')})) AS mh{i}"
+        for i in range(MINHASH_K)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, "
+        f"md5(mh{b * MINHASH_R} || ',' || mh{b * MINHASH_R + 1} || ',' || mh{b * MINHASH_R + 2}) AS band_key FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents WHERE len({_SHINGLES}) > 0
+),
+sig AS (
+  SELECT doc_id, sh,
+         {mh_cols}
+  FROM base
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       len(list_intersect(sa.sh, sb.sh))
+         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+FROM cand
+JOIN base sa ON doc_a = sa.doc_id
+JOIN base sb ON doc_b = sb.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash.
+# --------------------------------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (token-multiset, md5-derived bits):
+    bit b is set iff the majority of tokens have bit b set in their hash.
+    Equal signatures cluster near-identical bags of words."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    hs = F.transform(
+        tok,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    )
+    d = docs.select("doc_id", hs.alias("hs"), F.size(tok).alias("n"))
+
+    def bit_set(mask: int):
+        # single-arg lambda (two params would mean (element, index))
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        cnt = F.size(F.filter(F.col("hs"), bit_set(1 << b)))
+        bit = F.when(2 * cnt > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return d.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    bits = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << b}) != 0)) > n "
+        f"THEN {1 << b} ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform({_TOK}, t -> {md5_int_sql('t')}) AS hs,
+         len({_TOK}) AS n
+  FROM documents
+)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# Blocked n-gram Jaccard.
+# --------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram Jaccard within (lang, source) blocks, keeping
+    pairs >= 0.2. Blocking bounds the quadratic pair space; at scale the
+    block key becomes a shuffle partition key (skewed blocks -> AQE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = F.array_distinct(shingles(tokens(F.col("text"))))
+    base = docs.select("doc_id", "lang", "source", sh.alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    jac = inter / (F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            F.col("a.source").alias("source"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, {_SHINGLES} AS sh
+  FROM documents WHERE len({_SHINGLES}) > 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang, a.source AS source,
+       len(list_intersect(a.sh, b.sh))
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM base a JOIN base b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup.
+# --------------------------------------------------------------------------
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors: pairs within the same label block with
+    quantized cosine >= 0.3 (exact int arithmetic, portable doubles)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
+    q = q.withColumn("n2", dot_int(F.col("qv"), F.col("qv")))
+    a, b = q.alias("a"), q.alias("b")
+    cos = cosine_from_ints(
+        dot_int(F.col("a.qv"), F.col("b.qv")), F.col("a.n2"), F.col("b.n2")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         {QUANTIZE_SQL.format(v='embedding')} AS qv,
+         {dot_int_sql(QUANTIZE_SQL.format(v='embedding'), QUANTIZE_SQL.format(v='embedding'))} AS n2
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       {cosine_from_ints_sql(dot_int_sql('a.qv', 'b.qv'), 'a.n2', 'b.n2')} AS cosine
+FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {cosine_from_ints_sql(dot_int_sql('a.qv', 'b.qv'), 'a.n2', 'b.n2')} >= 0.3
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding": dedup_embedding,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+}

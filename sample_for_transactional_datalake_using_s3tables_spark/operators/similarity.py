@@ -1,4 +1,247 @@
-"""Placeholder — filled in this round."""
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+North-star extension (BASELINE.json): brute-force cosine top-k as the
+exact baseline, and a sign-random-hyperplane LSH variant as the scale
+path. Cosines use the exact quantized-int scheme (functions/vectors.py)
+so Spark and the DuckDB oracle produce bitwise-identical doubles.
+
+Scale design:
+- Brute force: the query set is tiny and broadcast; the corpus scan is
+  embarrassingly parallel; per-query top-k via window row_number (at
+  extreme scale: partial top-k per partition then merge -- Spark's
+  TakeOrdered does this shape automatically for global top-k).
+- LSH: bucket signatures are per-row expressions against *literal*
+  hyperplane arrays (broadcast-free constants in the plan); candidate
+  generation is an equi-join on (table_id, bucket), the classic
+  multi-table LSH probe. 100 TB corpus => bucket join shuffles only
+  (vec_id, T x small ints).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.vectors import (
+    QUANTIZE_SQL,
+    cosine_from_ints,
+    cosine_from_ints_sql,
+    dot_int,
+    dot_int_sql,
+    hyperplanes,
+    quantize,
+)
+from ..sources.testdata import load_table
+
+N_QUERIES = 10   # vec_id < 10 are the query vectors
+TOP_K = 5
+LSH_TABLES = 4
+LSH_BITS = 4
+
+_HYPERPLANES = hyperplanes(LSH_TABLES, LSH_BITS)
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
+    return q.withColumn("n2", dot_int(F.col("qv"), F.col("qv")))
+
+
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: brute-force scan per query vector."""
+    base = _quantized(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("n2").alias("q_n2"),
+    )
+    cos = cosine_from_ints(
+        dot_int(F.col("q_qv"), F.col("qv")), F.col("q_n2"), F.col("n2")
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+SIMILARITY_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id, {QUANTIZE_SQL.format(v='embedding')} AS qv,
+         {dot_int_sql(QUANTIZE_SQL.format(v='embedding'), QUANTIZE_SQL.format(v='embedding'))} AS n2
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {cosine_from_ints_sql(dot_int_sql('a.qv', 'b.qv'), 'a.n2', 'b.n2')} AS cosine
+  FROM q a JOIN q b ON a.vec_id < {N_QUERIES} AND b.vec_id != a.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def _bucket_expr(table_id: int):
+    """Spark Column: LSH bucket id for table ``table_id`` (sum of sign bits
+    against literal hyperplanes -- constants folded into codegen)."""
+    bucket = F.lit(0)
+    for b in range(LSH_BITS):
+        plane = F.array(*[F.lit(c) for c in _HYPERPLANES[table_id][b]])
+        d = dot_int(F.col("qv"), plane)
+        bucket = bucket + F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: multi-table sign-LSH candidate generation, then
+    exact cosine re-rank among candidates only."""
+    base = _quantized(spark, sf_dir)
+    buckets = base.select(
+        "vec_id",
+        "qv",
+        "n2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"), _bucket_expr(t).alias("bucket")
+                    )
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "qv", "n2", "tb.table_id", "tb.bucket")
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("n2").alias("q_n2"),
+        "table_id",
+        "bucket",
+    )
+    cand = (
+        buckets.join(
+            F.broadcast(qb),
+            (buckets.table_id == qb.table_id)
+            & (buckets.bucket == qb.bucket)
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", "q_qv", "q_n2", "vec_id", "qv", "n2")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    cos = cosine_from_ints(
+        dot_int(F.col("q_qv"), F.col("qv")), F.col("q_n2"), F.col("n2")
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _lsh_sql() -> str:
+    def bucket_sql(t: int) -> str:
+        bits = []
+        for b in range(LSH_BITS):
+            lit = "[" + ", ".join(str(c) for c in _HYPERPLANES[t][b]) + "]"
+            bits.append(
+                f"CASE WHEN {dot_int_sql('qv', lit)} > 0 THEN {1 << b} ELSE 0 END"
+            )
+        return " + ".join(bits)
+
+    bucket_rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, qv, n2, {t} AS table_id, {bucket_sql(t)} AS bucket FROM q"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, {QUANTIZE_SQL.format(v='embedding')} AS qv,
+         {dot_int_sql(QUANTIZE_SQL.format(v='embedding'), QUANTIZE_SQL.format(v='embedding'))} AS n2
+  FROM embeddings
+),
+buckets AS (
+{bucket_rows}
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id,
+         qb.qv AS q_qv, qb.n2 AS q_n2, c.qv AS qv, c.n2 AS n2
+  FROM buckets c JOIN buckets qb
+    ON qb.vec_id < {N_QUERIES} AND c.table_id = qb.table_id
+   AND c.bucket = qb.bucket AND c.vec_id != qb.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {cosine_from_ints_sql(dot_int_sql('q_qv', 'qv'), 'q_n2', 'n2')} AS cosine
+  FROM cand
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def similarity_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label similarity profile: pair counts and extremal cosines
+    (min/max of identical doubles -- no float summation, portable)."""
+    q = _quantized(spark, sf_dir)
+    a, b = q.alias("a"), q.alias("b")
+    cos = cosine_from_ints(
+        dot_int(F.col("a.qv"), F.col("b.qv")), F.col("a.n2"), F.col("b.n2")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.label").alias("label"), cos.alias("cosine"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count(F.when(F.col("cosine") > 0.2, 1)).alias("pairs_over_02"),
+            F.min("cosine").alias("min_cosine"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )
+
+
+SIMILARITY_LABEL_STATS_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label, {QUANTIZE_SQL.format(v='embedding')} AS qv,
+         {dot_int_sql(QUANTIZE_SQL.format(v='embedding'), QUANTIZE_SQL.format(v='embedding'))} AS n2
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.label AS label,
+         {cosine_from_ints_sql(dot_int_sql('a.qv', 'b.qv'), 'a.n2', 'b.n2')} AS cosine
+  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, COUNT(*) AS n_pairs,
+       COUNT(CASE WHEN cosine > 0.2 THEN 1 END) AS pairs_over_02,
+       MIN(cosine) AS min_cosine, MAX(cosine) AS max_cosine
+FROM pairs GROUP BY label
+"""
+
+
+QUERIES = {
+    "similarity_topk_bruteforce": similarity_topk_bruteforce,
+    "similarity_topk_lsh": similarity_topk_lsh,
+    "similarity_label_stats": similarity_label_stats,
+}
+
+ORACLES = {
+    "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,
+    "similarity_topk_lsh": _lsh_sql(),
+    "similarity_label_stats": SIMILARITY_LABEL_STATS_SQL,
+}

@@ -1,4 +1,192 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis operators for LLM training-data pipelines.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Not present in the reference (its only text handling is JSON field
+shuffling in the ingest lambdas, reference lambda/transform/index.py:20-47);
+these are the north-star extensions (BASELINE.json) -- language ID,
+quality scoring, token counting, document fingerprinting -- expressed as
+pure Column expressions (JVM codegen, no Python UDFs) over ``documents``.
+
+Scale: every operator is embarrassingly parallel over rows (no shuffle
+except final aggregates); at 100 TB the scans stay pruned to the
+``text`` column and whole-stage codegen keeps it JVM-side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.textfns import STOPWORDS, TOKENS_SQL, tokens
+from ..sources.testdata import load_table
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+# language -> marker words (tiny stopword-profile language ID heuristic).
+MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "et", "un", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "y", "que", "es"),
+}
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, char length,
+    plus a BPE-ish subword proxy (ceil of chars/4 per token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_text"),
+        F.aggregate(
+            tok,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.ceil(F.length(t) / 4).cast("bigint"),
+        ).alias("n_subwords"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(len({TOKENS_SQL.format(col='text')}) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct({TOKENS_SQL.format(col='text')})) AS INTEGER) AS n_distinct_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_text,
+       list_sum(list_transform({TOKENS_SQL.format(col='text')},
+                               t -> CAST(ceil(length(t) / 4) AS BIGINT))) AS n_subwords
+FROM documents
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: distinct-token ratio and stopword ratio
+    (exact-int divisions -> portable doubles), bucketed into a grade."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct"),
+        F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    distinct_ratio = F.col("n_distinct") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.when(F.col("n_tokens") < 5, "too_short")
+        .when(distinct_ratio < 0.3, "repetitive")
+        .when(stop_ratio > 0.5, "boilerplate")
+        .otherwise("ok")
+        .alias("quality_grade"),
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len({TOKENS_SQL.format(col='text')}) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct({TOKENS_SQL.format(col='text')})) AS INTEGER) AS n_distinct,
+         CAST(len(list_filter({TOKENS_SQL.format(col='text')},
+                              t -> list_contains({_STOP_LIST_SQL}, t))) AS INTEGER) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       n_distinct / n_tokens AS distinct_ratio,
+       n_stop / n_tokens AS stopword_ratio,
+       CASE WHEN n_tokens < 5 THEN 'too_short'
+            WHEN n_distinct / n_tokens < 0.3 THEN 'repetitive'
+            WHEN n_stop / n_tokens > 0.5 THEN 'boilerplate'
+            ELSE 'ok' END AS quality_grade
+FROM d
+"""
+
+
+def _marker_hit(ws: tuple[str, ...]):
+    # single-arg lambda (a two-param lambda would receive (element, index))
+    return lambda t: t.isin(*ws)
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: count per-language marker hits, argmax
+    with deterministic tie-break (marker order en > fr > de > es)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(tok, _marker_hit(ws))).alias(f"hits_{lg}")
+            for lg, ws in MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in MARKERS])
+    pred = F.when(best == 0, "und")
+    for lg in MARKERS:  # first language reaching the max wins (stable)
+        pred = pred.when(F.col(f"hits_{lg}") == best, lg)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def _lang_id_sql() -> str:
+    hit_cols = ",\n         ".join(
+        f"CAST(len(list_filter({TOKENS_SQL.format(col='text')}, "
+        f"t -> list_contains([{', '.join(repr(w) for w in ws)}], t))) AS INTEGER) AS hits_{lg}"
+        for lg, ws in MARKERS.items()
+    )
+    best = "GREATEST(" + ", ".join(f"hits_{lg}" for lg in MARKERS) + ")"
+    chain = " ".join(f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in MARKERS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         {hit_cols}
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN {best} = 0 THEN 'und' {chain} END AS predicted_lang,
+       {best} AS marker_hits
+FROM d
+"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision document fingerprint: md5 over the sorted distinct
+    token set. Grouping by it clusters bag-of-words-identical docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.sort_array(F.array_distinct(tokens(F.col("text")))), " "))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("representative_doc"))
+    )
+
+
+FINGERPRINT_SQL = f"""
+SELECT md5(array_to_string(list_sort(list_distinct({TOKENS_SQL.format(col='text')})), ' ')) AS fingerprint,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS representative_doc
+FROM documents
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "text_token_stats": token_stats,
+    "text_quality_score": quality_score,
+    "text_lang_id": lang_id,
+    "text_fingerprint": fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": TOKEN_STATS_SQL,
+    "text_quality_score": QUALITY_SCORE_SQL,
+    "text_lang_id": _lang_id_sql(),
+    "text_fingerprint": FINGERPRINT_SQL,
+}
