@@ -11,10 +11,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, multimodal, relational, similarity, text
+from . import dedup, ingest, multimodal, relational, similarity, text
 
 
-_MODULES = (relational, dedup, similarity, text, multimodal)
+_MODULES = (relational, dedup, similarity, text, multimodal, ingest)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,176 @@
+"""Ingest-path operators exposed as checkable queries.
+
+The CDC transform chain (SURVEY 2.2) and the keyed MERGE (S5) are
+filesystem/streaming-stateful, which a SQL oracle can't watch directly.
+These queries make them checkable anyway: the CDC envelopes are built
+*deterministically from the events table inside the query* (to_json of
+DynamoDB-Streams-shaped structs), pushed through the exact production
+parse/transform/dedup code, and the oracle recomputes the expected end
+state straight from ``events`` -- so a hash match certifies the whole
+decode -> filter -> unwrap -> type -> derive -> dedup chain, and the
+MERGE roundtrip certifies update/delete/upsert semantics end-to-end.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.testdata import load_table
+from ..sources.warehouse import Warehouse
+from ..streaming.cdc import good_rows, parse_cdc
+
+def _ms() -> F.Column:
+    return F.expr("unix_micros(ts) div 1000")
+
+
+def _attr_s(col) -> F.Column:
+    return F.create_map(F.lit("S"), col.cast("string"))
+
+
+def _attr_n(col) -> F.Column:
+    return F.create_map(F.lit("N"), col.cast("string"))
+
+
+def _image(amount, proc_offset: int):
+    """NewImage map for one synthetic transaction derived from an event."""
+    return F.map_from_arrays(
+        F.array(
+            F.lit("transaction_id"),
+            F.lit("timestamp"),
+            F.lit("customer_id"),
+            F.lit("amount"),
+            F.lit("status"),
+            F.lit("processing_timestamp"),
+        ),
+        F.array(
+            _attr_s(F.concat(F.lit("TXN_"), F.col("event_id"))),
+            _attr_n(_ms()),
+            _attr_s(F.concat(F.lit("CUST_"), F.col("user_id"))),
+            _attr_n(amount),
+            _attr_s(F.upper("event_type")),
+            _attr_n(_ms() + F.lit(proc_offset)),
+        ),
+    )
+
+
+def _envelope(event: str, amount, proc_offset: int):
+    return F.to_json(
+        F.struct(
+            F.lit(event).alias("eventName"),
+            F.struct(_image(amount, proc_offset).alias("NewImage")).alias("dynamodb"),
+        )
+    )
+
+
+def cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope encode -> production parse_cdc -> latest-wins dedup.
+
+    Per event: an INSERT; events with id%5==0 additionally get a MODIFY
+    (amount doubled, later processing_timestamp) in the same batch --
+    latest must win; id%10==0 additionally get a REMOVE -- must be
+    dropped without effect (T1)."""
+    events = load_table(spark, sf_dir, "events")
+    variants = F.array_compact(
+        F.array(
+            _envelope("INSERT", F.col("value"), 1),
+            F.when(
+                F.col("event_id") % 5 == 0,
+                _envelope("MODIFY", F.col("value") * 2, 2),
+            ),
+            F.when(F.col("event_id") % 10 == 0, _envelope("REMOVE", F.col("value"), 3)),
+        )
+    )
+    raw = events.select(F.explode(variants).alias("value"))
+    typed = good_rows(parse_cdc(raw))
+    w = Window.partitionBy("transaction_id").orderBy(
+        F.col("processing_timestamp").desc()
+    )
+    latest = (
+        typed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return latest.select(
+        "transaction_id",
+        F.col("timestamp").alias("ts_millis"),
+        "customer_id",
+        "amount",
+        "status",
+        F.col("date").alias("txn_date"),
+        F.col("hour").alias("txn_hour"),
+        F.col("minute").alias("txn_minute"),
+    )
+
+
+CDC_PIPELINE_SQL = """
+SELECT 'TXN_' || event_id AS transaction_id,
+       epoch_ms(ts) AS ts_millis,
+       'CUST_' || user_id AS customer_id,
+       CAST(CAST(CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END AS VARCHAR)
+            AS DECIMAL(12,2)) AS amount,
+       upper(event_type) AS status,
+       CAST(ts AS DATE) AS txn_date,
+       CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS txn_hour,
+       CAST(EXTRACT(MINUTE FROM ts) AS INTEGER) AS txn_minute
+FROM events
+"""
+
+
+def warehouse_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transactional roundtrip through the warehouse: create keyed
+    partitioned table -> insert all events -> MERGE a batch of updates
+    (id%3: value doubled) and deletes (id%5) -> read final snapshot.
+
+    The result is materialized so the temp warehouse can be removed
+    before the driver consumes the DataFrame."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("decimal(12,2)").alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="wh_roundtrip_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q",
+            "state",
+            events.schema,
+            key="event_id",
+            partition_by="event_type",
+        )
+        wh.insert("q", "state", events)
+        updates = events.filter(F.col("event_id") % 3 == 0).withColumn(
+            "value", (F.col("value") * 2).cast("decimal(12,2)")
+        ).withColumn("_delete", F.lit(False))
+        deletes = events.filter(F.col("event_id") % 5 == 0).withColumn(
+            "_delete", F.lit(True)
+        )
+        wh.merge_upsert("q", "state", updates.unionByName(deletes), delete_col="_delete")
+        final = wh.read("q", "state").select(
+            "event_id", "event_type", F.col("value").alias("value_final")
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+WAREHOUSE_MERGE_SQL = """
+SELECT event_id, event_type,
+       CAST(CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS DECIMAL(12,2)) AS value_final
+FROM (SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value FROM events)
+WHERE event_id % 5 != 0
+"""
+
+
+QUERIES = {
+    "cdc_pipeline": cdc_pipeline,
+    "warehouse_merge_roundtrip": warehouse_merge_roundtrip,
+}
+
+ORACLES = {
+    "cdc_pipeline": CDC_PIPELINE_SQL,
+    "warehouse_merge_roundtrip": WAREHOUSE_MERGE_SQL,
+}

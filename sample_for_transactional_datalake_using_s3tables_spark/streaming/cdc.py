@@ -1,0 +1,215 @@
+"""CDC envelope ingest: DynamoDB-Streams-shaped JSON -> typed rows -> MERGE.
+
+Re-expresses the reference's ingest operators (SURVEY.md section 2.2) as
+vectorized Column expressions over a Structured Streaming source:
+
+- T1 event filter: keep INSERT|MODIFY, drop REMOVE
+  (reference lambda/transform/index.py:25, lambda/firehose/index.py:12)
+- T6 projection: NewImage only (lambda/transform/index.py:27)
+- T2 AttributeValue unwrap: ``{"S": "x"} -> "x"`` generalized per-column
+  with type-tag coalesce + cast (lambda/transform/index.py:27-30) --
+  the reference's one-liner is schema-oblivious; here the 22-column
+  transactions schema drives generated expressions, no UDF.
+- T3 derived time columns: epoch-millis -> date/hour/minute
+  (lambda/transform/index.py:33-37)
+- T4 decimal fidelity: amount -> DECIMAL(12,2) directly (the reference
+  loses precision through a float round-trip, lambda/transform/index.py:10-14
+  -- deliberate deviation, we keep decimal end-to-end)
+- S7 dead-letter: malformed JSON / missing required key -> quarantine
+  (reference error_output_prefix="errors/", stack/firehose.py:86-91)
+- S5/S6 delivery: micro-batch ``foreachBatch`` with within-batch
+  latest-wins dedup + keyed MERGE (stack/firehose.py:92-99,152-159)
+
+The batch transform is a pure function of a DataFrame so the exact same
+code runs under ``readStream`` (streaming) and ``read`` (backfill).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.types import (
+    DateType,
+    DecimalType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.warehouse import Warehouse
+
+# Canonical flat transactions schema: 22 columns
+# (reference tabledefinition.json:8-99 == lambda/custom_resource/index.py:92-123).
+TRANSACTIONS_SCHEMA = StructType(
+    [
+        StructField("transaction_id", StringType(), False),  # required
+        StructField("timestamp", LongType()),                # epoch millis
+        StructField("customer_id", StringType()),
+        StructField("date", DateType()),                     # derived
+        StructField("hour", IntegerType()),                  # derived
+        StructField("minute", IntegerType()),                # derived
+        StructField("transaction_type", StringType()),
+        StructField("amount", DecimalType(12, 2)),
+        StructField("currency", StringType()),
+        StructField("merchant_category", StringType()),
+        StructField("payment_method", StringType()),
+        StructField("region", StringType()),
+        StructField("risk_score", StringType()),
+        StructField("status", StringType()),
+        StructField("processing_timestamp", LongType()),
+        StructField("device_type", StringType()),
+        StructField("authentication_method", StringType()),
+        StructField("merchant_id", StringType()),
+        StructField("velocity_check", StringType()),
+        StructField("amount_threshold", StringType()),
+        StructField("location_risk", StringType()),
+        StructField("pattern_match", StringType()),
+    ]
+)
+
+DERIVED = ("date", "hour", "minute")
+
+# The CDC envelope: NewImage/OldImage are maps of column ->
+# AttributeValue type-tag map ({"S": ..} | {"N": ..} | {"BOOL": ..}).
+IMAGE_TYPE = "map<string, map<string, string>>"
+CDC_ENVELOPE_DDL = (
+    "eventName string, "
+    f"dynamodb struct<NewImage: {IMAGE_TYPE}, OldImage: {IMAGE_TYPE}>"
+)
+
+
+def _unwrap(img: Column, field: StructField) -> Column:
+    """T2: AttributeValue unwrap for one target column. DynamoDB sends
+    numbers as {"N": "<string>"} so every tag coalesces to string first,
+    then casts to the schema type."""
+    cell = img[field.name]
+    raw = F.coalesce(cell["S"], cell["N"], cell["BOOL"], cell["NULL"])
+    return raw.cast(field.dataType).alias(field.name)
+
+
+def parse_cdc(raw: DataFrame, json_col: str = "value") -> DataFrame:
+    """Raw JSON lines -> typed transactions rows + quarantine marker.
+
+    Output columns: the 22-column schema plus ``_corrupt`` (original
+    payload when the record failed to parse or lacked the required key).
+    """
+    env = raw.select(
+        F.col(json_col).alias("_raw"),
+        F.from_json(json_col, CDC_ENVELOPE_DDL).alias("e"),
+    )
+    img = F.col("e.dynamodb.NewImage")
+    parsed = env.select(
+        "_raw",
+        F.col("e.eventName").alias("_event"),
+        *[
+            _unwrap(img, f)
+            for f in TRANSACTIONS_SCHEMA.fields
+            if f.name not in DERIVED
+        ],
+    )
+    # T3: derive date/hour/minute from epoch-millis (UTC).
+    ts = F.timestamp_millis(F.col("timestamp"))
+    parsed = parsed.withColumns(
+        {"date": ts.cast("date"), "hour": F.hour(ts), "minute": F.minute(ts)}
+    )
+    keep = F.col("_event").isin("INSERT", "MODIFY") & F.col(  # T1 + required key
+        "transaction_id"
+    ).isNotNull()
+    # Quarantine: unparseable envelope, or a kept event missing its key.
+    bad = F.col("_event").isNull() | (
+        F.col("_event").isin("INSERT", "MODIFY") & F.col("transaction_id").isNull()
+    )
+    return (
+        parsed.withColumn("_corrupt", F.when(bad, F.col("_raw")))
+        .withColumn("_keep", keep)
+        .drop("_raw")
+    )
+
+
+def good_rows(parsed: DataFrame) -> DataFrame:
+    """The clean, typed transactions rows (T5: non-kept rows dropped)."""
+    return parsed.filter(F.col("_keep")).select(
+        *[f.name for f in TRANSACTIONS_SCHEMA.fields]
+    )
+
+
+def quarantine_rows(parsed: DataFrame) -> DataFrame:
+    """Dead-letter rows (S7): malformed or key-less records, original
+    payload preserved for replay -- the errors/ prefix analog."""
+    return parsed.filter(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw_record")
+    )
+
+
+def create_transactions_table(
+    wh: Warehouse, ns: str = "analytics", table: str = "transactions"
+) -> None:
+    """DDL for the canonical table: namespace + partitioned, keyed table
+    (reference lambda/custom_resource/index.py:63-131 + PARTITIONED BY
+    (date), scripts/update_metadata.py:114)."""
+    wh.create_namespace(ns)
+    wh.create_table(
+        ns,
+        table,
+        TRANSACTIONS_SCHEMA,
+        key="transaction_id",
+        partition_by="date",
+        required=("transaction_id",),
+    )
+
+
+def merge_cdc_batch(
+    wh: Warehouse,
+    batch: DataFrame,
+    ns: str = "analytics",
+    table: str = "transactions",
+    quarantine_table: str = "transactions_errors",
+) -> None:
+    """One micro-batch: parse -> quarantine split -> latest-wins MERGE.
+
+    Idempotent under replay (at-least-once delivery + keyed upsert ==
+    the reference's effectively-once, stack/firehose.py:99).
+    """
+    parsed = parse_cdc(batch)
+    bad = quarantine_rows(parsed)
+    if not bad.isEmpty():
+        if quarantine_table not in wh.list_tables(ns):
+            wh.create_table(
+                ns,
+                quarantine_table,
+                StructType([StructField("raw_record", StringType())]),
+            )
+        wh.insert(ns, quarantine_table, bad)
+    good = good_rows(parsed)
+    if not good.isEmpty():
+        wh.merge_upsert(ns, table, good, order_col="processing_timestamp")
+
+
+def stream_cdc_to_table(
+    spark: SparkSession,
+    source_dir: str,
+    wh: Warehouse,
+    checkpoint_dir: str,
+    ns: str = "analytics",
+    table: str = "transactions",
+    trigger: dict | None = None,
+):
+    """S1/S6: file-source CDC stream (simulating the shard poller,
+    reference stack/firehose.py:249-257) -> 60 s-style micro-batches ->
+    foreachBatch MERGE. Returns the StreamingQuery."""
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 100)  # reference batch_size=100
+        .load(source_dir)
+    )
+    trigger = trigger or {"availableNow": True}
+    return (
+        raw.writeStream.foreachBatch(
+            lambda batch, _epoch: merge_cdc_batch(wh, batch, ns, table)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**trigger)
+        .start()
+    )

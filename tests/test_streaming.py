@@ -1,0 +1,156 @@
+"""CDC ingest path: parse/transform, quarantine, streaming MERGE, replay.
+
+Covers the FIXTURES.md F2 cases: INSERT batch; MODIFY upserts in place;
+INSERT+MODIFY same key in one micro-batch (latest processing_timestamp
+wins); REMOVE dropped; malformed records dead-lettered; duplicate
+redelivery idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+
+from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import (
+    Warehouse,
+)
+from sample_for_transactional_datalake_using_s3tables_spark.streaming import (
+    create_transactions_table,
+    good_rows,
+    merge_cdc_batch,
+    parse_cdc,
+    quarantine_rows,
+    stream_cdc_to_table,
+)
+
+
+def envelope(event, txn_id, ts_ms, amount, status="APPROVED", proc_offset=100):
+    """Build a DynamoDB-Streams-shaped CDC JSON line (FIXTURES.md F2)."""
+    img = {
+        "transaction_id": {"S": txn_id},
+        "timestamp": {"N": str(ts_ms)},
+        "customer_id": {"S": "CUST_0001"},
+        "transaction_type": {"S": "PURCHASE"},
+        "amount": {"N": str(amount)},
+        "currency": {"S": "USD"},
+        "merchant_category": {"S": "RETAIL"},
+        "payment_method": {"S": "CREDIT_CARD"},
+        "region": {"S": "US_EAST"},
+        "risk_score": {"S": "LOW"},
+        "status": {"S": status},
+        "processing_timestamp": {"N": str(ts_ms + proc_offset)},
+        "device_type": {"S": "MOBILE"},
+        "authentication_method": {"S": "2FA"},
+        "merchant_id": {"S": "MERCH_0001"},
+        "velocity_check": {"S": "PASS"},
+        "amount_threshold": {"S": "NORMAL"},
+        "location_risk": {"S": "LOW"},
+        "pattern_match": {"S": "NORMAL"},
+    }
+    return json.dumps({"eventName": event, "dynamodb": {"NewImage": img}})
+
+
+TS = 1718300000123  # 2024-06-13 17:33:20.123 UTC
+
+
+def _raw(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
+def test_parse_transform_derivation(spark):
+    """T1/T2/T3/T6: unwrap, type, derive date/hour/minute (UTC)."""
+    parsed = parse_cdc(_raw(spark, [envelope("INSERT", "TXN_1", TS, "412.57")]))
+    row = good_rows(parsed).collect()[0]
+    assert row.transaction_id == "TXN_1"
+    assert row.timestamp == TS
+    assert str(row.amount) == "412.57"
+    assert str(row.date) == "2024-06-13"
+    assert (row.hour, row.minute) == (17, 33)
+
+
+def test_remove_dropped_and_malformed_quarantined(spark):
+    lines = [
+        envelope("INSERT", "TXN_1", TS, "1.00"),
+        envelope("REMOVE", "TXN_1", TS, "1.00"),   # T1: dropped silently
+        "this is not json {{{",                     # S7: dead-letter
+        json.dumps({"eventName": "INSERT", "dynamodb": {"NewImage": {}}}),  # no key
+    ]
+    parsed = parse_cdc(_raw(spark, lines))
+    assert good_rows(parsed).count() == 1
+    bad = [r.raw_record for r in quarantine_rows(parsed).collect()]
+    assert len(bad) == 2
+    assert "not json" in bad[0] or "not json" in bad[1]
+
+
+@pytest.fixture()
+def wh(spark):
+    with tempfile.TemporaryDirectory() as d:
+        w = Warehouse(spark, d)
+        create_transactions_table(w)
+        yield w
+
+
+def test_batch_merge_upsert_and_within_batch_dedup(spark, wh):
+    # batch 1: two inserts
+    merge_cdc_batch(
+        wh,
+        _raw(
+            spark,
+            [
+                envelope("INSERT", "TXN_1", TS, "10.00"),
+                envelope("INSERT", "TXN_2", TS, "20.00"),
+            ],
+        ),
+    )
+    # batch 2: MODIFY TXN_1, and INSERT+MODIFY TXN_3 in ONE batch --
+    # the later processing_timestamp must win (Firehose unique_keys).
+    merge_cdc_batch(
+        wh,
+        _raw(
+            spark,
+            [
+                envelope("MODIFY", "TXN_1", TS, "11.00"),
+                envelope("INSERT", "TXN_3", TS, "30.00", proc_offset=100),
+                envelope("MODIFY", "TXN_3", TS, "33.00", proc_offset=900),
+            ],
+        ),
+    )
+    got = {(r.transaction_id, str(r.amount)) for r in wh.read("analytics", "transactions").collect()}
+    assert got == {("TXN_1", "11.00"), ("TXN_2", "20.00"), ("TXN_3", "33.00")}
+
+
+def test_replay_idempotence(spark, wh):
+    """Redelivering an identical batch leaves the table unchanged
+    (at-least-once + keyed MERGE == effectively-once)."""
+    batch = _raw(spark, [envelope("INSERT", "TXN_1", TS, "10.00")])
+    merge_cdc_batch(wh, batch)
+    merge_cdc_batch(wh, batch)  # replay
+    rows = wh.read("analytics", "transactions").collect()
+    assert len(rows) == 1 and str(rows[0].amount) == "10.00"
+
+
+def test_streaming_end_to_end(spark, wh):
+    """File-source stream -> availableNow -> foreachBatch MERGE."""
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as ckpt:
+        with open(os.path.join(src, "b1.jsonl"), "w") as f:
+            f.write(envelope("INSERT", "TXN_1", TS, "10.00") + "\n")
+            f.write(envelope("INSERT", "TXN_2", TS, "20.00") + "\n")
+        q = stream_cdc_to_table(spark, src, wh, ckpt)
+        q.awaitTermination(120)
+        # second file arrives: MODIFY + a REMOVE (ignored)
+        with open(os.path.join(src, "b2.jsonl"), "w") as f:
+            f.write(envelope("MODIFY", "TXN_2", TS, "22.00") + "\n")
+            f.write(envelope("REMOVE", "TXN_1", TS, "10.00") + "\n")
+        q2 = stream_cdc_to_table(spark, src, wh, ckpt)
+        q2.awaitTermination(120)
+        got = {
+            (r.transaction_id, str(r.amount))
+            for r in wh.read("analytics", "transactions").collect()
+        }
+        assert got == {("TXN_1", "10.00"), ("TXN_2", "22.00")}
+        # checkpoint means b1 was NOT re-processed: history shows
+        # exactly one merge commit per processed batch
+        assert wh.current_version("analytics", "transactions") >= 2

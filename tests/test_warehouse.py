@@ -1,0 +1,154 @@
+"""Warehouse DDL + MERGE + time-travel + compaction (SURVEY 2.4, S5)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import (
+    CommitConflictError,
+    TableNotFoundError,
+    Warehouse,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("day", StringType()),
+        StructField("v", LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def wh(spark):
+    with tempfile.TemporaryDirectory() as d:
+        yield Warehouse(spark, d)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, schema=SCHEMA)
+
+
+def test_ddl_lifecycle(wh):
+    wh.create_namespace("analytics")
+    assert wh.list_namespaces() == ["analytics"]
+    wh.create_table("analytics", "t", SCHEMA, key="id", partition_by="day")
+    assert wh.list_tables("analytics") == ["t"]
+    # idempotent create (reference ResourceAlreadyExistsException skip)
+    wh.create_table("analytics", "t", SCHEMA, key="id", partition_by="day")
+    with pytest.raises(FileExistsError):
+        wh.create_table("analytics", "t", SCHEMA, key="id", if_not_exists=False)
+    wh.drop_table("analytics", "t")
+    wh.drop_table("analytics", "t")  # tolerant, like ResourceNotFoundException
+    wh.drop_namespace("analytics")
+    with pytest.raises(TableNotFoundError):
+        wh.read("analytics", "t")
+
+
+def test_insert_and_read(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d2", 2)]))
+    got = {(r.id, r.day, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", "d1", 1), ("b", "d2", 2)}
+
+
+def test_merge_upsert_semantics(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d1", 2)]))
+    # update a, insert c; within-batch dup for c -> latest v wins
+    batch = _df(spark, [("a", "d1", 10), ("c", "d2", 1), ("c", "d2", 99)])
+    wh.merge_upsert("ns", "t", batch, order_col="v")
+    got = {(r.id, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", 10), ("b", 2), ("c", 99)}
+
+
+def test_merge_partition_cow(spark, wh):
+    """Only touched partitions are rewritten (file-level check)."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d2", 2)]))
+    v1_files = {e["path"] for e in wh._manifest(wh._table_dir("ns", "t"), 1)}
+    wh.merge_upsert("ns", "t", _df(spark, [("a", "d1", 5)]))
+    v2_files = {e["path"] for e in wh._manifest(wh._table_dir("ns", "t"), 2)}
+    # d2's file must be carried over untouched
+    d2_files = {p for p in v1_files if "_p=d2" in p}
+    assert d2_files and d2_files <= v2_files
+    # d1 was rewritten
+    assert not any(p in v2_files for p in v1_files - d2_files)
+    got = {(r.id, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", 5), ("b", 2)}
+
+
+def test_merge_delete(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d2", 2)]))
+    batch = spark.createDataFrame(
+        [("b", "d2", 0, True), ("c", "d3", 3, False)],
+        schema="id string, day string, v long, _delete boolean",
+    )
+    wh.merge_upsert("ns", "t", batch, delete_col="_delete")
+    got = {(r.id, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", 1), ("c", 3)}
+
+
+def test_time_travel_and_history(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    wh.merge_upsert("ns", "t", _df(spark, [("a", "d1", 2)]))
+    assert wh.read("ns", "t", version=1).collect()[0].v == 1
+    assert wh.read("ns", "t", version=2).collect()[0].v == 2
+    assert [h["version"] for h in wh.history("ns", "t")] == [0, 1, 2]
+
+
+def test_partition_pruned_read(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d2", 2), ("c", "d2", 3)]))
+    got = {r.id for r in wh.read("ns", "t", partition_filter=["d2"]).collect()}
+    assert got == {"b", "c"}
+
+
+def test_required_not_null_enforced(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", required=("id",))
+    df = spark.createDataFrame(
+        [(None, "d1", 1), ("a", "d1", 2)], schema="id string, day string, v long"
+    )
+    wh.insert("ns", "t", df)
+    assert [r.id for r in wh.read("ns", "t").collect()] == ["a"]
+
+
+def test_commit_conflict(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id")
+    tdir = wh._table_dir("ns", "t")
+    with pytest.raises(CommitConflictError):
+        wh._publish(tdir, 0, [])  # version 0 already exists
+
+
+def test_compaction(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    for i in range(3):  # three commits -> three files in d1
+        wh.insert("ns", "t", _df(spark, [(f"k{i}", "d1", i)]))
+    before = wh.history("ns", "t")[-1]["n_files"]
+    v = wh.compact("ns", "t")
+    after = wh.history("ns", "t")[-1]["n_files"]
+    assert after < before
+    assert {r.id for r in wh.read("ns", "t").collect()} == {"k0", "k1", "k2"}
+    assert wh.read("ns", "t", version=v - 1).count() == 3  # snapshots intact
