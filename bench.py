@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark the engine's headline queries.
+
+Runs a representative slice of the operator inventory (scan-agg, joins,
+windows, top-k, CDC transform, dedup-LSH, similarity, text) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Results are consumed with the noop sink (no driver collect overhead) so
+the timing measures the distributed plan, not result serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from sample_for_transactional_datalake_using_s3tables_spark.operators import all_queries
+from sample_for_transactional_datalake_using_s3tables_spark.plans import get_spark
+
+BENCH_QUERIES = (
+    # reference-surface analytics
+    "risk_analysis",
+    "hourly_pattern",
+    "pricing_summary",
+    "revenue_by_region",
+    "join_left",
+    "window_rank",
+    "topk",
+    "count_distinct",
+    # ingest chain (encode -> parse -> dedup)
+    "cdc_pipeline",
+    # LLM-data extensions
+    "dedup_minhash_lsh",
+    "similarity_topk_lsh",
+    "text_token_stats",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="s3tables-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # Warmup: JVM/codegen + file listing.
+    queries["scan_limit"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,6 +23,8 @@ Everything is pure Column expressions -- no Python UDFs in any hot path.
 
 from __future__ import annotations
 
+import hashlib
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,12 +37,26 @@ from ..functions.vectors import (
     dot_int_sql,
     quantize,
 )
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread
 
 # MinHash parameters: 12 hashes in 4 bands of 3 rows.
 MINHASH_K = 12
 MINHASH_BANDS = 4
 MINHASH_R = MINHASH_K // MINHASH_BANDS
+
+# The MINHASH_K hash functions are affine remixes of ONE md5-derived
+# 30-bit base hash:  h_i(s) = (a_i * h30(s) + b_i) mod P.  One md5 pass
+# per shingle instead of K -- the dominant cost at scale -- with exact
+# int64 arithmetic (a_i < 2^28, h30 < 2^30 => product < 2^58, no
+# overflow) reproducible verbatim in the DuckDB oracle.
+MINHASH_P = 2147483647
+MINHASH_COEF = [
+    (
+        int(hashlib.md5(f"a{i}".encode()).hexdigest()[:7], 16) | 1,
+        int(hashlib.md5(f"b{i}".encode()).hexdigest()[:7], 16),
+    )
+    for i in range(MINHASH_K)
+]
 
 SIMHASH_BITS = 16
 
@@ -78,32 +94,40 @@ FROM documents GROUP BY 1
 # --------------------------------------------------------------------------
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = F.array_distinct(shingles(tokens(F.col("text"))))
-    return docs.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    # Materialize the token array BEFORE shingling: the shingle lambda
+    # references its input per element, and an inlined split() expression
+    # would re-tokenize the whole text per shingle position (quadratic).
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    sh = F.array_distinct(shingles(F.col("tok")))
+    return toked.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures -> banded LSH candidate pairs -> exact Jaccard.
 
-    Signature: ``mh_i = min over shingles of md5int(f"{i}:" + shingle)``;
-    band key = md5 of the band's signature triple. Candidates share any
-    band key; the final column is the *exact* shingle-set Jaccard of the
-    candidate pair (int division -> portable double)."""
-    base = _doc_shingles(spark, sf_dir)
-    sig = base.select(
+    Signature: one md5 pass hashes each shingle to 30 bits, then
+    ``mh_i = min over shingles of (a_i * h30 + b_i) mod P`` (see
+    MINHASH_COEF). Band key = md5 of the band's signature triple;
+    candidates share any band key; the final column is the *exact*
+    shingle-set Jaccard of the candidate pair (int division ->
+    portable double)."""
+    base = _doc_shingles(spark, sf_dir).cache()
+    h30 = F.transform(
+        F.col("sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit((1 << 30) - 1)),
+    )
+    def remix(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+    sig = base.withColumn("h30", h30).select(
         "doc_id",
         "sh",
         *[
-            F.array_min(
-                F.transform(
-                    F.col("sh"),
-                    lambda s, i=i: F.conv(
-                        F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
-                    ).cast("bigint"),
-                )
-            ).alias(f"mh{i}")
-            for i in range(MINHASH_K)
+            F.array_min(F.transform(F.col("h30"), remix(a, b))).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_COEF)
         ],
     )
     bands = sig.select(
@@ -158,8 +182,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     mh_cols = ",\n         ".join(
-        f"list_min(list_transform(sh, s -> {md5_int_sql(repr(str(i) + ':') + ' || s')})) AS mh{i}"
-        for i in range(MINHASH_K)
+        f"list_min(list_transform(h30, h -> (h * {a} + {b}) % {MINHASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEF)
     )
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band_id, "
@@ -170,10 +194,15 @@ def _minhash_sql() -> str:
 WITH base AS (
   SELECT doc_id, {_SHINGLES} AS sh FROM documents WHERE len({_SHINGLES}) > 0
 ),
+hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> {md5_int_sql('s')} & {(1 << 30) - 1}) AS h30
+  FROM base
+),
 sig AS (
   SELECT doc_id, sh,
          {mh_cols}
-  FROM base
+  FROM hashed
 ),
 bands AS (
 {band_rows}
@@ -200,13 +229,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (token-multiset, md5-derived bits):
     bit b is set iff the majority of tokens have bit b set in their hash.
     Equal signatures cluster near-identical bags of words."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
     hs = F.transform(
-        tok,
+        F.col("tok"),
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
     )
-    d = docs.select("doc_id", hs.alias("hs"), F.size(tok).alias("n"))
+    d = toked.select("doc_id", hs.alias("hs"), F.size("tok").alias("n"))
 
     def bit_set(mask: int):
         # single-arg lambda (two params would mean (element, index))
@@ -245,9 +274,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise 3-gram Jaccard within (lang, source) blocks, keeping
     pairs >= 0.2. Blocking bounds the quadratic pair space; at scale the
     block key becomes a shuffle partition key (skewed blocks -> AQE)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = F.array_distinct(shingles(tokens(F.col("text"))))
-    base = docs.select("doc_id", "lang", "source", sh.alias("sh")).filter(
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toked = docs.select(
+        "doc_id", "lang", "source", tokens(F.col("text")).alias("tok")
+    )
+    sh = F.array_distinct(shingles(F.col("tok")))
+    base = toked.select("doc_id", "lang", "source", sh.alias("sh")).filter(
         F.size("sh") > 0
     )
     a, b = base.alias("a"), base.alias("b")
@@ -293,7 +325,7 @@ WHERE len(list_intersect(a.sh, b.sh))
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vectors: pairs within the same label block with
     quantized cosine >= 0.3 (exact int arithmetic, portable doubles)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
     q = q.withColumn("n2", dot_int(F.col("qv"), F.col("qv")))
     a, b = q.alias("a"), q.alias("b")

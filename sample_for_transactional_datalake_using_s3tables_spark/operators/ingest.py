@@ -19,7 +19,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread
 from ..sources.warehouse import Warehouse
 from ..streaming.cdc import good_rows, parse_cdc
 
@@ -73,7 +73,7 @@ def cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (amount doubled, later processing_timestamp) in the same batch --
     latest must win; id%10==0 additionally get a REMOVE -- must be
     dropped without effect (T1)."""
-    events = load_table(spark, sf_dir, "events")
+    events = spread(load_table(spark, sf_dir, "events"), "event_id")
     variants = F.array_compact(
         F.array(
             _envelope("INSERT", F.col("value"), 1),

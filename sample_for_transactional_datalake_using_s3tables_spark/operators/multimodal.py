@@ -20,7 +20,7 @@ from collections.abc import Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread
 
 IMAGE_FEATURE_SCHEMA = (
     "doc_id long, byte_len int, width int, height int, channels int, n_frames int"
@@ -58,7 +58,7 @@ def _image_feature_batches(batches: Iterator) -> Iterator:
 
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary payload -> Arrow-batched mapInPandas feature extraction."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payloads.mapInPandas(_image_feature_batches, IMAGE_FEATURE_SCHEMA)
 
@@ -99,7 +99,7 @@ def _audio_feature_batches(batches: Iterator) -> Iterator:
 
 
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return payloads.mapInPandas(_audio_feature_batches, AUDIO_FEATURE_SCHEMA)
 
@@ -116,7 +116,7 @@ FROM documents
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for a (fake) video payload: every 5th frame index,
     pure Column expressions (sequence + explode -- no Python)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     n_frames = (F.octet_length(F.encode("text", "utf-8")) % 30 + 2).alias("n_frames")
     return (
         docs.select("doc_id", n_frames)

@@ -31,7 +31,7 @@ from ..functions.vectors import (
     hyperplanes,
     quantize,
 )
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread
 
 N_QUERIES = 10   # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -42,7 +42,7 @@ _HYPERPLANES = hyperplanes(LSH_TABLES, LSH_BITS)
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
     return q.withColumn("n2", dot_int(F.col("qv"), F.col("qv")))
 

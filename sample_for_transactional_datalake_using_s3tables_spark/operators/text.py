@@ -17,7 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.textfns import STOPWORDS, TOKENS_SQL, tokens
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread
 
 _STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
@@ -33,13 +33,16 @@ MARKERS: dict[str, tuple[str, ...]] = {
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, char length,
     plus a BPE-ish subword proxy (ceil of chars/4 per token)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    return docs.select(
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toked = docs.select(
+        "doc_id", F.length("text").alias("_len"), tokens(F.col("text")).alias("tok")
+    )
+    tok = F.col("tok")
+    return toked.select(
         "doc_id",
         F.size(tok).alias("n_tokens"),
         F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
-        F.length("text").alias("n_chars_text"),
+        F.col("_len").alias("n_chars_text"),
         F.aggregate(
             tok,
             F.lit(0).cast("bigint"),
@@ -62,9 +65,10 @@ FROM documents
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: distinct-token ratio and stopword ratio
     (exact-int divisions -> portable doubles), bucketed into a grade."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    d = docs.select(
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    tok = F.col("tok")
+    d = toked.select(
         "doc_id",
         F.size(tok).alias("n_tokens"),
         F.size(F.array_distinct(tok)).alias("n_distinct"),
@@ -113,9 +117,10 @@ def _marker_hit(ws: tuple[str, ...]):
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: count per-language marker hits, argmax
     with deterministic tie-break (marker order en > fr > de > es)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    d = docs.select(
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toked = docs.select("doc_id", "lang", tokens(F.col("text")).alias("tok"))
+    tok = F.col("tok")
+    d = toked.select(
         "doc_id",
         "lang",
         *[
@@ -159,7 +164,7 @@ FROM d
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-collision document fingerprint: md5 over the sorted distinct
     token set. Grouping by it clusters bag-of-words-identical docs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     fp = F.md5(F.array_join(F.sort_array(F.array_distinct(tokens(F.col("text")))), " "))
     return (
         docs.select("doc_id", fp.alias("fingerprint"))

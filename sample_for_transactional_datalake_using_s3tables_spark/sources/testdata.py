@@ -42,6 +42,19 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread(df: DataFrame, *by: str) -> DataFrame:
+    """Spread rows across all cores before per-row-expensive compute.
+
+    The local testdata tables are single parquet files == one input
+    split, so without this every md5/shingle/Arrow stage runs on one
+    core. The partition count is explicit because AQE would coalesce a
+    bare ``repartition(col)`` of small data back to one partition. At
+    real scale the scan yields thousands of splits and this becomes a
+    cheap no-op-ish extra exchange of only the projected columns."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *by) if by else df.repartition(n)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with normalized Spark types."""
     configure(spark)
