@@ -29,6 +29,9 @@ BENCH_QUERIES = (
     "hourly_pattern",
     "pricing_summary",
     "revenue_by_region",
+    "shipping_priority",
+    "forecast_revenue",
+    "supplier_volume",
     "join_left",
     "window_rank",
     "topk",
@@ -39,6 +42,9 @@ BENCH_QUERIES = (
     "dedup_minhash_lsh",
     "similarity_topk_lsh",
     "text_token_stats",
+    "window_tumbling",
+    "window_session",
+    "udf_minmax_scale",
 )
 
 

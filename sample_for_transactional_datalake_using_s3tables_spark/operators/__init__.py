@@ -11,10 +11,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, ingest, multimodal, relational, similarity, text
+from . import (
+    dedup,
+    ingest,
+    multimodal,
+    relational,
+    similarity,
+    streamwin,
+    text,
+    udfs,
+)
 
-
-_MODULES = (relational, dedup, similarity, text, multimodal, ingest)
+_MODULES = (relational, dedup, similarity, text, multimodal, ingest, streamwin, udfs)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

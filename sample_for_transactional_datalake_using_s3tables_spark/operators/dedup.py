@@ -112,7 +112,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates share any band key; the final column is the *exact*
     shingle-set Jaccard of the candidate pair (int division ->
     portable double)."""
-    base = _doc_shingles(spark, sf_dir).cache()
+    base = _doc_shingles(spark, sf_dir)
     h30 = F.transform(
         F.col("sh"),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)

@@ -392,6 +392,116 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective fact-fact join (orders |><| lineitem)
+    with dimension semi-filter, aggregate, top-10. The customer filter
+    broadcasts; the orders-lineitem join co-shuffles on the order key."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = "1998-06-30"
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")).join(
+        F.broadcast(building), orders.o_custkey == building.c_custkey, "left_semi"
+    )
+    l = li.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (1 - F.col("l_discount")).cast("decimal(4,2)"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast(DEC4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate > TIMESTAMP '1998-06-30'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate -- the predicate-
+    pushdown showcase (all three filters reach the parquet reader)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * F.col("l_discount").cast("decimal(4,2)"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast(DEC4).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join, all dimensions broadcast, one
+    fact co-shuffle (lineitem |><| orders on the order key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    sup = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (1 - F.col("l_discount")).cast("decimal(4,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_orderstatus") == "F")
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).cast(DEC4).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+SUPPLIER_VOLUME_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderstatus = 'F'
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Window functions (SURVEY 2.6).
 # --------------------------------------------------------------------------
@@ -781,6 +891,9 @@ QUERIES = {
     "topk": topk,
     "pricing_summary": pricing_summary,
     "revenue_by_region": revenue_by_region,
+    "shipping_priority": shipping_priority,
+    "forecast_revenue": forecast_revenue,
+    "supplier_volume": supplier_volume,
     "join_left": join_left,
     "join_semi": join_semi,
     "join_anti": join_anti,
@@ -822,6 +935,9 @@ ORACLES = {
     "topk": TOPK_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "revenue_by_region": REVENUE_BY_REGION_SQL,
+    "shipping_priority": SHIPPING_PRIORITY_SQL,
+    "forecast_revenue": FORECAST_REVENUE_SQL,
+    "supplier_volume": SUPPLIER_VOLUME_SQL,
     "join_left": JOIN_LEFT_SQL,
     "join_semi": JOIN_SEMI_SQL,
     "join_anti": JOIN_ANTI_SQL,

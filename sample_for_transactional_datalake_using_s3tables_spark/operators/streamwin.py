@@ -1,0 +1,92 @@
+"""Event-time window operators, batch-checked (SURVEY 2.6).
+
+The window expressions live in ``streaming/windows.py`` and run
+identically under batch and streaming; here they are applied to the
+``events`` table in batch mode so the DuckDB oracle can certify the
+window assignment/merging semantics. The genuinely-streaming behaviors
+(watermark late-data drop, stateful dedup) are covered by
+tests/test_streaming_windows.py.
+
+Oracle notes: Spark's tumbling windows are epoch-aligned and DuckDB's
+``time_bucket`` buckets are 2000-01-01-aligned -- identical boundaries
+for divisor-of-a-day widths. Session windows are replicated with the
+classic gap-and-islands SQL (new session when ts - lag(ts) >= gap;
+session end = max(ts) + gap, matching ``session_window`` semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.testdata import load_table
+from ..streaming.windows import session_counts, sliding_counts, tumbling_counts
+
+
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+WINDOW_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+# Each event belongs to exactly two 1h/30m hopping windows: the ones
+# starting at floor_30(ts) and floor_30(ts) - 30m.
+WINDOW_SLIDING_SQL = """
+WITH starts AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           AS window_start
+  FROM events
+)
+SELECT window_start, COUNT(*) AS n_events FROM starts GROUP BY 1
+"""
+
+
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_counts(load_table(spark, sf_dir, "events"))
+
+
+WINDOW_SESSION_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL '10 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '10 minutes' AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+QUERIES = {
+    "window_tumbling": window_tumbling,
+    "window_sliding": window_sliding,
+    "window_session": window_session,
+}
+
+ORACLES = {
+    "window_tumbling": WINDOW_TUMBLING_SQL,
+    "window_sliding": WINDOW_SLIDING_SQL,
+    "window_session": WINDOW_SESSION_SQL,
+}
