@@ -959,3 +959,148 @@ ORACLES = {
     "scalar_subquery": SCALAR_SUBQUERY_SQL,
     "correlated_exists": CORRELATED_EXISTS_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Breadth batch 2: pivot, regexp, null handling, array agg, SQL-text entry.
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide conditional aggregation) with explicit value
+    list -- at scale always pass the value list to avoid the extra
+    distinct-values job."""
+    events = load_table(spark, sf_dir, "events")
+    pv = (
+        events.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return pv.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+PIVOT_AGG_SQL = """
+SELECT user_id % 10 AS user_bucket,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events GROUP BY 1
+"""
+
+
+def regexp_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression scalar functions (extract/replace/match)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_consonants"),
+        F.col("p_brand").rlike("Brand#[12]").alias("is_brand_1x_2x"),
+    )
+
+
+REGEXP_OPS_SQL = r"""
+SELECT p_partkey,
+       regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_consonants,
+       regexp_matches(p_brand, 'Brand#[12]') AS is_brand_1x_2x
+FROM part
+"""
+
+
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalars over an outer join's null-extended side."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000
+    )
+    j = customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        "o_orderkey",
+        F.col("o_orderkey").isNull().alias("no_big_order"),
+        F.coalesce(F.col("o_totalprice").cast(DEC), F.lit(0).cast(DEC))
+        .cast(DEC)
+        .alias("big_order_price"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment_or_null"),
+    )
+
+
+NULL_HANDLING_SQL = """
+SELECT c_custkey, o_orderkey,
+       o_orderkey IS NULL AS no_big_order,
+       CAST(COALESCE(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS DECIMAL(18,2)) AS big_order_price,
+       NULLIF(c_mktsegment, 'BUILDING') AS segment_or_null
+FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+  ON c_custkey = o_custkey
+"""
+
+
+def array_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregation: per-user sorted distinct event-type sets
+    (sorted so the list value is deterministic cross-engine)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+
+
+ARRAY_AGG_SQL = """
+SELECT user_id,
+       list_sort(list_distinct(list(event_type))) AS event_types,
+       CAST(len(list_distinct(list(event_type))) AS INTEGER) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def sql_text_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 parity: the SQL-string entry point (reference submits query
+    text to Athena, README.md:143-148); here spark.sql over registered
+    views -- same Catalyst plan as the DataFrame variant."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_sql_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS total_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        FROM _sql_events
+        WHERE value > 50
+        GROUP BY event_type
+        """
+    )
+
+
+SQL_TEXT_SQL = """
+SELECT event_type, COUNT(*) AS total_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+FROM events WHERE value > 50 GROUP BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "pivot_agg": pivot_agg,
+        "regexp_ops": regexp_ops,
+        "null_handling": null_handling,
+        "array_agg_battery": array_agg_battery,
+        "sql_text_entry": sql_text_entry,
+    }
+)
+
+ORACLES.update(
+    {
+        "pivot_agg": PIVOT_AGG_SQL,
+        "regexp_ops": REGEXP_OPS_SQL,
+        "null_handling": NULL_HANDLING_SQL,
+        "array_agg_battery": ARRAY_AGG_SQL,
+        "sql_text_entry": SQL_TEXT_SQL,
+    }
+)
