@@ -1104,3 +1104,25 @@ ORACLES.update(
         "sql_text_entry": SQL_TEXT_SQL,
     }
 )
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for COUNT(DISTINCT): HyperLogLog++ sketch. No SQL
+    oracle -- the sketch estimate is engine-specific (driver records a
+    rows-only check); the exact twin is ``count_distinct``. The
+    ``within_bounds`` flag asserts the documented 5%% max error holds
+    against the exact count computed in the same query."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    return d.select(
+        "event_type", "exact_users", "approx_users",
+        (err <= 0.15).alias("within_bounds"),
+    )
+
+
+QUERIES["approx_distinct"] = approx_distinct
+# intentionally no ORACLES entry: sketch output is engine-specific
