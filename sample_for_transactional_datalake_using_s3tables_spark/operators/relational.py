@@ -1126,3 +1126,67 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["approx_distinct"] = approx_distinct
 # intentionally no ORACLES entry: sketch output is engine-specific
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: supplier and customer nation populations."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    s = supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    c = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_customers")
+    )
+    return s.join(c, "nationkey", "full").select(
+        "nationkey",
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+    )
+
+
+JOIN_FULL_OUTER_SQL = """
+SELECT COALESCE(s.nationkey, c.nationkey) AS nationkey,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       COALESCE(n_customers, 0) AS n_customers
+FROM (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+FULL JOIN (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+  USING (nationkey)
+"""
+
+
+def nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type round-trip (the reference's second data shape --
+    orders with items array<struct>, scripts/create_sample_orders.py:29-53,
+    and the STRUCT columns of scripts/update_metadata.py:99-113): build
+    array-of-struct per order from lineitem, then navigate back out
+    (explode + field access). The oracle is the flat projection, so a
+    hash match certifies construction AND navigation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_linenumber", "l_partkey", F.col("l_quantity").cast(DEC).alias("qty"))
+        ).alias("items")
+    )
+    ex = nested.select("l_orderkey", F.explode("items").alias("item"))
+    return ex.select(
+        "l_orderkey",
+        F.col("item.l_linenumber").alias("linenumber"),
+        F.col("item.l_partkey").alias("partkey"),
+        F.col("item.qty").alias("qty"),
+    )
+
+
+NESTED_ROUNDTRIP_SQL = """
+SELECT l_orderkey, l_linenumber AS linenumber, l_partkey AS partkey,
+       CAST(l_quantity AS DECIMAL(18,2)) AS qty
+FROM lineitem
+"""
+
+
+QUERIES.update(
+    {"join_full_outer": join_full_outer, "nested_roundtrip": nested_roundtrip}
+)
+ORACLES.update(
+    {"join_full_outer": JOIN_FULL_OUTER_SQL, "nested_roundtrip": NESTED_ROUNDTRIP_SQL}
+)

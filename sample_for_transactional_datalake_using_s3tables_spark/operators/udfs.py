@@ -139,3 +139,34 @@ ORACLES = {
     "udf_vector_norm": UDF_VECTOR_NORM_SQL,
     "udf_tokenize_udtf": UDF_TOKENIZE_SQL,
 }
+
+
+def _sum_ids(v: pd.Series) -> int:
+    """Grouped-agg pandas UDF (UDAF) body: exact int64 sum (portable)."""
+    return int(v.sum())
+
+
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas_udf as a UDAF inside groupBy().agg() -- Arrow-batched
+    custom aggregation alongside built-ins. (The udf is wrapped lazily:
+    the decorator needs an active session.)"""
+    sum_ids = F.pandas_udf(_sum_ids, "long", F.PandasUDFType.GROUPED_AGG)
+    count_rows = F.pandas_udf(
+        lambda v: len(v), "long", F.PandasUDFType.GROUPED_AGG
+    )
+    events = load_table(spark, sf_dir, "events")
+    # NB: grouped-agg pandas UDFs cannot mix with built-in aggregates in
+    # one agg() -- both aggregates here are pandas UDAFs.
+    return events.groupBy("event_type").agg(
+        sum_ids(F.col("user_id")).alias("sum_user_ids"),
+        count_rows(F.col("user_id")).alias("n_events"),
+    )
+
+
+UDF_GROUPED_AGG_SQL = """
+SELECT event_type, SUM(user_id) AS sum_user_ids, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+QUERIES["udf_grouped_agg"] = udf_grouped_agg
+ORACLES["udf_grouped_agg"] = UDF_GROUPED_AGG_SQL

@@ -89,15 +89,26 @@ def _unwrap(img: Column, field: StructField) -> Column:
     return raw.cast(field.dataType).alias(field.name)
 
 
-def parse_cdc(raw: DataFrame, json_col: str = "value") -> DataFrame:
+def parse_cdc(
+    raw: DataFrame, json_col: str = "value", base64_encoded: bool = False
+) -> DataFrame:
     """Raw JSON lines -> typed transactions rows + quarantine marker.
+
+    ``base64_encoded=True`` is the Kinesis-source path: records arrive
+    base64-wrapped and are decoded first (S3 -- the reference's
+    ``base64.b64decode`` + ``json.loads``, lambda/transform/index.py:22-23).
 
     Output columns: the 22-column schema plus ``_corrupt`` (original
     payload when the record failed to parse or lacked the required key).
     """
+    payload = (
+        F.unbase64(F.col(json_col)).cast("string")
+        if base64_encoded
+        else F.col(json_col)
+    )
     env = raw.select(
-        F.col(json_col).alias("_raw"),
-        F.from_json(json_col, CDC_ENVELOPE_DDL).alias("e"),
+        payload.alias("_raw"),
+        F.from_json(payload, CDC_ENVELOPE_DDL).alias("e"),
     )
     img = F.col("e.dynamodb.NewImage")
     parsed = env.select(

@@ -60,3 +60,57 @@ def test_ddl_lifecycle_sql(spark, ns):
 
     ddl.drop_table(spark, t)
     assert ddl.show_tables(spark, ns) == []
+
+
+def test_nested_struct_ddl(spark, ns):
+    """D6: the reference's nested table shape -- transaction_metadata /
+    fraud_indicators STRUCTs (scripts/update_metadata.py:99-113) and the
+    orders items array<struct> (scripts/create_sample_orders.py:29-53)."""
+    t = f"{ns}.transactions_nested"
+    nested = StructType(
+        [
+            StructField("transaction_id", StringType(), False),
+            StructField(
+                "transaction_metadata",
+                StructType(
+                    [
+                        StructField("device_type", StringType()),
+                        StructField("authentication_method", StringType()),
+                        StructField("merchant_id", StringType()),
+                    ]
+                ),
+            ),
+            StructField(
+                "items",
+                __import__("pyspark.sql.types", fromlist=["ArrayType"]).ArrayType(
+                    StructType(
+                        [
+                            StructField("productId", StringType()),
+                            StructField("price", DecimalType(10, 2)),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    ddl.create_table(spark, t, nested)
+    df = spark.createDataFrame(
+        [("TXN_1", ("MOBILE", "2FA", "MERCH_1"), [("P1", "9.99"), ("P2", "1.50")])],
+        "transaction_id string, "
+        "transaction_metadata struct<device_type:string,authentication_method:string,merchant_id:string>, "
+        "items array<struct<productId:string,price:string>>",
+    ).selectExpr(
+        "transaction_id",
+        "transaction_metadata",
+        "transform(items, x -> struct(x.productId as productId, "
+        "cast(x.price as decimal(10,2)) as price)) as items",
+    )
+    ddl.insert_into(spark, t, df)
+    row = spark.table(t).selectExpr(
+        "transaction_metadata.device_type as device_type",
+        "items[1].price as price",
+        "size(items) as n_items",
+    ).collect()[0]
+    assert row.device_type == "MOBILE"
+    assert str(row.price) == "1.50"
+    assert row.n_items == 2

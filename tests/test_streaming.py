@@ -154,3 +154,15 @@ def test_streaming_end_to_end(spark, wh):
         # checkpoint means b1 was NOT re-processed: history shows
         # exactly one merge commit per processed batch
         assert wh.current_version("analytics", "transactions") >= 2
+
+
+def test_base64_kinesis_path(spark):
+    """S3: the Kinesis-source records arrive base64-wrapped
+    (reference lambda/transform/index.py:22-23)."""
+    import base64
+
+    line = envelope("INSERT", "TXN_B64", TS, "99.99")
+    b64 = base64.b64encode(line.encode()).decode()
+    parsed = parse_cdc(_raw(spark, [b64]), base64_encoded=True)
+    row = good_rows(parsed).collect()[0]
+    assert row.transaction_id == "TXN_B64" and str(row.amount) == "99.99"
