@@ -18,11 +18,22 @@ from . import (
     relational,
     similarity,
     streamwin,
+    temporal,
     text,
     udfs,
 )
 
-_MODULES = (relational, dedup, similarity, text, multimodal, ingest, streamwin, udfs)
+_MODULES = (
+    relational,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+    ingest,
+    streamwin,
+    udfs,
+    temporal,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
