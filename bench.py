@@ -45,6 +45,8 @@ BENCH_QUERIES = (
     "window_tumbling",
     "window_session",
     "udf_minmax_scale",
+    "asof_join",
+    "range_join",
 )
 
 
