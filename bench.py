@@ -57,8 +57,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warmup: JVM/codegen + file listing.
+    # Warmup: JVM/codegen + file listing, plus the Python-worker/Arrow
+    # path (first pandas-UDF call forks the worker pool, ~5s one-time).
     queries["scan_limit"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    queries["udf_minmax_scale"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
