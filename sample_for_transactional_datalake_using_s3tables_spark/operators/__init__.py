@@ -3,13 +3,33 @@
 Each submodule exposes ``QUERIES: dict[name, (spark, sf_dir) -> DataFrame]``
 and ``ORACLES: dict[name, str]`` (DuckDB ANSI-SQL twin for the driver's
 correctness harness). ``all_queries()`` / ``all_oracles()`` merge them.
+
+Two registry-level policies applied here so no individual operator can
+forget them:
+
+- **Output-boundary decimal cast**: every DecimalType column in a query's
+  final projection is cast to ``double``. Decimal arithmetic stays exact
+  *inside* the plans (see relational.py's determinism rules); only the
+  boundary changes. The cast is exact (all magnitudes are far below 2^53)
+  and matches DuckDB's own DECIMAL -> float64 conversion, so both engines
+  hand the comparison harness bit-identical float64 values instead of
+  repr-sensitive Decimal objects.
+- **Registry order**: ``_PRIORITY`` fixes the iteration order of
+  ``all_queries()`` so the first 50 entries cover every operator family
+  in SURVEY.md section 2 (relational, joins, windows, rollup/cube, set
+  ops, scalar batteries, dedup, similarity, text, multimodal, ingest,
+  event-time windows, UDF surface, temporal joins). Redundant variants of
+  already-covered families sort after; they remain fully pytest-checked.
 """
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import DecimalType
 
 from . import (
     dedup,
@@ -35,8 +55,99 @@ _MODULES = (
     temporal,
 )
 
+# One representative per operator family first (every SURVEY section-2 row
+# and every LLM-data operator lands in the first 50 names).
+_PRIORITY = (
+    # reference flagship queries + core relational
+    "scan_limit",
+    "filter_date_range",
+    "risk_analysis",
+    "hourly_pattern",
+    "pricing_summary",
+    "revenue_by_region",
+    "forecast_revenue",
+    "join_left",
+    "join_semi",
+    "join_full_outer",
+    "window_rank",
+    "window_running_sum",
+    "rollup_agg",
+    "cube_agg",
+    "set_union",
+    "date_funcs",
+    "json_extract",
+    "correlated_exists",
+    "pivot_agg",
+    "regexp_ops",
+    "array_agg_battery",
+    "sql_text_entry",
+    "approx_distinct",
+    "nested_roundtrip",
+    # LLM-data: dedup + similarity search
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
+    "similarity_label_stats",
+    # text analysis
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    # multimodal plumbing
+    "multimodal_image_features",
+    "multimodal_audio_stats",
+    "multimodal_frame_sample",
+    # ingest chain + warehouse MERGE
+    "cdc_pipeline",
+    "warehouse_merge_roundtrip",
+    # event-time windows
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    # UDF/UDAF/UDTF surface
+    "udf_minmax_scale",
+    "udf_vector_norm",
+    "udf_tokenize_udtf",
+    "udf_grouped_agg",
+    # temporal joins
+    "asof_join",
+    "range_join",
+)
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+
+def finalize(df: DataFrame) -> DataFrame:
+    """Cast every top-level DecimalType output column to double.
+
+    Exact for this engine's value ranges (decimal(18,6) magnitudes are
+    far below 2^53, and both Spark and DuckDB convert decimal -> double
+    with a single correctly-rounded IEEE operation), so the cast changes
+    representation only, never the value.
+    """
+    if not any(isinstance(f.dataType, DecimalType) for f in df.schema.fields):
+        return df
+    return df.select(
+        *[
+            F.col(f.name).cast("double").alias(f.name)
+            if isinstance(f.dataType, DecimalType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
+def _finalized(fn: Callable[[SparkSession, str], DataFrame]):
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return finalize(fn(spark, sf_dir))
+
+    return wrapped
+
+
+def _merged() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _MODULES:
         overlap = out.keys() & m.QUERIES.keys()
@@ -46,8 +157,20 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    merged = _merged()
+    missing = [n for n in _PRIORITY if n not in merged]
+    if missing:
+        raise ValueError(f"_PRIORITY names not implemented: {missing}")
+    ordered = {n: merged[n] for n in _PRIORITY}
+    ordered.update({n: f for n, f in merged.items() if n not in ordered})
+    return {n: _finalized(f) for n, f in ordered.items()}
+
+
 def all_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
+    merged: dict[str, str] = {}
     for m in _MODULES:
-        out.update(m.ORACLES)
-    return out
+        merged.update(m.ORACLES)
+    ordered = {n: merged[n] for n in _PRIORITY if n in merged}
+    ordered.update({n: s for n, s in merged.items() if n not in ordered})
+    return ordered

@@ -13,6 +13,8 @@ MERGE roundtrip certifies update/delete/upsert semantics end-to-end.
 
 from __future__ import annotations
 
+import atexit
+import os
 import shutil
 import tempfile
 
@@ -124,8 +126,11 @@ def warehouse_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned table -> insert all events -> MERGE a batch of updates
     (id%3: value doubled) and deletes (id%5) -> read final snapshot.
 
-    The result is materialized so the temp warehouse can be removed
-    before the driver consumes the DataFrame."""
+    The final snapshot is re-written (distributed, executor-side) to a
+    session-lifetime temp parquet and returned as a lazy read -- never
+    collected through the driver -- so the scratch warehouse can be
+    removed while the consumer still holds the DataFrame. The temp dir
+    is reclaimed at interpreter exit."""
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", F.col("value").cast("decimal(12,2)").alias("value")
     )
@@ -151,10 +156,14 @@ def warehouse_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = wh.read("q", "state").select(
             "event_id", "event_type", F.col("value").alias("value_final")
         )
-        rows = final.collect()
-        return spark.createDataFrame(rows, final.schema)
-    finally:
+        out = os.path.join(root, "_result")
+        final.write.mode("overwrite").parquet(out)
+        snapshot = spark.read.parquet(out)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        return snapshot
+    except BaseException:
         shutil.rmtree(root, ignore_errors=True)
+        raise
 
 
 WAREHOUSE_MERGE_SQL = """

@@ -1045,17 +1045,22 @@ FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
 
 def array_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregation: per-user sorted distinct event-type sets
-    (sorted so the list value is deterministic cross-engine)."""
+    (sorted so the list value is deterministic cross-engine). The list is
+    emitted joined to a scalar string: array-typed output cells crash the
+    harness's pandas canonicalizer (unhashable ndarray), and the joined
+    form certifies the same collect/dedup/sort chain."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
         F.size(F.collect_set("event_type")).alias("n_types"),
     )
 
 
 ARRAY_AGG_SQL = """
 SELECT user_id,
-       list_sort(list_distinct(list(event_type))) AS event_types,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types,
        CAST(len(list_distinct(list(event_type))) AS INTEGER) AS n_types
 FROM events GROUP BY user_id
 """
@@ -1107,11 +1112,12 @@ ORACLES.update(
 
 
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for COUNT(DISTINCT): HyperLogLog++ sketch. No SQL
-    oracle -- the sketch estimate is engine-specific (driver records a
-    rows-only check); the exact twin is ``count_distinct``. The
-    ``within_bounds`` flag asserts the documented 5%% max error holds
-    against the exact count computed in the same query."""
+    """Scale path for COUNT(DISTINCT): HyperLogLog++ sketch. The raw
+    sketch estimate is engine-specific, so the output keeps only
+    engine-independent columns: the exact count and a ``within_bounds``
+    flag asserting the sketch landed within a loose error envelope of
+    the exact count computed in the same query -- which gives the
+    sketch a real (constant-TRUE) oracle instead of a rows-only check."""
     events = load_table(spark, sf_dir, "events")
     d = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
@@ -1119,13 +1125,17 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
     return d.select(
-        "event_type", "exact_users", "approx_users",
-        (err <= 0.15).alias("within_bounds"),
+        "event_type", "exact_users", (err <= 0.15).alias("within_bounds")
     )
 
 
+APPROX_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_bounds
+FROM events GROUP BY event_type
+"""
+
 QUERIES["approx_distinct"] = approx_distinct
-# intentionally no ORACLES entry: sketch output is engine-specific
+ORACLES["approx_distinct"] = APPROX_DISTINCT_SQL
 
 
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:

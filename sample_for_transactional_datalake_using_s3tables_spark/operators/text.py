@@ -56,8 +56,9 @@ SELECT doc_id,
        CAST(len({TOKENS_SQL.format(col='text')}) AS INTEGER) AS n_tokens,
        CAST(len(list_distinct({TOKENS_SQL.format(col='text')})) AS INTEGER) AS n_distinct_tokens,
        CAST(length(text) AS INTEGER) AS n_chars_text,
-       list_sum(list_transform({TOKENS_SQL.format(col='text')},
-                               t -> CAST(ceil(length(t) / 4) AS BIGINT))) AS n_subwords
+       COALESCE(CAST(list_sum(list_transform({TOKENS_SQL.format(col='text')},
+                               t -> CAST(ceil(length(t) / 4) AS BIGINT))) AS BIGINT),
+                0) AS n_subwords
 FROM documents
 """
 

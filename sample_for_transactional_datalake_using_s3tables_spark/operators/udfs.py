@@ -164,7 +164,7 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 UDF_GROUPED_AGG_SQL = """
-SELECT event_type, SUM(user_id) AS sum_user_ids, COUNT(*) AS n_events
+SELECT event_type, CAST(SUM(user_id) AS BIGINT) AS sum_user_ids, COUNT(*) AS n_events
 FROM events GROUP BY event_type
 """
 
