@@ -38,6 +38,7 @@ from ..functions.vectors import (
     quantize,
 )
 from ..sources.testdata import load_table, spread
+from .similarity import LSH_TABLES, bucket_expr, bucket_sql
 
 # MinHash parameters: 12 hashes in 4 bands of 3 rows.
 MINHASH_K = 12
@@ -93,6 +94,22 @@ FROM documents GROUP BY 1
 # MinHash + LSH.
 # --------------------------------------------------------------------------
 
+def _h30(sh_col: F.Column) -> F.Column:
+    """Array of 30-bit md5-derived base hashes, one per shingle."""
+    return F.transform(
+        sh_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit((1 << 30) - 1)),
+    )
+
+
+def _remix(a: int, b: int):
+    """Affine remix of the base hash: ``h -> (a*h + b) mod P`` (exact
+    int64: a < 2^28, h < 2^30 => product < 2^58)."""
+    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     # Materialize the token array BEFORE shingling: the shingle lambda
@@ -113,20 +130,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-set Jaccard of the candidate pair (int division ->
     portable double)."""
     base = _doc_shingles(spark, sf_dir)
-    h30 = F.transform(
-        F.col("sh"),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-        .cast("bigint")
-        .bitwiseAND(F.lit((1 << 30) - 1)),
-    )
-    def remix(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
-
-    sig = base.withColumn("h30", h30).select(
+    sig = base.withColumn("h30", _h30(F.col("sh"))).select(
         "doc_id",
         "sh",
         *[
-            F.array_min(F.transform(F.col("h30"), remix(a, b))).alias(f"mh{i}")
+            F.array_min(F.transform(F.col("h30"), _remix(a, b))).alias(f"mh{i}")
             for i, (a, b) in enumerate(MINHASH_COEF)
         ],
     )
@@ -267,13 +275,22 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM d
 
 
 # --------------------------------------------------------------------------
-# Blocked n-gram Jaccard.
+# Blocked n-gram Jaccard (MinHash-prefiltered).
 # --------------------------------------------------------------------------
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise 3-gram Jaccard within (lang, source) blocks, keeping
-    pairs >= 0.2. Blocking bounds the quadratic pair space; at scale the
-    block key becomes a shuffle partition key (skewed blocks -> AQE)."""
+    """3-gram Jaccard near-dup pairs within (lang, source) blocks,
+    keeping pairs >= 0.2 among MinHash candidates.
+
+    Scale shape: a naive within-block self-join is quadratic in block
+    size (a 100 TB corpus has only ~lang x source distinct blocks).
+    Candidate generation therefore reuses the MinHash machinery with
+    single-row bands (r=1: any shared minhash of the K=12 -> candidate,
+    ~93% recall at J=0.2), so the self-join's equi-keys are
+    (lang, source, band_id, band_key) -- bounded bucket sizes instead of
+    whole blocks -- and the exact Jaccard verify touches candidate pairs
+    only. The oracle mirrors the same candidate generation verbatim, so
+    the pair set is deterministic and engine-independent."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toked = docs.select(
         "doc_id", "lang", "source", tokens(F.col("text")).alias("tok")
@@ -282,39 +299,90 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = toked.select("doc_id", "lang", "source", sh.alias("sh")).filter(
         F.size("sh") > 0
     )
-    a, b = base.alias("a"), base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    jac = inter / (F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter)
-    return (
-        a.join(
-            b,
+    sig = base.withColumn("h30", _h30(F.col("sh")))
+    bands = sig.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.array_min(F.transform(F.col("h30"), _remix(a, b))).alias(
+                            "band_key"
+                        ),
+                    )
+                    for i, (a, b) in enumerate(MINHASH_COEF)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "lang", "source", "bk.band_id", "bk.band_key")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    jac = inter / (F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter)
+    return (
+        cand.join(base.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(base.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.lang").alias("lang"),
-            F.col("a.source").alias("source"),
+            "doc_a",
+            "doc_b",
+            F.col("sa.lang").alias("lang"),
+            F.col("sa.source").alias("source"),
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.2)
     )
 
 
-DEDUP_NGRAM_JACCARD_SQL = f"""
+def _ngram_jaccard_sql() -> str:
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, lang, source, {i} AS band_id, "
+        f"list_min(list_transform(h30, h -> (h * {a} + {b}) % {MINHASH_P})) AS band_key "
+        "FROM hashed"
+        for i, (a, b) in enumerate(MINHASH_COEF)
+    )
+    jac = (
+        "len(list_intersect(sa.sh, sb.sh)) "
+        "/ (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
+    )
+    return f"""
 WITH base AS (
   SELECT doc_id, lang, source, {_SHINGLES} AS sh
   FROM documents WHERE len({_SHINGLES}) > 0
+),
+hashed AS (
+  SELECT doc_id, lang, source,
+         list_transform(sh, s -> {md5_int_sql('s')} & {(1 << 30) - 1}) AS h30
+  FROM base
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang, a.source AS source,
-       len(list_intersect(a.sh, b.sh))
-         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-FROM base a JOIN base b
-  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.sh, b.sh))
-        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+SELECT doc_a, doc_b, sa.lang AS lang, sa.source AS source, {jac} AS jaccard
+FROM cand
+JOIN base sa ON doc_a = sa.doc_id
+JOIN base sb ON doc_b = sb.doc_id
+WHERE {jac} >= 0.2
 """
 
 
@@ -323,42 +391,88 @@ WHERE len(list_intersect(a.sh, b.sh))
 # --------------------------------------------------------------------------
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate vectors: pairs within the same label block with
-    quantized cosine >= 0.3 (exact int arithmetic, portable doubles)."""
+    """Near-duplicate vectors: same-label pairs with quantized cosine
+    >= 0.3 among sign-LSH candidates (exact int arithmetic, portable
+    doubles).
+
+    Scale shape: a plain within-label self-join is quadratic in label
+    population. Candidate generation reuses the multi-table sign-LSH
+    buckets from similarity search, so the self-join's equi-keys are
+    (label, table_id, bucket) and the exact cosine verify touches
+    candidate pairs only. The oracle mirrors the identical bucketing,
+    keeping the pair set engine-independent."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
     q = q.withColumn("n2", dot_int(F.col("qv"), F.col("qv")))
-    a, b = q.alias("a"), q.alias("b")
-    cos = cosine_from_ints(
-        dot_int(F.col("a.qv"), F.col("b.qv")), F.col("a.n2"), F.col("b.n2")
-    )
-    return (
-        a.join(
-            b,
+    buckets = q.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"), bucket_expr(t).alias("bucket")
+                    )
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "label", "tb.table_id", "tb.bucket")
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    cos = cosine_from_ints(
+        dot_int(F.col("qa.qv"), F.col("qb.qv")), F.col("qa.n2"), F.col("qb.n2")
+    )
+    return (
+        cand.join(q.alias("qa"), F.col("vec_a") == F.col("qa.vec_id"))
+        .join(q.alias("qb"), F.col("vec_b") == F.col("qb.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
+            "vec_a",
+            "vec_b",
+            F.col("qa.label").alias("label"),
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.3)
     )
 
 
-DEDUP_EMBEDDING_SQL = f"""
+def _dedup_embedding_sql() -> str:
+    bucket_rows = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, label, {t} AS table_id, {bucket_sql(t)} AS bucket FROM q"
+        for t in range(LSH_TABLES)
+    )
+    cos = cosine_from_ints_sql(dot_int_sql("qa.qv", "qb.qv"), "qa.n2", "qb.n2")
+    return f"""
 WITH q AS (
   SELECT vec_id, label,
          {QUANTIZE_SQL.format(v='embedding')} AS qv,
          {dot_int_sql(QUANTIZE_SQL.format(v='embedding'), QUANTIZE_SQL.format(v='embedding'))} AS n2
   FROM embeddings
+),
+buckets AS (
+{bucket_rows}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.label = b.label AND a.table_id = b.table_id
+   AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       {cosine_from_ints_sql(dot_int_sql('a.qv', 'b.qv'), 'a.n2', 'b.n2')} AS cosine
-FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {cosine_from_ints_sql(dot_int_sql('a.qv', 'b.qv'), 'a.n2', 'b.n2')} >= 0.3
+SELECT vec_a, vec_b, qa.label AS label, {cos} AS cosine
+FROM cand
+JOIN q qa ON vec_a = qa.vec_id
+JOIN q qb ON vec_b = qb.vec_id
+WHERE {cos} >= 0.3
 """
 
 
@@ -374,6 +488,6 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
-    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
-    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+    "dedup_embedding": _dedup_embedding_sql(),
 }

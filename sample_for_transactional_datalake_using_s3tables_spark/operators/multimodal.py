@@ -43,7 +43,7 @@ def _image_feature_batches(batches: Iterator) -> Iterator:
     import pandas as pd
 
     for pdf in batches:
-        bl = pdf["payload"].apply(len).astype("int32")
+        bl = pdf["payload"].str.len().astype("int32")  # vectorized, not per-row
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
@@ -84,7 +84,9 @@ def _audio_feature_batches(batches: Iterator) -> Iterator:
     import pandas as pd
 
     for pdf in batches:
-        bl = pdf["payload"].apply(len)
+        bl = pdf["payload"].str.len()
+        # md5 has no vectorized pandas form; acceptable inside the STUB
+        # (a real decoder replaces this whole body)
         rms = pdf["payload"].apply(
             lambda b: (int(hashlib.md5(b).hexdigest()[:15], 16) % 1000) / 1000.0
         )

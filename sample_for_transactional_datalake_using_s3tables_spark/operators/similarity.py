@@ -88,15 +88,30 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
-def _bucket_expr(table_id: int):
+def bucket_expr(table_id: int, col: str = "qv"):
     """Spark Column: LSH bucket id for table ``table_id`` (sum of sign bits
-    against literal hyperplanes -- constants folded into codegen)."""
+    against literal hyperplanes -- constants folded into codegen). Shared
+    with dedup_embedding's candidate prefilter."""
     bucket = F.lit(0)
     for b in range(LSH_BITS):
         plane = F.array(*[F.lit(c) for c in _HYPERPLANES[table_id][b]])
-        d = dot_int(F.col("qv"), plane)
+        d = dot_int(F.col(col), plane)
         bucket = bucket + F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return bucket
+
+
+_bucket_expr = bucket_expr
+
+
+def bucket_sql(table_id: int, col: str = "qv") -> str:
+    """DuckDB twin of :func:`bucket_expr` (verbatim hyperplane literals)."""
+    bits = []
+    for b in range(LSH_BITS):
+        lit = "[" + ", ".join(str(c) for c in _HYPERPLANES[table_id][b]) + "]"
+        bits.append(
+            f"CASE WHEN {dot_int_sql(col, lit)} > 0 THEN {1 << b} ELSE 0 END"
+        )
+    return " + ".join(bits)
 
 
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,15 +164,6 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_sql() -> str:
-    def bucket_sql(t: int) -> str:
-        bits = []
-        for b in range(LSH_BITS):
-            lit = "[" + ", ".join(str(c) for c in _HYPERPLANES[t][b]) + "]"
-            bits.append(
-                f"CASE WHEN {dot_int_sql('qv', lit)} > 0 THEN {1 << b} ELSE 0 END"
-            )
-        return " + ".join(bits)
-
     bucket_rows = "\n  UNION ALL\n".join(
         f"  SELECT vec_id, qv, n2, {t} AS table_id, {bucket_sql(t)} AS bucket FROM q"
         for t in range(LSH_TABLES)

@@ -28,11 +28,19 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``last(..., ignorenulls)`` over rows-unbounded-preceding) per user
     in event-time order -- one shuffle on user_id, no self-join, state
     linear in partition size. This is the standard streaming-friendly
-    as-of shape; DuckDB's native ASOF JOIN is the oracle."""
+    as-of shape; DuckDB's native ASOF JOIN is the oracle.
+
+    Tie rule: at equal ts, purchase rows sort before other events so a
+    same-timestamp purchase is visible to them -- matching the oracle's
+    inclusive ``e.ts >= p.ts`` regardless of event_id order."""
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(
+            "ts",
+            (F.col("event_type") != "purchase").cast("int"),
+            "event_id",
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))

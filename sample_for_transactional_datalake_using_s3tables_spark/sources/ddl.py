@@ -52,7 +52,8 @@ def create_table(
     if partition_by:
         stmt += f" PARTITIONED BY (`{partition_by}`)"
     if comment:
-        stmt += f" COMMENT '{comment}'"
+        # escape embedded quotes: the comment is data, not SQL
+        stmt += " COMMENT '{}'".format(comment.replace("'", "''"))
     spark.sql(stmt)
 
 

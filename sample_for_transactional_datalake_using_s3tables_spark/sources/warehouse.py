@@ -42,6 +42,17 @@ from pyspark.sql.types import StructType
 _MANIFEST_DIR = "_v"
 _SCHEMA_FILE = "_table.json"
 
+# Canonical manifest value for a NULL partition: the same sentinel Spark
+# uses for the partition directory name, so manifest entries (derived
+# from directory names) and partition-value computations (derived from
+# data) always agree.
+NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _part_key(value) -> str:
+    """Canonical manifest partition key for a partition value."""
+    return NULL_PARTITION if value is None else str(value)
+
 
 class TableNotFoundError(Exception):
     pass
@@ -227,8 +238,8 @@ class Warehouse:
             version = self._versions(tdir)[-1]
         entries = self._manifest(tdir, version)
         if partition_filter is not None:
-            keep = set(partition_filter)
-            entries = [e for e in entries if e["partition"] in keep]
+            keep = {_part_key(p) for p in partition_filter}
+            entries = [e for e in entries if _part_key(e["partition"]) in keep]
         return self._read_files(tdir, entries, StructType.fromJson(meta["schema"]))
 
     def _validated(self, df: DataFrame, meta: dict) -> DataFrame:
@@ -295,25 +306,47 @@ class Warehouse:
 
         version = self._versions(tdir)[-1]
         entries = self._manifest(tdir, version)
+        schema = StructType.fromJson(meta["schema"])
 
         if pcol:
-            # Copy-on-write only the partitions the batch touches.
+            # Copy-on-write only the partitions the batch touches: the
+            # partitions the source rows land in, PLUS any partition whose
+            # current files hold a matched key (an update can migrate a key
+            # across partitions -- e.g. a CDC MODIFY whose new timestamp
+            # crosses a day boundary -- and the stale copy must be rewritten
+            # out of its old partition, matching Iceberg MERGE semantics).
             touched = {
-                str(r[0])
+                _part_key(r[0])
                 for r in source.select(F.col(pcol).cast("string")).distinct().collect()
             }
+            remaining = [
+                e for e in entries if _part_key(e["partition"]) not in touched
+            ]
+            if remaining:
+                # key + partition columns only: a pruned columnar probe, not
+                # a full-row scan.
+                probe = self._read_files(tdir, remaining, schema).select(key, pcol)
+                hit = (
+                    probe.join(source.select(key).distinct(), key, "left_semi")
+                    .select(F.col(pcol).cast("string"))
+                    .distinct()
+                    .collect()
+                )
+                touched |= {_part_key(r[0]) for r in hit}
             if deletes is not None:
                 # deletes may hit any partition; conservatively touch all
                 # partitions that contain matching keys
                 touched |= {
-                    e["partition"] for e in entries if e["partition"] is not None
+                    _part_key(e["partition"])
+                    for e in entries
+                    if e["partition"] is not None
                 }
-            untouched = [e for e in entries if e["partition"] not in touched]
-            rewrite = [e for e in entries if e["partition"] in touched]
+            untouched = [
+                e for e in entries if _part_key(e["partition"]) not in touched
+            ]
+            rewrite = [e for e in entries if _part_key(e["partition"]) in touched]
         else:
             untouched, rewrite = [], entries
-
-        schema = StructType.fromJson(meta["schema"])
         current = self._read_files(tdir, rewrite, schema)
 
         merged = current.alias("t").join(

@@ -182,20 +182,27 @@ def merge_cdc_batch(
 
     Idempotent under replay (at-least-once delivery + keyed upsert ==
     the reference's effectively-once, stack/firehose.py:99).
+
+    The parsed batch is cached for the scope of the micro-batch: the
+    quarantine/good emptiness probes and both sinks would otherwise
+    re-evaluate ``parse_cdc`` up to four times per trigger.
     """
-    parsed = parse_cdc(batch)
-    bad = quarantine_rows(parsed)
-    if not bad.isEmpty():
-        if quarantine_table not in wh.list_tables(ns):
-            wh.create_table(
-                ns,
-                quarantine_table,
-                StructType([StructField("raw_record", StringType())]),
-            )
-        wh.insert(ns, quarantine_table, bad)
-    good = good_rows(parsed)
-    if not good.isEmpty():
-        wh.merge_upsert(ns, table, good, order_col="processing_timestamp")
+    parsed = parse_cdc(batch).cache()
+    try:
+        bad = quarantine_rows(parsed)
+        if not bad.isEmpty():
+            if quarantine_table not in wh.list_tables(ns):
+                wh.create_table(
+                    ns,
+                    quarantine_table,
+                    StructType([StructField("raw_record", StringType())]),
+                )
+            wh.insert(ns, quarantine_table, bad)
+        good = good_rows(parsed)
+        if not good.isEmpty():
+            wh.merge_upsert(ns, table, good, order_col="processing_timestamp")
+    finally:
+        parsed.unpersist()
 
 
 def stream_cdc_to_table(

@@ -152,3 +152,29 @@ def test_compaction(spark, wh):
     assert after < before
     assert {r.id for r in wh.read("ns", "t").collect()} == {"k0", "k1", "k2"}
     assert wh.read("ns", "t", version=v - 1).count() == 3  # snapshots intact
+
+
+def test_merge_partition_migration(spark, wh):
+    """An update that moves a key into a different partition rewrites the
+    old partition too (no stale duplicate left behind -- Iceberg MERGE
+    parity for partition-migrating keys)."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d2", 2)]))
+    wh.merge_upsert("ns", "t", _df(spark, [("a", "d3", 10)]))
+    got = {(r.id, r.day, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", "d3", 10), ("b", "d2", 2)}
+
+
+def test_merge_null_partition(spark, wh):
+    """NULL partition values use one canonical sentinel: a merge updates
+    the existing null-partition row in place instead of writing a second
+    copy, and the null partition stays addressable by filter."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", None, 1), ("b", "d1", 2)]))
+    wh.merge_upsert("ns", "t", _df(spark, [("a", None, 5)]))
+    got = {(r.id, r.day, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", None, 5), ("b", "d1", 2)}
+    nulls = {(r.id, r.v) for r in wh.read("ns", "t", partition_filter=[None]).collect()}
+    assert nulls == {("a", 5)}
