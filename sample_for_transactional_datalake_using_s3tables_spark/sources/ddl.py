@@ -71,6 +71,22 @@ def insert_into(spark: SparkSession, name: str, df: DataFrame, overwrite: bool =
     df.write.insertInto(_q(name).replace("`", ""), overwrite=overwrite)
 
 
+def create_resource_link(spark: SparkSession, link_ns: str, target_ns: str) -> None:
+    """D9: LakeFormation/Glue resource-link analog (reference
+    stack/lakeformation.py:172-183) for session-catalog tables -- a
+    namespace whose tables resolve to another namespace's tables under a
+    second name. Local Spark ships a single catalog implementation, so
+    the link materializes as zero-copy views (metadata pointers); the
+    manifest warehouse's ``Warehouse.link_namespace`` provides the same
+    federation for transactional tables."""
+    create_namespace(spark, link_ns)
+    for t in show_tables(spark, target_ns):
+        spark.sql(
+            f"CREATE OR REPLACE VIEW {_q(f'{link_ns}.{t}')} "
+            f"AS SELECT * FROM {_q(f'{target_ns}.{t}')}"
+        )
+
+
 def show_tables(spark: SparkSession, ns: str) -> list[str]:
     return sorted(r.tableName for r in spark.sql(f"SHOW TABLES IN {_q(ns)}").collect())
 

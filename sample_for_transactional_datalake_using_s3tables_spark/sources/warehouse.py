@@ -84,6 +84,10 @@ class Warehouse:
             if if_exists:
                 return
             raise FileNotFoundError(ns)
+        if os.path.exists(os.path.join(path, self._LINK_FILE)):
+            # dropping a resource link removes the pointer, never the target
+            shutil.rmtree(path)
+            return
         if os.listdir(path):
             raise ValueError(f"namespace {ns} is not empty")
         os.rmdir(path)
@@ -94,10 +98,39 @@ class Warehouse:
             if os.path.isdir(os.path.join(self.root, d))
         )
 
+    # -- resource links (D9: catalog federation, reference
+    # stack/lakeformation.py:172-183 -- a database in the consumer catalog
+    # that is a metadata pointer to the producer's database) --
+
+    _LINK_FILE = "_link.json"
+
+    def link_namespace(self, alias: str, target: str) -> None:
+        """Create a namespace that resolves to another namespace's tables.
+
+        The link is a metadata pointer (no data copied): every table
+        operation under ``alias`` -- read, insert, merge, time travel --
+        lands on ``target``'s manifests, exactly like a LakeFormation
+        resource link exposing a shared database under a local name."""
+        if not os.path.isdir(os.path.join(self.root, target)):
+            raise FileNotFoundError(f"link target namespace {target}")
+        path = os.path.join(self.root, alias)
+        if os.path.exists(path):
+            raise FileExistsError(alias)
+        os.makedirs(path)
+        with open(os.path.join(path, self._LINK_FILE), "w") as f:
+            json.dump({"target": target}, f)
+
+    def _resolve_ns(self, ns: str) -> str:
+        link = os.path.join(self.root, ns, self._LINK_FILE)
+        if os.path.exists(link):
+            with open(link) as f:
+                return json.load(f)["target"]
+        return ns
+
     # -- table DDL (reference lambda/custom_resource/index.py:86-137) --
 
     def _table_dir(self, ns: str, table: str) -> str:
-        return os.path.join(self.root, ns, table)
+        return os.path.join(self.root, self._resolve_ns(ns), table)
 
     def create_table(
         self,
@@ -137,7 +170,7 @@ class Warehouse:
         shutil.rmtree(tdir)
 
     def list_tables(self, ns: str) -> list[str]:
-        path = os.path.join(self.root, ns)
+        path = os.path.join(self.root, self._resolve_ns(ns))
         return sorted(
             d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))
         )

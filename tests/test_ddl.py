@@ -114,3 +114,25 @@ def test_nested_struct_ddl(spark, ns):
     assert row.device_type == "MOBILE"
     assert str(row.price) == "1.50"
     assert row.n_items == 2
+
+
+def test_resource_link_views(spark):
+    """D9: session-catalog resource link -- the same table resolves under
+    two namespace names (reference stack/lakeformation.py:172-183)."""
+    from sample_for_transactional_datalake_using_s3tables_spark.sources import ddl
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", StringType()), StructField("v", LongType())])
+    ddl.create_namespace(spark, "src_db")
+    try:
+        ddl.create_table(spark, "src_db.t", schema)
+        spark.createDataFrame([("x", 1), ("y", 2)], schema).write.insertInto("src_db.t")
+        ddl.create_resource_link(spark, "lnk_db", "src_db")
+        a = {tuple(r) for r in spark.table("src_db.t").collect()}
+        b = {tuple(r) for r in spark.table("lnk_db.t").collect()}
+        assert a == b == {("x", 1), ("y", 2)}
+    finally:
+        spark.sql("DROP VIEW IF EXISTS lnk_db.t")
+        ddl.drop_namespace(spark, "lnk_db", cascade=True)
+        ddl.drop_table(spark, "src_db.t")
+        ddl.drop_namespace(spark, "src_db", cascade=True)

@@ -178,3 +178,21 @@ def test_merge_null_partition(spark, wh):
     assert got == {("a", None, 5), ("b", "d1", 2)}
     nulls = {(r.id, r.v) for r in wh.read("ns", "t", partition_filter=[None]).collect()}
     assert nulls == {("a", 5)}
+
+
+def test_resource_link_namespace(spark, wh):
+    """D9 federation: a linked namespace resolves the same table -- reads
+    see target data, writes through the link land in the target, and
+    dropping the link never touches the target."""
+    wh.create_namespace("producer")
+    wh.create_table("producer", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("producer", "t", _df(spark, [("a", "d1", 1)]))
+    wh.link_namespace("consumer", "producer")
+    assert wh.list_tables("consumer") == ["t"]
+    got = {(r.id, r.v) for r in wh.read("consumer", "t").collect()}
+    assert got == {("a", 1)}
+    wh.merge_upsert("consumer", "t", _df(spark, [("b", "d2", 2)]))
+    got = {(r.id, r.v) for r in wh.read("producer", "t").collect()}
+    assert got == {("a", 1), ("b", 2)}
+    wh.drop_namespace("consumer")
+    assert wh.list_tables("producer") == ["t"]
