@@ -1,0 +1,61 @@
+"""Plan-shape regression tests: the physical properties that make the
+queries 100 TB-viable, asserted on executed plans so they can't silently
+regress (SURVEY scale notes; VERDICT round-1 plan audit).
+
+- filters and column pruning reach the parquet scan (forecast_revenue)
+- dimension joins broadcast, never sort-merge (revenue_by_region)
+- top-k plans as TakeOrderedAndProject, not a global sort (topk)
+- the dedup candidate joins key on LSH buckets, not bare blocks
+"""
+
+from __future__ import annotations
+
+from sample_for_transactional_datalake_using_s3tables_spark.operators import (
+    dedup,
+    relational,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _executed(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_column_pushdown(spark):
+    plan = _executed(relational.forecast_revenue(spark, SF_SMALL))
+    assert "PushedFilters: [" in plan
+    # the three selective predicates reach the parquet reader
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or f"GreaterThan({col}" in plan or (
+            f"{col}" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        ), f"filter on {col} not pushed"
+    # column pruning: the scan reads only the 4 referenced columns
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_comment" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _executed(relational.revenue_by_region(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dimension join fell back to SMJ"
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _executed(relational.topk(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, "top-k planned as a global sort"
+
+
+def test_dedup_candidates_join_on_buckets(spark):
+    plan = _executed(dedup.dedup_ngram_jaccard(spark, SF_SMALL))
+    joins = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
+    assert any(
+        "band_key" in l and "band_id" in l and "lang" in l for l in joins
+    ), "ngram candidate join lost its MinHash band keys"
+
+    plan = _executed(dedup.dedup_embedding(spark, SF_SMALL))
+    joins = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
+    assert any(
+        "bucket" in l and "table_id" in l and "label" in l for l in joins
+    ), "embedding candidate join lost its sign-LSH bucket keys"
