@@ -240,14 +240,112 @@ FROM pairs GROUP BY label
 """
 
 
+IVF_K = 16       # coarse-quantizer cell count
+IVF_NPROBE = 4   # cells probed per query
+
+
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization:
+    assign every vector to its nearest centroid cell, probe only the
+    query's IVF_NPROBE nearest cells, exact-cosine re-rank inside them.
+
+    Centroids here are the first IVF_K corpus vectors -- a deterministic
+    stand-in that keeps the query oracle-checkable; a production
+    deployment trains k-means offline and broadcasts the centroid table,
+    leaving this query shape (broadcast assign -> cluster-key probe join
+    -> re-rank) unchanged. Scale: assignment is a map-side broadcast
+    cross join against K centroids; the probe join shuffles on
+    cluster_id only -- the classic IVF-flat plan."""
+    base = _quantized(spark, sf_dir)
+    cent = base.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("n2").alias("c_n2"),
+    )
+    c_cos = cosine_from_ints(
+        dot_int(F.col("qv"), F.col("c_qv")), F.col("n2"), F.col("c_n2")
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "qv", "n2", "cent_id", c_cos.alias("c_cos")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), "cent_id")
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "qv", "n2", F.col("cent_id").alias("cluster_id"))
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("q_qv"),
+            F.col("n2").alias("q_n2"),
+            F.col("cent_id").alias("cluster_id"),
+        )
+    )
+    cos = cosine_from_ints(
+        dot_int(F.col("q_qv"), F.col("qv")), F.col("q_n2"), F.col("n2")
+    )
+    cand = assigned.join(F.broadcast(probes), "cluster_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored2 = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored2.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _ivf_sql() -> str:
+    c_cos = cosine_from_ints_sql(dot_int_sql("b.qv", "c.qv"), "b.n2", "c.n2")
+    cos = cosine_from_ints_sql(dot_int_sql("p.q_qv", "a.qv"), "p.q_n2", "a.n2")
+    return f"""
+WITH q AS (
+  SELECT vec_id, {QUANTIZE_SQL.format(v='embedding')} AS qv,
+         {dot_int_sql(QUANTIZE_SQL.format(v='embedding'), QUANTIZE_SQL.format(v='embedding'))} AS n2
+  FROM embeddings
+),
+scored AS (
+  SELECT b.vec_id, b.qv, b.n2, c.vec_id AS cent_id, {c_cos} AS c_cos,
+         ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                            ORDER BY {c_cos} DESC, c.vec_id) AS rn
+  FROM q b JOIN q c ON c.vec_id < {IVF_K}
+),
+assigned AS (
+  SELECT vec_id, qv, n2, cent_id AS cluster_id FROM scored WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2, cent_id AS cluster_id
+  FROM scored WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {cos} AS cosine
+  FROM assigned a JOIN probes p ON a.cluster_id = p.cluster_id
+  WHERE p.query_id != a.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM cand
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_topk_lsh": similarity_topk_lsh,
     "similarity_label_stats": similarity_label_stats,
+    "similarity_topk_ivf": similarity_topk_ivf,
 }
 
 ORACLES = {
     "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,
     "similarity_topk_lsh": _lsh_sql(),
     "similarity_label_stats": SIMILARITY_LABEL_STATS_SQL,
+    "similarity_topk_ivf": _ivf_sql(),
 }

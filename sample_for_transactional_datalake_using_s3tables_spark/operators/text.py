@@ -183,11 +183,63 @@ GROUP BY 1
 """
 
 
+# Polynomial rolling hash: base/modulus sized so every intermediate fits
+# int64 on both engines (acc < P < 2^31, acc*B + h30 < 2^38).
+ROLL_B = 131
+ROLL_P = 2147483647
+
+
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    the token *sequence* (complements ``text_fingerprint``'s order-free
+    bag-of-words md5). Same left fold on both engines:
+    ``acc -> (acc*B + h30(token)) mod P``; grouping clusters documents
+    with identical token sequences. Pure Column expressions, no shuffle
+    beyond the final aggregate."""
+    from ..functions.textfns import md5_int
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    h30 = F.transform(
+        F.col("tok"), lambda t: md5_int(t).bitwiseAND(F.lit((1 << 30) - 1))
+    )
+    roll = F.aggregate(
+        h30,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * F.lit(ROLL_B) + h) % F.lit(ROLL_P),
+    )
+    return (
+        toked.select("doc_id", roll.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("representative_doc"))
+    )
+
+
+def _rolling_fingerprint_sql() -> str:
+    from ..functions.textfns import md5_int_sql
+
+    tok = TOKENS_SQL.format(col="text")
+    h30 = f"list_transform({tok}, t -> {md5_int_sql('t')} & {(1 << 30) - 1})"
+    roll = (
+        f"CASE WHEN len({tok}) = 0 THEN 0 ELSE "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {h30}), "
+        f"(acc, h) -> (acc * {ROLL_B} + h) % {ROLL_P}) END"
+    )
+    return f"""
+SELECT {roll} AS fingerprint,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS representative_doc
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
     "text_fingerprint": fingerprint,
+    "text_rolling_fingerprint": rolling_fingerprint,
 }
 
 ORACLES = {
@@ -195,4 +247,5 @@ ORACLES = {
     "text_quality_score": QUALITY_SCORE_SQL,
     "text_lang_id": _lang_id_sql(),
     "text_fingerprint": FINGERPRINT_SQL,
+    "text_rolling_fingerprint": _rolling_fingerprint_sql(),
 }
