@@ -183,24 +183,29 @@ def merge_cdc_batch(
     Idempotent under replay (at-least-once delivery + keyed upsert ==
     the reference's effectively-once, stack/firehose.py:99).
 
-    The parsed batch is cached for the scope of the micro-batch: the
-    quarantine/good emptiness probes and both sinks would otherwise
-    re-evaluate ``parse_cdc`` up to four times per trigger.
+    Single-pass: the parsed batch is cached, one aggregate computes both
+    split sizes (fully populating the cache), and the sinks read from
+    cache -- ``parse_cdc`` evaluates exactly once per trigger instead of
+    once per emptiness probe + sink.
     """
     parsed = parse_cdc(batch).cache()
     try:
-        bad = quarantine_rows(parsed)
-        if not bad.isEmpty():
+        n_bad, n_good = parsed.agg(
+            F.count(F.col("_corrupt")).alias("n_bad"),
+            F.count(F.when(F.col("_keep"), 1)).alias("n_good"),
+        ).first()
+        if n_bad:
             if quarantine_table not in wh.list_tables(ns):
                 wh.create_table(
                     ns,
                     quarantine_table,
                     StructType([StructField("raw_record", StringType())]),
                 )
-            wh.insert(ns, quarantine_table, bad)
-        good = good_rows(parsed)
-        if not good.isEmpty():
-            wh.merge_upsert(ns, table, good, order_col="processing_timestamp")
+            wh.insert(ns, quarantine_table, quarantine_rows(parsed))
+        if n_good:
+            wh.merge_upsert(
+                ns, table, good_rows(parsed), order_col="processing_timestamp"
+            )
     finally:
         parsed.unpersist()
 
