@@ -141,14 +141,76 @@ FROM p
 """
 
 
+RESIZE_TARGET = 224  # canonical training-input edge
+RESIZE_SCHEMA = (
+    "doc_id long, orig_width int, orig_height int, "
+    "target_width int, target_height int, scale_x double, scale_y double, "
+    "resized_bytes long"
+)
+
+
+def _resize_batches(batches: Iterator) -> Iterator:
+    """STUB resize: decode -> scale-to-224 -> re-encode, with the decode
+    and re-encode steps replaced by deterministic functions of the
+    payload (same pseudo-dims as the image-features stub). The Arrow
+    batch plumbing, scale math, and output schema are the real pipeline
+    shape a PIL/torchvision deployment plugs into."""
+    import pandas as pd
+
+    for pdf in batches:
+        bl = pdf["payload"].str.len()
+        w = (bl % 640 + 1).astype("int32")
+        h = ((bl * 7) % 480 + 1).astype("int32")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "orig_width": w,
+                "orig_height": h,
+                "target_width": pd.Series([RESIZE_TARGET] * len(pdf), dtype="int32"),
+                "target_height": pd.Series([RESIZE_TARGET] * len(pdf), dtype="int32"),
+                # exact int/int division -> portable doubles
+                "scale_x": RESIZE_TARGET / w.astype("float64"),
+                "scale_y": RESIZE_TARGET / h.astype("float64"),
+                "resized_bytes": pd.Series(
+                    [RESIZE_TARGET * RESIZE_TARGET * 3] * len(pdf), dtype="int64"
+                ),
+            }
+        )
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode -> resize -> re-encode plumbing over binary payloads."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return payloads.mapInPandas(_resize_batches, RESIZE_SCHEMA)
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH p AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len FROM documents
+)
+SELECT doc_id,
+       byte_len % 640 + 1 AS orig_width,
+       (byte_len * 7) % 480 + 1 AS orig_height,
+       {RESIZE_TARGET} AS target_width,
+       {RESIZE_TARGET} AS target_height,
+       {RESIZE_TARGET} / CAST(byte_len % 640 + 1 AS DOUBLE) AS scale_x,
+       {RESIZE_TARGET} / CAST((byte_len * 7) % 480 + 1 AS DOUBLE) AS scale_y,
+       CAST({RESIZE_TARGET * RESIZE_TARGET * 3} AS BIGINT) AS resized_bytes
+FROM p
+"""
+
+
 QUERIES = {
     "multimodal_image_features": multimodal_image_features,
     "multimodal_audio_stats": multimodal_audio_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize": multimodal_resize,
 }
 
 ORACLES = {
     "multimodal_image_features": MULTIMODAL_IMAGE_SQL,
     "multimodal_audio_stats": MULTIMODAL_AUDIO_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
 }
