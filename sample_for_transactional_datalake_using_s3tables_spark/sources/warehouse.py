@@ -185,6 +185,30 @@ class Warehouse:
     def schema(self, ns: str, table: str) -> StructType:
         return StructType.fromJson(self.table_meta(ns, table)["schema"])
 
+    def add_column(self, ns: str, table: str, field) -> None:
+        """Schema evolution by metadata swap (the reference updates table
+        schemas by staging new metadata and CAS-swapping the table's
+        metadata pointer, scripts/update_metadata.py:62-148): append a
+        nullable column to the table schema. No data files are rewritten;
+        existing files are read under the evolved schema with the absent
+        column as NULL -- Iceberg add-column semantics."""
+        from pyspark.sql.types import StructField
+
+        assert isinstance(field, StructField)
+        if not field.nullable:
+            raise ValueError("added columns must be nullable")
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        schema = StructType.fromJson(meta["schema"])
+        if field.name in schema.fieldNames():
+            raise ValueError(f"column {field.name} already exists")
+        meta["schema"] = json.loads(StructType([*schema.fields, field]).json())
+        # atomic swap of the schema file (readers see old or new, never torn)
+        tmp = os.path.join(tdir, f".tmp-schema-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, os.path.join(tdir, _SCHEMA_FILE))
+
     # -- manifest chain --
 
     def _versions(self, tdir: str) -> list[int]:
@@ -419,7 +443,14 @@ class Warehouse:
             (rewrite if len(es) >= min_files_per_partition else keep).extend(es)
         if not rewrite:
             return version
-        df = self._read_files(tdir, rewrite, schema).coalesce(1)
+        df = self._read_files(tdir, rewrite, schema)
+        if meta["partition_by"]:
+            # co-locate each partition's rows in one task -> one compacted
+            # file per partition; a global coalesce(1) would funnel the
+            # whole rewrite set through a single task at scale
+            df = df.repartition(F.col(meta["partition_by"]))
+        else:
+            df = df.coalesce(1)
         new_files = self._write_files(tdir, df, meta["partition_by"])
         self._publish(tdir, version + 1, keep + new_files)
         return version + 1

@@ -196,3 +196,39 @@ def test_resource_link_namespace(spark, wh):
     assert got == {("a", 1), ("b", 2)}
     wh.drop_namespace("consumer")
     assert wh.list_tables("producer") == ["t"]
+
+
+def test_add_column_schema_evolution(spark, wh):
+    """Metadata-swap schema evolution: existing files read the new column
+    as NULL; new writes carry it (reference update_metadata.py parity)."""
+    from pyspark.sql.types import LongType, StructField
+
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    wh.add_column("ns", "t", StructField("score", LongType()))
+    got = {(r.id, r.v, r.score) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", 1, None)}
+    evolved = spark.createDataFrame([("b", "d1", 2, 7)], schema=wh.schema("ns", "t"))
+    wh.merge_upsert("ns", "t", evolved)
+    got = {(r.id, r.v, r.score) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", 1, None), ("b", 2, 7)}
+    with pytest.raises(ValueError):
+        wh.add_column("ns", "t", StructField("score", LongType()))
+
+
+def test_compaction_keeps_partition_layout(spark, wh):
+    """Compaction merges small files per partition without a global
+    single-task funnel (one output file per partition value)."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    for i in range(3):
+        wh.insert("ns", "t", _df(spark, [(f"a{i}", "d1", i), (f"b{i}", "d2", i)]))
+    v = wh.compact("ns", "t")
+    files = wh._manifest(wh._table_dir("ns", "t"), v)
+    by_part = {}
+    for e in files:
+        by_part.setdefault(e["partition"], []).append(e)
+    assert set(by_part) == {"d1", "d2"}
+    assert all(len(es) == 1 for es in by_part.values())
+    assert wh.read("ns", "t").count() == 6
