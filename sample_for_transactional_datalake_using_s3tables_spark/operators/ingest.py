@@ -69,12 +69,16 @@ def _envelope(event: str, amount, proc_offset: int):
 
 
 def cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Envelope encode -> production parse_cdc -> latest-wins dedup.
+    """Envelope encode -> base64 wrap -> production parse_cdc (Kinesis
+    path) -> latest-wins dedup.
 
     Per event: an INSERT; events with id%5==0 additionally get a MODIFY
     (amount doubled, later processing_timestamp) in the same batch --
     latest must win; id%10==0 additionally get a REMOVE -- must be
-    dropped without effect (T1)."""
+    dropped without effect (T1). The envelopes ride through base64 and
+    ``parse_cdc(base64_encoded=True)``, so this checked query certifies
+    the full Kinesis record decode (S2/S3) as well as the transform
+    chain."""
     events = spread(load_table(spark, sf_dir, "events"), "event_id")
     variants = F.array_compact(
         F.array(
@@ -86,8 +90,10 @@ def cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_id") % 10 == 0, _envelope("REMOVE", F.col("value"), 3)),
         )
     )
-    raw = events.select(F.explode(variants).alias("value"))
-    typed = good_rows(parse_cdc(raw))
+    raw = events.select(F.explode(variants).alias("_env")).select(
+        F.base64(F.encode(F.col("_env"), "utf-8")).alias("value")
+    )
+    typed = good_rows(parse_cdc(raw, base64_encoded=True))
     w = Window.partitionBy("transaction_id").orderBy(
         F.col("processing_timestamp").desc()
     )
