@@ -199,7 +199,11 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 def similarity_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label similarity profile: pair counts and extremal cosines
-    (min/max of identical doubles -- no float summation, portable)."""
+    (min/max of identical doubles -- no float summation, portable).
+
+    All-pairs by semantics (it profiles the pair population itself, so
+    no candidate prefilter applies); at 100 TB this runs on a per-label
+    sample rather than the full corpus."""
     q = _quantized(spark, sf_dir)
     a, b = q.alias("a"), q.alias("b")
     cos = cosine_from_ints(

@@ -146,14 +146,17 @@ def _sum_ids(v: pd.Series) -> int:
     return int(v.sum())
 
 
+def _count_rows(v: pd.Series) -> int:
+    return len(v)
+
+
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas_udf as a UDAF inside groupBy().agg() -- Arrow-batched
-    custom aggregation alongside built-ins. (The udf is wrapped lazily:
-    the decorator needs an active session.)"""
-    sum_ids = F.pandas_udf(_sum_ids, "long", F.PandasUDFType.GROUPED_AGG)
-    count_rows = F.pandas_udf(
-        lambda v: len(v), "long", F.PandasUDFType.GROUPED_AGG
-    )
+    custom aggregation alongside built-ins. (The udfs are wrapped lazily:
+    the decorator needs an active session; Series -> scalar type hints
+    select the grouped-agg flavor.)"""
+    sum_ids = F.pandas_udf(_sum_ids, "long")
+    count_rows = F.pandas_udf(_count_rows, "long")
     events = load_table(spark, sf_dir, "events")
     # NB: grouped-agg pandas UDFs cannot mix with built-in aggregates in
     # one agg() -- both aggregates here are pandas UDAFs.
