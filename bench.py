@@ -40,8 +40,6 @@ BENCH_QUERIES = (
     "cdc_pipeline",
     # LLM-data extensions
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
     "similarity_topk_lsh",
     "text_token_stats",
     "window_tumbling",
