@@ -52,8 +52,10 @@ def create_table(
     if partition_by:
         stmt += f" PARTITIONED BY (`{partition_by}`)"
     if comment:
-        # escape embedded quotes: the comment is data, not SQL
-        stmt += " COMMENT '{}'".format(comment.replace("'", "''"))
+        # escape backslashes then quotes: the comment is data, not SQL
+        # (Spark's default parser processes backslash escapes in literals)
+        esc = comment.replace("\\", "\\\\").replace("'", "''")
+        stmt += f" COMMENT '{esc}'"
     spark.sql(stmt)
 
 

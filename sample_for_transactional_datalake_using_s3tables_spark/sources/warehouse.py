@@ -113,6 +113,8 @@ class Warehouse:
         resource link exposing a shared database under a local name."""
         if not os.path.isdir(os.path.join(self.root, target)):
             raise FileNotFoundError(f"link target namespace {target}")
+        if os.path.exists(os.path.join(self.root, target, self._LINK_FILE)):
+            raise ValueError(f"link target {target} is itself a link")
         path = os.path.join(self.root, alias)
         if os.path.exists(path):
             raise FileExistsError(alias)
@@ -159,7 +161,7 @@ class Warehouse:
         }
         with open(os.path.join(tdir, _SCHEMA_FILE), "w") as f:
             json.dump(meta, f, indent=1)
-        self._publish(tdir, 0, [])
+        self._publish(tdir, 0, [], schema=meta["schema"])
 
     def drop_table(self, ns: str, table: str, if_exists: bool = True) -> None:
         tdir = self._table_dir(ns, table)
@@ -191,7 +193,9 @@ class Warehouse:
         metadata pointer, scripts/update_metadata.py:62-148): append a
         nullable column to the table schema. No data files are rewritten;
         existing files are read under the evolved schema with the absent
-        column as NULL -- Iceberg add-column semantics."""
+        column as NULL. Schema binds to snapshot like Iceberg's: the
+        evolution publishes a new version (same files, new schema), so
+        time travel to earlier versions still sees the historical shape."""
         from pyspark.sql.types import StructField
 
         assert isinstance(field, StructField)
@@ -208,6 +212,10 @@ class Warehouse:
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
         os.replace(tmp, os.path.join(tdir, _SCHEMA_FILE))
+        version = self._versions(tdir)[-1]
+        self._publish(
+            tdir, version + 1, self._manifest(tdir, version), schema=meta["schema"]
+        )
 
     # -- manifest chain --
 
@@ -221,16 +229,26 @@ class Warehouse:
             raise TableNotFoundError(f"{ns}.{table}")
         return self._versions(tdir)[-1]
 
-    def _manifest(self, tdir: str, version: int) -> list[dict]:
+    def _manifest_doc(self, tdir: str, version: int) -> dict:
         with open(os.path.join(tdir, _MANIFEST_DIR, f"{version:08d}.json")) as f:
-            return json.load(f)["files"]
+            return json.load(f)
 
-    def _publish(self, tdir: str, version: int, files: list[dict]) -> None:
+    def _manifest(self, tdir: str, version: int) -> list[dict]:
+        return self._manifest_doc(tdir, version)["files"]
+
+    def _publish(
+        self, tdir: str, version: int, files: list[dict], schema: dict | None = None
+    ) -> None:
         """Atomic optimistic commit: link() fails if the version exists
-        (the reference's versionToken CAS, scripts/update_metadata.py:135-141)."""
+        (the reference's versionToken CAS, scripts/update_metadata.py:135-141).
+        The manifest embeds the schema as of this commit, binding schema to
+        snapshot (Iceberg-style) so time travel sees the historical shape."""
+        doc: dict = {"version": version, "files": files}
+        if schema is not None:
+            doc["schema"] = schema
         tmp = os.path.join(tdir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
-            json.dump({"version": version, "files": files}, f)
+            json.dump(doc, f)
         target = os.path.join(tdir, _MANIFEST_DIR, f"{version:08d}.json")
         try:
             os.link(tmp, target)
@@ -288,16 +306,20 @@ class Warehouse:
         version: int | None = None,
         partition_filter: list[str] | None = None,
     ) -> DataFrame:
-        """Snapshot read, optionally time-traveled and manifest-pruned."""
+        """Snapshot read, optionally time-traveled and manifest-pruned.
+        Uses the schema embedded in the target snapshot's manifest (falls
+        back to the table's current schema for pre-evolution manifests)."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
         if version is None:
             version = self._versions(tdir)[-1]
-        entries = self._manifest(tdir, version)
+        doc = self._manifest_doc(tdir, version)
+        entries = doc["files"]
         if partition_filter is not None:
             keep = {_part_key(p) for p in partition_filter}
             entries = [e for e in entries if _part_key(e["partition"]) in keep]
-        return self._read_files(tdir, entries, StructType.fromJson(meta["schema"]))
+        schema = StructType.fromJson(doc.get("schema", meta["schema"]))
+        return self._read_files(tdir, entries, schema)
 
     def _validated(self, df: DataFrame, meta: dict) -> DataFrame:
         """Align to table schema; enforce NOT NULL on required fields
@@ -318,7 +340,7 @@ class Warehouse:
         new_files = self._write_files(tdir, self._validated(df, meta), meta["partition_by"])
         version = self._versions(tdir)[-1] + 1
         base = [] if overwrite else self._manifest(tdir, version - 1)
-        self._publish(tdir, version, base + new_files)
+        self._publish(tdir, version, base + new_files, schema=meta["schema"])
         return version
 
     def merge_upsert(
@@ -423,7 +445,7 @@ class Warehouse:
             merged = merged.join(deletes, key, "left_anti")
 
         new_files = self._write_files(tdir, merged, pcol)
-        self._publish(tdir, version + 1, untouched + new_files)
+        self._publish(tdir, version + 1, untouched + new_files, schema=meta["schema"])
         return version + 1
 
     def compact(self, ns: str, table: str, min_files_per_partition: int = 2) -> int:
@@ -452,7 +474,7 @@ class Warehouse:
         else:
             df = df.coalesce(1)
         new_files = self._write_files(tdir, df, meta["partition_by"])
-        self._publish(tdir, version + 1, keep + new_files)
+        self._publish(tdir, version + 1, keep + new_files, schema=meta["schema"])
         return version + 1
 
     def history(self, ns: str, table: str) -> list[dict]:

@@ -112,9 +112,14 @@ def main() -> int:
 
     queries = all_queries()
     oracles = all_oracles()
-    window = list(queries)[:first_n]
     if names:
-        window = [n for n in window for want in names if n == want] or names
+        unknown = [n for n in names if n not in queries]
+        if unknown:
+            print(f"FAIL unknown query names: {unknown}")
+            return 1
+        window = names
+    else:
+        window = list(queries)[:first_n]
 
     n_pass = n_fail = 0
     for name in window:
@@ -159,10 +164,14 @@ def main() -> int:
             print(f"   duck : {bad[0][1]}")
             n_fail += 1
         else:
-            leak = any("LEAK" in t for row in srows[:1] for t, *_ in row)
-            tag = " (TYPE LEAK!)" if leak else ""
-            print(f"ok   {name}: {len(srows)} rows in {dt:.1f}s{tag}")
-            n_pass += 1
+            # scan every cell: a leak may hide behind NULL-first sort order
+            leak = any("LEAK" in cell[0] for row in srows for cell in row)
+            if leak:
+                print(f"FAIL {name}: harness-hostile output type (Decimal/array)")
+                n_fail += 1
+            else:
+                print(f"ok   {name}: {len(srows)} rows in {dt:.1f}s")
+                n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed of {len(window)} checked")
     return 1 if n_fail else 0
 

@@ -19,8 +19,12 @@ SF_SMALL = "/root/testdata/sf0.001"
 
 
 def _executed(df) -> str:
-    df.write.format("noop").mode("overwrite").save()
-    return df._jdf.queryExecution().executedPlan().toString()
+    # execute THIS Dataset (a write would run a separate QueryExecution),
+    # so AQE finalizes the plan we assert on
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=false" not in plan
+    return plan
 
 
 def test_filter_and_column_pushdown(spark):

@@ -206,9 +206,13 @@ def test_add_column_schema_evolution(spark, wh):
     wh.create_namespace("ns")
     wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
     wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    pre_evolution = wh.current_version("ns", "t")
     wh.add_column("ns", "t", StructField("score", LongType()))
     got = {(r.id, r.v, r.score) for r in wh.read("ns", "t").collect()}
     assert got == {("a", 1, None)}
+    # schema binds to snapshot: time travel predates the column
+    old_df = wh.read("ns", "t", version=pre_evolution)
+    assert "score" not in old_df.columns
     evolved = spark.createDataFrame([("b", "d1", 2, 7)], schema=wh.schema("ns", "t"))
     wh.merge_upsert("ns", "t", evolved)
     got = {(r.id, r.v, r.score) for r in wh.read("ns", "t").collect()}
@@ -232,3 +236,10 @@ def test_compaction_keeps_partition_layout(spark, wh):
     assert set(by_part) == {"d1", "d2"}
     assert all(len(es) == 1 for es in by_part.values())
     assert wh.read("ns", "t").count() == 6
+
+
+def test_link_to_link_rejected(spark, wh):
+    wh.create_namespace("prod")
+    wh.link_namespace("mid", "prod")
+    with pytest.raises(ValueError):
+        wh.link_namespace("outer", "mid")
