@@ -36,6 +36,7 @@ from . import (
     ingest,
     multimodal,
     relational,
+    sampling,
     similarity,
     streamwin,
     temporal,
@@ -53,6 +54,7 @@ _MODULES = (
     streamwin,
     udfs,
     temporal,
+    sampling,
 )
 
 # One representative per operator family first (every SURVEY section-2 row

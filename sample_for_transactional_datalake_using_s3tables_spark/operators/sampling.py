@@ -1,0 +1,222 @@
+"""Deterministic sampling + quantile operators for pipeline curation.
+
+The reference has no sampling surface (its queries are full scans,
+SURVEY 2.6); these are north-star extensions every large-scale
+training-data pipeline needs: reproducible subsetting (Bernoulli and
+stratified) and distribution profiling (exact + sketch quantiles).
+
+Portability: sampling decisions key off the shared md5-derived bigint
+(functions/textfns.md5_int), never Spark's ``rand()``/``TABLESAMPLE`` or
+engine hashes -- the same rows are selected in Spark and in the DuckDB
+oracle, bit-for-bit. Quantiles are *discrete* (an existing data value is
+selected, no interpolation arithmetic), so double outputs pass through
+untouched from the parquet scan.
+
+Scale: Bernoulli sampling is a pushed-down filter (no shuffle).
+Stratified sampling and exact quantiles shuffle once on the stratum key;
+per-stratum state is a single window pass. The approx-quantile path is
+the 100 TB story: ``approx_percentile`` (KLL-style mergeable sketch)
+aggregates map-side and never materializes per-group sorted data.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.textfns import md5_int, md5_int_sql
+from ..sources.testdata import load_table
+
+# Sampling hash domain: salt the key so the sample is independent of any
+# other md5-keyed decision in the engine.
+_SALT = "sample:"
+
+
+def _sample_key(col):
+    return md5_int(F.concat(F.lit(_SALT), col.cast("string")))
+
+
+def _sample_key_sql(expr: str) -> str:
+    return md5_int_sql(f"'{_SALT}' || CAST({expr} AS VARCHAR)")
+
+
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic Bernoulli sample of events.
+
+    The predicate is a pure Column expression on the key, so Catalyst
+    keeps it next to the scan (no shuffle, no state); re-running on a
+    grown table keeps previously-selected rows selected (append-stable).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(_sample_key(F.col("event_id")) % 100 < 10).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+SAMPLE_BERNOULLI_SQL = f"""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE {_sample_key_sql('event_id')} % 100 < 10
+"""
+
+_STRATUM_K = 50
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sample (k=50 per event_type).
+
+    Rank rows inside each stratum by the portable sample hash (event_id
+    as the total-order tie-break) and keep the first k -- a reproducible
+    stratified sample with hard per-stratum quotas. One shuffle on the
+    stratum key; rank state is O(1) per row. For heavily skewed strata
+    at 100 TB, swap the global window for a per-partition pre-rank
+    (keep k per partition, then re-rank the <= k * n_partitions
+    survivors) -- same output, bounded memory.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        _sample_key(F.col("event_id")).asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "user_id",
+            "value",
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .where(F.col("sample_rank") <= _STRATUM_K)
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+WITH r AS (
+  SELECT event_type, event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY {_sample_key_sql('event_id')} ASC, event_id ASC)
+           AS sample_rank
+  FROM events
+)
+SELECT * FROM r WHERE sample_rank <= {_STRATUM_K}
+"""
+
+_QS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group discrete quantiles (p50/p90/p99 of event value).
+
+    Discrete ("lower" rule): the quantile is the existing value at rank
+    ``ceil(q * n)`` in (value, event_id) order -- no interpolation, so
+    the doubles flow straight from the parquet scan to the output and
+    match any engine bit-for-bit. One shuffle on the group key, one
+    window pass, then a tiny aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    aggs = [F.count("*").alias("n_events")]
+    for name, q in _QS:
+        at = F.ceil(F.lit(q) * F.col("n")).cast("int")
+        aggs.append(F.max(F.when(F.col("rn") == at, F.col("value"))).alias(name))
+    # count("*") over the ranked rows == group size; rn==at hits exactly once.
+    return ranked.groupBy("event_type").agg(*aggs)
+
+
+QUANTILES_EXACT_SQL = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS INTEGER) THEN value END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS INTEGER) THEN value END) AS p90,
+       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS INTEGER) THEN value END) AS p99
+FROM r
+GROUP BY event_type
+"""
+
+_APPROX_ACC = 1000  # approx_percentile accuracy: rank error <= n / accuracy
+
+
+def quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch quantiles with a checked error bound (the 100 TB path).
+
+    ``approx_percentile(value, q, acc)`` guarantees the returned value's
+    rank is within ``n/acc`` of ``q*n``. Like ``approx_distinct``, the
+    raw estimate is engine-specific, so the *checked output* is the
+    engine-independent verdict: does the estimate fall between the exact
+    values at the guaranteed rank bounds? (Constant-TRUE oracle.) The
+    sketch is mergeable -- map-side partials, no per-group sort -- which
+    is what replaces ``quantiles_exact``'s window at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    bound_aggs = [F.count("*").alias("n_events")]
+    for name, q in _QS:
+        lo_at = F.greatest(
+            F.lit(1), F.floor(F.lit(q) * F.col("n") - F.col("n") / _APPROX_ACC).cast("int")
+        )
+        hi_at = F.least(
+            F.col("n").cast("int"),
+            F.ceil(F.lit(q) * F.col("n") + F.col("n") / _APPROX_ACC).cast("int"),
+        )
+        bound_aggs.append(
+            F.max(F.when(F.col("rn") == lo_at, F.col("value"))).alias(f"{name}_lo")
+        )
+        bound_aggs.append(
+            F.max(F.when(F.col("rn") == hi_at, F.col("value"))).alias(f"{name}_hi")
+        )
+    bounds = ranked.groupBy("event_type").agg(*bound_aggs)
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            F.col("value"), F.array(*[F.lit(q) for _, q in _QS]), F.lit(_APPROX_ACC)
+        ).alias("est")
+    )
+    ok = F.lit(True)
+    for i, (name, _) in enumerate(_QS):
+        est = F.col("est")[i]
+        ok = ok & (est >= F.col(f"{name}_lo")) & (est <= F.col(f"{name}_hi"))
+    return (
+        bounds.join(F.broadcast(approx), "event_type")
+        .select("event_type", "n_events", ok.alias("within_bounds"))
+    )
+
+
+QUANTILES_APPROX_SQL = """
+SELECT event_type, COUNT(*) AS n_events, TRUE AS within_bounds
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "sample_bernoulli": sample_bernoulli,
+    "sample_stratified": sample_stratified,
+    "quantiles_exact": quantiles_exact,
+    "quantiles_approx": quantiles_approx,
+}
+
+ORACLES = {
+    "sample_bernoulli": SAMPLE_BERNOULLI_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "quantiles_exact": QUANTILES_EXACT_SQL,
+    "quantiles_approx": QUANTILES_APPROX_SQL,
+}

@@ -234,12 +234,101 @@ GROUP BY 1
 """
 
 
+# Context-window chunking: 200-char chunks, 150-char stride (50 overlap).
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+def chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks (the
+    standard pre-tokenization step for context-window-bounded training).
+
+    Chunk starts are a ``sequence`` (JVM codegen) + ``posexplode`` --
+    embarrassingly parallel, no shuffle, output rows ~ len/stride per
+    doc. chunk_id comes from the start offset arithmetic so both engines
+    derive it identically without ordinality functions.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.length("text")), F.lit(CHUNK_STRIDE)
+    )
+    exploded = docs.select(
+        "doc_id", "text", F.explode(starts).alias("chunk_start")
+    )
+    return exploded.select(
+        "doc_id",
+        ((F.col("chunk_start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        "chunk_start",
+        F.substring(F.col("text"), F.col("chunk_start"), F.lit(CHUNK_SIZE)).alias(
+            "chunk_text"
+        ),
+        F.length(
+            F.substring(F.col("text"), F.col("chunk_start"), F.lit(CHUNK_SIZE))
+        ).alias("n_chars"),
+    )
+
+
+CHUNK_SQL = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(1, CAST(length(text) AS BIGINT)),
+                                {CHUNK_STRIDE})) AS chunk_start
+  FROM documents
+)
+SELECT doc_id,
+       CAST((chunk_start - 1) / {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+       CAST(chunk_start AS INTEGER) AS chunk_start,
+       substr(text, CAST(chunk_start AS INTEGER), {CHUNK_SIZE}) AS chunk_text,
+       CAST(length(substr(text, CAST(chunk_start AS INTEGER), {CHUNK_SIZE}))
+            AS INTEGER) AS n_chars
+FROM s
+"""
+
+_NGRAM_MIN_DF = 5
+
+
+def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: document frequency + total occurrences
+    of word bigrams appearing in >= 5 documents (the df table behind
+    IDF weighting / contamination checks). Shuffles once on the ngram;
+    at 100 TB the HAVING keeps the hot tail out of the result and the
+    partial aggregation combines map-side."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    from ..functions.textfns import shingles
+
+    ng = toked.select("doc_id", F.explode(shingles(F.col("tok"), 2)).alias("ngram"))
+    return (
+        ng.groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count("*").alias("total_count"),
+        )
+        .where(F.col("doc_freq") >= _NGRAM_MIN_DF)
+    )
+
+
+def _ngram_freq_sql() -> str:
+    from ..functions.textfns import shingles_sql
+
+    sh = shingles_sql(TOKENS_SQL.format(col="text"), 2)
+    return f"""
+WITH u AS (
+  SELECT doc_id, unnest({sh}) AS ngram FROM documents
+)
+SELECT ngram, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS total_count
+FROM u GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {_NGRAM_MIN_DF}
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
     "text_fingerprint": fingerprint,
     "text_rolling_fingerprint": rolling_fingerprint,
+    "text_chunk": chunk,
+    "text_ngram_freq": ngram_freq,
 }
 
 ORACLES = {
@@ -248,4 +337,6 @@ ORACLES = {
     "text_lang_id": _lang_id_sql(),
     "text_fingerprint": FINGERPRINT_SQL,
     "text_rolling_fingerprint": _rolling_fingerprint_sql(),
+    "text_chunk": CHUNK_SQL,
+    "text_ngram_freq": _ngram_freq_sql(),
 }
