@@ -18,7 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.testdata import load_table
+from ..sources.testdata import load_table, spread
+from ..streaming.stateful import USER_STATS_SQL, user_stats_batch
 from ..streaming.windows import session_counts, sliding_counts, tumbling_counts
 
 
@@ -79,14 +80,24 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful-operator surface (streaming/stateful.py): the
+    applyInPandasWithState accumulator run in its batch twin so the
+    oracle certifies the arithmetic; the cross-micro-batch state carry
+    is covered by tests/test_streaming_windows.py."""
+    return user_stats_batch(spread(load_table(spark, sf_dir, "events"), "user_id"))
+
+
 QUERIES = {
     "window_tumbling": window_tumbling,
     "window_sliding": window_sliding,
     "window_session": window_session,
+    "stateful_user_stats": stateful_user_stats,
 }
 
 ORACLES = {
     "window_tumbling": WINDOW_TUMBLING_SQL,
     "window_sliding": WINDOW_SLIDING_SQL,
     "window_session": WINDOW_SESSION_SQL,
+    "stateful_user_stats": USER_STATS_SQL,
 }

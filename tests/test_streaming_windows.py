@@ -15,6 +15,9 @@ import time
 
 import pytest
 
+from sample_for_transactional_datalake_using_s3tables_spark.streaming.stateful import (
+    user_stats_stream,
+)
 from sample_for_transactional_datalake_using_s3tables_spark.streaming.windows import (
     deduped_stream,
     watermarked_tumbling,
@@ -122,5 +125,53 @@ def test_drop_duplicates_within_watermark(spark):
             assert _run_until(q, lambda: spark.table("dedup_test").count() >= 3)
             ids = sorted(r.event_id for r in spark.table("dedup_test").collect())
             assert ids == [1, 2, 3], f"duplicate leaked: {ids}"
+        finally:
+            q.stop()
+
+
+def test_apply_in_pandas_with_state_carries_across_batches(spark):
+    """GroupState persists per-user totals across micro-batches: after a
+    second batch touches user 1 again, the freshest emitted row reflects
+    batch-1 + batch-2 (not batch 2 alone)."""
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as ckpt:
+        _write_file(src, "b1.json", [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1,
+             "event_type": "click", "value": 1.25},
+            {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 1,
+             "event_type": "view", "value": 2.50},
+            {"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 2,
+             "event_type": "click", "value": 10.00},
+        ])
+        stats = user_stats_stream(_stream(spark, src))
+        q = (
+            stats.writeStream.format("memory")
+            .queryName("stateful_test")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            assert _run_until(q, lambda: spark.table("stateful_test").count() >= 2)
+            _write_file(src, "b2.json", [
+                {"event_id": 4, "ts": "2024-01-01 11:00:00", "user_id": 1,
+                 "event_type": "click", "value": 4.00},
+            ])
+            # user 1's state must now cover 3 events across both batches
+            assert _run_until(
+                q,
+                lambda: any(
+                    r.user_id == 1 and r.n_events == 3
+                    for r in spark.table("stateful_test").collect()
+                ),
+            ), f"state lost: {spark.table('stateful_test').collect()}"
+            latest = max(
+                (r for r in spark.table("stateful_test").collect() if r.user_id == 1),
+                key=lambda r: r.n_events,
+            )
+            assert latest.total_value_q == int((1.25 + 2.50 + 4.00) * 1_000_000)
+            assert str(latest.last_ts) == "2024-01-01 11:00:00"
+            # user 2 untouched by batch 2: single-batch state intact
+            u2 = [r for r in spark.table("stateful_test").collect() if r.user_id == 2]
+            assert u2 and u2[-1].n_events == 1
         finally:
             q.stop()
