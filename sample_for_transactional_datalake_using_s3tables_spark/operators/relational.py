@@ -391,6 +391,55 @@ SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
+_SALTS = 8
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient shuffle join via key salting.
+
+    The hot-key cure when one join key dominates (AQE's skewedJoin
+    handles moderate skew at runtime; salting is the explicit fix for
+    pathological keys): the fact side gets a per-row salt
+    ``pmod(xxhash64(event_id), S)``, the build side is replicated S
+    times with an exploded salt, and the join keys on (key, salt) -- so
+    one hot user's rows spread over S reducer partitions instead of one
+    straggler. The engine-internal hash never reaches the output: the
+    result is identical to the unsalted join, which is what the oracle
+    checks. ``hint("merge")`` pins the shuffle join the pattern targets
+    (an auto-broadcast would erase the demonstration at this test scale).
+
+    The quantized int64 value total follows the engine's exact-sum rule
+    (floor(v * 1e6); doubles are never summed in checked outputs).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("value_q"),
+    )
+    fact = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALTS)))
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1))))
+    )
+    joined = fact.hint("merge").join(
+        dim,
+        (fact.user_id == dim.c_custkey) & (fact._salt == dim._salt),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_q").alias("total_value_q"),
+    )
+
+
+JOIN_SALTED_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_q
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
 
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective fact-fact join (orders |><| lineitem)
@@ -897,6 +946,7 @@ QUERIES = {
     "join_left": join_left,
     "join_semi": join_semi,
     "join_anti": join_anti,
+    "join_salted_skew": join_salted_skew,
     "window_rank": window_rank,
     "window_running_sum": window_running_sum,
     "window_lag_lead": window_lag_lead,
@@ -941,6 +991,7 @@ ORACLES = {
     "join_left": JOIN_LEFT_SQL,
     "join_semi": JOIN_SEMI_SQL,
     "join_anti": JOIN_ANTI_SQL,
+    "join_salted_skew": JOIN_SALTED_SQL,
     "window_rank": WINDOW_RANK_SQL,
     "window_running_sum": WINDOW_RUNNING_SUM_SQL,
     "window_lag_lead": WINDOW_LAG_LEAD_SQL,

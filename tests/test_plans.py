@@ -51,6 +51,14 @@ def test_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, "top-k planned as a global sort"
 
 
+def test_salted_join_keys_on_salt(spark):
+    plan = _executed(relational.join_salted_skew(spark, SF_SMALL))
+    joins = [l for l in plan.splitlines() if "SortMergeJoin" in l]
+    assert joins, "salted join was not planned as a shuffle join"
+    assert any("_salt" in l for l in joins), "join keys lost the salt column"
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_dedup_candidates_join_on_buckets(spark):
     plan = _executed(dedup.dedup_ngram_jaccard(spark, SF_SMALL))
     joins = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
