@@ -476,12 +476,112 @@ WHERE {cos} >= 0.3
 """
 
 
+# --------------------------------------------------------------------------
+# Connected components over the duplicate graph (iterative).
+# --------------------------------------------------------------------------
+
+_CC_JACCARD = 0.2
+_CC_MAX_ITERS = 50
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the MinHash duplicate graph: every document
+    mapped to its component id (the minimum doc_id it is connected to),
+    so "keep one per cluster" survives chains a -> b -> c where (a, c)
+    were never a direct candidate pair.
+
+    This is the engine's iterative-algorithm surface: min-label
+    propagation (each round a node adopts the smallest label among
+    itself and its neighbors) run as a driver-side loop over DataFrames
+    until a fixpoint, converging in O(component diameter) rounds --
+    duplicate clusters are shallow, so single-digit rounds in practice.
+    Only nodes that appear in a duplicate pair iterate (the hot set is
+    |candidates|, not |corpus|); singleton documents bypass the loop
+    entirely. Each round localCheckpoints the (tiny) label frame to cut
+    lineage. At extreme component sizes swap the propagation step for
+    the large-star/small-star formulation -- same fixpoint.
+
+    The oracle replays the closure with a recursive CTE over the same
+    verified pair set (exact shingle Jaccard >= 0.2), so the component
+    assignment is engine-independent.
+    """
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("jaccard") >= _CC_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(_CC_MAX_ITERS):
+        neighbor_min = edges.join(
+            labels, edges.dst == labels.doc_id
+        ).groupBy("src").agg(F.min("comp").alias("nmin"))
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src)
+            .select(
+                "doc_id", F.least(F.col("comp"), F.col("nmin")).alias("comp")
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("connected components did not converge")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    singletons = docs.join(labels, "doc_id", "left_anti").withColumn(
+        "comp", F.col("doc_id")
+    )
+    return (
+        labels.union(singletons)
+        .select("doc_id", F.col("comp").alias("component_id"))
+    )
+
+
+def _connected_components_sql() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_sql()}) WHERE jaccard >= {_CC_JACCARD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS component_id
+FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
+    "dedup_connected_components": dedup_connected_components,
 }
 
 ORACLES = {
@@ -490,4 +590,5 @@ ORACLES = {
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _ngram_jaccard_sql(),
     "dedup_embedding": _dedup_embedding_sql(),
+    "dedup_connected_components": _connected_components_sql(),
 }
