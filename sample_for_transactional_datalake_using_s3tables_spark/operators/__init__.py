@@ -35,6 +35,7 @@ from . import (
     dedup,
     ingest,
     multimodal,
+    pipeline,
     relational,
     sampling,
     similarity,
@@ -55,6 +56,7 @@ _MODULES = (
     udfs,
     temporal,
     sampling,
+    pipeline,
 )
 
 # One representative per operator family first (every SURVEY section-2 row
@@ -64,23 +66,18 @@ _PRIORITY = (
     "scan_limit",
     "filter_date_range",
     "risk_analysis",
-    "hourly_pattern",
     "pricing_summary",
     "revenue_by_region",
     "forecast_revenue",
     "join_left",
-    "join_semi",
     "join_full_outer",
+    "join_salted_skew",
     "window_rank",
-    "window_running_sum",
     "rollup_agg",
-    "cube_agg",
     "set_union",
     "date_funcs",
     "json_extract",
     "correlated_exists",
-    "pivot_agg",
-    "regexp_ops",
     "array_agg_battery",
     "sql_text_entry",
     "approx_distinct",
@@ -91,14 +88,19 @@ _PRIORITY = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding",
+    "dedup_connected_components",
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
     "similarity_label_stats",
-    # text analysis
+    # text analysis + curation
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
+    "text_chunk",
+    "sample_stratified",
+    "quantiles_exact",
+    "curation_pipeline",
     # multimodal plumbing
     "multimodal_image_features",
     "multimodal_audio_stats",
@@ -106,10 +108,10 @@ _PRIORITY = (
     # ingest chain + warehouse MERGE
     "cdc_pipeline",
     "warehouse_merge_roundtrip",
-    # event-time windows
+    # event-time windows + custom state
     "window_tumbling",
-    "window_sliding",
     "window_session",
+    "stateful_user_stats",
     # UDF/UDAF/UDTF surface
     "udf_minmax_scale",
     "udf_vector_norm",

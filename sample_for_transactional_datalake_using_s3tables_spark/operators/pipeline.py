@@ -1,0 +1,123 @@
+"""End-to-end training-data curation pipeline as one composed query.
+
+The individual stages exist as standalone operators (text.quality_score,
+dedup.dedup_exact, sampling.sample_bernoulli, text.chunk); this module
+chains them the way a production corpus build does --
+
+    quality filter -> exact dedup (keep min doc_id per content hash)
+    -> deterministic ~50% sample -> context-window chunking
+    -> per-(lang, source) corpus stats
+
+-- demonstrating that the engine's operators compose into a single lazy
+plan Catalyst optimizes end-to-end (the quality filter prunes before the
+dedup shuffle; chunking explodes only sampled survivors). Stage order is
+part of the semantics: dedup runs on quality survivors, sampling on
+dedup survivors.
+
+Scale: one shuffle for the content-hash window, one for the final
+aggregate; the chunk explode multiplies only the sampled subset. All
+decisions key off portable md5-derived values (functions/textfns), so
+the DuckDB oracle replays the identical pipeline.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions.textfns import STOPWORDS, TOKENS_SQL, md5_int, md5_int_sql, tokens
+from ..sources.testdata import load_table, spread
+from .text import CHUNK_SIZE, CHUNK_STRIDE
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+_SAMPLE_PCT = 50
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok = tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct"),
+        F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    ok = d.where(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_distinct") / F.col("n_tokens") >= 0.3)
+        & (F.col("n_stop") / F.col("n_tokens") <= 0.5)
+    )
+    w = Window.partitionBy(F.md5("text"))
+    kept = ok.withColumn("_min_id", F.min("doc_id").over(w)).where(
+        F.col("doc_id") == F.col("_min_id")
+    )
+    sampled = kept.where(
+        md5_int(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+        < _SAMPLE_PCT
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.length("text")), F.lit(CHUNK_STRIDE)
+    )
+    chunks = sampled.select(
+        "doc_id", "lang", "source", "text", F.explode(starts).alias("cs")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring(F.col("text"), F.col("cs"), F.lit(CHUNK_SIZE)).alias("chunk_text"),
+    )
+    return chunks.groupBy("lang", "source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum(F.size(F.split(F.col("chunk_text"), " "))).cast("bigint").alias(
+            "total_chunk_tokens"
+        ),
+    )
+
+
+def _curation_sql() -> str:
+    t = TOKENS_SQL.format(col="text")
+    skey = md5_int_sql("'sample:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, source, text,
+         CAST(len({t}) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct({t})) AS INTEGER) AS n_distinct,
+         CAST(len(list_filter({t}, x -> list_contains({_STOP_LIST_SQL}, x)))
+              AS INTEGER) AS n_stop
+  FROM documents
+),
+ok AS (
+  SELECT * FROM d
+  WHERE n_tokens >= 5 AND n_distinct / n_tokens >= 0.3
+    AND n_stop / n_tokens <= 0.5
+),
+kept AS (
+  SELECT * FROM ok
+  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+),
+sampled AS (
+  SELECT * FROM kept WHERE {skey} % 100 < {_SAMPLE_PCT}
+),
+chunks AS (
+  SELECT doc_id, lang, source,
+         substr(text, CAST(cs AS INTEGER), {CHUNK_SIZE}) AS chunk_text
+  FROM sampled,
+       unnest(generate_series(1, greatest(1, CAST(length(text) AS BIGINT)),
+                              {CHUNK_STRIDE})) AS u(cs)
+)
+SELECT lang, source,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(len(string_split(chunk_text, ' '))) AS BIGINT)
+         AS total_chunk_tokens
+FROM chunks
+GROUP BY lang, source
+"""
+
+
+QUERIES = {"curation_pipeline": curation_pipeline}
+ORACLES = {"curation_pipeline": _curation_sql()}

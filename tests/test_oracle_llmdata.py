@@ -7,6 +7,7 @@ import pytest
 from sample_for_transactional_datalake_using_s3tables_spark.operators import (
     dedup,
     multimodal,
+    pipeline,
     similarity,
     text,
 )
@@ -14,7 +15,13 @@ from sample_for_transactional_datalake_using_s3tables_spark.operators import (
 from .conftest import SF_DIR
 from .oracle_utils import compare, duckdb_connection
 
-MODULES = {"text": text, "dedup": dedup, "similarity": similarity, "multimodal": multimodal}
+MODULES = {
+    "text": text,
+    "dedup": dedup,
+    "similarity": similarity,
+    "multimodal": multimodal,
+    "pipeline": pipeline,
+}
 CASES = [
     (mod_name, q)
     for mod_name, m in MODULES.items()
