@@ -104,10 +104,10 @@ _PRIORITY = (
     # multimodal plumbing
     "multimodal_image_features",
     "multimodal_audio_stats",
-    "multimodal_frame_sample",
-    # ingest chain + warehouse MERGE
+    # ingest chain + warehouse MERGE + time travel
     "cdc_pipeline",
     "warehouse_merge_roundtrip",
+    "warehouse_time_travel",
     # event-time windows + custom state
     "window_tumbling",
     "window_session",

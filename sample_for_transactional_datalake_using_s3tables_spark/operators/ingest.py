@@ -180,12 +180,76 @@ WHERE event_id % 5 != 0
 """
 
 
+def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation certified as a query: insert all events
+    (version v1), MERGE updates (id%3 doubled) + deletes (id%5), then
+    read BOTH the historical v1 snapshot (``read(version=...)``) and the
+    current one. The per-version summaries can only match the oracle if
+    time travel returns the pre-merge state untouched while the current
+    read reflects the merge. Same deferred-cleanup lazy-parquet return
+    as warehouse_merge_roundtrip (no driver-side collect)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("decimal(12,2)").alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="wh_timetravel_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id", partition_by="event_type"
+        )
+        v1 = wh.insert("q", "state", events)
+        updates = events.filter(F.col("event_id") % 3 == 0).withColumn(
+            "value", (F.col("value") * 2).cast("decimal(12,2)")
+        ).withColumn("_delete", F.lit(False))
+        deletes = events.filter(F.col("event_id") % 5 == 0).withColumn(
+            "_delete", F.lit(True)
+        )
+        wh.merge_upsert("q", "state", updates.unionByName(deletes), delete_col="_delete")
+
+        def summarize(df: DataFrame, tag: str) -> DataFrame:
+            return df.groupBy("event_type").agg(
+                F.count("*").alias("n_rows"),
+                F.sum("value").cast("decimal(18,2)").alias("total_value"),
+            ).withColumn("version", F.lit(tag))
+
+        both = summarize(wh.read("q", "state", version=v1), "v1").unionByName(
+            summarize(wh.read("q", "state"), "v2")
+        ).select("version", "event_type", "n_rows", "total_value")
+        out = os.path.join(root, "_result")
+        both.write.mode("overwrite").parquet(out)
+        snapshot = spark.read.parquet(out)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        return snapshot
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_TIME_TRAVEL_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value FROM events
+)
+SELECT 'v1' AS version, event_type, COUNT(*) AS n_rows,
+       CAST(SUM(value) AS DECIMAL(18,2)) AS total_value
+FROM base GROUP BY event_type
+UNION ALL
+SELECT 'v2' AS version, event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN event_id % 3 = 0
+                     THEN CAST(value * 2 AS DECIMAL(12,2)) ELSE value END)
+            AS DECIMAL(18,2)) AS total_value
+FROM base WHERE event_id % 5 != 0 GROUP BY event_type
+"""
+
+
 QUERIES = {
     "cdc_pipeline": cdc_pipeline,
     "warehouse_merge_roundtrip": warehouse_merge_roundtrip,
+    "warehouse_time_travel": warehouse_time_travel,
 }
 
 ORACLES = {
     "cdc_pipeline": CDC_PIPELINE_SQL,
     "warehouse_merge_roundtrip": WAREHOUSE_MERGE_SQL,
+    "warehouse_time_travel": WAREHOUSE_TIME_TRAVEL_SQL,
 }
