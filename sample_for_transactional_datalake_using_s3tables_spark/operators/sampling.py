@@ -207,11 +207,104 @@ FROM events GROUP BY event_type
 """
 
 
+# (column, kind) pairs profiled by profile_columns; kinds pick which
+# typed min/max slots are populated (cross-type string casts are not
+# portable across engines, so each kind keeps its own typed columns).
+_PROFILE_COLS = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling of ``orders`` in ONE pass: per
+    column, null count, exact distinct count, and typed min/max.
+
+    Shape: a single aggregate row (Catalyst plans the multi-distinct via
+    Expand -- one shuffle, map-side partials) unpivoted with ``stack``
+    into one row per column. Numeric min/max surface as double (exact:
+    bigint magnitudes << 2^53), timestamps and strings keep their own
+    slots -- engine-portable, unlike cross-type casts to string. At
+    100 TB this is the profiling scan you run once per partition batch;
+    for distincts over ultra-high-cardinality columns swap in
+    approx_count_distinct (the approx_distinct operator's path).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
+        elif kind == "ts":
+            aggs.append(F.min(c).alias(f"{c}__mn"))
+            aggs.append(F.max(c).alias(f"{c}__mx"))
+        else:
+            aggs.append(F.min(c).alias(f"{c}__mn"))
+            aggs.append(F.max(c).alias(f"{c}__mx"))
+    one = orders.agg(*aggs)
+    # Null slots must match the populated slots' exact Spark type (the
+    # parquet timestamps read as TIMESTAMP_NTZ, not TIMESTAMP).
+    ts_type = next(
+        (
+            one.schema[f"{c}__mn"].dataType.simpleString()
+            for c, kind in _PROFILE_COLS
+            if kind == "ts"
+        ),
+        "timestamp",
+    )
+    rows = []
+    for c, kind in _PROFILE_COLS:
+        mn_num = f"{c}__mn" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mx_num = f"{c}__mx" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mn_ts = f"{c}__mn" if kind == "ts" else f"CAST(NULL AS {ts_type})"
+        mx_ts = f"{c}__mx" if kind == "ts" else f"CAST(NULL AS {ts_type})"
+        mn_str = f"{c}__mn" if kind == "str" else "CAST(NULL AS STRING)"
+        mx_str = f"{c}__mx" if kind == "str" else "CAST(NULL AS STRING)"
+        rows.append(
+            f"'{c}', {c}__nn, {c}__nd, {mn_num}, {mx_num}, "
+            f"{mn_ts}, {mx_ts}, {mn_str}, {mx_str}"
+        )
+    stack = (
+        f"stack({len(_PROFILE_COLS)}, {', '.join(rows)}) AS "
+        "(column_name, n_nulls, n_distinct, min_num, max_num, "
+        "min_ts, max_ts, min_str, max_str)"
+    )
+    return one.select(F.expr(stack))
+
+
+def _profile_columns_sql() -> str:
+    selects = []
+    for c, kind in _PROFILE_COLS:
+        mn_num = f"CAST(MIN({c}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mx_num = f"CAST(MAX({c}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mn_ts = f"MIN({c})" if kind == "ts" else "CAST(NULL AS TIMESTAMP)"
+        mx_ts = f"MAX({c})" if kind == "ts" else "CAST(NULL AS TIMESTAMP)"
+        mn_str = f"MIN({c})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        mx_str = f"MAX({c})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        selects.append(
+            f"SELECT '{c}' AS column_name,\n"
+            f"       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,\n"
+            f"       COUNT(DISTINCT {c}) AS n_distinct,\n"
+            f"       {mn_num} AS min_num, {mx_num} AS max_num,\n"
+            f"       {mn_ts} AS min_ts, {mx_ts} AS max_ts,\n"
+            f"       {mn_str} AS min_str, {mx_str} AS max_str\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
 QUERIES = {
     "sample_bernoulli": sample_bernoulli,
     "sample_stratified": sample_stratified,
     "quantiles_exact": quantiles_exact,
     "quantiles_approx": quantiles_approx,
+    "profile_columns": profile_columns,
 }
 
 ORACLES = {
@@ -219,4 +312,5 @@ ORACLES = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "quantiles_exact": QUANTILES_EXACT_SQL,
     "quantiles_approx": QUANTILES_APPROX_SQL,
+    "profile_columns": _profile_columns_sql(),
 }
