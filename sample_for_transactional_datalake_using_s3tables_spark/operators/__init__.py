@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import DecimalType
 
 from . import (
+    analytics,
     dedup,
     ingest,
     multimodal,
@@ -57,6 +58,7 @@ _MODULES = (
     temporal,
     sampling,
     pipeline,
+    analytics,
 )
 
 # One representative per operator family first (every SURVEY section-2 row
@@ -110,8 +112,9 @@ _PRIORITY = (
     "warehouse_time_travel",
     # event-time windows + custom state
     "window_tumbling",
-    "window_session",
     "stateful_user_stats",
+    # behavioral analytics
+    "funnel_stages",
     # UDF/UDAF/UDTF surface
     "udf_minmax_scale",
     "udf_vector_norm",

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 
 from sample_for_transactional_datalake_using_s3tables_spark.operators import (
+    analytics,
     sampling,
     streamwin,
     udfs,
@@ -13,7 +14,12 @@ from sample_for_transactional_datalake_using_s3tables_spark.operators import (
 from .conftest import SF_DIR
 from .oracle_utils import compare, duckdb_connection
 
-MODULES = {"streamwin": streamwin, "udfs": udfs, "sampling": sampling}
+MODULES = {
+    "streamwin": streamwin,
+    "udfs": udfs,
+    "sampling": sampling,
+    "analytics": analytics,
+}
 CASES = [(m, q) for m, mod in MODULES.items() for q in sorted(mod.QUERIES)]
 
 
