@@ -242,14 +242,91 @@ FROM base WHERE event_id % 5 != 0 GROUP BY event_type
 """
 
 
+def warehouse_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two snapshots (the Iceberg
+    ``changelog``/CDF read re-expressed on the manifest warehouse):
+    full-outer-join snapshot v1 and the current version on the table
+    key and classify every key as INSERT / UPDATE / DELETE / unchanged,
+    emitting per-(event_type, op) counts. The oracle derives the same
+    changelog straight from the MERGE batch definition (id%3 updates,
+    id%5 deletes, updates on deleted keys vanish), so a hash match
+    certifies that the snapshot diff equals the applied change set.
+    One co-keyed shuffle join between two manifest-pruned reads."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("decimal(12,2)").alias("value")
+    )
+    root = tempfile.mkdtemp(prefix="wh_changelog_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id", partition_by="event_type"
+        )
+        v1 = wh.insert("q", "state", events)
+        updates = events.filter(F.col("event_id") % 3 == 0).withColumn(
+            "value", (F.col("value") * 2).cast("decimal(12,2)")
+        ).withColumn("_delete", F.lit(False))
+        deletes = events.filter(F.col("event_id") % 5 == 0).withColumn(
+            "_delete", F.lit(True)
+        )
+        wh.merge_upsert("q", "state", updates.unionByName(deletes), delete_col="_delete")
+        old = wh.read("q", "state", version=v1).select(
+            F.col("event_id").alias("k_old"),
+            F.col("event_type").alias("et_old"),
+            F.col("value").alias("v_old"),
+        )
+        new = wh.read("q", "state").select(
+            F.col("event_id").alias("k_new"),
+            F.col("event_type").alias("et_new"),
+            F.col("value").alias("v_new"),
+        )
+        diff = old.join(new, old.k_old == new.k_new, "full_outer").select(
+            F.coalesce("et_old", "et_new").alias("event_type"),
+            F.when(F.col("k_old").isNull(), "INSERT")
+            .when(F.col("k_new").isNull(), "DELETE")
+            .when(F.col("v_old") != F.col("v_new"), "UPDATE")
+            .otherwise("UNCHANGED")
+            .alias("op"),
+        )
+        chg = (
+            diff.where(F.col("op") != "UNCHANGED")
+            .groupBy("event_type", "op")
+            .agg(F.count("*").alias("n_keys"))
+        )
+        out = os.path.join(root, "_result")
+        chg.write.mode("overwrite").parquet(out)
+        snapshot = spark.read.parquet(out)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        return snapshot
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+# id%5 keys were deleted (DELETE); of the survivors, id%3 keys were
+# doubled (UPDATE) -- unless value was 0, where 2*v == v means no change,
+# but events.value >= 0.01 so every id%3 survivor IS an update. No
+# inserts exist in the MERGE batch.
+WAREHOUSE_CHANGELOG_SQL = """
+SELECT event_type,
+       CASE WHEN event_id % 5 = 0 THEN 'DELETE' ELSE 'UPDATE' END AS op,
+       COUNT(*) AS n_keys
+FROM events
+WHERE event_id % 5 = 0 OR event_id % 3 = 0
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "cdc_pipeline": cdc_pipeline,
     "warehouse_merge_roundtrip": warehouse_merge_roundtrip,
     "warehouse_time_travel": warehouse_time_travel,
+    "warehouse_changelog": warehouse_changelog,
 }
 
 ORACLES = {
     "cdc_pipeline": CDC_PIPELINE_SQL,
     "warehouse_merge_roundtrip": WAREHOUSE_MERGE_SQL,
     "warehouse_time_travel": WAREHOUSE_TIME_TRAVEL_SQL,
+    "warehouse_changelog": WAREHOUSE_CHANGELOG_SQL,
 }
