@@ -299,12 +299,65 @@ def _profile_columns_sql() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+# Train/val/test split boundaries on the 0..99 hash bucket.
+_SPLITS = (("train", 0, 80), ("val", 80, 90), ("test", 90, 100))
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment for documents.
+
+    Each doc hashes into a 0..99 bucket (portable md5 key, salted
+    independently of the sampling operators); bucket ranges define the
+    splits. Assignment is append-stable (new docs never reshuffle old
+    ones) and leakage-free (a doc_id always lands in the same split on
+    any engine or rerun). Output is the per-(split, lang) composition --
+    the check a pipeline runs to confirm split balance before training.
+    No shuffle before the final aggregate; the hash is a scan-adjacent
+    Column expression.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_int(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < _SPLITS[0][2], _SPLITS[0][0])
+        .when(bucket < _SPLITS[1][2], _SPLITS[1][0])
+        .otherwise(_SPLITS[2][0])
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+def _dataset_split_sql() -> str:
+    b = md5_int_sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CASE WHEN {b} < 80 THEN 'train'
+              WHEN {b} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM d GROUP BY split, lang
+"""
+
+
 QUERIES = {
     "sample_bernoulli": sample_bernoulli,
     "sample_stratified": sample_stratified,
     "quantiles_exact": quantiles_exact,
     "quantiles_approx": quantiles_approx,
     "profile_columns": profile_columns,
+    "dataset_split": dataset_split,
 }
 
 ORACLES = {
@@ -313,4 +366,5 @@ ORACLES = {
     "quantiles_exact": QUANTILES_EXACT_SQL,
     "quantiles_approx": QUANTILES_APPROX_SQL,
     "profile_columns": _profile_columns_sql(),
+    "dataset_split": _dataset_split_sql(),
 }
