@@ -12,7 +12,9 @@ from __future__ import annotations
 
 from sample_for_transactional_datalake_using_s3tables_spark.operators import (
     dedup,
+    pipeline,
     relational,
+    sampling,
 )
 
 SF_SMALL = "/root/testdata/sf0.001"
@@ -49,6 +51,31 @@ def test_dimension_joins_broadcast(spark):
 def test_topk_is_take_ordered(spark):
     plan = _executed(relational.topk(spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan, "top-k planned as a global sort"
+
+
+def test_bernoulli_sample_is_shuffle_free(spark):
+    plan = _executed(sampling.sample_bernoulli(spark, SF_SMALL))
+    assert "Exchange" not in plan, "hash-sample filter introduced a shuffle"
+    # column pruning holds: only the 5 output columns are read
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "props" not in read_schema
+
+
+def test_curation_pipeline_shuffle_budget(spark):
+    """The composed chain keeps its two semantic shuffles (content-hash
+    window, final aggregate) plus the explicit spread() repartition --
+    regression guard against a stage accidentally adding exchanges."""
+    plan = _executed(pipeline.curation_pipeline(spark, SF_SMALL))
+    # AQE's toString appends the pre-adaptive "Initial Plan" subtree --
+    # count exchanges only in the final plan section above it.
+    final_section = plan.split("Initial Plan")[0]
+    n_exchanges = sum(
+        1
+        for l in final_section.splitlines()
+        if "Exchange" in l and "Reused" not in l
+    )
+    assert n_exchanges <= 4, f"curation pipeline grew to {n_exchanges} exchanges"
+    assert "Generate explode" in plan  # chunking stays a generator, not a join
 
 
 def test_salted_join_keys_on_salt(spark):
