@@ -340,11 +340,65 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+_DIM = 64
+
+
+def similarity_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid statistics -- the aggregation at the core of
+    IVF/k-means training -- with cross-engine-exact arithmetic: each
+    dimension's component sum is an exact int64 (posexplode -> groupBy),
+    the centroid's squared norm accumulates products of those sums in
+    decimal(38,0) (|s| <= n_vecs * 1e6 => s^2 < 2.5e19; 64-dim total
+    < 1.6e21, far under 38 digits), and only the final norm/mean-norm
+    touch doubles (sqrt + divide: two correctly-rounded IEEE ops).
+
+    Scale: the explode shuffles (label, dim, component) ints -- 64 rows
+    per vector, map-side partial sums; the per-label rollup is tiny. No
+    vector ever moves whole through a shuffle."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    q = emb.select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
+    dims = q.select("label", F.posexplode("qv").alias("dim", "v"))
+    per_dim = dims.groupBy("label", "dim").agg(F.sum("v").alias("s"))
+    sdec = F.col("s").cast("decimal(19,0)")
+    norm2 = per_dim.groupBy("label").agg(F.sum(sdec * sdec).alias("norm2"))
+    counts = q.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return counts.join(F.broadcast(norm2), "label").select(
+        "label",
+        "n_vecs",
+        F.col("norm2").cast("double").alias("centroid_norm2"),
+        (F.sqrt(F.col("norm2").cast("double")) / F.col("n_vecs")).alias(
+            "mean_vector_norm"
+        ),
+    )
+
+
+SIMILARITY_CENTROIDS_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label, {QUANTIZE_SQL.format(v='embedding')} AS qv FROM embeddings
+),
+dims AS (
+  SELECT label, i AS dim, qv[i] AS v FROM q, unnest(range(1, {_DIM + 1})) AS t(i)
+),
+per_dim AS (
+  SELECT label, dim, CAST(SUM(v) AS BIGINT) AS s FROM dims GROUP BY 1, 2
+),
+norm2 AS (
+  SELECT label, SUM(CAST(s AS HUGEINT) * s) AS n2 FROM per_dim GROUP BY 1
+),
+counts AS (SELECT label, COUNT(*) AS n_vecs FROM q GROUP BY 1)
+SELECT c.label, c.n_vecs,
+       CAST(n2 AS DOUBLE) AS centroid_norm2,
+       sqrt(CAST(n2 AS DOUBLE)) / c.n_vecs AS mean_vector_norm
+FROM counts c JOIN norm2 USING (label)
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_topk_lsh": similarity_topk_lsh,
     "similarity_label_stats": similarity_label_stats,
     "similarity_topk_ivf": similarity_topk_ivf,
+    "similarity_centroids": similarity_centroids,
 }
 
 ORACLES = {
@@ -352,4 +406,5 @@ ORACLES = {
     "similarity_topk_lsh": _lsh_sql(),
     "similarity_label_stats": SIMILARITY_LABEL_STATS_SQL,
     "similarity_topk_ivf": _ivf_sql(),
+    "similarity_centroids": SIMILARITY_CENTROIDS_SQL,
 }
