@@ -127,71 +127,18 @@ FROM events
 """
 
 
-def warehouse_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full transactional roundtrip through the warehouse: create keyed
-    partitioned table -> insert all events -> MERGE a batch of updates
-    (id%3: value doubled) and deletes (id%5) -> read final snapshot.
-
-    The final snapshot is re-written (distributed, executor-side) to a
-    session-lifetime temp parquet and returned as a lazy read -- never
-    collected through the driver -- so the scratch warehouse can be
-    removed while the consumer still holds the DataFrame. The temp dir
-    is reclaimed at interpreter exit."""
+def _merge_scenario(spark: SparkSession, sf_dir: str, prefix: str):
+    """Shared MERGE scenario behind every warehouse_* query: a table of
+    all events keyed by event_id, partitioned by event_type; v1 = full
+    insert; then ONE MERGE applying id%3 value-doubled updates and id%5
+    deletes (delete wins where a key matches both). Returns
+    ``(wh, root, v1)`` with the scratch dir NOT yet scheduled for
+    cleanup. Every oracle in this module analytically re-derives exactly
+    this change set -- change it here and in all three oracles together."""
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", F.col("value").cast("decimal(12,2)").alias("value")
     )
-    root = tempfile.mkdtemp(prefix="wh_roundtrip_")
-    try:
-        wh = Warehouse(spark, root)
-        wh.create_namespace("q")
-        wh.create_table(
-            "q",
-            "state",
-            events.schema,
-            key="event_id",
-            partition_by="event_type",
-        )
-        wh.insert("q", "state", events)
-        updates = events.filter(F.col("event_id") % 3 == 0).withColumn(
-            "value", (F.col("value") * 2).cast("decimal(12,2)")
-        ).withColumn("_delete", F.lit(False))
-        deletes = events.filter(F.col("event_id") % 5 == 0).withColumn(
-            "_delete", F.lit(True)
-        )
-        wh.merge_upsert("q", "state", updates.unionByName(deletes), delete_col="_delete")
-        final = wh.read("q", "state").select(
-            "event_id", "event_type", F.col("value").alias("value_final")
-        )
-        out = os.path.join(root, "_result")
-        final.write.mode("overwrite").parquet(out)
-        snapshot = spark.read.parquet(out)
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        return snapshot
-    except BaseException:
-        shutil.rmtree(root, ignore_errors=True)
-        raise
-
-
-WAREHOUSE_MERGE_SQL = """
-SELECT event_id, event_type,
-       CAST(CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS DECIMAL(12,2)) AS value_final
-FROM (SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value FROM events)
-WHERE event_id % 5 != 0
-"""
-
-
-def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot isolation certified as a query: insert all events
-    (version v1), MERGE updates (id%3 doubled) + deletes (id%5), then
-    read BOTH the historical v1 snapshot (``read(version=...)``) and the
-    current one. The per-version summaries can only match the oracle if
-    time travel returns the pre-merge state untouched while the current
-    read reflects the merge. Same deferred-cleanup lazy-parquet return
-    as warehouse_merge_roundtrip (no driver-side collect)."""
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", F.col("value").cast("decimal(12,2)").alias("value")
-    )
-    root = tempfile.mkdtemp(prefix="wh_timetravel_")
+    root = tempfile.mkdtemp(prefix=prefix)
     try:
         wh = Warehouse(spark, root)
         wh.create_namespace("q")
@@ -206,7 +153,54 @@ def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_delete", F.lit(True)
         )
         wh.merge_upsert("q", "state", updates.unionByName(deletes), delete_col="_delete")
+        return wh, root, v1
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
 
+
+def _lazy_snapshot(spark: SparkSession, root: str, df: DataFrame) -> DataFrame:
+    """Write ``df`` to a session-lifetime temp parquet (distributed,
+    executor-side -- never collected through the driver) and return the
+    lazy read; the scratch dir is reclaimed at interpreter exit."""
+    out = os.path.join(root, "_result")
+    df.write.mode("overwrite").parquet(out)
+    snapshot = spark.read.parquet(out)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return snapshot
+
+
+def warehouse_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transactional roundtrip through the warehouse: the shared
+    MERGE scenario (see _merge_scenario), then read the final snapshot."""
+    wh, root, _v1 = _merge_scenario(spark, sf_dir, "wh_roundtrip_")
+    try:
+        final = wh.read("q", "state").select(
+            "event_id", "event_type", F.col("value").alias("value_final")
+        )
+        return _lazy_snapshot(spark, root, final)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_MERGE_SQL = """
+SELECT event_id, event_type,
+       CAST(CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS DECIMAL(12,2)) AS value_final
+FROM (SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value FROM events)
+WHERE event_id % 5 != 0
+"""
+
+
+def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation certified as a query: run the shared MERGE
+    scenario, then read BOTH the historical v1 snapshot
+    (``read(version=...)``) and the current one. The per-version
+    summaries can only match the oracle if time travel returns the
+    pre-merge state untouched while the current read reflects the
+    merge."""
+    wh, root, v1 = _merge_scenario(spark, sf_dir, "wh_timetravel_")
+    try:
         def summarize(df: DataFrame, tag: str) -> DataFrame:
             return df.groupBy("event_type").agg(
                 F.count("*").alias("n_rows"),
@@ -216,11 +210,7 @@ def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         both = summarize(wh.read("q", "state", version=v1), "v1").unionByName(
             summarize(wh.read("q", "state"), "v2")
         ).select("version", "event_type", "n_rows", "total_value")
-        out = os.path.join(root, "_result")
-        both.write.mode("overwrite").parquet(out)
-        snapshot = spark.read.parquet(out)
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        return snapshot
+        return _lazy_snapshot(spark, root, both)
     except BaseException:
         shutil.rmtree(root, ignore_errors=True)
         raise
@@ -245,31 +235,15 @@ FROM base WHERE event_id % 5 != 0 GROUP BY event_type
 def warehouse_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed between two snapshots (the Iceberg
     ``changelog``/CDF read re-expressed on the manifest warehouse):
-    full-outer-join snapshot v1 and the current version on the table
-    key and classify every key as INSERT / UPDATE / DELETE / unchanged,
-    emitting per-(event_type, op) counts. The oracle derives the same
-    changelog straight from the MERGE batch definition (id%3 updates,
-    id%5 deletes, updates on deleted keys vanish), so a hash match
-    certifies that the snapshot diff equals the applied change set.
-    One co-keyed shuffle join between two manifest-pruned reads."""
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", F.col("value").cast("decimal(12,2)").alias("value")
-    )
-    root = tempfile.mkdtemp(prefix="wh_changelog_")
+    run the shared MERGE scenario, full-outer-join snapshot v1 against
+    the current version on the table key, classify every key as
+    INSERT / UPDATE / DELETE / unchanged, and emit per-(event_type, op)
+    counts. The oracle derives the same changelog from the scenario's
+    change-set definition, so a hash match certifies the snapshot diff
+    equals the applied changes. One co-keyed shuffle join between two
+    manifest-pruned reads."""
+    wh, root, v1 = _merge_scenario(spark, sf_dir, "wh_changelog_")
     try:
-        wh = Warehouse(spark, root)
-        wh.create_namespace("q")
-        wh.create_table(
-            "q", "state", events.schema, key="event_id", partition_by="event_type"
-        )
-        v1 = wh.insert("q", "state", events)
-        updates = events.filter(F.col("event_id") % 3 == 0).withColumn(
-            "value", (F.col("value") * 2).cast("decimal(12,2)")
-        ).withColumn("_delete", F.lit(False))
-        deletes = events.filter(F.col("event_id") % 5 == 0).withColumn(
-            "_delete", F.lit(True)
-        )
-        wh.merge_upsert("q", "state", updates.unionByName(deletes), delete_col="_delete")
         old = wh.read("q", "state", version=v1).select(
             F.col("event_id").alias("k_old"),
             F.col("event_type").alias("et_old"),
@@ -293,11 +267,7 @@ def warehouse_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type", "op")
             .agg(F.count("*").alias("n_keys"))
         )
-        out = os.path.join(root, "_result")
-        chg.write.mode("overwrite").parquet(out)
-        snapshot = spark.read.parquet(out)
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        return snapshot
+        return _lazy_snapshot(spark, root, chg)
     except BaseException:
         shutil.rmtree(root, ignore_errors=True)
         raise

@@ -12,7 +12,9 @@ chains them the way a production corpus build does --
 plan Catalyst optimizes end-to-end (the quality filter prunes before the
 dedup shuffle; chunking explodes only sampled survivors). Stage order is
 part of the semantics: dedup runs on quality survivors, sampling on
-dedup survivors.
+dedup survivors. The stage expressions and thresholds are IMPORTED from
+the standalone operators (text.quality_stat_cols / QUALITY_* /
+chunk_starts), so a change there changes this pipeline identically.
 
 Scale: one shuffle for the content-hash window, one for the final
 aggregate; the chunk explode multiplies only the sampled subset. All
@@ -25,30 +27,31 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.textfns import STOPWORDS, TOKENS_SQL, md5_int, md5_int_sql, tokens
+from ..functions.textfns import TOKENS_SQL, md5_int, md5_int_sql, tokens
 from ..sources.testdata import load_table, spread
-from .text import CHUNK_SIZE, CHUNK_STRIDE
+from .text import (
+    _STOP_LIST_SQL,
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    QUALITY_MAX_STOP_RATIO,
+    QUALITY_MIN_DISTINCT_RATIO,
+    QUALITY_MIN_TOKENS,
+    chunk_starts,
+    quality_stat_cols,
+)
 
-_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 _SAMPLE_PCT = 50
 
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    tok = tokens(F.col("text"))
     d = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.size(tok).alias("n_tokens"),
-        F.size(F.array_distinct(tok)).alias("n_distinct"),
-        F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+        "doc_id", "lang", "source", "text", *quality_stat_cols(tokens(F.col("text")))
     )
     ok = d.where(
-        (F.col("n_tokens") >= 5)
-        & (F.col("n_distinct") / F.col("n_tokens") >= 0.3)
-        & (F.col("n_stop") / F.col("n_tokens") <= 0.5)
+        (F.col("n_tokens") >= QUALITY_MIN_TOKENS)
+        & (F.col("n_distinct") / F.col("n_tokens") >= QUALITY_MIN_DISTINCT_RATIO)
+        & (F.col("n_stop") / F.col("n_tokens") <= QUALITY_MAX_STOP_RATIO)
     )
     w = Window.partitionBy(F.md5("text"))
     kept = ok.withColumn("_min_id", F.min("doc_id").over(w)).where(
@@ -58,11 +61,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_int(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
         < _SAMPLE_PCT
     )
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.lit(1), F.length("text")), F.lit(CHUNK_STRIDE)
-    )
     chunks = sampled.select(
-        "doc_id", "lang", "source", "text", F.explode(starts).alias("cs")
+        "doc_id", "lang", "source", "text", F.explode(chunk_starts()).alias("cs")
     ).select(
         "doc_id",
         "lang",
@@ -92,8 +92,9 @@ WITH d AS (
 ),
 ok AS (
   SELECT * FROM d
-  WHERE n_tokens >= 5 AND n_distinct / n_tokens >= 0.3
-    AND n_stop / n_tokens <= 0.5
+  WHERE n_tokens >= {QUALITY_MIN_TOKENS}
+    AND n_distinct / n_tokens >= {QUALITY_MIN_DISTINCT_RATIO}
+    AND n_stop / n_tokens <= {QUALITY_MAX_STOP_RATIO}
 ),
 kept AS (
   SELECT * FROM ok

@@ -103,6 +103,22 @@ SELECT * FROM r WHERE sample_rank <= {_STRATUM_K}
 _QS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
 
 
+def _ranked(ev: DataFrame) -> DataFrame:
+    """Events ranked inside their event_type by (value, event_id) -- the
+    ONE total-order definition both quantile operators derive ranks
+    from (the tie-break decides which value IS the discrete quantile,
+    so exact and approx-bounds must share it)."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+
 def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group discrete quantiles (p50/p90/p99 of event value).
 
@@ -112,16 +128,7 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     match any engine bit-for-bit. One shuffle on the group key, one
     window pass, then a tiny aggregate.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
-    )
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
-    )
+    ranked = _ranked(load_table(spark, sf_dir, "events"))
     aggs = [F.count("*").alias("n_events")]
     for name, q in _QS:
         at = F.ceil(F.lit(q) * F.col("n")).cast("int")
@@ -161,15 +168,7 @@ def quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what replaces ``quantiles_exact``'s window at 100 TB.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
-    )
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
-    )
+    ranked = _ranked(ev)
     bound_aggs = [F.count("*").alias("n_events")]
     for name, q in _QS:
         lo_at = F.greatest(
@@ -238,15 +237,11 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c, kind in _PROFILE_COLS:
         aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nn"))
         aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
-        if kind == "num":
-            aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
-            aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
-        elif kind == "ts":
-            aggs.append(F.min(c).alias(f"{c}__mn"))
-            aggs.append(F.max(c).alias(f"{c}__mx"))
-        else:
-            aggs.append(F.min(c).alias(f"{c}__mn"))
-            aggs.append(F.max(c).alias(f"{c}__mx"))
+        # only "num" aggregates differently (cast to double); ts/str
+        # keep their native type and differ only in output-slot routing
+        cast = (lambda col: col.cast("double")) if kind == "num" else (lambda col: col)
+        aggs.append(cast(F.min(c)).alias(f"{c}__mn"))
+        aggs.append(cast(F.max(c)).alias(f"{c}__mx"))
     one = orders.agg(*aggs)
     # Null slots must match the populated slots' exact Spark type (the
     # parquet timestamps read as TIMESTAMP_NTZ, not TIMESTAMP).

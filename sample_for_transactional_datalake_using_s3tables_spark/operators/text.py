@@ -63,18 +63,28 @@ FROM documents
 """
 
 
+# Quality thresholds shared with the composed curation pipeline
+# (operators/pipeline.py): "ok" <=> none of the three conditions trips.
+QUALITY_MIN_TOKENS = 5
+QUALITY_MIN_DISTINCT_RATIO = 0.3
+QUALITY_MAX_STOP_RATIO = 0.5
+
+
+def quality_stat_cols(tok) -> list:
+    """The three per-document counters the quality grade derives from."""
+    return [
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct"),
+        F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+    ]
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: distinct-token ratio and stopword ratio
     (exact-int divisions -> portable doubles), bucketed into a grade."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toked = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
-    tok = F.col("tok")
-    d = toked.select(
-        "doc_id",
-        F.size(tok).alias("n_tokens"),
-        F.size(F.array_distinct(tok)).alias("n_distinct"),
-        F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
-    )
+    d = toked.select("doc_id", *quality_stat_cols(F.col("tok")))
     distinct_ratio = F.col("n_distinct") / F.col("n_tokens")
     stop_ratio = F.col("n_stop") / F.col("n_tokens")
     return d.select(
@@ -82,9 +92,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         distinct_ratio.alias("distinct_ratio"),
         stop_ratio.alias("stopword_ratio"),
-        F.when(F.col("n_tokens") < 5, "too_short")
-        .when(distinct_ratio < 0.3, "repetitive")
-        .when(stop_ratio > 0.5, "boilerplate")
+        F.when(F.col("n_tokens") < QUALITY_MIN_TOKENS, "too_short")
+        .when(distinct_ratio < QUALITY_MIN_DISTINCT_RATIO, "repetitive")
+        .when(stop_ratio > QUALITY_MAX_STOP_RATIO, "boilerplate")
         .otherwise("ok")
         .alias("quality_grade"),
     )
@@ -239,6 +249,14 @@ CHUNK_SIZE = 200
 CHUNK_STRIDE = 150
 
 
+def chunk_starts():
+    """1-based chunk start offsets for the ``text`` column (every doc
+    yields at least one start, so empty docs still produce one row)."""
+    return F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.length("text")), F.lit(CHUNK_STRIDE)
+    )
+
+
 def chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split documents into fixed-size overlapping character chunks (the
     standard pre-tokenization step for context-window-bounded training).
@@ -249,11 +267,8 @@ def chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive it identically without ordinality functions.
     """
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.lit(1), F.length("text")), F.lit(CHUNK_STRIDE)
-    )
     exploded = docs.select(
-        "doc_id", "text", F.explode(starts).alias("chunk_start")
+        "doc_id", "text", F.explode(chunk_starts()).alias("chunk_start")
     )
     return exploded.select(
         "doc_id",
