@@ -311,8 +311,13 @@ class Warehouse:
         back to the table's current schema for pre-evolution manifests)."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
+        versions = self._versions(tdir)
         if version is None:
-            version = self._versions(tdir)[-1]
+            version = versions[-1]
+        elif version not in versions:
+            raise ValueError(
+                f"snapshot {version} of {ns}.{table} is unknown or expired"
+            )
         doc = self._manifest_doc(tdir, version)
         entries = doc["files"]
         if partition_filter is not None:
@@ -476,6 +481,37 @@ class Warehouse:
         new_files = self._write_files(tdir, df, meta["partition_by"])
         self._publish(tdir, version + 1, keep + new_files, schema=meta["schema"])
         return version + 1
+
+    def expire_snapshots(self, ns: str, table: str, keep_last: int = 1) -> dict:
+        """``expire_snapshots`` analog (Iceberg table maintenance; the
+        reference's S3 Tables runs this automatically): drop all but the
+        newest ``keep_last`` manifests and delete every data file no
+        surviving snapshot references. Bounds metadata + storage growth
+        under continuous MERGE traffic. Time travel to an expired
+        version then raises ``ValueError``; current reads are untouched
+        (their manifests and files are exactly the kept set)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        tdir = self._table_dir(ns, table)
+        versions = self._versions(tdir)
+        expire = versions[:-keep_last]
+        if not expire:
+            return {"expired_versions": [], "removed_files": 0}
+        live = {
+            e["path"]
+            for v in versions[-keep_last:]
+            for e in self._manifest(tdir, v)
+        }
+        removed = 0
+        for v in expire:
+            for e in self._manifest(tdir, v):
+                if e["path"] not in live:
+                    path = os.path.join(tdir, e["path"])
+                    if os.path.exists(path):
+                        os.remove(path)
+                        removed += 1
+            os.remove(os.path.join(tdir, _MANIFEST_DIR, f"{v:08d}.json"))
+        return {"expired_versions": expire, "removed_files": removed}
 
     def history(self, ns: str, table: str) -> list[dict]:
         tdir = self._table_dir(ns, table)

@@ -243,3 +243,46 @@ def test_link_to_link_rejected(spark, wh):
     wh.link_namespace("mid", "prod")
     with pytest.raises(ValueError):
         wh.link_namespace("outer", "mid")
+
+
+def test_expire_snapshots(spark, wh):
+    import os
+
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    wh.merge_upsert("ns", "t", _df(spark, [("a", "d1", 2)]))
+    wh.merge_upsert("ns", "t", _df(spark, [("b", "d1", 3)]))
+    tdir = wh._table_dir("ns", "t")
+    n_files_before = sum(
+        len(files) for _, _, files in os.walk(os.path.join(tdir, "data"))
+    )
+    res = wh.expire_snapshots("ns", "t", keep_last=1)
+    assert res["expired_versions"] == [0, 1, 2]
+    assert res["removed_files"] > 0
+    # current read is untouched
+    rows = {(r.id, r.v) for r in wh.read("ns", "t").collect()}
+    assert rows == {("a", 2), ("b", 3)}
+    # expired snapshots are gone, cleanly
+    with pytest.raises(ValueError, match="unknown or expired"):
+        wh.read("ns", "t", version=1)
+    assert [h["version"] for h in wh.history("ns", "t")] == [3]
+    # only live files remain on disk
+    n_files_after = sum(
+        len(files) for _, _, files in os.walk(os.path.join(tdir, "data"))
+    )
+    assert n_files_after < n_files_before
+    # kept set still fully readable after another write cycle
+    wh.merge_upsert("ns", "t", _df(spark, [("c", "d2", 4)]))
+    assert wh.read("ns", "t").count() == 3
+
+
+def test_expire_snapshots_noop_and_validation(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    with pytest.raises(ValueError):
+        wh.expire_snapshots("ns", "t", keep_last=0)
+    res = wh.expire_snapshots("ns", "t", keep_last=5)
+    assert res == {"expired_versions": [], "removed_files": 0}
+    assert wh.read("ns", "t").count() == 1
