@@ -298,6 +298,29 @@ def _profile_columns_sql() -> str:
 _SPLITS = (("train", 0, 80), ("val", 80, 90), ("test", 90, 100))
 
 
+def split_col():
+    """The document's split assignment as a Column (shared with the
+    decontamination scan so both see the identical partitioning)."""
+    bucket = md5_int(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+    ) % 100
+    return (
+        F.when(bucket < _SPLITS[0][2], _SPLITS[0][0])
+        .when(bucket < _SPLITS[1][2], _SPLITS[1][0])
+        .otherwise(_SPLITS[2][0])
+    )
+
+
+def split_case_sql() -> str:
+    """DuckDB twin of :func:`split_col`."""
+    b = md5_int_sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
+    return (
+        f"CASE WHEN {b} < {_SPLITS[0][2]} THEN '{_SPLITS[0][0]}' "
+        f"WHEN {b} < {_SPLITS[1][2]} THEN '{_SPLITS[1][0]}' "
+        f"ELSE '{_SPLITS[2][0]}' END"
+    )
+
+
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment for documents.
 
@@ -311,16 +334,8 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Column expression.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = md5_int(
-        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
-    ) % 100
-    split = (
-        F.when(bucket < _SPLITS[0][2], _SPLITS[0][0])
-        .when(bucket < _SPLITS[1][2], _SPLITS[1][0])
-        .otherwise(_SPLITS[2][0])
-    )
     return (
-        docs.select(split.alias("split"), "lang", "doc_id")
+        docs.select(split_col().alias("split"), "lang", "doc_id")
         .groupBy("split", "lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -331,13 +346,9 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dataset_split_sql() -> str:
-    b = md5_int_sql("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
     return f"""
 WITH d AS (
-  SELECT doc_id, lang,
-         CASE WHEN {b} < 80 THEN 'train'
-              WHEN {b} < 90 THEN 'val'
-              ELSE 'test' END AS split
+  SELECT doc_id, lang, {split_case_sql()} AS split
   FROM documents
 )
 SELECT split, lang, COUNT(*) AS n_docs,

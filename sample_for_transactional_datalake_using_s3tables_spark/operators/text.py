@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.textfns import STOPWORDS, TOKENS_SQL, tokens
+from ..functions.textfns import STOPWORDS, TOKENS_SQL, shingles, shingles_sql, tokens
 from ..sources.testdata import load_table, spread
 
 _STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
@@ -336,6 +336,90 @@ FROM u GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {_NGRAM_MIN_DF}
 """
 
 
+_DECONTAM_RATIO = 0.5
+
+
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage scan: for every test-split document, the fraction of
+    its distinct 3-gram shingles that also occur anywhere in the train
+    split; ratio >= 0.5 flags the document as contaminated (it -- or a
+    near-copy -- leaked across the split boundary).
+
+    The split assignment is the SAME hash partitioning as
+    ``dataset_split`` (sampling.split_col), so the scan certifies the
+    actual split a pipeline would train on. Scale shape: the train side
+    reduces to a distinct shingle set (shuffle of 16-byte-ish strings,
+    map-side combine), the test side left-joins it on the shingle --
+    both linear; no document pair is ever materialized, unlike pairwise
+    dedup. The left join keeps shingle-free/overlap-free test docs with
+    n_overlap = 0.
+    """
+    from .sampling import split_col
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toked = docs.select(
+        "doc_id", split_col().alias("split"), tokens(F.col("text")).alias("tok")
+    )
+    sh = toked.select(
+        "doc_id", "split", F.array_distinct(shingles(F.col("tok"))).alias("sh")
+    )
+    train_sh = (
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    test_sh = sh.filter(F.col("split") == "test").select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode_outer("sh").alias("shingle")
+    )
+    matched = test_sh.join(
+        train_sh.withColumn("_hit", F.lit(1)), "shingle", "left"
+    )
+    per_doc = matched.groupBy("doc_id", "n_shingles").agg(
+        F.count("_hit").alias("n_overlap")
+    )
+    ratio = F.when(
+        F.col("n_shingles") > 0, F.col("n_overlap") / F.col("n_shingles")
+    ).otherwise(F.lit(0.0))
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        ratio.alias("overlap_ratio"),
+        (ratio >= _DECONTAM_RATIO).alias("contaminated"),
+    )
+
+
+def _decontamination_sql() -> str:
+    from .sampling import split_case_sql
+
+    sh = f"list_distinct({shingles_sql(TOKENS_SQL.format(col='text'))})"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {split_case_sql()} AS split, {sh} AS sh FROM documents
+),
+train_sh AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM d WHERE split = 'train'
+),
+test_sh AS (
+  SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_shingles,
+         unnest(CASE WHEN len(sh) = 0 THEN [NULL] ELSE sh END) AS shingle
+  FROM d WHERE split = 'test'
+),
+per_doc AS (
+  SELECT t.doc_id, t.n_shingles,
+         COUNT(tr.shingle) AS n_overlap
+  FROM test_sh t LEFT JOIN train_sh tr USING (shingle)
+  GROUP BY t.doc_id, t.n_shingles
+)
+SELECT doc_id, n_shingles, n_overlap,
+       CASE WHEN n_shingles > 0 THEN n_overlap / n_shingles ELSE 0.0 END
+         AS overlap_ratio,
+       (CASE WHEN n_shingles > 0 THEN n_overlap / n_shingles ELSE 0.0 END)
+         >= {_DECONTAM_RATIO} AS contaminated
+FROM per_doc
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -344,6 +428,7 @@ QUERIES = {
     "text_rolling_fingerprint": rolling_fingerprint,
     "text_chunk": chunk,
     "text_ngram_freq": ngram_freq,
+    "text_decontamination": decontamination,
 }
 
 ORACLES = {
@@ -354,4 +439,5 @@ ORACLES = {
     "text_rolling_fingerprint": _rolling_fingerprint_sql(),
     "text_chunk": CHUNK_SQL,
     "text_ngram_freq": _ngram_freq_sql(),
+    "text_decontamination": _decontamination_sql(),
 }
