@@ -32,6 +32,7 @@ _op = st.one_of(
     st.tuples(st.just("upsert"), st.lists(_row, min_size=1, max_size=3)),
     st.tuples(st.just("delete"), st.lists(st.sampled_from(KEYS), min_size=1, max_size=2)),
     st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("expire"), st.integers(min_value=1, max_value=2)),
 )
 
 
@@ -60,8 +61,11 @@ def test_merge_sequences_match_model(spark, ops):
                 wh.merge_upsert("m", "t", batch, delete_col="_delete")
                 for k in arg:
                     model.pop(k, None)
-            else:
+            elif kind == "compact":
                 wh.compact("m", "t")
+            else:
+                # maintenance must never change the current state
+                wh.expire_snapshots("m", "t", keep_last=arg)
         got = {(r.id, r.day, r.v) for r in wh.read("m", "t").collect()}
         want = {(k, p, v) for k, (p, v) in model.items()}
         assert got == want, f"ops={ops}"
