@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -41,6 +42,12 @@ from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_v"
 _SCHEMA_FILE = "_table.json"
+
+# Hidden-partitioning transforms (Iceberg partition-spec analog: the
+# table partitions on a DERIVED value; queries never see or maintain the
+# derived column). ``partition_by`` accepts a raw column name (identity)
+# or "days(col)" / "bucket(N, col)" / "truncate(W, col)".
+_TRANSFORM_RE = re.compile(r"^(days|bucket|truncate)\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)$")
 
 # Canonical manifest value for a NULL partition: the same sentinel Spark
 # uses for the partition directory name, so manifest entries (derived
@@ -152,6 +159,9 @@ class Warehouse:
             if if_not_exists:
                 return
             raise FileExistsError(f"{ns}.{table}")
+        # fail fast on a bad partition spec (unknown source column or
+        # malformed transform) before any metadata lands on disk
+        self._partition_expr(partition_by, schema)
         os.makedirs(os.path.join(tdir, _MANIFEST_DIR))
         meta = {
             "schema": json.loads(schema.json()),
@@ -261,15 +271,51 @@ class Warehouse:
 
     # -- data plane --
 
+    def _partition_expr(self, partition_by: str | None, schema: StructType):
+        """Column expression computing the (string) partition value of a
+        row -- Iceberg hidden partitioning: the spec is a TRANSFORM of a
+        data column, derived at write time, never stored or maintained
+        by the user. Returns None for unpartitioned tables."""
+        if not partition_by:
+            return None
+        m = _TRANSFORM_RE.match(partition_by)
+        if m is None:
+            if partition_by not in schema.fieldNames():
+                raise ValueError(f"partition column {partition_by} not in schema")
+            return F.col(partition_by).cast("string")  # identity transform
+        name, n, col = m.group(1), m.group(2), m.group(3)
+        if col not in schema.fieldNames():
+            raise ValueError(f"partition transform source column {col} not in schema")
+        if name == "days":
+            return F.col(col).cast("date").cast("string")
+        if name == "bucket":
+            # engine-portable bucket id: md5-prefix hash (stable across
+            # Spark/DuckDB/any engine, unlike Spark's internal hash())
+            h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
+            return F.pmod(h.cast("bigint"), F.lit(int(n))).cast("string")
+        # truncate(W, col): strings -> prefix; integers -> floor to width
+        # (Iceberg truncate semantics: v - (((v % W) + W) % W))
+        dtype = schema[col].dataType.simpleString()
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            w = F.lit(int(n)).cast("bigint")
+            c = F.col(col).cast("bigint")
+            return (c - F.pmod(c, w)).cast("string")
+        return F.substring(F.col(col).cast("string"), 1, int(n))
+
     def _write_files(self, tdir: str, df: DataFrame, partition_by: str | None) -> list[dict]:
-        """Write a batch into a fresh commit dir; return file entries."""
+        """Write a batch into a fresh commit dir; return file entries
+        with per-file record counts read from the parquet footers (the
+        Iceberg manifest's record_count field -- powers metadata-only
+        COUNT(*) and snapshot stats without a data scan)."""
+        import pyarrow.parquet as pq
+
         commit_id = uuid.uuid4().hex[:12]
         stage = os.path.join(tdir, "data", commit_id)
-        if partition_by:
-            # keep the partition column in-file too: copy to a path column
-            df.withColumn("_p", F.col(partition_by).cast("string")).write.partitionBy(
-                "_p"
-            ).parquet(stage)
+        pexpr = self._partition_expr(partition_by, df.schema)
+        if pexpr is not None:
+            # derive the partition value; the path column never joins the
+            # table schema (hidden partitioning)
+            df.withColumn("_p", pexpr).write.partitionBy("_p").parquet(stage)
         else:
             df.write.parquet(stage)
         entries = []
@@ -288,6 +334,8 @@ class Warehouse:
                         "path": os.path.relpath(full, tdir),
                         "partition": part,
                         "bytes": os.path.getsize(full),
+                        # footer-only read: no data pages touched
+                        "records": pq.ParquetFile(full).metadata.num_rows,
                     }
                 )
         return entries
@@ -399,20 +447,23 @@ class Warehouse:
             # across partitions -- e.g. a CDC MODIFY whose new timestamp
             # crosses a day boundary -- and the stale copy must be rewritten
             # out of its old partition, matching Iceberg MERGE semantics).
+            pexpr = self._partition_expr(pcol, schema)
             touched = {
                 _part_key(r[0])
-                for r in source.select(F.col(pcol).cast("string")).distinct().collect()
+                for r in source.select(pexpr.alias("_p")).distinct().collect()
             }
             remaining = [
                 e for e in entries if _part_key(e["partition"]) not in touched
             ]
             if remaining:
-                # key + partition columns only: a pruned columnar probe, not
-                # a full-row scan.
-                probe = self._read_files(tdir, remaining, schema).select(key, pcol)
+                # key + partition-source columns only: a pruned columnar
+                # probe, not a full-row scan.
+                probe = self._read_files(tdir, remaining, schema).select(
+                    key, pexpr.alias("_p")
+                )
                 hit = (
                     probe.join(source.select(key).distinct(), key, "left_semi")
-                    .select(F.col(pcol).cast("string"))
+                    .select("_p")
                     .distinct()
                     .collect()
                 )
@@ -453,6 +504,93 @@ class Warehouse:
         self._publish(tdir, version + 1, untouched + new_files, schema=meta["schema"])
         return version + 1
 
+    def _touched_by_predicate(
+        self, tdir: str, meta: dict, predicate
+    ) -> tuple[list[dict], list[dict], StructType, int]:
+        """Split the current manifest into (untouched, rewrite) for a
+        row-level predicate: one pruned probe finds the partitions that
+        actually contain matching rows; every other partition's files
+        carry over by reference (Iceberg copy-on-write DELETE/UPDATE
+        rewrites only affected files)."""
+        version = self._versions(tdir)[-1]
+        entries = self._manifest(tdir, version)
+        schema = StructType.fromJson(meta["schema"])
+        pcol = meta["partition_by"]
+        if not pcol or not entries:
+            return [], entries, schema, version
+        pexpr = self._partition_expr(pcol, schema)
+        probe = self._read_files(tdir, entries, schema)
+        hit = {
+            _part_key(r[0])
+            for r in probe.filter(predicate).select(pexpr.alias("_p")).distinct().collect()
+        }
+        untouched = [e for e in entries if _part_key(e["partition"]) not in hit]
+        rewrite = [e for e in entries if _part_key(e["partition"]) in hit]
+        return untouched, rewrite, schema, version
+
+    def delete_where(self, ns: str, table: str, predicate) -> dict:
+        """Row-level DELETE (``DELETE FROM t WHERE ...``): partition-level
+        copy-on-write. Partitions with no matching row are untouched
+        (their files carry over by reference); matching partitions are
+        rewritten without the matching rows. Returns the new version and
+        the exact deleted-row count (manifest record-count delta -- no
+        extra scan)."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        untouched, rewrite, schema, version = self._touched_by_predicate(
+            tdir, meta, predicate
+        )
+        if not rewrite:
+            return {"version": version, "deleted_rows": 0}
+        # NULL predicate results keep the row (SQL DELETE semantics:
+        # delete only where the predicate is TRUE)
+        kept = self._read_files(tdir, rewrite, schema).filter(
+            ~F.coalesce(predicate, F.lit(False))
+        )
+        new_files = self._write_files(tdir, kept, meta["partition_by"])
+        deleted = sum(e.get("records", 0) for e in rewrite) - sum(
+            e.get("records", 0) for e in new_files
+        )
+        self._publish(tdir, version + 1, untouched + new_files, schema=meta["schema"])
+        return {"version": version + 1, "deleted_rows": deleted}
+
+    def update_where(self, ns: str, table: str, assignments: dict, predicate) -> dict:
+        """Row-level UPDATE (``UPDATE t SET col = expr WHERE ...``):
+        partition-level copy-on-write, same pruning as delete_where.
+        ``assignments`` maps column name -> Column expression evaluated
+        on the matching rows. If an assignment moves a row's partition
+        value, the rewrite lands it in its new partition (the write path
+        derives partition values from the data, so migration is
+        automatic)."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        bad = [c for c in assignments if c not in StructType.fromJson(meta["schema"]).fieldNames()]
+        if bad:
+            raise ValueError(f"unknown columns in UPDATE assignments: {bad}")
+        untouched, rewrite, schema, version = self._touched_by_predicate(
+            tdir, meta, predicate
+        )
+        if not rewrite:
+            return {"version": version, "updated_rows": 0}
+        current = self._read_files(tdir, rewrite, schema)
+        cond = F.coalesce(predicate, F.lit(False))
+        updated = current.select(
+            *[
+                (
+                    F.when(cond, assignments[f.name].cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        )
+        n_updated = current.filter(cond).count()
+        new_files = self._write_files(tdir, updated, meta["partition_by"])
+        self._publish(tdir, version + 1, untouched + new_files, schema=meta["schema"])
+        return {"version": version + 1, "updated_rows": n_updated}
+
     def compact(self, ns: str, table: str, min_files_per_partition: int = 2) -> int:
         """rewrite_data_files analog: coalesce small files per partition
         (the reference's 1 MB/60 s Firehose buffers produce many small
@@ -475,7 +613,7 @@ class Warehouse:
             # co-locate each partition's rows in one task -> one compacted
             # file per partition; a global coalesce(1) would funnel the
             # whole rewrite set through a single task at scale
-            df = df.repartition(F.col(meta["partition_by"]))
+            df = df.repartition(self._partition_expr(meta["partition_by"], schema))
         else:
             df = df.coalesce(1)
         new_files = self._write_files(tdir, df, meta["partition_by"])
@@ -526,3 +664,70 @@ class Warehouse:
                 }
             )
         return out
+
+    # -- metadata tables (Iceberg's ``db.table.snapshots`` /
+    # ``db.table.files`` exposed as DataFrames: queryable table
+    # maintenance state, no data files touched) --
+
+    def snapshots_df(self, ns: str, table: str) -> DataFrame:
+        """One row per live snapshot: version, file/record/byte totals,
+        and distinct partition count -- all from manifests alone."""
+        tdir = self._table_dir(ns, table)
+        if not os.path.exists(tdir):
+            raise TableNotFoundError(f"{ns}.{table}")
+        rows = []
+        for v in self._versions(tdir):
+            files = self._manifest(tdir, v)
+            rows.append(
+                (
+                    v,
+                    len(files),
+                    sum(e.get("records", 0) for e in files),
+                    sum(e.get("bytes", 0) for e in files),
+                    len({_part_key(e["partition"]) for e in files}),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows, "version INT, n_files INT, records BIGINT, bytes BIGINT, n_partitions INT"
+        )
+
+    def files_df(self, ns: str, table: str, version: int | None = None) -> DataFrame:
+        """One row per data file in a snapshot (Iceberg ``files``)."""
+        tdir = self._table_dir(ns, table)
+        if not os.path.exists(tdir):
+            raise TableNotFoundError(f"{ns}.{table}")
+        versions = self._versions(tdir)
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise ValueError(f"snapshot {v} of {ns}.{table} is unknown or expired")
+        rows = [
+            (e["path"], e["partition"], e.get("records", 0), e.get("bytes", 0))
+            for e in self._manifest(tdir, v)
+        ]
+        return self.spark.createDataFrame(
+            rows, "path STRING, partition STRING, records BIGINT, bytes BIGINT"
+        )
+
+    def count_rows(
+        self,
+        ns: str,
+        table: str,
+        version: int | None = None,
+        partition_filter: list[str] | None = None,
+    ) -> int:
+        """Metadata-only COUNT(*): sums manifest record counts without
+        reading any data file (the Iceberg/AQE trick of answering
+        unfiltered counts from manifest statistics). Composes with
+        partition pruning for ``COUNT(*) WHERE partition IN (...)``."""
+        tdir = self._table_dir(ns, table)
+        if not os.path.exists(tdir):
+            raise TableNotFoundError(f"{ns}.{table}")
+        versions = self._versions(tdir)
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise ValueError(f"snapshot {v} of {ns}.{table} is unknown or expired")
+        entries = self._manifest(tdir, v)
+        if partition_filter is not None:
+            keep = {_part_key(p) for p in partition_filter}
+            entries = [e for e in entries if _part_key(e["partition"]) in keep]
+        return sum(e.get("records", 0) for e in entries)

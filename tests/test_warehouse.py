@@ -286,3 +286,191 @@ def test_expire_snapshots_noop_and_validation(spark, wh):
     res = wh.expire_snapshots("ns", "t", keep_last=5)
     assert res == {"expired_versions": [], "removed_files": 0}
     assert wh.read("ns", "t").count() == 1
+
+
+def test_delete_where_cow(spark, wh):
+    """Row-level DELETE rewrites only partitions containing matches;
+    the deleted-row count comes from the manifest record delta."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d1", 5), ("c", "d2", 7)]))
+    before = {
+        e["path"]: e["partition"]
+        for e in wh._manifest(wh._table_dir("ns", "t"), wh.current_version("ns", "t"))
+    }
+    res = wh.delete_where("ns", "t", F.col("v") >= 5)
+    assert res["deleted_rows"] == 2
+    got = {(r.id, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", 1)}
+    # d2 had a match -> rewritten; d1 had a match -> rewritten. Delete
+    # only from d2 next: d1's file must carry over by reference.
+    wh.insert("ns", "t", _df(spark, [("d", "d2", 9)]))
+    after_ins = {
+        e["path"]
+        for e in wh._manifest(wh._table_dir("ns", "t"), wh.current_version("ns", "t"))
+        if e["partition"] == "d1"
+    }
+    res2 = wh.delete_where("ns", "t", F.col("day") == "d2")
+    assert res2["deleted_rows"] == 1
+    final = {
+        e["path"]
+        for e in wh._manifest(wh._table_dir("ns", "t"), wh.current_version("ns", "t"))
+        if e["partition"] == "d1"
+    }
+    assert final == after_ins  # untouched partition carried by reference
+    assert before  # (sanity: table had files)
+
+
+def test_delete_where_no_match_is_noop(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    v = wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    res = wh.delete_where("ns", "t", F.col("v") > 100)
+    assert res == {"version": v, "deleted_rows": 0}
+    assert wh.current_version("ns", "t") == v  # no empty commit published
+
+
+def test_update_where_semantics(spark, wh):
+    """UPDATE SET v = v*10 WHERE v >= 2; NULL predicate rows keep."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert(
+        "ns", "t", _df(spark, [("a", "d1", 1), ("b", "d1", 2), ("c", "d2", None)])
+    )
+    res = wh.update_where("ns", "t", {"v": F.col("v") * 10}, F.col("v") >= 2)
+    assert res["updated_rows"] == 1
+    got = {(r.id, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", 1), ("b", 20), ("c", None)}
+
+
+def test_update_where_partition_migration(spark, wh):
+    """An UPDATE that changes the partition value moves the row to its
+    new partition (write path derives partitions from data)."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d2", 2)]))
+    wh.update_where("ns", "t", {"day": F.lit("d9")}, F.col("id") == "a")
+    assert [r.day for r in wh.read("ns", "t", partition_filter=["d9"]).collect()] == ["d9"]
+    assert wh.read("ns", "t", partition_filter=["d1"]).count() == 0
+    assert {(r.id, r.day) for r in wh.read("ns", "t").collect()} == {
+        ("a", "d9"),
+        ("b", "d2"),
+    }
+
+
+def test_update_where_unknown_column_rejected(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    with pytest.raises(ValueError, match="unknown columns"):
+        wh.update_where("ns", "t", {"nope": F.lit(1)}, F.lit(True))
+
+
+def test_metadata_tables_and_count(spark, wh):
+    """snapshots_df/files_df/count_rows answer from manifests only."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d2", 2)]))
+    wh.insert("ns", "t", _df(spark, [("c", "d2", 3)]))
+    snaps = {r.version: (r.records, r.n_partitions) for r in wh.snapshots_df("ns", "t").collect()}
+    assert snaps[0] == (0, 0)
+    assert snaps[1] == (2, 2)
+    assert snaps[2] == (3, 2)
+    files = wh.files_df("ns", "t").collect()
+    assert sum(r.records for r in files) == 3
+    assert {r.partition for r in files} == {"d1", "d2"}
+    assert wh.count_rows("ns", "t") == 3
+    assert wh.count_rows("ns", "t", version=1) == 2
+    assert wh.count_rows("ns", "t", partition_filter=["d2"]) == 2
+    # DELETE keeps counts exact
+    wh.delete_where("ns", "t", F.col("id") == "b")
+    assert wh.count_rows("ns", "t") == 2
+
+
+def test_hidden_partitioning_bucket(spark, wh):
+    """bucket(4, id): engine-portable md5 bucketing, pruned reads, and
+    MERGE copy-on-write keyed on the derived value."""
+    import hashlib
+
+    def bucket(val: str, n: int = 4) -> str:
+        return str(int(hashlib.md5(val.encode()).hexdigest()[:15], 16) % n)
+
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="bucket(4, id)")
+    rows = [(f"k{i}", "d", i) for i in range(20)]
+    wh.insert("ns", "t", _df(spark, rows))
+    # every row lands in the bucket its portable hash says
+    for e in wh._manifest(wh._table_dir("ns", "t"), wh.current_version("ns", "t")):
+        assert e["partition"] in {"0", "1", "2", "3"}
+    want = {r[0] for r in rows if bucket(r[0]) == "2"}
+    got = {r.id for r in wh.read("ns", "t", partition_filter=["2"]).collect()}
+    assert got == want
+    # MERGE touches only the buckets of its source keys
+    v_before = wh.current_version("ns", "t")
+    manifest_before = {
+        e["path"]
+        for e in wh._manifest(wh._table_dir("ns", "t"), v_before)
+        if e["partition"] != bucket("k3")
+    }
+    wh.merge_upsert("ns", "t", _df(spark, [("k3", "d", 999)]))
+    manifest_after = {
+        e["path"]
+        for e in wh._manifest(wh._table_dir("ns", "t"), wh.current_version("ns", "t"))
+        if e["partition"] != bucket("k3")
+    }
+    assert manifest_before == manifest_after
+    assert {r.v for r in wh.read("ns", "t").collect() if r.id == "k3"} == {999}
+
+
+def test_hidden_partitioning_days_and_truncate(spark, wh):
+    """days(ts) on a timestamp column; truncate on strings and ints."""
+    from pyspark.sql.types import TimestampType
+
+    sch = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("ts", TimestampType()),
+            StructField("v", LongType()),
+        ]
+    )
+    wh.create_namespace("ns")
+    wh.create_table("ns", "e", sch, key="id", partition_by="days(ts)")
+    import datetime
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 5, 0), 1),
+        ("b", datetime.datetime(2024, 1, 1, 23, 59), 2),
+        ("c", datetime.datetime(2024, 1, 2, 0, 0), 3),
+    ]
+    wh.insert("ns", "e", spark.createDataFrame(rows, sch))
+    parts = {
+        e["partition"]
+        for e in wh._manifest(wh._table_dir("ns", "e"), wh.current_version("ns", "e"))
+    }
+    assert parts == {"2024-01-01", "2024-01-02"}
+    assert wh.read("ns", "e", partition_filter=["2024-01-01"]).count() == 2
+
+    wh.create_table("ns", "s", SCHEMA, key="id", partition_by="truncate(2, day)")
+    wh.insert("ns", "s", _df(spark, [("a", "dayX", 1), ("b", "daYZ", 2), ("c", "xx", 3)]))
+    parts = {
+        e["partition"]
+        for e in wh._manifest(wh._table_dir("ns", "s"), wh.current_version("ns", "s"))
+    }
+    assert parts == {"da", "xx"}
+
+    wh.create_table("ns", "i", SCHEMA, key="id", partition_by="truncate(10, v)")
+    wh.insert("ns", "i", _df(spark, [("a", "d", 7), ("b", "d", 15), ("c", "d", 23)]))
+    parts = {
+        e["partition"]
+        for e in wh._manifest(wh._table_dir("ns", "i"), wh.current_version("ns", "i"))
+    }
+    assert parts == {"0", "10", "20"}
+
+
+def test_bad_partition_spec_fails_fast(spark, wh):
+    wh.create_namespace("ns")
+    with pytest.raises(ValueError, match="not in schema"):
+        wh.create_table("ns", "t", SCHEMA, partition_by="nope")
+    with pytest.raises(ValueError, match="not in schema"):
+        wh.create_table("ns", "t", SCHEMA, partition_by="bucket(4, nope)")
+    assert wh.list_tables("ns") == []
