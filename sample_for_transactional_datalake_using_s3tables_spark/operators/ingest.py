@@ -135,9 +135,7 @@ def _merge_scenario(spark: SparkSession, sf_dir: str, prefix: str):
     ``(wh, root, v1)`` with the scratch dir NOT yet scheduled for
     cleanup. Every oracle in this module analytically re-derives exactly
     this change set -- change it here and in all three oracles together."""
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", F.col("value").cast("decimal(12,2)").alias("value")
-    )
+    events = _events_table(spark, sf_dir)
     root = tempfile.mkdtemp(prefix=prefix)
     try:
         wh = Warehouse(spark, root)
@@ -287,11 +285,143 @@ GROUP BY 1, 2
 """
 
 
+def _events_table(spark: SparkSession, sf_dir: str):
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("decimal(12,2)").alias("value")
+    )
+
+
+def warehouse_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE then DELETE as one checked roundtrip: load events
+    into a keyed, partitioned table; ``UPDATE SET value = value*3 WHERE
+    event_id % 7 = 0``; ``DELETE WHERE event_id % 4 = 0``; read the final
+    snapshot. Both statements are partition-level copy-on-write
+    (delete_where/update_where probe for touched partitions and carry
+    everything else by reference), so a hash match certifies predicate
+    semantics AND that untouched partitions survived both rewrites."""
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_delupd_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id", partition_by="event_type"
+        )
+        wh.insert("q", "state", events)
+        wh.update_where(
+            "q",
+            "state",
+            {"value": (F.col("value") * 3).cast("decimal(12,2)")},
+            F.col("event_id") % 7 == 0,
+        )
+        wh.delete_where("q", "state", F.col("event_id") % 4 == 0)
+        final = wh.read("q", "state").select(
+            "event_id", "event_type", F.col("value").alias("value_final")
+        )
+        return _lazy_snapshot(spark, root, final)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_DELETE_UPDATE_SQL = """
+SELECT event_id, event_type,
+       CAST(CASE WHEN event_id % 7 = 0 THEN value * 3 ELSE value END AS DECIMAL(12,2)) AS value_final
+FROM (SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value FROM events)
+WHERE event_id % 4 != 0
+"""
+
+
+def warehouse_snapshots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``snapshots`` metadata table as a checked query: create (v0),
+    insert all events (v1), UPDATE value*2 where event_id%7=0 (v2, row
+    counts preserved), DELETE event_id%4=0 (v3). Output (version,
+    records, n_partitions) straight from manifest statistics -- no data
+    files are read. The oracle re-derives each snapshot's row/partition
+    count analytically from events, so a hash match certifies that
+    per-file parquet-footer record counts, carried-by-reference files,
+    and rewrite deltas add up exactly across the whole commit chain."""
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_meta_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id", partition_by="event_type"
+        )
+        wh.insert("q", "state", events)
+        wh.update_where(
+            "q",
+            "state",
+            {"value": (F.col("value") * 2).cast("decimal(12,2)")},
+            F.col("event_id") % 7 == 0,
+        )
+        wh.delete_where("q", "state", F.col("event_id") % 4 == 0)
+        meta = wh.snapshots_df("q", "state").select(
+            "version", "records", "n_partitions"
+        )
+        return _lazy_snapshot(spark, root, meta)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_SNAPSHOTS_META_SQL = """
+SELECT 0 AS version, CAST(0 AS BIGINT) AS records, 0 AS n_partitions
+UNION ALL
+SELECT 1, COUNT(*), CAST(COUNT(DISTINCT event_type) AS INTEGER) FROM events
+UNION ALL
+SELECT 2, COUNT(*), CAST(COUNT(DISTINCT event_type) AS INTEGER) FROM events
+UNION ALL
+SELECT 3, COUNT(*), CAST(COUNT(DISTINCT event_type) AS INTEGER)
+FROM events WHERE event_id % 4 != 0
+"""
+
+
+def warehouse_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg hidden partitioning end-to-end: a table partitioned by
+    ``bucket(8, event_id)`` (engine-portable md5 bucketing -- the user
+    never sees or maintains the derived value), read back with a
+    partition filter on one bucket. ``meta_count`` additionally pins the
+    metadata-only count_rows answer for the same pruned read to the true
+    row count. The oracle recomputes the bucket assignment with DuckDB's
+    md5, so a hash match certifies the transform, the manifest pruning,
+    and the manifest statistics agree with the data."""
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_hidden_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id",
+            partition_by="bucket(8, event_id)",
+        )
+        wh.insert("q", "state", events)
+        pruned = wh.read("q", "state", partition_filter=["3"])
+        meta_count = wh.count_rows("q", "state", partition_filter=["3"])
+        out = pruned.withColumn("meta_count", F.lit(meta_count).cast("bigint"))
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_HIDDEN_PARTITIONING_SQL = """
+SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value,
+       COUNT(*) OVER () AS meta_count
+FROM events
+WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 = 3
+"""
+
+
 QUERIES = {
     "cdc_pipeline": cdc_pipeline,
     "warehouse_merge_roundtrip": warehouse_merge_roundtrip,
     "warehouse_time_travel": warehouse_time_travel,
     "warehouse_changelog": warehouse_changelog,
+    "warehouse_delete_update": warehouse_delete_update,
+    "warehouse_snapshots_meta": warehouse_snapshots_meta,
+    "warehouse_hidden_partitioning": warehouse_hidden_partitioning,
 }
 
 ORACLES = {
@@ -299,4 +429,7 @@ ORACLES = {
     "warehouse_merge_roundtrip": WAREHOUSE_MERGE_SQL,
     "warehouse_time_travel": WAREHOUSE_TIME_TRAVEL_SQL,
     "warehouse_changelog": WAREHOUSE_CHANGELOG_SQL,
+    "warehouse_delete_update": WAREHOUSE_DELETE_UPDATE_SQL,
+    "warehouse_snapshots_meta": WAREHOUSE_SNAPSHOTS_META_SQL,
+    "warehouse_hidden_partitioning": WAREHOUSE_HIDDEN_PARTITIONING_SQL,
 }
