@@ -16,6 +16,7 @@ session end = max(ts) + gap, matching ``session_window`` semantics).
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.testdata import load_table, spread
@@ -88,11 +89,47 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_stats_batch(spread(load_table(spark, sf_dir, "events"), "user_id"))
 
 
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join surface (streaming/joins.py) in its
+    batch twin: every (view, purchase) pair of one user with the
+    purchase inside [view_ts, view_ts + 1h), aggregated per user. The
+    identical expression runs under readStream with watermarks bounding
+    join state (tests/test_streaming_joins.py proves inner-join
+    equivalence to this batch result and left-outer null emission)."""
+    from ..streaming.joins import attribution_join
+
+    events = load_table(spark, sf_dir, "events")
+    pairs = attribution_join(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        F.countDistinct("view_id").alias("n_views"),
+    )
+
+
+STREAM_ATTRIBUTION_JOIN_SQL = """
+SELECT v.user_id,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT p.event_id) AS n_purchases,
+       COUNT(DISTINCT v.event_id) AS n_views
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts < v.ts + INTERVAL '1 hour'
+GROUP BY v.user_id
+"""
+
+
 QUERIES = {
     "window_tumbling": window_tumbling,
     "window_sliding": window_sliding,
     "window_session": window_session,
     "stateful_user_stats": stateful_user_stats,
+    "stream_attribution_join": stream_attribution_join,
 }
 
 ORACLES = {
@@ -100,4 +137,5 @@ ORACLES = {
     "window_sliding": WINDOW_SLIDING_SQL,
     "window_session": WINDOW_SESSION_SQL,
     "stateful_user_stats": USER_STATS_SQL,
+    "stream_attribution_join": STREAM_ATTRIBUTION_JOIN_SQL,
 }
