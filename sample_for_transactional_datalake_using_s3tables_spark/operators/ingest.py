@@ -414,6 +414,93 @@ WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 
 """
 
 
+def warehouse_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: an aggregate table
+    (rows + total value per event_type) built at snapshot v1 is
+    refreshed to v2 by applying ONLY the snapshot-diff deltas -- never
+    recomputing from the base table. Per changed key: DELETE contributes
+    (-1, -old_value), UPDATE contributes (0, new - old); the deltas are
+    summed per group and outer-merged into the v1 aggregate. The oracle
+    recomputes the v2 aggregate directly from events, so a hash match
+    certifies delta maintenance == full recompute.
+
+    Scale shape: the refresh cost is O(changed keys), not O(table) --
+    the diff join is key-partitioned over two manifest-pruned snapshot
+    reads, the delta aggregate shuffles only changed rows, and the final
+    merge joins |groups| rows. This is how a 100 TB rollup stays fresh
+    under continuous MERGE traffic without nightly rebuilds."""
+    wh, root, v1 = _merge_scenario(spark, sf_dir, "wh_incragg_")
+    try:
+        dec = "decimal(18,2)"
+        agg_v1 = (
+            wh.read("q", "state", version=v1)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("value").cast(dec).alias("total_value"),
+            )
+        )
+        old = wh.read("q", "state", version=v1).select(
+            F.col("event_id").alias("k"),
+            F.col("event_type").alias("et_old"),
+            F.col("value").alias("v_old"),
+        )
+        new = wh.read("q", "state").select(
+            F.col("event_id").alias("k"),
+            F.col("event_type").alias("et_new"),
+            F.col("value").alias("v_new"),
+        )
+        diff = old.join(new, "k", "full_outer").filter(
+            F.col("et_old").isNull()  # INSERT
+            | F.col("et_new").isNull()  # DELETE
+            | (F.col("v_old") != F.col("v_new"))  # UPDATE
+        )
+        deltas = diff.groupBy(
+            F.coalesce("et_old", "et_new").alias("event_type")
+        ).agg(
+            F.sum(
+                F.when(F.col("et_old").isNull(), 1)
+                .when(F.col("et_new").isNull(), -1)
+                .otherwise(0)
+            ).alias("d_rows"),
+            F.sum(
+                F.coalesce(F.col("v_new"), F.lit(0).cast(dec))
+                - F.coalesce(F.col("v_old"), F.lit(0).cast(dec))
+            ).cast(dec).alias("d_value"),
+        )
+        refreshed = (
+            agg_v1.join(deltas, "event_type", "full_outer")
+            .select(
+                "event_type",
+                (F.coalesce("n_rows", F.lit(0)) + F.coalesce("d_rows", F.lit(0))).alias(
+                    "n_rows"
+                ),
+                (
+                    F.coalesce(F.col("total_value"), F.lit(0).cast(dec))
+                    + F.coalesce(F.col("d_value"), F.lit(0).cast(dec))
+                ).cast(dec).alias("total_value"),
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        return _lazy_snapshot(spark, root, refreshed)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+# must equal the direct v2 recompute (the time-travel oracle's v2 branch)
+WAREHOUSE_INCREMENTAL_AGG_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value FROM events
+)
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN event_id % 3 = 0
+                     THEN CAST(value * 2 AS DECIMAL(12,2)) ELSE value END)
+            AS DECIMAL(18,2)) AS total_value
+FROM base WHERE event_id % 5 != 0 GROUP BY event_type
+"""
+
+
 QUERIES = {
     "cdc_pipeline": cdc_pipeline,
     "warehouse_merge_roundtrip": warehouse_merge_roundtrip,
@@ -422,6 +509,7 @@ QUERIES = {
     "warehouse_delete_update": warehouse_delete_update,
     "warehouse_snapshots_meta": warehouse_snapshots_meta,
     "warehouse_hidden_partitioning": warehouse_hidden_partitioning,
+    "warehouse_incremental_agg": warehouse_incremental_agg,
 }
 
 ORACLES = {
@@ -432,4 +520,5 @@ ORACLES = {
     "warehouse_delete_update": WAREHOUSE_DELETE_UPDATE_SQL,
     "warehouse_snapshots_meta": WAREHOUSE_SNAPSHOTS_META_SQL,
     "warehouse_hidden_partitioning": WAREHOUSE_HIDDEN_PARTITIONING_SQL,
+    "warehouse_incremental_agg": WAREHOUSE_INCREMENTAL_AGG_SQL,
 }

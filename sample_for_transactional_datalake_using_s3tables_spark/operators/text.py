@@ -420,6 +420,56 @@ FROM per_doc
 """
 
 
+def distinctive_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-document distinctive-term extraction (exact-integer TF-IDF):
+    rank each document's terms by (term_freq DESC, doc_freq ASC, term
+    ASC) and keep the top ``k``. The classic tf*log(N/df) score induces
+    exactly this order for fixed tf, and keeping the comparison on exact
+    int64 (tf, df) instead of a float score makes the result
+    engine-reproducible (floats would hash-differ at ties).
+
+    Scale shape: one (doc_id, term) shuffle for tf, one (term) shuffle
+    for df, a term-keyed join of tf against the much smaller df
+    aggregate (AQE handles hot stopword-term skew), and a per-doc
+    window over <= |doc| rows. No Python, no collect."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    pairs = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = pairs.groupBy("doc_id", "term").agg(F.count("*").alias("term_freq"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("term_freq").desc(), F.col("doc_freq").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "term_freq", "doc_freq", "rnk")
+    )
+
+
+DISTINCTIVE_TERMS_SQL = f"""
+WITH pairs AS (
+  SELECT doc_id, unnest({TOKENS_SQL.format(col='text')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS term_freq FROM pairs GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+),
+r AS (
+  SELECT tf.doc_id, tf.term, tf.term_freq, df.doc_freq,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+              ORDER BY tf.term_freq DESC, df.doc_freq ASC, tf.term ASC)
+              AS INTEGER) AS rnk
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, term_freq, doc_freq, rnk FROM r WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -429,6 +479,7 @@ QUERIES = {
     "text_chunk": chunk,
     "text_ngram_freq": ngram_freq,
     "text_decontamination": decontamination,
+    "text_distinctive_terms": distinctive_terms,
 }
 
 ORACLES = {
@@ -440,4 +491,5 @@ ORACLES = {
     "text_chunk": CHUNK_SQL,
     "text_ngram_freq": _ngram_freq_sql(),
     "text_decontamination": _decontamination_sql(),
+    "text_distinctive_terms": DISTINCTIVE_TERMS_SQL,
 }
