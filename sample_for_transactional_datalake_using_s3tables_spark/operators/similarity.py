@@ -393,12 +393,75 @@ FROM counts c JOIN norm2 USING (label)
 """
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization (faiss-SQ8 style) of the embedding column to
+    int8 codes: per vector, scale by max |component| and map each
+    component to sign(v) * (|v| * 127 / maxabs). The whole computation
+    runs on the exact fixed-point ints of functions/vectors.quantize
+    with INTEGER division (Spark ``div`` == DuckDB ``//`` on
+    non-negatives), so codes are bit-identical across engines -- float
+    scaling would hash-diverge at rounding boundaries.
+
+    Output is the per-vector code profile (scale, code sum, L1 mass,
+    saturated-component count): the compressed representation a 100 TB
+    ANN index would store (4x smaller than f32; dot products on int8
+    SIMD). Pure per-row expressions -- no shuffle, no Python."""
+    q = _quantized(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        "qv",
+        F.array_max(F.transform(F.col("qv"), F.abs)).alias("maxabs_q"),
+    )
+    codes = q.withColumn(
+        "codes",
+        F.expr(
+            "transform(qv, v -> CASE WHEN maxabs_q = 0 THEN 0L"
+            " WHEN v < 0 THEN -((abs(v) * 127) div maxabs_q)"
+            " ELSE (abs(v) * 127) div maxabs_q END)"
+        ),
+    )
+    c = F.col("codes")
+    return codes.select(
+        "vec_id",
+        "label",
+        "maxabs_q",
+        F.aggregate(c, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("code_sum"),
+        F.aggregate(c, F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)).alias(
+            "code_l1"
+        ),
+        F.size(F.filter(c, lambda x: F.abs(x) == 127)).alias("n_saturated"),
+    )
+
+
+_Q = QUANTIZE_SQL.format(v="embedding")
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label, {_Q} AS qv,
+         list_max(list_transform({_Q}, x -> abs(x))) AS maxabs_q
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, label, maxabs_q,
+         list_transform(qv, v -> CASE WHEN maxabs_q = 0 THEN 0
+                                      WHEN v < 0 THEN -((abs(v) * 127) // maxabs_q)
+                                      ELSE (abs(v) * 127) // maxabs_q END) AS codes
+  FROM q
+)
+SELECT vec_id, label, maxabs_q,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS code_l1,
+       CAST(len(list_filter(codes, x -> abs(x) = 127)) AS INTEGER) AS n_saturated
+FROM c
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_topk_lsh": similarity_topk_lsh,
     "similarity_label_stats": similarity_label_stats,
     "similarity_topk_ivf": similarity_topk_ivf,
     "similarity_centroids": similarity_centroids,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 ORACLES = {
@@ -407,4 +470,5 @@ ORACLES = {
     "similarity_label_stats": SIMILARITY_LABEL_STATS_SQL,
     "similarity_topk_ivf": _ivf_sql(),
     "similarity_centroids": SIMILARITY_CENTROIDS_SQL,
+    "embedding_quantize_int8": EMBEDDING_QUANTIZE_SQL,
 }
