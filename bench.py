@@ -58,11 +58,18 @@ def main() -> None:
     queries = all_queries()
 
     # Warmup: JVM/codegen + file listing, plus the Python-worker/Arrow
-    # path (first pandas-UDF call forks the worker pool, ~5s one-time).
+    # path (first pandas-UDF call forks the worker pool, ~5s one-time),
+    # plus one sf0.001 pass of the three compile-heaviest pipelines
+    # (envelope/from_json, minhash band join, LSH probe) so the timed
+    # runs measure steady-state throughput, not first-call JIT: the
+    # cold-compile cost is size-independent and was adding a one-time
+    # ~2x to whichever run hit each code path first.
     queries["scan_limit"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    queries["udf_minmax_scale"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    for wq in ("udf_minmax_scale", "cdc_pipeline", "dedup_minhash_lsh",
+               "similarity_topk_lsh", "window_tumbling", "risk_analysis"):
+        queries[wq](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -98,3 +98,42 @@ def test_dedup_candidates_join_on_buckets(spark):
     assert any(
         "bucket" in l and "table_id" in l and "label" in l for l in joins
     ), "embedding candidate join lost its sign-LSH bucket keys"
+
+
+def test_distinctive_terms_no_cartesian(spark):
+    """tf-vs-df join keys on term; no broadcast-nested-loop blowup."""
+    from sample_for_transactional_datalake_using_s3tables_spark.operators import text
+
+    plan = _executed(text.distinctive_terms(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
+    assert any("term" in l for l in joins), "tf/df join lost the term key"
+
+
+def test_quantize_int8_stays_rowlocal(spark):
+    """SQ8 encoding is per-row: no join, no aggregate exchange, no Python."""
+    from sample_for_transactional_datalake_using_s3tables_spark.operators import (
+        similarity,
+    )
+
+    plan = _executed(similarity.embedding_quantize_int8(spark, SF_SMALL))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "FlatMapsInPandas" not in plan
+    # the only exchange is the explicit spread() repartition
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("REPARTITION" in l for l in exchanges), exchanges
+
+
+def test_attribution_join_is_equi_join(spark):
+    """Stream-stream join's batch twin: equi-join on user_id with the
+    range condition post-filtered -- never a nested-loop cross."""
+    from sample_for_transactional_datalake_using_s3tables_spark.operators import (
+        streamwin,
+    )
+
+    plan = _executed(streamwin.stream_attribution_join(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
+    assert any("user_id" in l for l in joins), "attribution join lost user_id key"
