@@ -470,6 +470,121 @@ SELECT doc_id, term, term_freq, doc_freq, rnk FROM r WHERE rnk <= 3
 """
 
 
+REPETITION_N = 3          # shingle width for the duplicate-n-gram ratio
+REPETITION_MAX_DUP = 0.2  # Gopher-style rejection threshold
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter: the fraction of word 3-grams
+    that are duplicates of an earlier 3-gram in the same document (the
+    Gopher/MassiveText "repetition" signal for boilerplate and looping
+    generations). dup_ratio = (n_shingles - n_distinct) / n_shingles,
+    an exact-int division; docs above REPETITION_MAX_DUP are flagged.
+
+    Scale shape: pure per-row Column expressions over the pruned
+    ``text`` column -- no shuffle, no Python; whole-stage codegen keeps
+    the shingle arrays inside the JVM and they never hit the output."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = shingles(tokens(F.col("text")), REPETITION_N)
+    d = docs.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
+    )
+    dup = F.col("n_shingles") - F.col("n_distinct_shingles")
+    ratio = F.when(
+        F.col("n_shingles") > 0, dup / F.col("n_shingles")
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct_shingles",
+        ratio.alias("dup_ratio"),
+        (ratio > REPETITION_MAX_DUP).alias("is_repetitive"),
+    )
+
+
+def _repetition_stats_sql() -> str:
+    sh = shingles_sql(TOKENS_SQL.format(col="text"), REPETITION_N)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len({sh}) AS INTEGER) AS n_shingles,
+         CAST(len(list_distinct({sh})) AS INTEGER) AS n_distinct_shingles
+  FROM documents
+)
+SELECT doc_id, n_shingles, n_distinct_shingles,
+       CASE WHEN n_shingles > 0
+            THEN (n_shingles - n_distinct_shingles) / n_shingles
+            ELSE 0.0 END AS dup_ratio,
+       CASE WHEN n_shingles > 0
+            THEN (n_shingles - n_distinct_shingles) / n_shingles > {REPETITION_MAX_DUP}
+            ELSE FALSE END AS is_repetitive
+FROM d
+"""
+
+
+# PII scrubbing patterns (RE2-safe: no lookaround, portable \\b \\d).
+# The synthetic corpus contains no real PII, so the denylist terms give
+# the operator observable effect while the email/phone/IPv4 patterns
+# exercise the exact production seam (swap patterns, same plan).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+DENYLIST_TERMS = ("customer", "spark")
+_DENY_RE = r"\b(" + "|".join(DENYLIST_TERMS) + r")\b"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction: count pattern hits (email / phone / IPv4 /
+    denylist terms) per document and emit the scrubbed text's md5 so the
+    oracle certifies the exact replacement output without shipping full
+    text. Redaction order is fixed (email, phone, ipv4, denylist) so
+    overlapping patterns resolve deterministically.
+
+    Scale shape: per-row regexp expressions (JVM codegen, no Python),
+    column-pruned scan; at 100 TB this is a map-only pass."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    scrubbed = F.col("text")
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    scrubbed = F.regexp_replace(scrubbed, _DENY_RE, "<TERM>")
+    counts = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_DENY_RE), 0)).alias(
+            "n_denylist"
+        ),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        (F.md5(scrubbed) != F.md5(F.col("text"))).alias("was_redacted"),
+    )
+
+
+def _pii_redaction_sql() -> str:
+    scrub = "text"
+    for name, pat in PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{name.upper()}>', 'g')"
+    scrub = f"regexp_replace({scrub}, '{_DENY_RE}', '<TERM>', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    return f"""
+SELECT doc_id,
+       {counts},
+       CAST(len(regexp_extract_all(text, '{_DENY_RE}')) AS INTEGER) AS n_denylist,
+       md5({scrub}) AS scrubbed_md5,
+       md5({scrub}) != md5(text) AS was_redacted
+FROM documents
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -480,6 +595,8 @@ QUERIES = {
     "text_ngram_freq": ngram_freq,
     "text_decontamination": decontamination,
     "text_distinctive_terms": distinctive_terms,
+    "text_repetition": repetition_stats,
+    "text_pii_redaction": pii_redaction,
 }
 
 ORACLES = {
@@ -492,4 +609,6 @@ ORACLES = {
     "text_ngram_freq": _ngram_freq_sql(),
     "text_decontamination": _decontamination_sql(),
     "text_distinctive_terms": DISTINCTIVE_TERMS_SQL,
+    "text_repetition": _repetition_stats_sql(),
+    "text_pii_redaction": _pii_redaction_sql(),
 }
