@@ -100,6 +100,101 @@ WITH r AS (
 SELECT * FROM r WHERE sample_rank <= {_STRATUM_K}
 """
 
+# Target domain mixture for mixture_resample: upweight the five "high
+# quality" sources to 10% each, split the rest uniformly. Shares are
+# embedded as identical double literals in both engines.
+_MIX_HOT = ("src0", "src1", "src2", "src3", "src4")
+_MIX_HOT_SHARE = 0.10
+_MIX_OTHER_SHARE = (1.0 - len(_MIX_HOT) * _MIX_HOT_SHARE) / 15
+
+
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (downsample-only importance sampling):
+    given target shares per ``source``, keep each row with probability
+    p_s = (target_s / empirical_s) / max_r(target_r / empirical_r), so
+    the kept corpus approaches the target mixture without upsampling.
+
+    Two passes, both portable: (1) count rows per source and derive an
+    exact per-mille acceptance threshold (double ratios of int counts,
+    identical IEEE ops in both engines, floored to int); (2) accept rows
+    whose salted md5 falls under the threshold. Output is the per-source
+    audit (incoming vs kept vs target) a pipeline would log.
+
+    Scale shape: pass 1 is a map-side-combined count (tiny result,
+    broadcast back); pass 2 is a scan + broadcast-join + filter -- no
+    wide shuffle of the corpus at any point."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = F.when(
+        F.col("source").isin(*_MIX_HOT), F.lit(_MIX_HOT_SHARE)
+    ).otherwise(F.lit(_MIX_OTHER_SHARE))
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_in"))
+    wall = Window.partitionBy()
+    ratios = counts.select(
+        "source",
+        "n_in",
+        target.alias("target_share"),
+        (target * F.sum("n_in").over(wall) / F.col("n_in")).alias("ratio"),
+    )
+    plan = ratios.select(
+        "source",
+        "n_in",
+        "target_share",
+        F.floor(F.col("ratio") / F.max("ratio").over(wall) * 1_000_000)
+        .cast("bigint")
+        .alias("accept_permicro"),
+    )
+    kept = (
+        docs.join(F.broadcast(plan), "source")
+        .where(_sample_key(F.col("doc_id")) % 1_000_000 < F.col("accept_permicro"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        plan.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_in",
+            "target_share",
+            "accept_permicro",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def _mixture_resample_sql() -> str:
+    hot = ", ".join(f"'{s}'" for s in _MIX_HOT)
+    target = (
+        f"CASE WHEN source IN ({hot}) THEN {_MIX_HOT_SHARE!r} "
+        f"ELSE {_MIX_OTHER_SHARE!r} END"
+    )
+    return f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_in FROM documents GROUP BY source
+),
+ratios AS (
+  SELECT source, n_in,
+         {target} AS target_share,
+         {target} * SUM(n_in) OVER () / n_in AS ratio
+  FROM counts
+),
+plan AS (
+  SELECT source, n_in, target_share,
+         CAST(floor(ratio / MAX(ratio) OVER () * 1000000) AS BIGINT)
+           AS accept_permicro
+  FROM ratios
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN plan p USING (source)
+  WHERE {_sample_key_sql('d.doc_id')} % 1000000 < p.accept_permicro
+  GROUP BY d.source
+)
+SELECT p.source, p.n_in, p.target_share, p.accept_permicro,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM plan p LEFT JOIN kept k USING (source)
+"""
+
+
 _QS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
 
 
@@ -364,6 +459,7 @@ QUERIES = {
     "quantiles_approx": quantiles_approx,
     "profile_columns": profile_columns,
     "dataset_split": dataset_split,
+    "mixture_resample": mixture_resample,
 }
 
 ORACLES = {
@@ -373,4 +469,5 @@ ORACLES = {
     "quantiles_approx": QUANTILES_APPROX_SQL,
     "profile_columns": _profile_columns_sql(),
     "dataset_split": _dataset_split_sql(),
+    "mixture_resample": _mixture_resample_sql(),
 }
