@@ -120,5 +120,97 @@ GROUP BY lang, source
 """
 
 
-QUERIES = {"curation_pipeline": curation_pipeline}
-ORACLES = {"curation_pipeline": _curation_sql()}
+PACK_CAPACITY = 512  # context-window token budget per pack
+
+
+def _pack_group(pdf):
+    """Sequential next-fit over one source's docs (doc_id order): a doc
+    joins the current pack if it fits, else opens the next pack. Runs
+    on a single Arrow batch; state is two ints."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    pack_ids = []
+    pack_id, fill = 0, 0
+    first = True
+    for tok in pdf["n_tokens"]:
+        if first:
+            fill = tok
+            first = False
+        elif fill + tok <= PACK_CAPACITY:
+            fill += tok
+        else:
+            pack_id += 1
+            fill = tok
+        pack_ids.append(pack_id)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "source": pdf["source"],
+            "n_tokens": pdf["n_tokens"],
+            "pack_id": pd.Series(pack_ids, dtype="int64"),
+        }
+    )
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy next-fit assignment of documents into
+    fixed 512-token context windows, per source, in doc_id order -- the
+    standard LLM-pretraining batch-packing step (oversized docs get a
+    pack of their own; packing never reorders, so data ordering
+    contracts survive).
+
+    Next-fit is inherently sequential per group, so this is the
+    documented applyInPandas seam: token counts are computed JVM-side
+    (column-pruned, codegen); only (doc_id, source, n_tokens) crosses
+    into Arrow, and the Python loop carries two ints of state. At 100 TB
+    the group key becomes (source, shard) with shard = a stable hash of
+    doc_id ranges, bounding every Arrow batch while keeping the per-shard
+    ordering contract; the assignment semantics are unchanged.
+
+    The DuckDB oracle replays the identical recurrence as a recursive
+    CTE -- a genuinely sequential spec, so the oracle is the semantics,
+    not a re-implementation shortcut."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    return toks.groupBy("source").applyInPandas(
+        _pack_group, "doc_id long, source string, n_tokens long, pack_id long"
+    )
+
+
+def _sequence_pack_sql() -> str:
+    t = TOKENS_SQL.format(col="text")
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source, CAST(len({t}) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+         CASE WHEN p.fill + t.n_tokens <= {PACK_CAPACITY}
+              THEN p.pack_id ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + t.n_tokens <= {PACK_CAPACITY}
+              THEN p.fill + t.n_tokens ELSE t.n_tokens END
+  FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1
+)
+SELECT doc_id, source, n_tokens, pack_id FROM p
+"""
+
+
+QUERIES = {
+    "curation_pipeline": curation_pipeline,
+    "sequence_pack": sequence_pack,
+}
+ORACLES = {
+    "curation_pipeline": _curation_sql(),
+    "sequence_pack": _sequence_pack_sql(),
+}
