@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.vectors import (
     QUANTIZE_SQL,
+    SCALE,
     cosine_from_ints,
     cosine_from_ints_sql,
     dot_int,
@@ -455,6 +456,84 @@ FROM c
 """
 
 
+DIM = 64
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the embedding columns (upper triangle, 2080
+    pairs at dim 64) -- the PCA/whitening prep step of an embedding
+    pipeline, computed in exact integer arithmetic: components are the
+    fixed-point int64 of functions/vectors.quantize, cov numerator is
+    n*sum(xy) - sum(x)*sum(y) (exact bigint), and only the single final
+    division produces a double (identical in both engines). A float
+    accumulation would hash-diverge on summation order.
+
+    Scale shape: one posexplode (row-local), a self-equi-join on vec_id
+    (co-partitioned shuffle, no cross product), a (i, j)-keyed aggregate
+    of dim^2/2 groups with map-side partial sums, and two broadcast
+    joins against the 64-row marginals. At extreme corpus sizes the
+    bigint numerator would overflow around 1e9 rows at this fixed-point
+    scale; the production knob is the int8 code path
+    (embedding_quantize_int8), which bounds products at 127^2."""
+    comps = (
+        _quantized(spark, sf_dir)
+        .select("vec_id", F.posexplode("qv").alias("i", "q"))
+        .select("vec_id", (F.col("i") + 1).cast("int").alias("i"), "q")
+    )
+    sums = comps.groupBy("i").agg(F.sum("q").alias("s"))
+    a, b = comps.alias("a"), comps.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.i") <= F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("a.q") * F.col("b.q")).alias("s_xy"),
+        )
+    )
+    sa = sums.select(F.col("i").alias("_i"), F.col("s").alias("s_i"))
+    sb = sums.select(F.col("i").alias("_j"), F.col("s").alias("s_j"))
+    num = F.col("n") * F.col("s_xy") - F.col("s_i") * F.col("s_j")
+    den = F.col("n") * F.col("n") * F.lit(SCALE).cast("bigint") * F.lit(SCALE).cast(
+        "bigint"
+    )
+    return (
+        pairs.join(F.broadcast(sa), F.col("i") == F.col("_i"))
+        .join(F.broadcast(sb), F.col("j") == F.col("_j"))
+        .select(
+            "i",
+            "j",
+            "n",
+            (num.cast("double") / den.cast("double")).alias("cov"),
+        )
+    )
+
+
+def _covariance_sql() -> str:
+    q = QUANTIZE_SQL.format(v="embedding")
+    return f"""
+WITH comps AS (
+  SELECT vec_id, CAST(i AS INTEGER) AS i, qv[i] AS q
+  FROM (SELECT vec_id, {q} AS qv FROM embeddings),
+       unnest(range(1, {DIM + 1})) AS u(i)
+),
+sums AS (
+  SELECT i, CAST(SUM(q) AS BIGINT) AS s FROM comps GROUP BY i
+),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, COUNT(*) AS n,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS s_xy
+  FROM comps a JOIN comps b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT p.i, p.j, p.n,
+       CAST(p.n * p.s_xy - sa.s * sb.s AS DOUBLE)
+         / CAST(p.n * p.n * {SCALE}::BIGINT * {SCALE}::BIGINT AS DOUBLE) AS cov
+FROM pairs p
+JOIN sums sa ON p.i = sa.i
+JOIN sums sb ON p.j = sb.i
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_topk_lsh": similarity_topk_lsh,
@@ -462,6 +541,7 @@ QUERIES = {
     "similarity_topk_ivf": similarity_topk_ivf,
     "similarity_centroids": similarity_centroids,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "embedding_covariance": embedding_covariance,
 }
 
 ORACLES = {
@@ -471,4 +551,5 @@ ORACLES = {
     "similarity_topk_ivf": _ivf_sql(),
     "similarity_centroids": SIMILARITY_CENTROIDS_SQL,
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_SQL,
+    "embedding_covariance": _covariance_sql(),
 }
