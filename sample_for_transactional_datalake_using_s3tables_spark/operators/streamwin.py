@@ -124,12 +124,47 @@ GROUP BY v.user_id
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (streaming/joins.enrich_events)
+    in its batch twin: events joined to the customer dimension and
+    rolled up per (market segment, event type). Under readStream the
+    identical expression re-broadcasts the dimension each micro-batch
+    (tests/test_streaming_joins.py); value sums stay exact decimal
+    inside the plan."""
+    from ..streaming.joins import enrich_events
+
+    events = load_table(spark, sf_dir, "events")
+    customers = load_table(spark, sf_dir, "customer")
+    return (
+        enrich_events(events, customers)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
+        )
+    )
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
 QUERIES = {
     "window_tumbling": window_tumbling,
     "window_sliding": window_sliding,
     "window_session": window_session,
     "stateful_user_stats": stateful_user_stats,
     "stream_attribution_join": stream_attribution_join,
+    "stream_static_enrich": stream_static_enrich,
 }
 
 ORACLES = {
@@ -138,4 +173,5 @@ ORACLES = {
     "window_session": WINDOW_SESSION_SQL,
     "stateful_user_stats": USER_STATS_SQL,
     "stream_attribution_join": STREAM_ATTRIBUTION_JOIN_SQL,
+    "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
 }

@@ -61,3 +61,21 @@ def attribution_join(
     return joined.select(
         "v.user_id", "view_id", "view_ts", "purchase_id", "purchase_ts"
     )
+
+
+def enrich_events(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: attach customer dimension columns
+    to the event stream via a broadcast hash join on the user key.
+
+    The static side is re-broadcast per micro-batch by Spark (picking up
+    dimension updates between batches); no state is kept because the
+    static side is available in full at every trigger. Identical
+    expression in batch -- the ``stream_static_enrich`` registry query
+    certifies the join + aggregate semantics against DuckDB, and
+    tests/test_streaming_joins.py drives this under ``readStream``."""
+    dim = customers.select(
+        F.col("c_custkey"), F.col("c_mktsegment"), F.col("c_nationkey")
+    )
+    return events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"]
+    ).drop("c_custkey")

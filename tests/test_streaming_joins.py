@@ -106,6 +106,44 @@ def test_stream_inner_join_matches_batch(spark):
     assert {(r.user_id, r.view_id, r.purchase_id) for r in batch.collect()} == got
 
 
+def test_stream_static_enrich_broadcasts_dim(spark):
+    """Stream-static join: each micro-batch joins against the full
+    static dimension; output matches the batch twin row-for-row."""
+    from sample_for_transactional_datalake_using_s3tables_spark.streaming.joins import (
+        enrich_events,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "BUILDING", 7), (2, "MACHINERY", 3)],
+        "c_custkey long, c_mktsegment string, c_nationkey int",
+    )
+    rows = VIEWS + PURCHASES
+    with tempfile.TemporaryDirectory() as d, tempfile.TemporaryDirectory() as ckpt:
+        _write_file(d, "b1.json", rows[:3])
+        _write_file(d, "b2.json", rows[3:])
+        enriched = enrich_events(_stream(spark, d), dim)
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("enrich")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r.event_id, r.c_mktsegment, r.c_nationkey)
+            for r in spark.sql("SELECT * FROM enrich").collect()
+        }
+    batch = enrich_events(_batch(spark, rows), dim)
+    want = {
+        (r.event_id, r.c_mktsegment, r.c_nationkey) for r in batch.collect()
+    }
+    assert got == want and len(got) == len(rows)  # every user_id 1/2 row enriched
+
+
 def test_stream_left_outer_emits_unmatched_after_watermark(spark):
     rows = _collect(spark, VIEWS, PURCHASES, "left_outer")
     matched = {(r.view_id, r.purchase_id) for r in rows if r.purchase_id is not None}
