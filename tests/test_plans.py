@@ -137,3 +137,59 @@ def test_attribution_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     joins = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
     assert any("user_id" in l for l in joins), "attribution join lost user_id key"
+
+
+def test_text_scans_stay_map_only(spark):
+    """Repetition + PII are per-row passes: no shuffle beyond spread(),
+    no Python, and the scan prunes to the referenced columns."""
+    from sample_for_transactional_datalake_using_s3tables_spark.operators import text
+
+    for fn in (text.repetition_stats, text.pii_redaction):
+        plan = _executed(fn(spark, SF_SMALL))
+        assert "EvalPython" not in plan and "InPandas" not in plan
+        exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+        assert all("REPARTITION" in l for l in exchanges), (fn.__name__, exchanges)
+        read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+        assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_mixture_resample_broadcasts_plan(spark):
+    """Pass-2 joins the corpus against the tiny per-source plan via
+    broadcast -- the corpus is never shuffled on source."""
+    plan = _executed(sampling.mixture_resample(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_pack_prunes_before_arrow(spark):
+    """Only (doc_id, source, n_tokens) crosses the Arrow boundary; the
+    token counting happens JVM-side before the groupBy shuffle."""
+    plan = _executed(pipeline.sequence_pack(spark, SF_SMALL))
+    assert "FlatMapGroupsInPandas" in plan
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "text" in read_schema and "lang" not in read_schema
+    # the Arrow exchange hashes on the group key only
+    assert "hashpartitioning(source" in plan
+
+
+def test_covariance_joins_are_keyed(spark):
+    """Self-join on vec_id (no cross product); marginals broadcast."""
+    from sample_for_transactional_datalake_using_s3tables_spark.operators import (
+        similarity,
+    )
+
+    plan = _executed(similarity.embedding_covariance(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    joins = [l for l in plan.splitlines() if "Join" in l]
+    assert any("vec_id" in l for l in joins), "pair join lost vec_id key"
+    assert "BroadcastHashJoin" in plan, "marginal joins should broadcast"
+
+
+def test_stream_enrich_is_broadcast(spark):
+    from sample_for_transactional_datalake_using_s3tables_spark.operators import (
+        streamwin,
+    )
+
+    plan = _executed(streamwin.stream_static_enrich(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
