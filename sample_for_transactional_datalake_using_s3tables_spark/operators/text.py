@@ -585,6 +585,129 @@ FROM documents
 """
 
 
+BPE_TOP_PAIRS = 20
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE vocabulary-training kernel: count adjacent character
+    pairs across every word occurrence in the corpus and keep the top
+    merge candidates (count DESC, pair ASC -- the deterministic order a
+    reproducible tokenizer build needs). One iteration of the classic
+    merge loop; the full loop re-runs this aggregate on re-segmented
+    words.
+
+    Scale shape: explode word occurrences, per-word pair arrays built
+    with sequence+substr (row-local, codegen), one (pair) shuffle with
+    map-side partial counts, TakeOrdered for the top slice."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("word")).where(
+        F.length("word") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .withColumn("merge_rank", F.row_number().over(w))
+        .where(F.col("merge_rank") <= BPE_TOP_PAIRS)
+    )
+
+
+def _bpe_pair_counts_sql() -> str:
+    t = TOKENS_SQL.format(col="text")
+    return f"""
+WITH words AS (
+  SELECT unnest({t}) AS word FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+  FROM words WHERE length(word) >= 2
+),
+counted AS (
+  SELECT pair, COUNT(*) AS n_occurrences FROM pairs GROUP BY pair
+)
+SELECT pair, n_occurrences,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair ASC) AS INTEGER)
+         AS merge_rank
+FROM counted
+QUALIFY merge_rank <= {BPE_TOP_PAIRS}
+"""
+
+
+VOCAB_SIZE = 30
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage analysis: build the top-30 word vocabulary
+    from the corpus (count DESC, term ASC cutoff -- deterministic), then
+    compute each document's out-of-vocabulary token rate, the signal
+    that drives vocab-size choices and flags domain-shifted documents.
+
+    Scale shape: one (term) shuffle for the global counts, a TakeOrdered
+    vocabulary slice broadcast back against the token stream (left
+    join), and one (doc_id) aggregate. The corpus is shuffled on its
+    natural keys only."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= VOCAB_SIZE)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("in_vocab", F.lit(0))).cast("bigint").alias("n_in_vocab"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_in_vocab",
+            (
+                (F.col("n_tokens") - F.col("n_in_vocab")) / F.col("n_tokens")
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def _vocab_coverage_sql() -> str:
+    t = TOKENS_SQL.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({t}) AS term FROM documents
+),
+vocab AS (
+  SELECT term, 1 AS in_vocab
+  FROM (SELECT term, COUNT(*) AS n FROM toks GROUP BY term)
+  QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) <= {VOCAB_SIZE}
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(COALESCE(in_vocab, 0)) AS BIGINT) AS n_in_vocab,
+       (COUNT(*) - CAST(SUM(COALESCE(in_vocab, 0)) AS BIGINT)) / COUNT(*)
+         AS oov_rate
+FROM toks LEFT JOIN vocab USING (term)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -597,6 +720,8 @@ QUERIES = {
     "text_distinctive_terms": distinctive_terms,
     "text_repetition": repetition_stats,
     "text_pii_redaction": pii_redaction,
+    "text_bpe_pairs": bpe_pair_counts,
+    "text_vocab_coverage": vocab_coverage,
 }
 
 ORACLES = {
@@ -611,4 +736,6 @@ ORACLES = {
     "text_distinctive_terms": DISTINCTIVE_TERMS_SQL,
     "text_repetition": _repetition_stats_sql(),
     "text_pii_redaction": _pii_redaction_sql(),
+    "text_bpe_pairs": _bpe_pair_counts_sql(),
+    "text_vocab_coverage": _vocab_coverage_sql(),
 }
