@@ -163,9 +163,11 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mixture_resample_sql() -> str:
     hot = ", ".join(f"'{s}'" for s in _MIX_HOT)
+    # CAST the share literals: a bare 0.0333... literal is DECIMAL in
+    # DuckDB, and the ratio arithmetic must run in double as Spark does.
     target = (
-        f"CASE WHEN source IN ({hot}) THEN {_MIX_HOT_SHARE!r} "
-        f"ELSE {_MIX_OTHER_SHARE!r} END"
+        f"CASE WHEN source IN ({hot}) THEN CAST({_MIX_HOT_SHARE!r} AS DOUBLE) "
+        f"ELSE CAST({_MIX_OTHER_SHARE!r} AS DOUBLE) END"
     )
     return f"""
 WITH counts AS (
