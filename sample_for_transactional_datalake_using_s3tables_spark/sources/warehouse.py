@@ -651,6 +651,27 @@ class Warehouse:
             os.remove(os.path.join(tdir, _MANIFEST_DIR, f"{v:08d}.json"))
         return {"expired_versions": expire, "removed_files": removed}
 
+    def rollback_to(self, ns: str, table: str, version: int) -> int:
+        """``rollback_to_snapshot`` analog (Iceberg table maintenance):
+        commit a NEW snapshot whose file set and schema are exactly the
+        target snapshot's, so the table's current state reverts while
+        history is preserved (roll-forward of a rollback stays
+        possible, and the audit trail shows both). Fails cleanly if the
+        target snapshot was expired. Metadata-only: no data files are
+        read, written, or moved."""
+        tdir = self._table_dir(ns, table)
+        if not os.path.exists(tdir):
+            raise TableNotFoundError(f"{ns}.{table}")
+        versions = self._versions(tdir)
+        if version not in versions:
+            raise ValueError(
+                f"snapshot {version} not available (have {versions}); expired?"
+            )
+        doc = self._manifest_doc(tdir, version)
+        new_version = versions[-1] + 1
+        self._publish(tdir, new_version, doc["files"], schema=doc.get("schema"))
+        return new_version
+
     def history(self, ns: str, table: str) -> list[dict]:
         tdir = self._table_dir(ns, table)
         out = []

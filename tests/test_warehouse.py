@@ -474,3 +474,35 @@ def test_bad_partition_spec_fails_fast(spark, wh):
     with pytest.raises(ValueError, match="not in schema"):
         wh.create_table("ns", "t", SCHEMA, partition_by="bucket(4, nope)")
     assert wh.list_tables("ns") == []
+
+
+def test_rollback_to_snapshot(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    wh.merge_upsert("ns", "t", _df(spark, [("a", "d1", 2), ("b", "d1", 3)]))
+    # revert to the pre-merge snapshot: new commit, old file set
+    new_v = wh.rollback_to("ns", "t", 1)
+    assert new_v == 3
+    assert {(r.id, r.v) for r in wh.read("ns", "t").collect()} == {("a", 1)}
+    # history preserved: the rolled-back state is still readable
+    assert {(r.id, r.v) for r in wh.read("ns", "t", version=2).collect()} == {
+        ("a", 2),
+        ("b", 3),
+    }
+    # roll-forward of the rollback works too
+    wh.rollback_to("ns", "t", 2)
+    assert {(r.id, r.v) for r in wh.read("ns", "t").collect()} == {("a", 2), ("b", 3)}
+    # writes continue on top
+    wh.merge_upsert("ns", "t", _df(spark, [("c", "d2", 4)]))
+    assert wh.read("ns", "t").count() == 3
+
+
+def test_rollback_validation(spark, wh):
+    import pytest as _pytest
+
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    with _pytest.raises(ValueError, match="not available"):
+        wh.rollback_to("ns", "t", 99)
