@@ -62,7 +62,11 @@ _MODULES = (
 )
 
 # One representative per operator family first (every SURVEY section-2 row
-# and every LLM-data operator lands in the first 50 names).
+# and every LLM-data operator family lands in the first 50 names).
+# Round-2 fourth wave swaps (family coverage > variant redundancy):
+# text_chunk -> text_pii_redaction, udf_vector_norm -> sequence_pack,
+# multimodal_audio_stats -> stream_static_enrich; the demoted variants'
+# families keep in-window representatives and stay pytest-oracle-checked.
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
@@ -99,13 +103,13 @@ _PRIORITY = (
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
-    "text_chunk",
+    "text_pii_redaction",
     "sample_stratified",
     "quantiles_exact",
     "curation_pipeline",
     # multimodal plumbing
     "multimodal_image_features",
-    "multimodal_audio_stats",
+    "stream_static_enrich",
     # ingest chain + warehouse MERGE + time travel
     "cdc_pipeline",
     "warehouse_merge_roundtrip",
@@ -117,7 +121,7 @@ _PRIORITY = (
     "funnel_stages",
     # UDF/UDAF/UDTF surface
     "udf_minmax_scale",
-    "udf_vector_norm",
+    "sequence_pack",
     "udf_tokenize_udtf",
     "udf_grouped_agg",
     # temporal joins
