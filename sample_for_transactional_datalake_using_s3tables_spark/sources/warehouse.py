@@ -61,6 +61,79 @@ def _part_key(value) -> str:
     return NULL_PARTITION if value is None else str(value)
 
 
+def _file_stats(md) -> dict:
+    """Per-file column min/max from the parquet footer (Iceberg manifest
+    lower_bounds/upper_bounds analog). JSON-safe primitive types only;
+    dates become ISO strings (ISO order == date order). A column with no
+    usable stats is simply absent -- readers must treat absence as
+    'cannot prune'."""
+    import datetime
+
+    agg: dict[str, list] = {}
+    bad: set[str] = set()  # any row group without stats poisons the column
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            try:
+                st = col.statistics
+                ok = st is not None and st.has_min_max and "." not in name
+                lo, hi = (st.min, st.max) if ok else (None, None)
+            except Exception:  # pyarrow: "Cannot extract statistics" etc.
+                ok = False
+            if not ok:
+                bad.add(name)
+                continue
+            if isinstance(lo, datetime.date):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            if not isinstance(lo, (int, float, str, bool)):
+                bad.add(name)
+                continue
+            if name in agg:
+                agg[name] = [min(agg[name][0], lo), max(agg[name][1], hi)]
+            else:
+                agg[name] = [lo, hi]
+    return {k: v for k, v in agg.items() if k not in bad}
+
+
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _entry_may_match(entry: dict, predicates: list[tuple]) -> bool:
+    """Conservative data skipping: False only when the file's min/max
+    PROVE no row can satisfy every predicate. Missing stats, unknown
+    columns, or None values always keep the file (parquet min/max
+    exclude nulls, so value comparisons can't prune all-null files --
+    they carry no stats at all and are kept)."""
+    import datetime
+
+    stats = entry.get("stats") or {}
+    for col, op, value in predicates:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported prune op {op!r}")
+        if value is None or col not in stats:
+            continue
+        if isinstance(value, datetime.date):
+            value = value.isoformat()
+        lo, hi = stats[col]
+        if type(lo) is bool or isinstance(value, bool):
+            continue  # bool ranges are degenerate; not worth edge cases
+        if not isinstance(value, type(lo)) and not (
+            isinstance(value, (int, float)) and isinstance(lo, (int, float))
+        ):
+            continue
+        if (
+            (op == "=" and not (lo <= value <= hi))
+            or (op == "<" and lo >= value)
+            or (op == "<=" and lo > value)
+            or (op == ">" and hi <= value)
+            or (op == ">=" and hi < value)
+        ):
+            return False
+    return True
+
+
 class TableNotFoundError(Exception):
     pass
 
@@ -329,13 +402,21 @@ class Warehouse:
                     comp = os.path.basename(dirpath)
                     if comp.startswith("_p="):
                         part = comp[3:]
+                md = pq.ParquetFile(full).metadata
+                if md.num_rows == 0:
+                    # empty part files (parallelism > rows) carry no data
+                    # and no stats; keeping them would bloat every
+                    # manifest and defeat skip-count observability
+                    os.remove(full)
+                    continue
                 entries.append(
                     {
                         "path": os.path.relpath(full, tdir),
                         "partition": part,
                         "bytes": os.path.getsize(full),
                         # footer-only read: no data pages touched
-                        "records": pq.ParquetFile(full).metadata.num_rows,
+                        "records": md.num_rows,
+                        "stats": _file_stats(md),
                     }
                 )
         return entries
@@ -347,16 +428,18 @@ class Warehouse:
         df = self.spark.read.schema(schema).parquet(*paths)
         return df.select(*[f.name for f in schema.fields])
 
-    def read(
+    def plan_files(
         self,
         ns: str,
         table: str,
         version: int | None = None,
         partition_filter: list[str] | None = None,
-    ) -> DataFrame:
-        """Snapshot read, optionally time-traveled and manifest-pruned.
-        Uses the schema embedded in the target snapshot's manifest (falls
-        back to the table's current schema for pre-evolution manifests)."""
+        predicates: list[tuple] | None = None,
+    ) -> tuple[list[dict], StructType]:
+        """Manifest-level scan planning: the file entries a read with
+        these filters will touch (partition pruning + min/max data
+        skipping), plus the snapshot's schema. Metadata-only -- the
+        observable pruning surface (Iceberg's planFiles analog)."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
         versions = self._versions(tdir)
@@ -371,8 +454,43 @@ class Warehouse:
         if partition_filter is not None:
             keep = {_part_key(p) for p in partition_filter}
             entries = [e for e in entries if _part_key(e["partition"]) in keep]
+        if predicates:
+            entries = [e for e in entries if _entry_may_match(e, predicates)]
         schema = StructType.fromJson(doc.get("schema", meta["schema"]))
-        return self._read_files(tdir, entries, schema)
+        return entries, schema
+
+    def read(
+        self,
+        ns: str,
+        table: str,
+        version: int | None = None,
+        partition_filter: list[str] | None = None,
+        predicates: list[tuple] | None = None,
+    ) -> DataFrame:
+        """Snapshot read, optionally time-traveled and manifest-pruned.
+        Uses the schema embedded in the target snapshot's manifest (falls
+        back to the table's current schema for pre-evolution manifests).
+
+        ``predicates`` -- list of ``(column, op, value)`` with op in
+        =, <, <=, >, >= -- both applied as a real row filter AND used
+        for manifest-level data skipping: files whose footer min/max
+        prove no match never reach Spark's file index (Iceberg
+        lower/upper-bound pruning; at 100 TB a selective predicate on a
+        clustered column skips most of the table before any I/O)."""
+        entries, schema = self.plan_files(
+            ns, table, version, partition_filter, predicates
+        )
+        df = self._read_files(self._table_dir(ns, table), entries, schema)
+        for col, op, value in predicates or []:
+            expr = {
+                "=": F.col(col) == F.lit(value),
+                "<": F.col(col) < F.lit(value),
+                "<=": F.col(col) <= F.lit(value),
+                ">": F.col(col) > F.lit(value),
+                ">=": F.col(col) >= F.lit(value),
+            }[op]
+            df = df.filter(expr)
+        return df
 
     def _validated(self, df: DataFrame, meta: dict) -> DataFrame:
         """Align to table schema; enforce NOT NULL on required fields
@@ -591,10 +709,21 @@ class Warehouse:
         self._publish(tdir, version + 1, untouched + new_files, schema=meta["schema"])
         return {"version": version + 1, "updated_rows": n_updated}
 
-    def compact(self, ns: str, table: str, min_files_per_partition: int = 2) -> int:
+    def compact(
+        self,
+        ns: str,
+        table: str,
+        min_files_per_partition: int = 2,
+        sort_by: str | None = None,
+    ) -> int:
         """rewrite_data_files analog: coalesce small files per partition
         (the reference's 1 MB/60 s Firehose buffers produce many small
-        files; S3 Tables auto-compacts -- here it's an explicit call)."""
+        files; S3 Tables auto-compacts -- here it's an explicit call).
+
+        ``sort_by`` -- cluster rewritten rows by a column inside each
+        task (Iceberg table sort-order analog): disjoint, tight per-file
+        min/max ranges make ``read(predicates=...)`` data skipping
+        effective on that column."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
         schema = StructType.fromJson(meta["schema"])
@@ -616,6 +745,8 @@ class Warehouse:
             df = df.repartition(self._partition_expr(meta["partition_by"], schema))
         else:
             df = df.coalesce(1)
+        if sort_by:
+            df = df.sortWithinPartitions(sort_by)
         new_files = self._write_files(tdir, df, meta["partition_by"])
         self._publish(tdir, version + 1, keep + new_files, schema=meta["schema"])
         return version + 1

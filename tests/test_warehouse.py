@@ -506,3 +506,73 @@ def test_rollback_validation(spark, wh):
     wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
     with _pytest.raises(ValueError, match="not available"):
         wh.rollback_to("ns", "t", 99)
+
+
+def test_data_skipping_prunes_files(spark, wh):
+    """Manifest min/max stats skip files a predicate can't match, and
+    the returned rows are exactly the filtered set."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id")
+    # three commits -> three files with disjoint v ranges
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d1", 5)]))
+    wh.insert("ns", "t", _df(spark, [("c", "d1", 10), ("d", "d1", 15)]))
+    wh.insert("ns", "t", _df(spark, [("e", "d1", 20), ("f", "d1", 25)]))
+    all_files, _ = wh.plan_files("ns", "t")
+    n_all = len(all_files)
+    assert all(e["records"] > 0 for e in all_files)  # no empty part files
+    assert all("v" in (e.get("stats") or {}) for e in all_files)
+    # v > 17 can only live in files holding v in {20, 25}
+    pruned, _ = wh.plan_files("ns", "t", predicates=[("v", ">", 17)])
+    assert sum(e["records"] for e in pruned) == 2 and len(pruned) < n_all
+    got = {(r.id, r.v) for r in wh.read("ns", "t", predicates=[("v", ">", 17)]).collect()}
+    assert got == {("e", 20), ("f", 25)}
+    # equality inside the middle range
+    pruned, _ = wh.plan_files("ns", "t", predicates=[("v", "=", 10)])
+    assert sum(e["records"] for e in pruned) == 1
+    # string stats prune too
+    pruned, _ = wh.plan_files("ns", "t", predicates=[("id", "<=", "b")])
+    assert sum(e["records"] for e in pruned) == 2
+    # unpruneable predicate keeps everything (no stats for that column)
+    pruned, _ = wh.plan_files("ns", "t", predicates=[("nope", "=", 1)])
+    assert len(pruned) == n_all
+
+
+def test_data_skipping_conservative_on_nulls(spark, wh):
+    """All-null files carry no stats and are never skipped; the row
+    filter still applies."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id")
+    wh.insert(
+        "ns",
+        "t",
+        spark.createDataFrame([("a", "d1", None), ("b", "d1", None)], schema=SCHEMA),
+    )
+    wh.insert("ns", "t", _df(spark, [("c", "d1", 7)]))
+    all_files, _ = wh.plan_files("ns", "t")
+    null_files = [e for e in all_files if "v" not in (e.get("stats") or {})]
+    assert null_files, "all-null column should carry no v stats"
+    pruned, _ = wh.plan_files("ns", "t", predicates=[("v", ">=", 5)])
+    assert len(pruned) == len(all_files)  # null-stats files conservatively kept
+    got = {r.id for r in wh.read("ns", "t", predicates=[("v", ">=", 5)]).collect()}
+    assert got == {"c"}
+
+
+def test_compact_sort_order_tightens_skipping(spark, wh):
+    """After interleaved-range commits, a sort-clustered compaction
+    restores effective data skipping."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id")
+    # interleaved ranges: every file spans nearly the whole domain
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d1", 100)]).coalesce(1))
+    wh.insert("ns", "t", _df(spark, [("c", "d1", 2), ("d", "d1", 99)]).coalesce(1))
+    before, _ = wh.plan_files("ns", "t", predicates=[("v", ">", 50)])
+    assert len(before) == 2  # wide-range files: no skipping possible
+    wh.compact("ns", "t", min_files_per_partition=2, sort_by="v")
+    after_all, _ = wh.plan_files("ns", "t")
+    got = {(r.id, r.v) for r in wh.read("ns", "t", predicates=[("v", ">", 50)]).collect()}
+    assert got == {("b", 100), ("d", 99)}
+    # compacted file carries stats; an out-of-range predicate now skips
+    # the whole table at the manifest level
+    assert all("v" in e["stats"] for e in after_all)
+    none, _ = wh.plan_files("ns", "t", predicates=[("v", ">", 200)])
+    assert none == []
