@@ -501,6 +501,59 @@ FROM base WHERE event_id % 5 != 0 GROUP BY event_type
 """
 
 
+def warehouse_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest min/max data skipping end-to-end: range-ordered appends
+    (the classic time-series ingest shape) produce files with disjoint
+    user_id ranges; a selective predicate read then skips files at the
+    MANIFEST level (Iceberg lower/upper-bound pruning -- no file I/O for
+    skipped files) while returning exactly the filtered rows. The
+    oracle certifies the visible result; ``skipping_effective`` is the
+    engine-side proof that fewer files than the full set were planned
+    (constant TRUE in the oracle, like approx_distinct's bound check)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    root = tempfile.mkdtemp(prefix="wh_skip_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table("q", "t", events.schema, key="event_id")
+        for lo, hi in ((0, 50), (50, 100), (100, 1 << 40)):
+            chunk = events.filter(
+                (F.col("user_id") >= lo) & (F.col("user_id") < hi)
+            ).coalesce(1)
+            wh.insert("q", "t", chunk)
+        all_files, _ = wh.plan_files("q", "t")
+        pruned, _ = wh.plan_files("q", "t", predicates=[("user_id", ">=", 100)])
+        effective = 0 < len(pruned) < len(all_files)
+        agg = (
+            wh.read("q", "t", predicates=[("user_id", ">=", 100)])
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .alias("total_value"),
+            )
+            .withColumn("skipping_effective", F.lit(bool(effective)))
+        )
+        return _lazy_snapshot(spark, root, agg)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_DATA_SKIPPING_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+       TRUE AS skipping_effective
+FROM events
+WHERE user_id >= 100
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "cdc_pipeline": cdc_pipeline,
     "warehouse_merge_roundtrip": warehouse_merge_roundtrip,
@@ -510,6 +563,7 @@ QUERIES = {
     "warehouse_snapshots_meta": warehouse_snapshots_meta,
     "warehouse_hidden_partitioning": warehouse_hidden_partitioning,
     "warehouse_incremental_agg": warehouse_incremental_agg,
+    "warehouse_data_skipping": warehouse_data_skipping,
 }
 
 ORACLES = {
@@ -521,4 +575,5 @@ ORACLES = {
     "warehouse_snapshots_meta": WAREHOUSE_SNAPSHOTS_META_SQL,
     "warehouse_hidden_partitioning": WAREHOUSE_HIDDEN_PARTITIONING_SQL,
     "warehouse_incremental_agg": WAREHOUSE_INCREMENTAL_AGG_SQL,
+    "warehouse_data_skipping": WAREHOUSE_DATA_SKIPPING_SQL,
 }
