@@ -97,6 +97,51 @@ def _file_stats(md) -> dict:
     return {k: v for k, v in agg.items() if k not in bad}
 
 
+# Per-file key Bloom filter (Iceberg bloom-filter file-metrics analog):
+# m bits / k hashes sized for ~5% FPR at a few thousand keys per file.
+_BLOOM_M = 8192
+_BLOOM_K = 4
+
+
+def _bloom_hashes(value) -> list[int] | None:
+    """k bit positions for a key value, or None if the type is not
+    bloom-safe (floats excluded: textual canonicalization is lossy)."""
+    import hashlib
+
+    if value is None or isinstance(value, float):
+        return None
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        return None
+    h = hashlib.md5(f"{type(value).__name__}:{value}".encode()).digest()
+    return [
+        int.from_bytes(h[i * 4 : i * 4 + 4], "big") % _BLOOM_M
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _build_bloom(values) -> str | None:
+    """Hex-encoded bloom over a file's key values; None if any value is
+    bloom-unsafe (a partial bloom would wrongly prune present keys)."""
+    bits = bytearray(_BLOOM_M // 8)
+    for v in values:
+        if v is None:
+            continue
+        pos = _bloom_hashes(v)
+        if pos is None:
+            return None
+        for p in pos:
+            bits[p // 8] |= 1 << (p % 8)
+    return bytes(bits).hex()
+
+
+def _bloom_may_contain(bloom_hex: str, value) -> bool:
+    pos = _bloom_hashes(value)
+    if pos is None:
+        return True
+    bits = bytes.fromhex(bloom_hex)
+    return all(bits[p // 8] & (1 << (p % 8)) for p in pos)
+
+
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
 
 
@@ -109,10 +154,15 @@ def _entry_may_match(entry: dict, predicates: list[tuple]) -> bool:
     import datetime
 
     stats = entry.get("stats") or {}
+    blooms = entry.get("blooms") or {}
     for col, op, value in predicates:
         if op not in _PRUNE_OPS:
             raise ValueError(f"unsupported prune op {op!r}")
-        if value is None or col not in stats:
+        if value is None:
+            continue
+        if op == "=" and col in blooms and not _bloom_may_contain(blooms[col], value):
+            return False
+        if col not in stats:
             continue
         if isinstance(value, datetime.date):
             value = value.isoformat()
@@ -375,11 +425,24 @@ class Warehouse:
             return (c - F.pmod(c, w)).cast("string")
         return F.substring(F.col(col).cast("string"), 1, int(n))
 
-    def _write_files(self, tdir: str, df: DataFrame, partition_by: str | None) -> list[dict]:
+    def _write_files(
+        self,
+        tdir: str,
+        df: DataFrame,
+        partition_by: str | None,
+        bloom_col: str | None = None,
+    ) -> list[dict]:
         """Write a batch into a fresh commit dir; return file entries
-        with per-file record counts read from the parquet footers (the
-        Iceberg manifest's record_count field -- powers metadata-only
-        COUNT(*) and snapshot stats without a data scan)."""
+        with per-file record counts and column min/max read from the
+        parquet footers (the Iceberg manifest's record_count and
+        lower/upper-bounds fields -- powering metadata-only COUNT(*),
+        snapshot stats, and data skipping without a data scan), plus an
+        optional per-file Bloom filter over ``bloom_col`` for equality
+        skipping on high-cardinality keys whose min/max ranges are too
+        wide to prune (point lookups in a CDC table). The bloom build
+        re-reads only the single key column of the just-written local
+        file (columnar, page-local); a production writer would fold it
+        into the write itself."""
         import pyarrow.parquet as pq
 
         commit_id = uuid.uuid4().hex[:12]
@@ -409,16 +472,23 @@ class Warehouse:
                     # manifest and defeat skip-count observability
                     os.remove(full)
                     continue
-                entries.append(
-                    {
-                        "path": os.path.relpath(full, tdir),
-                        "partition": part,
-                        "bytes": os.path.getsize(full),
-                        # footer-only read: no data pages touched
-                        "records": md.num_rows,
-                        "stats": _file_stats(md),
-                    }
-                )
+                entry = {
+                    "path": os.path.relpath(full, tdir),
+                    "partition": part,
+                    "bytes": os.path.getsize(full),
+                    # footer-only read: no data pages touched
+                    "records": md.num_rows,
+                    "stats": _file_stats(md),
+                }
+                if bloom_col and bloom_col in df.columns:
+                    bloom = _build_bloom(
+                        pq.read_table(full, columns=[bloom_col])
+                        .column(0)
+                        .to_pylist()
+                    )
+                    if bloom is not None:
+                        entry["blooms"] = {bloom_col: bloom}
+                entries.append(entry)
         return entries
 
     def _read_files(self, tdir: str, entries: list[dict], schema: StructType) -> DataFrame:
@@ -508,7 +578,9 @@ class Warehouse:
         """Append (or overwrite) a batch; returns the new version."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
-        new_files = self._write_files(tdir, self._validated(df, meta), meta["partition_by"])
+        new_files = self._write_files(
+            tdir, self._validated(df, meta), meta["partition_by"], bloom_col=meta.get("key")
+        )
         version = self._versions(tdir)[-1] + 1
         base = [] if overwrite else self._manifest(tdir, version - 1)
         self._publish(tdir, version, base + new_files, schema=meta["schema"])
@@ -618,7 +690,7 @@ class Warehouse:
         if deletes is not None:
             merged = merged.join(deletes, key, "left_anti")
 
-        new_files = self._write_files(tdir, merged, pcol)
+        new_files = self._write_files(tdir, merged, pcol, bloom_col=key)
         self._publish(tdir, version + 1, untouched + new_files, schema=meta["schema"])
         return version + 1
 
@@ -665,7 +737,9 @@ class Warehouse:
         kept = self._read_files(tdir, rewrite, schema).filter(
             ~F.coalesce(predicate, F.lit(False))
         )
-        new_files = self._write_files(tdir, kept, meta["partition_by"])
+        new_files = self._write_files(
+            tdir, kept, meta["partition_by"], bloom_col=meta.get("key")
+        )
         deleted = sum(e.get("records", 0) for e in rewrite) - sum(
             e.get("records", 0) for e in new_files
         )
@@ -705,7 +779,9 @@ class Warehouse:
             ]
         )
         n_updated = current.filter(cond).count()
-        new_files = self._write_files(tdir, updated, meta["partition_by"])
+        new_files = self._write_files(
+            tdir, updated, meta["partition_by"], bloom_col=meta.get("key")
+        )
         self._publish(tdir, version + 1, untouched + new_files, schema=meta["schema"])
         return {"version": version + 1, "updated_rows": n_updated}
 
@@ -747,7 +823,9 @@ class Warehouse:
             df = df.coalesce(1)
         if sort_by:
             df = df.sortWithinPartitions(sort_by)
-        new_files = self._write_files(tdir, df, meta["partition_by"])
+        new_files = self._write_files(
+            tdir, df, meta["partition_by"], bloom_col=meta.get("key")
+        )
         self._publish(tdir, version + 1, keep + new_files, schema=meta["schema"])
         return version + 1
 

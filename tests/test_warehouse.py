@@ -576,3 +576,24 @@ def test_compact_sort_order_tightens_skipping(spark, wh):
     assert all("v" in e["stats"] for e in after_all)
     none, _ = wh.plan_files("ns", "t", predicates=[("v", ">", 200)])
     assert none == []
+
+
+def test_bloom_filter_point_lookup_skipping(spark, wh):
+    """Key ranges overlap across files (min/max can't prune), but the
+    per-file key bloom skips files for point lookups."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id")
+    # interleaved key sets -> overlapping [min,max] string ranges
+    wh.insert("ns", "t", _df(spark, [("a1", "d1", 1), ("z1", "d1", 2)]).coalesce(1))
+    wh.insert("ns", "t", _df(spark, [("a2", "d1", 3), ("z2", "d1", 4)]).coalesce(1))
+    all_files, _ = wh.plan_files("ns", "t")
+    assert len(all_files) == 2
+    assert all("id" in (e.get("blooms") or {}) for e in all_files)
+    # range stats alone cannot prune this lookup; the bloom can
+    pruned, _ = wh.plan_files("ns", "t", predicates=[("id", "=", "z2")])
+    assert len(pruned) == 1
+    got = {(r.id, r.v) for r in wh.read("ns", "t", predicates=[("id", "=", "z2")]).collect()}
+    assert got == {("z2", 4)}
+    # absent key: bloom may false-positive but never false-negative;
+    # the row filter guarantees the empty result either way
+    assert wh.read("ns", "t", predicates=[("id", "=", "nope")]).count() == 0
