@@ -57,6 +57,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    def _run(name: str, at: str) -> str | None:
+        """Execute one query to the noop sink; return the error, if any.
+
+        Failure-isolated by design: one broken query must degrade one
+        entry, never zero out the whole round's numbers (round 2 lost
+        all timings to a single warmup failure)."""
+        try:
+            queries[name](spark, at).write.format("noop").mode("overwrite").save()
+            return None
+        except Exception as e:  # noqa: BLE001
+            return f"{type(e).__name__}: {e}"[:500]
+
     # Warmup: JVM/codegen + file listing, plus the Python-worker/Arrow
     # path (first pandas-UDF call forks the worker pool, ~5s one-time),
     # plus one sf0.001 pass of the three compile-heaviest pipelines
@@ -64,31 +76,32 @@ def main() -> None:
     # runs measure steady-state throughput, not first-call JIT: the
     # cold-compile cost is size-independent and was adding a one-time
     # ~2x to whichever run hit each code path first.
-    queries["scan_limit"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    _run("scan_limit", sf_dir)
     for wq in ("udf_minmax_scale", "cdc_pipeline", "dedup_minhash_lsh",
                "similarity_topk_lsh", "window_tumbling", "risk_analysis"):
-        queries[wq](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
+        _run(wq, "/root/testdata/sf0.001")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        err = _run(name, sf_dir)
+        if err is None:
+            timings[name] = round(time.perf_counter() - t0, 3)
+        else:
+            errors[name] = err
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -24,10 +24,6 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS: dict[str, str] = {
     # Deterministic time semantics; the DuckDB oracle reads naive/UTC.
     "spark.sql.session.timeZone": "UTC",
-    # Driver testdata stores events.ts as parquet TIMESTAMP(NANOS) which
-    # Spark has no native type for; read as epoch-nanos long and convert
-    # (sources/testdata.py normalizes back to TimestampType).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Runtime re-planning: partition coalescing + skew-join splitting.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -7,10 +7,14 @@ documents embeddings. One parquet file per table under
 Normalization performed here (and nowhere else -- every operator goes
 through this loader so the rest of the engine sees clean Spark types):
 
-- ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
-  only as epoch-nanos LongType (``spark.sql.legacy.parquet.nanosAsLong``);
-  we convert to TimestampType at microsecond precision -- identical to
-  what DuckDB (the correctness oracle) yields for the same file.
+- ``events.ts`` is stored as parquet TIMESTAMP(NANOS). PySpark 4.1+
+  reads it natively as ``TIMESTAMP_NTZ`` (truncated to micros); older
+  runtimes could only surface it as epoch-nanos ``LongType`` via the
+  (now-removed) ``nanosAsLong`` legacy conf. Either way we normalize to
+  session-zoned ``TimestampType`` at microsecond precision -- the session
+  timezone is pinned to UTC (plans/session.py), so the NTZ -> TZ cast is
+  value-preserving and identical to what DuckDB (the correctness oracle)
+  yields for the same file.
 
 At 100 TB these loads are partition-pruned, column-pruned parquet scans;
 nothing here forces a full materialization or a shuffle.
@@ -22,7 +26,7 @@ import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from ..plans.session import configure
 
@@ -59,10 +63,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with normalized Spark types."""
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # epoch-nanos -> TimestampType (micros, matching the DuckDB read).
-        # Integer `div`, not `/`: float division loses precision at 1e18.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, TimestampNTZType):
+            # PySpark 4.1+ native nanos read; UTC session tz makes the
+            # NTZ -> TZ cast value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif isinstance(dt, LongType):
+            # Legacy epoch-nanos read -> TimestampType (micros).
+            # Integer `div`, not `/`: float division loses precision at 1e18.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -30,6 +30,7 @@ parquet filter pushdown.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
@@ -103,46 +104,107 @@ _BLOOM_M = 8192
 _BLOOM_K = 4
 
 
+def _bloom_tag(value) -> str | None:
+    """Canonical type tag for a bloom-safe value, else None.
+
+    Canonicalization (not ``type(v).__name__``): int/str *subclasses*
+    (IntEnum, str wrappers) must hash identically to the plain values
+    read back from parquet, or present keys would falsely prune. Floats
+    are excluded (textual canonicalization is lossy); bool is excluded
+    (it is an int subclass but a distinct SQL type)."""
+    if value is None or isinstance(value, (bool, float)):
+        return None
+    if isinstance(value, int):
+        return "int"
+    if isinstance(value, str):
+        return "str"
+    return None
+
+
 def _bloom_hashes(value) -> list[int] | None:
-    """k bit positions for a key value, or None if the type is not
-    bloom-safe (floats excluded: textual canonicalization is lossy)."""
+    """k bit positions for a key value, or None if not bloom-safe."""
     import hashlib
 
-    if value is None or isinstance(value, float):
+    tag = _bloom_tag(value)
+    if tag is None:
         return None
-    if isinstance(value, bool) or not isinstance(value, (int, str)):
-        return None
-    h = hashlib.md5(f"{type(value).__name__}:{value}".encode()).digest()
+    canon = int(value) if tag == "int" else str(value)
+    h = hashlib.md5(f"{tag}:{canon}".encode()).digest()
     return [
         int.from_bytes(h[i * 4 : i * 4 + 4], "big") % _BLOOM_M
         for i in range(_BLOOM_K)
     ]
 
 
-def _build_bloom(values) -> str | None:
-    """Hex-encoded bloom over a file's key values; None if any value is
-    bloom-unsafe (a partial bloom would wrongly prune present keys)."""
+def _build_bloom(values) -> dict | None:
+    """``{"type": tag, "bits": hex}`` bloom over a file's key values;
+    None if any value is bloom-unsafe or the column mixes value types
+    (a partial bloom would wrongly prune present keys). The stored type
+    tag lets readers skip the bloom on cross-type predicates -- a
+    predicate value of a different type would never hash-match, and
+    pruning on it would break the 'prune only when provably no match'
+    invariant (Spark's row filter may still match via implicit cast)."""
     bits = bytearray(_BLOOM_M // 8)
+    tag: str | None = None
     for v in values:
         if v is None:
             continue
-        pos = _bloom_hashes(v)
-        if pos is None:
+        vtag = _bloom_tag(v)
+        if vtag is None or (tag is not None and vtag != tag):
             return None
-        for p in pos:
+        tag = vtag
+        for p in _bloom_hashes(v):
             bits[p // 8] |= 1 << (p % 8)
-    return bytes(bits).hex()
+    if tag is None:
+        return None  # all-null column: no information, store nothing
+    return {"type": tag, "bits": bytes(bits).hex()}
 
 
-def _bloom_may_contain(bloom_hex: str, value) -> bool:
+@functools.lru_cache(maxsize=256)
+def _bloom_bits(bloom_hex: str) -> bytes:
+    """Memoized hex decode: plan_files probes every (file, predicate)
+    pair against 8 KiB-hex blooms; decoding once per distinct bloom
+    keeps metadata-only planning allocation-light on large manifests."""
+    return bytes.fromhex(bloom_hex)
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    tag = _bloom_tag(value)
+    if tag is None or tag != bloom.get("type"):
+        return True  # cross-type predicate: bloom can't prove absence
     pos = _bloom_hashes(value)
-    if pos is None:
-        return True
-    bits = bytes.fromhex(bloom_hex)
+    bits = _bloom_bits(bloom["bits"])
     return all(bits[p // 8] & (1 << (p % 8)) for p in pos)
 
 
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _extract_file_meta(full: str, bloom_col: str | None) -> dict:
+    """Footer stats + optional key Bloom for one just-written parquet
+    file. Runs ON EXECUTORS (plain function, no session capture): the
+    per-commit metadata build is distributed over the commit's file
+    list, so a commit with hundreds of thousands of files never
+    serializes footer reads through the driver. The bloom build reads
+    only the single key column (columnar, page-local)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(full).metadata
+    meta: dict = {
+        "abs": full,
+        "bytes": _os.path.getsize(full),
+        "records": md.num_rows,
+        "stats": _file_stats(md) if md.num_rows else {},
+    }
+    if md.num_rows and bloom_col:
+        bloom = _build_bloom(
+            pq.read_table(full, columns=[bloom_col]).column(0).to_pylist()
+        )
+        if bloom is not None:
+            meta["blooms"] = {bloom_col: bloom}
+    return meta
 
 
 def _entry_may_match(entry: dict, predicates: list[tuple]) -> bool:
@@ -439,12 +501,14 @@ class Warehouse:
         snapshot stats, and data skipping without a data scan), plus an
         optional per-file Bloom filter over ``bloom_col`` for equality
         skipping on high-cardinality keys whose min/max ranges are too
-        wide to prune (point lookups in a CDC table). The bloom build
-        re-reads only the single key column of the just-written local
-        file (columnar, page-local); a production writer would fold it
-        into the write itself."""
-        import pyarrow.parquet as pq
+        wide to prune (point lookups in a CDC table).
 
+        The footer/bloom extraction is distributed over the commit's
+        file list (one executor task per chunk of files) -- the driver
+        only lists paths and assembles the manifest; it never opens a
+        parquet file, so commit latency stays flat as files-per-commit
+        grows (Iceberg likewise writes manifests from executor-side
+        per-file metrics)."""
         commit_id = uuid.uuid4().hex[:12]
         stage = os.path.join(tdir, "data", commit_id)
         pexpr = self._partition_expr(partition_by, df.schema)
@@ -454,41 +518,38 @@ class Warehouse:
             df.withColumn("_p", pexpr).write.partitionBy("_p").parquet(stage)
         else:
             df.write.parquet(stage)
-        entries = []
+        paths: list[tuple[str, str | None]] = []
         for dirpath, _dirs, files in os.walk(stage):
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, fn)
-                part = None
-                if partition_by:
-                    comp = os.path.basename(dirpath)
-                    if comp.startswith("_p="):
-                        part = comp[3:]
-                md = pq.ParquetFile(full).metadata
-                if md.num_rows == 0:
-                    # empty part files (parallelism > rows) carry no data
-                    # and no stats; keeping them would bloat every
-                    # manifest and defeat skip-count observability
-                    os.remove(full)
-                    continue
-                entry = {
-                    "path": os.path.relpath(full, tdir),
-                    "partition": part,
-                    "bytes": os.path.getsize(full),
-                    # footer-only read: no data pages touched
-                    "records": md.num_rows,
-                    "stats": _file_stats(md),
-                }
-                if bloom_col and bloom_col in df.columns:
-                    bloom = _build_bloom(
-                        pq.read_table(full, columns=[bloom_col])
-                        .column(0)
-                        .to_pylist()
-                    )
-                    if bloom is not None:
-                        entry["blooms"] = {bloom_col: bloom}
-                entries.append(entry)
+            part = None
+            if partition_by:
+                comp = os.path.basename(dirpath)
+                if comp.startswith("_p="):
+                    part = comp[3:]
+            paths.extend(
+                (os.path.join(dirpath, fn), part)
+                for fn in files
+                if fn.endswith(".parquet")
+            )
+        if not paths:
+            return []
+        key_col = bloom_col if (bloom_col and bloom_col in df.columns) else None
+        sc = self.spark.sparkContext
+        n_slices = max(1, min(len(paths), sc.defaultParallelism))
+        metas = (
+            sc.parallelize(paths, n_slices)
+            .map(lambda fp: {**_extract_file_meta(fp[0], key_col), "partition": fp[1]})
+            .collect()
+        )
+        entries = []
+        for m in metas:
+            full = m.pop("abs")
+            if m["records"] == 0:
+                # empty part files (parallelism > rows) carry no data
+                # and no stats; keeping them would bloat every
+                # manifest and defeat skip-count observability
+                os.remove(full)
+                continue
+            entries.append({"path": os.path.relpath(full, tdir), **m})
         return entries
 
     def _read_files(self, tdir: str, entries: list[dict], schema: StructType) -> DataFrame:
@@ -646,26 +707,25 @@ class Warehouse:
                 e for e in entries if _part_key(e["partition"]) not in touched
             ]
             if remaining:
-                # key + partition-source columns only: a pruned columnar
-                # probe, not a full-row scan.
+                # One probe finds every partition holding a matched key --
+                # upsert keys AND delete keys together (a delete, like an
+                # update, only affects partitions that actually contain the
+                # key; round 2 conservatively rewrote the whole table on
+                # any delete). key + partition-source columns only: a
+                # pruned columnar probe, not a full-row scan.
+                match_keys = source.select(key).distinct()
+                if deletes is not None:
+                    match_keys = match_keys.union(deletes).distinct()
                 probe = self._read_files(tdir, remaining, schema).select(
                     key, pexpr.alias("_p")
                 )
                 hit = (
-                    probe.join(source.select(key).distinct(), key, "left_semi")
+                    probe.join(match_keys, key, "left_semi")
                     .select("_p")
                     .distinct()
                     .collect()
                 )
                 touched |= {_part_key(r[0]) for r in hit}
-            if deletes is not None:
-                # deletes may hit any partition; conservatively touch all
-                # partitions that contain matching keys
-                touched |= {
-                    _part_key(e["partition"])
-                    for e in entries
-                    if e["partition"] is not None
-                }
             untouched = [
                 e for e in entries if _part_key(e["partition"]) not in touched
             ]
@@ -695,28 +755,43 @@ class Warehouse:
         return version + 1
 
     def _touched_by_predicate(
-        self, tdir: str, meta: dict, predicate
-    ) -> tuple[list[dict], list[dict], StructType, int]:
+        self, tdir: str, meta: dict, predicate, count_matches: bool = False
+    ) -> tuple[list[dict], list[dict], StructType, int, int | None]:
         """Split the current manifest into (untouched, rewrite) for a
         row-level predicate: one pruned probe finds the partitions that
         actually contain matching rows; every other partition's files
         carry over by reference (Iceberg copy-on-write DELETE/UPDATE
-        rewrites only affected files)."""
+        rewrites only affected files).
+
+        ``count_matches`` also returns the matching-row count, folded
+        into the same probe scan (a groupBy count instead of distinct)
+        so UPDATE's reporting costs no second pass over the data."""
         version = self._versions(tdir)[-1]
         entries = self._manifest(tdir, version)
         schema = StructType.fromJson(meta["schema"])
         pcol = meta["partition_by"]
         if not pcol or not entries:
-            return [], entries, schema, version
+            n_match = None
+            if count_matches and entries:
+                n_match = (
+                    self._read_files(tdir, entries, schema).filter(predicate).count()
+                )
+            elif count_matches:
+                n_match = 0
+            return [], entries, schema, version, n_match
         pexpr = self._partition_expr(pcol, schema)
         probe = self._read_files(tdir, entries, schema)
-        hit = {
-            _part_key(r[0])
-            for r in probe.filter(predicate).select(pexpr.alias("_p")).distinct().collect()
-        }
+        per_part = (
+            probe.filter(predicate)
+            .groupBy(pexpr.alias("_p"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        hit = {_part_key(r["_p"]) for r in per_part}
+        n_match = sum(r["_n"] for r in per_part) if count_matches else None
         untouched = [e for e in entries if _part_key(e["partition"]) not in hit]
         rewrite = [e for e in entries if _part_key(e["partition"]) in hit]
-        return untouched, rewrite, schema, version
+        return untouched, rewrite, schema, version, n_match
 
     def delete_where(self, ns: str, table: str, predicate) -> dict:
         """Row-level DELETE (``DELETE FROM t WHERE ...``): partition-level
@@ -727,7 +802,7 @@ class Warehouse:
         extra scan)."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
-        untouched, rewrite, schema, version = self._touched_by_predicate(
+        untouched, rewrite, schema, version, _ = self._touched_by_predicate(
             tdir, meta, predicate
         )
         if not rewrite:
@@ -759,8 +834,8 @@ class Warehouse:
         bad = [c for c in assignments if c not in StructType.fromJson(meta["schema"]).fieldNames()]
         if bad:
             raise ValueError(f"unknown columns in UPDATE assignments: {bad}")
-        untouched, rewrite, schema, version = self._touched_by_predicate(
-            tdir, meta, predicate
+        untouched, rewrite, schema, version, n_updated = self._touched_by_predicate(
+            tdir, meta, predicate, count_matches=True
         )
         if not rewrite:
             return {"version": version, "updated_rows": 0}
@@ -778,7 +853,6 @@ class Warehouse:
                 for f in schema.fields
             ]
         )
-        n_updated = current.filter(cond).count()
         new_files = self._write_files(
             tdir, updated, meta["partition_by"], bloom_col=meta.get("key")
         )
