@@ -10,6 +10,7 @@ from hypothesis import strategies as st
 
 from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import (
     _PRUNE_OPS,
+    _build_bloom,
     _entry_may_match,
 )
 
@@ -52,3 +53,48 @@ def test_missing_stats_never_prune():
     assert _entry_may_match({"stats": {}}, [("c", "=", 5)])
     assert _entry_may_match({}, [("c", ">", 5)])
     assert _entry_may_match({"stats": {"c": [1, 2]}}, [("c", "=", None)])
+
+
+def test_bloom_cross_type_predicate_never_prunes():
+    """A typed predicate against a differently-typed bloom must NOT
+    prune: the row filter may still match via implicit cast, so pruning
+    would silently drop matching files ('prune only when provably no
+    match'). Mirrors the min/max path's type-compatibility guard."""
+    str_bloom = _build_bloom(["7", "8"])
+    assert str_bloom["type"] == "str"
+    entry = {"blooms": {"c": str_bloom}}
+    # int predicate vs str bloom: kept, even though int 7 hashes differently
+    assert _entry_may_match(entry, [("c", "=", 7)])
+    int_bloom = _build_bloom([7, 8])
+    assert int_bloom["type"] == "int"
+    entry = {"blooms": {"c": int_bloom}}
+    assert _entry_may_match(entry, [("c", "=", "7")])  # str vs int bloom: kept
+    # same-type semantics still prune/keep correctly
+    assert _entry_may_match(entry, [("c", "=", 7)])
+    assert not _entry_may_match(entry, [("c", "=", 999)])
+
+
+def test_bloom_canonicalizes_int_str_subclasses():
+    """IntEnum / str-subclass predicate values hash like the plain
+    values read back from parquet -- no false-negative prune."""
+    import enum
+
+    class Status(enum.IntEnum):
+        OK = 7
+
+    class MyStr(str):
+        pass
+
+    int_bloom = _build_bloom([7])
+    assert _entry_may_match({"blooms": {"c": int_bloom}}, [("c", "=", Status.OK)])
+    str_bloom = _build_bloom(["x"])
+    assert _entry_may_match({"blooms": {"c": str_bloom}}, [("c", "=", MyStr("x"))])
+    # and building FROM subclass values matches plain probes
+    assert _entry_may_match({"blooms": {"c": _build_bloom([Status.OK])}}, [("c", "=", 7)])
+
+
+def test_bloom_unsafe_or_mixed_columns_yield_no_bloom():
+    assert _build_bloom([1.5, 2.5]) is None  # floats: lossy canonicalization
+    assert _build_bloom([1, "a"]) is None  # mixed types
+    assert _build_bloom([True, False]) is None  # bool: distinct SQL type
+    assert _build_bloom([None, None]) is None  # all-null: no information

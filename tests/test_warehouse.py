@@ -105,6 +105,58 @@ def test_merge_delete(spark, wh):
     assert got == {("a", 1), ("c", 3)}
 
 
+def test_merge_delete_is_partition_confined(spark, wh):
+    """A merge whose deletes all live in one partition rewrites ONLY that
+    partition: every other partition's manifest file entries carry over
+    byte-identical (round 2 conservatively rewrote the whole table on any
+    delete -- at 100 TB with CDC REMOVEs that is the difference between
+    rewriting ~1 partition and rewriting the table)."""
+    import json
+
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert(
+        "ns",
+        "t",
+        _df(spark, [("a", "d1", 1), ("b", "d2", 2), ("c", "d3", 3), ("d", "d3", 4)]),
+    )
+    tdir = wh._table_dir("ns", "t")
+    v1 = {e["path"]: e for e in wh._manifest(tdir, 1)}
+    # delete-only batch, both keys in d3
+    batch = spark.createDataFrame(
+        [("c", "d3", 0, True), ("d", "d3", 0, True)],
+        schema="id string, day string, v long, _delete boolean",
+    )
+    wh.merge_upsert("ns", "t", batch, delete_col="_delete")
+    v2 = {e["path"]: e for e in wh._manifest(tdir, 2)}
+    for path, entry in v1.items():
+        if "_p=d3" in path:
+            assert path not in v2  # the touched partition was rewritten
+        else:
+            # untouched partitions: same file, byte-identical entry
+            assert json.dumps(v2[path], sort_keys=True) == json.dumps(
+                entry, sort_keys=True
+            )
+    got = {(r.id, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", 1), ("b", 2)}
+
+
+def test_merge_delete_missing_key_touches_nothing(spark, wh):
+    """A delete for an absent key must not rewrite any partition."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d2", 2)]))
+    tdir = wh._table_dir("ns", "t")
+    v1 = {e["path"] for e in wh._manifest(tdir, 1)}
+    batch = spark.createDataFrame(
+        [("zzz", "d9", 0, True)],
+        schema="id string, day string, v long, _delete boolean",
+    )
+    wh.merge_upsert("ns", "t", batch, delete_col="_delete")
+    v2 = {e["path"] for e in wh._manifest(tdir, 2)}
+    assert v1 == v2
+
+
 def test_time_travel_and_history(spark, wh):
     wh.create_namespace("ns")
     wh.create_table("ns", "t", SCHEMA, key="id")
