@@ -67,6 +67,9 @@ _MODULES = (
 # text_chunk -> text_pii_redaction, udf_vector_norm -> sequence_pack,
 # multimodal_audio_stats -> stream_static_enrich; the demoted variants'
 # families keep in-window representatives and stay pytest-oracle-checked.
+# Round-3 swaps (VERDICT r2 #5 -- certify the transactional-DML surface):
+# dedup_simhash -> warehouse_delete_update, similarity_label_stats ->
+# warehouse_snapshots_meta; dedup keeps 5 in-window reps, similarity 2.
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
@@ -91,13 +94,11 @@ _PRIORITY = (
     # LLM-data: dedup + similarity search
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding",
     "dedup_connected_components",
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
-    "similarity_label_stats",
     # text analysis + curation
     "text_token_stats",
     "text_quality_score",
@@ -110,9 +111,11 @@ _PRIORITY = (
     # multimodal plumbing
     "multimodal_image_features",
     "stream_static_enrich",
-    # ingest chain + warehouse MERGE + time travel
+    # ingest chain + warehouse MERGE/DML/metadata + time travel
     "cdc_pipeline",
     "warehouse_merge_roundtrip",
+    "warehouse_delete_update",
+    "warehouse_snapshots_meta",
     "warehouse_time_travel",
     # event-time windows + custom state
     "window_tumbling",
