@@ -484,22 +484,82 @@ _CC_JACCARD = 0.2
 _CC_MAX_ITERS = 50
 
 
+def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 -- a published algorithm, reimplemented here on
+    DataFrames). Input: ``edges(src, dst)`` in either/both directions;
+    output: ``(node, comp)`` for every node appearing in an edge, where
+    ``comp`` is the minimum node id in its component.
+
+    Why stars instead of min-label propagation: propagation needs
+    O(diameter) rounds, so an adversarial chain component of n nodes
+    costs n rounds of shuffles; the star alternation contracts path
+    lengths geometrically and converges in O(log n) rounds for ANY
+    component shape (the property tests pin a 300-node chain at <= 12
+    rounds). Each round is two keyed aggregations + joins -- shuffle
+    volume stays O(|edges|), and every round localCheckpoints the
+    (candidate-bounded, not corpus-bounded) edge frame to cut lineage.
+
+    - large-star(u): attach every neighbor v > u to m = min(N(u) + {u})
+    - small-star(u): attach every neighbor v <= u (and u) to that min
+    Fixpoint: every component is a star centered on its min node, so the
+    edge set IS the labeling.
+    """
+    u, v, m = F.col("u"), F.col("v"), F.col("m")
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .where(u != v)
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # large-star over the symmetric neighborhood
+        sym = e.union(e.select(v.alias("u"), u.alias("v")))
+        lmins = sym.groupBy("u").agg(F.min(F.least(u, v)).alias("m"))
+        e_ls = (
+            sym.where(v > u)
+            .join(lmins, "u")
+            .select(v.alias("u"), m.alias("v"))
+            .where(u != v)
+            .distinct()
+        )
+        # small-star over canonical (u > v) edges: all neighbors are smaller
+        smins = e_ls.groupBy("u").agg(F.min(v).alias("m"))
+        new_e = (
+            e_ls.join(smins, "u")
+            .select(v.alias("a"), m.alias("b"))
+            .union(smins.select(u.alias("a"), m.alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .localCheckpoint()
+        )
+        converged = (
+            new_e.count() == e.count() and new_e.exceptAll(e).isEmpty()
+        )
+        e = new_e
+        if converged:
+            break
+    else:
+        raise RuntimeError("connected components did not converge")
+    roots = e.select(v.alias("node")).distinct().withColumn("comp", F.col("node"))
+    return e.select(u.alias("node"), v.alias("comp")).union(roots)
+
+
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the MinHash duplicate graph: every document
     mapped to its component id (the minimum doc_id it is connected to),
     so "keep one per cluster" survives chains a -> b -> c where (a, c)
     were never a direct candidate pair.
 
-    This is the engine's iterative-algorithm surface: min-label
-    propagation (each round a node adopts the smallest label among
-    itself and its neighbors) run as a driver-side loop over DataFrames
-    until a fixpoint, converging in O(component diameter) rounds --
-    duplicate clusters are shallow, so single-digit rounds in practice.
-    Only nodes that appear in a duplicate pair iterate (the hot set is
-    |candidates|, not |corpus|); singleton documents bypass the loop
-    entirely. Each round localCheckpoints the (tiny) label frame to cut
-    lineage. At extreme component sizes swap the propagation step for
-    the large-star/small-star formulation -- same fixpoint.
+    This is the engine's iterative-algorithm surface: the reusable
+    :func:`connected_components` large-star/small-star loop, O(log n)
+    rounds at any component shape. Only nodes that appear in a
+    duplicate pair iterate (the hot set is |candidates|, not |corpus|);
+    singleton documents bypass the loop entirely.
 
     The oracle replays the closure with a recursive CTE over the same
     verified pair set (exact shingle Jaccard >= 0.2), so the component
@@ -510,40 +570,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _CC_JACCARD)
         .select("doc_a", "doc_b")
     )
-    edges = (
+    labels = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("comp", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    for _ in range(_CC_MAX_ITERS):
-        neighbor_min = edges.join(
-            labels, edges.dst == labels.doc_id
-        ).groupBy("src").agg(F.min("comp").alias("nmin"))
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src)
-            .select(
-                "doc_id", F.least(F.col("comp"), F.col("nmin")).alias("comp")
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError("connected components did not converge")
+    ).select(F.col("node").alias("doc_id"), F.col("comp"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     singletons = docs.join(labels, "doc_id", "left_anti").withColumn(
         "comp", F.col("doc_id")
