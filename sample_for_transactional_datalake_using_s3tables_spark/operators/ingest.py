@@ -554,6 +554,50 @@ GROUP BY event_type
 """
 
 
+def warehouse_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Access-control roundtrip (D8 -- the reference's LakeFormation
+    grants, stack/lakeformation.py:186-243): load events into a table,
+    grant a consumer principal column-restricted SELECT with a row
+    filter (data-cell filter), and read AS that principal. The grant's
+    projection and predicate are enforced by the engine (and reach the
+    scan as real pruning); the oracle recomputes the governed view
+    directly, so a hash match certifies enforcement semantics. An
+    ungranted principal raising PermissionError is asserted inline."""
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_grants_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id", partition_by="event_type"
+        )
+        wh.insert("q", "state", events)
+        wh.grant("pipeline", "q", "state", permissions=("ALL",))
+        wh.grant(
+            "consumer",
+            "q",
+            "state",
+            permissions=("SELECT",),
+            columns=["event_id", "event_type"],
+            row_filter="event_id % 3 = 0",
+        )
+        try:
+            wh.read_as("stranger", "q", "state")
+            raise AssertionError("ungranted read must be denied")
+        except PermissionError:
+            pass
+        governed = wh.read_as("consumer", "q", "state")
+        return _lazy_snapshot(spark, root, governed)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_GRANTS_SQL = """
+SELECT event_id, event_type FROM events WHERE event_id % 3 = 0
+"""
+
+
 QUERIES = {
     "cdc_pipeline": cdc_pipeline,
     "warehouse_merge_roundtrip": warehouse_merge_roundtrip,
@@ -564,6 +608,7 @@ QUERIES = {
     "warehouse_hidden_partitioning": warehouse_hidden_partitioning,
     "warehouse_incremental_agg": warehouse_incremental_agg,
     "warehouse_data_skipping": warehouse_data_skipping,
+    "warehouse_grants": warehouse_grants,
 }
 
 ORACLES = {
@@ -576,4 +621,5 @@ ORACLES = {
     "warehouse_hidden_partitioning": WAREHOUSE_HIDDEN_PARTITIONING_SQL,
     "warehouse_incremental_agg": WAREHOUSE_INCREMENTAL_AGG_SQL,
     "warehouse_data_skipping": WAREHOUSE_DATA_SKIPPING_SQL,
+    "warehouse_grants": WAREHOUSE_GRANTS_SQL,
 }

@@ -859,6 +859,160 @@ class Warehouse:
         self._publish(tdir, version + 1, untouched + new_files, schema=meta["schema"])
         return {"version": version + 1, "updated_rows": n_updated}
 
+    # -- access control (D8: the reference's LakeFormation grants,
+    # stack/lakeformation.py:186-243 -- ALL to the pipeline role on the
+    # table, DESCRIBE on the resource link, SELECT/DESCRIBE to query
+    # principals). Re-expressed as engine-enforced grants: permissions
+    # are catalog metadata; every *_as entry point checks them before
+    # planning. Column grants become the read's projection (Catalyst
+    # prunes the scan to the granted columns) and row filters become a
+    # pushed predicate (LakeFormation data-cell-filter analog), so
+    # enforcement composes with pruning instead of post-filtering.
+    # Like LakeFormation, this governs access THROUGH the engine; it is
+    # not OS-level file security. --
+
+    _GRANTS_FILE = "_grants.json"
+    _PERMS = ("ALL", "SELECT", "DESCRIBE", "INSERT")
+    # ALL implies every other permission (reference grants ALL to the
+    # pipeline role and narrower sets to consumers)
+    _IMPLIED = {"ALL": {"ALL", "SELECT", "DESCRIBE", "INSERT"}}
+
+    def _grants_path(self, ns: str, table: str | None) -> str:
+        base = os.path.join(self.root, self._resolve_ns(ns))
+        if table is not None:
+            base = os.path.join(base, table)
+        return os.path.join(base, self._GRANTS_FILE)
+
+    def _load_grants(self, ns: str, table: str | None) -> dict:
+        path = self._grants_path(ns, table)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def grant(
+        self,
+        principal: str,
+        ns: str,
+        table: str | None = None,
+        permissions: tuple[str, ...] = ("SELECT",),
+        columns: list[str] | None = None,
+        row_filter: str | None = None,
+    ) -> None:
+        """Grant ``permissions`` on a table (or, with ``table=None``, a
+        namespace -- the resource-link DESCRIBE pattern). ``columns``
+        restricts SELECT to a projection; ``row_filter`` is a SQL
+        predicate the read enforces (data-cell filter). Re-granting a
+        principal replaces its grant."""
+        bad = [p for p in permissions if p not in self._PERMS]
+        if bad:
+            raise ValueError(f"unknown permissions {bad}; valid: {self._PERMS}")
+        if table is not None:
+            meta_schema = self.schema(ns, table)  # raises if table absent
+            unknown = [c for c in columns or [] if c not in meta_schema.fieldNames()]
+            if unknown:
+                raise ValueError(f"granted columns not in schema: {unknown}")
+        elif not os.path.isdir(os.path.join(self.root, self._resolve_ns(ns))):
+            raise FileNotFoundError(ns)
+        grants = self._load_grants(ns, table)
+        grants[principal] = {
+            "permissions": sorted(set(permissions)),
+            "columns": columns,
+            "row_filter": row_filter,
+        }
+        path = self._grants_path(ns, table)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(grants, f, indent=1)
+        os.replace(tmp, path)  # atomic: readers see old or new, never torn
+
+    def revoke(self, principal: str, ns: str, table: str | None = None) -> None:
+        grants = self._load_grants(ns, table)
+        if principal not in grants:
+            return
+        del grants[principal]
+        path = self._grants_path(ns, table)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(grants, f, indent=1)
+        os.replace(tmp, path)
+
+    def _effective_grant(
+        self, principal: str, ns: str, table: str | None, perm: str
+    ) -> dict | None:
+        """The grant authorizing ``perm``, table-level first, then the
+        namespace level (a namespace grant covers its tables, like a
+        database-level LakeFormation permission)."""
+        for scope in ((ns, table), (ns, None)) if table is not None else ((ns, None),):
+            g = self._load_grants(*scope).get(principal)
+            if g is None:
+                continue
+            held = set()
+            for p in g["permissions"]:
+                held |= self._IMPLIED.get(p, {p})
+            if perm in held:
+                return g
+        return None
+
+    def check(self, principal: str, ns: str, table: str | None, perm: str) -> bool:
+        return self._effective_grant(principal, ns, table, perm) is not None
+
+    def grants_df(self, ns: str, table: str | None = None) -> DataFrame:
+        """Grants as a queryable metadata table (audit surface)."""
+        rows = [
+            (
+                principal,
+                ",".join(g["permissions"]),
+                ",".join(g["columns"]) if g["columns"] else None,
+                g["row_filter"],
+            )
+            for principal, g in sorted(self._load_grants(ns, table).items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "principal STRING, permissions STRING, columns STRING, row_filter STRING"
+        )
+
+    def list_tables_as(self, principal: str, ns: str) -> list[str]:
+        """Tables the principal can see (DESCRIBE or stronger)."""
+        return [
+            t
+            for t in self.list_tables(ns)
+            if self._effective_grant(principal, ns, t, "DESCRIBE") is not None
+            or self._effective_grant(principal, ns, t, "SELECT") is not None
+        ]
+
+    def read_as(self, principal: str, ns: str, table: str, **kwargs) -> DataFrame:
+        """Permission-enforced read: requires SELECT; applies the
+        grant's column projection (scan prunes to granted columns) and
+        row filter (predicate, composes with parquet pushdown). All
+        ``read`` kwargs (version, partition_filter, predicates) pass
+        through, so time travel is governed too."""
+        g = self._effective_grant(principal, ns, table, "SELECT")
+        if g is None:
+            raise PermissionError(f"{principal} lacks SELECT on {ns}.{table}")
+        df = self.read(ns, table, **kwargs)
+        if g["row_filter"]:
+            df = df.filter(F.expr(g["row_filter"]))
+        if g["columns"]:
+            df = df.select(*g["columns"])
+        return df
+
+    def insert_as(
+        self, principal: str, ns: str, table: str, df: DataFrame, **kwargs
+    ) -> int:
+        """Permission-enforced append (Firehose-role path: the reference
+        grants the pipeline role ALL on the target table)."""
+        if self._effective_grant(principal, ns, table, "INSERT") is None:
+            raise PermissionError(f"{principal} lacks INSERT on {ns}.{table}")
+        return self.insert(ns, table, df, **kwargs)
+
+    def merge_upsert_as(
+        self, principal: str, ns: str, table: str, source: DataFrame, **kwargs
+    ) -> int:
+        if self._effective_grant(principal, ns, table, "ALL") is None:
+            raise PermissionError(f"{principal} lacks ALL on {ns}.{table}")
+        return self.merge_upsert(ns, table, source, **kwargs)
+
     def compact(
         self,
         ns: str,
