@@ -402,14 +402,105 @@ class Warehouse:
         if field.name in schema.fieldNames():
             raise ValueError(f"column {field.name} already exists")
         meta["schema"] = json.loads(StructType([*schema.fields, field]).json())
-        # atomic swap of the schema file (readers see old or new, never torn)
+        # column mapping: the new column's physical name must not collide
+        # with any physical name that may exist in data files -- live
+        # columns' physical names (a rename could have freed the logical
+        # name but not the physical one) or retired (dropped) ones. A
+        # collision would resurrect stale bytes; a fresh suffix prevents
+        # it (the Iceberg field-id guarantee).
+        phys = dict(meta.get("physical") or {})
+        taken = {phys.get(f.name, f.name) for f in schema.fields}
+        taken |= set(meta.get("retired_physical", []))
+        if field.name in taken:
+            phys[field.name] = f"{field.name}__{uuid.uuid4().hex[:8]}"
+            meta["physical"] = phys
+        self._swap_table_meta(tdir, meta)
+
+    def rename_column(self, ns: str, table: str, old: str, new: str) -> None:
+        """Metadata-only column rename (Iceberg RENAME COLUMN): data
+        files keep the column's immutable PHYSICAL name; only the
+        logical schema changes, so no files are rewritten and the rename
+        is O(1) at any table size. The mapping is snapshot-bound: time
+        travel to pre-rename versions shows the historical name and
+        still reads the same physical bytes. Key / partition-source /
+        required references follow the rename."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        schema = StructType.fromJson(meta["schema"])
+        if old not in schema.fieldNames():
+            raise ValueError(f"column {old} does not exist")
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new} already exists")
+        from pyspark.sql.types import StructField
+
+        phys = dict(meta.get("physical") or {})
+        phys[new] = phys.pop(old, old)  # physical name never changes
+        meta["physical"] = phys
+        meta["schema"] = json.loads(
+            StructType(
+                [
+                    StructField(new, f.dataType, f.nullable)
+                    if f.name == old
+                    else f
+                    for f in schema.fields
+                ]
+            ).json()
+        )
+        if meta.get("key") == old:
+            meta["key"] = new
+        meta["required"] = [new if c == old else c for c in meta.get("required", [])]
+        pb = meta.get("partition_by")
+        if pb:
+            m = _TRANSFORM_RE.match(pb)
+            if pb == old:
+                meta["partition_by"] = new
+            elif m and m.group(3) == old:
+                n = f"{m.group(2)}, " if m.group(2) else ""
+                meta["partition_by"] = f"{m.group(1)}({n}{new})"
+        self._swap_table_meta(tdir, meta)
+
+    def drop_column(self, ns: str, table: str, name: str) -> None:
+        """Metadata-only column drop (Iceberg DROP COLUMN): the logical
+        schema loses the field; data files are untouched (readers simply
+        never project the physical column again). The name is retired so
+        a future add_column of the same name maps to a FRESH physical
+        column instead of resurrecting stale bytes."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        schema = StructType.fromJson(meta["schema"])
+        if name not in schema.fieldNames():
+            raise ValueError(f"column {name} does not exist")
+        if meta.get("key") == name:
+            raise ValueError("cannot drop the table key column")
+        if name in meta.get("required", []):
+            raise ValueError("cannot drop a required column")
+        pb = meta.get("partition_by")
+        if pb:
+            m = _TRANSFORM_RE.match(pb)
+            src = m.group(3) if m else pb
+            if src == name:
+                raise ValueError("cannot drop the partition source column")
+        phys = dict(meta.get("physical") or {})
+        retired = list(meta.get("retired_physical", []))
+        retired.append(phys.pop(name, name))
+        meta["physical"] = phys
+        meta["retired_physical"] = sorted(set(retired))
+        meta["schema"] = json.loads(
+            StructType([f for f in schema.fields if f.name != name]).json()
+        )
+        self._swap_table_meta(tdir, meta)
+
+    def _swap_table_meta(self, tdir: str, meta: dict) -> None:
+        """Atomically swap the table metadata file and publish a
+        metadata-only snapshot binding the new schema + column mapping
+        (rebases trivially onto any concurrent tip)."""
         tmp = os.path.join(tdir, f".tmp-schema-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
         os.replace(tmp, os.path.join(tdir, _SCHEMA_FILE))
-        version = self._versions(tdir)[-1]
-        self._publish(
-            tdir, version + 1, self._manifest(tdir, version), schema=meta["schema"]
+        self._publish_append(
+            tdir, self._versions(tdir)[-1], [], schema=meta["schema"],
+            phys=meta.get("physical"),
         )
 
     # -- manifest chain --
@@ -432,15 +523,23 @@ class Warehouse:
         return self._manifest_doc(tdir, version)["files"]
 
     def _publish(
-        self, tdir: str, version: int, files: list[dict], schema: dict | None = None
+        self,
+        tdir: str,
+        version: int,
+        files: list[dict],
+        schema: dict | None = None,
+        phys: dict | None = None,
     ) -> None:
         """Atomic optimistic commit: link() fails if the version exists
         (the reference's versionToken CAS, scripts/update_metadata.py:135-141).
-        The manifest embeds the schema as of this commit, binding schema to
-        snapshot (Iceberg-style) so time travel sees the historical shape."""
+        The manifest embeds the schema (and the logical->physical column
+        mapping) as of this commit, binding both to the snapshot
+        (Iceberg-style) so time travel sees the historical shape."""
         doc: dict = {"version": version, "files": files}
         if schema is not None:
             doc["schema"] = schema
+        if phys:
+            doc["physical"] = phys
         tmp = os.path.join(tdir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(doc, f)
@@ -453,6 +552,83 @@ class Warehouse:
             ) from e
         finally:
             os.unlink(tmp)
+
+    # Bounded retries: optimistic concurrency should converge in one or
+    # two rounds; an unbounded loop would mask a livelock under
+    # pathological commit storms (Iceberg's commit.retry.num-retries).
+    _MAX_COMMIT_RETRIES = 10
+
+    def _publish_append(
+        self, tdir: str, read_version: int, new_files: list[dict], schema: dict,
+        overwrite: bool = False, phys: dict | None = None,
+    ) -> int:
+        """Publish an append (or overwrite), rebasing onto the tip on a
+        concurrent commit: an append conflicts with nothing -- its file
+        set is disjoint by construction -- so losing the version race
+        just means re-targeting the next version with the newest base
+        manifest (Iceberg fast-append retry). The data files are written
+        once; only the (tiny) manifest publish retries."""
+        version = read_version
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            base = [] if overwrite else self._manifest(tdir, version)
+            try:
+                self._publish(
+                    tdir, version + 1, base + new_files, schema=schema, phys=phys
+                )
+                return version + 1
+            except CommitConflictError:
+                version = self._versions(tdir)[-1]
+        raise CommitConflictError(
+            f"append lost {self._MAX_COMMIT_RETRIES} version races; giving up"
+        )
+
+    def _publish_rewrite(
+        self,
+        tdir: str,
+        read_version: int,
+        touched: set[str] | None,
+        rewrite: list[dict],
+        untouched: list[dict],
+        new_files: list[dict],
+        schema: dict,
+        phys: dict | None = None,
+    ) -> int:
+        """Publish a partition-level rewrite with Iceberg-style conflict
+        validation. ``touched`` is the set of partition keys this commit
+        rewrote (None = whole-table scope, e.g. an unpartitioned table).
+
+        On a concurrent commit: if the touched scope is UNCHANGED since
+        ``read_version`` (same file paths -- nobody added to or rewrote
+        our partitions), the commit rebases: untouched entries are
+        re-taken from the tip (keeping the concurrent commit's effects in
+        other partitions) and the publish retries at tip+1. If the scope
+        DID change, our rewrite was computed from stale inputs and
+        retrying would silently drop the concurrent writer's rows --
+        raise CommitConflictError so the caller re-runs on the new
+        snapshot (serializable-conflict semantics, Iceberg's
+        validate-no-conflicting-files)."""
+
+        def in_scope(e: dict) -> bool:
+            return touched is None or _part_key(e["partition"]) in touched
+
+        mine = {e["path"] for e in rewrite}
+        version = read_version
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            try:
+                self._publish(
+                    tdir, version + 1, untouched + new_files, schema=schema, phys=phys
+                )
+                return version + 1
+            except CommitConflictError:
+                tip = self._versions(tdir)[-1]
+                tip_entries = self._manifest(tdir, tip)
+                if {e["path"] for e in tip_entries if in_scope(e)} != mine:
+                    raise
+                version = tip
+                untouched = [e for e in tip_entries if not in_scope(e)]
+        raise CommitConflictError(
+            f"rewrite lost {self._MAX_COMMIT_RETRIES} version races; giving up"
+        )
 
     # -- data plane --
 
@@ -493,6 +669,7 @@ class Warehouse:
         df: DataFrame,
         partition_by: str | None,
         bloom_col: str | None = None,
+        phys: dict | None = None,
     ) -> list[dict]:
         """Write a batch into a fresh commit dir; return file entries
         with per-file record counts and column min/max read from the
@@ -511,13 +688,22 @@ class Warehouse:
         per-file metrics)."""
         commit_id = uuid.uuid4().hex[:12]
         stage = os.path.join(tdir, "data", commit_id)
+        phys = phys or {}
         pexpr = self._partition_expr(partition_by, df.schema)
+        # data files always store PHYSICAL names (column-mapping: renames
+        # stay metadata-only); the partition expr binds logical names, so
+        # derive _p first, then rename
+        out = df.withColumn("_p", pexpr) if pexpr is not None else df
+        out = out.select(
+            *[F.col(c).alias(phys.get(c, c)) for c in df.columns],
+            *(["_p"] if pexpr is not None else []),
+        )
         if pexpr is not None:
-            # derive the partition value; the path column never joins the
-            # table schema (hidden partitioning)
-            df.withColumn("_p", pexpr).write.partitionBy("_p").parquet(stage)
+            # the path column never joins the table schema (hidden
+            # partitioning)
+            out.write.partitionBy("_p").parquet(stage)
         else:
-            df.write.parquet(stage)
+            out.write.parquet(stage)
         paths: list[tuple[str, str | None]] = []
         for dirpath, _dirs, files in os.walk(stage):
             part = None
@@ -533,6 +719,8 @@ class Warehouse:
         if not paths:
             return []
         key_col = bloom_col if (bloom_col and bloom_col in df.columns) else None
+        if key_col:
+            key_col = phys.get(key_col, key_col)  # files store physical names
         sc = self.spark.sparkContext
         n_slices = max(1, min(len(paths), sc.defaultParallelism))
         metas = (
@@ -552,12 +740,36 @@ class Warehouse:
             entries.append({"path": os.path.relpath(full, tdir), **m})
         return entries
 
-    def _read_files(self, tdir: str, entries: list[dict], schema: StructType) -> DataFrame:
+    def _read_files(
+        self,
+        tdir: str,
+        entries: list[dict],
+        schema: StructType,
+        phys: dict | None = None,
+    ) -> DataFrame:
+        """Read file entries under the LOGICAL schema. ``phys`` maps
+        logical -> physical column names (column-mapping evolution:
+        renames are metadata-only because data files always store
+        physical names, which never change)."""
         if not entries:
             return self.spark.createDataFrame([], schema)
+        phys = phys or {}
+        from pyspark.sql.types import StructField
+
         paths = [os.path.join(tdir, e["path"]) for e in entries]
-        df = self.spark.read.schema(schema).parquet(*paths)
-        return df.select(*[f.name for f in schema.fields])
+        phys_schema = StructType(
+            [
+                StructField(phys.get(f.name, f.name), f.dataType, True)
+                for f in schema.fields
+            ]
+        )
+        df = self.spark.read.schema(phys_schema).parquet(*paths)
+        return df.select(
+            *[
+                F.col(phys.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
 
     def plan_files(
         self,
@@ -586,9 +798,20 @@ class Warehouse:
             keep = {_part_key(p) for p in partition_filter}
             entries = [e for e in entries if _part_key(e["partition"]) in keep]
         if predicates:
-            entries = [e for e in entries if _entry_may_match(e, predicates)]
+            # file stats/blooms are keyed by PHYSICAL column names;
+            # translate the (logical) predicate columns via the
+            # snapshot's column mapping before matching
+            phys = self._snapshot_phys(doc, meta)
+            tr = [(phys.get(c, c), op, v) for c, op, v in predicates]
+            entries = [e for e in entries if _entry_may_match(e, tr)]
         schema = StructType.fromJson(doc.get("schema", meta["schema"]))
         return entries, schema
+
+    @staticmethod
+    def _snapshot_phys(doc: dict, meta: dict) -> dict:
+        """Logical->physical column map bound to a snapshot (falls back
+        to the table's current map for pre-mapping manifests)."""
+        return doc.get("physical") or meta.get("physical") or {}
 
     def read(
         self,
@@ -611,7 +834,11 @@ class Warehouse:
         entries, schema = self.plan_files(
             ns, table, version, partition_filter, predicates
         )
-        df = self._read_files(self._table_dir(ns, table), entries, schema)
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        v = version if version is not None else self._versions(tdir)[-1]
+        phys = self._snapshot_phys(self._manifest_doc(tdir, v), meta)
+        df = self._read_files(tdir, entries, schema, phys=phys)
         for col, op, value in predicates or []:
             expr = {
                 "=": F.col(col) == F.lit(value),
@@ -640,12 +867,13 @@ class Warehouse:
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
         new_files = self._write_files(
-            tdir, self._validated(df, meta), meta["partition_by"], bloom_col=meta.get("key")
+            tdir, self._validated(df, meta), meta["partition_by"],
+            bloom_col=meta.get("key"), phys=meta.get("physical"),
         )
-        version = self._versions(tdir)[-1] + 1
-        base = [] if overwrite else self._manifest(tdir, version - 1)
-        self._publish(tdir, version, base + new_files, schema=meta["schema"])
-        return version
+        return self._publish_append(
+            tdir, self._versions(tdir)[-1], new_files, meta["schema"],
+            overwrite=overwrite, phys=meta.get("physical"),
+        )
 
     def merge_upsert(
         self,
@@ -716,9 +944,9 @@ class Warehouse:
                 match_keys = source.select(key).distinct()
                 if deletes is not None:
                     match_keys = match_keys.union(deletes).distinct()
-                probe = self._read_files(tdir, remaining, schema).select(
-                    key, pexpr.alias("_p")
-                )
+                probe = self._read_files(
+                    tdir, remaining, schema, phys=meta.get("physical")
+                ).select(key, pexpr.alias("_p"))
                 hit = (
                     probe.join(match_keys, key, "left_semi")
                     .select("_p")
@@ -732,7 +960,7 @@ class Warehouse:
             rewrite = [e for e in entries if _part_key(e["partition"]) in touched]
         else:
             untouched, rewrite = [], entries
-        current = self._read_files(tdir, rewrite, schema)
+        current = self._read_files(tdir, rewrite, schema, phys=meta.get("physical"))
 
         merged = current.alias("t").join(
             source.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full"
@@ -750,9 +978,13 @@ class Warehouse:
         if deletes is not None:
             merged = merged.join(deletes, key, "left_anti")
 
-        new_files = self._write_files(tdir, merged, pcol, bloom_col=key)
-        self._publish(tdir, version + 1, untouched + new_files, schema=meta["schema"])
-        return version + 1
+        new_files = self._write_files(
+            tdir, merged, pcol, bloom_col=key, phys=meta.get("physical")
+        )
+        return self._publish_rewrite(
+            tdir, version, touched if pcol else None, rewrite, untouched,
+            new_files, meta["schema"], phys=meta.get("physical"),
+        )
 
     def _touched_by_predicate(
         self, tdir: str, meta: dict, predicate, count_matches: bool = False
@@ -774,13 +1006,15 @@ class Warehouse:
             n_match = None
             if count_matches and entries:
                 n_match = (
-                    self._read_files(tdir, entries, schema).filter(predicate).count()
+                    self._read_files(tdir, entries, schema, phys=meta.get("physical"))
+                    .filter(predicate)
+                    .count()
                 )
             elif count_matches:
                 n_match = 0
             return [], entries, schema, version, n_match
         pexpr = self._partition_expr(pcol, schema)
-        probe = self._read_files(tdir, entries, schema)
+        probe = self._read_files(tdir, entries, schema, phys=meta.get("physical"))
         per_part = (
             probe.filter(predicate)
             .groupBy(pexpr.alias("_p"))
@@ -809,17 +1043,22 @@ class Warehouse:
             return {"version": version, "deleted_rows": 0}
         # NULL predicate results keep the row (SQL DELETE semantics:
         # delete only where the predicate is TRUE)
-        kept = self._read_files(tdir, rewrite, schema).filter(
-            ~F.coalesce(predicate, F.lit(False))
-        )
+        kept = self._read_files(
+            tdir, rewrite, schema, phys=meta.get("physical")
+        ).filter(~F.coalesce(predicate, F.lit(False)))
         new_files = self._write_files(
-            tdir, kept, meta["partition_by"], bloom_col=meta.get("key")
+            tdir, kept, meta["partition_by"], bloom_col=meta.get("key"),
+            phys=meta.get("physical"),
         )
         deleted = sum(e.get("records", 0) for e in rewrite) - sum(
             e.get("records", 0) for e in new_files
         )
-        self._publish(tdir, version + 1, untouched + new_files, schema=meta["schema"])
-        return {"version": version + 1, "deleted_rows": deleted}
+        v = self._publish_rewrite(
+            tdir, version,
+            {_part_key(e["partition"]) for e in rewrite} if meta["partition_by"] else None,
+            rewrite, untouched, new_files, meta["schema"], phys=meta.get("physical"),
+        )
+        return {"version": v, "deleted_rows": deleted}
 
     def update_where(self, ns: str, table: str, assignments: dict, predicate) -> dict:
         """Row-level UPDATE (``UPDATE t SET col = expr WHERE ...``):
@@ -839,7 +1078,7 @@ class Warehouse:
         )
         if not rewrite:
             return {"version": version, "updated_rows": 0}
-        current = self._read_files(tdir, rewrite, schema)
+        current = self._read_files(tdir, rewrite, schema, phys=meta.get("physical"))
         cond = F.coalesce(predicate, F.lit(False))
         updated = current.select(
             *[
@@ -854,10 +1093,15 @@ class Warehouse:
             ]
         )
         new_files = self._write_files(
-            tdir, updated, meta["partition_by"], bloom_col=meta.get("key")
+            tdir, updated, meta["partition_by"], bloom_col=meta.get("key"),
+            phys=meta.get("physical"),
         )
-        self._publish(tdir, version + 1, untouched + new_files, schema=meta["schema"])
-        return {"version": version + 1, "updated_rows": n_updated}
+        v = self._publish_rewrite(
+            tdir, version,
+            {_part_key(e["partition"]) for e in rewrite} if meta["partition_by"] else None,
+            rewrite, untouched, new_files, meta["schema"], phys=meta.get("physical"),
+        )
+        return {"version": v, "updated_rows": n_updated}
 
     # -- access control (D8: the reference's LakeFormation grants,
     # stack/lakeformation.py:186-243 -- ALL to the pipeline role on the
@@ -1041,7 +1285,7 @@ class Warehouse:
             (rewrite if len(es) >= min_files_per_partition else keep).extend(es)
         if not rewrite:
             return version
-        df = self._read_files(tdir, rewrite, schema)
+        df = self._read_files(tdir, rewrite, schema, phys=meta.get("physical"))
         if meta["partition_by"]:
             # co-locate each partition's rows in one task -> one compacted
             # file per partition; a global coalesce(1) would funnel the
@@ -1052,10 +1296,14 @@ class Warehouse:
         if sort_by:
             df = df.sortWithinPartitions(sort_by)
         new_files = self._write_files(
-            tdir, df, meta["partition_by"], bloom_col=meta.get("key")
+            tdir, df, meta["partition_by"], bloom_col=meta.get("key"),
+            phys=meta.get("physical"),
         )
-        self._publish(tdir, version + 1, keep + new_files, schema=meta["schema"])
-        return version + 1
+        return self._publish_rewrite(
+            tdir, version,
+            {_part_key(e["partition"]) for e in rewrite} if meta["partition_by"] else None,
+            rewrite, keep, new_files, meta["schema"], phys=meta.get("physical"),
+        )
 
     def expire_snapshots(self, ns: str, table: str, keep_last: int = 1) -> dict:
         """``expire_snapshots`` analog (Iceberg table maintenance; the
@@ -1106,7 +1354,10 @@ class Warehouse:
             )
         doc = self._manifest_doc(tdir, version)
         new_version = versions[-1] + 1
-        self._publish(tdir, new_version, doc["files"], schema=doc.get("schema"))
+        self._publish(
+            tdir, new_version, doc["files"], schema=doc.get("schema"),
+            phys=doc.get("physical"),
+        )
         return new_version
 
     def history(self, ns: str, table: str) -> list[dict]:

@@ -193,6 +193,71 @@ def test_commit_conflict(spark, wh):
         wh._publish(tdir, 0, [])  # version 0 already exists
 
 
+def _inject_concurrent(wh, before_publish):
+    """Make ``wh``'s next publish lose the version race: run
+    ``before_publish()`` (a competing committer) right before the first
+    publish attempt, then restore the real publish."""
+    real = wh._publish
+    state = {"fired": False}
+
+    def racing(tdir, version, files, **kwargs):
+        if not state["fired"]:
+            state["fired"] = True
+            before_publish()
+        return real(tdir, version, files, **kwargs)
+
+    wh._publish = racing
+    return state
+
+
+def test_append_rebase_on_concurrent_commit(spark, wh):
+    """Two racing appends both land: the loser rebases onto the tip
+    (Iceberg fast-append retry) instead of surfacing a conflict."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    other = Warehouse(spark, wh.root)
+    state = _inject_concurrent(
+        wh, lambda: other.insert("ns", "t", _df(spark, [("x", "d9", 9)]))
+    )
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    assert state["fired"]
+    got = {(r.id, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {("x", 9), ("a", 1)}  # neither append was lost
+
+
+def test_rewrite_rebases_over_disjoint_partitions(spark, wh):
+    """A merge racing an append into a DIFFERENT partition rebases:
+    both effects present, no conflict surfaced."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d2", 2)]))
+    other = Warehouse(spark, wh.root)
+    _inject_concurrent(
+        wh, lambda: other.insert("ns", "t", _df(spark, [("x", "d9", 9)]))
+    )
+    wh.merge_upsert("ns", "t", _df(spark, [("a", "d1", 10)]))
+    got = {(r.id, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", 10), ("b", 2), ("x", 9)}
+
+
+def test_rewrite_conflict_on_same_partition_raises(spark, wh):
+    """A merge racing a commit that changed ITS OWN touched partition
+    must raise (retrying would silently drop the concurrent rows --
+    serializable-conflict semantics)."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d2", 2)]))
+    other = Warehouse(spark, wh.root)
+    _inject_concurrent(
+        wh, lambda: other.insert("ns", "t", _df(spark, [("a2", "d1", 7)]))
+    )
+    with pytest.raises(CommitConflictError):
+        wh.merge_upsert("ns", "t", _df(spark, [("a", "d1", 10)]))
+    # the concurrent commit's data is intact; ours was not applied
+    got = {(r.id, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", 1), ("b", 2), ("a2", 7)}
+
+
 def test_compaction(spark, wh):
     wh.create_namespace("ns")
     wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
@@ -271,6 +336,82 @@ def test_add_column_schema_evolution(spark, wh):
     assert got == {("a", 1, None), ("b", 2, 7)}
     with pytest.raises(ValueError):
         wh.add_column("ns", "t", StructField("score", LongType()))
+
+
+def test_rename_column_metadata_only(spark, wh):
+    """RENAME COLUMN is O(1): no data files rewritten (column mapping --
+    files keep the immutable physical name), values preserved, time
+    travel shows the historical name, and writes after the rename use
+    the new logical name."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d2", 2)]))
+    tdir = wh._table_dir("ns", "t")
+    files_before = {e["path"] for e in wh._manifest(tdir, 1)}
+    pre = wh.current_version("ns", "t")
+    wh.rename_column("ns", "t", "v", "amount")
+    # metadata-only: the new snapshot references exactly the same files
+    files_after = {e["path"] for e in wh._manifest(tdir, wh.current_version("ns", "t"))}
+    assert files_after == files_before
+    got = {(r.id, r.amount) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", 1), ("b", 2)}
+    # time travel: pre-rename snapshot still shows (and reads) "v"
+    old = wh.read("ns", "t", version=pre)
+    assert "v" in old.columns and "amount" not in old.columns
+    assert {(r.id, r.v) for r in old.collect()} == {("a", 1), ("b", 2)}
+    # post-rename writes merge correctly with pre-rename files
+    evolved = spark.createDataFrame([("c", "d1", 3)], schema=wh.schema("ns", "t"))
+    wh.merge_upsert("ns", "t", evolved)
+    got = {(r.id, r.amount) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+    with pytest.raises(ValueError):
+        wh.rename_column("ns", "t", "nope", "x")
+    with pytest.raises(ValueError):
+        wh.rename_column("ns", "t", "amount", "id")
+
+
+def test_rename_key_and_partition_source(spark, wh):
+    """Renaming the key or partition-source column keeps MERGE and
+    partition pruning working (references follow the rename)."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    wh.rename_column("ns", "t", "id", "pk")
+    wh.rename_column("ns", "t", "day", "bucket_day")
+    assert wh.table_meta("ns", "t")["key"] == "pk"
+    assert wh.table_meta("ns", "t")["partition_by"] == "bucket_day"
+    evolved = spark.createDataFrame([("a", "d1", 10)], schema=wh.schema("ns", "t"))
+    wh.merge_upsert("ns", "t", evolved)
+    got = {(r.pk, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", 10)}
+    pruned = wh.read("ns", "t", partition_filter=["d1"])
+    assert pruned.count() == 1
+
+
+def test_drop_column_and_no_resurrection(spark, wh):
+    """DROP COLUMN is metadata-only; re-adding the same name yields a
+    fresh (all-NULL) column, never the dropped bytes (field-id parity)."""
+    from pyspark.sql.types import LongType, StructField
+
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    pre = wh.current_version("ns", "t")
+    wh.drop_column("ns", "t", "v")
+    assert wh.schema("ns", "t").fieldNames() == ["id", "day"]
+    assert wh.read("ns", "t").columns == ["id", "day"]
+    # time travel still sees the dropped column's data
+    assert {(r.id, r.v) for r in wh.read("ns", "t", version=pre).collect()} == {
+        ("a", 1)
+    }
+    # re-add same name: old bytes must NOT resurrect
+    wh.add_column("ns", "t", StructField("v", LongType()))
+    assert {(r.id, r.v) for r in wh.read("ns", "t").collect()} == {("a", None)}
+    # protected columns
+    with pytest.raises(ValueError):
+        wh.drop_column("ns", "t", "id")
+    with pytest.raises(ValueError):
+        wh.drop_column("ns", "t", "day")
 
 
 def test_compaction_keeps_partition_layout(spark, wh):
