@@ -180,6 +180,39 @@ def _bloom_may_contain(bloom: dict, value) -> bool:
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
 
 
+_Z_BITS = 16  # per-column resolution of the interleaved Z-order key
+
+
+def _zorder_expr(ranges: list[tuple[str, float, float]]) -> F.Column:
+    """Interleaved-bit Z-order key over numeric columns (the classic
+    Morton curve): each column is scaled into ``_Z_BITS`` bits against
+    its [lo, hi] range, then bit i of column j lands at position
+    ``i*k + j``. Pure Column arithmetic -- whole-stage codegen, no UDF;
+    NULLs quantize to 0 (cluster together at the low corner)."""
+    k = len(ranges)
+    quant = []
+    for c, lo, hi in ranges:
+        span = float(hi) - float(lo) or 1.0
+        scaled = (
+            (F.col(c).cast("double") - F.lit(float(lo)))
+            / F.lit(span)
+            * F.lit(float((1 << _Z_BITS) - 1))
+        ).cast("bigint")
+        quant.append(
+            F.coalesce(
+                F.least(F.lit((1 << _Z_BITS) - 1), F.greatest(F.lit(0), scaled)),
+                F.lit(0),
+            )
+        )
+    key = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        for j, q in enumerate(quant):
+            key = key + F.shiftleft(
+                F.shiftright(q, i).bitwiseAND(F.lit(1)), i * k + j
+            )
+    return key
+
+
 def _extract_file_meta(full: str, bloom_col: str | None) -> dict:
     """Footer stats + optional key Bloom for one just-written parquet
     file. Runs ON EXECUTORS (plain function, no session capture): the
@@ -1262,16 +1295,25 @@ class Warehouse:
         ns: str,
         table: str,
         min_files_per_partition: int = 2,
-        sort_by: str | None = None,
+        sort_by: str | list[str] | None = None,
+        target_files: int | None = None,
     ) -> int:
         """rewrite_data_files analog: coalesce small files per partition
         (the reference's 1 MB/60 s Firehose buffers produce many small
         files; S3 Tables auto-compacts -- here it's an explicit call).
 
-        ``sort_by`` -- cluster rewritten rows by a column inside each
-        task (Iceberg table sort-order analog): disjoint, tight per-file
-        min/max ranges make ``read(predicates=...)`` data skipping
-        effective on that column."""
+        ``sort_by`` -- cluster rewritten rows (Iceberg table sort-order
+        analog): a single column name sorts lexicographically; a LIST of
+        numeric columns Z-orders (interleaved-bit Morton key scaled by
+        the rewrite set's manifest min/max), giving tight per-file
+        ranges on every listed column simultaneously.
+
+        ``target_files`` -- with ``sort_by``, range-split the rewrite
+        set into this many curve-disjoint files instead of one file per
+        partition, so ``read(predicates=...)`` skips files on any
+        clustered column (at 100 TB, compaction sized to ~512 MB files
+        along the Z-curve is what makes multi-dimension point/range
+        queries prune most of the table from the manifest alone)."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
         schema = StructType.fromJson(meta["schema"])
@@ -1286,15 +1328,46 @@ class Warehouse:
         if not rewrite:
             return version
         df = self._read_files(tdir, rewrite, schema, phys=meta.get("physical"))
-        if meta["partition_by"]:
+        key = None
+        if isinstance(sort_by, (list, tuple)):
+            # multi-column Z-order (Iceberg rewrite_data_files zorder):
+            # normalize each column into 16 bits using the rewrite set's
+            # OWN manifest min/max (metadata-only -- no extra data pass),
+            # interleave the bits, and cluster on the interleaved key so
+            # files get tight ranges on EVERY z-column at once -- data
+            # skipping then prunes on any of them, where a lexicographic
+            # sort only serves its prefix.
+            phys_map = meta.get("physical") or {}
+            ranges = []
+            for c in sort_by:
+                pc = phys_map.get(c, c)
+                vals = [
+                    s
+                    for s in ((e.get("stats") or {}).get(pc) for e in rewrite)
+                    if s is not None
+                ]
+                if not vals or any(
+                    isinstance(v, (str, bool)) for s in vals for v in s
+                ):
+                    raise ValueError(f"z-order needs numeric manifest stats for {c}")
+                ranges.append((c, min(s[0] for s in vals), max(s[1] for s in vals)))
+            key = _zorder_expr(ranges)
+        elif sort_by:
+            key = F.col(sort_by)
+        if key is not None and target_files and target_files > 1:
+            # split the rewrite set into target_files range-disjoint
+            # cluster files (each file owns one slice of the sort/Z
+            # curve, so its min/max are tight on the cluster columns)
+            df = df.repartitionByRange(target_files, key)
+        elif meta["partition_by"]:
             # co-locate each partition's rows in one task -> one compacted
             # file per partition; a global coalesce(1) would funnel the
             # whole rewrite set through a single task at scale
             df = df.repartition(self._partition_expr(meta["partition_by"], schema))
         else:
             df = df.coalesce(1)
-        if sort_by:
-            df = df.sortWithinPartitions(sort_by)
+        if key is not None:
+            df = df.sortWithinPartitions(key)
         new_files = self._write_files(
             tdir, df, meta["partition_by"], bloom_col=meta.get("key"),
             phys=meta.get("physical"),

@@ -771,6 +771,43 @@ def test_compact_sort_order_tightens_skipping(spark, wh):
     assert none == []
 
 
+def test_zorder_compaction_skips_on_both_columns(spark, wh):
+    """Z-order compaction (sort_by=[x, y] + target_files) yields files
+    with tight ranges on BOTH columns: a selective predicate on either
+    one prunes files at the manifest level, where a lexicographic sort
+    would only serve its leading column."""
+    schema2 = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("x", LongType()),
+            StructField("y", LongType()),
+        ]
+    )
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", schema2, key="id")
+    # 20x20 grid inserted in two interleaved halves: every file spans
+    # nearly the full range of both columns -> no skipping possible
+    rows = [(f"r{x}_{y}", x * 5, y * 5) for x in range(20) for y in range(20)]
+    df = spark.createDataFrame(rows, schema=schema2)
+    wh.insert("ns", "t", df.filter("x % 10 = 0").coalesce(1))
+    wh.insert("ns", "t", df.filter("x % 10 != 0").coalesce(1))
+    for col in ("x", "y"):
+        planned, _ = wh.plan_files("ns", "t", predicates=[(col, "<", 20)])
+        assert len(planned) == 2  # wide-range files: nothing prunes
+    wh.compact("ns", "t", min_files_per_partition=2, sort_by=["x", "y"], target_files=4)
+    all_files, _ = wh.plan_files("ns", "t")
+    assert len(all_files) >= 3  # range-split along the curve
+    for col in ("x", "y"):
+        planned, _ = wh.plan_files("ns", "t", predicates=[(col, "<", 20)])
+        assert len(planned) < len(all_files), f"no skipping on {col}"
+        got = {
+            (r.x, r.y)
+            for r in wh.read("ns", "t", predicates=[(col, "<", 20)]).collect()
+        }
+        expect = {(x, y) for (_i, x, y) in rows if (x if col == "x" else y) < 20}
+        assert got == expect  # pruning never drops matching rows
+
+
 def test_bloom_filter_point_lookup_skipping(spark, wh):
     """Key ranges overlap across files (min/max can't prune), but the
     per-file key bloom skips files for point lookups."""
