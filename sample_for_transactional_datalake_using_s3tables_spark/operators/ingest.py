@@ -554,6 +554,59 @@ GROUP BY event_type
 """
 
 
+def warehouse_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order compaction end-to-end: rows land in interleaved-range
+    commits (every file spans nearly the full domain of both grid
+    columns, so nothing prunes), then ``compact(sort_by=["gx", "gy"],
+    target_files=8)`` re-clusters the table along the Morton curve.
+    The checked output is a selective read after compaction;
+    ``skip_gx``/``skip_gy`` are the engine-side proofs that a
+    single-column predicate on EITHER clustered column now prunes files
+    at the manifest level (constant TRUE in the oracle)."""
+    # uniform 32x32 grid coordinates derived from the dense event_id, so
+    # the pruning-effectiveness assertion is distribution-robust at any SF
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 32).alias("gx"),
+        ((F.col("event_id") / 32).cast("long") % 32).alias("gy"),
+    )
+    root = tempfile.mkdtemp(prefix="wh_zorder_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table("q", "t", events.schema, key="event_id")
+        # two interleaved commits: even/odd gx stripes -> every file
+        # spans nearly the full range of BOTH grid columns
+        wh.insert("q", "t", events.filter(F.col("gx") % 2 == 0).coalesce(1))
+        wh.insert("q", "t", events.filter(F.col("gx") % 2 == 1).coalesce(1))
+        wh.compact(
+            "q", "t", min_files_per_partition=2,
+            sort_by=["gx", "gy"], target_files=8,
+        )
+        all_files, _ = wh.plan_files("q", "t")
+        gx_files, _ = wh.plan_files("q", "t", predicates=[("gx", "<", 8)])
+        gy_files, _ = wh.plan_files("q", "t", predicates=[("gy", "<", 8)])
+        skip_gx = 0 < len(gx_files) < len(all_files)
+        skip_gy = 0 < len(gy_files) < len(all_files)
+        out = (
+            wh.read("q", "t", predicates=[("gx", "<", 8)])
+            .select("event_id", "gx", "gy")
+            .withColumn("skip_gx", F.lit(bool(skip_gx)))
+            .withColumn("skip_gy", F.lit(bool(skip_gy)))
+        )
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_ZORDER_SQL = """
+SELECT event_id, event_id % 32 AS gx, (event_id // 32) % 32 AS gy,
+       TRUE AS skip_gx, TRUE AS skip_gy
+FROM events WHERE event_id % 32 < 8
+"""
+
+
 def warehouse_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Access-control roundtrip (D8 -- the reference's LakeFormation
     grants, stack/lakeformation.py:186-243): load events into a table,
@@ -609,6 +662,7 @@ QUERIES = {
     "warehouse_incremental_agg": warehouse_incremental_agg,
     "warehouse_data_skipping": warehouse_data_skipping,
     "warehouse_grants": warehouse_grants,
+    "warehouse_zorder": warehouse_zorder,
 }
 
 ORACLES = {
@@ -622,4 +676,5 @@ ORACLES = {
     "warehouse_incremental_agg": WAREHOUSE_INCREMENTAL_AGG_SQL,
     "warehouse_data_skipping": WAREHOUSE_DATA_SKIPPING_SQL,
     "warehouse_grants": WAREHOUSE_GRANTS_SQL,
+    "warehouse_zorder": WAREHOUSE_ZORDER_SQL,
 }
