@@ -507,6 +507,22 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
     edge set IS the labeling.
     """
     u, v, m = F.col("u"), F.col("v"), F.col("m")
+
+    def _checksum(df: DataFrame) -> tuple:
+        # Order-insensitive set fingerprint in ONE action: edge count +
+        # xor of 64-bit row hashes + sum of 32-bit row hashes. Equal
+        # fingerprints on two DISTINCT edge sets imply set equality up
+        # to a ~2^-96 collision -- replacing the former two-action
+        # convergence check (count + exceptAll().isEmpty()), so each
+        # round runs one job instead of two.
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)),
+                F.expr("bit_xor(xxhash64(u, v))"),
+                F.sum(F.hash("u", "v").cast("bigint")),
+            ).first()
+        )
+
     e = (
         edges.select(
             F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
@@ -515,6 +531,7 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
         .distinct()
         .localCheckpoint()
     )
+    prev = _checksum(e)
     for _ in range(max_iters):
         # large-star over the symmetric neighborhood
         sym = e.union(e.select(v.alias("u"), u.alias("v")))
@@ -537,12 +554,11 @@ def connected_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
             .select(F.col("a").alias("u"), F.col("b").alias("v"))
             .localCheckpoint()
         )
-        converged = (
-            new_e.count() == e.count() and new_e.exceptAll(e).isEmpty()
-        )
+        chk = _checksum(new_e)
         e = new_e
-        if converged:
+        if chk == prev:
             break
+        prev = chk
     else:
         raise RuntimeError("connected components did not converge")
     roots = e.select(v.alias("node")).distinct().withColumn("comp", F.col("node"))

@@ -168,7 +168,11 @@ def _bloom_bits(bloom_hex: str) -> bytes:
     return bytes.fromhex(bloom_hex)
 
 
-def _bloom_may_contain(bloom: dict, value) -> bool:
+def _bloom_may_contain(bloom, value) -> bool:
+    if isinstance(bloom, str):
+        # legacy manifest format (pre-typed blooms stored a bare hex
+        # string): degrade to no-prune instead of crashing plan_files
+        return True
     tag = _bloom_tag(value)
     if tag is None or tag != bloom.get("type"):
         return True  # cross-type predicate: bloom can't prove absence
@@ -180,32 +184,45 @@ def _bloom_may_contain(bloom: dict, value) -> bool:
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
 
 
-_Z_BITS = 16  # per-column resolution of the interleaved Z-order key
+_Z_BITS = 16  # max per-column resolution of the interleaved Z-order key
 
 
-def _zorder_expr(ranges: list[tuple[str, float, float]]) -> F.Column:
-    """Interleaved-bit Z-order key over numeric columns (the classic
-    Morton curve): each column is scaled into ``_Z_BITS`` bits against
-    its [lo, hi] range, then bit i of column j lands at position
-    ``i*k + j``. Pure Column arithmetic -- whole-stage codegen, no UDF;
-    NULLs quantize to 0 (cluster together at the low corner)."""
-    k = len(ranges)
+def _zorder_expr(axes: list[tuple[F.Column, float, float]]) -> F.Column:
+    """Interleaved-bit Z-order key (the classic Morton curve) over
+    numeric axis expressions: each ``(expr, lo, hi)`` axis is scaled
+    into ``bits`` bits against its [lo, hi] range, then bit i of axis j
+    lands at position ``i*k + j``. Pure Column arithmetic -- whole-stage
+    codegen, no UDF; NULLs quantize to 0 (cluster together at the low
+    corner).
+
+    Per-axis resolution shrinks so the interleaved key ALWAYS fits the
+    non-negative range of a signed bigint (``bits*k <= 63``): a naive
+    16-bit interleave of 4 columns would place a bit at position 63
+    (the sign), making the highest curve positions sort FIRST and
+    breaking range-split monotonicity; with more columns JVM shiftleft
+    wraps the shift mod 64 and silently corrupts the interleave."""
+    k = len(axes)
+    if k == 0:
+        raise ValueError("z-order needs at least one column")
+    bits = min(_Z_BITS, 63 // k)
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({k}); max 63")
     quant = []
-    for c, lo, hi in ranges:
+    for axis, lo, hi in axes:
         span = float(hi) - float(lo) or 1.0
         scaled = (
-            (F.col(c).cast("double") - F.lit(float(lo)))
+            (axis.cast("double") - F.lit(float(lo)))
             / F.lit(span)
-            * F.lit(float((1 << _Z_BITS) - 1))
+            * F.lit(float((1 << bits) - 1))
         ).cast("bigint")
         quant.append(
             F.coalesce(
-                F.least(F.lit((1 << _Z_BITS) - 1), F.greatest(F.lit(0), scaled)),
+                F.least(F.lit((1 << bits) - 1), F.greatest(F.lit(0), scaled)),
                 F.lit(0),
             )
         )
     key = F.lit(0).cast("bigint")
-    for i in range(_Z_BITS):
+    for i in range(bits):
         for j, q in enumerate(quant):
             key = key + F.shiftleft(
                 F.shiftright(q, i).bitwiseAND(F.lit(1)), i * k + j
@@ -526,14 +543,33 @@ class Warehouse:
     def _swap_table_meta(self, tdir: str, meta: dict) -> None:
         """Atomically swap the table metadata file and publish a
         metadata-only snapshot binding the new schema + column mapping
-        (rebases trivially onto any concurrent tip)."""
+        (its FILE LIST rebases onto any concurrent tip; the schema
+        itself never rebases -- it is the payload).
+
+        Concurrent schema ops are serialized by a CAS on a monotonic
+        ``meta_seq``: each swap links a once-only sequence marker before
+        replacing the metadata file, so of two racing evolutions exactly
+        one wins and the loser raises CommitConflictError -- instead of
+        both read-modify-writing the same base and silently dropping one
+        (the reference's versionToken guards its metadata swaps the same
+        way, scripts/update_metadata.py:135-141)."""
+        seq = int(meta.get("meta_seq", 0)) + 1
+        meta["meta_seq"] = seq
+        marker = os.path.join(tdir, _MANIFEST_DIR, f".metaseq-{seq:08d}")
         tmp = os.path.join(tdir, f".tmp-schema-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
+        try:
+            os.link(tmp, marker)
+        except FileExistsError as e:
+            os.unlink(tmp)
+            raise CommitConflictError(
+                f"schema change lost the meta_seq {seq} race; re-read and retry"
+            ) from e
         os.replace(tmp, os.path.join(tdir, _SCHEMA_FILE))
         self._publish_append(
             tdir, self._versions(tdir)[-1], [], schema=meta["schema"],
-            phys=meta.get("physical"),
+            phys=meta.get("physical"), rebase_meta=False,
         )
 
     # -- manifest chain --
@@ -591,16 +627,33 @@ class Warehouse:
     # pathological commit storms (Iceberg's commit.retry.num-retries).
     _MAX_COMMIT_RETRIES = 10
 
+    # MERGE batches up to this many distinct keys collect their key set
+    # to the driver (bounded memory: ~5k scalars) to drive manifest
+    # Bloom/min-max pruning of the match probe; larger batches probe
+    # with a distributed semi-join only.
+    _MERGE_COLLECT_KEYS_MAX = 5000
+
     def _publish_append(
         self, tdir: str, read_version: int, new_files: list[dict], schema: dict,
         overwrite: bool = False, phys: dict | None = None,
+        rebase_meta: bool = True,
     ) -> int:
         """Publish an append (or overwrite), rebasing onto the tip on a
         concurrent commit: an append conflicts with nothing -- its file
         set is disjoint by construction -- so losing the version race
         just means re-targeting the next version with the newest base
         manifest (Iceberg fast-append retry). The data files are written
-        once; only the (tiny) manifest publish retries."""
+        once; only the (tiny) manifest publish retries.
+
+        ``rebase_meta`` (default): on retry, adopt the TIP's bound
+        schema + column mapping instead of republishing the ones
+        captured at read time -- an insert that loses the race to a
+        concurrent rename/add/drop must not resurrect the pre-evolution
+        schema at tip+1. Adopting is always sound for data appends
+        because data files store immutable PHYSICAL names: whatever the
+        concurrent op renamed, the tip mapping projects this append's
+        files correctly. Schema-change publishes pass
+        ``rebase_meta=False`` -- their new schema IS the payload."""
         version = read_version
         for _ in range(self._MAX_COMMIT_RETRIES):
             base = [] if overwrite else self._manifest(tdir, version)
@@ -611,6 +664,10 @@ class Warehouse:
                 return version + 1
             except CommitConflictError:
                 version = self._versions(tdir)[-1]
+                if rebase_meta:
+                    tip_doc = self._manifest_doc(tdir, version)
+                    schema = tip_doc.get("schema", schema)
+                    phys = tip_doc.get("physical")
         raise CommitConflictError(
             f"append lost {self._MAX_COMMIT_RETRIES} version races; giving up"
         )
@@ -625,31 +682,48 @@ class Warehouse:
         new_files: list[dict],
         schema: dict,
         phys: dict | None = None,
+        rebase_validate=None,
     ) -> int:
-        """Publish a partition-level rewrite with Iceberg-style conflict
+        """Publish a file-level rewrite with Iceberg-style conflict
         validation. ``touched`` is the set of partition keys this commit
-        rewrote (None = whole-table scope, e.g. an unpartitioned table).
+        rewrote within (None = whole-table scope, e.g. an unpartitioned
+        table); ``untouched`` may contain files INSIDE the scope that
+        the rewrite carries over by reference (file-level copy-on-write).
 
-        On a concurrent commit: if the touched scope is UNCHANGED since
-        ``read_version`` (same file paths -- nobody added to or rewrote
-        our partitions), the commit rebases: untouched entries are
-        re-taken from the tip (keeping the concurrent commit's effects in
-        other partitions) and the publish retries at tip+1. If the scope
-        DID change, our rewrite was computed from stale inputs and
+        On a concurrent commit: if the in-scope file set is UNCHANGED
+        since ``read_version`` (same paths -- nobody added to or rewrote
+        our files), the commit rebases: out-of-scope entries are
+        re-taken from the tip (keeping the concurrent commit's effects
+        in other partitions) and the publish retries at tip+1. If the
+        scope DID change, our rewrite was computed from stale inputs and
         retrying would silently drop the concurrent writer's rows --
         raise CommitConflictError so the caller re-runs on the new
-        snapshot (serializable-conflict semantics, Iceberg's
-        validate-no-conflicting-files)."""
+        snapshot.
+
+        ``rebase_validate(fresh_entries) -> bool``: called on rebase
+        with the tip entries OUTSIDE the touched scope that did not
+        exist at ``read_version``. Iceberg validates conflicting data
+        files against the operation's filter TABLE-WIDE, not per touched
+        partition: a concurrent append of a matching key into an
+        untouched partition would make a keyed MERGE produce duplicates
+        (and a DELETE leave matching rows) if carried over blindly --
+        the probe that computed ``touched`` never saw those files. The
+        callback returns False when a fresh file may hold matching
+        rows, turning the rebase into a conflict."""
 
         def in_scope(e: dict) -> bool:
             return touched is None or _part_key(e["partition"]) in touched
 
-        mine = {e["path"] for e in rewrite}
+        carry_in_scope = [e for e in untouched if in_scope(e)]
+        out_scope = [e for e in untouched if not in_scope(e)]
+        mine = {e["path"] for e in rewrite} | {e["path"] for e in carry_in_scope}
+        seen_out = {e["path"] for e in out_scope}
         version = read_version
         for _ in range(self._MAX_COMMIT_RETRIES):
             try:
                 self._publish(
-                    tdir, version + 1, untouched + new_files, schema=schema, phys=phys
+                    tdir, version + 1, out_scope + carry_in_scope + new_files,
+                    schema=schema, phys=phys,
                 )
                 return version + 1
             except CommitConflictError:
@@ -657,8 +731,18 @@ class Warehouse:
                 tip_entries = self._manifest(tdir, tip)
                 if {e["path"] for e in tip_entries if in_scope(e)} != mine:
                     raise
+                fresh = [
+                    e for e in tip_entries
+                    if not in_scope(e) and e["path"] not in seen_out
+                ]
+                if fresh and rebase_validate is not None and not rebase_validate(fresh):
+                    raise CommitConflictError(
+                        "concurrent commit added possibly-matching files outside "
+                        "the rewrite scope; re-run on the new snapshot"
+                    )
                 version = tip
-                untouched = [e for e in tip_entries if not in_scope(e)]
+                out_scope = [e for e in tip_entries if not in_scope(e)]
+                seen_out = {e["path"] for e in out_scope}
         raise CommitConflictError(
             f"rewrite lost {self._MAX_COMMIT_RETRIES} version races; giving up"
         )
@@ -842,9 +926,16 @@ class Warehouse:
 
     @staticmethod
     def _snapshot_phys(doc: dict, meta: dict) -> dict:
-        """Logical->physical column map bound to a snapshot (falls back
-        to the table's current map for pre-mapping manifests)."""
-        return doc.get("physical") or meta.get("physical") or {}
+        """Logical->physical column map bound to a snapshot. Pre-mapping
+        manifests fall back to IDENTITY ({}), never the table's CURRENT
+        map: their data files were written under identity physical
+        names, and every snapshot published after a non-trivial mapping
+        existed embeds its own map via ``_publish(phys=...)``. (Falling
+        back to the current map would make time travel across a
+        drop+re-add of one column read the historical column from the
+        fresh physical name -- all NULLs -- and mistranslate
+        plan_files predicates.)"""
+        return doc.get("physical") or {}
 
     def read(
         self,
@@ -872,16 +963,25 @@ class Warehouse:
         v = version if version is not None else self._versions(tdir)[-1]
         phys = self._snapshot_phys(self._manifest_doc(tdir, v), meta)
         df = self._read_files(tdir, entries, schema, phys=phys)
-        for col, op, value in predicates or []:
-            expr = {
+        if predicates:
+            df = df.filter(self._predicate_column(predicates))
+        return df
+
+    @staticmethod
+    def _predicate_column(predicates: list[tuple]) -> F.Column:
+        """The row-filter Column equivalent of ``(col, op, value)``
+        tuple predicates (conjunction)."""
+        expr = None
+        for col, op, value in predicates:
+            c = {
                 "=": F.col(col) == F.lit(value),
                 "<": F.col(col) < F.lit(value),
                 "<=": F.col(col) <= F.lit(value),
                 ">": F.col(col) > F.lit(value),
                 ">=": F.col(col) >= F.lit(value),
             }[op]
-            df = df.filter(expr)
-        return df
+            expr = c if expr is None else (expr & c)
+        return expr if expr is not None else F.lit(True)
 
     def _validated(self, df: DataFrame, meta: dict) -> DataFrame:
         """Align to table schema; enforce NOT NULL on required fields
@@ -951,6 +1051,13 @@ class Warehouse:
         version = self._versions(tdir)[-1]
         entries = self._manifest(tdir, version)
         schema = StructType.fromJson(meta["schema"])
+        phys_map = meta.get("physical") or {}
+        phys_key = phys_map.get(key, key)
+        key_vals: set | None = None
+        match_keys = source.select(key).distinct()
+        if deletes is not None:
+            match_keys = match_keys.union(deletes).distinct()
+        self.last_merge_stats = {"manifest_files": len(entries)}
 
         if pcol:
             # Copy-on-write only the partitions the batch touches: the
@@ -960,25 +1067,61 @@ class Warehouse:
             # crosses a day boundary -- and the stale copy must be rewritten
             # out of its old partition, matching Iceberg MERGE semantics).
             pexpr = self._partition_expr(pcol, schema)
-            touched = {
-                _part_key(r[0])
-                for r in source.select(pexpr.alias("_p")).distinct().collect()
-            }
+            # Small-batch fast path (the CDC steady state: a micro-batch
+            # of a few thousand keys against a huge table): ONE bounded
+            # collect retrieves the batch's distinct (key, partition)
+            # pairs, yielding the touched partitions AND the key set for
+            # manifest-level probe pruning. Over-cap batches fall back
+            # to collecting only the partition values.
+            kp = (
+                source.select(F.col(key).alias("_k"), pexpr.alias("_p"))
+                .distinct()
+                .limit(self._MERGE_COLLECT_KEYS_MAX + 1)
+                .collect()
+            )
+            small = len(kp) <= self._MERGE_COLLECT_KEYS_MAX
+            del_vals: set = set()
+            if small and deletes is not None:
+                dk = deletes.limit(self._MERGE_COLLECT_KEYS_MAX + 1).collect()
+                small = len(dk) <= self._MERGE_COLLECT_KEYS_MAX
+                del_vals = {r[0] for r in dk} if small else set()
+            if small:
+                touched = {_part_key(r["_p"]) for r in kp}
+                key_vals = {r["_k"] for r in kp} | del_vals
+            else:
+                touched = {
+                    _part_key(r[0])
+                    for r in source.select(pexpr.alias("_p")).distinct().collect()
+                }
             remaining = [
                 e for e in entries if _part_key(e["partition"]) not in touched
             ]
-            if remaining:
+            if key_vals is not None:
+                # Manifest skipping for the match probe: a file whose
+                # min/max + key Bloom prove it holds NONE of the batch's
+                # keys never reaches the probe scan. At 100 TB a small
+                # CDC batch probes the handful of files the manifest
+                # can't rule out, not every untouched partition.
+                probe_entries = [
+                    e for e in remaining
+                    if any(
+                        _entry_may_match(e, [(phys_key, "=", v)])
+                        for v in key_vals
+                    )
+                ]
+            else:
+                probe_entries = remaining
+            self.last_merge_stats.update(
+                remaining_files=len(remaining), probed_files=len(probe_entries)
+            )
+            if probe_entries:
                 # One probe finds every partition holding a matched key --
                 # upsert keys AND delete keys together (a delete, like an
                 # update, only affects partitions that actually contain the
-                # key; round 2 conservatively rewrote the whole table on
-                # any delete). key + partition-source columns only: a
-                # pruned columnar probe, not a full-row scan.
-                match_keys = source.select(key).distinct()
-                if deletes is not None:
-                    match_keys = match_keys.union(deletes).distinct()
+                # key). key + partition-source columns only: a pruned
+                # columnar probe, not a full-row scan.
                 probe = self._read_files(
-                    tdir, remaining, schema, phys=meta.get("physical")
+                    tdir, probe_entries, schema, phys=phys_map
                 ).select(key, pexpr.alias("_p"))
                 hit = (
                     probe.join(match_keys, key, "left_semi")
@@ -1014,66 +1157,151 @@ class Warehouse:
         new_files = self._write_files(
             tdir, merged, pcol, bloom_col=key, phys=meta.get("physical")
         )
+
+        def validate_rebase(fresh: list[dict]) -> bool:
+            # A concurrent append into an untouched partition may hold a
+            # matched key the probe never saw -- carried over blindly it
+            # would produce duplicate keys (or survive a delete). Blooms
+            # pre-prune; survivors get a bounded existence probe.
+            cand = fresh
+            if key_vals is not None:
+                cand = [
+                    e for e in fresh
+                    if any(
+                        _entry_may_match(e, [(phys_key, "=", v)])
+                        for v in key_vals
+                    )
+                ]
+            if not cand:
+                return True
+            df = self._read_files(tdir, cand, schema, phys=phys_map).select(key)
+            if key_vals:
+                df = df.filter(F.col(key).isin(*key_vals))
+            else:
+                df = df.join(match_keys, key, "left_semi")
+            return df.limit(1).count() == 0
+
         return self._publish_rewrite(
             tdir, version, touched if pcol else None, rewrite, untouched,
             new_files, meta["schema"], phys=meta.get("physical"),
+            rebase_validate=validate_rebase,
         )
 
     def _touched_by_predicate(
-        self, tdir: str, meta: dict, predicate, count_matches: bool = False
-    ) -> tuple[list[dict], list[dict], StructType, int, int | None]:
+        self,
+        tdir: str,
+        meta: dict,
+        predicate,
+        predicates: list[tuple] | None = None,
+        count_matches: bool = False,
+    ) -> tuple[list[dict], list[dict], StructType, int, int | None, dict]:
         """Split the current manifest into (untouched, rewrite) for a
-        row-level predicate: one pruned probe finds the partitions that
-        actually contain matching rows; every other partition's files
-        carry over by reference (Iceberg copy-on-write DELETE/UPDATE
-        rewrites only affected files).
+        row-level predicate, at FILE granularity: manifest min/max +
+        Bloom skipping first drops every file the optional tuple
+        ``predicates`` provably can't match (the same `plan_files`
+        matching the read path uses), then ONE pruned columnar probe --
+        grouped by ``input_file_name`` -- finds the files that actually
+        hold matching rows. Everything else carries over by reference
+        (Iceberg copy-on-write DELETE/UPDATE rewrites only affected
+        files: at 100 TB, ``DELETE WHERE key = k`` probes the handful of
+        files the manifest can't rule out and rewrites ~one, never a
+        partition, never the table).
 
         ``count_matches`` also returns the matching-row count, folded
-        into the same probe scan (a groupBy count instead of distinct)
-        so UPDATE's reporting costs no second pass over the data."""
+        into the same probe scan so UPDATE's reporting costs no second
+        pass. The trailing stats dict reports ``manifest_files`` /
+        ``probed_files`` / ``rewritten_files`` -- the observable pruning
+        surface."""
         version = self._versions(tdir)[-1]
-        entries = self._manifest(tdir, version)
+        doc = self._manifest_doc(tdir, version)
+        entries = doc["files"]
         schema = StructType.fromJson(meta["schema"])
-        pcol = meta["partition_by"]
-        if not pcol or not entries:
-            n_match = None
-            if count_matches and entries:
-                n_match = (
-                    self._read_files(tdir, entries, schema, phys=meta.get("physical"))
-                    .filter(predicate)
-                    .count()
-                )
-            elif count_matches:
-                n_match = 0
-            return [], entries, schema, version, n_match
-        pexpr = self._partition_expr(pcol, schema)
-        probe = self._read_files(tdir, entries, schema, phys=meta.get("physical"))
-        per_part = (
+        phys = self._snapshot_phys(doc, meta)
+        if predicates:
+            tr = [(phys.get(c, c), op, v) for c, op, v in predicates]
+            candidates = [e for e in entries if _entry_may_match(e, tr)]
+        else:
+            candidates = entries
+        stats = {"manifest_files": len(entries), "probed_files": len(candidates)}
+        if not candidates:
+            stats["rewritten_files"] = 0
+            return entries, [], schema, version, 0 if count_matches else None, stats
+        import urllib.parse
+
+        by_abs = {
+            os.path.abspath(os.path.join(tdir, e["path"])): e for e in candidates
+        }
+        probe = self._read_files(tdir, candidates, schema, phys=phys)
+        per_file = (
             probe.filter(predicate)
-            .groupBy(pexpr.alias("_p"))
+            .groupBy(F.input_file_name().alias("_f"))
             .agg(F.count(F.lit(1)).alias("_n"))
             .collect()
         )
-        hit = {_part_key(r["_p"]) for r in per_part}
-        n_match = sum(r["_n"] for r in per_part) if count_matches else None
-        untouched = [e for e in entries if _part_key(e["partition"]) not in hit]
-        rewrite = [e for e in entries if _part_key(e["partition"]) in hit]
-        return untouched, rewrite, schema, version, n_match
+        hit = set()
+        for r in per_file:
+            p = urllib.parse.unquote(urllib.parse.urlparse(r["_f"]).path)
+            hit.add(by_abs[os.path.abspath(p)]["path"])
+        n_match = sum(r["_n"] for r in per_file) if count_matches else None
+        untouched = [e for e in entries if e["path"] not in hit]
+        rewrite = [e for e in entries if e["path"] in hit]
+        stats["rewritten_files"] = len(rewrite)
+        return untouched, rewrite, schema, version, n_match, stats
 
-    def delete_where(self, ns: str, table: str, predicate) -> dict:
-        """Row-level DELETE (``DELETE FROM t WHERE ...``): partition-level
-        copy-on-write. Partitions with no matching row are untouched
-        (their files carry over by reference); matching partitions are
-        rewritten without the matching rows. Returns the new version and
-        the exact deleted-row count (manifest record-count delta -- no
-        extra scan)."""
+    def _predicate_rebase_validator(
+        self, tdir: str, schema: StructType, phys: dict, predicate,
+        predicates: list[tuple] | None,
+    ):
+        """Rebase-safety check for row-level DML: a concurrent commit's
+        files OUTSIDE the rewrite scope are only safe to carry over if
+        none of their rows match the DML predicate (Iceberg validates
+        conflicting data files against the filter table-wide). Manifest
+        stats/Blooms pre-prune the fresh files; only survivors get a
+        bounded existence probe."""
+
+        def validate(fresh: list[dict]) -> bool:
+            if predicates:
+                tr = [(phys.get(c, c), op, v) for c, op, v in predicates]
+                fresh = [e for e in fresh if _entry_may_match(e, tr)]
+            if not fresh:
+                return True
+            df = self._read_files(tdir, fresh, schema, phys=phys)
+            return (
+                df.filter(F.coalesce(predicate, F.lit(False))).limit(1).count() == 0
+            )
+
+        return validate
+
+    @staticmethod
+    def _predicate_spec(predicate, predicates):
+        """Normalize a DML predicate: ``predicate`` may be a Column, or
+        a list of ``(col, op, value)`` tuples serving as BOTH the row
+        filter and the manifest data-skipping spec; a Column may also
+        pass ``predicates`` alongside as the skipping hint."""
+        if isinstance(predicate, (list, tuple)):
+            predicates = list(predicate)
+            predicate = Warehouse._predicate_column(predicates)
+        return predicate, predicates
+
+    def delete_where(self, ns: str, table: str, predicate, predicates=None) -> dict:
+        """Row-level DELETE (``DELETE FROM t WHERE ...``): file-level
+        copy-on-write. Files the manifest (min/max + key Bloom) proves
+        clean are never read; probed files with no matching row carry
+        over by reference; only files actually holding matches are
+        rewritten without them. ``predicate`` may be a Column or a list
+        of ``(col, op, value)`` tuples -- the tuple form (or the
+        ``predicates`` hint) is what enables manifest skipping, exactly
+        like ``read(predicates=...)``. Returns the new version, the
+        exact deleted-row count (manifest record-count delta -- no
+        extra scan), and the probe's pruning stats."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
-        untouched, rewrite, schema, version, _ = self._touched_by_predicate(
-            tdir, meta, predicate
+        predicate, predicates = self._predicate_spec(predicate, predicates)
+        untouched, rewrite, schema, version, _, stats = self._touched_by_predicate(
+            tdir, meta, predicate, predicates=predicates
         )
         if not rewrite:
-            return {"version": version, "deleted_rows": 0}
+            return {"version": version, "deleted_rows": 0, **stats}
         # NULL predicate results keep the row (SQL DELETE semantics:
         # delete only where the predicate is TRUE)
         kept = self._read_files(
@@ -1090,27 +1318,34 @@ class Warehouse:
             tdir, version,
             {_part_key(e["partition"]) for e in rewrite} if meta["partition_by"] else None,
             rewrite, untouched, new_files, meta["schema"], phys=meta.get("physical"),
+            rebase_validate=self._predicate_rebase_validator(
+                tdir, schema, meta.get("physical") or {}, predicate, predicates
+            ),
         )
-        return {"version": v, "deleted_rows": deleted}
+        return {"version": v, "deleted_rows": deleted, **stats}
 
-    def update_where(self, ns: str, table: str, assignments: dict, predicate) -> dict:
+    def update_where(
+        self, ns: str, table: str, assignments: dict, predicate, predicates=None
+    ) -> dict:
         """Row-level UPDATE (``UPDATE t SET col = expr WHERE ...``):
-        partition-level copy-on-write, same pruning as delete_where.
-        ``assignments`` maps column name -> Column expression evaluated
-        on the matching rows. If an assignment moves a row's partition
-        value, the rewrite lands it in its new partition (the write path
-        derives partition values from the data, so migration is
-        automatic)."""
+        file-level copy-on-write, same manifest pruning as delete_where
+        (``predicate`` may be tuples, enabling min/max + Bloom file
+        skipping before the probe). ``assignments`` maps column name ->
+        Column expression evaluated on the matching rows. If an
+        assignment moves a row's partition value, the rewrite lands it
+        in its new partition (the write path derives partition values
+        from the data, so migration is automatic)."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
         bad = [c for c in assignments if c not in StructType.fromJson(meta["schema"]).fieldNames()]
         if bad:
             raise ValueError(f"unknown columns in UPDATE assignments: {bad}")
-        untouched, rewrite, schema, version, n_updated = self._touched_by_predicate(
-            tdir, meta, predicate, count_matches=True
+        predicate, predicates = self._predicate_spec(predicate, predicates)
+        untouched, rewrite, schema, version, n_updated, stats = self._touched_by_predicate(
+            tdir, meta, predicate, predicates=predicates, count_matches=True
         )
         if not rewrite:
-            return {"version": version, "updated_rows": 0}
+            return {"version": version, "updated_rows": 0, **stats}
         current = self._read_files(tdir, rewrite, schema, phys=meta.get("physical"))
         cond = F.coalesce(predicate, F.lit(False))
         updated = current.select(
@@ -1133,8 +1368,11 @@ class Warehouse:
             tdir, version,
             {_part_key(e["partition"]) for e in rewrite} if meta["partition_by"] else None,
             rewrite, untouched, new_files, meta["schema"], phys=meta.get("physical"),
+            rebase_validate=self._predicate_rebase_validator(
+                tdir, schema, meta.get("physical") or {}, predicate, predicates
+            ),
         )
-        return {"version": v, "updated_rows": n_updated}
+        return {"version": v, "updated_rows": n_updated, **stats}
 
     # -- access control (D8: the reference's LakeFormation grants,
     # stack/lakeformation.py:186-243 -- ALL to the pipeline role on the
@@ -1258,17 +1496,55 @@ class Warehouse:
             or self._effective_grant(principal, ns, t, "SELECT") is not None
         ]
 
+    # conjunctions of `col op literal` translate to manifest predicates
+    _SIMPLE_CMP_RE = re.compile(
+        r"^\s*(\w+)\s*(=|<=|>=|<|>)\s*('[^']*'|-?\d+(?:\.\d+)?)\s*$"
+    )
+
+    @classmethod
+    def _row_filter_predicates(cls, row_filter: str) -> list[tuple] | None:
+        """Translate a grant row filter into ``plan_files`` tuple
+        predicates when it is a conjunction of simple comparisons
+        (``col op literal``); None when any conjunct is more complex
+        (the caller then applies the filter post-scan only)."""
+        out: list[tuple] = []
+        for part in re.split(r"(?i)\s+AND\s+", row_filter.strip()):
+            m = cls._SIMPLE_CMP_RE.match(part)
+            if m is None:
+                return None
+            col, op, lit = m.group(1), m.group(2), m.group(3)
+            if lit.startswith("'"):
+                value: object = lit[1:-1]
+            elif "." in lit:
+                value = float(lit)
+            else:
+                value = int(lit)
+            out.append((col, op, value))
+        return out
+
     def read_as(self, principal: str, ns: str, table: str, **kwargs) -> DataFrame:
         """Permission-enforced read: requires SELECT; applies the
         grant's column projection (scan prunes to granted columns) and
-        row filter (predicate, composes with parquet pushdown). All
-        ``read`` kwargs (version, partition_filter, predicates) pass
-        through, so time travel is governed too."""
+        row filter. A row filter that is a conjunction of simple
+        comparisons is pushed into MANIFEST pruning (min/max + Bloom
+        file skipping via ``read(predicates=...)``) -- governed reads
+        then skip files exactly like ungoverned selective reads (the
+        LakeFormation data-cell filter composing with pruning);
+        anything more complex falls back to a post-scan predicate,
+        which still reaches parquet pushdown. All ``read`` kwargs
+        (version, partition_filter, predicates) pass through, so time
+        travel is governed too."""
         g = self._effective_grant(principal, ns, table, "SELECT")
         if g is None:
             raise PermissionError(f"{principal} lacks SELECT on {ns}.{table}")
+        pushed = (
+            self._row_filter_predicates(g["row_filter"]) if g["row_filter"] else None
+        )
+        if pushed is not None:
+            kwargs = dict(kwargs)
+            kwargs["predicates"] = list(kwargs.get("predicates") or []) + pushed
         df = self.read(ns, table, **kwargs)
-        if g["row_filter"]:
+        if g["row_filter"] and pushed is None:
             df = df.filter(F.expr(g["row_filter"]))
         if g["columns"]:
             df = df.select(*g["columns"])
@@ -1289,6 +1565,94 @@ class Warehouse:
         if self._effective_grant(principal, ns, table, "ALL") is None:
             raise PermissionError(f"{principal} lacks ALL on {ns}.{table}")
         return self.merge_upsert(ns, table, source, **kwargs)
+
+    @staticmethod
+    def _zorder_axis(
+        c: str, schema: StructType, phys_map: dict, rewrite: list[dict]
+    ) -> tuple[F.Column, float, float]:
+        """Quantization axis ``(expr, lo, hi)`` for one z-order column.
+
+        Numeric, date, and timestamp columns scale against the rewrite
+        set's OWN manifest min/max (dates/timestamps are stored in
+        manifests as ISO strings -- ISO order == time order -- and are
+        mapped onto a days/seconds-since-epoch axis here). String
+        columns use truncated-binary quantization (Iceberg's z-order
+        treatment of strings): the first two UTF-8 bytes, left-justified
+        so the axis is monotonic in byte order -- a fixed 16-bit domain
+        needing no stats at all."""
+        import datetime
+
+        if c not in schema.fieldNames():
+            raise ValueError(f"z-order column {c} not in schema")
+        dtype = schema[c].dataType.simpleString()
+        pc = phys_map.get(c, c)
+        vals = [
+            s
+            for s in ((e.get("stats") or {}).get(pc) for e in rewrite)
+            if s is not None
+        ]
+        if dtype == "string":
+            # rpad keeps left-justified byte order: 'a' -> 0x6100 sorts
+            # after 'ZZ' -> 0x5A5A, matching lexicographic byte order
+            axis = F.coalesce(
+                F.conv(
+                    F.rpad(
+                        F.substring(F.hex(F.encode(F.col(c), "UTF-8")), 1, 4),
+                        4,
+                        "0",
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(0),
+            )
+
+            def q(s) -> int:
+                b = str(s).encode("utf-8")[:2]
+                return int.from_bytes(b.ljust(2, b"\x00"), "big")
+
+            # scale by the rewrite set's OWN prefix range (from string
+            # manifest stats): without this a narrow-prefix column
+            # ('ax'..'hx') would occupy a sliver of the 16-bit domain
+            # and the other axes' high bits would dominate the curve,
+            # defeating pruning on the string column entirely
+            lo = min((q(s[0]) for s in vals), default=0)
+            hi = max((q(s[1]) for s in vals), default=(1 << 16) - 1)
+            return axis, float(lo), float(hi)
+        if not vals:
+            raise ValueError(f"z-order needs manifest stats for {c}")
+
+        def _iso_dt(s: str) -> datetime.datetime:
+            dt = datetime.datetime.fromisoformat(s)
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return dt
+
+        if dtype == "date":
+            epoch = datetime.date(1970, 1, 1)
+            lo = min(datetime.date.fromisoformat(s[0]) for s in vals)
+            hi = max(datetime.date.fromisoformat(s[1]) for s in vals)
+            axis = F.datediff(F.col(c), F.lit("1970-01-01").cast("date"))
+            return axis, float((lo - epoch).days), float((hi - epoch).days)
+        if dtype.startswith("timestamp"):
+            epoch = datetime.datetime(1970, 1, 1)
+            lo = min(_iso_dt(s[0]) for s in vals)
+            hi = max(_iso_dt(s[1]) for s in vals)
+            # NTZ casts to session-zoned timestamp (UTC session) first;
+            # unix_micros keeps the axis pure-Column, codegen-friendly
+            axis = F.unix_micros(F.col(c).cast("timestamp")) / F.lit(1e6)
+            return (
+                axis,
+                (lo - epoch).total_seconds(),
+                (hi - epoch).total_seconds(),
+            )
+        if any(isinstance(v, (str, bool)) for s in vals for v in s):
+            raise ValueError(f"z-order needs numeric manifest stats for {c}")
+        return (
+            F.col(c).cast("double"),
+            float(min(s[0] for s in vals)),
+            float(max(s[1] for s in vals)),
+        )
 
     def compact(
         self,
@@ -1331,27 +1695,18 @@ class Warehouse:
         key = None
         if isinstance(sort_by, (list, tuple)):
             # multi-column Z-order (Iceberg rewrite_data_files zorder):
-            # normalize each column into 16 bits using the rewrite set's
-            # OWN manifest min/max (metadata-only -- no extra data pass),
-            # interleave the bits, and cluster on the interleaved key so
-            # files get tight ranges on EVERY z-column at once -- data
-            # skipping then prunes on any of them, where a lexicographic
-            # sort only serves its prefix.
+            # normalize each column onto a bounded integer axis --
+            # numeric/date/timestamp scaled by the rewrite set's OWN
+            # manifest min/max (metadata-only -- no extra data pass),
+            # strings by truncated leading bytes -- interleave the bits,
+            # and cluster on the interleaved key so files get tight
+            # ranges on EVERY z-column at once; data skipping then
+            # prunes on any of them, where a lexicographic sort only
+            # serves its prefix.
             phys_map = meta.get("physical") or {}
-            ranges = []
-            for c in sort_by:
-                pc = phys_map.get(c, c)
-                vals = [
-                    s
-                    for s in ((e.get("stats") or {}).get(pc) for e in rewrite)
-                    if s is not None
-                ]
-                if not vals or any(
-                    isinstance(v, (str, bool)) for s in vals for v in s
-                ):
-                    raise ValueError(f"z-order needs numeric manifest stats for {c}")
-                ranges.append((c, min(s[0] for s in vals), max(s[1] for s in vals)))
-            key = _zorder_expr(ranges)
+            key = _zorder_expr(
+                [self._zorder_axis(c, schema, phys_map, rewrite) for c in sort_by]
+            )
         elif sort_by:
             key = F.col(sort_by)
         if key is not None and target_files and target_files > 1:
