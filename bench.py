@@ -50,6 +50,71 @@ BENCH_QUERIES = (
 )
 
 
+def bench_dml(spark, sf_dir: str) -> dict[str, float]:
+    """Time the warehouse DML path (merge/delete/update/compact-zorder)
+    on a scratch table of the bench SF's events -- the transactional
+    surface the 20-query series doesn't cover. Failure-isolated like
+    the query series: one broken statement degrades one entry."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.testdata import load_table
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="bench_dml_")
+    timings: dict[str, float] = {}
+
+    def _t(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        try:
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            timings[f"{name}_error"] = 0.0
+            print(f"# dml {name}: {type(e).__name__}: {e}"[:300], file=sys.stderr)
+
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("b")
+        wh.create_table(
+            "b", "t", events.schema, key="event_id", partition_by="event_type"
+        )
+        _t("insert", lambda: wh.insert("b", "t", events))
+        # small CDC-style batch: exercises the collected-key Bloom-pruned
+        # probe (the steady-state MERGE shape at scale)
+        src = events.filter(F.col("event_id") % 200 == 0).withColumn(
+            "value", (F.col("value") * 2).cast("decimal(12,2)")
+        )
+        _t("merge_small_batch", lambda: wh.merge_upsert("b", "t", src))
+        _t(
+            "update_where_pruned",
+            lambda: wh.update_where(
+                "b", "t", {"value": (F.col("value") * 3).cast("decimal(12,2)")},
+                [("event_id", "<", 1000)],
+            ),
+        )
+        _t(
+            "delete_where_pruned",
+            lambda: wh.delete_where("b", "t", [("event_id", ">=", 10_000_000)]),
+        )
+        _t(
+            "compact_zorder",
+            lambda: wh.compact(
+                "b", "t", min_files_per_partition=1,
+                sort_by=["event_id", "user_id"], target_files=8,
+            ),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -91,6 +156,10 @@ def main() -> None:
         else:
             errors[name] = err
 
+    # second section: warehouse DML path (kept OUT of "value" so the
+    # 20-query headline series stays comparable across rounds)
+    dml = bench_dml(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_wall_seconds",
@@ -98,6 +167,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "dml": dml,
+        "dml_seconds": round(sum(dml.values()), 3),
     }
     if errors:
         out["errors"] = errors

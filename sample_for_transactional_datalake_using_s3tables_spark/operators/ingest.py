@@ -113,6 +113,77 @@ def cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _keyless_envelope():
+    """A structurally valid INSERT envelope whose NewImage lacks the
+    required transaction_id -- the reference's Firehose rejects these to
+    its error prefix (stack/firehose.py:86-91 error_output_prefix)."""
+    img = F.map_from_arrays(
+        F.array(F.lit("customer_id"), F.lit("amount")),
+        F.array(
+            _attr_s(F.concat(F.lit("CUST_"), F.col("user_id"))),
+            _attr_n(F.col("value")),
+        ),
+    )
+    return F.to_json(
+        F.struct(
+            F.lit("INSERT").alias("eventName"),
+            F.struct(img.alias("NewImage")).alias("dynamodb"),
+        )
+    )
+
+
+def cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter / quarantine path certified end-to-end (S6/S7/S8;
+    reference error_output_prefix="errors/", stack/firehose.py:86-91,
+    146-151): the envelope stream carries, per event, a good INSERT,
+    plus injected garbage (unparseable JSON, id%10==0), a structurally
+    valid envelope MISSING the required transaction_id (id%15==0), and
+    a REMOVE (id%7==0, dropped silently -- not an error). The batch
+    twin of the streaming trigger runs the production ``parse_cdc``
+    and classifies every record's disposition; the malformed vs
+    keyless split is derived from the CONTENT of the quarantined
+    ``_corrupt`` payloads (original bytes preserved for replay), so
+    the counts certify both the routing and the payload preservation.
+    One map-only pass + one aggregation -- no shuffle before the
+    final count."""
+    events = spread(load_table(spark, sf_dir, "events"), "event_id")
+    variants = F.array_compact(
+        F.array(
+            _envelope("INSERT", F.col("value"), 1),
+            F.when(
+                F.col("event_id") % 10 == 0,
+                F.concat(F.lit("NOTJSON|"), F.col("event_id").cast("string")),
+            ),
+            F.when(F.col("event_id") % 15 == 0, _keyless_envelope()),
+            F.when(F.col("event_id") % 7 == 0, _envelope("REMOVE", F.col("value"), 3)),
+        )
+    )
+    raw = events.select(F.explode(variants).alias("value"))
+    parsed = parse_cdc(raw)
+    disp = parsed.select(
+        F.when(F.col("_keep"), F.lit("good"))
+        .when(
+            F.col("_corrupt").startswith("NOTJSON|"),
+            F.lit("quarantined_malformed"),
+        )
+        .when(F.col("_corrupt").isNotNull(), F.lit("quarantined_keyless"))
+        .otherwise(F.lit("dropped_remove"))
+        .alias("disposition")
+    )
+    return disp.groupBy("disposition").agg(F.count(F.lit(1)).alias("n_records"))
+
+
+CDC_QUARANTINE_SQL = """
+SELECT 'good' AS disposition, COUNT(*) AS n_records FROM events
+UNION ALL
+SELECT 'quarantined_malformed', COUNT(*) FROM events WHERE event_id % 10 = 0
+UNION ALL
+SELECT 'quarantined_keyless', COUNT(*) FROM events WHERE event_id % 15 = 0
+UNION ALL
+SELECT 'dropped_remove', COUNT(*) FROM events WHERE event_id % 7 = 0
+"""
+
+
 CDC_PIPELINE_SQL = """
 SELECT 'TXN_' || event_id AS transaction_id,
        epoch_ms(ts) AS ts_millis,
@@ -653,6 +724,7 @@ SELECT event_id, event_type FROM events WHERE event_id % 3 = 0
 
 QUERIES = {
     "cdc_pipeline": cdc_pipeline,
+    "cdc_quarantine": cdc_quarantine,
     "warehouse_merge_roundtrip": warehouse_merge_roundtrip,
     "warehouse_time_travel": warehouse_time_travel,
     "warehouse_changelog": warehouse_changelog,
@@ -667,6 +739,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_pipeline": CDC_PIPELINE_SQL,
+    "cdc_quarantine": CDC_QUARANTINE_SQL,
     "warehouse_merge_roundtrip": WAREHOUSE_MERGE_SQL,
     "warehouse_time_travel": WAREHOUSE_TIME_TRAVEL_SQL,
     "warehouse_changelog": WAREHOUSE_CHANGELOG_SQL,

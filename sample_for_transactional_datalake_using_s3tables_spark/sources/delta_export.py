@@ -1,0 +1,159 @@
+"""Delta-protocol interop: export a warehouse table's manifest chain as
+a ``_delta_log`` JSON commit sequence.
+
+The open Delta Lake transaction-log protocol (delta-io/delta
+PROTOCOL.md) represents a table as newline-delimited JSON commit files
+``_delta_log/<version, zero-padded to 20>.json`` whose actions are
+``protocol`` / ``metaData`` / ``add`` / ``remove``. This module
+re-expresses the native manifest chain in that format so an external
+Delta reader can open the table: every native snapshot becomes one
+Delta commit whose add/remove actions are the file-set diff against the
+previous snapshot (appends are pure adds; MERGE/DELETE/compact rewrites
+become remove+add pairs -- the protocol's copy-on-write shape).
+
+Mirrors the reference's interop posture (its S3 Tables are Iceberg
+tables any engine can open, reference scripts/update_metadata.py): the
+native manifest stays the source of truth; the Delta log is a derived,
+re-exportable view.
+
+Scope notes:
+- ``schemaString`` is the Spark StructType JSON -- exactly Delta's
+  schema-string encoding, no translation needed.
+- Partitioned tables expose the hidden partition value as a ``_p``
+  string partition column (Delta wants partition values in
+  ``partitionValues``, not in data files -- which matches our layout:
+  the ``_p`` column is directory-encoded, never stored in the files).
+- Tables with an ACTIVE column mapping (post-rename/drop physical
+  names) would need Delta's own columnMapping table feature; the
+  exporter raises NotImplementedError for those rather than emitting a
+  log readers would mis-project.
+- Exported versions are renumbered contiguously from 0 (the protocol
+  requires a gapless log; native versions may start later after
+  ``expire_snapshots``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+import uuid
+
+PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _delta_path(rel_path: str) -> str:
+    """Delta add/remove paths are URL-encoded URIs relative to the
+    table root."""
+    return urllib.parse.quote(rel_path)
+
+
+def export_delta_log(wh, ns: str, table: str) -> str:
+    """Write (or rewrite) ``<table>/_delta_log`` from the live manifest
+    chain; returns the log directory path."""
+    tdir = wh._table_dir(ns, table)
+    meta = wh.table_meta(ns, table)
+    if meta.get("physical"):
+        raise NotImplementedError(
+            "delta export of a table with an active column mapping needs "
+            "Delta columnMapping; re-export before renames or after a "
+            "physical rewrite"
+        )
+    partitioned = bool(meta.get("partition_by"))
+    log_dir = os.path.join(tdir, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    for old in os.listdir(log_dir):  # idempotent re-export
+        if old.endswith(".json"):
+            os.remove(os.path.join(log_dir, old))
+
+    schema_doc = json.loads(json.dumps(meta["schema"]))  # deep copy
+    if partitioned:
+        schema_doc["fields"] = list(schema_doc["fields"]) + [
+            {"name": "_p", "type": "string", "nullable": True, "metadata": {}}
+        ]
+
+    prev: dict[str, dict] = {}
+    for i, v in enumerate(wh._versions(tdir)):
+        entries = {e["path"]: e for e in wh._manifest(tdir, v)}
+        actions: list[dict] = []
+        if i == 0:
+            actions.append({"protocol": PROTOCOL})
+            actions.append(
+                {
+                    "metaData": {
+                        # stable id: re-exports of the same table agree
+                        "id": str(
+                            uuid.uuid5(uuid.NAMESPACE_URL, f"s3tables-spark:{ns}.{table}")
+                        ),
+                        "name": table,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": json.dumps(schema_doc),
+                        "partitionColumns": ["_p"] if partitioned else [],
+                        "configuration": {},
+                        "createdTime": 0,
+                    }
+                }
+            )
+        for p in sorted(prev.keys() - entries.keys()):
+            actions.append(
+                {
+                    "remove": {
+                        "path": _delta_path(p),
+                        "deletionTimestamp": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+        for p in sorted(entries.keys() - prev.keys()):
+            e = entries[p]
+            mtime = int(os.path.getmtime(os.path.join(tdir, p)) * 1000)
+            actions.append(
+                {
+                    "add": {
+                        "path": _delta_path(p),
+                        "partitionValues": (
+                            {"_p": e["partition"]} if partitioned else {}
+                        ),
+                        "size": e.get("bytes", 0),
+                        "modificationTime": mtime,
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": e.get("records", 0)}),
+                    }
+                }
+            )
+        with open(os.path.join(log_dir, f"{i:020d}.json"), "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        prev = entries
+    return log_dir
+
+
+def replay_delta_log(log_dir: str) -> dict:
+    """Reconstruct table state by replaying the JSON log the way a Delta
+    reader does (actions in commit order; remove drops a path, add
+    (re)introduces it). Returns ``{"files": {path: add_action},
+    "metaData": ..., "protocol": ..., "n_commits": int}`` with paths
+    URL-decoded."""
+    commits = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
+    live: dict[str, dict] = {}
+    meta_data = protocol = None
+    for c in commits:
+        with open(os.path.join(log_dir, c)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    protocol = action["protocol"]
+                elif "metaData" in action:
+                    meta_data = action["metaData"]
+                elif "remove" in action:
+                    live.pop(urllib.parse.unquote(action["remove"]["path"]), None)
+                elif "add" in action:
+                    a = action["add"]
+                    live[urllib.parse.unquote(a["path"])] = a
+    return {
+        "files": live,
+        "metaData": meta_data,
+        "protocol": protocol,
+        "n_commits": len(commits),
+    }

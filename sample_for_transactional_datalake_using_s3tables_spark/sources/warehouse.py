@@ -903,6 +903,8 @@ class Warehouse:
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
         versions = self._versions(tdir)
+        if isinstance(version, str):
+            version = self._resolve_ref(tdir, version)
         if version is None:
             version = versions[-1]
         elif version not in versions:
@@ -960,6 +962,8 @@ class Warehouse:
         )
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
+        if isinstance(version, str):
+            version = self._resolve_ref(tdir, version)
         v = version if version is not None else self._versions(tdir)[-1]
         phys = self._snapshot_phys(self._manifest_doc(tdir, v), meta)
         df = self._read_files(tdir, entries, schema, phys=phys)
@@ -1733,24 +1737,85 @@ class Warehouse:
             rewrite, keep, new_files, meta["schema"], phys=meta.get("physical"),
         )
 
+    # -- named refs (Iceberg tags: a ref pins a snapshot by name; time
+    # travel accepts the name and expiration never removes a tagged
+    # snapshot -- the audit/WAP anchor pattern) --
+
+    _REFS_FILE = "_refs.json"
+
+    def _refs_path(self, tdir: str) -> str:
+        return os.path.join(tdir, self._REFS_FILE)
+
+    def refs(self, ns: str, table: str) -> dict:
+        """Named snapshot refs as ``{name: version}``."""
+        path = self._refs_path(self._table_dir(ns, table))
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    def _resolve_ref(self, tdir: str, name: str) -> int:
+        path = self._refs_path(tdir)
+        refs = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                refs = json.load(f)
+        if name not in refs:
+            raise ValueError(f"unknown snapshot ref {name!r} (have {sorted(refs)})")
+        return refs[name]
+
+    def create_tag(
+        self, ns: str, table: str, name: str, version: int | None = None
+    ) -> int:
+        """Pin a snapshot under a name (Iceberg ``CREATE TAG``): the
+        tagged version stays readable (``read(version="name")``) and
+        survives ``expire_snapshots``. Returns the pinned version."""
+        tdir = self._table_dir(ns, table)
+        versions = self._versions(tdir)
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise ValueError(f"snapshot {v} of {ns}.{table} is unknown or expired")
+        refs = self.refs(ns, table)
+        refs[name] = v
+        path = self._refs_path(tdir)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1)
+        os.replace(tmp, path)
+        return v
+
+    def drop_tag(self, ns: str, table: str, name: str) -> None:
+        tdir = self._table_dir(ns, table)
+        refs = self.refs(ns, table)
+        refs.pop(name, None)
+        path = self._refs_path(tdir)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1)
+        os.replace(tmp, path)
+
     def expire_snapshots(self, ns: str, table: str, keep_last: int = 1) -> dict:
         """``expire_snapshots`` analog (Iceberg table maintenance; the
         reference's S3 Tables runs this automatically): drop all but the
-        newest ``keep_last`` manifests and delete every data file no
-        surviving snapshot references. Bounds metadata + storage growth
-        under continuous MERGE traffic. Time travel to an expired
-        version then raises ``ValueError``; current reads are untouched
-        (their manifests and files are exactly the kept set)."""
+        newest ``keep_last`` manifests -- plus any TAGGED snapshot,
+        which expiration must never remove (Iceberg retains snapshots
+        referenced by refs) -- and delete every data file no surviving
+        snapshot references. Bounds metadata + storage growth under
+        continuous MERGE traffic. Time travel to an expired version then
+        raises ``ValueError``; current reads are untouched (their
+        manifests and files are exactly the kept set)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         tdir = self._table_dir(ns, table)
         versions = self._versions(tdir)
-        expire = versions[:-keep_last]
+        tagged = set(self.refs(ns, table).values())
+        keep = set(versions[-keep_last:]) | tagged
+        expire = [v for v in versions if v not in keep]
         if not expire:
             return {"expired_versions": [], "removed_files": 0}
         live = {
             e["path"]
-            for v in versions[-keep_last:]
+            for v in sorted(keep)
             for e in self._manifest(tdir, v)
         }
         removed = 0
@@ -1764,6 +1829,43 @@ class Warehouse:
             os.remove(os.path.join(tdir, _MANIFEST_DIR, f"{v:08d}.json"))
         return {"expired_versions": expire, "removed_files": removed}
 
+    def remove_orphan_files(
+        self, ns: str, table: str, older_than_seconds: float = 3600.0
+    ) -> dict:
+        """``remove_orphan_files`` analog (Iceberg maintenance): delete
+        data files on disk that NO live manifest references -- the
+        debris of crashed writes (files staged by ``_write_files`` whose
+        commit never published). ``older_than_seconds`` protects
+        in-flight commits: a file younger than the horizon may belong to
+        a concurrent writer that has not published yet, exactly
+        Iceberg's ``older_than`` guard. Metadata-only planning; one
+        os.walk over the data dir."""
+        import time as _time
+
+        tdir = self._table_dir(ns, table)
+        if not os.path.exists(tdir):
+            raise TableNotFoundError(f"{ns}.{table}")
+        live = {
+            os.path.abspath(os.path.join(tdir, e["path"]))
+            for v in self._versions(tdir)
+            for e in self._manifest(tdir, v)
+        }
+        cutoff = _time.time() - older_than_seconds
+        removed = 0
+        data_root = os.path.join(tdir, "data")
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                full = os.path.abspath(os.path.join(dirpath, fn))
+                if full in live or not fn.endswith(".parquet"):
+                    continue
+                try:
+                    if os.path.getmtime(full) <= cutoff:
+                        os.remove(full)
+                        removed += 1
+                except FileNotFoundError:
+                    continue  # concurrent maintenance
+        return {"removed_files": removed}
+
     def rollback_to(self, ns: str, table: str, version: int) -> int:
         """``rollback_to_snapshot`` analog (Iceberg table maintenance):
         commit a NEW snapshot whose file set and schema are exactly the
@@ -1776,6 +1878,8 @@ class Warehouse:
         if not os.path.exists(tdir):
             raise TableNotFoundError(f"{ns}.{table}")
         versions = self._versions(tdir)
+        if isinstance(version, str):
+            version = self._resolve_ref(tdir, version)
         if version not in versions:
             raise ValueError(
                 f"snapshot {version} not available (have {versions}); expired?"
@@ -1834,6 +1938,8 @@ class Warehouse:
         if not os.path.exists(tdir):
             raise TableNotFoundError(f"{ns}.{table}")
         versions = self._versions(tdir)
+        if isinstance(version, str):
+            version = self._resolve_ref(tdir, version)
         v = versions[-1] if version is None else version
         if v not in versions:
             raise ValueError(f"snapshot {v} of {ns}.{table} is unknown or expired")

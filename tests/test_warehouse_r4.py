@@ -426,3 +426,77 @@ def test_row_filter_translation_rules():
     assert t("a >= 3 AND b < 2.5") == [("a", ">=", 3), ("b", "<", 2.5)]
     assert t("a % 3 = 0") is None  # complex: falls back to post-scan
     assert t("a = 1 OR b = 2") is None
+
+
+# ---------------------------------------------------------------------------
+# Snapshot tags (Iceberg refs) + orphan-file cleanup
+# ---------------------------------------------------------------------------
+
+
+def test_tags_time_travel_and_expire(spark, wh):
+    """A tagged snapshot stays readable by name and survives
+    expire_snapshots; untagged history is reclaimed."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    v1 = wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    wh.create_tag("ns", "t", "audit", v1)
+    wh.insert("ns", "t", _df(spark, [("b", "d2", 2)]))
+    wh.merge_upsert("ns", "t", _df(spark, [("a", "d1", 10)]))
+    assert wh.refs("ns", "t") == {"audit": v1}
+    # time travel by name
+    got = {(r.id, r.v) for r in wh.read("ns", "t", version="audit").collect()}
+    assert got == {("a", 1)}
+    res = wh.expire_snapshots("ns", "t", keep_last=1)
+    assert v1 not in res["expired_versions"]  # tagged snapshot retained
+    assert len(res["expired_versions"]) >= 2  # v0 + the middle insert
+    # still readable after expiration
+    assert {(r.id, r.v) for r in wh.read("ns", "t", version="audit").collect()} == {
+        ("a", 1)
+    }
+    # current read unaffected
+    assert {(r.id, r.v) for r in wh.read("ns", "t").collect()} == {
+        ("a", 10),
+        ("b", 2),
+    }
+    wh.drop_tag("ns", "t", "audit")
+    with pytest.raises(ValueError):
+        wh.read("ns", "t", version="audit")
+
+
+def test_rollback_to_tag(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    wh.create_tag("ns", "t", "good")
+    wh.insert("ns", "t", _df(spark, [("b", "d2", 2)]))
+    wh.rollback_to("ns", "t", "good")
+    assert {r.id for r in wh.read("ns", "t").collect()} == {"a"}
+
+
+def test_remove_orphan_files(spark, wh):
+    """Unreferenced parquet debris older than the horizon is deleted;
+    live files and young files survive."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1), ("b", "d2", 2)]))
+    tdir = wh._table_dir("ns", "t")
+    # simulate a crashed write: staged files that never published
+    orphan_dir = os.path.join(tdir, "data", "deadc0ffee")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-junk.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    young = os.path.join(orphan_dir, "part-young.parquet")
+    with open(young, "wb") as f:
+        f.write(b"in-flight commit")
+    os.utime(orphan, (0, 0))  # ancient
+    res = wh.remove_orphan_files("ns", "t", older_than_seconds=3600)
+    assert res == {"removed_files": 1}
+    assert not os.path.exists(orphan)
+    assert os.path.exists(young)  # within the in-flight horizon
+    # table still fully readable
+    assert wh.read("ns", "t").count() == 2
+    # second pass with horizon 0 reclaims the young debris too
+    res2 = wh.remove_orphan_files("ns", "t", older_than_seconds=0)
+    assert res2 == {"removed_files": 1}
+    assert wh.read("ns", "t").count() == 2
