@@ -301,6 +301,34 @@ FROM base WHERE event_id % 5 != 0 GROUP BY event_type
 """
 
 
+def warehouse_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named snapshot refs (Iceberg tags) certified end-to-end: tag the
+    pre-merge snapshot, EXPIRE all untagged history (keep_last=1 would
+    reclaim v1 were it not tagged), then read BOTH the tagged snapshot
+    by name and the current one. The per-version summaries match the
+    time-travel oracle only if the tag (a) resolves to the right
+    snapshot, and (b) protected it from expiration -- a broken retention
+    path would raise on the expired manifest and fail the row."""
+    wh, root, v1 = _merge_scenario(spark, sf_dir, "wh_tags_")
+    try:
+        wh.create_tag("q", "state", "baseline", v1)
+        wh.expire_snapshots("q", "state", keep_last=1)
+
+        def summarize(df: DataFrame, tag: str) -> DataFrame:
+            return df.groupBy("event_type").agg(
+                F.count("*").alias("n_rows"),
+                F.sum("value").cast("decimal(18,2)").alias("total_value"),
+            ).withColumn("version", F.lit(tag))
+
+        both = summarize(wh.read("q", "state", version="baseline"), "v1").unionByName(
+            summarize(wh.read("q", "state"), "v2")
+        ).select("version", "event_type", "n_rows", "total_value")
+        return _lazy_snapshot(spark, root, both)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
 def warehouse_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed between two snapshots (the Iceberg
     ``changelog``/CDF read re-expressed on the manifest warehouse):
@@ -722,9 +750,62 @@ SELECT event_id, event_type FROM events WHERE event_id % 3 = 0
 """
 
 
+def warehouse_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-protocol interop certified through the oracle gate: run the
+    shared MERGE scenario, export the manifest chain as an open-format
+    ``_delta_log`` (sources/delta_export.py), REPLAY the log exactly the
+    way an external Delta reader would (add/remove actions in commit
+    order), and read the final state from the REPLAYED file list only --
+    the native manifest is bypassed entirely. ``delta_ok`` additionally
+    pins log-side invariants python-side: one Delta commit per native
+    snapshot, and the log's partitionValues equal to the native
+    manifest's partition set (constant TRUE in the oracle). A hash match
+    certifies the exported log reconstructs exactly the table the native
+    manifests describe."""
+    from ..sources.delta_export import export_delta_log, replay_delta_log
+
+    wh, root, _v1 = _merge_scenario(spark, sf_dir, "wh_delta_")
+    try:
+        tdir = wh._table_dir("q", "state")
+        state = replay_delta_log(export_delta_log(wh, "q", "state"))
+        tip = wh._manifest(tdir, wh._versions(tdir)[-1])
+        delta_ok = (
+            state["n_commits"] == len(wh._versions(tdir))
+            and {a["partitionValues"].get("_p") for a in state["files"].values()}
+            == {e["partition"] for e in tip}
+        )
+        paths = [os.path.join(tdir, p) for p in state["files"]]
+        # data files are self-contained (partition source column stored
+        # redundantly), so the replayed list alone reconstructs the table
+        final = (
+            spark.read.parquet(*paths)
+            .select(
+                "event_id",
+                "event_type",
+                F.col("value").alias("value_final"),
+            )
+            .withColumn("delta_ok", F.lit(bool(delta_ok)))
+        )
+        return _lazy_snapshot(spark, root, final)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_DELTA_EXPORT_SQL = """
+SELECT event_id, event_type,
+       CAST(CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS DECIMAL(12,2)) AS value_final,
+       TRUE AS delta_ok
+FROM (SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value FROM events)
+WHERE event_id % 5 != 0
+"""
+
+
 QUERIES = {
     "cdc_pipeline": cdc_pipeline,
     "cdc_quarantine": cdc_quarantine,
+    "warehouse_delta_export": warehouse_delta_export,
+    "warehouse_tags": warehouse_tags,
     "warehouse_merge_roundtrip": warehouse_merge_roundtrip,
     "warehouse_time_travel": warehouse_time_travel,
     "warehouse_changelog": warehouse_changelog,
@@ -740,6 +821,8 @@ QUERIES = {
 ORACLES = {
     "cdc_pipeline": CDC_PIPELINE_SQL,
     "cdc_quarantine": CDC_QUARANTINE_SQL,
+    "warehouse_delta_export": WAREHOUSE_DELTA_EXPORT_SQL,
+    "warehouse_tags": WAREHOUSE_TIME_TRAVEL_SQL,
     "warehouse_merge_roundtrip": WAREHOUSE_MERGE_SQL,
     "warehouse_time_travel": WAREHOUSE_TIME_TRAVEL_SQL,
     "warehouse_changelog": WAREHOUSE_CHANGELOG_SQL,

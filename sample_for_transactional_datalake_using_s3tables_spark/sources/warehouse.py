@@ -257,6 +257,12 @@ def _extract_file_meta(full: str, bloom_col: str | None) -> dict:
     return meta
 
 
+def _entry_may_hold_any(entry: dict, col: str, values) -> bool:
+    """True if the file may contain ANY of the key values (per-file
+    stats range + Bloom, early-exit on the first possible hit)."""
+    return any(_entry_may_match(entry, [(col, "=", v)]) for v in values)
+
+
 def _entry_may_match(entry: dict, predicates: list[tuple]) -> bool:
     """Conservative data skipping: False only when the file's min/max
     PROVE no row can satisfy every predicate. Missing stats, unknown
@@ -633,6 +639,45 @@ class Warehouse:
     # with a distributed semi-join only.
     _MERGE_COLLECT_KEYS_MAX = 5000
 
+    # Manifest-matching loops (stats/Bloom skipping) run driver-side up
+    # to this many entries; above it they distribute over executors so
+    # metadata-only planning never serializes a million-file manifest
+    # through one core (same pattern as the per-commit footer build).
+    _PLAN_DISTRIBUTE_THRESHOLD = 4096
+
+    def _prune_entries(self, entries: list[dict], predicates: list[tuple]) -> list[dict]:
+        """Data-skipping filter over a manifest file list (min/max +
+        Bloom); distributed for very large manifests."""
+        if not predicates:
+            return entries
+        if len(entries) <= self._PLAN_DISTRIBUTE_THRESHOLD:
+            return [e for e in entries if _entry_may_match(e, predicates)]
+        sc = self.spark.sparkContext
+        n = max(1, min(len(entries) // 1024, sc.defaultParallelism))
+        preds = list(predicates)
+        return (
+            sc.parallelize(entries, n)
+            .filter(lambda e: _entry_may_match(e, preds))
+            .collect()
+        )
+
+    def _prune_entries_by_keys(
+        self, entries: list[dict], col: str, values: set
+    ) -> list[dict]:
+        """Keep entries that may hold ANY of the key values; distributed
+        for very large manifests (the driver never runs the
+        keys x files Bloom loop over a huge file list)."""
+        if len(entries) <= self._PLAN_DISTRIBUTE_THRESHOLD:
+            return [e for e in entries if _entry_may_hold_any(e, col, values)]
+        sc = self.spark.sparkContext
+        n = max(1, min(len(entries) // 1024, sc.defaultParallelism))
+        vals = frozenset(values)
+        return (
+            sc.parallelize(entries, n)
+            .filter(lambda e: _entry_may_hold_any(e, col, vals))
+            .collect()
+        )
+
     def _publish_append(
         self, tdir: str, read_version: int, new_files: list[dict], schema: dict,
         overwrite: bool = False, phys: dict | None = None,
@@ -922,7 +967,7 @@ class Warehouse:
             # snapshot's column mapping before matching
             phys = self._snapshot_phys(doc, meta)
             tr = [(phys.get(c, c), op, v) for c, op, v in predicates]
-            entries = [e for e in entries if _entry_may_match(e, tr)]
+            entries = self._prune_entries(entries, tr)
         schema = StructType.fromJson(doc.get("schema", meta["schema"]))
         return entries, schema
 
@@ -1105,14 +1150,12 @@ class Warehouse:
                 # min/max + key Bloom prove it holds NONE of the batch's
                 # keys never reaches the probe scan. At 100 TB a small
                 # CDC batch probes the handful of files the manifest
-                # can't rule out, not every untouched partition.
-                probe_entries = [
-                    e for e in remaining
-                    if any(
-                        _entry_may_match(e, [(phys_key, "=", v)])
-                        for v in key_vals
-                    )
-                ]
+                # can't rule out, not every untouched partition (and the
+                # keys x files matching itself distributes over
+                # executors past a manifest-size threshold).
+                probe_entries = self._prune_entries_by_keys(
+                    remaining, phys_key, key_vals
+                )
             else:
                 probe_entries = remaining
             self.last_merge_stats.update(
@@ -1169,13 +1212,7 @@ class Warehouse:
             # pre-prune; survivors get a bounded existence probe.
             cand = fresh
             if key_vals is not None:
-                cand = [
-                    e for e in fresh
-                    if any(
-                        _entry_may_match(e, [(phys_key, "=", v)])
-                        for v in key_vals
-                    )
-                ]
+                cand = self._prune_entries_by_keys(fresh, phys_key, key_vals)
             if not cand:
                 return True
             df = self._read_files(tdir, cand, schema, phys=phys_map).select(key)
@@ -1223,7 +1260,7 @@ class Warehouse:
         phys = self._snapshot_phys(doc, meta)
         if predicates:
             tr = [(phys.get(c, c), op, v) for c, op, v in predicates]
-            candidates = [e for e in entries if _entry_may_match(e, tr)]
+            candidates = self._prune_entries(entries, tr)
         else:
             candidates = entries
         stats = {"manifest_files": len(entries), "probed_files": len(candidates)}
@@ -1266,7 +1303,7 @@ class Warehouse:
         def validate(fresh: list[dict]) -> bool:
             if predicates:
                 tr = [(phys.get(c, c), op, v) for c, op, v in predicates]
-                fresh = [e for e in fresh if _entry_may_match(e, tr)]
+                fresh = self._prune_entries(fresh, tr)
             if not fresh:
                 return True
             df = self._read_files(tdir, fresh, schema, phys=phys)
@@ -1949,6 +1986,36 @@ class Warehouse:
         ]
         return self.spark.createDataFrame(
             rows, "path STRING, partition STRING, records BIGINT, bytes BIGINT"
+        )
+
+    def partitions_df(self, ns: str, table: str, version: int | None = None) -> DataFrame:
+        """Iceberg ``partitions`` metadata table: per-partition file,
+        record, and byte totals from manifests alone (no data files
+        read) -- the skew/size observability a 100 TB operator needs
+        before choosing compaction or salting."""
+        tdir = self._table_dir(ns, table)
+        if not os.path.exists(tdir):
+            raise TableNotFoundError(f"{ns}.{table}")
+        versions = self._versions(tdir)
+        if isinstance(version, str):
+            version = self._resolve_ref(tdir, version)
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise ValueError(f"snapshot {v} of {ns}.{table} is unknown or expired")
+        agg: dict[str | None, list[int]] = {}
+        for e in self._manifest(tdir, v):
+            a = agg.setdefault(e["partition"], [0, 0, 0])
+            a[0] += 1
+            a[1] += e.get("records", 0)
+            a[2] += e.get("bytes", 0)
+        rows = [
+            (p, n, rec, b)
+            for p, (n, rec, b) in sorted(
+                agg.items(), key=lambda kv: (kv[0] is None, kv[0])
+            )
+        ]
+        return self.spark.createDataFrame(
+            rows, "partition STRING, n_files INT, records BIGINT, bytes BIGINT"
         )
 
     def count_rows(

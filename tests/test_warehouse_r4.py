@@ -500,3 +500,16 @@ def test_remove_orphan_files(spark, wh):
     res2 = wh.remove_orphan_files("ns", "t", older_than_seconds=0)
     assert res2 == {"removed_files": 1}
     assert wh.read("ns", "t").count() == 2
+
+
+def test_partitions_df(spark, wh):
+    """Per-partition metadata table sums files/records/bytes from the
+    manifest alone."""
+    _ranged_table(spark, wh)  # 4 commits: d0 x2 files, d1 x2 files
+    rows = {r.partition: (r.n_files, r.records) for r in
+            wh.partitions_df("ns", "t").collect()}
+    assert rows == {"d0": (2, 20), "d1": (2, 20)}
+    wh.delete_where("ns", "t", [("v", ">=", 300)])  # kills chunk 3 (d1)
+    rows2 = {r.partition: (r.n_files, r.records) for r in
+             wh.partitions_df("ns", "t").collect()}
+    assert rows2 == {"d0": (2, 20), "d1": (1, 10)}
