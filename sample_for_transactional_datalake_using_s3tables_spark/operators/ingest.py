@@ -329,6 +329,59 @@ def warehouse_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+def warehouse_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish certified end-to-end (Iceberg WAP stage-only
+    commits): even-id events load normally; the odd-id batch that
+    passes audit (id%3!=0) is STAGED then published; a poisoned batch
+    (odd, id%3==0, negated values) is staged and DISCARDED after audit.
+    ``wap_ok`` pins, python-side, that the staged-but-unpublished batch
+    never affected the metadata-only row count (staging is invisible to
+    every read path) and that discarding left no staged record. The
+    final table matches the oracle only if publish made exactly the
+    audited batch visible and the rejected batch vanished without a
+    trace."""
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_wap_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id", partition_by="event_type"
+        )
+        wh.insert("q", "state", events.filter(F.col("event_id") % 2 == 0))
+        good = events.filter(
+            (F.col("event_id") % 2 == 1) & (F.col("event_id") % 3 != 0)
+        )
+        sid = wh.insert_staged("q", "state", good)
+        wh.publish_staged("q", "state", sid)
+        bad = events.filter(
+            (F.col("event_id") % 2 == 1) & (F.col("event_id") % 3 == 0)
+        ).withColumn("value", (-F.col("value")).cast("decimal(12,2)"))
+        sid_bad = wh.insert_staged("q", "state", bad)
+        pre = wh.count_rows("q", "state")
+        wh.discard_staged("q", "state", sid_bad)
+        wap_ok = pre == wh.count_rows("q", "state") and not wh.list_staged(
+            "q", "state"
+        )
+        final = wh.read("q", "state").select(
+            "event_id",
+            "event_type",
+            F.col("value").alias("value_final"),
+        ).withColumn("wap_ok", F.lit(bool(wap_ok)))
+        return _lazy_snapshot(spark, root, final)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_WAP_SQL = """
+SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value_final,
+       TRUE AS wap_ok
+FROM events
+WHERE event_id % 2 = 0 OR event_id % 3 != 0
+"""
+
+
 def warehouse_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed between two snapshots (the Iceberg
     ``changelog``/CDF read re-expressed on the manifest warehouse):
@@ -806,6 +859,7 @@ QUERIES = {
     "cdc_quarantine": cdc_quarantine,
     "warehouse_delta_export": warehouse_delta_export,
     "warehouse_tags": warehouse_tags,
+    "warehouse_wap": warehouse_wap,
     "warehouse_merge_roundtrip": warehouse_merge_roundtrip,
     "warehouse_time_travel": warehouse_time_travel,
     "warehouse_changelog": warehouse_changelog,
@@ -823,6 +877,7 @@ ORACLES = {
     "cdc_quarantine": CDC_QUARANTINE_SQL,
     "warehouse_delta_export": WAREHOUSE_DELTA_EXPORT_SQL,
     "warehouse_tags": WAREHOUSE_TIME_TRAVEL_SQL,
+    "warehouse_wap": WAREHOUSE_WAP_SQL,
     "warehouse_merge_roundtrip": WAREHOUSE_MERGE_SQL,
     "warehouse_time_travel": WAREHOUSE_TIME_TRAVEL_SQL,
     "warehouse_changelog": WAREHOUSE_CHANGELOG_SQL,

@@ -582,7 +582,11 @@ class Warehouse:
 
     def _versions(self, tdir: str) -> list[int]:
         vdir = os.path.join(tdir, _MANIFEST_DIR)
-        return sorted(int(f[:-5]) for f in os.listdir(vdir) if f.endswith(".json"))
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(vdir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
 
     def current_version(self, ns: str, table: str) -> int:
         tdir = self._table_dir(ns, table)
@@ -1055,6 +1059,93 @@ class Warehouse:
         return self._publish_append(
             tdir, self._versions(tdir)[-1], new_files, meta["schema"],
             overwrite=overwrite, phys=meta.get("physical"),
+        )
+
+    # -- write-audit-publish (Iceberg WAP / stage-only commits): a write
+    # lands as an UNPUBLISHED staged changeset an auditor can read and
+    # validate in isolation; publishing is a normal optimistic append of
+    # the already-written files (metadata-only, atomic), and rejection
+    # discards the staging record (remove_orphan_files reclaims the
+    # bytes). The audit-gated ingest pattern for a 100 TB table: bad
+    # batches never become part of any readable snapshot. --
+
+    _STAGE_PREFIX = ".staged-"
+
+    def insert_staged(self, ns: str, table: str, df: DataFrame) -> str:
+        """Write a batch WITHOUT publishing: data files land on disk and
+        a staging record captures their manifest entries; no snapshot
+        references them. Returns the staging id."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        new_files = self._write_files(
+            tdir, self._validated(df, meta), meta["partition_by"],
+            bloom_col=meta.get("key"), phys=meta.get("physical"),
+        )
+        staging_id = uuid.uuid4().hex[:12]
+        path = os.path.join(tdir, _MANIFEST_DIR, f"{self._STAGE_PREFIX}{staging_id}.json")
+        with open(path, "w") as f:
+            json.dump({"files": new_files, "schema": meta["schema"]}, f)
+        return staging_id
+
+    def _staged_doc(self, tdir: str, staging_id: str) -> dict:
+        path = os.path.join(tdir, _MANIFEST_DIR, f"{self._STAGE_PREFIX}{staging_id}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"unknown or already-resolved staging id {staging_id}")
+        with open(path) as f:
+            return json.load(f)
+
+    def read_staged(
+        self, ns: str, table: str, staging_id: str, only_staged: bool = False
+    ) -> DataFrame:
+        """Audit read: the staged batch alone (``only_staged=True``) or
+        the current snapshot PLUS the staged files -- exactly what the
+        table would become if published. Normal reads never see staged
+        data."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        doc = self._staged_doc(tdir, staging_id)
+        entries = list(doc["files"])
+        if not only_staged:
+            entries = self._manifest(tdir, self._versions(tdir)[-1]) + entries
+        schema = StructType.fromJson(doc.get("schema", meta["schema"]))
+        return self._read_files(tdir, entries, schema, phys=meta.get("physical"))
+
+    def publish_staged(self, ns: str, table: str, staging_id: str) -> int:
+        """Atomically publish an audited staged batch: a normal
+        optimistic append of the already-written files (no data I/O);
+        the staging record is consumed."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        doc = self._staged_doc(tdir, staging_id)
+        v = self._publish_append(
+            tdir, self._versions(tdir)[-1], doc["files"], meta["schema"],
+            phys=meta.get("physical"),
+        )
+        os.remove(os.path.join(tdir, _MANIFEST_DIR, f"{self._STAGE_PREFIX}{staging_id}.json"))
+        return v
+
+    def discard_staged(self, ns: str, table: str, staging_id: str) -> dict:
+        """Audit-reject: drop the staging record and delete its data
+        files immediately (they are referenced by no snapshot)."""
+        tdir = self._table_dir(ns, table)
+        doc = self._staged_doc(tdir, staging_id)
+        removed = 0
+        for e in doc["files"]:
+            p = os.path.join(tdir, e["path"])
+            if os.path.exists(p):
+                os.remove(p)
+                removed += 1
+        os.remove(os.path.join(tdir, _MANIFEST_DIR, f"{self._STAGE_PREFIX}{staging_id}.json"))
+        return {"removed_files": removed}
+
+    def list_staged(self, ns: str, table: str) -> list[str]:
+        tdir = self._table_dir(ns, table)
+        vdir = os.path.join(tdir, _MANIFEST_DIR)
+        n = len(self._STAGE_PREFIX)
+        return sorted(
+            f[n:-5]
+            for f in os.listdir(vdir)
+            if f.startswith(self._STAGE_PREFIX) and f.endswith(".json")
         )
 
     def merge_upsert(

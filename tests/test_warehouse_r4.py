@@ -513,3 +513,53 @@ def test_partitions_df(spark, wh):
     rows2 = {r.partition: (r.n_files, r.records) for r in
              wh.partitions_df("ns", "t").collect()}
     assert rows2 == {"d0": (2, 20), "d1": (1, 10)}
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish (Iceberg WAP stage-only commits)
+# ---------------------------------------------------------------------------
+
+
+def test_wap_stage_audit_publish(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    sid = wh.insert_staged("ns", "t", _df(spark, [("b", "d2", 2)]))
+    assert wh.list_staged("ns", "t") == [sid]
+    # invisible to normal reads (any version)
+    assert {r.id for r in wh.read("ns", "t").collect()} == {"a"}
+    # audit sees the staged batch alone and the would-be table
+    assert {r.id for r in wh.read_staged("ns", "t", sid, only_staged=True).collect()} == {"b"}
+    assert {r.id for r in wh.read_staged("ns", "t", sid).collect()} == {"a", "b"}
+    v = wh.publish_staged("ns", "t", sid)
+    assert wh.current_version("ns", "t") == v
+    assert {r.id for r in wh.read("ns", "t").collect()} == {"a", "b"}
+    assert wh.list_staged("ns", "t") == []
+    with pytest.raises(ValueError):
+        wh.publish_staged("ns", "t", sid)  # consumed
+
+
+def test_wap_discard_deletes_files(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    sid = wh.insert_staged("ns", "t", _df(spark, [("bad", "d9", 666)]))
+    res = wh.discard_staged("ns", "t", sid)
+    assert res["removed_files"] >= 1
+    assert wh.list_staged("ns", "t") == []
+    assert {r.id for r in wh.read("ns", "t").collect()} == {"a"}
+    # no debris: orphan scan finds nothing left to reclaim
+    assert wh.remove_orphan_files("ns", "t", older_than_seconds=0) == {
+        "removed_files": 0
+    }
+
+
+def test_wap_publish_survives_concurrent_append(spark, wh):
+    """Publishing a staged batch is a fast-append: a concurrent insert
+    between stage and publish rebases cleanly, keeping both."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    sid = wh.insert_staged("ns", "t", _df(spark, [("s", "d1", 1)]))
+    wh.insert("ns", "t", _df(spark, [("c", "d2", 2)]))  # lands first
+    wh.publish_staged("ns", "t", sid)
+    assert {r.id for r in wh.read("ns", "t").collect()} == {"s", "c"}
