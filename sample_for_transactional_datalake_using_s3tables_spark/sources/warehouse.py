@@ -1193,87 +1193,63 @@ class Warehouse:
         schema = StructType.fromJson(meta["schema"])
         phys_map = meta.get("physical") or {}
         phys_key = phys_map.get(key, key)
-        key_vals: set | None = None
         match_keys = source.select(key).distinct()
         if deletes is not None:
             match_keys = match_keys.union(deletes).distinct()
         self.last_merge_stats = {"manifest_files": len(entries)}
 
-        if pcol:
-            # Copy-on-write only the partitions the batch touches: the
-            # partitions the source rows land in, PLUS any partition whose
-            # current files hold a matched key (an update can migrate a key
-            # across partitions -- e.g. a CDC MODIFY whose new timestamp
-            # crosses a day boundary -- and the stale copy must be rewritten
-            # out of its old partition, matching Iceberg MERGE semantics).
-            pexpr = self._partition_expr(pcol, schema)
-            # Small-batch fast path (the CDC steady state: a micro-batch
-            # of a few thousand keys against a huge table): ONE bounded
-            # collect retrieves the batch's distinct (key, partition)
-            # pairs, yielding the touched partitions AND the key set for
-            # manifest-level probe pruning. Over-cap batches fall back
-            # to collecting only the partition values.
-            kp = (
-                source.select(F.col(key).alias("_k"), pexpr.alias("_p"))
+        # Small-batch fast path (the CDC steady state: a micro-batch of
+        # a few thousand keys against a huge table): ONE bounded collect
+        # retrieves the batch's distinct keys, driving manifest-level
+        # Bloom/min-max pruning of the match probe. Over-cap batches
+        # probe every file with a distributed semi-join instead.
+        key_vals: set | None = None
+        kp = (
+            match_keys.limit(self._MERGE_COLLECT_KEYS_MAX + 1).collect()
+        )
+        if len(kp) <= self._MERGE_COLLECT_KEYS_MAX:
+            key_vals = {r[0] for r in kp}
+
+        # File-level copy-on-write (matching delete_where/update_where):
+        # ONE pruned columnar probe -- key column only, grouped by
+        # input_file_name -- finds the files that actually hold a
+        # matched key (upsert keys AND delete keys together; a key an
+        # update migrates across partitions is found wherever its stale
+        # copy lives, matching Iceberg MERGE semantics). Files holding
+        # no matched key carry over by manifest reference even inside
+        # partitions that receive inserts; at 100 TB a CDC batch
+        # rewrites the handful of files with matches, never a partition.
+        candidates = (
+            self._prune_entries_by_keys(entries, phys_key, key_vals)
+            if key_vals is not None
+            else entries
+        )
+        self.last_merge_stats["probed_files"] = len(candidates)
+        hit: set[str] = set()
+        if candidates:
+            by_abs = {
+                os.path.abspath(os.path.join(tdir, e["path"])): e["path"]
+                for e in candidates
+            }
+            probe = self._read_files(tdir, candidates, schema, phys=phys_map)
+            per_file = (
+                probe.select(key, F.input_file_name().alias("_f"))
+                .join(match_keys, key, "left_semi")
+                .select("_f")
                 .distinct()
-                .limit(self._MERGE_COLLECT_KEYS_MAX + 1)
                 .collect()
             )
-            small = len(kp) <= self._MERGE_COLLECT_KEYS_MAX
-            del_vals: set = set()
-            if small and deletes is not None:
-                dk = deletes.limit(self._MERGE_COLLECT_KEYS_MAX + 1).collect()
-                small = len(dk) <= self._MERGE_COLLECT_KEYS_MAX
-                del_vals = {r[0] for r in dk} if small else set()
-            if small:
-                touched = {_part_key(r["_p"]) for r in kp}
-                key_vals = {r["_k"] for r in kp} | del_vals
-            else:
-                touched = {
-                    _part_key(r[0])
-                    for r in source.select(pexpr.alias("_p")).distinct().collect()
-                }
-            remaining = [
-                e for e in entries if _part_key(e["partition"]) not in touched
-            ]
-            if key_vals is not None:
-                # Manifest skipping for the match probe: a file whose
-                # min/max + key Bloom prove it holds NONE of the batch's
-                # keys never reaches the probe scan. At 100 TB a small
-                # CDC batch probes the handful of files the manifest
-                # can't rule out, not every untouched partition (and the
-                # keys x files matching itself distributes over
-                # executors past a manifest-size threshold).
-                probe_entries = self._prune_entries_by_keys(
-                    remaining, phys_key, key_vals
-                )
-            else:
-                probe_entries = remaining
-            self.last_merge_stats.update(
-                remaining_files=len(remaining), probed_files=len(probe_entries)
-            )
-            if probe_entries:
-                # One probe finds every partition holding a matched key --
-                # upsert keys AND delete keys together (a delete, like an
-                # update, only affects partitions that actually contain the
-                # key). key + partition-source columns only: a pruned
-                # columnar probe, not a full-row scan.
-                probe = self._read_files(
-                    tdir, probe_entries, schema, phys=phys_map
-                ).select(key, pexpr.alias("_p"))
-                hit = (
-                    probe.join(match_keys, key, "left_semi")
-                    .select("_p")
-                    .distinct()
-                    .collect()
-                )
-                touched |= {_part_key(r[0]) for r in hit}
-            untouched = [
-                e for e in entries if _part_key(e["partition"]) not in touched
-            ]
-            rewrite = [e for e in entries if _part_key(e["partition"]) in touched]
-        else:
-            untouched, rewrite = [], entries
+            import urllib.parse
+
+            for r in per_file:
+                p = urllib.parse.unquote(urllib.parse.urlparse(r["_f"]).path)
+                hit.add(by_abs[os.path.abspath(p)])
+        rewrite = [e for e in entries if e["path"] in hit]
+        untouched = [e for e in entries if e["path"] not in hit]
+        self.last_merge_stats["rewritten_files"] = len(rewrite)
+        touched = (
+            {_part_key(e["partition"]) for e in rewrite} if pcol else None
+        )
         current = self._read_files(tdir, rewrite, schema, phys=meta.get("physical"))
 
         merged = current.alias("t").join(

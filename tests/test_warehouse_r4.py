@@ -128,7 +128,8 @@ def test_merge_small_batch_bloom_prunes_probe(spark, wh):
     src = _df(spark, [("k5", "d9", 999)])  # key k5 lives in chunk 0 (d0)
     wh.merge_upsert("ns", "t", src)
     stats = wh.last_merge_stats
-    assert stats["probed_files"] < stats["remaining_files"]
+    assert stats["probed_files"] < stats["manifest_files"]
+    assert stats["rewritten_files"] == 1  # file-level CoW: only k5's file
     row = wh.read("ns", "t").filter(F.col("id") == "k5").collect()
     assert [(r.day, r.v) for r in row] == [("d9", 999)]
     assert wh.read("ns", "t").count() == 40
