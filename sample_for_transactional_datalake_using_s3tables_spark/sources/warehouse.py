@@ -1209,6 +1209,8 @@ class Warehouse:
         )
         if len(kp) <= self._MERGE_COLLECT_KEYS_MAX:
             key_vals = {r[0] for r in kp}
+        if key_vals is not None and not key_vals:
+            return version  # empty batch: nothing to merge, no empty commit
 
         # File-level copy-on-write (matching delete_where/update_where):
         # ONE pruned columnar probe -- key column only, grouped by

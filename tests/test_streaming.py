@@ -166,3 +166,27 @@ def test_base64_kinesis_path(spark):
     parsed = parse_cdc(_raw(spark, [b64]), base64_encoded=True)
     row = good_rows(parsed).collect()[0]
     assert row.transaction_id == "TXN_B64" and str(row.amount) == "99.99"
+
+
+def test_streaming_quarantine_end_to_end(spark, wh):
+    """S6/S7 under readStream: malformed and keyless records flow
+    through the FILE STREAM into the dead-letter table (original bytes
+    preserved) in the same trigger that merges the good rows -- the
+    errors/ prefix analog end-to-end, not just the batch twin."""
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as ckpt:
+        keyless = json.dumps(
+            {"eventName": "INSERT", "dynamodb": {"NewImage": {"amount": {"N": "5"}}}}
+        )
+        with open(os.path.join(src, "b1.jsonl"), "w") as f:
+            f.write(envelope("INSERT", "TXN_1", TS, "10.00") + "\n")
+            f.write("garbage {{{ not json\n")
+            f.write(keyless + "\n")
+        q = stream_cdc_to_table(spark, src, wh, ckpt)
+        q.awaitTermination(120)
+        good = wh.read("analytics", "transactions").collect()
+        assert {r.transaction_id for r in good} == {"TXN_1"}
+        bad = sorted(
+            r.raw_record
+            for r in wh.read("analytics", "transactions_errors").collect()
+        )
+        assert bad == sorted(["garbage {{{ not json", keyless])

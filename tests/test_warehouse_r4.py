@@ -564,3 +564,11 @@ def test_wap_publish_survives_concurrent_append(spark, wh):
     wh.insert("ns", "t", _df(spark, [("c", "d2", 2)]))  # lands first
     wh.publish_staged("ns", "t", sid)
     assert {r.id for r in wh.read("ns", "t").collect()} == {"s", "c"}
+
+
+def test_merge_empty_batch_is_noop(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    v = wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    assert wh.merge_upsert("ns", "t", _df(spark, []).limit(0)) == v
+    assert wh.current_version("ns", "t") == v
