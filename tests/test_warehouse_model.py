@@ -69,3 +69,76 @@ def test_merge_sequences_match_model(spark, ops):
         got = {(r.id, r.day, r.v) for r in wh.read("m", "t").collect()}
         want = {(k, p, v) for k, (p, v) in model.items()}
         assert got == want, f"ops={ops}"
+
+
+# Round-4 surface: row-level predicate DML (file-level CoW), tags with
+# tag-aware expiration, orphan cleanup -- interleaved with MERGE traffic.
+_op4 = st.one_of(
+    st.tuples(st.just("upsert"), st.lists(_row, min_size=1, max_size=3)),
+    st.tuples(st.just("delete"), st.lists(st.sampled_from(KEYS), min_size=1, max_size=2)),
+    st.tuples(st.just("delete_where"), st.integers(min_value=0, max_value=99)),
+    st.tuples(st.just("update_where"), st.integers(min_value=0, max_value=99)),
+    st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("expire"), st.integers(min_value=1, max_value=2)),
+    st.tuples(st.just("orphan"), st.none()),
+    st.tuples(st.just("tag"), st.none()),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op4, min_size=1, max_size=5))
+def test_predicate_dml_sequences_match_model(spark, ops):
+    model: dict[str, tuple[str | None, int]] = {}
+    tags: dict[str, set] = {}
+    with tempfile.TemporaryDirectory() as root:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("m")
+        wh.create_table("m", "t", SCHEMA, key="id", partition_by="day")
+        for i, (kind, arg) in enumerate(ops):
+            if kind == "upsert":
+                wh.merge_upsert("m", "t", _df(spark, arg))
+                for k, p, v in arg:
+                    model[k] = (p, v)
+            elif kind == "delete":
+                rows = [(k, None, 0) for k in arg]
+                batch = _df(spark, rows).withColumn("_delete", F.lit(True))
+                wh.merge_upsert("m", "t", batch, delete_col="_delete")
+                for k in arg:
+                    model.pop(k, None)
+            elif kind == "delete_where":
+                wh.delete_where("m", "t", [("v", ">=", arg)])
+                model = {k: pv for k, pv in model.items() if pv[1] < arg}
+            elif kind == "update_where":
+                wh.update_where(
+                    "m", "t", {"v": F.col("v") + 100}, [("v", "<", arg)]
+                )
+                model = {
+                    k: (p, v + 100 if v < arg else v)
+                    for k, (p, v) in model.items()
+                }
+            elif kind == "compact":
+                wh.compact("m", "t")
+            elif kind == "expire":
+                wh.expire_snapshots("m", "t", keep_last=arg)
+            elif kind == "orphan":
+                # maintenance must never change the current state
+                wh.remove_orphan_files("m", "t", older_than_seconds=0)
+            else:
+                name = f"tag{i}"
+                wh.create_tag("m", "t", name)
+                tags[name] = {(k, p, v) for k, (p, v) in model.items()}
+        got = {(r.id, r.day, r.v) for r in wh.read("m", "t").collect()}
+        want = {(k, p, v) for k, (p, v) in model.items()}
+        assert got == want, f"ops={ops}"
+        # every tag still reads exactly the state at tagging time,
+        # through any number of later rewrites/expirations
+        for name, snap in tags.items():
+            tagged = {
+                (r.id, r.day, r.v)
+                for r in wh.read("m", "t", version=name).collect()
+            }
+            assert tagged == snap, f"tag {name} ops={ops}"
