@@ -121,8 +121,12 @@ def _bloom_tag(value) -> str | None:
     return None
 
 
+@functools.lru_cache(maxsize=65536)
 def _bloom_hashes(value) -> list[int] | None:
-    """k bit positions for a key value, or None if not bloom-safe."""
+    """k bit positions for a key value, or None if not bloom-safe.
+    Memoized: planning probes every (file, key) pair of a MERGE batch
+    against the manifest, so each key's md5 must be computed once per
+    batch, not once per file."""
     import hashlib
 
     tag = _bloom_tag(value)
