@@ -127,6 +127,82 @@ def export_delta_log(wh, ns: str, table: str) -> str:
     return log_dir
 
 
+def import_delta_table(
+    wh, ns: str, table: str, source_dir: str, key: str | None = None
+) -> int:
+    """Interop in the OTHER direction: materialize a warehouse table
+    from a directory holding a Delta-protocol ``_delta_log`` plus its
+    data files. The log is replayed to the live file set; files are
+    hard-linked (falling back to copy) into the new table's data dir;
+    per-file footer stats and the optional key Bloom are extracted in
+    EXECUTOR tasks (the same distributed build `_write_files` uses), so
+    the imported table immediately supports min/max + Bloom data
+    skipping even though the Delta log carries only numRecords.
+
+    Scope: unpartitioned tables, and tables exported by
+    :func:`export_delta_log` (whose ``_p`` partition column is
+    directory-derived while the SOURCE columns stay in the data files,
+    so the data is self-contained); a foreign table partitioned on a
+    real column absent from its data files raises. Returns the number
+    of imported files."""
+    import shutil
+
+    from pyspark.sql.types import StructType
+
+    from .warehouse import _extract_file_meta
+
+    state = replay_delta_log(os.path.join(source_dir, "_delta_log"))
+    md = state["metaData"]
+    if md is None:
+        raise ValueError(f"no metaData action found under {source_dir}")
+    schema_doc = json.loads(md["schemaString"])
+    pcols = md.get("partitionColumns") or []
+    if pcols and pcols != ["_p"]:
+        raise NotImplementedError(
+            "cannot import a Delta table partitioned on real columns "
+            f"({pcols}): their values live in partitionValues, not in the "
+            "data files this warehouse requires to be self-contained"
+        )
+    if pcols == ["_p"]:
+        schema_doc["fields"] = [
+            f for f in schema_doc["fields"] if f["name"] != "_p"
+        ]
+    schema = StructType.fromJson(schema_doc)
+    wh.create_namespace(ns)
+    wh.create_table(ns, table, schema, key=key)
+    tdir = wh._table_dir(ns, table)
+    dest = os.path.join(tdir, "data", f"import{uuid.uuid4().hex[:12]}")
+    os.makedirs(dest)
+    paths = []
+    for i, rel in enumerate(sorted(state["files"])):
+        src = os.path.join(source_dir, rel)
+        dst = os.path.join(dest, f"import-{i:06d}.parquet")
+        try:
+            os.link(src, dst)  # zero-copy on the same filesystem
+        except OSError:
+            shutil.copy2(src, dst)
+        paths.append(dst)
+    key_col = key if key and key in schema.fieldNames() else None
+    entries = []
+    if paths:
+        sc = wh.spark.sparkContext
+        n = max(1, min(len(paths), sc.defaultParallelism))
+        metas = (
+            sc.parallelize(paths, n)
+            .map(lambda p: _extract_file_meta(p, key_col))
+            .collect()
+        )
+        for m in metas:
+            full = m.pop("abs")
+            entries.append(
+                {"path": os.path.relpath(full, tdir), **m, "partition": None}
+            )
+    wh._publish_append(
+        tdir, wh._versions(tdir)[-1], entries, json.loads(schema.json())
+    )
+    return len(entries)
+
+
 def replay_delta_log(log_dir: str) -> dict:
     """Reconstruct table state by replaying the JSON log the way a Delta
     reader does (actions in commit order; remove drops a path, add
