@@ -1960,6 +1960,14 @@ class Warehouse:
             for v in self._versions(tdir)
             for e in self._manifest(tdir, v)
         }
+        # WAP staged batches are referenced by no snapshot yet but are
+        # NOT orphans: their staging records pin them until published
+        # or discarded
+        for sid in self.list_staged(ns, table):
+            live |= {
+                os.path.abspath(os.path.join(tdir, e["path"]))
+                for e in self._staged_doc(tdir, sid)["files"]
+            }
         cutoff = _time.time() - older_than_seconds
         removed = 0
         data_root = os.path.join(tdir, "data")

@@ -572,3 +572,17 @@ def test_merge_empty_batch_is_noop(spark, wh):
     v = wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
     assert wh.merge_upsert("ns", "t", _df(spark, []).limit(0)) == v
     assert wh.current_version("ns", "t") == v
+
+
+def test_orphan_cleanup_spares_staged_batches(spark, wh):
+    """WAP staged files are pinned by their staging record -- orphan
+    cleanup must not reclaim them before publish/discard."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    sid = wh.insert_staged("ns", "t", _df(spark, [("s", "d2", 2)]))
+    assert wh.remove_orphan_files("ns", "t", older_than_seconds=0) == {
+        "removed_files": 0
+    }
+    wh.publish_staged("ns", "t", sid)
+    assert {r.id for r in wh.read("ns", "t").collect()} == {"a", "s"}
