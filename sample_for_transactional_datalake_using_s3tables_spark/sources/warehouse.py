@@ -1043,19 +1043,108 @@ class Warehouse:
     def _validated(self, df: DataFrame, meta: dict) -> DataFrame:
         """Align to table schema; enforce NOT NULL on required fields
         (reference marks transaction_id required,
-        lambda/custom_resource/index.py:94-99)."""
+        lambda/custom_resource/index.py:94-99) and any CHECK
+        constraints (a violating batch fails the write -- Delta
+        constraint semantics -- via one bounded existence probe)."""
         schema = StructType.fromJson(meta["schema"])
+        unknown = [c for c in df.columns if c not in schema.fieldNames()]
+        if unknown:
+            raise ValueError(
+                f"batch columns {unknown} not in table schema "
+                f"{schema.fieldNames()}; pass merge_schema=True to evolve "
+                "(silently dropping them would lose data)"
+            )
         out = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
         for col in meta.get("required", []):
             out = out.filter(F.col(col).isNotNull())
+        self._check_constraints(out, meta)
         return out
 
-    def insert(self, ns: str, table: str, df: DataFrame, overwrite: bool = False) -> int:
-        """Append (or overwrite) a batch; returns the new version."""
+    @staticmethod
+    def _check_constraints(df: DataFrame, meta: dict) -> None:
+        """Raise if any row violates a CHECK constraint. SQL-standard
+        semantics: a row violates only when the expression is FALSE
+        (NULL/unknown passes). One bounded existence probe, only run
+        when the table has constraints."""
+        constraints = meta.get("constraints") or {}
+        if not constraints:
+            return
+        ok = functools.reduce(
+            lambda a, b: a & b,
+            [F.coalesce(F.expr(sql), F.lit(True)) for sql in constraints.values()],
+        )
+        hit = df.filter(~ok).limit(1).collect()
+        if hit:
+            raise ValueError(
+                f"CHECK constraint violated by row {hit[0].asDict()!r} "
+                f"(constraints: {constraints})"
+            )
+
+    def add_constraint(self, ns: str, table: str, name: str, sql_expr: str) -> None:
+        """ALTER TABLE ADD CONSTRAINT (Delta CHECK-constraint analog):
+        every future insert/merge/update batch must satisfy
+        ``sql_expr`` or the write raises before any commit. The
+        EXISTING data must already satisfy it (checked once here, a
+        pruned metadata-planned scan)."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
+        violating = self.read(ns, table).filter(
+            ~F.coalesce(F.expr(sql_expr), F.lit(True))
+        )
+        hit = violating.limit(1).collect()
+        if hit:
+            raise ValueError(
+                f"existing rows violate {name}: {sql_expr!r} "
+                f"(e.g. {hit[0].asDict()!r})"
+            )
+        constraints = dict(meta.get("constraints") or {})
+        constraints[name] = sql_expr
+        meta["constraints"] = constraints
+        self._swap_table_meta(tdir, meta)
+
+    def drop_constraint(self, ns: str, table: str, name: str) -> None:
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        constraints = dict(meta.get("constraints") or {})
+        constraints.pop(name, None)
+        meta["constraints"] = constraints
+        self._swap_table_meta(tdir, meta)
+
+    def _merge_schema(self, ns: str, table: str, df: DataFrame) -> dict:
+        """Schema-merge on write (Delta ``mergeSchema`` / Iceberg
+        ``union-by-name``): add any source column missing from the
+        table as a nullable column (metadata-only evolution); existing
+        rows read it as NULL. Type conflicts on existing columns still
+        fail in ``_validated``'s cast."""
+        schema = self.schema(ns, table)
+        for f in df.schema.fields:
+            if f.name not in schema.fieldNames():
+                from pyspark.sql.types import StructField
+
+                self.add_column(
+                    ns, table, StructField(f.name, f.dataType, True)
+                )
+        return self.table_meta(ns, table)
+
+    def insert(
+        self,
+        ns: str,
+        table: str,
+        df: DataFrame,
+        overwrite: bool = False,
+        merge_schema: bool = False,
+    ) -> int:
+        """Append (or overwrite) a batch; returns the new version.
+        ``merge_schema`` adds the batch's new columns to the table
+        first (nullable, metadata-only) instead of failing the align."""
+        tdir = self._table_dir(ns, table)
+        meta = (
+            self._merge_schema(ns, table, df)
+            if merge_schema
+            else self.table_meta(ns, table)
+        )
         new_files = self._write_files(
             tdir, self._validated(df, meta), meta["partition_by"],
             bloom_col=meta.get("key"), phys=meta.get("physical"),
@@ -1474,6 +1563,7 @@ class Warehouse:
                 for f in schema.fields
             ]
         )
+        self._check_constraints(updated, meta)
         new_files = self._write_files(
             tdir, updated, meta["partition_by"], bloom_col=meta.get("key"),
             phys=meta.get("physical"),

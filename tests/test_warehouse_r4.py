@@ -586,3 +586,60 @@ def test_orphan_cleanup_spares_staged_batches(spark, wh):
     }
     wh.publish_staged("ns", "t", sid)
     assert {r.id for r in wh.read("ns", "t").collect()} == {"a", "s"}
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints + mergeSchema writes
+# ---------------------------------------------------------------------------
+
+
+def test_check_constraint_blocks_bad_writes(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 5)]))
+    wh.add_constraint("ns", "t", "v_positive", "v > 0")
+    v = wh.current_version("ns", "t")
+    # bad insert raises BEFORE any commit
+    with pytest.raises(ValueError, match="v_positive|CHECK"):
+        wh.insert("ns", "t", _df(spark, [("b", "d1", -3)]))
+    assert wh.current_version("ns", "t") == v
+    # bad MERGE raises too
+    with pytest.raises(ValueError, match="CHECK"):
+        wh.merge_upsert("ns", "t", _df(spark, [("a", "d1", -1)]))
+    # bad UPDATE raises too
+    with pytest.raises(ValueError, match="CHECK"):
+        wh.update_where("ns", "t", {"v": F.lit(-9)}, [("id", "=", "a")])
+    # good writes still flow; NULL passes (SQL-standard CHECK)
+    wh.insert("ns", "t", _df(spark, [("c", "d2", 7), ("d", "d2", None)]))
+    assert wh.read("ns", "t").count() == 3
+    wh.drop_constraint("ns", "t", "v_positive")
+    wh.insert("ns", "t", _df(spark, [("e", "d1", -5)]))
+    assert wh.read("ns", "t").count() == 4
+
+
+def test_add_constraint_rejects_violating_existing_data(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", -1)]))
+    with pytest.raises(ValueError, match="existing rows violate"):
+        wh.add_constraint("ns", "t", "v_positive", "v > 0")
+
+
+def test_insert_merge_schema(spark, wh):
+    """mergeSchema write: a batch with a new column evolves the table
+    (metadata-only); old rows read the column as NULL."""
+    from pyspark.sql.types import StructField as SF2
+
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    wh.insert("ns", "t", _df(spark, [("a", "d1", 1)]))
+    wide = spark.createDataFrame(
+        [("b", "d2", 2, "extra")],
+        StructType([*SCHEMA.fields, SF2("note", StringType())]),
+    )
+    # without merge_schema the align fails; with it the table evolves
+    with pytest.raises(Exception):
+        wh.insert("ns", "t", wide)
+    wh.insert("ns", "t", wide, merge_schema=True)
+    got = {(r.id, r.note) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", None), ("b", "extra")}
