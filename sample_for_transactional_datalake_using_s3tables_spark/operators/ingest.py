@@ -382,6 +382,50 @@ WHERE event_id % 2 = 0 OR event_id % 3 != 0
 """
 
 
+def warehouse_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints certified end-to-end (Delta constraint
+    analog): load positive-value events, add ``value > 0``; a poisoned
+    batch (negated values) must raise BEFORE any commit (asserted
+    inline, version pinned unchanged); a clean batch must still flow.
+    The final state matches the oracle only if enforcement blocked
+    exactly the poisoned rows and nothing else; ``enforced`` pins the
+    inline rejection python-side."""
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_constraints_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id", partition_by="event_type"
+        )
+        wh.insert("q", "state", events.filter(F.col("event_id") % 2 == 0))
+        wh.add_constraint("q", "state", "value_positive", "value > 0")
+        v = wh.current_version("q", "state")
+        poisoned = events.filter(F.col("event_id") % 2 == 1).withColumn(
+            "value", (-F.col("value")).cast("decimal(12,2)")
+        )
+        try:
+            wh.insert("q", "state", poisoned)
+            enforced = False
+        except ValueError:
+            enforced = wh.current_version("q", "state") == v
+        wh.insert("q", "state", events.filter(F.col("event_id") % 2 == 1))
+        final = wh.read("q", "state").select(
+            "event_id", "event_type", F.col("value").alias("value_final")
+        ).withColumn("enforced", F.lit(bool(enforced)))
+        return _lazy_snapshot(spark, root, final)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_CONSTRAINTS_SQL = """
+SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value_final,
+       TRUE AS enforced
+FROM events
+"""
+
+
 def warehouse_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed between two snapshots (the Iceberg
     ``changelog``/CDF read re-expressed on the manifest warehouse):
@@ -860,6 +904,7 @@ QUERIES = {
     "warehouse_delta_export": warehouse_delta_export,
     "warehouse_tags": warehouse_tags,
     "warehouse_wap": warehouse_wap,
+    "warehouse_constraints": warehouse_constraints,
     "warehouse_merge_roundtrip": warehouse_merge_roundtrip,
     "warehouse_time_travel": warehouse_time_travel,
     "warehouse_changelog": warehouse_changelog,
@@ -878,6 +923,7 @@ ORACLES = {
     "warehouse_delta_export": WAREHOUSE_DELTA_EXPORT_SQL,
     "warehouse_tags": WAREHOUSE_TIME_TRAVEL_SQL,
     "warehouse_wap": WAREHOUSE_WAP_SQL,
+    "warehouse_constraints": WAREHOUSE_CONSTRAINTS_SQL,
     "warehouse_merge_roundtrip": WAREHOUSE_MERGE_SQL,
     "warehouse_time_travel": WAREHOUSE_TIME_TRAVEL_SQL,
     "warehouse_changelog": WAREHOUSE_CHANGELOG_SQL,
