@@ -1994,6 +1994,59 @@ class Warehouse:
             json.dump(refs, f, indent=1)
         os.replace(tmp, path)
 
+    def auto_maintain(
+        self,
+        ns: str,
+        table: str,
+        small_file_bytes: int = 32 << 20,
+        min_files_per_partition: int = 4,
+        keep_last: int = 5,
+        orphan_horizon_seconds: float = 3600.0,
+    ) -> dict:
+        """One-call table maintenance policy (the reference's S3 Tables
+        performs compaction, snapshot management, and unreferenced-file
+        removal AUTOMATICALLY -- reference README.md's managed-table
+        value proposition; here it is an explicit, schedulable call):
+
+        1. COMPACT partitions that accumulated ``min_files_per_partition``
+           or more files averaging under ``small_file_bytes`` (the
+           streaming-ingest small-file shape; Firehose's 1 MB/60 s
+           buffers produce exactly this),
+        2. EXPIRE all but the newest ``keep_last`` snapshots (tagged
+           snapshots always survive),
+        3. REMOVE orphaned data files older than the in-flight horizon.
+
+        Metadata-driven throughout: the compaction decision reads the
+        manifest only; nothing scans data that doesn't get rewritten."""
+        tdir = self._table_dir(ns, table)
+        if not os.path.exists(tdir):
+            raise TableNotFoundError(f"{ns}.{table}")
+        version = self._versions(tdir)[-1]
+        by_part: dict[str | None, list[dict]] = {}
+        for e in self._manifest(tdir, version):
+            by_part.setdefault(e["partition"], []).append(e)
+        needs_compact = any(
+            len(es) >= min_files_per_partition
+            and (sum(x.get("bytes", 0) for x in es) / len(es)) < small_file_bytes
+            for es in by_part.values()
+        )
+        compacted_to = None
+        if needs_compact:
+            compacted_to = self.compact(
+                ns, table, min_files_per_partition=min_files_per_partition
+            )
+        expired = self.expire_snapshots(ns, table, keep_last=keep_last)
+        orphans = self.remove_orphan_files(
+            ns, table, older_than_seconds=orphan_horizon_seconds
+        )
+        return {
+            "compacted": needs_compact,
+            "compacted_to_version": compacted_to,
+            "expired_versions": expired["expired_versions"],
+            "removed_expired_files": expired["removed_files"],
+            "removed_orphan_files": orphans["removed_files"],
+        }
+
     def expire_snapshots(self, ns: str, table: str, keep_last: int = 1) -> dict:
         """``expire_snapshots`` analog (Iceberg table maintenance; the
         reference's S3 Tables runs this automatically): drop all but the

@@ -643,3 +643,27 @@ def test_insert_merge_schema(spark, wh):
     wh.insert("ns", "t", wide, merge_schema=True)
     got = {(r.id, r.note) for r in wh.read("ns", "t").collect()}
     assert got == {("a", None), ("b", "extra")}
+
+
+def test_auto_maintain(spark, wh):
+    """Policy maintenance: compacts accumulated small files, expires old
+    snapshots (keeping tags), reclaims orphans -- one call."""
+    _ranged_table(spark, wh)  # 4 commits -> 2 small files per partition
+    wh.create_tag("ns", "t", "keep_me", 1)
+    tdir = wh._table_dir("ns", "t")
+    orphan = os.path.join(tdir, "data", "junk.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"debris")
+    os.utime(orphan, (0, 0))
+    rep = wh.auto_maintain("ns", "t", min_files_per_partition=2, keep_last=1)
+    assert rep["compacted"] is True
+    assert rep["removed_orphan_files"] == 1
+    assert 1 not in rep["expired_versions"]  # tagged snapshot kept
+    # table content unchanged, now 1 file per partition
+    assert wh.read("ns", "t").count() == 40
+    parts = {r.partition: r.n_files for r in wh.partitions_df("ns", "t").collect()}
+    assert parts == {"d0": 1, "d1": 1}
+    # idempotent second run: nothing left to do
+    rep2 = wh.auto_maintain("ns", "t", min_files_per_partition=2, keep_last=1)
+    assert rep2["compacted"] is False
+    assert rep2["removed_orphan_files"] == 0
