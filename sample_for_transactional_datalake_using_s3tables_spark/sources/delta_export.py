@@ -59,6 +59,13 @@ def export_delta_log(wh, ns: str, table: str) -> str:
             "Delta columnMapping; re-export before renames or after a "
             "physical rewrite"
         )
+    for v in wh._versions(tdir):
+        if wh._manifest_doc(tdir, v).get("deletes"):
+            raise NotImplementedError(
+                "delta export of a snapshot with merge-on-read equality "
+                "deletes needs Delta deletion vectors; compact() first to "
+                "fold them in, then expire the MoR snapshots"
+            )
     partitioned = bool(meta.get("partition_by"))
     log_dir = os.path.join(tdir, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)

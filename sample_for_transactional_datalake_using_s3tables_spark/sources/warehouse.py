@@ -306,6 +306,26 @@ def _entry_may_match(entry: dict, predicates: list[tuple]) -> bool:
     return True
 
 
+def _seq_of(entry: dict) -> int:
+    """Data sequence number of a manifest file entry (the version at
+    which the file was committed). Legacy entries predate sequence
+    stamping and read as 0 -- every delete applies to them."""
+    return entry.get("seq", 0)
+
+
+def _live_deletes(deletes: list[dict] | None, files: list[dict]) -> list[dict]:
+    """Equality-delete entries that may still apply to at least one data
+    file. Iceberg v2 semantics: a delete at sequence ``d`` removes
+    matching keys only from data files with sequence < ``d`` (rows
+    written at or after the delete's own commit are newer and survive).
+    A delete whose sequence is <= every remaining file's sequence is
+    dangling and gets dropped from the manifest at the next commit."""
+    if not deletes or not files:
+        return []
+    min_seq = min(_seq_of(e) for e in files)
+    return [d for d in deletes if d["seq"] > min_seq]
+
+
 class TableNotFoundError(Exception):
     pass
 
@@ -605,6 +625,13 @@ class Warehouse:
     def _manifest(self, tdir: str, version: int) -> list[dict]:
         return self._manifest_doc(tdir, version)["files"]
 
+    def _doc_all_entries(self, tdir: str, version: int) -> list[dict]:
+        """Every file a snapshot references: data files PLUS merge-on-
+        read equality-delete files (maintenance must treat both as
+        live)."""
+        doc = self._manifest_doc(tdir, version)
+        return doc["files"] + list(doc.get("deletes") or [])
+
     def _publish(
         self,
         tdir: str,
@@ -612,17 +639,22 @@ class Warehouse:
         files: list[dict],
         schema: dict | None = None,
         phys: dict | None = None,
+        deletes: list[dict] | None = None,
     ) -> None:
         """Atomic optimistic commit: link() fails if the version exists
         (the reference's versionToken CAS, scripts/update_metadata.py:135-141).
         The manifest embeds the schema (and the logical->physical column
         mapping) as of this commit, binding both to the snapshot
-        (Iceberg-style) so time travel sees the historical shape."""
+        (Iceberg-style) so time travel sees the historical shape.
+        ``deletes`` carries the snapshot's live equality-delete files
+        (merge-on-read)."""
         doc: dict = {"version": version, "files": files}
         if schema is not None:
             doc["schema"] = schema
         if phys:
             doc["physical"] = phys
+        if deletes:
+            doc["deletes"] = deletes
         tmp = os.path.join(tdir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(doc, f)
@@ -689,7 +721,8 @@ class Warehouse:
     def _publish_append(
         self, tdir: str, read_version: int, new_files: list[dict], schema: dict,
         overwrite: bool = False, phys: dict | None = None,
-        rebase_meta: bool = True,
+        rebase_meta: bool = True, new_deletes: list[dict] | None = None,
+        rebase_validate=None,
     ) -> int:
         """Publish an append (or overwrite), rebasing onto the tip on a
         concurrent commit: an append conflicts with nothing -- its file
@@ -706,19 +739,52 @@ class Warehouse:
         because data files store immutable PHYSICAL names: whatever the
         concurrent op renamed, the tip mapping projects this append's
         files correctly. Schema-change publishes pass
-        ``rebase_meta=False`` -- their new schema IS the payload."""
+        ``rebase_meta=False`` -- their new schema IS the payload.
+
+        Sequence stamping (merge-on-read): new data files and
+        ``new_deletes`` entries get ``seq = committed version`` (stamped
+        per attempt, so a rebased retry re-stamps at the final version);
+        the base snapshot's live equality-delete files carry over.
+        ``rebase_validate(fresh_entries) -> bool``: for commits whose
+        payload semantics depend on the read snapshot (an MoR
+        predicate-DELETE computed its key set from it), called on rebase
+        with the data files the tip added since ``read_version``;
+        returning False turns the rebase into a conflict."""
         version = read_version
+        known = (
+            {e["path"] for e in self._manifest(tdir, read_version)}
+            if rebase_validate is not None
+            else set()
+        )
         for _ in range(self._MAX_COMMIT_RETRIES):
-            base = [] if overwrite else self._manifest(tdir, version)
+            base_doc = (
+                {"files": []} if overwrite else self._manifest_doc(tdir, version)
+            )
+            base = base_doc.get("files", [])
+            stamped = [dict(e, seq=version + 1) for e in new_files]
+            dels = list(base_doc.get("deletes") or [])
+            if new_deletes:
+                dels += [dict(d, seq=version + 1) for d in new_deletes]
             try:
                 self._publish(
-                    tdir, version + 1, base + new_files, schema=schema, phys=phys
+                    tdir, version + 1, base + stamped, schema=schema, phys=phys,
+                    deletes=_live_deletes(dels, base + stamped),
                 )
                 return version + 1
             except CommitConflictError:
                 version = self._versions(tdir)[-1]
+                tip_doc = self._manifest_doc(tdir, version)
+                if rebase_validate is not None:
+                    fresh = [
+                        e for e in tip_doc["files"] if e["path"] not in known
+                    ]
+                    if fresh and not rebase_validate(fresh):
+                        raise CommitConflictError(
+                            "concurrent commit added possibly-matching files; "
+                            "re-run on the new snapshot"
+                        ) from None
+                    known |= {e["path"] for e in fresh}
                 if rebase_meta:
-                    tip_doc = self._manifest_doc(tdir, version)
                     schema = tip_doc.get("schema", schema)
                     phys = tip_doc.get("physical")
         raise CommitConflictError(
@@ -772,16 +838,40 @@ class Warehouse:
         mine = {e["path"] for e in rewrite} | {e["path"] for e in carry_in_scope}
         seen_out = {e["path"] for e in out_scope}
         version = read_version
+        dels_base = list(
+            self._manifest_doc(tdir, read_version).get("deletes") or []
+        )
         for _ in range(self._MAX_COMMIT_RETRIES):
+            # stamp per attempt: new files get seq = the version actually
+            # committed, so pending equality deletes (seq <= tip) never
+            # re-apply to rows this rewrite just materialized, while
+            # carried-over files keep their original seq (pending deletes
+            # still apply to them); deletes dangling after the rewrite
+            # (no remaining file older than them) drop out of the manifest
+            final = (
+                out_scope + carry_in_scope
+                + [dict(e, seq=version + 1) for e in new_files]
+            )
             try:
                 self._publish(
-                    tdir, version + 1, out_scope + carry_in_scope + new_files,
-                    schema=schema, phys=phys,
+                    tdir, version + 1, final, schema=schema, phys=phys,
+                    deletes=_live_deletes(dels_base, final),
                 )
                 return version + 1
             except CommitConflictError:
                 tip = self._versions(tdir)[-1]
-                tip_entries = self._manifest(tdir, tip)
+                tip_doc = self._manifest_doc(tdir, tip)
+                tip_entries = tip_doc["files"]
+                dels_base = list(tip_doc.get("deletes") or [])
+                if any(d["seq"] > read_version for d in dels_base):
+                    # a concurrent merge-on-read commit added an equality
+                    # delete after our read: our rewritten files carry a
+                    # NEWER seq, so that delete would never apply to them
+                    # and its rows would resurrect -- rebase is unsound
+                    raise CommitConflictError(
+                        "concurrent merge-on-read delete conflicts with "
+                        "this rewrite; re-run on the new snapshot"
+                    ) from None
                 if {e["path"] for e in tip_entries if in_scope(e)} != mine:
                     raise
                 fresh = [
@@ -910,6 +1000,29 @@ class Warehouse:
             entries.append({"path": os.path.relpath(full, tdir), **m})
         return entries
 
+    def _write_delete_files(
+        self, tdir: str, keys_df: DataFrame, meta: dict, coalesce_one: bool
+    ) -> list[dict]:
+        """Write a distinct key set as equality-delete parquet files
+        (merge-on-read): single column named by the key's PHYSICAL name
+        (renames of the key stay metadata-only for delete files too),
+        full footer stats + key Bloom like any data file. The caller
+        stamps ``seq`` at publish. ``coalesce_one`` collapses a known-
+        small (CDC-batch) key set into one file; unbounded predicate
+        deletes keep their distributed partitioning."""
+        key = meta["key"]
+        phys_key = (meta.get("physical") or {}).get(key, key)
+        key_type = StructType.fromJson(meta["schema"])[key].dataType
+        df = (
+            keys_df.select(F.col(keys_df.columns[0]).cast(key_type).alias(phys_key))
+            .where(F.col(phys_key).isNotNull())
+            .distinct()
+        )
+        if coalesce_one:
+            df = df.coalesce(1)
+        entries = self._write_files(tdir, df, None, bloom_col=phys_key)
+        return [dict(e, col=phys_key, content="deletes") for e in entries]
+
     def _read_files(
         self,
         tdir: str,
@@ -940,6 +1053,88 @@ class Warehouse:
                 for f in schema.fields
             ]
         )
+
+    # equality-delete sets up to this many total records broadcast into
+    # the anti-join (a CDC batch's keys vs a 100 TB table: the delete
+    # side is tiny; broadcasting avoids shuffling the data side)
+    _DELETE_BROADCAST_RECORDS = 4_000_000
+
+    def _read_delete_keys(
+        self, tdir: str, dels: list[dict], key_type
+    ) -> DataFrame:
+        """Union of equality-delete files as one column ``__delkey``.
+        Each entry stores the PHYSICAL key column name it was written
+        under (``col``), so later renames of the logical key stay
+        metadata-only for delete files too."""
+        from pyspark.sql.types import StructField
+
+        out = None
+        by_col: dict[str, list[str]] = {}
+        for d in dels:
+            by_col.setdefault(d["col"], []).append(os.path.join(tdir, d["path"]))
+        for col, paths in by_col.items():
+            df = self.spark.read.schema(
+                StructType([StructField(col, key_type, True)])
+            ).parquet(*paths).select(F.col(col).alias("__delkey"))
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def _read_entries(
+        self,
+        tdir: str,
+        entries: list[dict],
+        schema: StructType,
+        phys: dict | None,
+        deletes: list[dict] | None,
+        key: str | None,
+        file_col: str | None = None,
+    ) -> DataFrame:
+        """Snapshot read with merge-on-read equality deletes applied: a
+        delete file at sequence ``d`` removes rows whose key it contains
+        from data files with sequence < ``d``.
+
+        Plan shape: data files are grouped by their APPLICABLE-DELETE
+        fingerprint (the set of delete seqs newer than the file), so the
+        number of scan branches is bounded by the number of MoR commits
+        since the last compaction -- NOT by the number of data files --
+        and each branch applies its deletes with one equi ANTI-join
+        (hash-joinable on the key; the delete side broadcasts when its
+        manifest record total is small, the steady state for CDC
+        batches). Files with no applicable delete stay on the zero-join
+        fast path. ``file_col`` adds ``input_file_name()`` BEFORE the
+        anti-join (scan-stage evaluation) for probe callers."""
+        dels = _live_deletes(deletes, entries)
+
+        def base(es: list[dict]) -> DataFrame:
+            df = self._read_files(tdir, es, schema, phys=phys)
+            if file_col is not None:
+                df = df.withColumn(file_col, F.input_file_name())
+            return df
+
+        if not dels or not entries or key is None:
+            return base(entries)
+        groups: dict[tuple, list[dict]] = {}
+        for e in entries:
+            fp = tuple(sorted(d["seq"] for d in dels if d["seq"] > _seq_of(e)))
+            groups.setdefault(fp, []).append(e)
+        key_type = schema[key].dataType
+        out = None
+        for fp, es in groups.items():
+            part = base(es)
+            if fp:
+                seqs = set(fp)
+                applicable = [d for d in dels if d["seq"] in seqs]
+                kdf = self._read_delete_keys(tdir, applicable, key_type)
+                if (
+                    sum(d.get("records", 0) for d in applicable)
+                    <= self._DELETE_BROADCAST_RECORDS
+                ):
+                    kdf = F.broadcast(kdf)
+                part = part.join(
+                    kdf, F.col(key) == F.col("__delkey"), "left_anti"
+                )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def plan_files(
         self,
@@ -1018,8 +1213,11 @@ class Warehouse:
         if isinstance(version, str):
             version = self._resolve_ref(tdir, version)
         v = version if version is not None else self._versions(tdir)[-1]
-        phys = self._snapshot_phys(self._manifest_doc(tdir, v), meta)
-        df = self._read_files(tdir, entries, schema, phys=phys)
+        doc = self._manifest_doc(tdir, v)
+        phys = self._snapshot_phys(doc, meta)
+        df = self._read_entries(
+            tdir, entries, schema, phys, doc.get("deletes"), meta.get("key")
+        )
         if predicates:
             df = df.filter(self._predicate_column(predicates))
         return df
@@ -1197,11 +1395,21 @@ class Warehouse:
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
         doc = self._staged_doc(tdir, staging_id)
-        entries = list(doc["files"])
-        if not only_staged:
-            entries = self._manifest(tdir, self._versions(tdir)[-1]) + entries
         schema = StructType.fromJson(doc.get("schema", meta["schema"]))
-        return self._read_files(tdir, entries, schema, phys=meta.get("physical"))
+        staged = self._read_files(
+            tdir, list(doc["files"]), schema, phys=meta.get("physical")
+        )
+        if only_staged:
+            return staged
+        # overlay on the current snapshot deletes-aware; the staged
+        # batch itself is newer than any committed equality delete, so
+        # it unions in un-anti-joined
+        cur_doc = self._manifest_doc(tdir, self._versions(tdir)[-1])
+        current = self._read_entries(
+            tdir, cur_doc["files"], schema, meta.get("physical"),
+            cur_doc.get("deletes"), meta.get("key"),
+        )
+        return current.unionByName(staged)
 
     def publish_staged(self, ns: str, table: str, staging_id: str) -> int:
         """Atomically publish an audited staged batch: a normal
@@ -1248,15 +1456,27 @@ class Warehouse:
         source: DataFrame,
         order_col: str | None = None,
         delete_col: str | None = None,
+        strategy: str = "cow",
     ) -> int:
         """MERGE INTO on the table key (reference Firehose
         ``unique_keys=[transaction_id]``, stack/firehose.py:99,159):
-        update-on-match, insert-on-miss, partition-level copy-on-write.
+        update-on-match, insert-on-miss.
 
         ``order_col`` breaks within-batch duplicates (latest wins --
         a Firehose micro-batch can hold INSERT then MODIFY of one key);
         ``delete_col`` (boolean) marks source rows as deletes.
-        """
+
+        ``strategy="cow"`` (default): file-level copy-on-write -- only
+        files actually holding a matched key are rewritten.
+        ``strategy="mor"`` (merge-on-read, the Iceberg v2 / Flink
+        upsert-writer pattern): the commit appends the batch's rows as
+        new data files plus ONE equality-delete file of the batch's
+        keys; NO existing file is read or rewritten. Readers anti-join
+        the delete files against older data files (latest commit wins)
+        and ``compact()`` folds them in. The steady-state CDC shape at
+        100 TB: per-batch write cost is O(batch), not O(files touched),
+        and concurrent MoR merges never conflict -- they serialize by
+        commit order."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
         key, pcol = meta["key"], meta["partition_by"]
@@ -1282,7 +1502,8 @@ class Warehouse:
         )
 
         version = self._versions(tdir)[-1]
-        entries = self._manifest(tdir, version)
+        doc = self._manifest_doc(tdir, version)
+        entries = doc["files"]
         schema = StructType.fromJson(meta["schema"])
         phys_map = meta.get("physical") or {}
         phys_key = phys_map.get(key, key)
@@ -1290,6 +1511,12 @@ class Warehouse:
         if deletes is not None:
             match_keys = match_keys.union(deletes).distinct()
         self.last_merge_stats = {"manifest_files": len(entries)}
+        if strategy == "mor":
+            return self._merge_upsert_mor(
+                tdir, meta, source, match_keys, version
+            )
+        if strategy != "cow":
+            raise ValueError(f"unknown MERGE strategy {strategy!r}")
 
         # Small-batch fast path (the CDC steady state: a micro-batch of
         # a few thousand keys against a huge table): ONE bounded collect
@@ -1345,7 +1572,11 @@ class Warehouse:
         touched = (
             {_part_key(e["partition"]) for e in rewrite} if pcol else None
         )
-        current = self._read_files(tdir, rewrite, schema, phys=meta.get("physical"))
+        # deletes-aware: rewriting a file must not resurrect rows a
+        # pending merge-on-read equality delete already removed
+        current = self._read_entries(
+            tdir, rewrite, schema, meta.get("physical"), doc.get("deletes"), key
+        )
 
         merged = current.alias("t").join(
             source.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full"
@@ -1388,6 +1619,43 @@ class Warehouse:
             tdir, version, touched if pcol else None, rewrite, untouched,
             new_files, meta["schema"], phys=meta.get("physical"),
             rebase_validate=validate_rebase,
+        )
+
+    def _merge_upsert_mor(
+        self,
+        tdir: str,
+        meta: dict,
+        source: DataFrame,
+        match_keys: DataFrame,
+        version: int,
+    ) -> int:
+        """Merge-on-read MERGE commit: append the (already deduped,
+        validated) batch as data files plus one equality-delete file of
+        ALL batch keys (upserts and delete-marked rows alike). The data
+        and delete files share the commit's sequence number, so the
+        delete kills every OLDER copy of each key while the batch's own
+        rows -- same seq, not < -- survive: exactly latest-wins upsert,
+        with zero reads of existing data. Commits never conflict with
+        each other (pure appends; a lost version race rebases and
+        re-stamps, serializing by final commit order)."""
+        kp = match_keys.limit(self._MERGE_COLLECT_KEYS_MAX + 1).collect()
+        if not kp:
+            return version  # empty batch: no empty commit
+        small = len(kp) <= self._MERGE_COLLECT_KEYS_MAX
+        data_files = self._write_files(
+            tdir, source, meta["partition_by"], bloom_col=meta.get("key"),
+            phys=meta.get("physical"),
+        )
+        del_files = self._write_delete_files(
+            tdir, match_keys, meta, coalesce_one=small
+        )
+        self.last_merge_stats.update(
+            mode="mor", probed_files=0, rewritten_files=0,
+            data_files=len(data_files), delete_files=len(del_files),
+        )
+        return self._publish_append(
+            tdir, version, data_files, meta["schema"],
+            phys=meta.get("physical"), new_deletes=del_files,
         )
 
     def _touched_by_predicate(
@@ -1434,10 +1702,17 @@ class Warehouse:
         by_abs = {
             os.path.abspath(os.path.join(tdir, e["path"])): e for e in candidates
         }
-        probe = self._read_files(tdir, candidates, schema, phys=phys)
+        # deletes-aware probe: rows already removed by a merge-on-read
+        # equality delete must neither count as matches nor flag their
+        # file for rewrite on their own (_f is captured at scan stage,
+        # before the anti-join)
+        probe = self._read_entries(
+            tdir, candidates, schema, phys, doc.get("deletes"),
+            meta.get("key"), file_col="_f",
+        )
         per_file = (
             probe.filter(predicate)
-            .groupBy(F.input_file_name().alias("_f"))
+            .groupBy("_f")
             .agg(F.count(F.lit(1)).alias("_n"))
             .collect()
         )
@@ -1486,36 +1761,53 @@ class Warehouse:
             predicate = Warehouse._predicate_column(predicates)
         return predicate, predicates
 
-    def delete_where(self, ns: str, table: str, predicate, predicates=None) -> dict:
-        """Row-level DELETE (``DELETE FROM t WHERE ...``): file-level
-        copy-on-write. Files the manifest (min/max + key Bloom) proves
-        clean are never read; probed files with no matching row carry
-        over by reference; only files actually holding matches are
-        rewritten without them. ``predicate`` may be a Column or a list
-        of ``(col, op, value)`` tuples -- the tuple form (or the
-        ``predicates`` hint) is what enables manifest skipping, exactly
-        like ``read(predicates=...)``. Returns the new version, the
-        exact deleted-row count (manifest record-count delta -- no
-        extra scan), and the probe's pruning stats."""
+    def delete_where(
+        self, ns: str, table: str, predicate, predicates=None,
+        strategy: str = "cow",
+    ) -> dict:
+        """Row-level DELETE (``DELETE FROM t WHERE ...``).
+
+        ``strategy="cow"`` (default): file-level copy-on-write. Files
+        the manifest (min/max + key Bloom) proves clean are never read;
+        probed files with no matching row carry over by reference; only
+        files actually holding matches are rewritten without them.
+
+        ``strategy="mor"`` (merge-on-read, Iceberg v2 equality deletes;
+        requires a table key): NO data file is rewritten -- the pruned
+        probe finds the live matching keys and commits them as an
+        equality-delete file; readers anti-join it against older data
+        files and ``compact()`` folds it in. At 100 TB, deleting a few
+        scattered rows writes kilobytes instead of rewriting gigabytes.
+
+        ``predicate`` may be a Column or a list of ``(col, op, value)``
+        tuples -- the tuple form (or the ``predicates`` hint) is what
+        enables manifest skipping, exactly like ``read(predicates=...)``.
+        Returns the new version, the exact deleted-row count, and the
+        probe's pruning stats."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
         predicate, predicates = self._predicate_spec(predicate, predicates)
-        untouched, rewrite, schema, version, _, stats = self._touched_by_predicate(
-            tdir, meta, predicate, predicates=predicates
+        if strategy == "mor":
+            return self._delete_where_mor(tdir, meta, predicate, predicates)
+        if strategy != "cow":
+            raise ValueError(f"unknown DELETE strategy {strategy!r}")
+        untouched, rewrite, schema, version, n_match, stats = self._touched_by_predicate(
+            tdir, meta, predicate, predicates=predicates, count_matches=True
         )
         if not rewrite:
             return {"version": version, "deleted_rows": 0, **stats}
         # NULL predicate results keep the row (SQL DELETE semantics:
-        # delete only where the predicate is TRUE)
-        kept = self._read_files(
-            tdir, rewrite, schema, phys=meta.get("physical")
+        # delete only where the predicate is TRUE); the read applies any
+        # pending equality deletes so the rewrite never resurrects
+        # merge-on-read ghosts
+        doc = self._manifest_doc(tdir, version)
+        kept = self._read_entries(
+            tdir, rewrite, schema, meta.get("physical"), doc.get("deletes"),
+            meta.get("key"),
         ).filter(~F.coalesce(predicate, F.lit(False)))
         new_files = self._write_files(
             tdir, kept, meta["partition_by"], bloom_col=meta.get("key"),
             phys=meta.get("physical"),
-        )
-        deleted = sum(e.get("records", 0) for e in rewrite) - sum(
-            e.get("records", 0) for e in new_files
         )
         v = self._publish_rewrite(
             tdir, version,
@@ -1525,7 +1817,95 @@ class Warehouse:
                 tdir, schema, meta.get("physical") or {}, predicate, predicates
             ),
         )
-        return {"version": v, "deleted_rows": deleted, **stats}
+        return {"version": v, "deleted_rows": n_match, **stats}
+
+    def _delete_where_mor(
+        self, tdir: str, meta: dict, predicate, predicates
+    ) -> dict:
+        """Merge-on-read DELETE: one pruned, deletes-aware probe finds
+        the live matching keys; the commit appends an equality-delete
+        file and rewrites nothing. Rebase safety: a concurrent commit's
+        new data files must not contain any of OUR deleted keys -- their
+        rows are newer than our read and may no longer match the
+        predicate (a concurrent upsert of the same key), yet our delete
+        file would still kill them after a blind rebase (its sequence
+        ends up higher). Bloom/min-max pre-prune the fresh files; any
+        survivor turns the rebase into a conflict."""
+        key = meta.get("key")
+        if key is None:
+            raise ValueError(
+                "merge-on-read DELETE needs a table key (equality deletes); "
+                "use strategy='cow'"
+            )
+        version = self._versions(tdir)[-1]
+        doc = self._manifest_doc(tdir, version)
+        entries = doc["files"]
+        schema = StructType.fromJson(meta["schema"])
+        phys = self._snapshot_phys(doc, meta)
+        candidates = (
+            self._prune_entries(
+                entries, [(phys.get(c, c), op, v) for c, op, v in predicates]
+            )
+            if predicates
+            else entries
+        )
+        stats = {
+            "manifest_files": len(entries),
+            "probed_files": len(candidates),
+            "rewritten_files": 0,
+        }
+        if not candidates:
+            return {"version": version, "deleted_rows": 0, "delete_files": 0, **stats}
+        matched = (
+            self._read_entries(
+                tdir, candidates, schema, phys, doc.get("deletes"), key
+            )
+            .filter(F.coalesce(predicate, F.lit(False)))
+            .select(key)
+            .distinct()
+        )
+        del_files = self._write_delete_files(tdir, matched, meta, coalesce_one=False)
+        if not del_files:
+            return {"version": version, "deleted_rows": 0, "delete_files": 0, **stats}
+        deleted = sum(d.get("records", 0) for d in del_files)
+        key_vals: set | None = None
+        if deleted <= self._MERGE_COLLECT_KEYS_MAX:
+            # read the just-written delete files straight back (driver-
+            # side, bounded) instead of recomputing the probe plan
+            import pyarrow.parquet as pq
+
+            key_vals = set()
+            for d in del_files:
+                key_vals |= set(
+                    pq.read_table(
+                        os.path.join(tdir, d["path"]), columns=[d["col"]]
+                    ).column(0).to_pylist()
+                )
+        phys_key = phys.get(key, key)
+
+        def validate_rebase(fresh: list[dict]) -> bool:
+            cand = (
+                self._prune_entries_by_keys(fresh, phys_key, key_vals)
+                if key_vals is not None
+                else fresh
+            )
+            if not cand:
+                return True
+            df = self._read_files(tdir, cand, schema, phys=phys).select(key)
+            if key_vals:
+                df = df.filter(F.col(key).isin(*key_vals))
+            else:
+                df = df.join(matched, key, "left_semi")
+            return df.limit(1).count() == 0
+
+        v = self._publish_append(
+            tdir, version, [], meta["schema"], phys=meta.get("physical"),
+            new_deletes=del_files, rebase_validate=validate_rebase,
+        )
+        return {
+            "version": v, "deleted_rows": deleted,
+            "delete_files": len(del_files), **stats,
+        }
 
     def update_where(
         self, ns: str, table: str, assignments: dict, predicate, predicates=None
@@ -1549,7 +1929,12 @@ class Warehouse:
         )
         if not rewrite:
             return {"version": version, "updated_rows": 0, **stats}
-        current = self._read_files(tdir, rewrite, schema, phys=meta.get("physical"))
+        # deletes-aware: the rewrite must not resurrect merge-on-read
+        # ghost rows living in the files it re-materializes
+        current = self._read_entries(
+            tdir, rewrite, schema, meta.get("physical"),
+            self._manifest_doc(tdir, version).get("deletes"), meta.get("key"),
+        )
         cond = F.coalesce(predicate, F.lit(False))
         updated = current.select(
             *[
@@ -1886,16 +2271,35 @@ class Warehouse:
         meta = self.table_meta(ns, table)
         schema = StructType.fromJson(meta["schema"])
         version = self._versions(tdir)[-1]
-        entries = self._manifest(tdir, version)
+        doc = self._manifest_doc(tdir, version)
+        entries = doc["files"]
+        live_dels = _live_deletes(doc.get("deletes"), entries)
         by_part: dict[str | None, list[dict]] = {}
         for e in entries:
             by_part.setdefault(e["partition"], []).append(e)
         keep, rewrite = [], []
         for part, es in by_part.items():
-            (rewrite if len(es) >= min_files_per_partition else keep).extend(es)
+            # a partition holding files with pending merge-on-read
+            # deletes compacts regardless of file count: folding the
+            # equality deletes in (rewrite_position_deletes analog) is
+            # what lets the manifest drop them and reads shed the
+            # anti-join
+            pending = any(
+                d["seq"] > _seq_of(e) for e in es for d in live_dels
+            )
+            (
+                rewrite
+                if len(es) >= min_files_per_partition or pending
+                else keep
+            ).extend(es)
         if not rewrite:
             return version
-        df = self._read_files(tdir, rewrite, schema, phys=meta.get("physical"))
+        # deletes-aware: compaction materializes the merge-on-read
+        # deletes into the rewritten files
+        df = self._read_entries(
+            tdir, rewrite, schema, meta.get("physical"), doc.get("deletes"),
+            meta.get("key"),
+        )
         key = None
         if isinstance(sort_by, (list, tuple)):
             # multi-column Z-order (Iceberg rewrite_data_files zorder):
@@ -2022,10 +2426,13 @@ class Warehouse:
         if not os.path.exists(tdir):
             raise TableNotFoundError(f"{ns}.{table}")
         version = self._versions(tdir)[-1]
+        doc = self._manifest_doc(tdir, version)
         by_part: dict[str | None, list[dict]] = {}
-        for e in self._manifest(tdir, version):
+        for e in doc["files"]:
             by_part.setdefault(e["partition"], []).append(e)
-        needs_compact = any(
+        needs_compact = bool(
+            _live_deletes(doc.get("deletes"), doc["files"])
+        ) or any(
             len(es) >= min_files_per_partition
             and (sum(x.get("bytes", 0) for x in es) / len(es)) < small_file_bytes
             for es in by_part.values()
@@ -2069,11 +2476,11 @@ class Warehouse:
         live = {
             e["path"]
             for v in sorted(keep)
-            for e in self._manifest(tdir, v)
+            for e in self._doc_all_entries(tdir, v)
         }
         removed = 0
         for v in expire:
-            for e in self._manifest(tdir, v):
+            for e in self._doc_all_entries(tdir, v):
                 if e["path"] not in live:
                     path = os.path.join(tdir, e["path"])
                     if os.path.exists(path):
@@ -2101,7 +2508,7 @@ class Warehouse:
         live = {
             os.path.abspath(os.path.join(tdir, e["path"]))
             for v in self._versions(tdir)
-            for e in self._manifest(tdir, v)
+            for e in self._doc_all_entries(tdir, v)
         }
         # WAP staged batches are referenced by no snapshot yet but are
         # NOT orphans: their staging records pin them until published
@@ -2149,7 +2556,7 @@ class Warehouse:
         new_version = versions[-1] + 1
         self._publish(
             tdir, new_version, doc["files"], schema=doc.get("schema"),
-            phys=doc.get("physical"),
+            phys=doc.get("physical"), deletes=doc.get("deletes"),
         )
         return new_version
 
@@ -2212,6 +2619,27 @@ class Warehouse:
             rows, "path STRING, partition STRING, records BIGINT, bytes BIGINT"
         )
 
+    def deletes_df(self, ns: str, table: str, version: int | None = None) -> DataFrame:
+        """One row per live equality-delete file in a snapshot (the
+        merge-on-read backlog: Iceberg ``delete_files`` metadata table
+        analog). Empty after ``compact()`` folds them in."""
+        tdir = self._table_dir(ns, table)
+        if not os.path.exists(tdir):
+            raise TableNotFoundError(f"{ns}.{table}")
+        versions = self._versions(tdir)
+        if isinstance(version, str):
+            version = self._resolve_ref(tdir, version)
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise ValueError(f"snapshot {v} of {ns}.{table} is unknown or expired")
+        rows = [
+            (d["path"], d.get("col"), d.get("records", 0), d.get("bytes", 0), d["seq"])
+            for d in self._manifest_doc(tdir, v).get("deletes") or []
+        ]
+        return self.spark.createDataFrame(
+            rows, "path STRING, key_col STRING, records BIGINT, bytes BIGINT, seq INT"
+        )
+
     def partitions_df(self, ns: str, table: str, version: int | None = None) -> DataFrame:
         """Iceberg ``partitions`` metadata table: per-partition file,
         record, and byte totals from manifests alone (no data files
@@ -2260,8 +2688,20 @@ class Warehouse:
         v = versions[-1] if version is None else version
         if v not in versions:
             raise ValueError(f"snapshot {v} of {ns}.{table} is unknown or expired")
-        entries = self._manifest(tdir, v)
+        doc = self._manifest_doc(tdir, v)
+        entries = doc["files"]
         if partition_filter is not None:
             keep = {_part_key(p) for p in partition_filter}
             entries = [e for e in entries if _part_key(e["partition"]) in keep]
+        if _live_deletes(doc.get("deletes"), entries):
+            # merge-on-read ghosts: the manifest alone can't know how
+            # many delete keys actually hit; count through the deletes-
+            # aware read (key-column-pruned scan). compact() restores
+            # the metadata-only path.
+            meta = self.table_meta(ns, table)
+            schema = StructType.fromJson(doc.get("schema", meta["schema"]))
+            return self._read_entries(
+                tdir, entries, schema, self._snapshot_phys(doc, meta),
+                doc.get("deletes"), meta.get("key"),
+            ).count()
         return sum(e.get("records", 0) for e in entries)

@@ -1,0 +1,399 @@
+"""Merge-on-read (Iceberg v2 equality deletes): MoR MERGE appends data
++ delete files without touching existing files; MoR DELETE commits a
+key set instead of rewriting; readers apply deletes by sequence number
+(newer rows survive); compaction folds deletes in and drops them from
+the manifest; CoW DML and maintenance stay correct with pending deletes.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sample_for_transactional_datalake_using_s3tables_spark.sources import warehouse as whmod
+from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import (
+    CommitConflictError,
+    Warehouse,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("day", StringType()),
+        StructField("v", LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def wh(spark):
+    with tempfile.TemporaryDirectory() as d:
+        yield Warehouse(spark, d)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, schema=SCHEMA)
+
+
+def _base(spark, wh, n=20):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    rows = [(f"k{i}", f"d{i % 2}", i) for i in range(n)]
+    wh.insert("ns", "t", _df(spark, rows).coalesce(1))
+    return {r[0]: r for r in rows}
+
+
+def _state(wh):
+    return {r.id: (r.id, r.day, r.v) for r in wh.read("ns", "t").collect()}
+
+
+# ---------------------------------------------------------------------------
+# MoR MERGE
+# ---------------------------------------------------------------------------
+
+
+def test_mor_merge_rewrites_nothing_and_reads_latest(spark, wh):
+    expect = _base(spark, wh)
+    batch = [("k3", "d1", 300), ("k4", "d0", 400), ("k99", "dX", 990)]
+    wh.merge_upsert("ns", "t", _df(spark, batch), strategy="mor")
+    assert wh.last_merge_stats["mode"] == "mor"
+    assert wh.last_merge_stats["rewritten_files"] == 0
+    assert wh.last_merge_stats["delete_files"] == 1
+    for r in batch:
+        expect[r[0]] = r
+    assert _state(wh) == expect
+    # the delete backlog is observable
+    dels = wh.deletes_df("ns", "t").collect()
+    assert len(dels) == 1 and dels[0].records == 3
+
+
+def test_mor_merge_delete_col(spark, wh):
+    expect = _base(spark, wh)
+    batch = (
+        _df(spark, [("k1", "d1", 111), ("k2", "d0", 0), ("k5", "d1", 0)])
+        .withColumn("_del", F.col("v") == 0)
+    )
+    wh.merge_upsert("ns", "t", batch, delete_col="_del", strategy="mor")
+    expect["k1"] = ("k1", "d1", 111)
+    del expect["k2"], expect["k5"]
+    assert _state(wh) == expect
+
+
+def test_mor_merge_sequence_newer_insert_survives_older_delete(spark, wh):
+    """Re-inserting a key AFTER an MoR delete must survive: the delete's
+    sequence is older than the new row's."""
+    expect = _base(spark, wh)
+    gone = _df(spark, [("k7", "d1", 0)]).withColumn("_del", F.lit(True))
+    wh.merge_upsert("ns", "t", gone, delete_col="_del", strategy="mor")
+    del expect["k7"]
+    assert _state(wh) == expect
+    wh.merge_upsert("ns", "t", _df(spark, [("k7", "d1", 777)]), strategy="mor")
+    expect["k7"] = ("k7", "d1", 777)
+    assert _state(wh) == expect
+
+
+def test_mor_merge_chain_latest_wins(spark, wh):
+    expect = _base(spark, wh)
+    for val in (101, 102, 103):
+        wh.merge_upsert(
+            "ns", "t", _df(spark, [("k1", "d1", val)]), strategy="mor"
+        )
+    expect["k1"] = ("k1", "d1", 103)
+    assert _state(wh) == expect
+
+
+def test_mor_merge_empty_batch_is_noop(spark, wh):
+    _base(spark, wh)
+    v = wh.current_version("ns", "t")
+    assert wh.merge_upsert("ns", "t", _df(spark, []), strategy="mor") == v
+
+
+def test_mor_time_travel(spark, wh):
+    expect_v1 = _base(spark, wh)
+    v1 = wh.current_version("ns", "t")
+    wh.merge_upsert("ns", "t", _df(spark, [("k0", "d0", 999)]), strategy="mor")
+    got_v1 = {
+        r.id: (r.id, r.day, r.v)
+        for r in wh.read("ns", "t", version=v1).collect()
+    }
+    assert got_v1 == expect_v1
+    assert _state(wh)["k0"] == ("k0", "d0", 999)
+
+
+# ---------------------------------------------------------------------------
+# MoR DELETE
+# ---------------------------------------------------------------------------
+
+
+def test_mor_delete_where_writes_keys_not_files(spark, wh):
+    expect = _base(spark, wh)
+    res = wh.delete_where("ns", "t", [("v", ">=", 15)], strategy="mor")
+    assert res["deleted_rows"] == 5
+    assert res["rewritten_files"] == 0
+    assert res["delete_files"] >= 1
+    for i in range(15, 20):
+        del expect[f"k{i}"]
+    assert _state(wh) == expect
+
+
+def test_mor_delete_where_no_match_is_noop(spark, wh):
+    _base(spark, wh)
+    v = wh.current_version("ns", "t")
+    res = wh.delete_where("ns", "t", [("v", ">=", 1000)], strategy="mor")
+    assert res["deleted_rows"] == 0
+    assert res["version"] == v
+
+
+def test_mor_delete_requires_key(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "nk", SCHEMA)
+    wh.insert("ns", "nk", _df(spark, [("a", "d0", 1)]))
+    with pytest.raises(ValueError, match="key"):
+        wh.delete_where("ns", "nk", [("v", "=", 1)], strategy="mor")
+
+
+def test_mor_delete_is_idempotent_on_ghosts(spark, wh):
+    """A second MoR delete of the same predicate sees only live rows:
+    deleted_rows == 0 and no duplicate effect."""
+    _base(spark, wh)
+    assert wh.delete_where("ns", "t", [("v", "<", 5)], strategy="mor")[
+        "deleted_rows"
+    ] == 5
+    v = wh.current_version("ns", "t")
+    res = wh.delete_where("ns", "t", [("v", "<", 5)], strategy="mor")
+    assert res["deleted_rows"] == 0
+    assert res["version"] == v
+
+
+# ---------------------------------------------------------------------------
+# count_rows / metadata with pending deletes
+# ---------------------------------------------------------------------------
+
+
+def test_count_rows_subtracts_ghosts(spark, wh):
+    _base(spark, wh, n=20)
+    wh.merge_upsert(
+        "ns", "t", _df(spark, [("k0", "d0", 1), ("kNEW", "d0", 2)]),
+        strategy="mor",
+    )
+    # 20 base + 1 new key; k0's old copy is a ghost
+    assert wh.count_rows("ns", "t") == 21
+
+
+# ---------------------------------------------------------------------------
+# compaction folds deletes
+# ---------------------------------------------------------------------------
+
+
+def test_compact_folds_deletes_and_drops_them(spark, wh):
+    expect = _base(spark, wh)
+    wh.merge_upsert("ns", "t", _df(spark, [("k2", "d0", 222)]), strategy="mor")
+    wh.delete_where("ns", "t", [("v", "=", 9)], strategy="mor")
+    expect["k2"] = ("k2", "d0", 222)
+    del expect["k9"]
+    assert len(wh.deletes_df("ns", "t").collect()) >= 2
+    wh.compact("ns", "t", min_files_per_partition=1)
+    assert wh.deletes_df("ns", "t").collect() == []
+    assert _state(wh) == expect
+    # metadata-only counting is restored
+    assert wh.count_rows("ns", "t") == len(expect)
+
+
+def test_compact_partial_keeps_applicable_deletes(spark, wh):
+    """Partitions holding files with pending deletes compact even below
+    the file-count threshold; after the fold the manifest holds no
+    dangling delete entries."""
+    expect = _base(spark, wh)
+    gone = _df(spark, [("k4", "d0", 0)]).withColumn("_del", F.lit(True))
+    wh.merge_upsert("ns", "t", gone, delete_col="_del", strategy="mor")
+    del expect["k4"]
+    wh.compact("ns", "t", min_files_per_partition=99)
+    assert wh.deletes_df("ns", "t").collect() == []
+    assert _state(wh) == expect
+
+
+# ---------------------------------------------------------------------------
+# CoW DML over pending MoR deletes must not resurrect ghosts
+# ---------------------------------------------------------------------------
+
+
+def test_cow_update_after_mor_merge_no_resurrection(spark, wh):
+    expect = _base(spark, wh)
+    wh.merge_upsert("ns", "t", _df(spark, [("k1", "d1", 100)]), strategy="mor")
+    expect["k1"] = ("k1", "d1", 100)
+    res = wh.update_where(
+        "ns", "t", {"v": F.col("v") + 1000}, [("day", "=", "d1")]
+    )
+    expect = {
+        k: (r[0], r[1], r[2] + 1000 if r[1] == "d1" else r[2])
+        for k, r in expect.items()
+    }
+    assert res["updated_rows"] == sum(1 for r in expect.values() if r[1] == "d1")
+    assert _state(wh) == expect
+
+
+def test_cow_delete_after_mor_merge_exact_count(spark, wh):
+    expect = _base(spark, wh)
+    wh.merge_upsert("ns", "t", _df(spark, [("k3", "d1", 5000)]), strategy="mor")
+    expect["k3"] = ("k3", "d1", 5000)
+    # predicate matches the GHOST copy of k3 (v=3) but not the live one
+    res = wh.delete_where("ns", "t", [("v", "<", 4)])
+    for k in ("k0", "k1", "k2"):
+        del expect[k]
+    assert res["deleted_rows"] == 3  # ghosts don't count
+    assert _state(wh) == expect
+
+
+def test_cow_merge_after_mor_merge(spark, wh):
+    expect = _base(spark, wh)
+    wh.merge_upsert("ns", "t", _df(spark, [("k6", "d0", 600)]), strategy="mor")
+    expect["k6"] = ("k6", "d0", 600)
+    wh.merge_upsert("ns", "t", _df(spark, [("k6", "d0", 601), ("k8", "d0", 800)]))
+    expect["k6"] = ("k6", "d0", 601)
+    expect["k8"] = ("k8", "d0", 800)
+    assert _state(wh) == expect
+    # after the CoW rewrite + a full compact, nothing lingers
+    wh.compact("ns", "t", min_files_per_partition=1)
+    assert _state(wh) == expect
+
+
+# ---------------------------------------------------------------------------
+# concurrency
+# ---------------------------------------------------------------------------
+
+
+def _race_one_commit(monkeypatch, wh, racer):
+    """Make the next _publish lose exactly one version race to
+    ``racer()`` (runs just before the real publish)."""
+    orig = whmod.Warehouse._publish
+    state = {"fired": False}
+
+    def wrapped(self, tdir, version, files, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            racer()
+        return orig(self, tdir, version, files, **kw)
+
+    monkeypatch.setattr(whmod.Warehouse, "_publish", wrapped)
+
+
+def test_mor_merge_rebases_over_concurrent_append(spark, wh, monkeypatch):
+    expect = _base(spark, wh)
+
+    def racer():
+        monkeypatch.setattr(whmod.Warehouse, "_publish", orig)
+        wh.insert("ns", "t", _df(spark, [("kZ", "d0", 77)]).coalesce(1))
+
+    orig = whmod.Warehouse._publish
+    _race_one_commit(monkeypatch, wh, racer)
+    wh.merge_upsert("ns", "t", _df(spark, [("k1", "d1", 111)]), strategy="mor")
+    expect["kZ"] = ("kZ", "d0", 77)
+    expect["k1"] = ("k1", "d1", 111)
+    assert _state(wh) == expect
+
+
+def test_mor_delete_conflicts_with_concurrent_matching_append(
+    spark, wh, monkeypatch
+):
+    """A concurrent append lands a NEW row for a key the MoR delete
+    targeted: blind rebase would kill the newer row (our delete's seq
+    ends up above it), so it must conflict instead."""
+    _base(spark, wh)
+
+    def racer():
+        monkeypatch.setattr(whmod.Warehouse, "_publish", orig)
+        wh.insert("ns", "t", _df(spark, [("k1", "d1", 9999)]).coalesce(1))
+
+    orig = whmod.Warehouse._publish
+    _race_one_commit(monkeypatch, wh, racer)
+    with pytest.raises(CommitConflictError):
+        wh.delete_where("ns", "t", [("id", "=", "k1")], strategy="mor")
+
+
+def test_cow_rewrite_conflicts_with_concurrent_mor_delete(
+    spark, wh, monkeypatch
+):
+    """An MoR equality delete committed during a CoW rewrite must fail
+    the rewrite's rebase: the rewritten files' higher sequence would
+    blind the delete to their rows."""
+    _base(spark, wh)
+
+    def racer():
+        monkeypatch.setattr(whmod.Warehouse, "_publish", orig)
+        wh.delete_where("ns", "t", [("id", "=", "k2")], strategy="mor")
+
+    orig = whmod.Warehouse._publish
+    _race_one_commit(monkeypatch, wh, racer)
+    with pytest.raises(CommitConflictError):
+        wh.update_where("ns", "t", {"v": F.lit(0)}, [("day", "=", "d0")])
+
+
+# ---------------------------------------------------------------------------
+# maintenance keeps delete files alive
+# ---------------------------------------------------------------------------
+
+
+def test_orphan_cleanup_spares_delete_files(spark, wh):
+    expect = _base(spark, wh)
+    wh.merge_upsert("ns", "t", _df(spark, [("k5", "d1", 555)]), strategy="mor")
+    expect["k5"] = ("k5", "d1", 555)
+    res = wh.remove_orphan_files("ns", "t", older_than_seconds=0)
+    assert res["removed_files"] == 0
+    assert _state(wh) == expect
+
+
+def test_expire_keeps_referenced_delete_files(spark, wh):
+    expect = _base(spark, wh)
+    wh.merge_upsert("ns", "t", _df(spark, [("k5", "d1", 555)]), strategy="mor")
+    wh.merge_upsert("ns", "t", _df(spark, [("k6", "d0", 666)]), strategy="mor")
+    expect["k5"] = ("k5", "d1", 555)
+    expect["k6"] = ("k6", "d0", 666)
+    wh.expire_snapshots("ns", "t", keep_last=1)
+    assert _state(wh) == expect
+
+
+def test_rollback_restores_mor_snapshot(spark, wh):
+    expect = _base(spark, wh)
+    wh.merge_upsert("ns", "t", _df(spark, [("k0", "d0", 111)]), strategy="mor")
+    v_mor = wh.current_version("ns", "t")
+    expect_mor = dict(expect, k0=("k0", "d0", 111))
+    wh.delete_where("ns", "t", [("id", "=", "k0")])
+    wh.rollback_to("ns", "t", v_mor)
+    assert _state(wh) == expect_mor
+
+
+def test_auto_maintain_folds_mor_backlog(spark, wh):
+    expect = _base(spark, wh)
+    wh.merge_upsert("ns", "t", _df(spark, [("k9", "d1", 900)]), strategy="mor")
+    expect["k9"] = ("k9", "d1", 900)
+    res = wh.auto_maintain("ns", "t", keep_last=1, orphan_horizon_seconds=0)
+    assert res["compacted"]
+    assert wh.deletes_df("ns", "t").collect() == []
+    assert _state(wh) == expect
+
+
+# ---------------------------------------------------------------------------
+# WAP overlay with pending deletes
+# ---------------------------------------------------------------------------
+
+
+def test_read_staged_overlay_applies_current_deletes(spark, wh):
+    expect = _base(spark, wh)
+    gone = _df(spark, [("k1", "d1", 0)]).withColumn("_del", F.lit(True))
+    wh.merge_upsert("ns", "t", gone, delete_col="_del", strategy="mor")
+    del expect["k1"]
+    sid = wh.insert_staged("ns", "t", _df(spark, [("kS", "d0", 50)]))
+    got = {
+        r.id: (r.id, r.day, r.v)
+        for r in wh.read_staged("ns", "t", sid).collect()
+    }
+    assert got == dict(expect, kS=("kS", "d0", 50))
+    wh.discard_staged("ns", "t", sid)

@@ -170,12 +170,12 @@ def test_merge_rebase_conflicts_on_matching_key_in_untouched_partition(
     orig = Warehouse._publish
     fired = {"n": 0}
 
-    def racing_publish(self, tdir, version, files, schema=None, phys=None):
+    def racing_publish(self, tdir, version, files, **kw):
         if fired["n"] == 0:
             fired["n"] = 1
             # concurrent writer appends key 'a' into untouched d3 first
             commit(_df(spark, [("a", "d3", 77)]))
-        return orig(self, tdir, version, files, schema=schema, phys=phys)
+        return orig(self, tdir, version, files, **kw)
 
     monkeypatch.setattr(Warehouse, "_publish", racing_publish)
     with pytest.raises(CommitConflictError):
@@ -194,11 +194,11 @@ def test_merge_rebase_accepts_nonmatching_concurrent_append(
     orig = Warehouse._publish
     fired = {"n": 0}
 
-    def racing_publish(self, tdir, version, files, schema=None, phys=None):
+    def racing_publish(self, tdir, version, files, **kw):
         if fired["n"] == 0:
             fired["n"] = 1
             commit(_df(spark, [("z", "d3", 77)]))
-        return orig(self, tdir, version, files, schema=schema, phys=phys)
+        return orig(self, tdir, version, files, **kw)
 
     monkeypatch.setattr(Warehouse, "_publish", racing_publish)
     wh.merge_upsert("ns", "t", _df(spark, [("a", "d1", 10)]))
@@ -218,11 +218,11 @@ def test_delete_rebase_conflicts_on_matching_concurrent_append(
     orig = Warehouse._publish
     fired = {"n": 0}
 
-    def racing_publish(self, tdir, version, files, schema=None, phys=None):
+    def racing_publish(self, tdir, version, files, **kw):
         if fired["n"] == 0:
             fired["n"] = 1
             commit(_df(spark, [("c", "d3", 50)]))  # v=50 matches v>=5
-        return orig(self, tdir, version, files, schema=schema, phys=phys)
+        return orig(self, tdir, version, files, **kw)
 
     monkeypatch.setattr(Warehouse, "_publish", racing_publish)
     with pytest.raises(CommitConflictError):
@@ -244,13 +244,13 @@ def test_append_losing_race_to_rename_keeps_rename(spark, wh, monkeypatch):
     orig = Warehouse._publish
     fired = {"n": 0}
 
-    def racing_publish(self, tdir, version, files, schema=None, phys=None):
+    def racing_publish(self, tdir, version, files, **kw):
         # let the rename's own internal publish through untouched
         if fired["n"] == 0 and files:
             fired["n"] = 1
             monkeypatch.setattr(Warehouse, "_publish", orig)
             wh.rename_column("ns", "t", "v", "val")
-        return orig(self, tdir, version, files, schema=schema, phys=phys)
+        return orig(self, tdir, version, files, **kw)
 
     monkeypatch.setattr(Warehouse, "_publish", racing_publish)
     wh.insert("ns", "t", _df(spark, [("b", "d2", 2)]))
