@@ -103,6 +103,16 @@ def bench_dml(spark, sf_dir: str) -> dict[str, float]:
             "delete_where_pruned",
             lambda: wh.delete_where("b", "t", [("event_id", ">=", 10_000_000)]),
         )
+        # merge-on-read: same batch shape as merge_small_batch, zero
+        # file rewrites (appends data + one equality-delete file) -- the
+        # steady-state CDC commit; the trailing compact folds it in
+        src2 = events.filter(F.col("event_id") % 200 == 1).withColumn(
+            "value", (F.col("value") * 2).cast("decimal(12,2)")
+        )
+        _t(
+            "merge_mor_batch",
+            lambda: wh.merge_upsert("b", "t", src2, strategy="mor"),
+        )
         _t(
             "compact_zorder",
             lambda: wh.compact(

@@ -77,6 +77,10 @@ _MODULES = (
 # (incl. the pricing/risk aggregates that subsume forecast's patterns),
 # dedup 4 (exact, minhash, embedding, connected-components), text 4;
 # the demoted queries stay pytest-oracle-checked.
+# Round-4 second wave: join_full_outer -> warehouse_mor_merge (the new
+# merge-on-read surface: Iceberg v2 equality deletes + compaction fold);
+# joins keep 2 in-window reps (join_left, join_salted_skew) and
+# join_full_outer stays pytest-oracle-checked.
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
@@ -85,7 +89,6 @@ _PRIORITY = (
     "pricing_summary",
     "revenue_by_region",
     "join_left",
-    "join_full_outer",
     "join_salted_skew",
     "window_rank",
     "rollup_agg",
@@ -120,6 +123,7 @@ _PRIORITY = (
     "cdc_pipeline",
     "cdc_quarantine",
     "warehouse_merge_roundtrip",
+    "warehouse_mor_merge",
     "warehouse_delete_update",
     "warehouse_snapshots_meta",
     "warehouse_time_travel",

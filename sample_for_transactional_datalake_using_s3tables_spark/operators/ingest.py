@@ -898,8 +898,90 @@ WHERE event_id % 5 != 0
 """
 
 
+def warehouse_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read certified end-to-end (Iceberg v2 equality deletes;
+    the reference's S3 Tables are Iceberg tables whose row-level
+    operations use exactly this mechanism). The scenario applies THE
+    SAME change set as ``_merge_scenario`` but with ``strategy="mor"``
+    -- the commit appends batch data + one equality-delete file and
+    rewrites ZERO existing files -- then adds an MoR predicate DELETE
+    (event_id % 7, key set committed, nothing rewritten), reads the
+    ghost-laden snapshot, ``compact()``s, and re-reads. The ``mor_ok``
+    flag folds in every invariant a SQL twin can't see directly: both
+    MoR commits rewrote 0 files, the delete backlog was visible before
+    compaction and empty after, and the pre/post-compaction snapshots
+    carry identical (count, row-checksum) signatures -- so a hash match
+    certifies MoR read semantics AND that compaction folding is
+    lossless."""
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_mor_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id", partition_by="event_type"
+        )
+        wh.insert("q", "state", events)
+        updates = events.filter(F.col("event_id") % 3 == 0).withColumn(
+            "value", (F.col("value") * 2).cast("decimal(12,2)")
+        ).withColumn("_delete", F.lit(False))
+        deletes = events.filter(F.col("event_id") % 5 == 0).withColumn(
+            "_delete", F.lit(True)
+        )
+        wh.merge_upsert(
+            "q", "state", updates.unionByName(deletes),
+            delete_col="_delete", strategy="mor",
+        )
+        merge_zero_rewrites = wh.last_merge_stats["rewritten_files"] == 0
+        dres = wh.delete_where(
+            "q", "state", F.col("event_id") % 7 == 0, strategy="mor"
+        )
+        backlog_before = wh.deletes_df("q", "state").count() >= 2
+
+        def _sig(df: DataFrame):
+            # order-insensitive set fingerprint; bit_xor can't overflow
+            # under ANSI mode (unlike a sum of xxhash64)
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64("event_id", "event_type", "value")),
+                    F.lit(0),
+                ).alias("h"),
+            ).collect()[0]
+            return (row["n"], row["h"])
+
+        pre = _sig(wh.read("q", "state"))
+        wh.compact("q", "state", min_files_per_partition=1)
+        post = _sig(wh.read("q", "state"))
+        backlog_after = wh.deletes_df("q", "state").count() == 0
+        mor_ok = (
+            merge_zero_rewrites
+            and dres["rewritten_files"] == 0
+            and backlog_before
+            and backlog_after
+            and pre == post
+        )
+        final = wh.read("q", "state").select(
+            "event_id", "event_type", F.col("value").alias("value_final")
+        ).withColumn("mor_ok", F.lit(bool(mor_ok)))
+        return _lazy_snapshot(spark, root, final)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_MOR_MERGE_SQL = """
+SELECT event_id, event_type,
+       CAST(CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS DECIMAL(12,2)) AS value_final,
+       TRUE AS mor_ok
+FROM (SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value FROM events)
+WHERE event_id % 5 != 0 AND event_id % 7 != 0
+"""
+
+
 QUERIES = {
     "cdc_pipeline": cdc_pipeline,
+    "warehouse_mor_merge": warehouse_mor_merge,
     "cdc_quarantine": cdc_quarantine,
     "warehouse_delta_export": warehouse_delta_export,
     "warehouse_tags": warehouse_tags,
@@ -919,6 +1001,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_pipeline": CDC_PIPELINE_SQL,
+    "warehouse_mor_merge": WAREHOUSE_MOR_MERGE_SQL,
     "cdc_quarantine": CDC_QUARANTINE_SQL,
     "warehouse_delta_export": WAREHOUSE_DELTA_EXPORT_SQL,
     "warehouse_tags": WAREHOUSE_TIME_TRAVEL_SQL,

@@ -1512,6 +1512,13 @@ class Warehouse:
             match_keys = match_keys.union(deletes).distinct()
         self.last_merge_stats = {"manifest_files": len(entries)}
         if strategy == "mor":
+            # delete wins over a same-batch update of the same key
+            # (matching the CoW path's left_anti): a delete-marked key's
+            # update row must not land in the batch's data files, where
+            # the shared sequence number would shield it from the
+            # equality delete
+            if deletes is not None:
+                source = source.join(deletes, key, "left_anti")
             return self._merge_upsert_mor(
                 tdir, meta, source, match_keys, version
             )

@@ -142,3 +142,69 @@ def test_predicate_dml_sequences_match_model(spark, ops):
                 for r in wh.read("m", "t", version=name).collect()
             }
             assert tagged == snap, f"tag {name} ops={ops}"
+
+
+# Merge-on-read interleavings: MoR MERGE/DELETE mixed with CoW DML and
+# maintenance must be indistinguishable from the dict model -- the seq
+# semantics (delete applies only to OLDER files), compaction folding,
+# and CoW-over-ghost interactions all collapse to latest-state-per-key.
+_op_mor = st.one_of(
+    st.tuples(st.just("mor_upsert"), st.lists(_row, min_size=1, max_size=3)),
+    st.tuples(st.just("cow_upsert"), st.lists(_row, min_size=1, max_size=3)),
+    st.tuples(st.just("mor_delete"), st.lists(st.sampled_from(KEYS), min_size=1, max_size=2)),
+    st.tuples(st.just("mor_delete_where"), st.integers(min_value=0, max_value=99)),
+    st.tuples(st.just("cow_update_where"), st.integers(min_value=0, max_value=99)),
+    st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("expire"), st.integers(min_value=1, max_value=2)),
+    st.tuples(st.just("orphan"), st.none()),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op_mor, min_size=1, max_size=5))
+def test_mor_sequences_match_model(spark, ops):
+    model: dict[str, tuple[str | None, int]] = {}
+    with tempfile.TemporaryDirectory() as root:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("m")
+        wh.create_table("m", "t", SCHEMA, key="id", partition_by="day")
+        for kind, arg in ops:
+            if kind in ("mor_upsert", "cow_upsert"):
+                strat = "mor" if kind == "mor_upsert" else "cow"
+                wh.merge_upsert("m", "t", _df(spark, arg), strategy=strat)
+                for k, p, v in arg:
+                    model[k] = (p, v)
+            elif kind == "mor_delete":
+                rows = [(k, None, 0) for k in arg]
+                batch = _df(spark, rows).withColumn("_delete", F.lit(True))
+                wh.merge_upsert(
+                    "m", "t", batch, delete_col="_delete", strategy="mor"
+                )
+                for k in arg:
+                    model.pop(k, None)
+            elif kind == "mor_delete_where":
+                wh.delete_where("m", "t", [("v", ">=", arg)], strategy="mor")
+                model = {k: pv for k, pv in model.items() if pv[1] < arg}
+            elif kind == "cow_update_where":
+                wh.update_where(
+                    "m", "t", {"v": F.col("v") + 100}, [("v", "<", arg)]
+                )
+                model = {
+                    k: (p, v + 100 if v < arg else v)
+                    for k, (p, v) in model.items()
+                }
+            elif kind == "compact":
+                wh.compact("m", "t")
+            elif kind == "expire":
+                wh.expire_snapshots("m", "t", keep_last=arg)
+            else:
+                wh.remove_orphan_files("m", "t", older_than_seconds=0)
+        got = {(r.id, r.day, r.v) for r in wh.read("m", "t").collect()}
+        want = {(k, p, v) for k, (p, v) in model.items()}
+        assert got == want, f"ops={ops}"
+        # count_rows agrees with the model through any ghost backlog
+        assert wh.count_rows("m", "t") == len(model), f"ops={ops}"

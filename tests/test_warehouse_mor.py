@@ -87,6 +87,19 @@ def test_mor_merge_delete_col(spark, wh):
     assert _state(wh) == expect
 
 
+def test_mor_merge_delete_wins_over_same_batch_update(spark, wh):
+    """A key both updated and delete-marked in ONE batch ends deleted
+    (the CoW path's documented tie-break) -- the update row must not
+    hide behind the shared sequence number."""
+    expect = _base(spark, wh)
+    batch = _df(spark, [("k1", "d1", 111), ("k1", "d1", 0)]).withColumn(
+        "_del", F.col("v") == 0
+    )
+    wh.merge_upsert("ns", "t", batch, delete_col="_del", strategy="mor")
+    del expect["k1"]
+    assert _state(wh) == expect
+
+
 def test_mor_merge_sequence_newer_insert_survives_older_delete(spark, wh):
     """Re-inserting a key AFTER an MoR delete must survive: the delete's
     sequence is older than the new row's."""
