@@ -313,17 +313,48 @@ def _seq_of(entry: dict) -> int:
     return entry.get("seq", 0)
 
 
+def _delete_applies(d: dict, e: dict, phys_key: str) -> bool:
+    """May the equality-delete file ``d`` remove rows from data file
+    ``e``? Sequence rule first (only files OLDER than the delete), then
+    a free metadata check: if both files carry key min/max stats of the
+    same comparable type and the ranges are disjoint, the delete
+    provably misses -- the reader skips the anti-join for that file
+    entirely (after key-clustered compaction, a small delete set
+    overlaps only a handful of files even on a million-file table)."""
+    if d["seq"] <= _seq_of(e):
+        return False
+    ds = (d.get("stats") or {}).get(d.get("col", phys_key))
+    es = (e.get("stats") or {}).get(phys_key)
+    if not ds or not es:
+        return True
+    lo_d, hi_d = ds
+    lo_e, hi_e = es
+    if type(lo_d) is bool or type(lo_e) is bool:
+        return True
+    if not isinstance(lo_d, type(lo_e)) and not (
+        isinstance(lo_d, (int, float)) and isinstance(lo_e, (int, float))
+    ):
+        return True
+    return not (lo_d > hi_e or hi_d < lo_e)
+
+
 def _live_deletes(deletes: list[dict] | None, files: list[dict]) -> list[dict]:
     """Equality-delete entries that may still apply to at least one data
     file. Iceberg v2 semantics: a delete at sequence ``d`` removes
     matching keys only from data files with sequence < ``d`` (rows
-    written at or after the delete's own commit are newer and survive).
-    A delete whose sequence is <= every remaining file's sequence is
-    dangling and gets dropped from the manifest at the next commit."""
+    written at or after the delete's own commit are newer and survive);
+    on top of the sequence rule, a delete whose key min/max range is
+    disjoint from every older file's key range is provably dangling.
+    Dangling deletes drop from the manifest at the next commit. Cost is
+    O(deletes x files) with early exit -- the delete list is bounded by
+    MoR commits since the last compaction (small), not by table size."""
     if not deletes or not files:
         return []
-    min_seq = min(_seq_of(e) for e in files)
-    return [d for d in deletes if d["seq"] > min_seq]
+    return [
+        d
+        for d in deletes
+        if any(_delete_applies(d, e, d.get("col", "")) for e in files)
+    ]
 
 
 class TableNotFoundError(Exception):
@@ -1113,9 +1144,14 @@ class Warehouse:
 
         if not dels or not entries or key is None:
             return base(entries)
+        phys_key = (phys or {}).get(key, key)
         groups: dict[tuple, list[dict]] = {}
         for e in entries:
-            fp = tuple(sorted(d["seq"] for d in dels if d["seq"] > _seq_of(e)))
+            fp = tuple(
+                sorted(
+                    d["seq"] for d in dels if _delete_applies(d, e, phys_key)
+                )
+            )
             groups.setdefault(fp, []).append(e)
         key_type = schema[key].dataType
         out = None
@@ -2281,6 +2317,8 @@ class Warehouse:
         doc = self._manifest_doc(tdir, version)
         entries = doc["files"]
         live_dels = _live_deletes(doc.get("deletes"), entries)
+        key_col = meta.get("key")
+        phys_compact_key = (meta.get("physical") or {}).get(key_col, key_col)
         by_part: dict[str | None, list[dict]] = {}
         for e in entries:
             by_part.setdefault(e["partition"], []).append(e)
@@ -2292,7 +2330,9 @@ class Warehouse:
             # what lets the manifest drop them and reads shed the
             # anti-join
             pending = any(
-                d["seq"] > _seq_of(e) for e in es for d in live_dels
+                _delete_applies(d, e, phys_compact_key)
+                for e in es
+                for d in live_dels
             )
             (
                 rewrite

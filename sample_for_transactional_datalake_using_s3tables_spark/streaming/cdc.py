@@ -177,6 +177,7 @@ def merge_cdc_batch(
     ns: str = "analytics",
     table: str = "transactions",
     quarantine_table: str = "transactions_errors",
+    strategy: str = "cow",
 ) -> None:
     """One micro-batch: parse -> quarantine split -> latest-wins MERGE.
 
@@ -204,7 +205,8 @@ def merge_cdc_batch(
             wh.insert(ns, quarantine_table, quarantine_rows(parsed))
         if n_good:
             wh.merge_upsert(
-                ns, table, good_rows(parsed), order_col="processing_timestamp"
+                ns, table, good_rows(parsed),
+                order_col="processing_timestamp", strategy=strategy,
             )
     finally:
         parsed.unpersist()
@@ -218,10 +220,16 @@ def stream_cdc_to_table(
     ns: str = "analytics",
     table: str = "transactions",
     trigger: dict | None = None,
+    strategy: str = "cow",
 ):
     """S1/S6: file-source CDC stream (simulating the shard poller,
     reference stack/firehose.py:249-257) -> 60 s-style micro-batches ->
-    foreachBatch MERGE. Returns the StreamingQuery."""
+    foreachBatch MERGE. Returns the StreamingQuery.
+
+    ``strategy="mor"`` switches every trigger's MERGE to merge-on-read
+    (append data + equality-delete files, zero rewrites per commit) --
+    the high-throughput CDC steady state; schedule ``auto_maintain`` to
+    fold the backlog."""
     raw = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", 100)  # reference batch_size=100
@@ -230,7 +238,9 @@ def stream_cdc_to_table(
     trigger = trigger or {"availableNow": True}
     return (
         raw.writeStream.foreachBatch(
-            lambda batch, _epoch: merge_cdc_batch(wh, batch, ns, table)
+            lambda batch, _epoch: merge_cdc_batch(
+                wh, batch, ns, table, strategy=strategy
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(**trigger)

@@ -190,3 +190,35 @@ def test_streaming_quarantine_end_to_end(spark, wh):
             for r in wh.read("analytics", "transactions_errors").collect()
         )
         assert bad == sorted(["garbage {{{ not json", keyless])
+
+
+def test_streaming_mor_end_to_end(spark, wh):
+    """strategy="mor": every trigger's MERGE is a merge-on-read append
+    (zero rewrites per commit); reads stay latest-wins across triggers
+    and auto_maintain folds the delete backlog afterwards."""
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as ckpt:
+        with open(os.path.join(src, "b1.jsonl"), "w") as f:
+            f.write(envelope("INSERT", "TXN_1", TS, "10.00") + "\n")
+            f.write(envelope("INSERT", "TXN_2", TS, "20.00") + "\n")
+        q = stream_cdc_to_table(spark, src, wh, ckpt, strategy="mor")
+        q.awaitTermination(120)
+        with open(os.path.join(src, "b2.jsonl"), "w") as f:
+            f.write(envelope("MODIFY", "TXN_2", TS, "22.00") + "\n")
+        q2 = stream_cdc_to_table(spark, src, wh, ckpt, strategy="mor")
+        q2.awaitTermination(120)
+        assert wh.last_merge_stats["mode"] == "mor"
+        assert wh.last_merge_stats["rewritten_files"] == 0
+        got = {
+            (r.transaction_id, str(r.amount))
+            for r in wh.read("analytics", "transactions").collect()
+        }
+        assert got == {("TXN_1", "10.00"), ("TXN_2", "22.00")}
+        # backlog visible, then folded by one maintenance call
+        assert wh.deletes_df("analytics", "transactions").count() >= 1
+        wh.auto_maintain("analytics", "transactions", orphan_horizon_seconds=3600)
+        assert wh.deletes_df("analytics", "transactions").count() == 0
+        got2 = {
+            (r.transaction_id, str(r.amount))
+            for r in wh.read("analytics", "transactions").collect()
+        }
+        assert got2 == got

@@ -410,3 +410,25 @@ def test_read_staged_overlay_applies_current_deletes(spark, wh):
     }
     assert got == dict(expect, kS=("kS", "d0", 50))
     wh.discard_staged("ns", "t", sid)
+
+
+def test_mor_stats_disjoint_files_skip_anti_join(spark, wh):
+    """Data files whose key min/max range is disjoint from every
+    applicable delete file's key range take the zero-join fast path --
+    the executed plan contains exactly ONE LeftAnti join (for the
+    overlapping commit), not one per commit."""
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id")
+    wh.insert("ns", "t", _df(spark, [(f"a{i}", "d0", i) for i in range(8)]).coalesce(1))
+    wh.insert("ns", "t", _df(spark, [(f"b{i}", "d0", i) for i in range(8)]).coalesce(1))
+    wh.delete_where("ns", "t", [("id", "=", "b3")], strategy="mor")
+    df = wh.read("ns", "t")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftAnti") == 1, plan
+    # small delete sets broadcast: the data side never shuffles
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    got = {r.id for r in df.collect()}
+    assert got == {f"a{i}" for i in range(8)} | {
+        f"b{i}" for i in range(8) if i != 3
+    }
