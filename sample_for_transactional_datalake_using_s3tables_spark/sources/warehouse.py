@@ -446,10 +446,23 @@ class Warehouse:
         partition_by: str | None = None,
         required: tuple[str, ...] = (),
         if_not_exists: bool = True,
+        write_order: list[str] | None = None,
+        write_distribution: str = "none",
     ) -> None:
         """Create an empty table with explicit schema, optional upsert
         key (reference ``unique_keys``, stack/firehose.py:99) and
-        partition column (reference scripts/update_metadata.py:114)."""
+        partition column (reference scripts/update_metadata.py:114).
+
+        ``write_order`` (Iceberg ``WRITE ORDERED BY``): every written
+        batch task-locally sorts its rows on these columns, so data
+        files carry tight min/max stats on them from the FIRST insert --
+        no compaction needed before data skipping starts working.
+        ``write_distribution="range"`` (Iceberg
+        ``write.distribution-mode=range``) additionally range-shuffles
+        each batch on the order columns so files own DISJOINT ranges:
+        one extra shuffle per write buys manifest pruning proportional
+        to selectivity (the right trade for append-heavy analytics
+        tables; leave "none" for latency-critical CDC sinks)."""
         tdir = self._table_dir(ns, table)
         if os.path.exists(tdir):
             if if_not_exists:
@@ -458,6 +471,11 @@ class Warehouse:
         # fail fast on a bad partition spec (unknown source column or
         # malformed transform) before any metadata lands on disk
         self._partition_expr(partition_by, schema)
+        if write_distribution not in ("none", "range"):
+            raise ValueError(f"unknown write_distribution {write_distribution!r}")
+        for c in write_order or []:
+            if c not in schema.fieldNames():
+                raise ValueError(f"write_order column {c} not in schema")
         os.makedirs(os.path.join(tdir, _MANIFEST_DIR))
         meta = {
             "schema": json.loads(schema.json()),
@@ -465,6 +483,9 @@ class Warehouse:
             "partition_by": partition_by,
             "required": list(required),
         }
+        if write_order:
+            meta["write_order"] = list(write_order)
+            meta["write_distribution"] = write_distribution
         with open(os.path.join(tdir, _SCHEMA_FILE), "w") as f:
             json.dump(meta, f, indent=1)
         self._publish(tdir, 0, [], schema=meta["schema"])
@@ -560,6 +581,10 @@ class Warehouse:
         if meta.get("key") == old:
             meta["key"] = new
         meta["required"] = [new if c == old else c for c in meta.get("required", [])]
+        if meta.get("write_order"):
+            meta["write_order"] = [
+                new if c == old else c for c in meta["write_order"]
+            ]
         pb = meta.get("partition_by")
         if pb:
             m = _TRANSFORM_RE.match(pb)
@@ -591,6 +616,12 @@ class Warehouse:
             src = m.group(3) if m else pb
             if src == name:
                 raise ValueError("cannot drop the partition source column")
+        if meta.get("write_order"):
+            # dropping a write-order column just stops clustering on it
+            meta["write_order"] = [c for c in meta["write_order"] if c != name]
+            if not meta["write_order"]:
+                meta.pop("write_order", None)
+                meta.pop("write_distribution", None)
         phys = dict(meta.get("physical") or {})
         retired = list(meta.get("retired_physical", []))
         retired.append(phys.pop(name, name))
@@ -954,6 +985,41 @@ class Warehouse:
             return (c - F.pmod(c, w)).cast("string")
         return F.substring(F.col(col).cast("string"), 1, int(n))
 
+    def set_write_order(
+        self,
+        ns: str,
+        table: str,
+        write_order: list[str] | None,
+        write_distribution: str = "none",
+    ) -> None:
+        """ALTER TABLE WRITE ORDERED BY analog: set (or clear, with
+        None) the table's write order + distribution. Metadata-only;
+        existing files keep their layout, future writes cluster."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        if write_distribution not in ("none", "range"):
+            raise ValueError(f"unknown write_distribution {write_distribution!r}")
+        schema = StructType.fromJson(meta["schema"])
+        for c in write_order or []:
+            if c not in schema.fieldNames():
+                raise ValueError(f"write_order column {c} not in schema")
+        if write_order:
+            meta["write_order"] = list(write_order)
+            meta["write_distribution"] = write_distribution
+        else:
+            meta.pop("write_order", None)
+            meta.pop("write_distribution", None)
+        self._swap_table_meta(tdir, meta)
+
+    def _write_table_files(self, tdir: str, df: DataFrame, meta: dict) -> list[dict]:
+        """Write a table batch honoring the table's write spec (order /
+        distribution / key bloom / column mapping)."""
+        return self._write_files(
+            tdir, df, meta["partition_by"], bloom_col=meta.get("key"),
+            phys=meta.get("physical"), order_by=meta.get("write_order"),
+            distribution=meta.get("write_distribution", "none"),
+        )
+
     def _write_files(
         self,
         tdir: str,
@@ -961,6 +1027,8 @@ class Warehouse:
         partition_by: str | None,
         bloom_col: str | None = None,
         phys: dict | None = None,
+        order_by: list[str] | None = None,
+        distribution: str = "none",
     ) -> list[dict]:
         """Write a batch into a fresh commit dir; return file entries
         with per-file record counts and column min/max read from the
@@ -985,6 +1053,22 @@ class Warehouse:
         # stay metadata-only); the partition expr binds logical names, so
         # derive _p first, then rename
         out = df.withColumn("_p", pexpr) if pexpr is not None else df
+        if order_by:
+            # table write order (Iceberg WRITE ORDERED BY): cluster rows
+            # so files carry tight min/max on the order columns; with
+            # distribution="range" the batch first range-shuffles so
+            # files own DISJOINT ranges (write.distribution-mode=range)
+            sort_cols = (
+                [F.col("_p")] if pexpr is not None else []
+            ) + [F.col(c) for c in order_by]
+            if distribution == "range":
+                # explicit partition count = the batch's own parallelism:
+                # keeps file sizing stable and stops AQE from coalescing
+                # the range shuffle into too-few (too-wide) files
+                out = out.repartitionByRange(
+                    max(df.rdd.getNumPartitions(), 1), *sort_cols
+                )
+            out = out.sortWithinPartitions(*sort_cols)
         out = out.select(
             *[F.col(c).alias(phys.get(c, c)) for c in df.columns],
             *(["_p"] if pexpr is not None else []),
@@ -1379,10 +1463,7 @@ class Warehouse:
             if merge_schema
             else self.table_meta(ns, table)
         )
-        new_files = self._write_files(
-            tdir, self._validated(df, meta), meta["partition_by"],
-            bloom_col=meta.get("key"), phys=meta.get("physical"),
-        )
+        new_files = self._write_table_files(tdir, self._validated(df, meta), meta)
         return self._publish_append(
             tdir, self._versions(tdir)[-1], new_files, meta["schema"],
             overwrite=overwrite, phys=meta.get("physical"),
@@ -1404,10 +1485,7 @@ class Warehouse:
         references them. Returns the staging id."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
-        new_files = self._write_files(
-            tdir, self._validated(df, meta), meta["partition_by"],
-            bloom_col=meta.get("key"), phys=meta.get("physical"),
-        )
+        new_files = self._write_table_files(tdir, self._validated(df, meta), meta)
         staging_id = uuid.uuid4().hex[:12]
         path = os.path.join(tdir, _MANIFEST_DIR, f"{self._STAGE_PREFIX}{staging_id}.json")
         with open(path, "w") as f:
@@ -1637,9 +1715,7 @@ class Warehouse:
         if deletes is not None:
             merged = merged.join(deletes, key, "left_anti")
 
-        new_files = self._write_files(
-            tdir, merged, pcol, bloom_col=key, phys=meta.get("physical")
-        )
+        new_files = self._write_table_files(tdir, merged, meta)
 
         def validate_rebase(fresh: list[dict]) -> bool:
             # A concurrent append into an untouched partition may hold a
@@ -1685,10 +1761,7 @@ class Warehouse:
         if not kp:
             return version  # empty batch: no empty commit
         small = len(kp) <= self._MERGE_COLLECT_KEYS_MAX
-        data_files = self._write_files(
-            tdir, source, meta["partition_by"], bloom_col=meta.get("key"),
-            phys=meta.get("physical"),
-        )
+        data_files = self._write_table_files(tdir, source, meta)
         del_files = self._write_delete_files(
             tdir, match_keys, meta, coalesce_one=small
         )
@@ -1848,10 +1921,7 @@ class Warehouse:
             tdir, rewrite, schema, meta.get("physical"), doc.get("deletes"),
             meta.get("key"),
         ).filter(~F.coalesce(predicate, F.lit(False)))
-        new_files = self._write_files(
-            tdir, kept, meta["partition_by"], bloom_col=meta.get("key"),
-            phys=meta.get("physical"),
-        )
+        new_files = self._write_table_files(tdir, kept, meta)
         v = self._publish_rewrite(
             tdir, version,
             {_part_key(e["partition"]) for e in rewrite} if meta["partition_by"] else None,
@@ -1992,10 +2062,7 @@ class Warehouse:
             ]
         )
         self._check_constraints(updated, meta)
-        new_files = self._write_files(
-            tdir, updated, meta["partition_by"], bloom_col=meta.get("key"),
-            phys=meta.get("physical"),
-        )
+        new_files = self._write_table_files(tdir, updated, meta)
         v = self._publish_rewrite(
             tdir, version,
             {_part_key(e["partition"]) for e in rewrite} if meta["partition_by"] else None,
@@ -2313,6 +2380,11 @@ class Warehouse:
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
         schema = StructType.fromJson(meta["schema"])
+        if sort_by is None and meta.get("write_order"):
+            # default to the table's declared write order (Iceberg
+            # rewrite_data_files honors the table sort order)
+            wo = meta["write_order"]
+            sort_by = wo[0] if len(wo) == 1 else list(wo)
         version = self._versions(tdir)[-1]
         doc = self._manifest_doc(tdir, version)
         entries = doc["files"]
