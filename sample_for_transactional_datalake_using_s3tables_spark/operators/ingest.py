@@ -979,9 +979,73 @@ WHERE event_id % 5 != 0 AND event_id % 7 != 0
 """
 
 
+def warehouse_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Athena-on-Iceberg statement surface end-to-end as SQL TEXT
+    (X1 extended to DML; reference README.md:143-148 runs its analytics
+    as Athena SQL and Iceberg row-level ops are the same statements):
+    INSERT INTO ... SELECT, UPDATE (complex predicate -> Column path),
+    DELETE (simple predicate -> manifest-pruned path), MERGE INTO with
+    a delete flag, then SELECT the final snapshot -- every statement
+    parsed from text by sources/sqlexec.py and routed through the
+    transactional warehouse. The oracle recomputes the same composition
+    analytically, so a hash match certifies parser + routing + the
+    underlying DML semantics in one row."""
+    from ..sources.sqlexec import WarehouseSQL
+
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_sqldml_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id", partition_by="event_type"
+        )
+        sql = WarehouseSQL(wh)
+        events.createOrReplaceTempView("src_events")
+        sql.execute("INSERT INTO q.state SELECT * FROM src_events")
+        sql.execute(
+            "UPDATE q.state SET value = CAST(value * 3 AS DECIMAL(12,2)) "
+            "WHERE event_id % 3 = 0"
+        )
+        sql.execute("DELETE FROM q.state WHERE event_id >= 7000")
+        sql.execute(
+            "MERGE INTO q.state AS t USING "
+            "(SELECT event_id, event_type, "
+            "        CAST(value * 2 AS DECIMAL(12,2)) AS value, "
+            "        event_id % 4 = 0 AS _delete "
+            " FROM src_events WHERE event_id % 5 = 0) AS s "
+            "ON t.event_id = s.event_id "
+            "WHEN MATCHED AND s._delete THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        final = sql.execute(
+            "SELECT event_id, event_type, value AS value_final FROM q.state"
+        )
+        return _lazy_snapshot(spark, root, final)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_SQL_DML_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value FROM events
+)
+SELECT event_id, event_type,
+       CASE WHEN event_id % 5 = 0 THEN CAST(value * 2 AS DECIMAL(12,2))
+            WHEN event_id % 3 = 0 THEN CAST(value * 3 AS DECIMAL(12,2))
+            ELSE value END AS value_final
+FROM base
+WHERE NOT (event_id % 5 = 0 AND event_id % 4 = 0)
+  AND (event_id % 5 = 0 OR event_id < 7000)
+"""
+
+
 QUERIES = {
     "cdc_pipeline": cdc_pipeline,
     "warehouse_mor_merge": warehouse_mor_merge,
+    "warehouse_sql_dml": warehouse_sql_dml,
     "cdc_quarantine": cdc_quarantine,
     "warehouse_delta_export": warehouse_delta_export,
     "warehouse_tags": warehouse_tags,
@@ -1002,6 +1066,7 @@ QUERIES = {
 ORACLES = {
     "cdc_pipeline": CDC_PIPELINE_SQL,
     "warehouse_mor_merge": WAREHOUSE_MOR_MERGE_SQL,
+    "warehouse_sql_dml": WAREHOUSE_SQL_DML_SQL,
     "cdc_quarantine": CDC_QUARANTINE_SQL,
     "warehouse_delta_export": WAREHOUSE_DELTA_EXPORT_SQL,
     "warehouse_tags": WAREHOUSE_TIME_TRAVEL_SQL,

@@ -1,0 +1,231 @@
+"""SQL-text entry for the transactional warehouse: X1 extended to DML.
+
+The reference's user surface is SQL (Athena over S3 Tables/Iceberg,
+README.md:143-148) -- and Iceberg users run row-level DML as SQL text
+(``DELETE FROM``/``UPDATE``/``MERGE INTO``, the statements Athena and
+Spark SQL accept against Iceberg v2 tables). This module routes exactly
+that statement surface onto the warehouse's transactional operations,
+so a reference user can paste their statements unchanged:
+
+- ``SELECT ... FROM ns.tbl ...`` -- warehouse table references resolve
+  to snapshot reads (registered as temp views, Catalyst plans the rest;
+  any SQL shape Spark supports works).
+- ``INSERT INTO ns.tbl SELECT ...`` / ``INSERT OVERWRITE ns.tbl ...``
+- ``DELETE FROM ns.tbl WHERE ...`` -- a conjunction of simple
+  comparisons becomes tuple predicates (manifest min/max + Bloom file
+  skipping, identical to the programmatic path); anything else runs as
+  a Column predicate (correct, post-scan).
+- ``UPDATE ns.tbl SET col = expr [, ...] WHERE ...`` -- same predicate
+  pushdown split.
+- ``MERGE INTO ns.tbl [AS] t USING <src> [AS] s ON t.key = s.key
+  [WHEN MATCHED AND s.flag THEN DELETE]
+  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` --
+  the Iceberg upsert statement shape (reference Firehose ``unique_keys``
+  semantics); ``<src>`` is a view name, a warehouse table, or a
+  parenthesized subquery.
+
+DML statements accept ``strategy="mor"`` to route through merge-on-read
+commits. Parsing is deliberately conservative: unsupported shapes raise
+with the statement fragment instead of guessing.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .warehouse import Warehouse
+
+_DELETE_RE = re.compile(
+    r"^DELETE\s+FROM\s+(\w+)\.(\w+)\s+WHERE\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^UPDATE\s+(\w+)\.(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\.(\w+)\s+(SELECT\b.*|VALUES\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_RE = re.compile(
+    r"^MERGE\s+INTO\s+(?P<ns>\w+)\.(?P<tbl>\w+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<src>\(.*\)|\w+(?:\.\w+)?)(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<on>.+?)"
+    r"\s+(?P<when>WHEN\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_RE = re.compile(
+    r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$",
+)
+_WHEN_DELETE_RE = re.compile(
+    r"WHEN\s+MATCHED\s+AND\s+(?:(\w+)\.)?(\w+)\s+THEN\s+DELETE",
+    re.IGNORECASE,
+)
+_WHEN_CANON_RE = re.compile(
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+    re.IGNORECASE,
+)
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parentheses and string literals (SET
+    lists may contain ``fn(a, b)`` calls and quoted commas)."""
+    parts, depth, in_str, start = [], 0, False, 0
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+        i += 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+class WarehouseSQL:
+    """Statement router binding a :class:`Warehouse` to SQL text."""
+
+    def __init__(self, wh: Warehouse):
+        self.wh = wh
+        self.spark = wh.spark
+
+    # -- helpers --
+
+    def _rewrite_tables(self, sql: str) -> str:
+        """Register every referenced warehouse table as a temp view of
+        its current snapshot and rewrite ``ns.tbl`` references to the
+        view names. Only known warehouse tables are rewritten; other
+        identifiers (temp views, functions) pass through untouched."""
+        out = sql
+        for ns in self.wh.list_namespaces():
+            for tbl in self.wh.list_tables(ns):
+                pat = re.compile(rf"\b{re.escape(ns)}\.{re.escape(tbl)}\b")
+                if pat.search(out):
+                    view = f"__wh_{ns}__{tbl}"
+                    self.wh.read(ns, tbl).createOrReplaceTempView(view)
+                    out = pat.sub(view, out)
+        return out
+
+    def _source_df(self, src: str) -> DataFrame:
+        src = src.strip()
+        if src.startswith("("):
+            return self.spark.sql(self._rewrite_tables(src[1:-1]))
+        if "." in src:
+            ns, tbl = src.split(".", 1)
+            return self.wh.read(ns, tbl)
+        return self.spark.table(src)
+
+    def _predicate(self, cond: str):
+        """(predicate, predicates) for a WHERE text: simple conjunctions
+        become tuple predicates (manifest pruning); else a Column."""
+        tuples = Warehouse._row_filter_predicates(cond)
+        if tuples is not None:
+            return tuples, None
+        return F.expr(cond), None
+
+    # -- entry point --
+
+    def execute(self, stmt: str, strategy: str = "cow"):
+        """Execute one statement. SELECTs return a DataFrame; DML
+        returns the warehouse result (stats dict or version)."""
+        s = stmt.strip().rstrip(";").strip()
+        head = s.split(None, 1)[0].upper() if s else ""
+        if head in ("SELECT", "WITH"):
+            return self.spark.sql(self._rewrite_tables(s))
+        if head == "DELETE":
+            m = _DELETE_RE.match(s)
+            if not m:
+                raise ValueError(f"unsupported DELETE shape: {s[:120]!r}")
+            ns, tbl, cond = m.groups()
+            predicate, _ = self._predicate(cond)
+            return self.wh.delete_where(ns, tbl, predicate, strategy=strategy)
+        if head == "UPDATE":
+            m = _UPDATE_RE.match(s)
+            if not m:
+                raise ValueError(f"unsupported UPDATE shape: {s[:120]!r}")
+            ns, tbl, set_text, cond = m.groups()
+            assignments = {}
+            for part in _split_top_level(set_text):
+                col, _, rhs = part.partition("=")
+                if not rhs:
+                    raise ValueError(f"bad SET clause: {part!r}")
+                assignments[col.strip().strip("`")] = F.expr(rhs.strip())
+            predicate, _ = self._predicate(cond)
+            return self.wh.update_where(ns, tbl, assignments, predicate)
+        if head == "INSERT":
+            m = _INSERT_RE.match(s)
+            if not m:
+                raise ValueError(f"unsupported INSERT shape: {s[:120]!r}")
+            mode, ns, tbl, src = m.groups()
+            if src.upper().startswith("VALUES"):
+                df = self.spark.sql(f"SELECT * FROM ({src})")
+                # inline VALUES carry positional colN names; align to
+                # the table schema by position
+                schema = self.wh.schema(ns, tbl)
+                if len(df.columns) != len(schema.fields):
+                    raise ValueError(
+                        f"VALUES arity {len(df.columns)} != table arity "
+                        f"{len(schema.fields)}"
+                    )
+                df = df.toDF(*[f.name for f in schema.fields])
+            else:
+                df = self.spark.sql(self._rewrite_tables(src))
+            return self.wh.insert(
+                ns, tbl, df, overwrite=mode.upper() == "OVERWRITE"
+            )
+        if head == "MERGE":
+            return self._merge(s, strategy)
+        raise ValueError(f"unsupported statement: {s[:120]!r}")
+
+    def _merge(self, s: str, strategy: str):
+        m = _MERGE_RE.match(s)
+        if not m:
+            raise ValueError(f"unsupported MERGE shape: {s[:120]!r}")
+        ns, tbl = m.group("ns"), m.group("tbl")
+        talias = m.group("talias") or tbl
+        salias = m.group("salias") or "s"
+        key = self.wh.table_meta(ns, tbl).get("key")
+        if key is None:
+            raise ValueError(f"{ns}.{tbl} has no key; MERGE needs one")
+        on = _ON_RE.match(m.group("on"))
+        if not on:
+            raise ValueError(f"unsupported ON clause: {m.group('on')!r}")
+        qual = {on.group(1): on.group(2), on.group(3): on.group(4)}
+        if qual.get(talias) != key or qual.get(salias) != key or len(qual) != 2:
+            raise ValueError(
+                f"MERGE ON must equate the table key: "
+                f"{talias}.{key} = {salias}.{key} (got {m.group('on')!r})"
+            )
+        when = m.group("when").strip()
+        delete_col = None
+        dm = _WHEN_DELETE_RE.search(when)
+        if dm:
+            if dm.group(1) not in (None, salias):
+                raise ValueError(
+                    f"DELETE flag must come from the source {salias!r}"
+                )
+            delete_col = dm.group(2)
+            when = (when[: dm.start()] + when[dm.end():]).strip()
+        if not _WHEN_CANON_RE.match(when):
+            raise ValueError(
+                "supported WHEN clauses: [WHEN MATCHED AND s.flag THEN "
+                "DELETE] WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED "
+                f"THEN INSERT * (got {m.group('when')!r})"
+            )
+        source = self._source_df(m.group("src"))
+        return self.wh.merge_upsert(
+            ns, tbl, source, delete_col=delete_col, strategy=strategy
+        )

@@ -1,0 +1,140 @@
+"""SQL-text DML router (sources/sqlexec.py): the Athena-on-Iceberg
+statement surface (SELECT / INSERT / DELETE / UPDATE / MERGE INTO) routed
+onto the transactional warehouse, with predicate pushdown for simple
+WHERE conjunctions and conservative rejection of unsupported shapes.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
+from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
+
+SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("day", StringType()),
+        StructField("v", LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def sql(spark):
+    with tempfile.TemporaryDirectory() as d:
+        wh = Warehouse(spark, d)
+        wh.create_namespace("ns")
+        wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+        rows = [(f"k{i}", f"d{i % 2}", i) for i in range(20)]
+        wh.insert("ns", "t", spark.createDataFrame(rows, SCHEMA).coalesce(1))
+        yield WarehouseSQL(wh)
+
+
+def _state(sql):
+    return {
+        (r.id, r.day, r.v)
+        for r in sql.execute("SELECT * FROM ns.t").collect()
+    }
+
+
+def test_select_reads_snapshot(sql):
+    got = sql.execute("SELECT id, v FROM ns.t WHERE v < 3 ORDER BY id")
+    assert [(r.id, r.v) for r in got.collect()] == [("k0", 0), ("k1", 1), ("k2", 2)]
+
+
+def test_select_join_and_agg(sql):
+    # arbitrary Spark SQL over the rewritten view, including self-joins
+    got = sql.execute(
+        "SELECT a.day, COUNT(*) AS n FROM ns.t a JOIN ns.t b ON a.id = b.id "
+        "GROUP BY a.day ORDER BY a.day"
+    ).collect()
+    assert [(r.day, r.n) for r in got] == [("d0", 10), ("d1", 10)]
+
+
+def test_delete_simple_predicate_is_pruned(sql):
+    res = sql.execute("DELETE FROM ns.t WHERE v >= 15")
+    assert res["deleted_rows"] == 5
+    # tuple-predicate path: manifest skipping engaged (observable stats)
+    assert res["probed_files"] <= res["manifest_files"]
+    assert {r[0] for r in _state(sql)} == {f"k{i}" for i in range(15)}
+
+
+def test_delete_complex_predicate_column_path(sql):
+    res = sql.execute("DELETE FROM ns.t WHERE v % 2 = 1 AND day = 'd1'")
+    assert res["deleted_rows"] == 10
+    assert {r[0] for r in _state(sql)} == {f"k{i}" for i in range(0, 20, 2)}
+
+
+def test_update_with_expression(sql):
+    res = sql.execute(
+        "UPDATE ns.t SET v = v * 10, day = upper(day) WHERE v < 2"
+    )
+    assert res["updated_rows"] == 2
+    s = dict((r[0], (r[1], r[2])) for r in _state(sql))
+    assert s["k0"] == ("D0", 0) and s["k1"] == ("D1", 10)
+    assert s["k2"] == ("d0", 2)
+
+
+def test_insert_select_and_values(sql, spark):
+    spark.createDataFrame([("x1", "d9", 100)], SCHEMA).createOrReplaceTempView(
+        "extra"
+    )
+    sql.execute("INSERT INTO ns.t SELECT * FROM extra")
+    sql.execute("INSERT INTO ns.t VALUES ('x2', 'd9', 101)")
+    s = {r[0]: r[2] for r in _state(sql)}
+    assert s["x1"] == 100 and s["x2"] == 101
+
+
+def test_merge_upsert_and_delete_flag(sql, spark):
+    batch = [("k1", "d1", 1000, False), ("kNEW", "d0", 7, False), ("k2", "d0", 0, True)]
+    spark.createDataFrame(
+        batch, "id string, day string, v long, _del boolean"
+    ).createOrReplaceTempView("batch")
+    sql.execute(
+        "MERGE INTO ns.t AS t USING batch AS s ON t.id = s.id "
+        "WHEN MATCHED AND s._del THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    s = {r[0]: r[2] for r in _state(sql)}
+    assert s["k1"] == 1000 and s["kNEW"] == 7 and "k2" not in s
+
+
+def test_merge_subquery_source_and_mor_strategy(sql):
+    sql.execute(
+        "MERGE INTO ns.t t USING "
+        "(SELECT id, day, v * 2 AS v FROM ns.t WHERE v >= 18) s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        strategy="mor",
+    )
+    assert sql.wh.last_merge_stats["mode"] == "mor"
+    assert sql.wh.last_merge_stats["rewritten_files"] == 0
+    s = {r[0]: r[2] for r in _state(sql)}
+    assert s["k18"] == 36 and s["k19"] == 38 and s["k17"] == 17
+
+
+def test_unsupported_shapes_raise(sql):
+    with pytest.raises(ValueError, match="unsupported"):
+        sql.execute("DELETE FROM ns.t")  # no WHERE
+    with pytest.raises(ValueError, match="unsupported"):
+        sql.execute("TRUNCATE TABLE ns.t")
+    with pytest.raises(ValueError, match="ON must equate"):
+        sql.execute(
+            "MERGE INTO ns.t t USING ns.t s ON t.v = s.v "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="WHEN"):
+        sql.execute(
+            "MERGE INTO ns.t t USING ns.t s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET t.v = s.v"
+        )
