@@ -1042,10 +1042,69 @@ WHERE NOT (event_id % 5 = 0 AND event_id % 4 = 0)
 """
 
 
+def warehouse_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-commit write-audit-publish via an Iceberg-style BRANCH: the
+    standard MERGE change set is applied as TWO commits (updates, then
+    flagged deletes) on branch ``audit`` while main provably still
+    serves the untouched v1 snapshot; the audited branch then
+    fast-forwards onto main (metadata-only replay) and the final main
+    read must equal the analytic recompute. ``branch_ok`` folds in what
+    SQL can't see: main's row count and version stayed at v1 while the
+    branch advanced, and the branch was consumed by the fast-forward."""
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_branch_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id", partition_by="event_type"
+        )
+        v1 = wh.insert("q", "state", events)
+        n_v1 = wh.count_rows("q", "state")
+        wh.create_branch("q", "state", "audit")
+        updates = events.filter(F.col("event_id") % 3 == 0).withColumn(
+            "value", (F.col("value") * 2).cast("decimal(12,2)")
+        )
+        wh.merge_upsert("q", "state", updates, branch="audit")
+        deletes = events.filter(F.col("event_id") % 5 == 0).withColumn(
+            "_delete", F.lit(True)
+        )
+        wh.merge_upsert(
+            "q", "state", deletes, delete_col="_delete", branch="audit"
+        )
+        main_untouched = (
+            wh.current_version("q", "state") == v1
+            and wh.count_rows("q", "state") == n_v1
+        )
+        wh.fast_forward("q", "state", "audit")
+        branch_ok = (
+            main_untouched
+            and wh.list_branches("q", "state") == []
+            and wh.current_version("q", "state") == v1 + 2
+        )
+        final = wh.read("q", "state").select(
+            "event_id", "event_type", F.col("value").alias("value_final")
+        ).withColumn("branch_ok", F.lit(bool(branch_ok)))
+        return _lazy_snapshot(spark, root, final)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_BRANCH_WAP_SQL = """
+SELECT event_id, event_type,
+       CAST(CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS DECIMAL(12,2)) AS value_final,
+       TRUE AS branch_ok
+FROM (SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value FROM events)
+WHERE event_id % 5 != 0
+"""
+
+
 QUERIES = {
     "cdc_pipeline": cdc_pipeline,
     "warehouse_mor_merge": warehouse_mor_merge,
     "warehouse_sql_dml": warehouse_sql_dml,
+    "warehouse_branch_wap": warehouse_branch_wap,
     "cdc_quarantine": cdc_quarantine,
     "warehouse_delta_export": warehouse_delta_export,
     "warehouse_tags": warehouse_tags,
@@ -1067,6 +1126,7 @@ ORACLES = {
     "cdc_pipeline": CDC_PIPELINE_SQL,
     "warehouse_mor_merge": WAREHOUSE_MOR_MERGE_SQL,
     "warehouse_sql_dml": WAREHOUSE_SQL_DML_SQL,
+    "warehouse_branch_wap": WAREHOUSE_BRANCH_WAP_SQL,
     "cdc_quarantine": CDC_QUARANTINE_SQL,
     "warehouse_delta_export": WAREHOUSE_DELTA_EXPORT_SQL,
     "warehouse_tags": WAREHOUSE_TIME_TRAVEL_SQL,

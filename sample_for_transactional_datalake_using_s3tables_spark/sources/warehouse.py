@@ -666,33 +666,60 @@ class Warehouse:
 
     # -- manifest chain --
 
-    def _versions(self, tdir: str) -> list[int]:
-        vdir = os.path.join(tdir, _MANIFEST_DIR)
+    @staticmethod
+    def _vdir(tdir: str, branch: str | None = None) -> str:
+        """Manifest-chain directory: main's ``_v`` or a branch's
+        ``_v@<name>`` sibling (Iceberg branch refs re-expressed as
+        parallel snapshot chains sharing the table's data dir)."""
+        return os.path.join(
+            tdir, _MANIFEST_DIR + (f"@{branch}" if branch else "")
+        )
+
+    def _versions(self, tdir: str, branch: str | None = None) -> list[int]:
+        vdir = self._vdir(tdir, branch)
+        if branch and not os.path.isdir(vdir):
+            raise ValueError(f"unknown branch {branch!r}")
         return sorted(
             int(f[:-5])
             for f in os.listdir(vdir)
             if f.endswith(".json") and f[:-5].isdigit()
         )
 
-    def current_version(self, ns: str, table: str) -> int:
+    def current_version(
+        self, ns: str, table: str, branch: str | None = None
+    ) -> int:
         tdir = self._table_dir(ns, table)
         if not os.path.exists(tdir):
             raise TableNotFoundError(f"{ns}.{table}")
-        return self._versions(tdir)[-1]
+        return self._versions(tdir, branch)[-1]
 
-    def _manifest_doc(self, tdir: str, version: int) -> dict:
-        with open(os.path.join(tdir, _MANIFEST_DIR, f"{version:08d}.json")) as f:
+    def _manifest_doc(
+        self, tdir: str, version: int, branch: str | None = None
+    ) -> dict:
+        with open(os.path.join(self._vdir(tdir, branch), f"{version:08d}.json")) as f:
             return json.load(f)
 
-    def _manifest(self, tdir: str, version: int) -> list[dict]:
-        return self._manifest_doc(tdir, version)["files"]
+    def _manifest(
+        self, tdir: str, version: int, branch: str | None = None
+    ) -> list[dict]:
+        return self._manifest_doc(tdir, version, branch)["files"]
 
-    def _doc_all_entries(self, tdir: str, version: int) -> list[dict]:
+    def _doc_all_entries(
+        self, tdir: str, version: int, branch: str | None = None
+    ) -> list[dict]:
         """Every file a snapshot references: data files PLUS merge-on-
         read equality-delete files (maintenance must treat both as
         live)."""
-        doc = self._manifest_doc(tdir, version)
+        doc = self._manifest_doc(tdir, version, branch)
         return doc["files"] + list(doc.get("deletes") or [])
+
+    def _branches(self, tdir: str) -> list[str]:
+        prefix = _MANIFEST_DIR + "@"
+        return sorted(
+            d[len(prefix):]
+            for d in os.listdir(tdir)
+            if d.startswith(prefix) and os.path.isdir(os.path.join(tdir, d))
+        )
 
     def _publish(
         self,
@@ -702,6 +729,7 @@ class Warehouse:
         schema: dict | None = None,
         phys: dict | None = None,
         deletes: list[dict] | None = None,
+        branch: str | None = None,
     ) -> None:
         """Atomic optimistic commit: link() fails if the version exists
         (the reference's versionToken CAS, scripts/update_metadata.py:135-141).
@@ -717,10 +745,11 @@ class Warehouse:
             doc["physical"] = phys
         if deletes:
             doc["deletes"] = deletes
-        tmp = os.path.join(tdir, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}.json")
+        vdir = self._vdir(tdir, branch)
+        tmp = os.path.join(vdir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(doc, f)
-        target = os.path.join(tdir, _MANIFEST_DIR, f"{version:08d}.json")
+        target = os.path.join(vdir, f"{version:08d}.json")
         try:
             os.link(tmp, target)
         except FileExistsError as e:
@@ -784,7 +813,7 @@ class Warehouse:
         self, tdir: str, read_version: int, new_files: list[dict], schema: dict,
         overwrite: bool = False, phys: dict | None = None,
         rebase_meta: bool = True, new_deletes: list[dict] | None = None,
-        rebase_validate=None,
+        rebase_validate=None, branch: str | None = None,
     ) -> int:
         """Publish an append (or overwrite), rebasing onto the tip on a
         concurrent commit: an append conflicts with nothing -- its file
@@ -814,13 +843,15 @@ class Warehouse:
         returning False turns the rebase into a conflict."""
         version = read_version
         known = (
-            {e["path"] for e in self._manifest(tdir, read_version)}
+            {e["path"] for e in self._manifest(tdir, read_version, branch)}
             if rebase_validate is not None
             else set()
         )
         for _ in range(self._MAX_COMMIT_RETRIES):
             base_doc = (
-                {"files": []} if overwrite else self._manifest_doc(tdir, version)
+                {"files": []}
+                if overwrite
+                else self._manifest_doc(tdir, version, branch)
             )
             base = base_doc.get("files", [])
             stamped = [dict(e, seq=version + 1) for e in new_files]
@@ -830,12 +861,12 @@ class Warehouse:
             try:
                 self._publish(
                     tdir, version + 1, base + stamped, schema=schema, phys=phys,
-                    deletes=_live_deletes(dels, base + stamped),
+                    deletes=_live_deletes(dels, base + stamped), branch=branch,
                 )
                 return version + 1
             except CommitConflictError:
-                version = self._versions(tdir)[-1]
-                tip_doc = self._manifest_doc(tdir, version)
+                version = self._versions(tdir, branch)[-1]
+                tip_doc = self._manifest_doc(tdir, version, branch)
                 if rebase_validate is not None:
                     fresh = [
                         e for e in tip_doc["files"] if e["path"] not in known
@@ -864,6 +895,7 @@ class Warehouse:
         schema: dict,
         phys: dict | None = None,
         rebase_validate=None,
+        branch: str | None = None,
     ) -> int:
         """Publish a file-level rewrite with Iceberg-style conflict
         validation. ``touched`` is the set of partition keys this commit
@@ -901,7 +933,7 @@ class Warehouse:
         seen_out = {e["path"] for e in out_scope}
         version = read_version
         dels_base = list(
-            self._manifest_doc(tdir, read_version).get("deletes") or []
+            self._manifest_doc(tdir, read_version, branch).get("deletes") or []
         )
         for _ in range(self._MAX_COMMIT_RETRIES):
             # stamp per attempt: new files get seq = the version actually
@@ -917,12 +949,12 @@ class Warehouse:
             try:
                 self._publish(
                     tdir, version + 1, final, schema=schema, phys=phys,
-                    deletes=_live_deletes(dels_base, final),
+                    deletes=_live_deletes(dels_base, final), branch=branch,
                 )
                 return version + 1
             except CommitConflictError:
-                tip = self._versions(tdir)[-1]
-                tip_doc = self._manifest_doc(tdir, tip)
+                tip = self._versions(tdir, branch)[-1]
+                tip_doc = self._manifest_doc(tdir, tip, branch)
                 tip_entries = tip_doc["files"]
                 dels_base = list(tip_doc.get("deletes") or [])
                 if any(d["seq"] > read_version for d in dels_base):
@@ -1263,6 +1295,7 @@ class Warehouse:
         version: int | None = None,
         partition_filter: list[str] | None = None,
         predicates: list[tuple] | None = None,
+        branch: str | None = None,
     ) -> tuple[list[dict], StructType]:
         """Manifest-level scan planning: the file entries a read with
         these filters will touch (partition pruning + min/max data
@@ -1270,7 +1303,7 @@ class Warehouse:
         observable pruning surface (Iceberg's planFiles analog)."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
-        versions = self._versions(tdir)
+        versions = self._versions(tdir, branch)
         if isinstance(version, str):
             version = self._resolve_ref(tdir, version)
         if version is None:
@@ -1279,7 +1312,7 @@ class Warehouse:
             raise ValueError(
                 f"snapshot {version} of {ns}.{table} is unknown or expired"
             )
-        doc = self._manifest_doc(tdir, version)
+        doc = self._manifest_doc(tdir, version, branch)
         entries = doc["files"]
         if partition_filter is not None:
             keep = {_part_key(p) for p in partition_filter}
@@ -1314,6 +1347,7 @@ class Warehouse:
         version: int | None = None,
         partition_filter: list[str] | None = None,
         predicates: list[tuple] | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """Snapshot read, optionally time-traveled and manifest-pruned.
         Uses the schema embedded in the target snapshot's manifest (falls
@@ -1326,14 +1360,14 @@ class Warehouse:
         lower/upper-bound pruning; at 100 TB a selective predicate on a
         clustered column skips most of the table before any I/O)."""
         entries, schema = self.plan_files(
-            ns, table, version, partition_filter, predicates
+            ns, table, version, partition_filter, predicates, branch=branch
         )
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
         if isinstance(version, str):
             version = self._resolve_ref(tdir, version)
-        v = version if version is not None else self._versions(tdir)[-1]
-        doc = self._manifest_doc(tdir, v)
+        v = version if version is not None else self._versions(tdir, branch)[-1]
+        doc = self._manifest_doc(tdir, v, branch)
         phys = self._snapshot_phys(doc, meta)
         df = self._read_entries(
             tdir, entries, schema, phys, doc.get("deletes"), meta.get("key")
@@ -1453,11 +1487,19 @@ class Warehouse:
         df: DataFrame,
         overwrite: bool = False,
         merge_schema: bool = False,
+        branch: str | None = None,
     ) -> int:
         """Append (or overwrite) a batch; returns the new version.
         ``merge_schema`` adds the batch's new columns to the table
-        first (nullable, metadata-only) instead of failing the align."""
+        first (nullable, metadata-only) instead of failing the align.
+        ``branch`` commits onto a branch chain (audit-branch pattern)
+        instead of main."""
         tdir = self._table_dir(ns, table)
+        if merge_schema and branch:
+            raise ValueError(
+                "schema evolution is table-wide; evolve on main, then "
+                "write to the branch"
+            )
         meta = (
             self._merge_schema(ns, table, df)
             if merge_schema
@@ -1465,8 +1507,8 @@ class Warehouse:
         )
         new_files = self._write_table_files(tdir, self._validated(df, meta), meta)
         return self._publish_append(
-            tdir, self._versions(tdir)[-1], new_files, meta["schema"],
-            overwrite=overwrite, phys=meta.get("physical"),
+            tdir, self._versions(tdir, branch)[-1], new_files, meta["schema"],
+            overwrite=overwrite, phys=meta.get("physical"), branch=branch,
         )
 
     # -- write-audit-publish (Iceberg WAP / stage-only commits): a write
@@ -1571,6 +1613,7 @@ class Warehouse:
         order_col: str | None = None,
         delete_col: str | None = None,
         strategy: str = "cow",
+        branch: str | None = None,
     ) -> int:
         """MERGE INTO on the table key (reference Firehose
         ``unique_keys=[transaction_id]``, stack/firehose.py:99,159):
@@ -1615,8 +1658,8 @@ class Warehouse:
             .drop("_rn")
         )
 
-        version = self._versions(tdir)[-1]
-        doc = self._manifest_doc(tdir, version)
+        version = self._versions(tdir, branch)[-1]
+        doc = self._manifest_doc(tdir, version, branch)
         entries = doc["files"]
         schema = StructType.fromJson(meta["schema"])
         phys_map = meta.get("physical") or {}
@@ -1634,7 +1677,7 @@ class Warehouse:
             if deletes is not None:
                 source = source.join(deletes, key, "left_anti")
             return self._merge_upsert_mor(
-                tdir, meta, source, match_keys, version
+                tdir, meta, source, match_keys, version, branch=branch
             )
         if strategy != "cow":
             raise ValueError(f"unknown MERGE strategy {strategy!r}")
@@ -1737,7 +1780,7 @@ class Warehouse:
         return self._publish_rewrite(
             tdir, version, touched if pcol else None, rewrite, untouched,
             new_files, meta["schema"], phys=meta.get("physical"),
-            rebase_validate=validate_rebase,
+            rebase_validate=validate_rebase, branch=branch,
         )
 
     def _merge_upsert_mor(
@@ -1747,6 +1790,7 @@ class Warehouse:
         source: DataFrame,
         match_keys: DataFrame,
         version: int,
+        branch: str | None = None,
     ) -> int:
         """Merge-on-read MERGE commit: append the (already deduped,
         validated) batch as data files plus one equality-delete file of
@@ -1771,7 +1815,7 @@ class Warehouse:
         )
         return self._publish_append(
             tdir, version, data_files, meta["schema"],
-            phys=meta.get("physical"), new_deletes=del_files,
+            phys=meta.get("physical"), new_deletes=del_files, branch=branch,
         )
 
     def _touched_by_predicate(
@@ -2517,6 +2561,97 @@ class Warehouse:
             json.dump(refs, f, indent=1)
         os.replace(tmp, path)
 
+    # -- branches (Iceberg branch refs as parallel snapshot chains):
+    # fork the current snapshot, take REAL commits (insert / MERGE,
+    # either strategy) on the branch while main stays untouched, audit
+    # the branch with normal reads, then fast-forward main to the
+    # branch -- a metadata-only replay that only succeeds while main
+    # has not moved (Iceberg fast_forward requires ancestry). The
+    # multi-commit WAP pattern; single-batch WAP is insert_staged. --
+
+    _BRANCH_NAME_RE = re.compile(r"^[A-Za-z_]\w*$")
+
+    def create_branch(
+        self, ns: str, table: str, name: str, version: int | None = None
+    ) -> int:
+        """Fork a branch at a snapshot (default: current). Returns the
+        fork version; the branch chain starts as that snapshot and
+        advances independently."""
+        if not self._BRANCH_NAME_RE.match(name):
+            raise ValueError(f"bad branch name {name!r}")
+        tdir = self._table_dir(ns, table)
+        if not os.path.exists(tdir):
+            raise TableNotFoundError(f"{ns}.{table}")
+        versions = self._versions(tdir)
+        if isinstance(version, str):
+            version = self._resolve_ref(tdir, version)
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise ValueError(f"snapshot {v} of {ns}.{table} is unknown or expired")
+        vdir = self._vdir(tdir, name)
+        if os.path.isdir(vdir):
+            raise ValueError(f"branch {name!r} already exists")
+        os.makedirs(vdir)
+        with open(os.path.join(vdir, "_fork.json"), "w") as f:
+            json.dump({"from": v}, f)
+        os.link(
+            os.path.join(self._vdir(tdir), f"{v:08d}.json"),
+            os.path.join(vdir, f"{v:08d}.json"),
+        )
+        return v
+
+    def list_branches(self, ns: str, table: str) -> list[str]:
+        tdir = self._table_dir(ns, table)
+        if not os.path.exists(tdir):
+            raise TableNotFoundError(f"{ns}.{table}")
+        return self._branches(tdir)
+
+    def branch_fork_version(self, ns: str, table: str, name: str) -> int:
+        tdir = self._table_dir(ns, table)
+        with open(os.path.join(self._vdir(tdir, name), "_fork.json")) as f:
+            return json.load(f)["from"]
+
+    def drop_branch(self, ns: str, table: str, name: str) -> None:
+        """Discard a branch (audit-reject). Branch-only data files
+        become unreferenced; ``remove_orphan_files`` reclaims them
+        after the in-flight horizon."""
+        tdir = self._table_dir(ns, table)
+        vdir = self._vdir(tdir, name)
+        if not os.path.isdir(vdir):
+            raise ValueError(f"unknown branch {name!r}")
+        shutil.rmtree(vdir)
+
+    def fast_forward(self, ns: str, table: str, name: str) -> int:
+        """Fast-forward main to a branch (Iceberg ``fast_forward``):
+        replays the branch's commits onto main as metadata-only
+        publishes (the data files are already on disk) -- but ONLY if
+        main still points at the fork snapshot. If main advanced, the
+        branch no longer descends from it and the replay raises
+        ``CommitConflictError`` (rebase the work by re-running it on a
+        fresh branch). The branch is consumed on success; on conflict
+        it is left intact for inspection."""
+        tdir = self._table_dir(ns, table)
+        if not os.path.isdir(self._vdir(tdir, name)):
+            raise ValueError(f"unknown branch {name!r}")
+        fork = self.branch_fork_version(ns, table, name)
+        main_tip = self._versions(tdir)[-1]
+        if main_tip != fork:
+            raise CommitConflictError(
+                f"main advanced to {main_tip} since branch {name!r} forked "
+                f"at {fork}; cannot fast-forward"
+            )
+        for v in self._versions(tdir, name):
+            if v <= fork:
+                continue
+            doc = self._manifest_doc(tdir, v, name)
+            self._publish(
+                tdir, v, doc["files"], schema=doc.get("schema"),
+                phys=doc.get("physical"), deletes=doc.get("deletes"),
+            )
+        new_tip = self._versions(tdir)[-1]
+        self.drop_branch(ns, table, name)
+        return new_tip
+
     def auto_maintain(
         self,
         ns: str,
@@ -2597,6 +2732,12 @@ class Warehouse:
             for v in sorted(keep)
             for e in self._doc_all_entries(tdir, v)
         }
+        for b in self._branches(tdir):
+            live |= {
+                e["path"]
+                for v in self._versions(tdir, b)
+                for e in self._doc_all_entries(tdir, v, b)
+            }
         removed = 0
         for v in expire:
             for e in self._doc_all_entries(tdir, v):
@@ -2629,6 +2770,12 @@ class Warehouse:
             for v in self._versions(tdir)
             for e in self._doc_all_entries(tdir, v)
         }
+        for b in self._branches(tdir):
+            live |= {
+                os.path.abspath(os.path.join(tdir, e["path"]))
+                for v in self._versions(tdir, b)
+                for e in self._doc_all_entries(tdir, v, b)
+            }
         # WAP staged batches are referenced by no snapshot yet but are
         # NOT orphans: their staging records pin them until published
         # or discarded
@@ -2738,14 +2885,17 @@ class Warehouse:
             rows, "path STRING, partition STRING, records BIGINT, bytes BIGINT"
         )
 
-    def deletes_df(self, ns: str, table: str, version: int | None = None) -> DataFrame:
+    def deletes_df(
+        self, ns: str, table: str, version: int | None = None,
+        branch: str | None = None,
+    ) -> DataFrame:
         """One row per live equality-delete file in a snapshot (the
         merge-on-read backlog: Iceberg ``delete_files`` metadata table
         analog). Empty after ``compact()`` folds them in."""
         tdir = self._table_dir(ns, table)
         if not os.path.exists(tdir):
             raise TableNotFoundError(f"{ns}.{table}")
-        versions = self._versions(tdir)
+        versions = self._versions(tdir, branch)
         if isinstance(version, str):
             version = self._resolve_ref(tdir, version)
         v = versions[-1] if version is None else version
@@ -2753,7 +2903,7 @@ class Warehouse:
             raise ValueError(f"snapshot {v} of {ns}.{table} is unknown or expired")
         rows = [
             (d["path"], d.get("col"), d.get("records", 0), d.get("bytes", 0), d["seq"])
-            for d in self._manifest_doc(tdir, v).get("deletes") or []
+            for d in self._manifest_doc(tdir, v, branch).get("deletes") or []
         ]
         return self.spark.createDataFrame(
             rows, "path STRING, key_col STRING, records BIGINT, bytes BIGINT, seq INT"
@@ -2795,6 +2945,7 @@ class Warehouse:
         table: str,
         version: int | None = None,
         partition_filter: list[str] | None = None,
+        branch: str | None = None,
     ) -> int:
         """Metadata-only COUNT(*): sums manifest record counts without
         reading any data file (the Iceberg/AQE trick of answering
@@ -2803,11 +2954,11 @@ class Warehouse:
         tdir = self._table_dir(ns, table)
         if not os.path.exists(tdir):
             raise TableNotFoundError(f"{ns}.{table}")
-        versions = self._versions(tdir)
+        versions = self._versions(tdir, branch)
         v = versions[-1] if version is None else version
         if v not in versions:
             raise ValueError(f"snapshot {v} of {ns}.{table} is unknown or expired")
-        doc = self._manifest_doc(tdir, v)
+        doc = self._manifest_doc(tdir, v, branch)
         entries = doc["files"]
         if partition_filter is not None:
             keep = {_part_key(p) for p in partition_filter}

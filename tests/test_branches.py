@@ -1,0 +1,170 @@
+"""Audit branches (Iceberg branch refs + fast_forward): branch commits
+leave main untouched, fast-forward replays them metadata-only when main
+hasn't moved, conflicts otherwise; maintenance treats branch-referenced
+files as live until the branch is dropped.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import (
+    CommitConflictError,
+    Warehouse,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("day", StringType()),
+        StructField("v", LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def wh(spark):
+    with tempfile.TemporaryDirectory() as d:
+        yield Warehouse(spark, d)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, schema=SCHEMA)
+
+
+def _base(spark, wh):
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+    rows = [(f"k{i}", f"d{i % 2}", i) for i in range(10)]
+    wh.insert("ns", "t", _df(spark, rows).coalesce(1))
+    return {r[0]: r for r in rows}
+
+
+def _state(wh, branch=None):
+    return {
+        r.id: (r.id, r.day, r.v)
+        for r in wh.read("ns", "t", branch=branch).collect()
+    }
+
+
+def test_branch_commits_leave_main_untouched(spark, wh):
+    expect_main = _base(spark, wh)
+    fork = wh.create_branch("ns", "t", "audit")
+    assert wh.list_branches("ns", "t") == ["audit"]
+    wh.insert("ns", "t", _df(spark, [("b1", "d0", 100)]).coalesce(1), branch="audit")
+    wh.merge_upsert("ns", "t", _df(spark, [("k1", "d1", 999)]), branch="audit")
+    assert _state(wh) == expect_main
+    got = _state(wh, branch="audit")
+    assert got["b1"] == ("b1", "d0", 100) and got["k1"] == ("k1", "d1", 999)
+    assert wh.current_version("ns", "t") == fork
+    assert wh.current_version("ns", "t", branch="audit") == fork + 2
+    # branch time travel: the fork snapshot is readable on the branch
+    assert _state(wh, branch="audit") != expect_main
+    assert {
+        r.id for r in wh.read("ns", "t", version=fork, branch="audit").collect()
+    } == set(expect_main)
+
+
+def test_fast_forward_replays_and_consumes_branch(spark, wh):
+    _base(spark, wh)
+    wh.create_branch("ns", "t", "audit")
+    wh.insert("ns", "t", _df(spark, [("b1", "d0", 100)]).coalesce(1), branch="audit")
+    wh.merge_upsert("ns", "t", _df(spark, [("k2", "d0", 222)]), branch="audit")
+    want = _state(wh, branch="audit")
+    tip = wh.fast_forward("ns", "t", "audit")
+    assert _state(wh) == want
+    assert wh.current_version("ns", "t") == tip
+    assert wh.list_branches("ns", "t") == []
+    # replayed snapshots are time-travelable on main
+    assert len(wh.history("ns", "t")) >= 3
+
+
+def test_fast_forward_conflicts_if_main_moved(spark, wh):
+    _base(spark, wh)
+    wh.create_branch("ns", "t", "audit")
+    wh.insert("ns", "t", _df(spark, [("b1", "d0", 100)]).coalesce(1), branch="audit")
+    wh.insert("ns", "t", _df(spark, [("m1", "d0", 50)]).coalesce(1))  # main moves
+    with pytest.raises(CommitConflictError, match="fast-forward"):
+        wh.fast_forward("ns", "t", "audit")
+    # branch left intact for inspection
+    assert wh.list_branches("ns", "t") == ["audit"]
+    assert "b1" in _state(wh, branch="audit")
+    assert "b1" not in _state(wh)
+
+
+def test_mor_branch_fast_forward_carries_deletes(spark, wh):
+    expect = _base(spark, wh)
+    wh.create_branch("ns", "t", "audit")
+    gone = _df(spark, [("k3", "d1", 0)]).withColumn("_del", F.lit(True))
+    wh.merge_upsert(
+        "ns", "t", gone, delete_col="_del", strategy="mor", branch="audit"
+    )
+    wh.merge_upsert(
+        "ns", "t", _df(spark, [("k4", "d0", 444)]), strategy="mor", branch="audit"
+    )
+    assert wh.deletes_df("ns", "t", branch="audit").count() >= 2
+    del expect["k3"]
+    expect["k4"] = ("k4", "d0", 444)
+    assert _state(wh, branch="audit") == expect
+    wh.fast_forward("ns", "t", "audit")
+    assert _state(wh) == expect
+    assert wh.count_rows("ns", "t") == len(expect)
+    # compaction folds the carried backlog on main
+    wh.compact("ns", "t", min_files_per_partition=1)
+    assert wh.deletes_df("ns", "t").collect() == []
+    assert _state(wh) == expect
+
+
+def test_drop_branch_then_orphan_cleanup_reclaims_files(spark, wh):
+    _base(spark, wh)
+    wh.create_branch("ns", "t", "audit")
+    wh.insert("ns", "t", _df(spark, [("b1", "d0", 100)]).coalesce(1), branch="audit")
+    # while the branch lives, its files are NOT orphans
+    assert wh.remove_orphan_files("ns", "t", older_than_seconds=0)[
+        "removed_files"
+    ] == 0
+    wh.drop_branch("ns", "t", "audit")
+    assert wh.remove_orphan_files("ns", "t", older_than_seconds=0)[
+        "removed_files"
+    ] >= 1
+    assert set(_state(wh)) == {f"k{i}" for i in range(10)}
+
+
+def test_expire_on_main_spares_branch_files(spark, wh):
+    _base(spark, wh)
+    wh.create_branch("ns", "t", "audit")
+    wh.merge_upsert("ns", "t", _df(spark, [("k0", "d0", 7)]), branch="audit")
+    # churn main so expiration has something to drop
+    for i in range(3):
+        wh.insert("ns", "t", _df(spark, [(f"m{i}", "d0", i)]).coalesce(1))
+    wh.expire_snapshots("ns", "t", keep_last=1)
+    got = _state(wh, branch="audit")
+    assert got["k0"] == ("k0", "d0", 7)
+
+
+def test_branch_validation(spark, wh):
+    _base(spark, wh)
+    with pytest.raises(ValueError, match="bad branch name"):
+        wh.create_branch("ns", "t", "bad/name")
+    wh.create_branch("ns", "t", "audit")
+    with pytest.raises(ValueError, match="already exists"):
+        wh.create_branch("ns", "t", "audit")
+    with pytest.raises(ValueError, match="unknown branch"):
+        wh.read("ns", "t", branch="nope")
+    with pytest.raises(ValueError, match="unknown branch"):
+        wh.fast_forward("ns", "t", "nope")
+    with pytest.raises(ValueError, match="schema evolution"):
+        wh.insert(
+            "ns", "t",
+            _df(spark, [("x", "d0", 1)]),
+            merge_schema=True, branch="audit",
+        )
