@@ -96,11 +96,33 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
 
 
 class WarehouseSQL:
-    """Statement router binding a :class:`Warehouse` to SQL text."""
+    """Statement router binding a :class:`Warehouse` to SQL text.
 
-    def __init__(self, wh: Warehouse):
+    ``principal`` makes every routed statement grant-enforced (D8: the
+    reference's LakeFormation model where Athena queries run AS a
+    principal): SELECT resolves tables through ``read_as`` (column
+    grants prune the projection, row filters push into manifest
+    pruning), INSERT requires INSERT, and MERGE/DELETE/UPDATE require
+    ALL -- exactly the programmatic ``*_as`` surface, now reachable
+    from SQL text."""
+
+    def __init__(self, wh: Warehouse, principal: str | None = None):
         self.wh = wh
         self.spark = wh.spark
+        self.principal = principal
+
+    def _read(self, ns: str, tbl: str):
+        if self.principal is None:
+            return self.wh.read(ns, tbl)
+        return self.wh.read_as(self.principal, ns, tbl)
+
+    def _require(self, perm: str, ns: str, tbl: str) -> None:
+        if self.principal is not None and not self.wh.check(
+            self.principal, ns, tbl, perm
+        ):
+            raise PermissionError(
+                f"{self.principal} lacks {perm} on {ns}.{tbl}"
+            )
 
     # -- helpers --
 
@@ -115,7 +137,7 @@ class WarehouseSQL:
                 pat = re.compile(rf"\b{re.escape(ns)}\.{re.escape(tbl)}\b")
                 if pat.search(out):
                     view = f"__wh_{ns}__{tbl}"
-                    self.wh.read(ns, tbl).createOrReplaceTempView(view)
+                    self._read(ns, tbl).createOrReplaceTempView(view)
                     out = pat.sub(view, out)
         return out
 
@@ -125,7 +147,7 @@ class WarehouseSQL:
             return self.spark.sql(self._rewrite_tables(src[1:-1]))
         if "." in src:
             ns, tbl = src.split(".", 1)
-            return self.wh.read(ns, tbl)
+            return self._read(ns, tbl)
         return self.spark.table(src)
 
     def _predicate(self, cond: str):
@@ -150,6 +172,7 @@ class WarehouseSQL:
             if not m:
                 raise ValueError(f"unsupported DELETE shape: {s[:120]!r}")
             ns, tbl, cond = m.groups()
+            self._require("ALL", ns, tbl)
             predicate, _ = self._predicate(cond)
             return self.wh.delete_where(ns, tbl, predicate, strategy=strategy)
         if head == "UPDATE":
@@ -157,6 +180,7 @@ class WarehouseSQL:
             if not m:
                 raise ValueError(f"unsupported UPDATE shape: {s[:120]!r}")
             ns, tbl, set_text, cond = m.groups()
+            self._require("ALL", ns, tbl)
             assignments = {}
             for part in _split_top_level(set_text):
                 col, _, rhs = part.partition("=")
@@ -183,6 +207,7 @@ class WarehouseSQL:
                 df = df.toDF(*[f.name for f in schema.fields])
             else:
                 df = self.spark.sql(self._rewrite_tables(src))
+            self._require("INSERT", ns, tbl)
             return self.wh.insert(
                 ns, tbl, df, overwrite=mode.upper() == "OVERWRITE"
             )
@@ -225,6 +250,7 @@ class WarehouseSQL:
                 "DELETE] WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED "
                 f"THEN INSERT * (got {m.group('when')!r})"
             )
+        self._require("ALL", ns, tbl)
         source = self._source_df(m.group("src"))
         return self.wh.merge_upsert(
             ns, tbl, source, delete_col=delete_col, strategy=strategy

@@ -138,3 +138,32 @@ def test_unsupported_shapes_raise(sql):
             "MERGE INTO ns.t t USING ns.t s ON t.id = s.id "
             "WHEN MATCHED THEN UPDATE SET t.v = s.v"
         )
+
+
+def test_principal_enforcement(sql):
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
+
+    wh = sql.wh
+    wh.grant("ana", "ns", "t", permissions=("SELECT",), columns=["id", "v"])
+    gov = WarehouseSQL(wh, principal="ana")
+    # SELECT sees only the granted columns
+    got = gov.execute("SELECT * FROM ns.t WHERE v = 3").collect()
+    assert [tuple(sorted(r.asDict())) for r in got] == [("id", "v")]
+    # DML requires ALL / INSERT
+    with pytest.raises(PermissionError):
+        gov.execute("DELETE FROM ns.t WHERE v >= 0")
+    with pytest.raises(PermissionError):
+        gov.execute("INSERT INTO ns.t VALUES ('z', 'd0', 1)")
+    wh.grant("etl", "ns", "t", permissions=("ALL",))
+    etl = WarehouseSQL(wh, principal="etl")
+    assert etl.execute("DELETE FROM ns.t WHERE v >= 19")["deleted_rows"] == 1
+
+
+def test_principal_row_filter_applies_in_select(sql):
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
+
+    wh = sql.wh
+    wh.grant("d1only", "ns", "t", permissions=("SELECT",), row_filter="day = 'd1'")
+    gov = WarehouseSQL(wh, principal="d1only")
+    got = gov.execute("SELECT id, day FROM ns.t").collect()
+    assert got and all(r.day == "d1" for r in got)
