@@ -126,14 +126,50 @@ class WarehouseSQL:
 
     # -- helpers --
 
+    _META_TABLES = ("snapshots", "files", "partitions", "deletes", "history")
+
+    def _meta_df(self, ns: str, tbl: str, kind: str) -> DataFrame:
+        if kind == "snapshots":
+            return self.wh.snapshots_df(ns, tbl)
+        if kind == "files":
+            return self.wh.files_df(ns, tbl)
+        if kind == "partitions":
+            return self.wh.partitions_df(ns, tbl)
+        if kind == "deletes":
+            return self.wh.deletes_df(ns, tbl)
+        rows = [
+            (h["version"], h["n_files"], h["bytes"])
+            for h in self.wh.history(ns, tbl)
+        ]
+        return self.spark.createDataFrame(
+            rows, "version INT, n_files INT, bytes BIGINT"
+        )
+
     def _rewrite_tables(self, sql: str) -> str:
         """Register every referenced warehouse table as a temp view of
         its current snapshot and rewrite ``ns.tbl`` references to the
-        view names. Only known warehouse tables are rewritten; other
-        identifiers (temp views, functions) pass through untouched."""
+        view names; ``ns.tbl$snapshots`` / ``$files`` / ``$partitions``
+        / ``$deletes`` / ``$history`` resolve to the metadata tables
+        (the Iceberg metadata-table syntax Athena/Spark users query).
+        Only known warehouse tables are rewritten; other identifiers
+        (temp views, functions) pass through untouched."""
         out = sql
         for ns in self.wh.list_namespaces():
             for tbl in self.wh.list_tables(ns):
+                meta_pat = re.compile(
+                    rf"\b{re.escape(ns)}\.{re.escape(tbl)}\$"
+                    rf"({'|'.join(self._META_TABLES)})\b"
+                )
+                for kind in {m.group(1) for m in meta_pat.finditer(out)}:
+                    if self.principal is not None and not self.wh.check(
+                        self.principal, ns, tbl, "DESCRIBE"
+                    ):
+                        raise PermissionError(
+                            f"{self.principal} lacks DESCRIBE on {ns}.{tbl}"
+                        )
+                    view = f"__wh_{ns}__{tbl}__{kind}"
+                    self._meta_df(ns, tbl, kind).createOrReplaceTempView(view)
+                out = meta_pat.sub(rf"__wh_{ns}__{tbl}__\1", out)
                 pat = re.compile(rf"\b{re.escape(ns)}\.{re.escape(tbl)}\b")
                 if pat.search(out):
                     view = f"__wh_{ns}__{tbl}"

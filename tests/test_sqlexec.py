@@ -167,3 +167,34 @@ def test_principal_row_filter_applies_in_select(sql):
     gov = WarehouseSQL(wh, principal="d1only")
     got = gov.execute("SELECT id, day FROM ns.t").collect()
     assert got and all(r.day == "d1" for r in got)
+
+
+def test_metadata_table_syntax(sql):
+    got = sql.execute(
+        "SELECT version, records FROM ns.t$snapshots ORDER BY version"
+    ).collect()
+    assert got[-1].records == 20
+    files = sql.execute("SELECT COUNT(*) AS n FROM ns.t$files").collect()
+    assert files[0].n >= 1
+    parts = sql.execute(
+        "SELECT partition, records FROM ns.t$partitions ORDER BY partition"
+    ).collect()
+    assert [(r.partition, r.records) for r in parts] == [("d0", 10), ("d1", 10)]
+    assert sql.execute("SELECT * FROM ns.t$deletes").collect() == []
+    hist = sql.execute("SELECT MAX(version) AS v FROM ns.t$history").collect()
+    assert hist[0].v == sql.wh.current_version("ns", "t")
+    # joins between data and metadata tables work in one statement
+    j = sql.execute(
+        "SELECT s.records, COUNT(*) AS n FROM ns.t d "
+        "CROSS JOIN (SELECT MAX(records) AS records FROM ns.t$snapshots) s "
+        "GROUP BY s.records"
+    ).collect()
+    assert j[0].n == 20
+
+
+def test_metadata_table_requires_describe(sql):
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
+
+    gov = WarehouseSQL(sql.wh, principal="nobody")
+    with pytest.raises(PermissionError, match="DESCRIBE"):
+        gov.execute("SELECT * FROM ns.t$snapshots")
