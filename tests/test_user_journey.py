@@ -1,0 +1,137 @@
+"""The reference's end-to-end user journey on this engine, one test per
+stage boundary: catalog bootstrap -> streaming CDC ingest (merge-on-read
+with quarantine) -> governed SQL analytics -> table maintenance ->
+audit-branch promotion. Each stage uses only the public surface a
+migrating reference user would touch (reference README.md architecture:
+DynamoDB Streams -> Firehose transform -> S3 Tables MERGE -> Athena).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+
+from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
+from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
+from sample_for_transactional_datalake_using_s3tables_spark.streaming.cdc import (
+    create_transactions_table,
+    stream_cdc_to_table,
+)
+
+from .test_streaming import TS, envelope
+
+
+@pytest.fixture()
+def wh(spark):
+    with tempfile.TemporaryDirectory() as d:
+        w = Warehouse(spark, d)
+        create_transactions_table(w)
+        yield w
+
+
+def _ingest(spark, wh, src, ckpt, lines):
+    with open(os.path.join(src, f"b{len(os.listdir(src))}.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    q = stream_cdc_to_table(spark, src, wh, ckpt, strategy="mor")
+    q.awaitTermination(120)
+
+
+def test_full_reference_journey(spark, wh):
+    sql_admin = WarehouseSQL(wh)
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as ckpt:
+        # -- stage 1: stream two micro-batches of CDC envelopes,
+        # including garbage that must dead-letter, as MoR commits --
+        _ingest(
+            spark, wh, src, ckpt,
+            [
+                envelope("INSERT", "TXN_1", TS, "10.00"),
+                envelope("INSERT", "TXN_2", TS, "20.00"),
+                "garbage {{{ not json",
+            ],
+        )
+        _ingest(
+            spark, wh, src, ckpt,
+            [
+                envelope("MODIFY", "TXN_2", TS, "22.00"),
+                envelope("INSERT", "TXN_3", TS, "30.00"),
+            ],
+        )
+        assert wh.last_merge_stats["mode"] == "mor"
+        assert wh.last_merge_stats["rewritten_files"] == 0
+
+        # -- stage 2: governed analytics over the live table as SQL
+        # text (the Athena surface) --
+        wh.grant(
+            "analyst", "analytics", "transactions",
+            permissions=("SELECT", "DESCRIBE"),
+            columns=["transaction_id", "amount", "status"],
+        )
+        analyst = WarehouseSQL(wh, principal="analyst")
+        got = analyst.execute(
+            "SELECT status, CAST(SUM(amount) AS DOUBLE) AS total, "
+            "COUNT(*) AS n FROM analytics.transactions "
+            "GROUP BY status ORDER BY status"
+        ).collect()
+        assert [(r.status, r.total, r.n) for r in got] == [
+            ("APPROVED", 62.0, 3)
+        ]
+        # the dead-letter table holds the garbage, bytes preserved
+        bad = wh.read("analytics", "transactions_errors").collect()
+        assert [r.raw_record for r in bad] == ["garbage {{{ not json"]
+        # column governance really pruned the projection
+        cols = analyst.execute(
+            "SELECT * FROM analytics.transactions"
+        ).columns
+        assert sorted(cols) == ["amount", "status", "transaction_id"]
+
+        # -- stage 3: maintenance folds the MoR backlog; history and
+        # time travel survive --
+        v_before = wh.current_version("analytics", "transactions")
+        assert wh.deletes_df("analytics", "transactions").count() >= 1
+        res = wh.auto_maintain(
+            "analytics", "transactions", keep_last=10,
+            orphan_horizon_seconds=3600,
+        )
+        assert res["compacted"]
+        assert wh.deletes_df("analytics", "transactions").count() == 0
+        v1_rows = wh.read("analytics", "transactions", version=v_before).count()
+        assert v1_rows == 3
+        meta = sql_admin.execute(
+            "SELECT records FROM analytics.transactions$snapshots "
+            "ORDER BY version DESC LIMIT 1"
+        ).collect()
+        assert meta[0].records == 3
+
+        # -- stage 4: audited backfill on a branch, promoted by
+        # fast-forward --
+        wh.create_branch("analytics", "transactions", "backfill")
+        schema = wh.schema("analytics", "transactions")
+        fix = wh.read("analytics", "transactions").filter(
+            "transaction_id = 'TXN_3'"
+        ).selectExpr(
+            *[
+                "CAST(33.00 AS DECIMAL(12,2)) AS amount"
+                if f.name == "amount"
+                else f.name
+                for f in schema.fields
+            ]
+        )
+        wh.merge_upsert(
+            "analytics", "transactions", fix, branch="backfill"
+        )
+        # main unchanged until promotion
+        main_amounts = {
+            r.transaction_id: str(r.amount)
+            for r in wh.read("analytics", "transactions").collect()
+        }
+        assert main_amounts["TXN_3"] == "30.00"
+        wh.fast_forward("analytics", "transactions", "backfill")
+        promoted = {
+            r.transaction_id: str(r.amount)
+            for r in wh.read("analytics", "transactions").collect()
+        }
+        assert promoted["TXN_3"] == "33.00"
+        assert promoted["TXN_2"] == "22.00"
