@@ -2636,12 +2636,26 @@ class Warehouse:
         fork = self.branch_fork_version(ns, table, name)
         main_tip = self._versions(tdir)[-1]
         if main_tip != fork:
-            raise CommitConflictError(
-                f"main advanced to {main_tip} since branch {name!r} forked "
-                f"at {fork}; cannot fast-forward"
-            )
+            # resumability: a crashed fast-forward may have left main
+            # holding a PREFIX of this branch's commits. If every main
+            # version past the fork is byte-identical to the branch's
+            # manifest at that version, main is still an ancestor-or-
+            # prefix and the replay simply continues; anything else is
+            # a real divergence.
+            for v in range(fork + 1, main_tip + 1):
+                try:
+                    same = self._manifest_doc(tdir, v) == self._manifest_doc(
+                        tdir, v, name
+                    )
+                except FileNotFoundError:
+                    same = False
+                if not same:
+                    raise CommitConflictError(
+                        f"main advanced to {main_tip} since branch {name!r} "
+                        f"forked at {fork}; cannot fast-forward"
+                    ) from None
         for v in self._versions(tdir, name):
-            if v <= fork:
+            if v <= main_tip:
                 continue
             doc = self._manifest_doc(tdir, v, name)
             self._publish(

@@ -168,3 +168,47 @@ def test_branch_validation(spark, wh):
             _df(spark, [("x", "d0", 1)]),
             merge_schema=True, branch="audit",
         )
+
+
+def test_fast_forward_resumes_after_partial_replay(spark, wh, monkeypatch):
+    """A fast-forward that crashed after replaying some commits leaves
+    main holding a branch PREFIX; re-running completes the replay
+    instead of conflicting (main is still an ancestor-or-prefix)."""
+    import sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse as whmod
+
+    _base(spark, wh)
+    wh.create_branch("ns", "t", "audit")
+    wh.insert("ns", "t", _df(spark, [("b1", "d0", 1)]).coalesce(1), branch="audit")
+    wh.insert("ns", "t", _df(spark, [("b2", "d0", 2)]).coalesce(1), branch="audit")
+    want = _state(wh, branch="audit")
+
+    orig = whmod.Warehouse._publish
+    calls = {"n": 0}
+
+    def crashing(self, tdir, version, files, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-replay")
+        return orig(self, tdir, version, files, **kw)
+
+    monkeypatch.setattr(whmod.Warehouse, "_publish", crashing)
+    with pytest.raises(RuntimeError, match="crash"):
+        wh.fast_forward("ns", "t", "audit")
+    monkeypatch.setattr(whmod.Warehouse, "_publish", orig)
+    # main has the first branch commit only; branch intact
+    assert "b1" in _state(wh) and "b2" not in _state(wh)
+    assert wh.list_branches("ns", "t") == ["audit"]
+    wh.fast_forward("ns", "t", "audit")
+    assert _state(wh) == want
+    assert wh.list_branches("ns", "t") == []
+
+
+def test_fast_forward_still_conflicts_on_real_divergence(spark, wh, monkeypatch):
+    import sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse as whmod
+
+    _base(spark, wh)
+    wh.create_branch("ns", "t", "audit")
+    wh.insert("ns", "t", _df(spark, [("b1", "d0", 1)]).coalesce(1), branch="audit")
+    wh.insert("ns", "t", _df(spark, [("m1", "d0", 9)]).coalesce(1))  # diverge
+    with pytest.raises(CommitConflictError, match="fast-forward"):
+        wh.fast_forward("ns", "t", "audit")
