@@ -357,9 +357,114 @@ FROM documents
 """
 
 
+# -- real signal processing: FFT spectral features over genuine WAVs --
+
+_SPEC_N = 256  # samples per clip (32 ms at 8 kHz)
+_SPEC_SR = 8000
+_SPEC_WIN, _SPEC_HOP = 64, 32
+
+SPECTRAL_SCHEMA = (
+    "doc_id long, n_samples int, sample_rate int, dominant_bin int, "
+    "dominant_freq double, n_frames int"
+)
+
+
+def _synthesize_sine_batches(batches: Iterator) -> Iterator:
+    """Genuine 16-bit PCM WAVs, each a pure sine placed EXACTLY on DFT
+    bin ``doc_id %% 100 + 4`` of a 256-sample window (an integer number
+    of periods -> no spectral leakage), amplitude ``doc_id %% 900 +
+    100``. Bin-aligned synthesis is what makes the downstream FFT
+    features analytically recomputable by the SQL oracle."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    t = np.arange(_SPEC_N)
+    for pdf in batches:
+        wavs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            k, amp = d % 100 + 4, d % 900 + 100
+            samples = np.round(
+                amp * np.sin(2.0 * np.pi * k * t / _SPEC_N)
+            ).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(_SPEC_SR)
+                f.writeframes(samples.tobytes())
+            wavs.append(buf.getvalue())
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "aud": wavs}
+        )
+
+
+def _spectral_batches(batches: Iterator) -> Iterator:
+    """REAL DSP on executors: decode the WAV (stdlib), run a numpy
+    ``rfft``, report the dominant frequency bin and the STFT frame
+    count (win=64, hop=32). Per-clip numpy inside an Arrow batch -- the
+    sanctioned decoder shape; at 100 TB this is the embarrassingly
+    parallel map stage of an audio-curation pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for d, aud in zip(pdf["doc_id"], pdf["aud"]):
+            samples, sr = decode_audio(bytes(aud))
+            mono = samples[:, 0].astype(np.float64)
+            n = len(mono)
+            spec = np.abs(np.fft.rfft(mono))
+            k = int(np.argmax(spec[1:])) + 1  # skip DC
+            rows.append(
+                (
+                    int(d), n, sr, k, k * sr / n,
+                    (n - _SPEC_WIN) // _SPEC_HOP + 1,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_samples", "sample_rate", "dominant_bin",
+                "dominant_freq", "n_frames",
+            ],
+        )
+
+
+def multimodal_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio DSP end-to-end: synthesize bin-aligned sine WAVs,
+    round-trip through Spark ``binary`` columns, decode with the stdlib
+    parser and extract FFT spectral features with numpy -- all inside
+    Arrow ``mapInPandas`` stages. The oracle recomputes every feature
+    from the synthesis parameters (dominant bin/freq are exact because
+    the sine sits on a DFT bin and 8000/256 = 31.25 is binary-exact),
+    so a hash match certifies genuine encode -> decode -> FFT math,
+    not byte-length arithmetic."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    wavs = docs.select("doc_id").mapInPandas(
+        _synthesize_sine_batches, "doc_id long, aud binary"
+    )
+    return wavs.mapInPandas(_spectral_batches, SPECTRAL_SCHEMA)
+
+
+MULTIMODAL_SPECTRAL_SQL = """
+SELECT doc_id,
+       256 AS n_samples,
+       8000 AS sample_rate,
+       CAST(doc_id % 100 + 4 AS INTEGER) AS dominant_bin,
+       CAST((doc_id % 100 + 4) * 31.25 AS DOUBLE) AS dominant_freq,
+       7 AS n_frames
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_image_features": multimodal_image_features,
     "multimodal_real_decode": multimodal_real_decode,
+    "multimodal_spectral_features": multimodal_spectral_features,
     "multimodal_audio_stats": multimodal_audio_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
@@ -368,6 +473,7 @@ QUERIES = {
 ORACLES = {
     "multimodal_image_features": MULTIMODAL_IMAGE_SQL,
     "multimodal_real_decode": MULTIMODAL_REAL_DECODE_SQL,
+    "multimodal_spectral_features": MULTIMODAL_SPECTRAL_SQL,
     "multimodal_audio_stats": MULTIMODAL_AUDIO_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,

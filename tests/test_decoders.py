@@ -67,3 +67,34 @@ def test_undecodable_formats_raise_seam():
         decode_audio(b"ID3\x04....")
     with pytest.raises(ValueError):
         decode_image(b"P6 garbage")
+
+
+def test_spectral_features_match_numpy_reference(spark, sf_dir_small):
+    """The FFT stage reports exactly the analytic dominant bin for
+    bin-aligned sines, and the frame math matches the STFT params."""
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.multimodal import (
+        _SPEC_HOP,
+        _SPEC_N,
+        _SPEC_WIN,
+        multimodal_spectral_features,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in multimodal_spectral_features(spark, sf_dir_small).collect()
+    }
+    assert rows
+    for d, r in list(rows.items())[:20]:
+        k = d % 100 + 4
+        assert r.dominant_bin == k
+        assert r.dominant_freq == k * 8000 / _SPEC_N
+        assert r.n_frames == (_SPEC_N - _SPEC_WIN) // _SPEC_HOP + 1
+    # independent reference: rebuild one clip and FFT it with numpy
+    d = next(iter(rows))
+    k, amp = d % 100 + 4, d % 900 + 100
+    t = np.arange(_SPEC_N)
+    sig = np.round(amp * np.sin(2 * np.pi * k * t / _SPEC_N))
+    ref_bin = int(np.argmax(np.abs(np.fft.rfft(sig))[1:])) + 1
+    assert rows[d].dominant_bin == ref_bin
