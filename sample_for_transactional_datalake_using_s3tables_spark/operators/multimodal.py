@@ -35,15 +35,96 @@ IMAGE_FEATURE_SCHEMA = (
 AUDIO_FEATURE_SCHEMA = "doc_id long, byte_len int, duration_ms long, pseudo_rms double"
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes):
+    """REAL PNG decoding with the stdlib only: chunk walk, zlib
+    inflate, and full scanline de-filtering (None/Sub/Up/Average/
+    Paeth per the PNG spec). Supports the dominant shapes -- 8-bit
+    depth, greyscale / RGB / RGBA, non-interlaced. Sub/None/Up rows
+    de-filter vectorized (cumsum over per-channel pixel groups /
+    whole-row adds); Average and Paeth carry an in-row sequential
+    dependency and fall back to a per-pixel loop for those rows only."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, idat = len(_PNG_MAGIC), []
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        (ln,), typ = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        data = payload[pos + 8: pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={ctype} interlace={interlace}: only "
+            "8-bit grey/RGB/RGBA non-interlaced supported without PIL"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # Sub: add left neighbor -> per-channel cumsum
+            rec = row.reshape(w, ch).cumsum(axis=0).reshape(stride) % 256
+        elif ftype == 2:  # Up
+            rec = (row + prev) % 256
+        elif ftype in (3, 4):  # Average / Paeth: in-row recurrence
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                if ftype == 3:
+                    rec[i] = (row[i] + (a + b) // 2) % 256
+                else:
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[r] = rec
+        prev = rec.astype(np.int64)
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[..., :3].copy()  # drop alpha for the (h, w, 3) contract
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to an ``(h, w, 3)`` uint8 array.
 
     REAL decoding for formats parsable without imaging libraries:
-    PPM ``P6`` (header + raw RGB) and uncompressed 24-bit BMP
-    (BGR rows, bottom-up, 4-byte-aligned). JPEG/PNG need PIL --
-    that remains a deployment seam and raises."""
+    PPM ``P6`` (header + raw RGB), uncompressed 24-bit BMP (BGR rows,
+    bottom-up, 4-byte-aligned), and 8-bit grey/RGB/RGBA non-interlaced
+    PNG (stdlib zlib inflate + full scanline de-filtering). JPEG needs
+    PIL -- that remains a deployment seam and raises."""
     import numpy as np
 
+    if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return _decode_png(payload)
     if payload[:2] == b"P6":
         import re as _re
 
@@ -72,7 +153,7 @@ def decode_image(payload: bytes):
         arr = np.stack(rows[::-1] if h > 0 else rows).reshape(abs(h), w, 3)
         return arr[..., ::-1].copy()  # BGR -> RGB
     raise NotImplementedError(
-        "JPEG/PNG decoding requires an imaging library not present in this "
+        "JPEG decoding requires an imaging library not present in this "
         "environment (PIL/torchvision deployment seam)"
     )
 
@@ -269,10 +350,55 @@ REAL_DECODE_SCHEMA = (
 )
 
 
+def encode_png(px, filters=(0, 1, 2)) -> bytes:
+    """REAL PNG encoding with the stdlib: 8-bit RGB, one IDAT, scanline
+    filters cycling through ``filters`` (exercising the decoder's
+    None/Sub/Up paths in production queries; Average/Paeth are covered
+    by targeted tests)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = px.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for r in range(h):
+        row = px[r].reshape(-1).astype(np.int64)
+        f = filters[r % len(filters)]
+        if f == 0:
+            filt = row
+        elif f == 1:
+            shifted = np.concatenate([np.zeros(3, dtype=np.int64), row[:-3]])
+            filt = (row - shifted) % 256
+        else:
+            filt = (row - prev) % 256
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _synthesize_media_batches(batches: Iterator) -> Iterator:
-    """Stage 1: REAL media synthesis -- a genuine PPM (P6) image and a
-    genuine 16-bit PCM WAV per doc, parameterized by doc_id so the
-    oracle can recompute the expected features analytically."""
+    """Stage 1: REAL media synthesis -- a genuine image (PPM P6, or a
+    real zlib-compressed PNG for every third doc, exercising the PNG
+    decode path end-to-end) and a genuine 16-bit PCM WAV per doc,
+    parameterized by doc_id so the oracle can recompute the expected
+    features analytically (pixel content is identical across formats,
+    so the oracle is format-blind)."""
     import io
     import wave
 
@@ -284,7 +410,11 @@ def _synthesize_media_batches(batches: Iterator) -> Iterator:
         for d in pdf["doc_id"]:
             d = int(d)
             w, h, val = d % 8 + 2, d % 6 + 2, d % 256
-            imgs.append(b"P6\n%d %d\n255\n" % (w, h) + bytes([val]) * (w * h * 3))
+            if d % 3 == 0:
+                px = np.full((h, w, 3), val, dtype=np.uint8)
+                imgs.append(encode_png(px))
+            else:
+                imgs.append(b"P6\n%d %d\n255\n" % (w, h) + bytes([val]) * (w * h * 3))
             n, amp = d % 64 + 8, d % 1000
             buf = io.BytesIO()
             with wave.open(buf, "wb") as f:

@@ -62,11 +62,13 @@ def test_wav_roundtrip_stereo():
 
 def test_undecodable_formats_raise_seam():
     with pytest.raises(NotImplementedError, match="imaging library"):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"\xff\xd8\xff\xe0....")  # JPEG SOI: still a PIL seam
     with pytest.raises(NotImplementedError, match="audio library"):
         decode_audio(b"ID3\x04....")
     with pytest.raises(ValueError):
         decode_image(b"P6 garbage")
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")  # malformed PNG: parsed, rejected
 
 
 def test_spectral_features_match_numpy_reference(spark, sf_dir_small):
@@ -98,3 +100,101 @@ def test_spectral_features_match_numpy_reference(spark, sf_dir_small):
     sig = np.round(amp * np.sin(2 * np.pi * k * t / _SPEC_N))
     ref_bin = int(np.argmax(np.abs(np.fft.rfft(sig))[1:])) + 1
     assert rows[d].dominant_bin == ref_bin
+
+
+def test_png_roundtrip_all_filters():
+    """Encode -> decode inverts for every scanline filter type,
+    including the sequential Average/Paeth paths, on non-uniform
+    pixels (gradients make filter bugs visible)."""
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.multimodal import (
+        _decode_png,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    for filters in [(0,), (1,), (2,), (0, 1, 2)]:
+        got = decode_image(encode_png(px, filters=filters))
+        assert (got == px).all(), f"filters={filters}"
+    # Average/Paeth: build the filtered stream by hand and decode
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    h, w = px.shape[:2]
+    for f in (3, 4):
+        raw = bytearray()
+        prev = np.zeros(w * 3, dtype=np.int64)
+        for r in range(h):
+            row = px[r].reshape(-1).astype(np.int64)
+            filt = np.empty(w * 3, dtype=np.int64)
+            for i in range(w * 3):
+                a = row[i - 3] if i >= 3 else 0
+                b = prev[i]
+                if f == 3:
+                    filt[i] = (row[i] - (a + b) // 2) % 256
+                else:
+                    c = prev[i - 3] if i >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    filt[i] = (row[i] - pred) % 256
+            raw.append(f)
+            raw.extend(filt.astype(np.uint8).tobytes())
+            prev = row
+        from sample_for_transactional_datalake_using_s3tables_spark.operators.multimodal import _PNG_MAGIC
+
+        payload = (
+            _PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        got = _decode_png(payload)
+        assert (got == px).all(), f"filter={f}"
+
+
+def test_png_greyscale_and_rgba():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _decode_png,
+    )
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    def build(px, ctype, ch):
+        h, w = px.shape[:2]
+        raw = bytearray()
+        for r in range(h):
+            raw.append(0)
+            raw.extend(px[r].reshape(-1).tobytes())
+        return (
+            _PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    grey = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    got = _decode_png(build(grey, 0, 1))
+    assert got.shape == (3, 4, 3) and (got[..., 0] == grey[..., 0]).all()
+    rgba = np.random.RandomState(3).randint(0, 256, (3, 4, 4), dtype=np.uint8)
+    got = _decode_png(build(rgba, 6, 4))
+    assert got.shape == (3, 4, 3) and (got == rgba[..., :3]).all()
