@@ -35,6 +35,7 @@ import re
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
 
 from .warehouse import Warehouse
 
@@ -156,6 +157,29 @@ class WarehouseSQL:
         out = sql
         for ns in self.wh.list_namespaces():
             for tbl in self.wh.list_tables(ns):
+                # time travel first (Spark/Athena syntax): ns.tbl FOR
+                # VERSION AS OF <n> | 'tag' resolves to that snapshot
+                tt_pat = re.compile(
+                    rf"\b{re.escape(ns)}\.{re.escape(tbl)}\s+FOR\s+VERSION"
+                    rf"\s+AS\s+OF\s+(\d+|'\w+')",
+                    re.IGNORECASE,
+                )
+
+                def _tt(m, ns=ns, tbl=tbl):
+                    ref = m.group(1)
+                    version = ref.strip("'") if ref.startswith("'") else int(ref)
+                    tag = re.sub(r"\W", "_", str(version))
+                    view = f"__wh_{ns}__{tbl}__v_{tag}"
+                    if self.principal is not None and not self.wh.check(
+                        self.principal, ns, tbl, "SELECT"
+                    ):
+                        raise PermissionError(
+                            f"{self.principal} lacks SELECT on {ns}.{tbl}"
+                        )
+                    self.wh.read(ns, tbl, version=version).createOrReplaceTempView(view)
+                    return view
+
+                out = tt_pat.sub(_tt, out)
                 meta_pat = re.compile(
                     rf"\b{re.escape(ns)}\.{re.escape(tbl)}\$"
                     rf"({'|'.join(self._META_TABLES)})\b"
@@ -249,7 +273,85 @@ class WarehouseSQL:
             )
         if head == "MERGE":
             return self._merge(s, strategy)
+        if head == "CREATE":
+            return self._create(s)
+        if head == "DROP":
+            m = re.match(
+                r"^DROP\s+(TABLE|NAMESPACE)\s+(?:IF\s+EXISTS\s+)?(\w+)(?:\.(\w+))?$",
+                s, re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported DROP shape: {s[:120]!r}")
+            kind, ns, tbl = m.groups()
+            if kind.upper() == "TABLE":
+                if tbl is None:
+                    raise ValueError("DROP TABLE needs ns.table")
+                return self.wh.drop_table(ns, tbl)
+            return self.wh.drop_namespace(ns)
+        if head == "OPTIMIZE":
+            # Delta-style maintenance statement: OPTIMIZE ns.t
+            # [ZORDER BY (a, b)] -> compaction (+ multi-column Z-order)
+            m = re.match(
+                r"^OPTIMIZE\s+(\w+)\.(\w+)"
+                r"(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?$",
+                s, re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported OPTIMIZE shape: {s[:120]!r}")
+            ns, tbl, zcols = m.groups()
+            self._require("ALL", ns, tbl)
+            sort_by = (
+                [c.strip().strip("`") for c in zcols.split(",")] if zcols else None
+            )
+            return self.wh.compact(
+                ns, tbl, min_files_per_partition=1 if sort_by else 2,
+                sort_by=sort_by, target_files=8 if sort_by else None,
+            )
+        if head == "VACUUM":
+            m = re.match(
+                r"^VACUUM\s+(\w+)\.(\w+)(?:\s+RETAIN\s+(\d+)\s+HOURS?)?$",
+                s, re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported VACUUM shape: {s[:120]!r}")
+            ns, tbl, hours = m.groups()
+            self._require("ALL", ns, tbl)
+            return self.wh.remove_orphan_files(
+                ns, tbl,
+                older_than_seconds=(int(hours) if hours else 1) * 3600.0,
+            )
         raise ValueError(f"unsupported statement: {s[:120]!r}")
+
+    def _create(self, s: str):
+        m = re.match(
+            r"^CREATE\s+NAMESPACE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            return self.wh.create_namespace(m.group(1))
+        m = re.match(
+            r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<ns>\w+)\.(?P<tbl>\w+)"
+            r"\s*\((?P<cols>.*?)\)"
+            r"(?:\s+PARTITIONED\s+BY\s+\((?P<part>[^)]+)\))?"
+            r"(?:\s+TBLPROPERTIES\s*\((?P<props>[^)]*)\))?$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"unsupported CREATE shape: {s[:120]!r}")
+        # column defs parse through Spark's own DDL grammar
+        schema = StructType.fromDDL(m.group("cols"))
+        part = m.group("part")
+        if part:
+            part = part.strip().strip("`")
+        key = None
+        props = m.group("props") or ""
+        for kv in _split_top_level(props):
+            pk, _, pv = kv.partition("=")
+            if pk.strip().strip("'\" ") == "primary-key":
+                key = pv.strip().strip("'\" ")
+        return self.wh.create_table(
+            m.group("ns"), m.group("tbl"), schema, key=key, partition_by=part
+        )
 
     def _merge(self, s: str, strategy: str):
         m = _MERGE_RE.match(s)

@@ -198,3 +198,53 @@ def test_metadata_table_requires_describe(sql):
     gov = WarehouseSQL(sql.wh, principal="nobody")
     with pytest.raises(PermissionError, match="DESCRIBE"):
         gov.execute("SELECT * FROM ns.t$snapshots")
+
+
+def test_ddl_statements(sql, spark):
+    sql.execute("CREATE NAMESPACE IF NOT EXISTS raw")
+    sql.execute(
+        "CREATE TABLE raw.ev (id STRING, d STRING, amt DECIMAL(10,2)) "
+        "PARTITIONED BY (d) TBLPROPERTIES ('primary-key' = 'id')"
+    )
+    assert sql.wh.table_meta("raw", "ev")["key"] == "id"
+    assert sql.wh.table_meta("raw", "ev")["partition_by"] == "d"
+    sql.execute("INSERT INTO raw.ev VALUES ('a', 'x', 1.50)")
+    got = sql.execute("SELECT id, CAST(amt AS DOUBLE) AS amt FROM raw.ev").collect()
+    assert [(r.id, r.amt) for r in got] == [("a", 1.5)]
+    sql.execute("DROP TABLE raw.ev")
+    assert sql.wh.list_tables("raw") == []
+    sql.execute("DROP NAMESPACE raw")
+
+
+def test_time_travel_syntax(sql):
+    v1 = sql.wh.current_version("ns", "t")
+    sql.execute("DELETE FROM ns.t WHERE v >= 10")
+    now = sql.execute("SELECT COUNT(*) AS n FROM ns.t").collect()[0].n
+    then = sql.execute(
+        f"SELECT COUNT(*) AS n FROM ns.t FOR VERSION AS OF {v1}"
+    ).collect()[0].n
+    assert (now, then) == (10, 20)
+    sql.wh.create_tag("ns", "t", "pre_delete", version=v1)
+    tagged = sql.execute(
+        "SELECT COUNT(*) AS n FROM ns.t FOR VERSION AS OF 'pre_delete'"
+    ).collect()[0].n
+    assert tagged == 20
+    # both snapshots joinable in one statement
+    j = sql.execute(
+        f"SELECT (SELECT COUNT(*) FROM ns.t) AS now, "
+        f"(SELECT COUNT(*) FROM ns.t FOR VERSION AS OF {v1}) AS then"
+    ).collect()[0]
+    assert (j.now, j.then) == (10, 20)
+
+
+def test_optimize_and_vacuum(sql, spark):
+    # fragment the table, then OPTIMIZE ZORDER and VACUUM via SQL
+    for i in range(3):
+        sql.execute(f"INSERT INTO ns.t VALUES ('z{i}', 'd0', {100 + i})")
+    sql.execute("OPTIMIZE ns.t ZORDER BY (v)")
+    files, _ = sql.wh.plan_files("ns", "t", predicates=[("v", "=", 100)])
+    assert len(files) < len(sql.wh.plan_files("ns", "t")[0]) or len(files) == 1
+    res = sql.execute("VACUUM ns.t RETAIN 0 HOURS")
+    assert res["removed_files"] == 0  # nothing unreferenced
+    got = {r.id for r in sql.execute("SELECT id FROM ns.t").collect()}
+    assert {"z0", "z1", "z2"} <= got
