@@ -487,6 +487,191 @@ FROM documents
 """
 
 
+# -- real animated-GIF codec (stdlib + numpy): LZW both directions --
+
+_GIF_MIN_CODE = 8  # 256-entry palette -> 9-bit codes, CLEAR=256
+
+
+def _lzw_encode(indices, min_code: int = _GIF_MIN_CODE) -> bytes:
+    """GIF LZW bitstream for a pixel-index sequence. Emits literal
+    codes with a CLEAR injected before the decoder's dictionary would
+    force a code-width change -- a valid, deliberately simple encoding
+    (the classic 'uncompressed GIF' technique), so the DECODER still
+    exercises the full variable-width dictionary algorithm."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    seg_cap = clear - 3  # literals per segment before a width change
+    acc = n_bits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    emit(clear)
+    for i, px in enumerate(indices):
+        if i and i % seg_cap == 0:
+            emit(clear)
+        emit(int(px))
+    emit(eoi)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code: int) -> bytearray:
+    """Full GIF LZW decoder: variable code width (grows at dictionary
+    size 2^width, capped at 12 bits), CLEAR resets, the KwKwK special
+    case -- the real algorithm, not just the subset our encoder emits."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    acc = n_bits = pos = 0
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        while n_bits < width:
+            if pos >= len(data):
+                return out  # truncated stream: return what we have
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(frames, delay_cs: int = 4) -> bytes:
+    """REAL animated GIF (89a): global 256-color palette built from the
+    frames, graphic-control extension per frame (delay in centisec),
+    full-frame image descriptors, LZW-coded index streams."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = frames[0].shape
+    # palette: unique colors in first-appearance order
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <=256 colors, got {len(colors)}")
+    palette = np.zeros((256, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256 entries
+    out += palette.tobytes()
+    n_px = h * w
+    for fi, _frame in enumerate(frames):
+        idx = inv[fi * n_px : (fi + 1) * n_px]
+        out += bytes([0x21, 0xF9, 0x04, 0x00]) + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0x00)
+        out.append(_GIF_MIN_CODE)
+        stream = _lzw_encode(idx)
+        for i in range(0, len(stream), 255):
+            block = stream[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0x00)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """REAL animated-GIF decoding (stdlib + numpy): header + logical
+    screen descriptor, global/local color tables, graphic-control
+    delays, per-frame sub-rect composition onto the canvas, full LZW.
+    Returns ``(frames, delays_cs)`` with frames ``(h, w, 3)`` uint8.
+    Interlaced images raise (PIL seam)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    global_table = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w), dtype=np.int32)
+    frames, delays = [], []
+    delay = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            while True:
+                ln = payload[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                if label == 0xF9 and ln >= 4:
+                    delay = struct.unpack_from("<H", payload, pos + 1)[0]
+                pos += ln
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, fw, fh, fp = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        table = global_table
+        if fp & 0x80:
+            n = 2 << (fp & 0x07)
+            table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if fp & 0x40:
+            raise NotImplementedError("interlaced GIF needs PIL (seam)")
+        min_code = payload[pos]
+        pos += 1
+        stream = bytearray()
+        while True:
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            stream += payload[pos : pos + ln]
+            pos += ln
+        idx = np.frombuffer(
+            bytes(_lzw_decode(bytes(stream), min_code)), dtype=np.uint8
+        )[: fw * fh]
+        canvas[top : top + fh, left : left + fw] = idx.reshape(fh, fw)
+        if table is None:
+            raise ValueError("GIF frame without a color table")
+        frames.append(table[canvas])
+        delays.append(delay)
+    return frames, delays
+
+
 # -- real signal processing: FFT spectral features over genuine WAVs --
 
 _SPEC_N = 256  # samples per clip (32 ms at 8 kHz)
@@ -591,9 +776,96 @@ FROM documents
 """
 
 
+GIF_FRAME_SCHEMA = (
+    "doc_id long, n_frames int, n_sampled int, first_mean double, "
+    "last_mean double, total_delay_cs long"
+)
+
+
+def _synthesize_gif_batches(batches: Iterator) -> Iterator:
+    """Genuine animated GIFs: ``doc_id % 5 + 2`` solid-grey full frames
+    (frame f's value = ``(doc_id + 17*f) % 256``), LZW-encoded with a
+    256-entry global palette, 4 cs delay per frame."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        gifs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h, nf = d % 8 + 2, d % 6 + 2, d % 5 + 2
+            frames = [
+                np.full((h, w, 3), (d + 17 * f) % 256, dtype=np.uint8)
+                for f in range(nf)
+            ]
+            gifs.append(encode_gif(frames))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "gif": gifs}
+        )
+
+
+def _gif_frame_batches(batches: Iterator) -> Iterator:
+    """REAL multi-frame decode + frame sampling on executors: full LZW
+    GIF decode, then sample every 2nd frame -- the video-curation
+    frame-extraction stage with a real container format."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for d, gif in zip(pdf["doc_id"], pdf["gif"]):
+            frames, delays = decode_gif(bytes(gif))
+            sampled = frames[::2]
+            rows.append(
+                (
+                    int(d),
+                    len(frames),
+                    len(sampled),
+                    float(np.mean(frames[0])),
+                    float(np.mean(frames[-1])),
+                    int(sum(delays)),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_frames", "n_sampled", "first_mean",
+                "last_mean", "total_delay_cs",
+            ],
+        )
+
+
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame extraction end-to-end: synthesize genuine
+    LZW-coded multi-frame GIFs, round-trip through binary columns, and
+    decode every frame with the real codec (variable-width LZW,
+    graphic-control delays, canvas composition) before sampling. The
+    oracle recomputes all features from the synthesis parameters, so a
+    hash match certifies true multi-frame container decode -- the video
+    path of a training-data pipeline with the decoder seam actually
+    filled."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    gifs = docs.select("doc_id").mapInPandas(
+        _synthesize_gif_batches, "doc_id long, gif binary"
+    )
+    return gifs.mapInPandas(_gif_frame_batches, GIF_FRAME_SCHEMA)
+
+
+MULTIMODAL_GIF_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 5 + 2 AS INTEGER) AS n_frames,
+       CAST((doc_id % 5 + 2 + 1) // 2 AS INTEGER) AS n_sampled,
+       CAST(doc_id % 256 AS DOUBLE) AS first_mean,
+       CAST((doc_id + 17 * (doc_id % 5 + 1)) % 256 AS DOUBLE) AS last_mean,
+       4 * (doc_id % 5 + 2) AS total_delay_cs
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_image_features": multimodal_image_features,
     "multimodal_real_decode": multimodal_real_decode,
+    "multimodal_gif_frames": multimodal_gif_frames,
     "multimodal_spectral_features": multimodal_spectral_features,
     "multimodal_audio_stats": multimodal_audio_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -603,6 +875,7 @@ QUERIES = {
 ORACLES = {
     "multimodal_image_features": MULTIMODAL_IMAGE_SQL,
     "multimodal_real_decode": MULTIMODAL_REAL_DECODE_SQL,
+    "multimodal_gif_frames": MULTIMODAL_GIF_SQL,
     "multimodal_spectral_features": MULTIMODAL_SPECTRAL_SQL,
     "multimodal_audio_stats": MULTIMODAL_AUDIO_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,

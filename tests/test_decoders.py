@@ -198,3 +198,40 @@ def test_png_greyscale_and_rgba():
     rgba = np.random.RandomState(3).randint(0, 256, (3, 4, 4), dtype=np.uint8)
     got = _decode_png(build(rgba, 6, 4))
     assert got.shape == (3, 4, 3) and (got == rgba[..., :3]).all()
+
+
+def test_gif_roundtrip_and_lzw_specials():
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.multimodal import (
+        _lzw_decode,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(1)
+    pal = rng.randint(0, 256, (31, 3), dtype=np.uint8)
+    frames = [pal[rng.randint(0, 31, (11, 9))] for _ in range(3)]
+    out, delays = decode_gif(encode_gif(frames, delay_cs=6))
+    assert len(out) == 3 and delays == [6, 6, 6]
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+    # KwKwK special case: codes [CLEAR=4, 1, 6, EOI=5] at min_code=2,
+    # width 3, LSB-first-packed = 0x8C 0x0B -> pixels [1, 1, 1]
+    assert bytes(_lzw_decode(bytes([0x8C, 0x0B]), 2)) == b"\x01\x01\x01"
+
+
+def test_gif_frames_query_matches_analytics(spark, sf_dir_small):
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.multimodal import (
+        multimodal_gif_frames,
+    )
+
+    rows = {r.doc_id: r for r in multimodal_gif_frames(spark, sf_dir_small).collect()}
+    assert rows
+    for d, r in list(rows.items())[:20]:
+        nf = d % 5 + 2
+        assert r.n_frames == nf
+        assert r.n_sampled == (nf + 1) // 2
+        assert r.first_mean == float(d % 256)
+        assert r.last_mean == float((d + 17 * (nf - 1)) % 256)
+        assert r.total_delay_cs == 4 * nf
