@@ -620,6 +620,56 @@ FROM reach GROUP BY node
 """
 
 
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup APPLIED: materialize the surviving corpus (keep the
+    min-doc_id representative of each duplicate cluster, i.e. rows
+    whose component id equals their own id) and report the corpus-level
+    effect -- docs in, clusters out, rows removed, and the surviving
+    text volume. This is the step that actually shrinks a training
+    corpus; at 100 TB it is one broadcast-friendly semi-join of the
+    corpus against the (small) non-trivial cluster labels, after the
+    O(log n) component loop ran over only the candidate-pair hot set."""
+    labels = dedup_connected_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("_chars")
+    )
+    joined = docs.join(labels, "doc_id")
+    survivors = joined.filter(F.col("doc_id") == F.col("component_id"))
+    return (
+        joined.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component_id").alias("n_clusters"),
+        )
+        .crossJoin(
+            survivors.agg(
+                F.count(F.lit(1)).alias("n_survivors"),
+                F.sum("_chars").cast("bigint").alias("surviving_chars"),
+            )
+        )
+        .select(
+            "n_docs",
+            "n_clusters",
+            (F.col("n_docs") - F.col("n_survivors")).alias("n_removed"),
+            "surviving_chars",
+        )
+    )
+
+
+def _dedup_apply_sql() -> str:
+    return f"""
+WITH comp AS ({_connected_components_sql()}),
+joined AS (
+  SELECT d.doc_id, LENGTH(d.text) AS chars, c.component_id
+  FROM documents d JOIN comp c USING (doc_id)
+)
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT component_id) AS n_clusters,
+       COUNT(*) - COUNT(CASE WHEN doc_id = component_id THEN 1 END) AS n_removed,
+       CAST(SUM(CASE WHEN doc_id = component_id THEN chars END) AS BIGINT) AS surviving_chars
+FROM joined
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -627,6 +677,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
     "dedup_connected_components": dedup_connected_components,
+    "dedup_apply": dedup_apply,
 }
 
 ORACLES = {
@@ -636,4 +687,5 @@ ORACLES = {
     "dedup_ngram_jaccard": _ngram_jaccard_sql(),
     "dedup_embedding": _dedup_embedding_sql(),
     "dedup_connected_components": _connected_components_sql(),
+    "dedup_apply": _dedup_apply_sql(),
 }
