@@ -61,14 +61,16 @@ def test_wav_roundtrip_stereo():
 
 
 def test_undecodable_formats_raise_seam():
-    with pytest.raises(NotImplementedError, match="imaging library"):
-        decode_image(b"\xff\xd8\xff\xe0....")  # JPEG SOI: still a PIL seam
+    with pytest.raises(NotImplementedError, match="seam"):
+        decode_image(b"II*\x00....")  # TIFF: unrecognized container
     with pytest.raises(NotImplementedError, match="audio library"):
         decode_audio(b"ID3\x04....")
     with pytest.raises(ValueError):
         decode_image(b"P6 garbage")
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")  # malformed PNG: parsed, rejected
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0....")  # malformed JPEG: parsed, rejected
 
 
 def test_spectral_features_match_numpy_reference(spark, sf_dir_small):
@@ -235,3 +237,53 @@ def test_gif_frames_query_matches_analytics(spark, sf_dir_small):
         assert r.first_mean == float(d % 256)
         assert r.last_mean == float((d + 17 * (nf - 1)) % 256)
         assert r.total_delay_cs == 4 * nf
+
+
+def test_jpeg_roundtrip_exact_and_lossy():
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    # constant even-valued images survive the lossy pipeline EXACTLY
+    for v in (8, 100, 246):
+        px = np.full((16, 24), v, dtype=np.uint8)
+        assert (decode_jpeg_gray(encode_jpeg_gray(px)) == px).all()
+    # arbitrary content: real quantization loss, bounded
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, (32, 40), dtype=np.uint8)
+    got = decode_jpeg_gray(encode_jpeg_gray(px))
+    err = np.abs(got.astype(int) - px.astype(int))
+    assert err.max() <= 40 and err.mean() < 8
+    # smooth content: small loss (DCT does its job)
+    x = np.linspace(0, 255, 64)
+    grad = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    err2 = np.abs(
+        decode_jpeg_gray(encode_jpeg_gray(grad)).astype(int) - grad.astype(int)
+    )
+    assert err2.max() <= 12
+
+
+def test_jpeg_via_decode_image_and_color_seam():
+    import struct
+
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.jpegcodec import (
+        encode_jpeg_gray,
+    )
+
+    px = np.full((8, 8), 100, dtype=np.uint8)
+    got = decode_image(encode_jpeg_gray(px))
+    assert got.shape == (8, 8, 3) and (got == 100).all()
+    # a 3-component SOF0 (color JPEG) raises through the PIL seam
+    sof = struct.pack(">BHHB", 8, 8, 8, 3) + b"\x01\x21\x00\x02\x11\x01\x03\x11\x01"
+    color = (
+        b"\xff\xd8"
+        + struct.pack(">HH", 0xFFC0, len(sof) + 2) + sof
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="single-component"):
+        decode_image(color)
