@@ -81,6 +81,12 @@ _MODULES = (
 # merge-on-read surface: Iceberg v2 equality deletes + compaction fold);
 # joins keep 2 in-window reps (join_left, join_salted_skew) and
 # join_full_outer stays pytest-oracle-checked.
+# Round-4 third wave: correlated_exists -> warehouse_sql_dml (the
+# SQL-text DML router) and nested_roundtrip -> warehouse_branch_wap
+# (branches + fast-forward) -- this session's other two flagship
+# surfaces get official CORRECTNESS rows; the relational family keeps
+# 15 in-window reps and both demoted variants stay oracle-checked in
+# the full registry.
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
@@ -95,11 +101,9 @@ _PRIORITY = (
     "set_union",
     "date_funcs",
     "json_extract",
-    "correlated_exists",
     "array_agg_battery",
     "sql_text_entry",
     "approx_distinct",
-    "nested_roundtrip",
     # LLM-data: dedup + similarity search
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -129,6 +133,8 @@ _PRIORITY = (
     "warehouse_time_travel",
     "warehouse_grants",
     "warehouse_zorder",
+    "warehouse_sql_dml",
+    "warehouse_branch_wap",
     # event-time windows + custom state
     "window_tumbling",
     "stateful_user_stats",
