@@ -634,24 +634,19 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length("text").alias("_chars")
     )
     joined = docs.join(labels, "doc_id")
-    survivors = joined.filter(F.col("doc_id") == F.col("component_id"))
-    return (
-        joined.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("component_id").alias("n_clusters"),
-        )
-        .crossJoin(
-            survivors.agg(
-                F.count(F.lit(1)).alias("n_survivors"),
-                F.sum("_chars").cast("bigint").alias("surviving_chars"),
-            )
-        )
-        .select(
-            "n_docs",
-            "n_clusters",
-            (F.col("n_docs") - F.col("n_survivors")).alias("n_removed"),
-            "surviving_chars",
-        )
+    # ONE pass: conditional aggregates fold the survivor stats into the
+    # same scan instead of cross-joining a second aggregation over a
+    # duplicated join subtree
+    survivor = F.col("doc_id") == F.col("component_id")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component_id").alias("n_clusters"),
+        (
+            F.count(F.lit(1)) - F.count(F.when(survivor, F.lit(1)))
+        ).alias("n_removed"),
+        F.sum(F.when(survivor, F.col("_chars"))).cast("bigint").alias(
+            "surviving_chars"
+        ),
     )
 
 

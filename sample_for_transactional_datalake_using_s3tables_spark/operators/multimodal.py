@@ -612,16 +612,21 @@ def encode_gif(frames, delay_cs: int = 4) -> bytes:
 def decode_gif(payload: bytes):
     """REAL animated-GIF decoding (stdlib + numpy): header + logical
     screen descriptor, global/local color tables, graphic-control
-    delays, per-frame sub-rect composition onto the canvas, full LZW.
-    Returns ``(frames, delays_cs)`` with frames ``(h, w, 3)`` uint8.
-    Interlaced images raise (PIL seam)."""
+    delays + TRANSPARENCY (transparent-index pixels leave the prior
+    canvas showing through -- the delta-encoded animation pattern),
+    disposal methods 0/1 (leave) and 2 (restore background), per-frame
+    sub-rect composition, full LZW. Each graphic-control extension
+    applies to exactly the NEXT image, per spec. Returns
+    ``(frames, delays_cs)`` with frames ``(h, w, 3)`` uint8.
+    Interlaced images and disposal 3 (restore previous) raise (PIL
+    seam)."""
     import struct
 
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    w, h, packed, bg_index, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     global_table = None
     if packed & 0x80:
@@ -630,7 +635,7 @@ def decode_gif(payload: bytes):
         pos += n * 3
     canvas = np.zeros((h, w), dtype=np.int32)
     frames, delays = [], []
-    delay = 0
+    delay, transparent, disposal = 0, None, 0
     while pos < len(payload):
         block = payload[pos]
         pos += 1
@@ -645,7 +650,10 @@ def decode_gif(payload: bytes):
                 if ln == 0:
                     break
                 if label == 0xF9 and ln >= 4:
+                    gce = payload[pos]
+                    disposal = (gce >> 2) & 0x07
                     delay = struct.unpack_from("<H", payload, pos + 1)[0]
+                    transparent = payload[pos + 3] if gce & 0x01 else None
                 pos += ln
             continue
         if block != 0x2C:
@@ -659,6 +667,10 @@ def decode_gif(payload: bytes):
             pos += n * 3
         if fp & 0x40:
             raise NotImplementedError("interlaced GIF needs PIL (seam)")
+        if disposal == 3:
+            raise NotImplementedError(
+                "GIF disposal 'restore previous' needs PIL (seam)"
+            )
         min_code = payload[pos]
         pos += 1
         stream = bytearray()
@@ -671,12 +683,21 @@ def decode_gif(payload: bytes):
             pos += ln
         idx = np.frombuffer(
             bytes(_lzw_decode(bytes(stream), min_code)), dtype=np.uint8
-        )[: fw * fh]
-        canvas[top : top + fh, left : left + fw] = idx.reshape(fh, fw)
+        )[: fw * fh].reshape(fh, fw)
+        region = canvas[top : top + fh, left : left + fw]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = idx[mask]
+        else:
+            region[:] = idx
         if table is None:
             raise ValueError("GIF frame without a color table")
         frames.append(table[canvas])
         delays.append(delay)
+        if disposal == 2:  # restore the painted rect to background
+            region[:] = bg_index
+        # a graphic-control extension governs exactly one image
+        delay, transparent, disposal = 0, None, 0
     return frames, delays
 
 

@@ -146,59 +146,86 @@ class WarehouseSQL:
             rows, "version INT, n_files INT, bytes BIGINT"
         )
 
+    # String literals are masked before any rewriting so a literal that
+    # happens to contain "ns.tbl" is never corrupted; one pass over the
+    # statement finds candidate references and only those resolving to
+    # real warehouse tables rewrite -- cost is O(statement), not
+    # O(catalog).
+    _LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
     def _rewrite_tables(self, sql: str) -> str:
-        """Register every referenced warehouse table as a temp view of
-        its current snapshot and rewrite ``ns.tbl`` references to the
-        view names; ``ns.tbl$snapshots`` / ``$files`` / ``$partitions``
-        / ``$deletes`` / ``$history`` resolve to the metadata tables
-        (the Iceberg metadata-table syntax Athena/Spark users query).
-        Only known warehouse tables are rewritten; other identifiers
-        (temp views, functions) pass through untouched."""
-        out = sql
-        for ns in self.wh.list_namespaces():
-            for tbl in self.wh.list_tables(ns):
-                # time travel first (Spark/Athena syntax): ns.tbl FOR
-                # VERSION AS OF <n> | 'tag' resolves to that snapshot
-                tt_pat = re.compile(
-                    rf"\b{re.escape(ns)}\.{re.escape(tbl)}\s+FOR\s+VERSION"
-                    rf"\s+AS\s+OF\s+(\d+|'\w+')",
-                    re.IGNORECASE,
-                )
+        """Register every referenced warehouse table as a temp view and
+        rewrite references to the view names: ``ns.tbl`` resolves to
+        the current snapshot (governed via ``read_as`` when a principal
+        is set); ``ns.tbl FOR VERSION AS OF <n|'tag'>`` to that
+        snapshot (same governance -- time travel must not bypass column
+        grants or row filters); ``ns.tbl$snapshots`` / ``$files`` /
+        ``$partitions`` / ``$deletes`` / ``$history`` to the metadata
+        tables (DESCRIBE-gated). Unknown identifiers (temp views,
+        functions) and string literals pass through untouched."""
+        # mask string literals so substitution never touches them
+        literals: list[str] = []
 
-                def _tt(m, ns=ns, tbl=tbl):
-                    ref = m.group(1)
-                    version = ref.strip("'") if ref.startswith("'") else int(ref)
-                    tag = re.sub(r"\W", "_", str(version))
-                    view = f"__wh_{ns}__{tbl}__v_{tag}"
-                    if self.principal is not None and not self.wh.check(
-                        self.principal, ns, tbl, "SELECT"
-                    ):
-                        raise PermissionError(
-                            f"{self.principal} lacks SELECT on {ns}.{tbl}"
-                        )
-                    self.wh.read(ns, tbl, version=version).createOrReplaceTempView(view)
-                    return view
+        def _mask(m):
+            literals.append(m.group(0))
+            return f"\x00LIT{len(literals) - 1}\x00"
 
-                out = tt_pat.sub(_tt, out)
-                meta_pat = re.compile(
-                    rf"\b{re.escape(ns)}\.{re.escape(tbl)}\$"
-                    rf"({'|'.join(self._META_TABLES)})\b"
+        masked = self._LITERAL_RE.sub(_mask, sql)
+        tables = None  # lazy: {(ns, tbl)} only if the statement has refs
+
+        def _sub(m) -> str:
+            nonlocal tables
+            ns, tbl, meta_kind, tt_ref = m.groups()
+            if tables is None:
+                tables = {
+                    (n, t)
+                    for n in self.wh.list_namespaces()
+                    for t in self.wh.list_tables(n)
+                }
+            if (ns, tbl) not in tables:
+                return m.group(0)
+            if meta_kind:
+                kind = meta_kind.lower()
+                if self.principal is not None and not self.wh.check(
+                    self.principal, ns, tbl, "DESCRIBE"
+                ):
+                    raise PermissionError(
+                        f"{self.principal} lacks DESCRIBE on {ns}.{tbl}"
+                    )
+                view = f"__wh_{ns}__{tbl}__{kind}"
+                self._meta_df(ns, tbl, kind).createOrReplaceTempView(view)
+                return view
+            if tt_ref:
+                # literal masking runs first, so a tag ref arrives as a
+                # masked placeholder -- unmask it before resolving
+                ref = tt_ref
+                if ref.startswith("\x00"):
+                    ref = literals[int(ref[4:-1])]
+                version = ref.strip("'") if ref.startswith("'") else int(ref)
+                view = f"__wh_{ns}__{tbl}__v_{re.sub(r'[^A-Za-z0-9]', '_', str(version))}"
+                df = (
+                    self.wh.read_as(self.principal, ns, tbl, version=version)
+                    if self.principal is not None
+                    else self.wh.read(ns, tbl, version=version)
                 )
-                for kind in {m.group(1) for m in meta_pat.finditer(out)}:
-                    if self.principal is not None and not self.wh.check(
-                        self.principal, ns, tbl, "DESCRIBE"
-                    ):
-                        raise PermissionError(
-                            f"{self.principal} lacks DESCRIBE on {ns}.{tbl}"
-                        )
-                    view = f"__wh_{ns}__{tbl}__{kind}"
-                    self._meta_df(ns, tbl, kind).createOrReplaceTempView(view)
-                out = meta_pat.sub(rf"__wh_{ns}__{tbl}__\1", out)
-                pat = re.compile(rf"\b{re.escape(ns)}\.{re.escape(tbl)}\b")
-                if pat.search(out):
-                    view = f"__wh_{ns}__{tbl}"
-                    self._read(ns, tbl).createOrReplaceTempView(view)
-                    out = pat.sub(view, out)
+                df.createOrReplaceTempView(view)
+                return view
+            view = f"__wh_{ns}__{tbl}"
+            self._read(ns, tbl).createOrReplaceTempView(view)
+            return view
+
+        # the masked tag placeholder breaks the \d+|'\w+' alternation;
+        # rebuild the time-travel tail to accept placeholders too
+        ref_re = re.compile(
+            r"\b(\w+)\.(\w+)"
+            r"(?:\$(snapshots|files|partitions|deletes|history)\b"
+            r"|\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+|\x00LIT\d+\x00)"
+            r")?",
+            re.IGNORECASE,
+        )
+        out = ref_re.sub(_sub, masked)
+        for i, lit in enumerate(literals):
+            out = out.replace(f"\x00LIT{i}\x00", lit)
         return out
 
     def _source_df(self, src: str) -> DataFrame:
@@ -247,6 +274,12 @@ class WarehouseSQL:
                 if not rhs:
                     raise ValueError(f"bad SET clause: {part!r}")
                 assignments[col.strip().strip("`")] = F.expr(rhs.strip())
+            if strategy != "cow":
+                raise ValueError(
+                    "UPDATE supports only strategy='cow' (merge-on-read "
+                    "UPDATE would need delete+reinsert semantics; use MERGE "
+                    "INTO with strategy='mor' for that shape)"
+                )
             predicate, _ = self._predicate(cond)
             return self.wh.update_where(ns, tbl, assignments, predicate)
         if head == "INSERT":
@@ -277,17 +310,20 @@ class WarehouseSQL:
             return self._create(s)
         if head == "DROP":
             m = re.match(
-                r"^DROP\s+(TABLE|NAMESPACE)\s+(?:IF\s+EXISTS\s+)?(\w+)(?:\.(\w+))?$",
+                r"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\.(\w+)$",
                 s, re.IGNORECASE,
             )
-            if not m:
-                raise ValueError(f"unsupported DROP shape: {s[:120]!r}")
-            kind, ns, tbl = m.groups()
-            if kind.upper() == "TABLE":
-                if tbl is None:
-                    raise ValueError("DROP TABLE needs ns.table")
-                return self.wh.drop_table(ns, tbl)
-            return self.wh.drop_namespace(ns)
+            if m:
+                return self.wh.drop_table(*m.groups())
+            m = re.match(
+                r"^DROP\s+NAMESPACE\s+(?:IF\s+EXISTS\s+)?(\w+)$",
+                s, re.IGNORECASE,
+            )
+            if m:
+                return self.wh.drop_namespace(m.group(1))
+            # a dotted DROP NAMESPACE is almost certainly a typo for
+            # DROP TABLE -- reject instead of silently dropping the ns
+            raise ValueError(f"unsupported DROP shape: {s[:120]!r}")
         if head == "OPTIMIZE":
             # Delta-style maintenance statement: OPTIMIZE ns.t
             # [ZORDER BY (a, b)] -> compaction (+ multi-column Z-order)

@@ -1938,6 +1938,13 @@ class Warehouse:
         equality-delete file; readers anti-join it against older data
         files and ``compact()`` folds it in. At 100 TB, deleting a few
         scattered rows writes kilobytes instead of rewriting gigabytes.
+        KEY-granular by definition (exactly Iceberg equality-delete
+        semantics): on a table whose key column is not actually unique
+        (plain ``insert`` never enforces uniqueness), the delete removes
+        EVERY live copy of a matched key -- including copies the
+        predicate didn't match -- and ``deleted_rows`` counts distinct
+        keys. Tables that tolerate duplicate keys should use the
+        row-granular ``strategy="cow"``.
 
         ``predicate`` may be a Column or a list of ``(col, op, value)``
         tuples -- the tuple form (or the ``predicates`` hint) is what

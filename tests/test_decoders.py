@@ -287,3 +287,60 @@ def test_jpeg_via_decode_image_and_color_seam():
     )
     with pytest.raises(NotImplementedError, match="single-component"):
         decode_image(color)
+
+
+def test_gif_transparency_delta_frames_and_disposal():
+    """Delta-encoded animation: frame 2 is a sub-rect whose transparent
+    pixels leave frame 1's canvas showing through; a GCE governs only
+    its own image (delay resets); disposal=2 restores the rect to the
+    background index before the next frame."""
+    import struct
+
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.multimodal import (
+        _GIF_MIN_CODE,
+        _lzw_encode,
+        decode_gif,
+    )
+
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[1] = (10, 10, 10)
+    pal[2] = (200, 0, 0)
+    pal[3] = (0, 200, 0)
+
+    def img_block(left, top, fw, fh, indices):
+        out = bytearray(b"\x2C" + struct.pack("<HHHHB", left, top, fw, fh, 0))
+        out.append(_GIF_MIN_CODE)
+        stream = _lzw_encode(indices)
+        for i in range(0, len(stream), 255):
+            b = stream[i : i + 255]
+            out.append(len(b))
+            out += b
+        out.append(0x00)
+        return bytes(out)
+
+    def gce(delay, transparent=None, disposal=0):
+        flags = (disposal << 2) | (1 if transparent is not None else 0)
+        return bytes([0x21, 0xF9, 0x04, flags]) + struct.pack("<H", delay) + bytes(
+            [transparent or 0, 0x00]
+        )
+
+    payload = (
+        b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0xF7, 0, 0) + pal.tobytes()
+        + gce(5) + img_block(0, 0, 4, 4, [1] * 16)
+        # frame 2: 2x2 delta at (1,1): one opaque red pixel, three transparent
+        + gce(7, transparent=0, disposal=2)
+        + img_block(1, 1, 2, 2, [2, 0, 0, 0])
+        # frame 3: full repaint green, NO gce -> delay must be 0
+        + img_block(0, 0, 4, 4, [3] * 16)
+        + b"\x3B"
+    )
+    frames, delays = decode_gif(payload)
+    assert delays == [5, 7, 0]
+    assert (frames[0] == (10, 10, 10)).all()
+    f2 = frames[1]
+    assert tuple(f2[1, 1]) == (200, 0, 0)          # opaque delta pixel
+    assert tuple(f2[1, 2]) == (10, 10, 10)         # transparent -> prior canvas
+    assert tuple(f2[0, 0]) == (10, 10, 10)
+    assert (frames[2] == (0, 200, 0)).all()        # full repaint after disposal

@@ -248,3 +248,49 @@ def test_optimize_and_vacuum(sql, spark):
     assert res["removed_files"] == 0  # nothing unreferenced
     got = {r.id for r in sql.execute("SELECT id FROM ns.t").collect()}
     assert {"z0", "z1", "z2"} <= got
+
+
+def test_time_travel_is_governed(sql):
+    """FOR VERSION AS OF must apply the SAME column grants and row
+    filters as the live read -- time travel is not a governance
+    bypass."""
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
+
+    wh = sql.wh
+    v1 = wh.current_version("ns", "t")
+    wh.grant(
+        "ana", "ns", "t", permissions=("SELECT",),
+        columns=["id", "day"], row_filter="day = 'd1'",
+    )
+    gov = WarehouseSQL(wh, principal="ana")
+    got = gov.execute(
+        f"SELECT * FROM ns.t FOR VERSION AS OF {v1}"
+    ).collect()
+    assert got and all(r.day == "d1" for r in got)
+    assert sorted(got[0].asDict()) == ["day", "id"]
+    with pytest.raises(PermissionError):
+        WarehouseSQL(wh, principal="nobody").execute(
+            f"SELECT * FROM ns.t FOR VERSION AS OF {v1}"
+        )
+
+
+def test_string_literals_never_rewritten(sql):
+    got = sql.execute(
+        "SELECT COUNT(*) AS n FROM ns.t WHERE day = 'ns.t'"
+    ).collect()
+    assert got[0].n == 0  # literal 'ns.t' compared verbatim, not a view name
+    got2 = sql.execute(
+        "SELECT 'ns.t$snapshots' AS s FROM ns.t LIMIT 1"
+    ).collect()
+    assert got2[0].s == "ns.t$snapshots"
+
+
+def test_drop_namespace_dotted_is_rejected(sql):
+    with pytest.raises(ValueError, match="unsupported DROP"):
+        sql.execute("DROP NAMESPACE ns.t")
+    assert sql.wh.list_tables("ns") == ["t"]
+
+
+def test_update_rejects_mor_strategy(sql):
+    with pytest.raises(ValueError, match="strategy"):
+        sql.execute("UPDATE ns.t SET v = 0 WHERE v < 5", strategy="mor")
