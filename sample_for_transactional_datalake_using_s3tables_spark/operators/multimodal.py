@@ -633,7 +633,17 @@ def decode_gif(payload: bytes):
         n = 2 << (packed & 0x07)
         global_table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
-    canvas = np.zeros((h, w), dtype=np.int32)
+    # Compose in RGB, not palette indices: each frame's painted sub-rect
+    # is resolved to colors through ITS OWN color table before merging,
+    # so transparency show-through pixels keep the palette that painted
+    # them even when later frames carry different local tables (and a
+    # prior frame's index can never overrun a smaller local table).
+    if global_table is not None and bg_index < len(global_table):
+        bg_color = global_table[bg_index]
+    else:
+        bg_color = np.zeros(3, dtype=np.uint8)
+    canvas = np.empty((h, w, 3), dtype=np.uint8)
+    canvas[:] = bg_color
     frames, delays = [], []
     delay, transparent, disposal = 0, None, 0
     while pos < len(payload):
@@ -684,18 +694,24 @@ def decode_gif(payload: bytes):
         idx = np.frombuffer(
             bytes(_lzw_decode(bytes(stream), min_code)), dtype=np.uint8
         )[: fw * fh].reshape(fh, fw)
-        region = canvas[top : top + fh, left : left + fw]
-        if transparent is not None:
-            mask = idx != transparent
-            region[mask] = idx[mask]
-        else:
-            region[:] = idx
         if table is None:
             raise ValueError("GIF frame without a color table")
-        frames.append(table[canvas])
+        opaque = (
+            np.ones_like(idx, dtype=bool)
+            if transparent is None
+            else idx != transparent
+        )
+        if idx[opaque].size and int(idx[opaque].max()) >= len(table):
+            raise ValueError(
+                f"GIF index {int(idx[opaque].max())} outside the "
+                f"{len(table)}-entry color table"
+            )
+        region = canvas[top : top + fh, left : left + fw]
+        region[opaque] = table[idx[opaque]]
+        frames.append(canvas.copy())
         delays.append(delay)
         if disposal == 2:  # restore the painted rect to background
-            region[:] = bg_index
+            region[:] = bg_color
         # a graphic-control extension governs exactly one image
         delay, transparent, disposal = 0, None, 0
     return frames, delays

@@ -72,6 +72,29 @@ _WHEN_CANON_RE = re.compile(
 )
 
 
+_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace string literals with ``\\x00LIT<n>\\x00`` placeholders so
+    statement-shape regexes (the UPDATE SET/WHERE split, the MERGE
+    ON/WHEN split, table-reference rewriting) never match keywords that
+    merely appear INSIDE a literal (``SET note = 'a WHERE b'``)."""
+    literals: list[str] = []
+
+    def _m(m):
+        literals.append(m.group(0))
+        return f"\x00LIT{len(literals) - 1}\x00"
+
+    return _LITERAL_RE.sub(_m, sql), literals
+
+
+def _unmask(text: str, literals: list[str]) -> str:
+    for i, lit in enumerate(literals):
+        text = text.replace(f"\x00LIT{i}\x00", lit)
+    return text
+
+
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` outside parentheses and string literals (SET
     lists may contain ``fn(a, b)`` calls and quoted commas)."""
@@ -152,6 +175,23 @@ class WarehouseSQL:
     # real warehouse tables rewrite -- cost is O(statement), not
     # O(catalog).
     _LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+    # alias declarations: a table ref (optionally with $meta suffix or a
+    # FOR VERSION AS OF tail) or a closing subquery paren, followed by
+    # an optional AS and an identifier
+    _ALIAS_RE = re.compile(
+        r"(?:\b(?:FROM|JOIN)\s+\w+(?:\.\w+)?(?:\$\w+)?"
+        r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+\S+)?|\))"
+        r"\s+(?:AS\s+)?(\w+)",
+        re.IGNORECASE,
+    )
+    _SQL_KEYWORDS = {
+        "where", "on", "join", "inner", "left", "right", "full", "cross",
+        "natural", "lateral", "semi", "anti", "group", "order", "limit",
+        "having", "union", "intersect", "except", "when", "then", "else",
+        "end", "and", "or", "not", "as", "using", "for", "values",
+        "select", "from", "set", "distinct", "sort", "cluster",
+        "distribute", "window", "qualify", "offset", "tablesample",
+    }
 
     def _rewrite_tables(self, sql: str) -> str:
         """Register every referenced warehouse table as a temp view and
@@ -172,6 +212,16 @@ class WarehouseSQL:
 
         masked = self._LITERAL_RE.sub(_mask, sql)
         tables = None  # lazy: {(ns, tbl)} only if the statement has refs
+        # Declared table aliases (FROM/JOIN <ref> [AS] a, or a closing
+        # subquery paren): an alias-QUALIFIED column reference like
+        # ``q.state`` in ``SELECT q.state FROM src q`` must never be
+        # rewritten even when a warehouse table ``q.state`` exists.
+        # Refs sitting directly after FROM/JOIN/USING are always table
+        # positions, so they rewrite regardless (``FROM q.a q`` works).
+        aliases = {
+            a.lower()
+            for a in self._ALIAS_RE.findall(masked)
+        } - self._SQL_KEYWORDS
 
         def _sub(m) -> str:
             nonlocal tables
@@ -184,6 +234,11 @@ class WarehouseSQL:
                 }
             if (ns, tbl) not in tables:
                 return m.group(0)
+            if ns.lower() in aliases and not re.search(
+                r"\b(?:FROM|JOIN|USING)\s*$", masked[: m.start()],
+                re.IGNORECASE,
+            ):
+                return m.group(0)  # alias-qualified column, not a table
             if meta_kind:
                 kind = meta_kind.lower()
                 if self.principal is not None and not self.wh.check(
@@ -254,22 +309,27 @@ class WarehouseSQL:
         head = s.split(None, 1)[0].upper() if s else ""
         if head in ("SELECT", "WITH"):
             return self.spark.sql(self._rewrite_tables(s))
+        # DML shape regexes run over LITERAL-MASKED text so a WHERE /
+        # SET / ON / WHEN inside a string can never split the statement
+        # in the wrong place; captured fragments unmask before use.
+        masked, lits = _mask_literals(s)
         if head == "DELETE":
-            m = _DELETE_RE.match(s)
+            m = _DELETE_RE.match(masked)
             if not m:
                 raise ValueError(f"unsupported DELETE shape: {s[:120]!r}")
             ns, tbl, cond = m.groups()
             self._require("ALL", ns, tbl)
-            predicate, _ = self._predicate(cond)
+            predicate, _ = self._predicate(_unmask(cond, lits))
             return self.wh.delete_where(ns, tbl, predicate, strategy=strategy)
         if head == "UPDATE":
-            m = _UPDATE_RE.match(s)
+            m = _UPDATE_RE.match(masked)
             if not m:
                 raise ValueError(f"unsupported UPDATE shape: {s[:120]!r}")
             ns, tbl, set_text, cond = m.groups()
+            cond = _unmask(cond, lits)
             self._require("ALL", ns, tbl)
             assignments = {}
-            for part in _split_top_level(set_text):
+            for part in _split_top_level(_unmask(set_text, lits)):
                 col, _, rhs = part.partition("=")
                 if not rhs:
                     raise ValueError(f"bad SET clause: {part!r}")
@@ -305,7 +365,7 @@ class WarehouseSQL:
                 ns, tbl, df, overwrite=mode.upper() == "OVERWRITE"
             )
         if head == "MERGE":
-            return self._merge(s, strategy)
+            return self._merge(masked, lits, strategy)
         if head == "CREATE":
             return self._create(s)
         if head == "DROP":
@@ -389,10 +449,14 @@ class WarehouseSQL:
             m.group("ns"), m.group("tbl"), schema, key=key, partition_by=part
         )
 
-    def _merge(self, s: str, strategy: str):
+    def _merge(self, s: str, lits: list[str], strategy: str):
+        # ``s`` arrives literal-masked so ON/WHEN keywords inside string
+        # literals (e.g. in the USING subquery) can't split the match
         m = _MERGE_RE.match(s)
         if not m:
-            raise ValueError(f"unsupported MERGE shape: {s[:120]!r}")
+            raise ValueError(
+                f"unsupported MERGE shape: {_unmask(s, lits)[:120]!r}"
+            )
         ns, tbl = m.group("ns"), m.group("tbl")
         talias = m.group("talias") or tbl
         salias = m.group("salias") or "s"
@@ -425,7 +489,7 @@ class WarehouseSQL:
                 f"THEN INSERT * (got {m.group('when')!r})"
             )
         self._require("ALL", ns, tbl)
-        source = self._source_df(m.group("src"))
+        source = self._source_df(_unmask(m.group("src"), lits))
         return self.wh.merge_upsert(
             ns, tbl, source, delete_col=delete_col, strategy=strategy
         )

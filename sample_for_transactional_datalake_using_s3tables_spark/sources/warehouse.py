@@ -1094,11 +1094,14 @@ class Warehouse:
                 [F.col("_p")] if pexpr is not None else []
             ) + [F.col(c) for c in order_by]
             if distribution == "range":
-                # explicit partition count = the batch's own parallelism:
-                # keeps file sizing stable and stops AQE from coalescing
-                # the range shuffle into too-few (too-wide) files
+                # explicit partition count keeps file sizing stable and
+                # stops AQE from coalescing the range shuffle into
+                # too-few (too-wide) files; defaultParallelism reads the
+                # cluster's width without forcing the DataFrame through
+                # an RDD conversion just to count partitions
                 out = out.repartitionByRange(
-                    max(df.rdd.getNumPartitions(), 1), *sort_cols
+                    max(self.spark.sparkContext.defaultParallelism, 1),
+                    *sort_cols,
                 )
             out = out.sortWithinPartitions(*sort_cols)
         out = out.select(

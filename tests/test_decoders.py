@@ -344,3 +344,98 @@ def test_gif_transparency_delta_frames_and_disposal():
     assert tuple(f2[1, 2]) == (10, 10, 10)         # transparent -> prior canvas
     assert tuple(f2[0, 0]) == (10, 10, 10)
     assert (frames[2] == (0, 200, 0)).all()        # full repaint after disposal
+
+
+def test_gif_local_palettes_with_transparency_compose_in_rgb():
+    """Frames carrying DIFFERENT local color tables + transparency:
+    show-through pixels must keep the color their OWN frame painted
+    (RGB composition), not be recolored through the later frame's
+    table -- and a prior-frame index larger than the current local
+    table must not matter at all."""
+    import struct
+
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.multimodal import (
+        _GIF_MIN_CODE,
+        _lzw_encode,
+        decode_gif,
+    )
+
+    def img_block(left, top, fw, fh, indices, local_pal=None):
+        fp = 0
+        tail = b""
+        if local_pal is not None:
+            # local table flag + size bits for a 2^(n+1)-entry table
+            n_entries = len(local_pal)
+            size_bits = max(0, n_entries.bit_length() - 2)
+            fp = 0x80 | size_bits
+            tail = np.asarray(local_pal, dtype=np.uint8).tobytes()
+        out = bytearray(
+            b"\x2C" + struct.pack("<HHHHB", left, top, fw, fh, fp) + tail
+        )
+        out.append(_GIF_MIN_CODE)
+        stream = _lzw_encode(indices)
+        for i in range(0, len(stream), 255):
+            b = stream[i : i + 255]
+            out.append(len(b))
+            out += b
+        out.append(0x00)
+        return bytes(out)
+
+    def gce(delay, transparent=None):
+        flags = 1 if transparent is not None else 0
+        return bytes([0x21, 0xF9, 0x04, flags]) + struct.pack(
+            "<H", delay
+        ) + bytes([transparent or 0, 0x00])
+
+    # frame 1: full 2x2 paint via a 256-entry LOCAL palette where
+    # index 200 is RED (an index far beyond frame 2's 4-entry table)
+    pal1 = np.zeros((256, 3), dtype=np.uint8)
+    pal1[200] = (255, 0, 0)
+    # frame 2: 4-entry local palette where index 1 is GREEN; paints only
+    # the right column, left column transparent (index 0)
+    pal2 = np.array(
+        [(0, 0, 0), (0, 255, 0), (9, 9, 9), (7, 7, 7)], dtype=np.uint8
+    )
+    payload = (
+        b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x00, 0, 0)  # no global table
+        + gce(3) + img_block(0, 0, 2, 2, [200] * 4, local_pal=pal1)
+        + gce(4, transparent=0)
+        + img_block(0, 0, 2, 2, [0, 1, 0, 1], local_pal=pal2)
+        + b"\x3B"
+    )
+    frames, delays = decode_gif(payload)
+    assert delays == [3, 4]
+    assert (frames[0] == (255, 0, 0)).all()
+    f2 = frames[1]
+    # transparent pixels show frame 1's RED, not pal2[200 % 4] garbage
+    assert tuple(f2[0, 0]) == (255, 0, 0)
+    assert tuple(f2[1, 0]) == (255, 0, 0)
+    assert tuple(f2[0, 1]) == (0, 255, 0)
+    assert tuple(f2[1, 1]) == (0, 255, 0)
+
+
+def test_gif_opaque_index_beyond_table_raises():
+    import struct
+
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.multimodal import (
+        _GIF_MIN_CODE,
+        _lzw_encode,
+        decode_gif,
+    )
+    import pytest
+
+    pal = np.zeros((4, 3), dtype=np.uint8)  # 4-entry global table
+    out = bytearray(b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0))
+    out += pal.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+    out.append(_GIF_MIN_CODE)
+    stream = _lzw_encode([9, 0, 0, 0])  # 9 >= 4-entry table
+    out.append(len(stream))
+    out += stream
+    out += b"\x00\x3B"
+    with pytest.raises(ValueError, match="color table"):
+        decode_gif(bytes(out))

@@ -294,3 +294,60 @@ def test_drop_namespace_dotted_is_rejected(sql):
 def test_update_rejects_mor_strategy(sql):
     with pytest.raises(ValueError, match="strategy"):
         sql.execute("UPDATE ns.t SET v = 0 WHERE v < 5", strategy="mor")
+
+
+def test_dml_regexes_are_literal_aware(sql):
+    # an UPDATE whose SET literal contains " WHERE " must split at the
+    # REAL WHERE, not the one inside the string (ADVICE r4)
+    sql.execute("UPDATE ns.t SET day = 'a WHERE b' WHERE id = 'k1'")
+    state = {(r.id, r.day) for r in sql.execute("SELECT id, day FROM ns.t").collect()}
+    assert ("k1", "a WHERE b") in state
+    assert sum(1 for _, d in state if d == "a WHERE b") == 1
+    # DELETE with a literal containing WHERE after the real predicate
+    sql.execute("DELETE FROM ns.t WHERE day = 'a WHERE b'")
+    assert sql.execute("SELECT COUNT(*) AS n FROM ns.t").collect()[0].n == 19
+
+
+def test_merge_on_when_split_is_literal_aware(sql, spark):
+    # the USING subquery carries a literal containing " ON " and
+    # " WHEN MATCHED " -- the MERGE shape regex must not split there
+    sql.execute(
+        "MERGE INTO ns.t t USING (SELECT 'k2' AS id, "
+        "'x ON t.id = s.id WHEN MATCHED THEN y' AS day, 99 AS v) s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    row = sql.execute("SELECT day, v FROM ns.t WHERE id = 'k2'").collect()
+    assert [(r.day, r.v) for r in row] == [
+        ("x ON t.id = s.id WHEN MATCHED THEN y", 99)
+    ]
+
+
+def test_alias_qualified_column_not_rewritten_as_table(sql, spark):
+    # a table literally named q.state exists, AND the query aliases
+    # another table as q -- q.state in the SELECT list is the alias's
+    # COLUMN, not the table (ADVICE r4)
+    wh = sql.wh
+    wh.create_namespace("q")
+    state_schema = StructType(
+        [StructField("id", StringType(), False), StructField("x", LongType())]
+    )
+    wh.create_table("q", "state", state_schema, key="id")
+    wh.insert("q", "state", spark.createDataFrame([("z", 1)], state_schema))
+    src = spark.createDataFrame([("k1", "ny")], "id string, state string")
+    src.createOrReplaceTempView("src_addr")
+    got = sql.execute(
+        "SELECT q.state AS st FROM src_addr q ORDER BY q.state"
+    ).collect()
+    assert [r.st for r in got] == ["ny"]
+    # while a genuine FROM-position ref to q.state still resolves,
+    # even when the statement elsewhere declares an alias named q
+    got2 = sql.execute(
+        "SELECT COUNT(*) AS n FROM q.state"
+    ).collect()
+    assert got2[0].n == 1
+    # self-shadowing alias: FROM q.state q is a table position
+    got3 = sql.execute(
+        "SELECT q.x AS x FROM q.state q"
+    ).collect()
+    assert [r.x for r in got3] == [1]
