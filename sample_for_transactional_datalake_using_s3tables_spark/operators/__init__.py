@@ -87,6 +87,12 @@ _MODULES = (
 # surfaces get official CORRECTNESS rows; the relational family keeps
 # 15 in-window reps and both demoted variants stay oracle-checked in
 # the full registry.
+# Round-5 swaps: date_funcs -> warehouse_cdf (commit-granular change
+# data feed: manifest-diff changelog + incremental append scan) and
+# array_agg_battery -> warehouse_partition_evolution (Iceberg SET
+# PARTITION SPEC: mixed-spec planning, cross-spec DML, compaction
+# migration); the scalar-battery family keeps json_extract in-window
+# and both demoted variants stay pytest-oracle-checked.
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
@@ -99,9 +105,7 @@ _PRIORITY = (
     "window_rank",
     "rollup_agg",
     "set_union",
-    "date_funcs",
     "json_extract",
-    "array_agg_battery",
     "sql_text_entry",
     "approx_distinct",
     # LLM-data: dedup + similarity search
@@ -135,6 +139,8 @@ _PRIORITY = (
     "warehouse_zorder",
     "warehouse_sql_dml",
     "warehouse_branch_wap",
+    "warehouse_cdf",
+    "warehouse_partition_evolution",
     # event-time windows + custom state
     "window_tumbling",
     "stateful_user_stats",

@@ -467,6 +467,194 @@ def warehouse_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+def warehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition spec evolution certified end-to-end (Iceberg ``ALTER
+    TABLE ... SET PARTITION SPEC``; S3 Tables are Iceberg tables whose
+    layout can change without rewriting data). The scenario: load the
+    first half of events under ``partition_by=event_type``; EVOLVE to
+    ``bucket(8, event_id)`` -- metadata-only, the old files keep their
+    spec -- and insert the second half; run an UPDATE whose rows span
+    both specs and a predicate DELETE likewise; compact (which migrates
+    every surviving row into the CURRENT spec) and read the final
+    state. ``evo_ok`` folds in the structural invariants a SQL twin
+    can't see: the evolution commit rewrote nothing, pre-evolution
+    files carry spec 0 while post-evolution files carry spec 1, and
+    after compaction every manifest entry is in the current spec. A
+    hash match therefore certifies mixed-spec reads, cross-spec DML,
+    and compaction-driven migration at once."""
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_pevo_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id",
+            partition_by="event_type",
+        )
+        half1 = events.filter(F.col("event_id") % 2 == 0)
+        half2 = events.filter(F.col("event_id") % 2 == 1)
+        wh.insert("q", "state", half1)
+        tdir = wh._table_dir("q", "state")
+        files_before = {
+            e["path"] for e in wh._manifest(tdir, wh.current_version("q", "state"))
+        }
+        sid = wh.evolve_partition_spec("q", "state", "bucket(8, event_id)")
+        files_after = {
+            e["path"] for e in wh._manifest(tdir, wh.current_version("q", "state"))
+        }
+        wh.insert("q", "state", half2)
+        entries = wh._manifest(tdir, wh.current_version("q", "state"))
+        spec_split_ok = (
+            {e.get("spec", 0) for e in entries} == {0, 1}
+            and all(
+                e.get("spec", 0) == 0 or e["partition"].isdigit()
+                for e in entries
+            )
+        )
+        wh.update_where(  # rows in BOTH specs (odd and even ids hit)
+            "q", "state",
+            {"value": (F.col("value") + 50).cast("decimal(12,2)")},
+            F.col("event_id") % 9 == 0,
+        )
+        wh.delete_where("q", "state", F.col("event_id") % 4 == 0)
+        wh.compact("q", "state", min_files_per_partition=1)
+        migrated = wh._manifest(tdir, wh.current_version("q", "state"))
+        evo_ok = (
+            sid == 1
+            and files_before == files_after
+            and spec_split_ok
+            and {e.get("spec", 0) for e in migrated} == {1}
+        )
+        out = wh.read("q", "state").select(
+            "event_id", "event_type", "value"
+        ).withColumn("evo_ok", F.lit(bool(evo_ok)))
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_PARTITION_EVOLUTION_SQL = """
+SELECT event_id, event_type,
+       CAST(CASE WHEN event_id % 9 = 0 THEN value + 50 ELSE value END
+            AS DECIMAL(12,2)) AS value,
+       TRUE AS evo_ok
+FROM (SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value
+      FROM events)
+WHERE event_id % 4 != 0
+"""
+
+
+def warehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-granular change data feed (``Warehouse.changelog``: the
+    Iceberg ``table_changes`` / Delta CDF read, planned from MANIFEST
+    DIFFS so each commit's delta costs its own footprint, never a table
+    scan). The scenario layers every commit shape the engine has:
+    insert (v1), pure append of re-keyed rows (v2), file-level
+    copy-on-write UPDATE (v3: value+11 where id%7=0 -- additive so no
+    row is ever a fixed point and netting is purely about carried-over
+    neighbors), a merge-on-read MERGE with upserts (+1000, id%3) and
+    equality-deletes (id%5) (v4), then compaction (v5, op="replace",
+    invisible by stamp). The emitted rows are the raw changelog:
+    pre-images as deletes, post-images as inserts, tagged with
+    ``_change_type`` + ``_commit_version``; ``inc_ok`` folds in that
+    ``read_incremental`` over the append-only prefix (v1, v2] returns
+    exactly the appended batch. The oracle reconstructs all four
+    commits' net changes analytically, so a hash match certifies the
+    manifest-diff planner, CoW netting (exceptAll of added vs removed
+    file rows), MoR pre-image resolution (delete-key semi-join against
+    sequence-pruned older files), and replace-commit skipping at once."""
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_cdf_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id",
+            partition_by="event_type",
+        )
+        wh.insert("q", "state", events)  # v1
+        appended = events.filter(F.col("event_id") % 11 == 0).withColumn(
+            "event_id", F.col("event_id") + F.lit(1050000000)
+        )
+        v2 = wh.insert("q", "state", appended)  # v2: pure append
+        wh.update_where(  # v3: file-level CoW rewrite
+            "q", "state",
+            {"value": (F.col("value") + 11).cast("decimal(12,2)")},
+            F.col("event_id") % 7 == 0,
+        )
+        upserts = events.filter(F.col("event_id") % 3 == 0).withColumn(
+            "value", (F.col("value") + 1000).cast("decimal(12,2)")
+        ).withColumn("_delete", F.lit(False))
+        deletes = events.filter(F.col("event_id") % 5 == 0).withColumn(
+            "_delete", F.lit(True)
+        )
+        wh.merge_upsert(  # v4: MoR -- data files + one equality delete
+            "q", "state", upserts.unionByName(deletes),
+            delete_col="_delete", strategy="mor",
+        )
+        wh.compact("q", "state", min_files_per_partition=1)  # v5: replace
+        inc_ok = (
+            wh.read_incremental("q", "state", v2 - 1, v2).count()
+            == appended.count()
+        )
+        out = wh.changelog("q", "state", 0).select(
+            "event_id", "event_type", "value",
+            "_change_type", "_commit_version",
+        ).withColumn("inc_ok", F.lit(bool(inc_ok)))
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+# The scenario's four data commits, reconstructed analytically. The
+# append shift 1050000000 is a multiple of 3*5*7 = 105, so modular
+# classes survive re-keying and the v3 predicate hits appended rows
+# exactly like their originals. v4's merge batch comes from the ORIGINAL
+# events (ids < 1050000000): pre-image deletes read the v3 state; the
+# upsert post-image is orig+1000 (never equal to orig or orig+11, so
+# nothing nets out); %15 keys carry the delete flag and are not
+# re-inserted. v5 (compaction) must contribute nothing.
+WAREHOUSE_CDF_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value
+  FROM events
+),
+appended AS (
+  SELECT event_id + 1050000000 AS event_id, event_type, value
+  FROM base WHERE event_id % 11 = 0
+),
+state2 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+state3 AS (
+  SELECT event_id, event_type,
+         CAST(CASE WHEN event_id % 7 = 0 THEN value + 11 ELSE value END
+              AS DECIMAL(12,2)) AS value
+  FROM state2
+)
+SELECT event_id, event_type, value,
+       'insert' AS _change_type, 1 AS _commit_version, TRUE AS inc_ok
+FROM base
+UNION ALL
+SELECT event_id, event_type, value, 'insert', 2, TRUE FROM appended
+UNION ALL
+SELECT event_id, event_type, value, 'delete', 3, TRUE
+FROM state2 WHERE event_id % 7 = 0
+UNION ALL
+SELECT event_id, event_type, CAST(value + 11 AS DECIMAL(12,2)),
+       'insert', 3, TRUE
+FROM state2 WHERE event_id % 7 = 0
+UNION ALL
+SELECT event_id, event_type, value, 'delete', 4, TRUE
+FROM state3
+WHERE event_id < 1050000000 AND (event_id % 3 = 0 OR event_id % 5 = 0)
+UNION ALL
+SELECT event_id, event_type, CAST(value + 1000 AS DECIMAL(12,2)),
+       'insert', 4, TRUE
+FROM base WHERE event_id % 3 = 0 AND event_id % 5 != 0
+"""
+
+
 # id%5 keys were deleted (DELETE); of the survivors, id%3 keys were
 # doubled (UPDATE) -- unless value was 0, where 2*v == v means no change,
 # but events.value >= 0.01 so every id%3 survivor IS an update. No
@@ -1113,6 +1301,8 @@ QUERIES = {
     "warehouse_merge_roundtrip": warehouse_merge_roundtrip,
     "warehouse_time_travel": warehouse_time_travel,
     "warehouse_changelog": warehouse_changelog,
+    "warehouse_cdf": warehouse_cdf,
+    "warehouse_partition_evolution": warehouse_partition_evolution,
     "warehouse_delete_update": warehouse_delete_update,
     "warehouse_snapshots_meta": warehouse_snapshots_meta,
     "warehouse_hidden_partitioning": warehouse_hidden_partitioning,
@@ -1135,6 +1325,8 @@ ORACLES = {
     "warehouse_merge_roundtrip": WAREHOUSE_MERGE_SQL,
     "warehouse_time_travel": WAREHOUSE_TIME_TRAVEL_SQL,
     "warehouse_changelog": WAREHOUSE_CHANGELOG_SQL,
+    "warehouse_cdf": WAREHOUSE_CDF_SQL,
+    "warehouse_partition_evolution": WAREHOUSE_PARTITION_EVOLUTION_SQL,
     "warehouse_delete_update": WAREHOUSE_DELETE_UPDATE_SQL,
     "warehouse_snapshots_meta": WAREHOUSE_SNAPSHOTS_META_SQL,
     "warehouse_hidden_partitioning": WAREHOUSE_HIDDEN_PARTITIONING_SQL,

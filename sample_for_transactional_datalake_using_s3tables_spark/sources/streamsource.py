@@ -1,0 +1,193 @@
+"""Structured-Streaming source over warehouse tables: Iceberg's
+streaming read (``spark.readStream.format("iceberg")``) re-expressed as
+a PySpark 4 Python Data Source.
+
+The reference's pipeline tails a CDC stream into the table (reference:
+stack/firehose.py ingest path); the mirror-image capability -- tailing
+the TABLE itself as a stream -- is what downstream consumers use to
+chain pipelines off a transactional lake. This module provides it with
+exactly-once semantics: offsets are manifest versions, batches are the
+data files appended between two versions (the same manifest-diff
+planning as ``Warehouse.read_incremental``), and checkpoint recovery
+replays any offset range deterministically because snapshots are
+immutable.
+
+Design for 100 TB:
+- Planning is metadata-only (two manifest JSONs per commit) and runs on
+  the driver; no data file is opened to decide what a batch contains.
+- Each appended data file becomes one input partition, so a batch scan
+  parallelizes across executors like any file source.
+- Partitions yield pyarrow RecordBatches (Arrow path), not Python-tuple
+  rows -- the batch transfer shape, not row-at-a-time.
+- Column-mapping evolution is honored: files store immutable PHYSICAL
+  names; each partition carries the physical->logical projection and
+  applies it with a zero-copy arrow rename.
+
+Non-append commits (row-level DELETE / UPDATE / MERGE) are not
+expressible as an append stream: ``latestOffset`` raises unless
+``on_delete=skip`` is set (Iceberg's streaming-skip-delete-snapshots);
+``op="replace"`` compaction commits are always skipped by stamp --
+they rewrite bytes, not data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_MANIFEST_DIR = "_v"
+_SCHEMA_FILE = "_table.json"
+
+
+def _vdir(tdir: str, branch: str | None = None) -> str:
+    return os.path.join(
+        tdir, _MANIFEST_DIR if not branch else f"{_MANIFEST_DIR}@{branch}"
+    )
+
+
+def _versions(tdir: str, branch: str | None) -> list[int]:
+    vdir = _vdir(tdir, branch)
+    return sorted(
+        int(f[:-5])
+        for f in os.listdir(vdir)
+        if f.endswith(".json") and not f.startswith(".")
+    )
+
+
+def _doc(tdir: str, v: int, branch: str | None) -> dict:
+    with open(os.path.join(_vdir(tdir, branch), f"{v:08d}.json")) as f:
+        return json.load(f)
+
+
+class _FileSlice(InputPartition):
+    """One appended data file: absolute path + the physical->logical
+    name projection to apply after reading."""
+
+    def __init__(self, path: str, names: list[tuple[str, str]]):
+        self.path = path
+        self.names = names  # [(physical, logical)] in output order
+
+
+class WarehouseAppendsStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.root = options["root"]
+        self.ns = options["ns"]
+        self.table = options["table"]
+        self.branch = options.get("branch") or None
+        self.skip_replace = (
+            str(options.get("skip_replace", "true")).lower() != "false"
+        )
+        self.on_delete = str(options.get("on_delete", "raise")).lower()
+        if self.on_delete not in ("raise", "skip"):
+            raise ValueError("on_delete must be 'raise' or 'skip'")
+        start = options.get("from_version")
+        self._start = int(start) if start is not None else None
+        self.schema = schema
+        self.tdir = os.path.join(self.root, self.ns, self.table)
+        if not os.path.isdir(_vdir(self.tdir, self.branch)):
+            raise ValueError(f"no warehouse table at {self.tdir}")
+
+    # -- offsets: {"version": n} = "everything up to snapshot n is
+    # consumed"; ranges are replayable because snapshots are immutable --
+
+    def initialOffset(self) -> dict:
+        if self._start is not None:
+            return {"version": self._start}
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        versions = _versions(self.tdir, self.branch)
+        return {"version": versions[-1] if versions else 0}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        live = set(_versions(self.tdir, self.branch))
+        missing = [v for v in range(lo, hi + 1) if v not in live]
+        if missing:
+            raise ValueError(
+                f"snapshots {missing} expired under the stream; restart "
+                "from a live snapshot (set from_version)"
+            )
+        end_doc = _doc(self.tdir, hi, self.branch)
+        phys = end_doc.get("physical") or {}
+        names = [(phys.get(f.name, f.name), f.name) for f in self.schema.fields]
+        out: list[InputPartition] = []
+        prev_paths = {e["path"] for e in _doc(self.tdir, lo, self.branch)["files"]}
+        prev_dels = {
+            d["path"]
+            for d in _doc(self.tdir, lo, self.branch).get("deletes") or []
+        }
+        for v in range(lo + 1, hi + 1):
+            doc = _doc(self.tdir, v, self.branch)
+            cur_paths = {e["path"] for e in doc["files"]}
+            cur_dels = {d["path"] for d in doc.get("deletes") or []}
+            added = cur_paths - prev_paths
+            removed = prev_paths - cur_paths
+            new_dels = cur_dels - prev_dels
+            op = doc.get("op")
+            skip = op == "replace" and self.skip_replace
+            if not skip and (removed or new_dels):
+                if self.on_delete == "raise":
+                    raise ValueError(
+                        f"commit {v} ({op or 'unknown op'}) deletes or "
+                        "rewrites rows; an append stream cannot express it "
+                        "(set on_delete=skip to stream inserts only, or "
+                        "consume Warehouse.changelog() in batch)"
+                    )
+                skip = True  # skip the whole non-append snapshot (Iceberg)
+            if not skip:
+                for e in doc["files"]:
+                    if e["path"] in added:
+                        out.append(
+                            _FileSlice(
+                                os.path.join(self.tdir, e["path"]), names
+                            )
+                        )
+            prev_paths, prev_dels = cur_paths, cur_dels
+        return out
+
+    def read(self, partition: _FileSlice):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(
+            partition.path,
+            columns=[p for p, _ in partition.names],
+        )
+        # zero-copy physical->logical projection in output order
+        table = table.select([p for p, _ in partition.names])
+        table = table.rename_columns([lg for _, lg in partition.names])
+        yield from table.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class WarehouseAppendsDataSource(DataSource):
+    """``spark.readStream.format("warehouse_appends")`` after
+    ``spark.dataSource.register(WarehouseAppendsDataSource)``.
+
+    Options: ``root`` (warehouse root), ``ns``, ``table``, optional
+    ``branch``, ``from_version`` (exclusive start snapshot),
+    ``skip_replace`` (default true), ``on_delete`` ('raise'|'skip')."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warehouse_appends"
+
+    def schema(self) -> str:
+        tdir = os.path.join(
+            self.options["root"], self.options["ns"], self.options["table"]
+        )
+        with open(os.path.join(tdir, _SCHEMA_FILE)) as f:
+            meta = json.load(f)
+        return StructType.fromJson(meta["schema"])
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return WarehouseAppendsStreamReader(schema, dict(self.options))

@@ -62,6 +62,14 @@ def _part_key(value) -> str:
     return NULL_PARTITION if value is None else str(value)
 
 
+def _scope_key(entry: dict) -> tuple[int, str]:
+    """Conflict-scope key of a manifest entry: the partition value
+    QUALIFIED by the partition-spec id the file was written under, so
+    identical partition strings produced by different transforms
+    (partition evolution) never collide in rewrite scopes."""
+    return (entry.get("spec", 0), _part_key(entry["partition"]))
+
+
 def _file_stats(md) -> dict:
     """Per-file column min/max from the parquet footer (Iceberg manifest
     lower_bounds/upper_bounds analog). JSON-safe primitive types only;
@@ -481,6 +489,8 @@ class Warehouse:
             "schema": json.loads(schema.json()),
             "key": key,
             "partition_by": partition_by,
+            "partition_specs": [partition_by],
+            "partition_spec_id": 0,
             "required": list(required),
         }
         if write_order:
@@ -488,7 +498,7 @@ class Warehouse:
             meta["write_distribution"] = write_distribution
         with open(os.path.join(tdir, _SCHEMA_FILE), "w") as f:
             json.dump(meta, f, indent=1)
-        self._publish(tdir, 0, [], schema=meta["schema"])
+        self._publish(tdir, 0, [], schema=meta["schema"], op="create")
 
     def drop_table(self, ns: str, table: str, if_exists: bool = True) -> None:
         tdir = self._table_dir(ns, table)
@@ -661,7 +671,7 @@ class Warehouse:
         os.replace(tmp, os.path.join(tdir, _SCHEMA_FILE))
         self._publish_append(
             tdir, self._versions(tdir)[-1], [], schema=meta["schema"],
-            phys=meta.get("physical"), rebase_meta=False,
+            phys=meta.get("physical"), rebase_meta=False, op="schema",
         )
 
     # -- manifest chain --
@@ -730,6 +740,7 @@ class Warehouse:
         phys: dict | None = None,
         deletes: list[dict] | None = None,
         branch: str | None = None,
+        op: str | None = None,
     ) -> None:
         """Atomic optimistic commit: link() fails if the version exists
         (the reference's versionToken CAS, scripts/update_metadata.py:135-141).
@@ -737,8 +748,13 @@ class Warehouse:
         mapping) as of this commit, binding both to the snapshot
         (Iceberg-style) so time travel sees the historical shape.
         ``deletes`` carries the snapshot's live equality-delete files
-        (merge-on-read)."""
+        (merge-on-read). ``op`` stamps the commit's operation type
+        (Iceberg snapshot summary ``operation``): incremental/changelog
+        readers skip ``replace`` commits (compaction rewrites no data)
+        by stamp instead of diffing content."""
         doc: dict = {"version": version, "files": files}
+        if op:
+            doc["op"] = op
         if schema is not None:
             doc["schema"] = schema
         if phys:
@@ -814,6 +830,7 @@ class Warehouse:
         overwrite: bool = False, phys: dict | None = None,
         rebase_meta: bool = True, new_deletes: list[dict] | None = None,
         rebase_validate=None, branch: str | None = None,
+        op: str | None = None,
     ) -> int:
         """Publish an append (or overwrite), rebasing onto the tip on a
         concurrent commit: an append conflicts with nothing -- its file
@@ -862,6 +879,7 @@ class Warehouse:
                 self._publish(
                     tdir, version + 1, base + stamped, schema=schema, phys=phys,
                     deletes=_live_deletes(dels, base + stamped), branch=branch,
+                    op=op or ("overwrite" if overwrite else "append"),
                 )
                 return version + 1
             except CommitConflictError:
@@ -896,6 +914,7 @@ class Warehouse:
         phys: dict | None = None,
         rebase_validate=None,
         branch: str | None = None,
+        op: str = "overwrite",
     ) -> int:
         """Publish a file-level rewrite with Iceberg-style conflict
         validation. ``touched`` is the set of partition keys this commit
@@ -925,7 +944,7 @@ class Warehouse:
         rows, turning the rebase into a conflict."""
 
         def in_scope(e: dict) -> bool:
-            return touched is None or _part_key(e["partition"]) in touched
+            return touched is None or _scope_key(e) in touched
 
         carry_in_scope = [e for e in untouched if in_scope(e)]
         out_scope = [e for e in untouched if not in_scope(e)]
@@ -950,6 +969,7 @@ class Warehouse:
                 self._publish(
                     tdir, version + 1, final, schema=schema, phys=phys,
                     deletes=_live_deletes(dels_base, final), branch=branch,
+                    op=op,
                 )
                 return version + 1
             except CommitConflictError:
@@ -1043,11 +1063,47 @@ class Warehouse:
             meta.pop("write_distribution", None)
         self._swap_table_meta(tdir, meta)
 
+    def evolve_partition_spec(
+        self, ns: str, table: str, partition_by: str | None
+    ) -> int:
+        """``ALTER TABLE ... SET PARTITION SPEC`` (Iceberg partition
+        evolution): METADATA-ONLY -- no data is rewritten. Existing
+        files keep the spec they were written under (each manifest
+        entry carries its spec id); future writes derive partition
+        values with the new transform. Readers plan across mixed specs:
+        ``partition_filter`` prunes only files of the current spec
+        (older-spec files are conservatively kept and still prune by
+        min/max stats), and every rewrite scope / conflict check keys
+        on (spec, partition) so equal strings from different transforms
+        never collide. ``compact()`` rewrites into the CURRENT spec, so
+        maintenance gradually migrates old layouts (Iceberg
+        rewrite_data_files behavior). Returns the new spec id.
+
+        At 100 TB this is the feature that lets a table move from, say,
+        daily to hourly partitioning as it grows -- without the
+        crushing one-shot rewrite a layout change would otherwise
+        cost."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        schema = StructType.fromJson(meta["schema"])
+        # fail fast on a bad transform before any metadata changes
+        self._partition_expr(partition_by, schema)
+        specs = meta.get("partition_specs") or [meta.get("partition_by")]
+        if partition_by == meta.get("partition_by"):
+            return meta.get("partition_spec_id", 0)
+        specs.append(partition_by)
+        meta["partition_specs"] = specs
+        meta["partition_by"] = partition_by
+        meta["partition_spec_id"] = len(specs) - 1
+        self._swap_table_meta(tdir, meta)
+        return meta["partition_spec_id"]
+
     def _write_table_files(self, tdir: str, df: DataFrame, meta: dict) -> list[dict]:
         """Write a table batch honoring the table's write spec (order /
         distribution / key bloom / column mapping)."""
         return self._write_files(
             tdir, df, meta["partition_by"], bloom_col=meta.get("key"),
+            spec_id=meta.get("partition_spec_id", 0),
             phys=meta.get("physical"), order_by=meta.get("write_order"),
             distribution=meta.get("write_distribution", "none"),
         )
@@ -1061,6 +1117,7 @@ class Warehouse:
         phys: dict | None = None,
         order_by: list[str] | None = None,
         distribution: str = "none",
+        spec_id: int = 0,
     ) -> list[dict]:
         """Write a batch into a fresh commit dir; return file entries
         with per-file record counts and column min/max read from the
@@ -1147,7 +1204,12 @@ class Warehouse:
                 # manifest and defeat skip-count observability
                 os.remove(full)
                 continue
-            entries.append({"path": os.path.relpath(full, tdir), **m})
+            entry = {"path": os.path.relpath(full, tdir), **m}
+            if spec_id:
+                # partition evolution: files remember the spec that
+                # derived their partition value (spec 0 stays implicit)
+                entry["spec"] = spec_id
+            entries.append(entry)
         return entries
 
     def _write_delete_files(
@@ -1318,8 +1380,16 @@ class Warehouse:
         doc = self._manifest_doc(tdir, version, branch)
         entries = doc["files"]
         if partition_filter is not None:
+            # values are spelled in the CURRENT spec's transform; files
+            # written under an earlier spec can't be compared and are
+            # conservatively kept (min/max skipping still applies)
+            cur_spec = meta.get("partition_spec_id", 0)
             keep = {_part_key(p) for p in partition_filter}
-            entries = [e for e in entries if _part_key(e["partition"]) in keep]
+            entries = [
+                e for e in entries
+                if e.get("spec", 0) != cur_spec
+                or _part_key(e["partition"]) in keep
+            ]
         if predicates:
             # file stats/blooms are keyed by PHYSICAL column names;
             # translate the (logical) predicate columns via the
@@ -1378,6 +1448,203 @@ class Warehouse:
         if predicates:
             df = df.filter(self._predicate_column(predicates))
         return df
+
+    # -- incremental reads / row-level changelog (Iceberg incremental
+    # append scan + table_changes / Delta CDF analog): per-commit deltas
+    # planned from MANIFEST DIFFS alone, so cost scales with each
+    # commit's own footprint, never with table size --
+
+    def _resolve_range(
+        self, tdir: str, from_version, to_version, branch: str | None
+    ) -> tuple[int, int, list[int]]:
+        versions = self._versions(tdir, branch)
+        if isinstance(from_version, str):
+            from_version = self._resolve_ref(tdir, from_version)
+        if isinstance(to_version, str):
+            to_version = self._resolve_ref(tdir, to_version)
+        if to_version is None:
+            to_version = versions[-1]
+        if from_version > to_version:
+            raise ValueError(f"empty range ({from_version}, {to_version}]")
+        rng = list(range(from_version + 1, to_version + 1))
+        live = set(versions)
+        missing = [v for v in [from_version, *rng] if v not in live]
+        if missing:
+            raise ValueError(
+                f"snapshots {missing} in the range are unknown or expired; "
+                "incremental reads need every commit in the range live"
+            )
+        return from_version, to_version, rng
+
+    def _commit_diff(
+        self, tdir: str, v: int, branch: str | None = None
+    ) -> tuple[list[dict], list[dict], list[dict], str | None]:
+        """File-level delta of commit ``v`` against ``v - 1``:
+        ``(added_data_files, removed_data_files, new_delete_files, op)``.
+        Metadata-only -- two manifest reads and a path-set diff.
+        Dropped DANGLING delete entries are not a data change and are
+        ignored."""
+        cur = self._manifest_doc(tdir, v, branch)
+        prev = self._manifest_doc(tdir, v - 1, branch)
+        prev_paths = {e["path"] for e in prev["files"]}
+        cur_paths = {e["path"] for e in cur["files"]}
+        added = [e for e in cur["files"] if e["path"] not in prev_paths]
+        removed = [e for e in prev["files"] if e["path"] not in cur_paths]
+        prev_dels = {d["path"] for d in prev.get("deletes") or []}
+        new_dels = [
+            d for d in cur.get("deletes") or [] if d["path"] not in prev_dels
+        ]
+        return added, removed, new_dels, cur.get("op")
+
+    def read_incremental(
+        self,
+        ns: str,
+        table: str,
+        from_version: int | str,
+        to_version: int | str | None = None,
+        branch: str | None = None,
+        skip_replace: bool = True,
+    ) -> DataFrame:
+        """Rows APPENDED in ``(from_version, to_version]`` -- Iceberg's
+        incremental append scan (the backbone of stream-from-table):
+        unions exactly the data files each commit in the range added,
+        planned from manifest diffs (no content reads to decide).
+
+        Commits that remove data files or add equality-delete files
+        change existing rows and are not expressible as an append
+        stream -- they raise (use :meth:`changelog` for the
+        delete-aware delta). ``skip_replace`` (default): compaction /
+        Z-order commits (op="replace") rewrite bytes without changing
+        data; their files are skipped by commit stamp instead of
+        raising (Iceberg's streaming-skip-overwrite-snapshots)."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        _, to_version, rng = self._resolve_range(
+            tdir, from_version, to_version, branch
+        )
+        added_all: list[dict] = []
+        for v in rng:
+            added, removed, new_dels, op = self._commit_diff(tdir, v, branch)
+            if op == "replace":
+                if skip_replace:
+                    continue
+                raise ValueError(f"commit {v} is a replace (compaction)")
+            if removed or new_dels:
+                raise ValueError(
+                    f"commit {v} ({op or 'unknown op'}) deletes or rewrites "
+                    "rows; not an append -- use changelog() instead"
+                )
+            added_all += added
+        doc = self._manifest_doc(tdir, to_version, branch)
+        schema = StructType.fromJson(doc.get("schema", meta["schema"]))
+        return self._read_files(
+            tdir, added_all, schema, phys=self._snapshot_phys(doc, meta)
+        )
+
+    def changelog(
+        self,
+        ns: str,
+        table: str,
+        from_version: int | str,
+        to_version: int | str | None = None,
+        branch: str | None = None,
+        net: bool = True,
+    ) -> DataFrame:
+        """Row-level change stream for ``(from_version, to_version]``
+        (Iceberg ``table_changes`` / Delta Change Data Feed analog):
+        the table's columns plus ``_change_type`` ('insert'|'delete')
+        and ``_commit_version``. An UPDATE/MERGE appears as
+        delete(pre-image) + insert(post-image) at the same commit.
+
+        Per commit, the delta is computed over TOUCHED FILES ONLY:
+        manifest diff yields added vs removed data files; a new
+        equality-delete file (merge-on-read) resolves to its pre-image
+        rows by reading just the prior snapshot's files it can apply to
+        (sequence rule + key min/max/Bloom pruning, ghost-aware via the
+        deletes of v-1) and semi-joining the delete keys. ``net``
+        (default) cancels carried-over rows -- a file-level
+        copy-on-write rewrite re-materializes the untouched neighbors
+        of changed rows; ``exceptAll`` multiset difference nets them
+        out so only logical changes remain. op="replace" commits
+        (compaction, Z-order) are skipped by stamp: they change no
+        data, and diffing their content would cost a full rewrite-sized
+        shuffle for a guaranteed-empty result."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        key = meta.get("key")
+        _, to_version, rng = self._resolve_range(
+            tdir, from_version, to_version, branch
+        )
+        end_doc = self._manifest_doc(tdir, to_version, branch)
+        # all files are addressed by IMMUTABLE physical column names, so
+        # the range-end logical schema + mapping read every commit's
+        # files correctly (same contract as time travel)
+        schema = StructType.fromJson(end_doc.get("schema", meta["schema"]))
+        phys = self._snapshot_phys(end_doc, meta)
+        out: DataFrame | None = None
+        for v in rng:
+            added, removed, new_dels, op = self._commit_diff(tdir, v, branch)
+            if op == "replace" or not (added or removed or new_dels):
+                continue
+            prev_doc = self._manifest_doc(tdir, v - 1, branch)
+            prev_deletes = prev_doc.get("deletes")
+            ins = self._read_files(tdir, added, schema, phys=phys)
+            del_parts: list[DataFrame] = []
+            if removed:
+                # ghost-aware: rows already equality-deleted before this
+                # commit were not deleted BY it
+                del_parts.append(
+                    self._read_entries(
+                        tdir, removed, schema, phys, prev_deletes, key
+                    )
+                )
+            if new_dels:
+                if key is None:
+                    raise ValueError("equality deletes need a table key")
+                phys_key = (phys or {}).get(key, key)
+                removed_paths = {e["path"] for e in removed}
+                cands = [
+                    e
+                    for e in prev_doc["files"]
+                    if e["path"] not in removed_paths
+                    and any(_delete_applies(d, e, phys_key) for d in new_dels)
+                ]
+                if cands:
+                    pre = self._read_entries(
+                        tdir, cands, schema, phys, prev_deletes, key
+                    )
+                    kdf = self._read_delete_keys(
+                        tdir, new_dels, schema[key].dataType
+                    )
+                    if (
+                        sum(d.get("records", 0) for d in new_dels)
+                        <= self._DELETE_BROADCAST_RECORDS
+                    ):
+                        kdf = F.broadcast(kdf)
+                    del_parts.append(
+                        pre.join(
+                            kdf, F.col(key) == F.col("__delkey"), "left_semi"
+                        )
+                    )
+            dels = self.spark.createDataFrame([], schema)
+            for part in del_parts:
+                dels = dels.unionByName(part)
+            if net:
+                ins, dels = ins.exceptAll(dels), dels.exceptAll(ins)
+            changed = ins.withColumn(
+                "_change_type", F.lit("insert")
+            ).unionByName(dels.withColumn("_change_type", F.lit("delete")))
+            changed = changed.withColumn(
+                "_commit_version", F.lit(v).cast("int")
+            )
+            out = changed if out is None else out.unionByName(changed)
+        if out is None:
+            empty = StructType.fromJson(json.loads(schema.json()))
+            empty = empty.add("_change_type", "string").add(
+                "_commit_version", "integer"
+            )
+            return self.spark.createDataFrame([], empty)
+        return out
 
     @staticmethod
     def _predicate_column(predicates: list[tuple]) -> F.Column:
@@ -1737,7 +2004,7 @@ class Warehouse:
         untouched = [e for e in entries if e["path"] not in hit]
         self.last_merge_stats["rewritten_files"] = len(rewrite)
         touched = (
-            {_part_key(e["partition"]) for e in rewrite} if pcol else None
+            {_scope_key(e) for e in rewrite} if pcol else None
         )
         # deletes-aware: rewriting a file must not resurrect rows a
         # pending merge-on-read equality delete already removed
@@ -1783,7 +2050,7 @@ class Warehouse:
         return self._publish_rewrite(
             tdir, version, touched if pcol else None, rewrite, untouched,
             new_files, meta["schema"], phys=meta.get("physical"),
-            rebase_validate=validate_rebase, branch=branch,
+            rebase_validate=validate_rebase, branch=branch, op="merge",
         )
 
     def _merge_upsert_mor(
@@ -1819,6 +2086,7 @@ class Warehouse:
         return self._publish_append(
             tdir, version, data_files, meta["schema"],
             phys=meta.get("physical"), new_deletes=del_files, branch=branch,
+            op="merge",
         )
 
     def _touched_by_predicate(
@@ -1978,11 +2246,12 @@ class Warehouse:
         new_files = self._write_table_files(tdir, kept, meta)
         v = self._publish_rewrite(
             tdir, version,
-            {_part_key(e["partition"]) for e in rewrite} if meta["partition_by"] else None,
+            {_scope_key(e) for e in rewrite} if meta["partition_by"] else None,
             rewrite, untouched, new_files, meta["schema"], phys=meta.get("physical"),
             rebase_validate=self._predicate_rebase_validator(
                 tdir, schema, meta.get("physical") or {}, predicate, predicates
             ),
+            op="delete",
         )
         return {"version": v, "deleted_rows": n_match, **stats}
 
@@ -2068,6 +2337,7 @@ class Warehouse:
         v = self._publish_append(
             tdir, version, [], meta["schema"], phys=meta.get("physical"),
             new_deletes=del_files, rebase_validate=validate_rebase,
+            op="delete",
         )
         return {
             "version": v, "deleted_rows": deleted,
@@ -2119,11 +2389,12 @@ class Warehouse:
         new_files = self._write_table_files(tdir, updated, meta)
         v = self._publish_rewrite(
             tdir, version,
-            {_part_key(e["partition"]) for e in rewrite} if meta["partition_by"] else None,
+            {_scope_key(e) for e in rewrite} if meta["partition_by"] else None,
             rewrite, untouched, new_files, meta["schema"], phys=meta.get("physical"),
             rebase_validate=self._predicate_rebase_validator(
                 tdir, schema, meta.get("physical") or {}, predicate, predicates
             ),
+            op="update",
         )
         return {"version": v, "updated_rows": n_updated, **stats}
 
@@ -2445,9 +2716,9 @@ class Warehouse:
         live_dels = _live_deletes(doc.get("deletes"), entries)
         key_col = meta.get("key")
         phys_compact_key = (meta.get("physical") or {}).get(key_col, key_col)
-        by_part: dict[str | None, list[dict]] = {}
+        by_part: dict[tuple, list[dict]] = {}
         for e in entries:
-            by_part.setdefault(e["partition"], []).append(e)
+            by_part.setdefault(_scope_key(e), []).append(e)
         keep, rewrite = [], []
         for part, es in by_part.items():
             # a partition holding files with pending merge-on-read
@@ -2507,11 +2778,13 @@ class Warehouse:
         new_files = self._write_files(
             tdir, df, meta["partition_by"], bloom_col=meta.get("key"),
             phys=meta.get("physical"),
+            spec_id=meta.get("partition_spec_id", 0),
         )
         return self._publish_rewrite(
             tdir, version,
-            {_part_key(e["partition"]) for e in rewrite} if meta["partition_by"] else None,
+            {_scope_key(e) for e in rewrite} if meta["partition_by"] else None,
             rewrite, keep, new_files, meta["schema"], phys=meta.get("physical"),
+            op="replace",
         )
 
     # -- named refs (Iceberg tags: a ref pins a snapshot by name; time
@@ -2671,6 +2944,7 @@ class Warehouse:
             self._publish(
                 tdir, v, doc["files"], schema=doc.get("schema"),
                 phys=doc.get("physical"), deletes=doc.get("deletes"),
+                op=doc.get("op"),
             )
         new_tip = self._versions(tdir)[-1]
         self.drop_branch(ns, table, name)
@@ -2847,6 +3121,7 @@ class Warehouse:
         self._publish(
             tdir, new_version, doc["files"], schema=doc.get("schema"),
             phys=doc.get("physical"), deletes=doc.get("deletes"),
+            op="rollback",
         )
         return new_version
 
@@ -2883,7 +3158,7 @@ class Warehouse:
                     len(files),
                     sum(e.get("records", 0) for e in files),
                     sum(e.get("bytes", 0) for e in files),
-                    len({_part_key(e["partition"]) for e in files}),
+                    len({_scope_key(e) for e in files}),
                 )
             )
         return self.spark.createDataFrame(
@@ -2985,8 +3260,13 @@ class Warehouse:
         doc = self._manifest_doc(tdir, v, branch)
         entries = doc["files"]
         if partition_filter is not None:
+            cur_spec = self.table_meta(ns, table).get("partition_spec_id", 0)
             keep = {_part_key(p) for p in partition_filter}
-            entries = [e for e in entries if _part_key(e["partition"]) in keep]
+            entries = [
+                e for e in entries
+                if e.get("spec", 0) != cur_spec
+                or _part_key(e["partition"]) in keep
+            ]
         if _live_deletes(doc.get("deletes"), entries):
             # merge-on-read ghosts: the manifest alone can't know how
             # many delete keys actually hit; count through the deletes-

@@ -1,0 +1,265 @@
+"""Commit-granular incremental reads + changelog (Iceberg incremental
+append scan / table_changes analog) and the Structured-Streaming source
+over warehouse tables (sources/streamsource.py)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
+
+S = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("day", StringType()),
+        StructField("v", LongType()),
+    ]
+)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, S)
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    w = Warehouse(spark, str(tmp_path))
+    w.create_namespace("ns")
+    w.create_table("ns", "t", S, key="id", partition_by="day")
+    return w
+
+
+def _changes(df):
+    return {
+        (r.id, r.v, r._change_type, r._commit_version) for r in df.collect()
+    }
+
+
+def test_commit_ops_are_stamped(wh, spark):
+    wh.insert("ns", "t", _rows(spark, [("k1", "d0", 1)]))
+    wh.update_where("ns", "t", {"v": F.lit(9)}, F.col("id") == "k1")
+    wh.delete_where("ns", "t", F.col("id") == "k1")
+    wh.insert("ns", "t", _rows(spark, [("k2", "d0", 2), ("k3", "d0", 3)]))
+    wh.compact("ns", "t", min_files_per_partition=1)
+    tdir = wh._table_dir("ns", "t")
+    ops = [wh._manifest_doc(tdir, v).get("op") for v in wh._versions(tdir)]
+    assert ops == ["create", "append", "update", "delete", "append", "replace"]
+
+
+def test_read_incremental_appends_only(wh, spark):
+    v1 = wh.insert("ns", "t", _rows(spark, [(f"k{i}", "d0", i) for i in range(4)]))
+    v2 = wh.insert("ns", "t", _rows(spark, [("k4", "d1", 4), ("k5", "d1", 5)]))
+    v3 = wh.insert("ns", "t", _rows(spark, [("k6", "d0", 6)]))
+    got = {r.id for r in wh.read_incremental("ns", "t", v1, v3).collect()}
+    assert got == {"k4", "k5", "k6"}
+    assert wh.read_incremental("ns", "t", 0, v1).count() == 4
+    # a replace commit inside the range is skipped by stamp
+    wh.compact("ns", "t", min_files_per_partition=1)
+    v4 = wh.current_version("ns", "t")
+    assert wh.read_incremental("ns", "t", v3, v4).count() == 0
+    assert {r.id for r in wh.read_incremental("ns", "t", v2, v4).collect()} == {"k6"}
+    with pytest.raises(ValueError, match="replace"):
+        wh.read_incremental("ns", "t", v3, v4, skip_replace=False)
+
+
+def test_read_incremental_raises_on_row_level_dml(wh, spark):
+    v1 = wh.insert("ns", "t", _rows(spark, [(f"k{i}", "d0", i) for i in range(4)]))
+    wh.delete_where("ns", "t", F.col("id") == "k1")
+    v2 = wh.current_version("ns", "t")
+    with pytest.raises(ValueError, match="changelog"):
+        wh.read_incremental("ns", "t", v1, v2)
+    # merge-on-read commits add equality deletes -> also not appendable
+    wh.merge_upsert(
+        "ns", "t", _rows(spark, [("k2", "d0", 99)]), strategy="mor"
+    )
+    with pytest.raises(ValueError, match="changelog"):
+        wh.read_incremental("ns", "t", v2)
+
+
+def test_read_incremental_expired_range_raises(wh, spark):
+    wh.insert("ns", "t", _rows(spark, [("k1", "d0", 1)]))
+    wh.insert("ns", "t", _rows(spark, [("k2", "d0", 2)]))
+    v3 = wh.insert("ns", "t", _rows(spark, [("k3", "d0", 3)]))
+    wh.expire_snapshots("ns", "t", keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        wh.read_incremental("ns", "t", 1, v3)
+
+
+def test_changelog_cow_update_nets_carried_rows(wh, spark):
+    wh.insert(
+        "ns", "t",
+        _rows(spark, [(f"k{i}", "d0", i) for i in range(6)]).coalesce(1),
+    )
+    r = wh.update_where("ns", "t", {"v": F.col("v") + 100}, F.col("id") == "k3")
+    v = r["version"]
+    got = _changes(wh.changelog("ns", "t", v - 1, v))
+    # one file rewritten, but only k3 is a logical change
+    assert got == {("k3", 3, "delete", v), ("k3", 103, "insert", v)}
+
+
+def test_changelog_mor_merge_preimages(wh, spark):
+    v1 = wh.insert(
+        "ns", "t", _rows(spark, [("k1", "d0", 1), ("k2", "d1", 2)]).coalesce(1)
+    )
+    src = _rows(spark, [("k1", "d0", 10), ("k9", "d0", 90), ("k2", "d1", 2)])
+    src = src.withColumn("_del", F.col("id") == "k2")
+    v2 = wh.merge_upsert("ns", "t", src, delete_col="_del", strategy="mor")
+    got = _changes(wh.changelog("ns", "t", v1, v2))
+    assert got == {
+        ("k1", 1, "delete", v2),   # pre-image of the upsert
+        ("k1", 10, "insert", v2),  # post-image
+        ("k9", 90, "insert", v2),  # pure insert
+        ("k2", 2, "delete", v2),   # equality delete
+    }
+
+
+def test_changelog_is_ghost_aware(wh, spark):
+    """Rows already equality-deleted must not be re-reported as deleted
+    when a later CoW rewrite removes the file that still carries them."""
+    wh.insert(
+        "ns", "t",
+        _rows(spark, [("k1", "d0", 1), ("k2", "d0", 2), ("k3", "d0", 3)]).coalesce(1),
+    )
+    wh.delete_where("ns", "t", F.col("id") == "k2", strategy="mor")
+    r = wh.delete_where("ns", "t", F.col("id") == "k3")  # CoW rewrite
+    v = r["version"]
+    got = _changes(wh.changelog("ns", "t", v - 1, v))
+    assert got == {("k3", 3, "delete", v)}  # k2 was already gone
+
+
+def test_changelog_skips_replace_and_schema_commits(wh, spark):
+    wh.insert("ns", "t", _rows(spark, [("k1", "d0", 1), ("k2", "d1", 2)]))
+    v1 = wh.current_version("ns", "t")
+    wh.add_column("ns", "t", StructField("extra", LongType()))
+    wh.compact("ns", "t", min_files_per_partition=1)
+    v3 = wh.current_version("ns", "t")
+    assert v3 == v1 + 2
+    assert wh.changelog("ns", "t", v1, v3).count() == 0
+
+
+def test_changelog_rollback_surfaces_restored_rows(wh, spark):
+    v1 = wh.insert("ns", "t", _rows(spark, [("k1", "d0", 1), ("k2", "d0", 2)]))
+    wh.delete_where("ns", "t", F.col("id") == "k2")
+    v3 = wh.rollback_to("ns", "t", v1)
+    got = _changes(wh.changelog("ns", "t", v3 - 1, v3))
+    assert got == {("k2", 2, "insert", v3)}
+
+
+def test_changelog_empty_range_schema(wh, spark):
+    v1 = wh.insert("ns", "t", _rows(spark, [("k1", "d0", 1)]))
+    wh.compact("ns", "t", min_files_per_partition=1)
+    df = wh.changelog("ns", "t", v1)
+    assert df.count() == 0
+    assert df.columns == ["id", "day", "v", "_change_type", "_commit_version"]
+
+
+def test_changelog_net_false_reports_file_level_rows(wh, spark):
+    wh.insert(
+        "ns", "t",
+        _rows(spark, [("k1", "d0", 1), ("k2", "d0", 2)]).coalesce(1),
+    )
+    r = wh.update_where("ns", "t", {"v": F.lit(99)}, F.col("id") == "k1")
+    v = r["version"]
+    raw = _changes(wh.changelog("ns", "t", v - 1, v, net=False))
+    # carried-over k2 appears on both sides without netting
+    assert ("k2", 2, "delete", v) in raw and ("k2", 2, "insert", v) in raw
+
+
+# -- streaming source --
+
+
+def _drain(spark, stream, ckpt, out):
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.exception() is not None:
+        raise RuntimeError(str(q.exception()))
+
+
+@pytest.fixture()
+def registered(spark):
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.streamsource import (
+        WarehouseAppendsDataSource,
+    )
+
+    spark.dataSource.register(WarehouseAppendsDataSource)
+    return spark
+
+
+def _stream(spark, root, **opts):
+    r = (
+        spark.readStream.format("warehouse_appends")
+        .option("root", root)
+        .option("ns", "ns")
+        .option("table", "t")
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_stream_appends_exactly_once_across_restarts(registered, wh, spark):
+    root = wh.root
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp() + "/out"
+    wh.insert("ns", "t", _rows(spark, [(f"k{i}", "d0", i) for i in range(3)]))
+    stream = _stream(spark, root)
+    _drain(spark, stream, ckpt, out)
+    assert {r.id for r in spark.read.parquet(out).collect()} == {"k0", "k1", "k2"}
+    # new append + compaction; restart resumes from the checkpoint and
+    # sees ONLY the new rows (replace commit invisible)
+    wh.insert("ns", "t", _rows(spark, [("k3", "d1", 3)]))
+    wh.compact("ns", "t", min_files_per_partition=1)
+    _drain(spark, stream, ckpt, out)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == ["k0", "k1", "k2", "k3"]
+
+
+def test_stream_raises_on_row_level_dml(registered, wh, spark):
+    root = wh.root
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp() + "/out"
+    wh.insert("ns", "t", _rows(spark, [("k1", "d0", 1), ("k2", "d0", 2)]))
+    stream = _stream(spark, root)
+    _drain(spark, stream, ckpt, out)
+    wh.delete_where("ns", "t", F.col("id") == "k1")
+    # surfaces either as q.exception() (-> RuntimeError) or directly as
+    # a StreamingQueryException from awaitTermination
+    with pytest.raises(Exception, match="(?i)delete"):
+        _drain(spark, stream, ckpt, out)
+    # on_delete=skip streams past the non-append snapshot
+    skipper = _stream(spark, root, on_delete="skip")
+    ckpt2, out2 = tempfile.mkdtemp(), tempfile.mkdtemp() + "/out"
+    _drain(spark, skipper, ckpt2, out2)
+    wh.insert("ns", "t", _rows(spark, [("k9", "d0", 9)]))
+    _drain(spark, skipper, ckpt2, out2)
+    got = sorted(r.id for r in spark.read.parquet(out2).collect())
+    assert got == ["k1", "k2", "k9"]  # initial snapshot + later append
+
+
+def test_stream_from_version_and_column_mapping(registered, wh, spark):
+    root = wh.root
+    v1 = wh.insert("ns", "t", _rows(spark, [("k1", "d0", 1)]))
+    wh.rename_column("ns", "t", "v", "val")
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("k2", "d1", 2)], "id string, day string, val long"),
+    )
+    stream = _stream(spark, root, from_version=str(v1))
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp() + "/out"
+    _drain(spark, stream, ckpt, out)
+    rows = spark.read.parquet(out)
+    assert rows.columns == ["id", "day", "val"]
+    assert [(r.id, r.val) for r in rows.collect()] == [("k2", 2)]
