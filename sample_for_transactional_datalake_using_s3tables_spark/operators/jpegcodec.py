@@ -1,4 +1,4 @@
-"""Baseline JPEG codec (grayscale), stdlib + numpy only.
+"""Baseline JPEG codec (grayscale AND color), stdlib + numpy only.
 
 Real DCT-domain JPEG: 8x8 blocks, level shift, orthonormal 2-D DCT,
 quantization, zigzag, DC difference coding, AC run-length coding, and
@@ -7,10 +7,16 @@ THE ENCODER and written into DHT segments (the JPEG standard carries
 tables in-stream; nothing requires the spec's example tables), so the
 decoder exercises the real DHT -> canonical-code construction path.
 
-Scope: baseline sequential (SOF0), single grayscale component, 8-bit,
-no restart markers. Color JPEG (chroma subsampling + YCbCr) remains the
-PIL deployment seam -- this module is the proof that the entropy/DCT
-machinery itself is real.
+Color: JFIF YCbCr with separate luma/chroma quant + Huffman tables,
+4:2:0 chroma subsampling (2x2-averaged at encode, replicated at
+decode) or 4:4:4, interleaved MCU scan with per-component DC
+prediction. The decoder handles arbitrary integer sampling factors
+whose max is a multiple of each component's (covers 4:4:4, 4:2:2,
+4:2:0).
+
+Scope: baseline sequential (SOF0), 8-bit, no restart markers.
+Progressive (SOF2) and arithmetic-coded JPEG remain the PIL deployment
+seam.
 
 Reference behavior it re-expresses: the reference pipeline treats media
 as opaque S3 objects; decoding is the analytics-side capability a
@@ -126,45 +132,18 @@ def encode_jpeg_gray(px: np.ndarray, quant: np.ndarray = _Q_FLAT) -> bytes:
 
     # entropy-code symbols first (two passes: collect symbols, build
     # canonical tables, then emit)
-    dc_syms, ac_syms = [], []
+    dc_syms: list = []
+    ac_syms: list = []
+    tokens: list = []
     prev_dc = 0
-    tokens = []  # (kind, symbol, extra_bits, extra_len)
     for zz in blocks:
-        diff = int(zz[0]) - prev_dc
-        prev_dc = int(zz[0])
-        s, bitsv = _encode_magnitude(diff)
-        dc_syms.append(s)
-        tokens.append(("dc", s, bitsv, s))
-        run = 0
-        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-        for i in range(1, 64):
-            v = int(zz[i])
-            if i > last_nz:
-                ac_syms.append(0x00)  # EOB
-                tokens.append(("ac", 0x00, 0, 0))
-                break
-            if v == 0:
-                run += 1
-                if run == 16:
-                    ac_syms.append(0xF0)  # ZRL
-                    tokens.append(("ac", 0xF0, 0, 0))
-                    run = 0
-                continue
-            s, bitsv = _encode_magnitude(v)
-            sym = (run << 4) | s
-            ac_syms.append(sym)
-            tokens.append(("ac", sym, bitsv, s))
-            run = 0
-        else:
-            if last_nz == 63 and int(zz[63]) == 0:
-                ac_syms.append(0x00)
-                tokens.append(("ac", 0x00, 0, 0))
+        prev_dc = _tokenize_block(zz, prev_dc, 0, dc_syms, ac_syms, tokens)
 
     dc_bits, dc_vals, dc_codes = _canonical_table(dc_syms)
     ac_bits, ac_vals, ac_codes = _canonical_table(ac_syms)
 
     bw = _BitWriter()
-    for kind, sym, extra, elen in tokens:
+    for _tcls, kind, sym, extra, elen in tokens:
         code, length = (dc_codes if kind == "dc" else ac_codes)[sym]
         bw.write(code, length)
         if elen:
@@ -183,6 +162,159 @@ def encode_jpeg_gray(px: np.ndarray, quant: np.ndarray = _Q_FLAT) -> bytes:
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
     out += bytes(bw.out)
     out += b"\xff\xd9"  # EOI
+    return out
+
+
+# -- color (JFIF YCbCr) --
+
+# BT.601 full-range coefficients, the JFIF standard matrix
+def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _quantize_block(plane: np.ndarray, y0: int, x0: int, quant) -> np.ndarray:
+    coef = _C @ (plane[y0:y0 + 8, x0:x0 + 8] - 128.0) @ _C.T
+    return np.round(coef / quant).astype(np.int64).reshape(-1)[_ZIGZAG]
+
+
+def _tokenize_block(
+    zz: np.ndarray, prev_dc: int, tcls: int,
+    dc_syms: list, ac_syms: list, tokens: list,
+) -> int:
+    """Append one block's DC-diff + AC run-length tokens; ``tcls``
+    selects the (luma=0 / chroma=1) table pair the emitter will use.
+    Returns the block's DC for the component's next prediction."""
+    diff = int(zz[0]) - prev_dc
+    s, bitsv = _encode_magnitude(diff)
+    dc_syms.append(s)
+    tokens.append((tcls, "dc", s, bitsv, s))
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, 64):
+        v = int(zz[i])
+        if i > last_nz:
+            ac_syms.append(0x00)
+            tokens.append((tcls, "ac", 0x00, 0, 0))
+            break
+        if v == 0:
+            run += 1
+            if run == 16:
+                ac_syms.append(0xF0)
+                tokens.append((tcls, "ac", 0xF0, 0, 0))
+                run = 0
+            continue
+        s, bitsv = _encode_magnitude(v)
+        sym = (run << 4) | s
+        ac_syms.append(sym)
+        tokens.append((tcls, "ac", sym, bitsv, s))
+        run = 0
+    return int(zz[0])
+
+
+def encode_jpeg_color(
+    px: np.ndarray,
+    quant_y: np.ndarray = _Q_FLAT,
+    quant_c: np.ndarray = _Q_FLAT,
+    subsample: bool = True,
+) -> bytes:
+    """Baseline color JPEG for an (h, w, 3) uint8 RGB array: JFIF YCbCr,
+    4:2:0 chroma subsampling (2x2 average) by default or 4:4:4 with
+    ``subsample=False``, separate luma/chroma quant + Huffman tables,
+    interleaved MCU scan. Dimensions must be multiples of 16 (4:2:0) or
+    8 (4:4:4) -- no edge replication, keeping the codec exact and
+    small."""
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg_color needs an (h, w, 3) array")
+    h, w = px.shape[:2]
+    mcu = 16 if subsample else 8
+    if h % mcu or w % mcu:
+        raise ValueError(f"encode_jpeg_color needs multiple-of-{mcu} dims")
+    y, cb, cr = _rgb_to_ycbcr(px.astype(np.float64))
+    if subsample:
+        cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        samp = ((2, 2), (1, 1), (1, 1))
+    else:
+        samp = ((1, 1), (1, 1), (1, 1))
+    planes = (y, cb, cr)
+    quants = (quant_y, quant_c, quant_c)
+    tcls_of = (0, 1, 1)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
+    dc_syms: dict[int, list] = {0: [], 1: []}
+    ac_syms: dict[int, list] = {0: [], 1: []}
+    tokens: list = []
+    prev_dc = [0, 0, 0]
+    for m in range(mcuy * mcux):
+        my, mx = divmod(m, mcux)
+        for ci in range(3):
+            hi, vi = samp[ci]
+            tcls = tcls_of[ci]
+            for vy in range(vi):
+                for vx in range(hi):
+                    zz = _quantize_block(
+                        planes[ci],
+                        (my * vi + vy) * 8,
+                        (mx * hi + vx) * 8,
+                        quants[ci],
+                    )
+                    prev_dc[ci] = _tokenize_block(
+                        zz, prev_dc[ci], tcls,
+                        dc_syms[tcls], ac_syms[tcls], tokens,
+                    )
+    tables = {}
+    dht = b""
+    for tcls in (0, 1):
+        db, dv, dcodes = _canonical_table(dc_syms[tcls])
+        ab, av, acodes = _canonical_table(ac_syms[tcls])
+        tables[(tcls, "dc")] = dcodes
+        tables[(tcls, "ac")] = acodes
+        dht += struct.pack(
+            ">HH", 0xFFC4, 2 + 17 + len(dv)
+        ) + bytes([tcls]) + bytes(db) + bytes(dv)
+        dht += struct.pack(
+            ">HH", 0xFFC4, 2 + 17 + len(av)
+        ) + bytes([0x10 | tcls]) + bytes(ab) + bytes(av)
+    bw = _BitWriter()
+    for tcls, kind, sym, extra, elen in tokens:
+        code, length = tables[(tcls, kind)][sym]
+        bw.write(code, length)
+        if elen:
+            bw.write(extra, elen)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zq_y = quant_y.reshape(-1)[_ZIGZAG].astype(np.uint8)
+    zq_c = quant_c.reshape(-1)[_ZIGZAG].astype(np.uint8)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci, cid in enumerate((1, 2, 3)):
+        hi, vi = samp[ci]
+        sof += bytes([cid, (hi << 4) | vi, 0 if ci == 0 else 1])
+    sos = b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    out = b"\xff\xd8"
+    out += seg(0xFFDB, b"\x00" + zq_y.tobytes())
+    out += seg(0xFFDB, b"\x01" + zq_c.tobytes())
+    out += seg(0xFFC0, sof)
+    out += dht
+    out += seg(0xFFDA, sos)
+    out += bytes(bw.out)
+    out += b"\xff\xd9"
     return out
 
 
@@ -235,15 +367,45 @@ def _read_symbol(br: _BitReader, table: dict) -> int:
     raise ValueError("bad Huffman code")
 
 
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JPEG to an (h, w) uint8 array."""
+def _decode_block(br: _BitReader, dct: dict, act: dict, prev_dc: int, q) -> tuple[np.ndarray, int]:
+    """One 8x8 block: Huffman-decode, dequantize, IDCT, level-unshift."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = _read_symbol(br, dct)
+    prev_dc += _extend(br.read(s), s) if s else 0
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_symbol(br, act)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if sym == 0xF0:
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(br.read(size), size)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_ZIGZAG] = zz
+    return _C.T @ (coef.reshape(8, 8) * q) @ _C + 128.0, prev_dc
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG: grayscale -> (h, w) uint8; color (JFIF
+    YCbCr, any integer sampling whose max divides by each component's,
+    e.g. 4:4:4 / 4:2:2 / 4:2:0) -> (h, w, 3) uint8 RGB. Chroma
+    upsampling is nearest-neighbor replication -- the standard fast
+    path, and the exact inverse of the encoder's 2x2 average on
+    constant regions (what keeps flat colors bit-exact end-to-end)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
-    quant = {}
-    huff = {}
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
     h = w = None
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, Hi, Vi, Tq)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -277,53 +439,78 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 i += 17 + n
         elif marker == 0xC0:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or nc != 1:
+            if prec != 8 or nc not in (1, 3):
                 raise NotImplementedError(
-                    "only 8-bit single-component (grayscale) baseline JPEG "
-                    "supported without PIL"
+                    "only 8-bit grayscale or 3-component (YCbCr) baseline "
+                    "JPEG supported without PIL"
                 )
-            # component spec starts after prec/h/w/nc (6 bytes):
-            # id, sampling (HiVi nibbles), quant-table id
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled JPEG needs PIL (seam)")
-            comp_q = body[8]
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci: 9 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-            raise NotImplementedError("only baseline SOF0 JPEG supported")
+            raise NotImplementedError(
+                "only baseline SOF0 JPEG supported (progressive needs PIL)"
+            )
         elif marker == 0xDA:
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            if h is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError("multi-scan JPEG needs PIL (seam)")
+            scan_tables = {}
+            for si in range(ns):
+                cid, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                scan_tables[cid] = (tdta >> 4, tdta & 0x0F)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _cid, hi, vi, _tq in comps:
+                if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+                    raise NotImplementedError(
+                        f"fractional sampling {hi}x{vi} vs max "
+                        f"{hmax}x{vmax} needs PIL"
+                    )
             scan = payload[pos:]
             end = scan.rfind(b"\xff\xd9")
             br = _BitReader(scan[:end if end >= 0 else len(scan)])
-            if h is None:
-                raise ValueError("SOS before SOF")
-            q = quant[comp_q]
-            dct, act = huff[(0, comp_dc)], huff[(1, comp_ac)]
-            by, bx = (h + 7) // 8, (w + 7) // 8
-            out = np.zeros((by * 8, bx * 8), dtype=np.float64)
-            prev_dc = 0
-            for b in range(by * bx):
-                zz = np.zeros(64, dtype=np.int64)
-                s = _read_symbol(br, dct)
-                prev_dc += _extend(br.read(s), s) if s else 0
-                zz[0] = prev_dc
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(br, act)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if sym == 0xF0:
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(br.read(size), size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[_ZIGZAG] = zz
-                block = _C.T @ (coef.reshape(8, 8) * q) @ _C + 128.0
-                r, c = divmod(b, bx)
-                out[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = block
-            return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            planes = [
+                np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.float64)
+                for _cid, hi, vi, _tq in comps
+            ]
+            prev_dc = [0] * len(comps)
+            for m in range(mcuy * mcux):
+                my, mx = divmod(m, mcux)
+                for ci, (cid, hi, vi, tq) in enumerate(comps):
+                    dc_id, ac_id = scan_tables[cid]
+                    dct, act = huff[(0, dc_id)], huff[(1, ac_id)]
+                    for vy in range(vi):
+                        for vx in range(hi):
+                            block, prev_dc[ci] = _decode_block(
+                                br, dct, act, prev_dc[ci], quant[tq]
+                            )
+                            r = (my * vi + vy) * 8
+                            c = (mx * hi + vx) * 8
+                            planes[ci][r:r + 8, c:c + 8] = block
+            full = []
+            for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+                p = planes[ci]
+                if vi != vmax or hi != hmax:
+                    p = np.repeat(
+                        np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+                    )
+                full.append(p[:h, :w])
+            if len(full) == 1:
+                return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+            return _ycbcr_to_rgb(*full)
     raise ValueError("JPEG has no scan")
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Decode a baseline grayscale JPEG to an (h, w) uint8 array
+    (compat wrapper over the general :func:`decode_jpeg`)."""
+    out = decode_jpeg(payload)
+    if out.ndim != 2:
+        raise ValueError("decode_jpeg_gray got a color JPEG")
+    return out

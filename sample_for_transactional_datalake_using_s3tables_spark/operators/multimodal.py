@@ -40,51 +40,38 @@ AUDIO_FEATURE_SCHEMA = "doc_id long, byte_len int, duration_ms long, pseudo_rms 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def _decode_png(payload: bytes):
-    """REAL PNG decoding with the stdlib only: chunk walk, zlib
-    inflate, and full scanline de-filtering (None/Sub/Up/Average/
-    Paeth per the PNG spec). Supports the dominant shapes -- 8-bit
-    depth, greyscale / RGB / RGBA, non-interlaced. Sub/None/Up rows
-    de-filter vectorized (cumsum over per-channel pixel groups /
-    whole-row adds); Average and Paeth carry an in-row sequential
-    dependency and fall back to a per-pixel loop for those rows only."""
-    import struct
-    import zlib
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec section 8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
+
+def _png_defilter(raw: bytes, offset: int, h: int, w: int, ch: int):
+    """De-filter one filtered image (the whole picture, or one Adam7
+    pass): returns the ((h, w*ch) uint8 array, bytes consumed).
+    None/Sub/Up rows de-filter vectorized (cumsum over per-channel
+    pixel groups / whole-row adds); Average and Paeth carry an in-row
+    sequential dependency and fall back to a per-pixel loop for those
+    rows only."""
     import numpy as np
 
-    pos, idat = len(_PNG_MAGIC), []
-    w = h = depth = ctype = interlace = None
-    while pos + 8 <= len(payload):
-        (ln,), typ = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
-        data = payload[pos + 8: pos + 8 + ln]
-        pos += 12 + ln  # length + type + data + crc
-        if typ == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
-        raise NotImplementedError(
-            f"PNG depth={depth} color={ctype} interlace={interlace}: only "
-            "8-bit grey/RGB/RGBA non-interlaced supported without PIL"
-        )
-    ch = {0: 1, 2: 3, 6: 4}[ctype]
-    raw = zlib.decompress(b"".join(idat))
     stride = w * ch
-    if len(raw) < h * (stride + 1):
+    need = h * (stride + 1)
+    if len(raw) - offset < need:
         raise ValueError("truncated PNG pixel data")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     for r in range(h):
-        ftype = raw[r * (stride + 1)]
+        base = offset + r * (stride + 1)
+        ftype = raw[base]
         row = np.frombuffer(
-            raw, np.uint8, count=stride, offset=r * (stride + 1) + 1
+            raw, np.uint8, count=stride, offset=base + 1
         ).astype(np.int64)
         if ftype == 0:
             rec = row
@@ -109,7 +96,58 @@ def _decode_png(payload: bytes):
             raise ValueError(f"bad PNG filter type {ftype}")
         out[r] = rec
         prev = rec.astype(np.int64)
-    px = out.reshape(h, w, ch)
+    return out, need
+
+
+def _decode_png(payload: bytes):
+    """REAL PNG decoding with the stdlib only: chunk walk, zlib
+    inflate, and full scanline de-filtering (None/Sub/Up/Average/
+    Paeth per the PNG spec). Supports 8-bit depth, greyscale / RGB /
+    RGBA, both non-interlaced and Adam7-INTERLACED images (each of the
+    seven passes is its own filtered sub-image, de-filtered against
+    its own rows and scattered into the canvas on the pass grid)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, idat = len(_PNG_MAGIC), []
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        (ln,), typ = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        data = payload[pos + 8: pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or ctype not in (0, 2, 6) or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"PNG depth={depth} color={ctype} interlace={interlace}: only "
+            "8-bit grey/RGB/RGBA supported without PIL"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        out, _ = _png_defilter(raw, 0, h, w, ch)
+        px = out.reshape(h, w, ch)
+    else:
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, used = _png_defilter(raw, offset, ph, pw, ch)
+            offset += used
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
     if ch == 1:
         return np.repeat(px, 3, axis=2)
     return px[..., :3].copy()  # drop alpha for the (h, w, 3) contract
@@ -122,17 +160,20 @@ def decode_image(payload: bytes):
     PPM ``P6`` (header + raw RGB), uncompressed 24-bit BMP (BGR rows,
     bottom-up, 4-byte-aligned), 8-bit grey/RGB/RGBA non-interlaced PNG
     (stdlib zlib inflate + full scanline de-filtering), and baseline
-    grayscale JPEG (real Huffman + IDCT via ``jpegcodec``).
-    Color/subsampled JPEG needs PIL -- that seam raises."""
+    JPEG -- grayscale AND color (JFIF YCbCr, 4:4:4/4:2:2/4:2:0) via the
+    real Huffman + dequant + IDCT in ``jpegcodec``. Progressive JPEG
+    needs PIL -- that seam raises."""
     import numpy as np
 
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        from .jpegcodec import decode_jpeg_gray
+        from .jpegcodec import decode_jpeg
 
-        grey = decode_jpeg_gray(payload)  # color JPEG raises (PIL seam)
-        return np.repeat(grey[..., None], 3, axis=2)
+        px = decode_jpeg(payload)  # progressive JPEG raises (PIL seam)
+        if px.ndim == 2:
+            return np.repeat(px[..., None], 3, axis=2)
+        return px
     if payload[:2] == b"P6":
         import re as _re
 
@@ -825,22 +866,35 @@ JPEG_SCHEMA = "doc_id long, width int, height int, mean_pixel double"
 
 
 def _synthesize_jpeg_batches(batches: Iterator) -> Iterator:
-    """Genuine baseline grayscale JPEGs (real DCT + quantization +
-    canonical Huffman), constant EVEN sample value ``(doc_id %% 120)*2
-    + 8`` so the lossy pipeline is exactly invertible (the DC
-    coefficient of a constant block divides the flat quant step) and
-    the oracle can recompute the decoded mean analytically."""
+    """Genuine baseline JPEGs (real DCT + quantization + canonical
+    Huffman), constant EVEN sample value ``(doc_id %% 120)*2 + 8`` so
+    the lossy pipeline is exactly invertible (the DC coefficient of a
+    constant block divides the flat quant step) and the oracle can
+    recompute the decoded mean analytically. Every THIRD payload is a
+    COLOR JPEG (JFIF YCbCr, 4:2:0 chroma subsampling, 16-multiple
+    dims) of the same constant gray -- the YCbCr transform is identity
+    on R=G=B, so the color path is bit-exact too and the SAME oracle
+    certifies it."""
     import numpy as np
     import pandas as pd
 
-    from .jpegcodec import encode_jpeg_gray
+    from .jpegcodec import encode_jpeg_color, encode_jpeg_gray
 
     for pdf in batches:
         jpegs = []
         for d in pdf["doc_id"]:
             d = int(d)
-            w, h, v = (d % 4 + 1) * 8, (d % 3 + 1) * 8, (d % 120) * 2 + 8
-            jpegs.append(encode_jpeg_gray(np.full((h, w), v, dtype=np.uint8)))
+            v = (d % 120) * 2 + 8
+            if d % 3 == 0:
+                w, h = (d % 2 + 1) * 16, (d % 3 + 1) * 16
+                jpegs.append(
+                    encode_jpeg_color(np.full((h, w, 3), v, dtype=np.uint8))
+                )
+            else:
+                w, h = (d % 4 + 1) * 8, (d % 3 + 1) * 8
+                jpegs.append(
+                    encode_jpeg_gray(np.full((h, w), v, dtype=np.uint8))
+                )
         yield pd.DataFrame(
             {"doc_id": pdf["doc_id"].astype("int64"), "jpg": jpegs}
         )
@@ -877,8 +931,10 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MULTIMODAL_JPEG_SQL = """
 SELECT doc_id,
-       CAST((doc_id % 4 + 1) * 8 AS INTEGER) AS width,
-       CAST((doc_id % 3 + 1) * 8 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 2 + 1) * 16
+                 ELSE (doc_id % 4 + 1) * 8 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 3 + 1) * 16
+                 ELSE (doc_id % 3 + 1) * 8 END AS INTEGER) AS height,
        CAST((doc_id % 120) * 2 + 8 AS DOUBLE) AS mean_pixel
 FROM documents
 """

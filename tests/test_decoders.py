@@ -266,27 +266,71 @@ def test_jpeg_roundtrip_exact_and_lossy():
     assert err2.max() <= 12
 
 
-def test_jpeg_via_decode_image_and_color_seam():
+def test_jpeg_via_decode_image_and_progressive_seam():
     import struct
 
     import numpy as np
 
     from sample_for_transactional_datalake_using_s3tables_spark.operators.jpegcodec import (
+        encode_jpeg_color,
         encode_jpeg_gray,
     )
 
     px = np.full((8, 8), 100, dtype=np.uint8)
     got = decode_image(encode_jpeg_gray(px))
     assert got.shape == (8, 8, 3) and (got == 100).all()
-    # a 3-component SOF0 (color JPEG) raises through the PIL seam
+    # color JPEG (4:2:0) decodes for real through decode_image now
+    rgb = np.full((16, 16, 3), 150, dtype=np.uint8)
+    got = decode_image(encode_jpeg_color(rgb))
+    assert got.shape == (16, 16, 3) and (got == 150).all()
+    # progressive (SOF2) remains the PIL seam
     sof = struct.pack(">BHHB", 8, 8, 8, 3) + b"\x01\x21\x00\x02\x11\x01\x03\x11\x01"
-    color = (
+    prog = (
         b"\xff\xd8"
-        + struct.pack(">HH", 0xFFC0, len(sof) + 2) + sof
+        + struct.pack(">HH", 0xFFC2, len(sof) + 2) + sof
         + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="single-component"):
-        decode_image(color)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_image(prog)
+
+
+def test_jpeg_color_roundtrips():
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    # constant even gray through the COLOR pipeline is bit-exact (the
+    # YCbCr transform is identity on R=G=B and the DC divides the
+    # quant step)
+    for v in (64, 128, 200):
+        img = np.full((16, 32, 3), v, dtype=np.uint8)
+        assert (decode_jpeg(encode_jpeg_color(img)) == img).all()
+    # constant color: bounded only by YCbCr round-trip rounding
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[:] = (200, 30, 90)
+    out = decode_jpeg(encode_jpeg_color(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    # smooth gradient survives 4:2:0 nearly losslessly
+    x = np.linspace(0, 255, 48)
+    grad = np.stack([np.tile(x, (32, 1))] * 3, -1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_color(grad))
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 2
+    # random content: 4:4:4 bounded by quantization alone; 4:2:0 loses
+    # chroma detail (that's its job) but stays a valid decode
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (32, 48, 3), dtype=np.uint8)
+    out444 = decode_jpeg(encode_jpeg_color(img, subsample=False))
+    assert np.abs(out444.astype(int) - img.astype(int)).max() <= 40
+    out420 = decode_jpeg(encode_jpeg_color(img))
+    assert out420.shape == img.shape
+    # luma is not chroma-subsampled: Y plane stays close even at 4:2:0
+    def luma(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    assert np.abs(luma(out420) - luma(img)).max() <= 40
 
 
 def test_gif_transparency_delta_frames_and_disposal():
@@ -439,3 +483,69 @@ def test_gif_opaque_index_beyond_table_raises():
     out += b"\x00\x3B"
     with pytest.raises(ValueError, match="color table"):
         decode_gif(bytes(out))
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7-interlaced PNG: each of the seven passes is its own
+    filtered sub-image; the decoder must de-filter per pass and
+    scatter on the pass grid. Built here with mixed per-row filters
+    (None/Sub/Up) inside passes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.multimodal import (
+        _ADAM7,
+        _decode_png,
+        _PNG_MAGIC,
+    )
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    def build_interlaced(px):
+        h, w = px.shape[:2]
+        ch = 1 if px.ndim == 2 else px.shape[2]
+        flat = px.reshape(h, w, ch)
+        raw = bytearray()
+        for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            sub = flat[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            for r in range(ph):
+                row = sub[r].reshape(-1).astype(np.int64)
+                f = (pi + r) % 3  # rotate None/Sub/Up filters
+                if f == 0:
+                    enc = row
+                elif f == 1:  # Sub
+                    left = np.zeros_like(row)
+                    left[ch:] = row[:-ch]
+                    enc = (row - left) % 256
+                else:  # Up
+                    up = (
+                        sub[r - 1].reshape(-1).astype(np.int64)
+                        if r else np.zeros_like(row)
+                    )
+                    enc = (row - up) % 256
+                raw.append(f)
+                raw += bytes(enc.astype(np.uint8))
+        ctype = {1: 0, 3: 2, 4: 6}[ch]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+        return (
+            _PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(11)
+    for shape in [(9, 13, 3), (16, 16, 3), (7, 5), (3, 3, 4), (1, 10, 3)]:
+        px = rng.randint(0, 256, shape, dtype=np.uint8)
+        got = _decode_png(build_interlaced(px))
+        want = px if px.ndim == 3 else np.repeat(px[..., None], 3, axis=2)
+        want = want[..., :3]
+        assert got.shape == want.shape and (got == want).all(), shape
