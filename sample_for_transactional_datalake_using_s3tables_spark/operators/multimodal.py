@@ -658,9 +658,9 @@ def decode_gif(payload: bytes):
     disposal methods 0/1 (leave) and 2 (restore background), per-frame
     sub-rect composition, full LZW. Each graphic-control extension
     applies to exactly the NEXT image, per spec. Returns
-    ``(frames, delays_cs)`` with frames ``(h, w, 3)`` uint8.
-    Interlaced images and disposal 3 (restore previous) raise (PIL
-    seam)."""
+    ``(frames, delays_cs)`` with frames ``(h, w, 3)`` uint8. Interlaced
+    images de-interlace (four-pass row scatter per GIF89a). Disposal 3
+    (restore previous) raises (PIL seam)."""
     import struct
 
     import numpy as np
@@ -716,8 +716,7 @@ def decode_gif(payload: bytes):
             n = 2 << (fp & 0x07)
             table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
             pos += n * 3
-        if fp & 0x40:
-            raise NotImplementedError("interlaced GIF needs PIL (seam)")
+        interlaced = bool(fp & 0x40)
         if disposal == 3:
             raise NotImplementedError(
                 "GIF disposal 'restore previous' needs PIL (seam)"
@@ -735,6 +734,16 @@ def decode_gif(payload: bytes):
         idx = np.frombuffer(
             bytes(_lzw_decode(bytes(stream), min_code)), dtype=np.uint8
         )[: fw * fh].reshape(fh, fw)
+        if interlaced:
+            # GIF89a interlace: rows stored in four passes
+            # (0::8, 4::8, 2::4, 1::2) -- scatter back to display order
+            deint = np.empty_like(idx)
+            src = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                n = len(range(start, fh, step))
+                deint[start::step] = idx[src:src + n]
+                src += n
+            idx = deint
         if table is None:
             raise ValueError("GIF frame without a color table")
         opaque = (

@@ -7,3 +7,7 @@ from .cdc import (  # noqa: F401
     quarantine_rows,
     stream_cdc_to_table,
 )
+from .tables import (  # noqa: F401
+    read_table_stream,
+    stream_table_to_table,
+)

@@ -263,3 +263,42 @@ def test_stream_from_version_and_column_mapping(registered, wh, spark):
     rows = spark.read.parquet(out)
     assert rows.columns == ["id", "day", "val"]
     assert [(r.id, r.val) for r in rows.collect()] == [("k2", 2)]
+
+
+def test_stream_table_to_table_medallion_hop(registered, wh, spark):
+    """Bronze -> silver: tail one table's appends, transform, MERGE
+    into another -- exactly-once across restarts, zero duplicate keys."""
+    import tempfile as _tf
+
+    import pyspark.sql.functions as F
+
+    from sample_for_transactional_datalake_using_s3tables_spark.streaming.tables import (
+        stream_table_to_table,
+    )
+
+    wh.create_table("ns", "silver", S, key="id")
+    ckpt = _tf.mkdtemp()
+
+    def hop():
+        q = stream_table_to_table(
+            spark, wh, ("ns", "t"), ("ns", "silver"), ckpt,
+            transform=lambda df: df.withColumn("v", F.col("v") * 10),
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None, q.exception()
+
+    wh.insert("ns", "t", _rows(spark, [("k1", "d0", 1), ("k2", "d1", 2)]))
+    hop()
+    got = {(r.id, r.v) for r in wh.read("ns", "silver").collect()}
+    assert got == {("k1", 10), ("k2", 20)}
+    # upsert in bronze (same key re-appended) + a new key; replay-safe
+    wh.insert("ns", "t", _rows(spark, [("k2", "d1", 5), ("k3", "d0", 3)]))
+    hop()
+    got = {(r.id, r.v) for r in wh.read("ns", "silver").collect()}
+    assert got == {("k1", 10), ("k2", 50), ("k3", 30)}
+    # restart with nothing new: no effect, no new snapshot churn from
+    # empty batches (merge_upsert no-ops on empty)
+    v = wh.current_version("ns", "silver")
+    hop()
+    assert wh.current_version("ns", "silver") == v
+    assert {(r.id, r.v) for r in wh.read("ns", "silver").collect()} == got

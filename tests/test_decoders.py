@@ -549,3 +549,40 @@ def test_png_adam7_interlaced_roundtrip():
         want = px if px.ndim == 3 else np.repeat(px[..., None], 3, axis=2)
         want = want[..., :3]
         assert got.shape == want.shape and (got == want).all(), shape
+
+
+def test_gif_interlaced_frame_deinterlaces():
+    import struct
+
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.multimodal import (
+        _GIF_MIN_CODE,
+        _lzw_encode,
+        decode_gif,
+    )
+
+    rng = np.random.RandomState(2)
+    h, w = 11, 6
+    img = rng.randint(0, 64, (h, w), dtype=np.uint8)
+    # store rows in GIF interlace pass order
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    stored = img[order].reshape(-1)
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[:64, 0] = np.arange(64)  # index i -> (i, 0, 0)
+    out = bytearray(b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0))
+    out += pal.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlace flag
+    out.append(_GIF_MIN_CODE)
+    stream = _lzw_encode(list(stored))
+    for i in range(0, len(stream), 255):
+        b = stream[i:i + 255]
+        out.append(len(b))
+        out += b
+    out += b"\x00\x3B"
+    frames, _ = decode_gif(bytes(out))
+    assert (frames[0][..., 0] == img).all()
+    assert (frames[0][..., 1:] == 0).all()
