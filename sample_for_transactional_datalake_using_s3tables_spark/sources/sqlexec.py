@@ -416,7 +416,190 @@ class WarehouseSQL:
                 ns, tbl,
                 older_than_seconds=(int(hours) if hours else 1) * 3600.0,
             )
+        if head == "ALTER":
+            return self._alter(s)
+        if head in ("GRANT", "REVOKE"):
+            # permission administration is for ungoverned (admin)
+            # sessions only -- a governed principal must not be able to
+            # grant itself access
+            if self.principal is not None:
+                raise PermissionError(
+                    "GRANT/REVOKE require an ungoverned admin session"
+                )
+        if head == "GRANT":
+            return self._grant(s)
+        if head == "REVOKE":
+            m = re.match(
+                r"^REVOKE\s+ALL\s+ON\s+(\w+)(?:\.(\w+))?\s+FROM\s+(\w+)$",
+                s, re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported REVOKE shape: {s[:120]!r}")
+            ns, tbl, principal = m.groups()
+            return self.wh.revoke(principal, ns, tbl)
+        if head == "CALL":
+            return self._call(masked, lits)
         raise ValueError(f"unsupported statement: {s[:120]!r}")
+
+    # ALTER TABLE: the Iceberg/Spark-SQL evolution statements --
+    # column add/rename/drop (metadata-only via column mapping),
+    # SET PARTITION SPEC (partition evolution), WRITE ORDERED BY
+    _ALTER_RES = (
+        (
+            re.compile(
+                r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+ADD\s+COLUMNS?\s+(.+)$",
+                re.IGNORECASE | re.DOTALL,
+            ),
+            "add",
+        ),
+        (
+            re.compile(
+                r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+RENAME\s+COLUMN\s+"
+                r"(\w+)\s+TO\s+(\w+)$",
+                re.IGNORECASE,
+            ),
+            "rename",
+        ),
+        (
+            re.compile(
+                r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+DROP\s+COLUMN\s+(\w+)$",
+                re.IGNORECASE,
+            ),
+            "drop",
+        ),
+        (
+            re.compile(
+                r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+SET\s+PARTITION\s+SPEC\s*"
+                r"\(\s*([^)]*?)\s*\)$",
+                re.IGNORECASE,
+            ),
+            "spec",
+        ),
+        (
+            re.compile(
+                r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+WRITE\s+"
+                r"(?:ORDERED\s+BY\s*\(\s*([^)]+?)\s*\)"
+                r"(?:\s+DISTRIBUTED\s+BY\s+(RANGE|NONE))?"
+                r"|UNORDERED)$",
+                re.IGNORECASE,
+            ),
+            "order",
+        ),
+    )
+
+    def _alter(self, s: str):
+        for rx, kind in self._ALTER_RES:
+            m = rx.match(s)
+            if not m:
+                continue
+            ns, tbl = m.group(1), m.group(2)
+            self._require("ALL", ns, tbl)
+            if kind == "add":
+                cols = m.group(3).strip()
+                if cols.startswith("(") and cols.endswith(")"):
+                    cols = cols[1:-1]
+                for field in StructType.fromDDL(cols):
+                    self.wh.add_column(ns, tbl, field)
+                return None
+            if kind == "rename":
+                return self.wh.rename_column(ns, tbl, m.group(3), m.group(4))
+            if kind == "drop":
+                return self.wh.drop_column(ns, tbl, m.group(3))
+            if kind == "spec":
+                spec = m.group(3).strip().strip("`") or None
+                return self.wh.evolve_partition_spec(ns, tbl, spec)
+            cols = m.group(3)
+            if cols is None:  # WRITE UNORDERED
+                return self.wh.set_write_order(ns, tbl, None)
+            dist = (m.group(4) or "none").lower()
+            return self.wh.set_write_order(
+                ns, tbl,
+                [c.strip().strip("`") for c in cols.split(",")],
+                write_distribution=dist,
+            )
+        raise ValueError(f"unsupported ALTER shape: {s[:120]!r}")
+
+    # GRANT [SELECT|INSERT|ALL|DESCRIBE[, ...]] [(col, ...)] ON ns[.tbl]
+    #   TO principal [WHERE <row filter>]    -- the LakeFormation-style
+    # permission surface (D8) as SQL text
+    _GRANT_RE = re.compile(
+        r"^GRANT\s+(?P<perms>[\w,\s]+?)\s*(?:\((?P<cols>[^)]+)\))?\s+"
+        r"ON\s+(?P<ns>\w+)(?:\.(?P<tbl>\w+))?\s+TO\s+(?P<who>\w+)"
+        r"(?:\s+WHERE\s+(?P<filter>.+))?$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _grant(self, s: str):
+        m = self._GRANT_RE.match(s)
+        if not m:
+            raise ValueError(f"unsupported GRANT shape: {s[:120]!r}")
+        perms = tuple(
+            p.strip().upper() for p in m.group("perms").split(",") if p.strip()
+        )
+        cols = (
+            [c.strip().strip("`") for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else None
+        )
+        return self.wh.grant(
+            m.group("who"), m.group("ns"), m.group("tbl"),
+            permissions=perms, columns=cols,
+            row_filter=m.group("filter"),
+        )
+
+    # CALL system.<procedure>(args) -- the Iceberg Spark-procedure
+    # maintenance surface as SQL text
+    _CALL_RE = re.compile(
+        r"^CALL\s+(?:\w+\.)?system\.(\w+)\s*\(\s*(.*?)\s*\)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _call(self, masked: str, lits: list[str]):
+        m = self._CALL_RE.match(masked)
+        if not m:
+            raise ValueError(
+                f"unsupported CALL shape: {_unmask(masked, lits)[:120]!r}"
+            )
+        proc = m.group(1).lower()
+        args = []
+        for a in _split_top_level(m.group(2)):
+            a = _unmask(a, lits).strip()
+            if a.startswith("'"):
+                args.append(a.strip("'"))
+            elif a.lower() in ("true", "false"):
+                args.append(a.lower() == "true")
+            else:
+                args.append(int(a))
+        def table_arg(v):
+            ns, _, tbl = str(v).partition(".")
+            if not tbl:
+                raise ValueError(f"CALL needs a ns.table argument, got {v!r}")
+            self._require("ALL", ns, tbl)
+            return ns, tbl
+        if proc == "rollback_to_snapshot":
+            ns, tbl = table_arg(args[0])
+            return self.wh.rollback_to(ns, tbl, int(args[1]))
+        if proc == "expire_snapshots":
+            ns, tbl = table_arg(args[0])
+            return self.wh.expire_snapshots(
+                ns, tbl, keep_last=int(args[1]) if len(args) > 1 else 1
+            )
+        if proc == "remove_orphan_files":
+            ns, tbl = table_arg(args[0])
+            return self.wh.remove_orphan_files(ns, tbl)
+        if proc == "rewrite_data_files":
+            ns, tbl = table_arg(args[0])
+            return self.wh.compact(ns, tbl)
+        if proc == "create_tag":
+            ns, tbl = table_arg(args[0])
+            return self.wh.create_tag(ns, tbl, str(args[1]))
+        if proc == "create_branch":
+            ns, tbl = table_arg(args[0])
+            return self.wh.create_branch(ns, tbl, str(args[1]))
+        if proc == "fast_forward":
+            ns, tbl = table_arg(args[0])
+            return self.wh.fast_forward(ns, tbl, str(args[1]))
+        raise ValueError(f"unknown procedure system.{proc}")
 
     def _create(self, s: str):
         m = re.match(

@@ -351,3 +351,81 @@ def test_alias_qualified_column_not_rewritten_as_table(sql, spark):
         "SELECT q.x AS x FROM q.state q"
     ).collect()
     assert [r.x for r in got3] == [1]
+
+
+def test_alter_table_statements(sql, spark):
+    from pyspark.sql.types import LongType as _Long
+
+    sql.execute("ALTER TABLE ns.t ADD COLUMN score decimal(10,2)")
+    assert "score" in [f.name for f in sql.wh.schema("ns", "t").fields]
+    sql.execute("ALTER TABLE ns.t RENAME COLUMN score TO rating")
+    names = [f.name for f in sql.wh.schema("ns", "t").fields]
+    assert "rating" in names and "score" not in names
+    sql.execute("ALTER TABLE ns.t DROP COLUMN rating")
+    assert "rating" not in [f.name for f in sql.wh.schema("ns", "t").fields]
+    # partition evolution through SQL text (metadata-only)
+    sid = sql.execute("ALTER TABLE ns.t SET PARTITION SPEC (v)")
+    assert sid == 1
+    assert sql.wh.table_meta("ns", "t")["partition_by"] == "v"
+    # write order
+    sql.execute("ALTER TABLE ns.t WRITE ORDERED BY (v) DISTRIBUTED BY RANGE")
+    meta = sql.wh.table_meta("ns", "t")
+    assert meta["write_order"] == ["v"] and meta["write_distribution"] == "range"
+    sql.execute("ALTER TABLE ns.t WRITE UNORDERED")
+    assert "write_order" not in sql.wh.table_meta("ns", "t")
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        sql.execute("ALTER TABLE ns.t FROBNICATE")
+
+
+def test_grant_revoke_statements(sql, spark):
+    sql.execute(
+        "GRANT SELECT (id, v) ON ns.t TO ana WHERE v < 5"
+    )
+    governed = WarehouseSQL(sql.wh, principal="ana")
+    got = governed.execute("SELECT * FROM ns.t")
+    assert sorted(got.columns) == ["id", "v"]
+    assert got.count() == 5  # v in 0..4
+    with pytest.raises(PermissionError):
+        governed.execute("DELETE FROM ns.t WHERE v = 1")
+    # a governed session must not be able to self-escalate
+    with pytest.raises(PermissionError, match="admin"):
+        governed.execute("GRANT ALL ON ns.t TO ana")
+    sql.execute("REVOKE ALL ON ns.t FROM ana")
+    with pytest.raises(PermissionError):
+        governed.execute("SELECT * FROM ns.t").collect()
+
+
+def test_call_procedures(sql, spark):
+    v1 = sql.wh.current_version("ns", "t")
+    sql.execute("DELETE FROM ns.t WHERE v < 5")
+    assert sql.execute("SELECT COUNT(*) AS n FROM ns.t").collect()[0].n == 15
+    sql.execute(f"CALL system.rollback_to_snapshot('ns.t', {v1})")
+    assert sql.execute("SELECT COUNT(*) AS n FROM ns.t").collect()[0].n == 20
+    sql.execute("CALL system.create_tag('ns.t', 'audited')")
+    assert "audited" in sql.wh.refs("ns", "t")
+    sql.execute("CALL system.rewrite_data_files('ns.t')")
+    sql.execute("CALL system.expire_snapshots('ns.t', 1)")
+    sql.execute("CALL system.remove_orphan_files('ns.t')")
+    assert sql.execute("SELECT COUNT(*) AS n FROM ns.t").collect()[0].n == 20
+    # tagged snapshot survived expiration and still reads
+    assert (
+        sql.execute(
+            "SELECT COUNT(*) AS n FROM ns.t FOR VERSION AS OF 'audited'"
+        ).collect()[0].n == 20
+    )
+    with pytest.raises(ValueError, match="unknown procedure"):
+        sql.execute("CALL system.nope('ns.t')")
+
+
+def test_call_branch_lifecycle(sql, spark):
+    sql.execute("CALL system.create_branch('ns.t', 'audit')")
+    assert sql.wh.list_branches("ns", "t") == ["audit"]
+    sql.wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("b1", "d0", 99)], SCHEMA),
+        branch="audit",
+    )
+    sql.execute("CALL system.fast_forward('ns.t', 'audit')")
+    assert sql.execute(
+        "SELECT COUNT(*) AS n FROM ns.t WHERE id = 'b1'"
+    ).collect()[0].n == 1
