@@ -100,6 +100,13 @@ def bench_dml(spark, sf_dir: str) -> dict[str, float]:
             ),
         )
         _t(
+            "update_where_mor",
+            lambda: wh.update_where(
+                "b", "t", {"value": (F.col("value") + 7).cast("decimal(12,2)")},
+                [("event_id", "<", 1000)], strategy="mor",
+            ),
+        )
+        _t(
             "delete_where_pruned",
             lambda: wh.delete_where("b", "t", [("event_id", ">=", 10_000_000)]),
         )

@@ -334,14 +334,10 @@ class WarehouseSQL:
                 if not rhs:
                     raise ValueError(f"bad SET clause: {part!r}")
                 assignments[col.strip().strip("`")] = F.expr(rhs.strip())
-            if strategy != "cow":
-                raise ValueError(
-                    "UPDATE supports only strategy='cow' (merge-on-read "
-                    "UPDATE would need delete+reinsert semantics; use MERGE "
-                    "INTO with strategy='mor' for that shape)"
-                )
             predicate, _ = self._predicate(cond)
-            return self.wh.update_where(ns, tbl, assignments, predicate)
+            return self.wh.update_where(
+                ns, tbl, assignments, predicate, strategy=strategy
+            )
         if head == "INSERT":
             m = _INSERT_RE.match(s)
             if not m:

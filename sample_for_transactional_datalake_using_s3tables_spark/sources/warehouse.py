@@ -2344,8 +2344,120 @@ class Warehouse:
             "delete_files": len(del_files), **stats,
         }
 
+    def _update_where_mor(
+        self, tdir: str, meta: dict, assignments: dict, predicate, predicates
+    ) -> dict:
+        """Merge-on-read UPDATE (delete + reinsert): one pruned,
+        deletes-aware probe reads ONLY the matching rows, applies the
+        assignments, and commits the updated copies as new data files
+        plus ONE equality-delete file of their keys -- the delete (at
+        the commit's sequence) kills every older copy while the updated
+        rows, written at the same sequence, survive. Zero existing
+        files are read beyond the probe and zero are rewritten: the
+        commit is O(matches), not O(touched files). Key-granular like
+        MoR DELETE (every row of a matched key is superseded -- exact
+        for unique-key tables; use CoW for multi-row keys), and the key
+        itself cannot be reassigned (the delete file must keep
+        addressing the pre-image). Rebase rule mirrors MoR DELETE: a
+        concurrent commit appending any matched key conflicts."""
+        key = meta.get("key")
+        if key is None:
+            raise ValueError(
+                "merge-on-read UPDATE needs a table key (equality "
+                "deletes); use strategy='cow'"
+            )
+        if key in assignments:
+            raise ValueError(
+                "merge-on-read UPDATE cannot reassign the key column; "
+                "use strategy='cow'"
+            )
+        version = self._versions(tdir)[-1]
+        doc = self._manifest_doc(tdir, version)
+        entries = doc["files"]
+        schema = StructType.fromJson(meta["schema"])
+        phys = self._snapshot_phys(doc, meta)
+        candidates = (
+            self._prune_entries(
+                entries, [(phys.get(c, c), op, v) for c, op, v in predicates]
+            )
+            if predicates
+            else entries
+        )
+        stats = {
+            "manifest_files": len(entries),
+            "probed_files": len(candidates),
+            "rewritten_files": 0,
+        }
+        if not candidates:
+            return {"version": version, "updated_rows": 0, "delete_files": 0, **stats}
+        matched = self._read_entries(
+            tdir, candidates, schema, phys, doc.get("deletes"), key
+        ).filter(F.coalesce(predicate, F.lit(False)))
+        updated = matched.select(
+            *[
+                assignments[f.name].cast(f.dataType).alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+        self._check_constraints(updated, meta)
+        data_files = self._write_table_files(tdir, updated, meta)
+        if not data_files:
+            return {"version": version, "updated_rows": 0, "delete_files": 0, **stats}
+        # the matched keys are already materialized in the new data
+        # files -- read them back (key column only, columnar) instead
+        # of running the probe plan a second time
+        phys_key = (meta.get("physical") or {}).get(key, key)
+        from pyspark.sql.types import StructField as _SF
+
+        kdf = self.spark.read.schema(
+            StructType([_SF(phys_key, schema[key].dataType, True)])
+        ).parquet(
+            *[os.path.join(tdir, e["path"]) for e in data_files]
+        ).select(F.col(phys_key).alias(key)).distinct()
+        del_files = self._write_delete_files(tdir, kdf, meta, coalesce_one=True)
+        n_updated = sum(e.get("records", 0) for e in data_files)
+        key_vals: set | None = None
+        if n_updated <= self._MERGE_COLLECT_KEYS_MAX:
+            import pyarrow.parquet as pq
+
+            key_vals = set()
+            for d in del_files:
+                key_vals |= set(
+                    pq.read_table(
+                        os.path.join(tdir, d["path"]), columns=[d["col"]]
+                    ).column(0).to_pylist()
+                )
+
+        def validate_rebase(fresh: list[dict]) -> bool:
+            cand = (
+                self._prune_entries_by_keys(fresh, phys_key, key_vals)
+                if key_vals is not None
+                else fresh
+            )
+            if not cand:
+                return True
+            df = self._read_files(tdir, cand, schema, phys=phys).select(key)
+            if key_vals:
+                df = df.filter(F.col(key).isin(*key_vals))
+            else:
+                df = df.join(kdf, key, "left_semi")
+            return df.limit(1).count() == 0
+
+        v = self._publish_append(
+            tdir, version, data_files, meta["schema"],
+            phys=meta.get("physical"), new_deletes=del_files,
+            rebase_validate=validate_rebase, op="update",
+        )
+        return {
+            "version": v, "updated_rows": n_updated,
+            "delete_files": len(del_files), **stats,
+        }
+
     def update_where(
-        self, ns: str, table: str, assignments: dict, predicate, predicates=None
+        self, ns: str, table: str, assignments: dict, predicate,
+        predicates=None, strategy: str = "cow",
     ) -> dict:
         """Row-level UPDATE (``UPDATE t SET col = expr WHERE ...``):
         file-level copy-on-write, same manifest pruning as delete_where
@@ -2354,13 +2466,23 @@ class Warehouse:
         Column expression evaluated on the matching rows. If an
         assignment moves a row's partition value, the rewrite lands it
         in its new partition (the write path derives partition values
-        from the data, so migration is automatic)."""
+        from the data, so migration is automatic).
+
+        ``strategy="mor"``: delete + reinsert via an equality-delete
+        commit (see :meth:`_update_where_mor`) -- O(matches) instead of
+        O(touched files), for keyed tables."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
         bad = [c for c in assignments if c not in StructType.fromJson(meta["schema"]).fieldNames()]
         if bad:
             raise ValueError(f"unknown columns in UPDATE assignments: {bad}")
         predicate, predicates = self._predicate_spec(predicate, predicates)
+        if strategy == "mor":
+            return self._update_where_mor(
+                tdir, meta, assignments, predicate, predicates
+            )
+        if strategy != "cow":
+            raise ValueError(f"unknown strategy {strategy!r}")
         untouched, rewrite, schema, version, n_updated, stats = self._touched_by_predicate(
             tdir, meta, predicate, predicates=predicates, count_matches=True
         )

@@ -291,9 +291,12 @@ def test_drop_namespace_dotted_is_rejected(sql):
     assert sql.wh.list_tables("ns") == ["t"]
 
 
-def test_update_rejects_mor_strategy(sql):
-    with pytest.raises(ValueError, match="strategy"):
-        sql.execute("UPDATE ns.t SET v = 0 WHERE v < 5", strategy="mor")
+def test_update_mor_strategy_routes_to_equality_deletes(sql):
+    r = sql.execute("UPDATE ns.t SET v = v + 100 WHERE v < 5", strategy="mor")
+    assert r["rewritten_files"] == 0 and r["updated_rows"] == 5
+    assert sql.wh.deletes_df("ns", "t").count() == 1
+    got = {(row.id, row.v) for row in sql.execute("SELECT id, v FROM ns.t").collect()}
+    assert got == {(f"k{i}", i + 100 if i < 5 else i) for i in range(20)}
 
 
 def test_dml_regexes_are_literal_aware(sql):

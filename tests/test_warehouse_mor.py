@@ -432,3 +432,96 @@ def test_mor_stats_disjoint_files_skip_anti_join(spark, wh):
     assert got == {f"a{i}" for i in range(8)} | {
         f"b{i}" for i in range(8) if i != 3
     }
+
+
+def test_update_where_mor_zero_rewrites(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    S2 = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("day", StringType()),
+            StructField("v", LongType()),
+        ]
+    )
+    wh = Warehouse(spark, str(tmp_path))
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", S2, key="id", partition_by="day")
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame(
+            [(f"k{i}", f"d{i % 2}", i) for i in range(12)], S2
+        ).coalesce(2),
+    )
+    r = wh.update_where(
+        "ns", "t", {"v": F.col("v") * 10}, F.col("v") >= 9,
+        predicates=[("v", ">=", 9)], strategy="mor",
+    )
+    assert r["rewritten_files"] == 0
+    assert r["updated_rows"] == 3 and r["delete_files"] == 1
+    assert r["probed_files"] <= r["manifest_files"]
+    state = {(x.id, x.v) for x in wh.read("ns", "t").collect()}
+    assert state == {(f"k{i}", i * 10 if i >= 9 else i) for i in range(12)}
+    # a second MoR update over already-ghosted rows stays correct
+    wh.update_where("ns", "t", {"v": F.col("v") + 1}, F.col("id") == "k9", strategy="mor")
+    assert {(x.id, x.v) for x in wh.read("ns", "t").collect()} == {
+        (f"k{i}", (i * 10 + 1) if i == 9 else (i * 10 if i >= 9 else i))
+        for i in range(12)
+    }
+    # compaction folds the backlog; content unchanged
+    before = {tuple(x) for x in wh.read("ns", "t").collect()}
+    wh.compact("ns", "t", min_files_per_partition=1)
+    assert wh.deletes_df("ns", "t").count() == 0
+    assert {tuple(x) for x in wh.read("ns", "t").collect()} == before
+
+
+def test_update_where_mor_guards(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    S2 = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("v", LongType()),
+        ]
+    )
+    wh = Warehouse(spark, str(tmp_path))
+    wh.create_namespace("ns")
+    wh.create_table("ns", "keyless", S2)
+    wh.insert("ns", "keyless", spark.createDataFrame([("a", 1)], S2))
+    with pytest.raises(ValueError, match="key"):
+        wh.update_where(
+            "ns", "keyless", {"v": F.lit(9)}, F.col("v") == 1, strategy="mor"
+        )
+    wh.create_table("ns", "keyed", S2, key="id")
+    wh.insert("ns", "keyed", spark.createDataFrame([("a", 1)], S2))
+    with pytest.raises(ValueError, match="reassign the key"):
+        wh.update_where(
+            "ns", "keyed", {"id": F.lit("b")}, F.col("v") == 1, strategy="mor"
+        )
+
+
+def test_update_where_mor_changelog_preimages(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    S2 = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("v", LongType()),
+        ]
+    )
+    wh = Warehouse(spark, str(tmp_path))
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", S2, key="id")
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("a", 1), ("b", 2)], S2).coalesce(1),
+    )
+    r = wh.update_where(
+        "ns", "t", {"v": F.col("v") + 10}, F.col("id") == "a", strategy="mor"
+    )
+    v = r["version"]
+    got = {
+        (x.id, x.v, x._change_type)
+        for x in wh.changelog("ns", "t", v - 1, v).collect()
+    }
+    assert got == {("a", 1, "delete"), ("a", 11, "insert")}
