@@ -79,10 +79,34 @@ def export_delta_log(wh, ns: str, table: str) -> str:
             {"name": "_p", "type": "string", "nullable": True, "metadata": {}}
         ]
 
+    # Delta operation names for our commit ops (commitInfo is advisory
+    # in the protocol but every real writer emits it; readers show it
+    # in DESCRIBE HISTORY)
+    op_names = {
+        "create": "CREATE TABLE",
+        "append": "WRITE",
+        "overwrite": "WRITE",
+        "merge": "MERGE",
+        "delete": "DELETE",
+        "update": "UPDATE",
+        "replace": "OPTIMIZE",
+        "rollback": "RESTORE",
+        "schema": "SET TBLPROPERTIES",
+    }
     prev: dict[str, dict] = {}
     for i, v in enumerate(wh._versions(tdir)):
-        entries = {e["path"]: e for e in wh._manifest(tdir, v)}
-        actions: list[dict] = []
+        doc = wh._manifest_doc(tdir, v)
+        entries = {e["path"]: e for e in doc["files"]}
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(doc.get("ts", 0) * 1000),
+                    "operation": op_names.get(doc.get("op"), "WRITE"),
+                    "operationParameters": {},
+                    "engineInfo": "s3tables-spark delta export",
+                }
+            }
+        ]
         if i == 0:
             actions.append({"protocol": PROTOCOL})
             actions.append(

@@ -180,7 +180,7 @@ class WarehouseSQL:
     # an optional AS and an identifier
     _ALIAS_RE = re.compile(
         r"(?:\b(?:FROM|JOIN)\s+\w+(?:\.\w+)?(?:\$\w+)?"
-        r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+\S+)?|\))"
+        r"(?:\s+FOR\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\s+\S+)?|\))"
         r"\s+(?:AS\s+)?(\w+)",
         re.IGNORECASE,
     )
@@ -197,9 +197,9 @@ class WarehouseSQL:
         """Register every referenced warehouse table as a temp view and
         rewrite references to the view names: ``ns.tbl`` resolves to
         the current snapshot (governed via ``read_as`` when a principal
-        is set); ``ns.tbl FOR VERSION AS OF <n|'tag'>`` to that
-        snapshot (same governance -- time travel must not bypass column
-        grants or row filters); ``ns.tbl$snapshots`` / ``$files`` /
+        is set); ``ns.tbl FOR VERSION AS OF <n|'tag'>`` / ``FOR
+        TIMESTAMP AS OF '<iso>'`` to that snapshot (same governance --
+        time travel must not bypass column grants or row filters); ``ns.tbl$snapshots`` / ``$files`` /
         ``$partitions`` / ``$deletes`` / ``$history`` to the metadata
         tables (DESCRIBE-gated). Unknown identifiers (temp views,
         functions) and string literals pass through untouched."""
@@ -225,7 +225,7 @@ class WarehouseSQL:
 
         def _sub(m) -> str:
             nonlocal tables
-            ns, tbl, meta_kind, tt_ref = m.groups()
+            ns, tbl, meta_kind, tt_kind, tt_ref = m.groups()
             if tables is None:
                 tables = {
                     (n, t)
@@ -251,12 +251,15 @@ class WarehouseSQL:
                 self._meta_df(ns, tbl, kind).createOrReplaceTempView(view)
                 return view
             if tt_ref:
-                # literal masking runs first, so a tag ref arrives as a
-                # masked placeholder -- unmask it before resolving
+                # literal masking runs first, so a tag/timestamp ref
+                # arrives as a masked placeholder -- unmask it first
                 ref = tt_ref
                 if ref.startswith("\x00"):
                     ref = literals[int(ref[4:-1])]
-                version = ref.strip("'") if ref.startswith("'") else int(ref)
+                if tt_kind.upper() == "TIMESTAMP":
+                    version = self.wh.snapshot_as_of(ns, tbl, ref.strip("'"))
+                else:
+                    version = ref.strip("'") if ref.startswith("'") else int(ref)
                 view = f"__wh_{ns}__{tbl}__v_{re.sub(r'[^A-Za-z0-9]', '_', str(version))}"
                 df = (
                     self.wh.read_as(self.principal, ns, tbl, version=version)
@@ -274,7 +277,8 @@ class WarehouseSQL:
         ref_re = re.compile(
             r"\b(\w+)\.(\w+)"
             r"(?:\$(snapshots|files|partitions|deletes|history)\b"
-            r"|\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+|\x00LIT\d+\x00)"
+            r"|\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+            r"(\d+|\x00LIT\d+\x00)"
             r")?",
             re.IGNORECASE,
         )

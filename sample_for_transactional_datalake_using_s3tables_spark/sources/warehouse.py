@@ -752,7 +752,10 @@ class Warehouse:
         (Iceberg snapshot summary ``operation``): incremental/changelog
         readers skip ``replace`` commits (compaction rewrites no data)
         by stamp instead of diffing content."""
+        import time as _time
+
         doc: dict = {"version": version, "files": files}
+        doc["ts"] = _time.time()  # commit wall clock (FOR TIMESTAMP AS OF)
         if op:
             doc["op"] = op
         if schema is not None:
@@ -3247,6 +3250,33 @@ class Warehouse:
         )
         return new_version
 
+    def snapshot_as_of(self, ns: str, table: str, ts) -> int:
+        """Latest snapshot committed at or before ``ts`` -- Iceberg
+        ``FOR TIMESTAMP AS OF``. ``ts`` is epoch seconds or an ISO-8601
+        string (naive strings are read as UTC). Resolution scans the
+        manifest chain's stamped commit wall clocks; pass the result to
+        ``read(version=...)`` / ``plan_files`` / ``rollback_to``.
+        Pre-stamping legacy snapshots read as infinitely old."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            dt = _dt.datetime.fromisoformat(ts)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            ts = dt.timestamp()
+        tdir = self._table_dir(ns, table)
+        if not os.path.exists(tdir):
+            raise TableNotFoundError(f"{ns}.{table}")
+        best = None
+        for v in self._versions(tdir):
+            if self._manifest_doc(tdir, v).get("ts", 0.0) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot of {ns}.{table} exists at or before {ts}"
+            )
+        return best
+
     def history(self, ns: str, table: str) -> list[dict]:
         tdir = self._table_dir(ns, table)
         out = []
@@ -3271,9 +3301,13 @@ class Warehouse:
         tdir = self._table_dir(ns, table)
         if not os.path.exists(tdir):
             raise TableNotFoundError(f"{ns}.{table}")
+        import datetime as _dt
+
         rows = []
         for v in self._versions(tdir):
-            files = self._manifest(tdir, v)
+            doc = self._manifest_doc(tdir, v)
+            files = doc["files"]
+            ts = doc.get("ts")
             rows.append(
                 (
                     v,
@@ -3281,10 +3315,16 @@ class Warehouse:
                     sum(e.get("records", 0) for e in files),
                     sum(e.get("bytes", 0) for e in files),
                     len({_scope_key(e) for e in files}),
+                    doc.get("op"),
+                    _dt.datetime.fromtimestamp(ts, tz=_dt.timezone.utc)
+                    if ts
+                    else None,
                 )
             )
         return self.spark.createDataFrame(
-            rows, "version INT, n_files INT, records BIGINT, bytes BIGINT, n_partitions INT"
+            rows,
+            "version INT, n_files INT, records BIGINT, bytes BIGINT, "
+            "n_partitions INT, op STRING, committed_at TIMESTAMP",
         )
 
     def files_df(self, ns: str, table: str, version: int | None = None) -> DataFrame:

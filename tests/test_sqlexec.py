@@ -432,3 +432,37 @@ def test_call_branch_lifecycle(sql, spark):
     assert sql.execute(
         "SELECT COUNT(*) AS n FROM ns.t WHERE id = 'b1'"
     ).collect()[0].n == 1
+
+
+def test_timestamp_time_travel(sql, spark):
+    import time as _time
+
+    wh = sql.wh
+    tdir = wh._table_dir("ns", "t")
+    v1 = wh.current_version("ns", "t")
+    t_between = _time.time()
+    _time.sleep(0.02)
+    sql.execute("DELETE FROM ns.t WHERE v < 10")
+    v2 = wh.current_version("ns", "t")
+    # programmatic resolution
+    assert wh.snapshot_as_of("ns", "t", t_between) == v1
+    assert wh.snapshot_as_of("ns", "t", _time.time()) == v2
+    with pytest.raises(ValueError, match="at or before"):
+        wh.snapshot_as_of("ns", "t", 1.0)
+    # SQL FOR TIMESTAMP AS OF resolves through the stamped wall clocks
+    import datetime as _dt
+
+    iso = _dt.datetime.fromtimestamp(
+        t_between, tz=_dt.timezone.utc
+    ).isoformat()
+    n = sql.execute(
+        f"SELECT COUNT(*) AS n FROM ns.t FOR TIMESTAMP AS OF '{iso}'"
+    ).collect()[0].n
+    assert n == 20
+    n2 = sql.execute("SELECT COUNT(*) AS n FROM ns.t").collect()[0].n
+    assert n2 == 10
+    # snapshots metadata table carries op + committed_at
+    snaps = {r.version: r for r in wh.snapshots_df("ns", "t").collect()}
+    assert snaps[v2].op == "delete"
+    assert snaps[v1].committed_at is not None
+    assert snaps[v1].committed_at <= snaps[v2].committed_at
