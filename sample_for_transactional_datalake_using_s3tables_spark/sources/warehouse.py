@@ -322,13 +322,24 @@ def _seq_of(entry: dict) -> int:
 
 
 def _delete_applies(d: dict, e: dict, phys_key: str) -> bool:
-    """May the equality-delete file ``d`` remove rows from data file
-    ``e``? Sequence rule first (only files OLDER than the delete), then
-    a free metadata check: if both files carry key min/max stats of the
-    same comparable type and the ranges are disjoint, the delete
-    provably misses -- the reader skips the anti-join for that file
-    entirely (after key-clustered compaction, a small delete set
-    overlaps only a handful of files even on a million-file table)."""
+    """May the delete file ``d`` remove rows from data file ``e``?
+
+    POSITIONAL deletes (``kind="pos"``, Iceberg v2 position delete
+    files) bind to the immutable PATHS they name: they apply exactly to
+    their target files (``targets=None`` = unknown, conservatively all)
+    and dangle the moment a target leaves the manifest -- no sequence
+    rule needed.
+
+    EQUALITY deletes: sequence rule first (only files OLDER than the
+    delete), then a free metadata check: if both files carry key
+    min/max stats of the same comparable type and the ranges are
+    disjoint, the delete provably misses -- the reader skips the
+    anti-join for that file entirely (after key-clustered compaction, a
+    small delete set overlaps only a handful of files even on a
+    million-file table)."""
+    if d.get("kind") == "pos":
+        targets = d.get("targets")
+        return targets is None or e["path"] in targets
     if d["seq"] <= _seq_of(e):
         return False
     ds = (d.get("stats") or {}).get(d.get("col", phys_key))
@@ -1244,13 +1255,22 @@ class Warehouse:
         entries: list[dict],
         schema: StructType,
         phys: dict | None = None,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Read file entries under the LOGICAL schema. ``phys`` maps
         logical -> physical column names (column-mapping evolution:
         renames are metadata-only because data files always store
-        physical names, which never change)."""
+        physical names, which never change). ``with_pos`` appends
+        ``__afp`` (the file's normalized absolute path) and ``__pos``
+        (the row's ordinal inside its file, Spark's
+        ``_metadata.row_index``) -- the (path, position) address
+        positional deletes bind to."""
         if not entries:
-            return self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
+            if with_pos:
+                df = df.withColumn("__afp", F.lit(None).cast("string"))
+                df = df.withColumn("__pos", F.lit(None).cast("bigint"))
+            return df
         phys = phys or {}
         from pyspark.sql.types import StructField
 
@@ -1262,12 +1282,19 @@ class Warehouse:
             ]
         )
         df = self.spark.read.schema(phys_schema).parquet(*paths)
-        return df.select(
-            *[
-                F.col(phys.get(f.name, f.name)).alias(f.name)
-                for f in schema.fields
+        cols = [
+            F.col(phys.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
+        if with_pos:
+            cols += [
+                # "file:/x" and "file:///x" both normalize to "/x"
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                ).alias("__afp"),
+                F.col("_metadata.row_index").alias("__pos"),
             ]
-        )
+        return df.select(*cols)
 
     # equality-delete sets up to this many total records broadcast into
     # the anti-join (a CDC batch's keys vs a 100 TB table: the delete
@@ -1303,48 +1330,83 @@ class Warehouse:
         deletes: list[dict] | None,
         key: str | None,
         file_col: str | None = None,
+        keep_pos: bool = False,
     ) -> DataFrame:
-        """Snapshot read with merge-on-read equality deletes applied: a
-        delete file at sequence ``d`` removes rows whose key it contains
-        from data files with sequence < ``d``.
+        """Snapshot read with merge-on-read deletes applied.
+
+        EQUALITY deletes: a delete file at sequence ``d`` removes rows
+        whose key it contains from data files with sequence < ``d``.
+        POSITIONAL deletes (Iceberg v2 position delete files) remove
+        rows by (file path, row ordinal); they apply exactly to the
+        files they name.
 
         Plan shape: data files are grouped by their APPLICABLE-DELETE
-        fingerprint (the set of delete seqs newer than the file), so the
-        number of scan branches is bounded by the number of MoR commits
-        since the last compaction -- NOT by the number of data files --
-        and each branch applies its deletes with one equi ANTI-join
-        (hash-joinable on the key; the delete side broadcasts when its
-        manifest record total is small, the steady state for CDC
-        batches). Files with no applicable delete stay on the zero-join
-        fast path. ``file_col`` adds ``input_file_name()`` BEFORE the
-        anti-join (scan-stage evaluation) for probe callers."""
+        fingerprint (equality delete seqs + pos-delete paths that touch
+        the file), so the number of scan branches is bounded by the
+        number of MoR commits since the last compaction -- NOT by the
+        number of data files -- and each branch applies its deletes
+        with one equi ANTI-join per kind (hash-joinable; the delete
+        side broadcasts when its manifest record total is small, the
+        steady state for CDC batches). Files with no applicable delete
+        stay on the zero-join fast path. ``file_col`` adds
+        ``input_file_name()`` BEFORE the anti-joins (scan-stage
+        evaluation) for probe callers; ``keep_pos`` keeps the
+        ``__afp``/``__pos`` address columns in the output (the
+        positional-DELETE probe reads through this path)."""
         dels = _live_deletes(deletes, entries)
+        eq = [d for d in dels if d.get("kind") != "pos"]
+        pos = [d for d in dels if d.get("kind") == "pos"]
+        if key is None:
+            eq = []  # equality deletes require a table key
 
-        def base(es: list[dict]) -> DataFrame:
-            df = self._read_files(tdir, es, schema, phys=phys)
+        def base(es: list[dict], with_pos: bool = False) -> DataFrame:
+            df = self._read_files(
+                tdir, es, schema, phys=phys, with_pos=with_pos or keep_pos
+            )
             if file_col is not None:
                 df = df.withColumn(file_col, F.input_file_name())
             return df
 
-        if not dels or not entries or key is None:
+        if not entries or (not eq and not pos):
             return base(entries)
-        phys_key = (phys or {}).get(key, key)
+        phys_key = (phys or {}).get(key, key) if key is not None else None
         groups: dict[tuple, list[dict]] = {}
         for e in entries:
-            fp = tuple(
+            eq_fp = tuple(
+                sorted(d["seq"] for d in eq if _delete_applies(d, e, phys_key))
+            )
+            pos_fp = tuple(
                 sorted(
-                    d["seq"] for d in dels if _delete_applies(d, e, phys_key)
+                    d["path"] for d in pos if _delete_applies(d, e, phys_key)
                 )
             )
-            groups.setdefault(fp, []).append(e)
-        key_type = schema[key].dataType
+            groups.setdefault((eq_fp, pos_fp), []).append(e)
         out = None
-        for fp, es in groups.items():
-            part = base(es)
-            if fp:
-                seqs = set(fp)
-                applicable = [d for d in dels if d["seq"] in seqs]
-                kdf = self._read_delete_keys(tdir, applicable, key_type)
+        for (eq_fp, pos_fp), es in groups.items():
+            part = base(es, with_pos=bool(pos_fp))
+            if pos_fp:
+                named = set(pos_fp)
+                applicable = [d for d in pos if d["path"] in named]
+                pdf = self._read_pos_deletes(tdir, applicable)
+                if (
+                    sum(d.get("records", 0) for d in applicable)
+                    <= self._DELETE_BROADCAST_RECORDS
+                ):
+                    pdf = F.broadcast(pdf)
+                part = part.join(
+                    pdf,
+                    (F.col("__afp") == F.col("__dafp"))
+                    & (F.col("__pos") == F.col("__dpos")),
+                    "left_anti",
+                )
+                if not keep_pos:
+                    part = part.drop("__afp", "__pos")
+            if eq_fp:
+                seqs = set(eq_fp)
+                applicable = [d for d in eq if d["seq"] in seqs]
+                kdf = self._read_delete_keys(
+                    tdir, applicable, schema[key].dataType
+                )
                 if (
                     sum(d.get("records", 0) for d in applicable)
                     <= self._DELETE_BROADCAST_RECORDS
@@ -1355,6 +1417,27 @@ class Warehouse:
                 )
             out = part if out is None else out.unionByName(part)
         return out
+
+    def _read_pos_deletes(self, tdir: str, dels: list[dict]) -> DataFrame:
+        """Union of position-delete files as ``(__dafp, __dpos)``:
+        target paths resolved to the same normalized absolute form the
+        data scan's ``_metadata.file_path`` reports."""
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        paths = [os.path.join(tdir, d["path"]) for d in dels]
+        df = self.spark.read.schema(
+            StructType(
+                [
+                    StructField("file", StringType(), True),
+                    StructField("pos", LongType(), True),
+                ]
+            )
+        ).parquet(*paths)
+        prefix = os.path.abspath(tdir) + "/"
+        return df.select(
+            F.concat(F.lit(prefix), F.col("file")).alias("__dafp"),
+            F.col("pos").alias("__dpos"),
+        )
 
     def plan_files(
         self,
