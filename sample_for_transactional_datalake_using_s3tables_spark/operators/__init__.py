@@ -93,13 +93,20 @@ _MODULES = (
 # PARTITION SPEC: mixed-spec planning, cross-spec DML, compaction
 # migration); the scalar-battery family keeps json_extract in-window
 # and both demoted variants stay pytest-oracle-checked.
+# Round-6 swaps (VERDICT r5 #2/#7): revenue_by_region ->
+# warehouse_table_stream (the Structured-Streaming medallion hop:
+# checkpointed manifest-version offsets, exactly-once restart, MoR
+# merge sink) and quantiles_exact -> warehouse_delta_export (the Delta
+# interop flagship, replica-green since r4 but never officially
+# certified). Aggregation keeps risk_analysis/pricing_summary
+# in-window; sampling keeps sample_stratified; both demoted variants
+# stay pytest-oracle-checked.
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
     "filter_date_range",
     "risk_analysis",
     "pricing_summary",
-    "revenue_by_region",
     "join_left",
     "join_salted_skew",
     "window_rank",
@@ -121,7 +128,6 @@ _PRIORITY = (
     "text_lang_id",
     "text_pii_redaction",
     "sample_stratified",
-    "quantiles_exact",
     "curation_pipeline",
     # multimodal plumbing
     "multimodal_image_features",
@@ -141,6 +147,8 @@ _PRIORITY = (
     "warehouse_branch_wap",
     "warehouse_cdf",
     "warehouse_partition_evolution",
+    "warehouse_table_stream",
+    "warehouse_delta_export",
     # event-time windows + custom state
     "window_tumbling",
     "stateful_user_stats",

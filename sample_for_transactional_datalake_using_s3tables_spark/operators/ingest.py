@@ -263,21 +263,49 @@ WHERE event_id % 5 != 0
 
 def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation certified as a query: run the shared MERGE
-    scenario, then read BOTH the historical v1 snapshot
-    (``read(version=...)``) and the current one. The per-version
-    summaries can only match the oracle if time travel returns the
-    pre-merge state untouched while the current read reflects the
-    merge."""
+    scenario, then read the historical v1 snapshot THREE ways -- by
+    version (``read(version=...)``), by timestamp (``snapshot_as_of``
+    with a wall clock captured between the v1 and merge commits), and
+    through the SQL router's ``FOR TIMESTAMP AS OF`` -- plus the
+    current snapshot. The summaries can only match the oracle if all
+    three travel paths return the pre-merge state untouched while the
+    current read reflects the merge (Iceberg ``FOR TIMESTAMP AS OF``,
+    reference time-travel surface)."""
+    from ..sources.sqlexec import WarehouseSQL
+
     wh, root, v1 = _merge_scenario(spark, sf_dir, "wh_timetravel_")
     try:
+        # deterministic "between commits" wall clock: midpoint of the
+        # stamped commit times of v1 and the next snapshot
+        tdir = wh._table_dir("q", "state")
+        ts1 = wh._manifest_doc(tdir, v1)["ts"]
+        ts2 = wh._manifest_doc(tdir, v1 + 1)["ts"]
+        mid = (ts1 + ts2) / 2.0
+        assert wh.snapshot_as_of("q", "state", mid) == v1
+        import datetime as _dt
+
+        iso = _dt.datetime.fromtimestamp(mid, tz=_dt.timezone.utc).isoformat()
+        sql_ts = WarehouseSQL(wh).execute(
+            f"SELECT * FROM q.state FOR TIMESTAMP AS OF '{iso}'"
+        )
+
         def summarize(df: DataFrame, tag: str) -> DataFrame:
             return df.groupBy("event_type").agg(
                 F.count("*").alias("n_rows"),
                 F.sum("value").cast("decimal(18,2)").alias("total_value"),
             ).withColumn("version", F.lit(tag))
 
-        both = summarize(wh.read("q", "state", version=v1), "v1").unionByName(
-            summarize(wh.read("q", "state"), "v2")
+        both = (
+            summarize(wh.read("q", "state", version=v1), "v1")
+            .unionByName(summarize(
+                wh.read(
+                    "q", "state",
+                    version=wh.snapshot_as_of("q", "state", mid),
+                ),
+                "v1_ts",
+            ))
+            .unionByName(summarize(sql_ts, "v1_sql_ts"))
+            .unionByName(summarize(wh.read("q", "state"), "v2"))
         ).select("version", "event_type", "n_rows", "total_value")
         return _lazy_snapshot(spark, root, both)
     except BaseException:
@@ -286,6 +314,30 @@ def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WAREHOUSE_TIME_TRAVEL_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value FROM events
+),
+v1 AS (
+  SELECT event_type, COUNT(*) AS n_rows,
+         CAST(SUM(value) AS DECIMAL(18,2)) AS total_value
+  FROM base GROUP BY event_type
+)
+SELECT 'v1' AS version, event_type, n_rows, total_value FROM v1
+UNION ALL
+SELECT 'v1_ts', event_type, n_rows, total_value FROM v1
+UNION ALL
+SELECT 'v1_sql_ts', event_type, n_rows, total_value FROM v1
+UNION ALL
+SELECT 'v2' AS version, event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN event_id % 3 = 0
+                     THEN CAST(value * 2 AS DECIMAL(12,2)) ELSE value END)
+            AS DECIMAL(18,2)) AS total_value
+FROM base WHERE event_id % 5 != 0 GROUP BY event_type
+"""
+
+
+# warehouse_tags emits the original two sections only (tagged v1 + v2)
+WAREHOUSE_TAGS_SQL = """
 WITH base AS (
   SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value FROM events
 )
@@ -606,6 +658,87 @@ def warehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     except BaseException:
         shutil.rmtree(root, ignore_errors=True)
         raise
+
+
+def warehouse_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The medallion bronze -> silver streaming hop certified end to
+    end (Structured Streaming over the table-appends source,
+    sources/streamsource.py; the Spark-native continuation of the
+    reference's Firehose -> Iceberg chain, stack/firehose.py:81-133):
+    append half the events to bronze and run ``stream_table_to_table``
+    under ``availableNow`` (checkpointed manifest-version offsets,
+    keyed MoR MERGE into silver through a filtering transform); append
+    the other half PLUS re-keyed updates and run the SAME checkpoint
+    again -- only the new commits replay; run it a third time with
+    nothing new. ``stream_ok`` folds in the exactly-once invariants a
+    SQL twin can't see: the idle restart committed nothing to silver,
+    silver holds zero duplicate keys, and the checkpointed offset
+    equals bronze's tip. A hash match certifies offset tracking,
+    restart resume, the transform hop, and merge idempotence at
+    once."""
+    from ..streaming.tables import stream_table_to_table
+
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_tstream_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "bronze", events.schema, key="event_id",
+            partition_by="event_type",
+        )
+        wh.create_table("q", "silver", events.schema, key="event_id")
+        ckpt = os.path.join(root, "_ckpt")
+
+        def hop():
+            q = stream_table_to_table(
+                spark, wh, ("q", "bronze"), ("q", "silver"), ckpt,
+                transform=lambda df: df.filter(F.col("event_id") % 3 != 0),
+                strategy="mor",
+            )
+            q.awaitTermination(300)
+            if q.exception() is not None:
+                raise RuntimeError(str(q.exception()))
+
+        wh.insert("q", "bronze", events.filter(F.col("event_id") % 2 == 0))
+        hop()
+        # second wave: the odd half + updated re-appends of %10 keys
+        # (bronze is append-only raw; silver dedups latest-wins by key)
+        wh.insert("q", "bronze", events.filter(F.col("event_id") % 2 == 1))
+        updates = events.filter(F.col("event_id") % 10 == 0).withColumn(
+            "value", (F.col("value") + 777).cast("decimal(12,2)")
+        )
+        wh.insert("q", "bronze", updates)
+        hop()
+        v_silver = wh.current_version("q", "silver")
+        hop()  # idle restart: zero batches, zero commits
+        idle_ok = wh.current_version("q", "silver") == v_silver
+        silver = wh.read("q", "silver")
+        n, nk = silver.count(), silver.select("event_id").distinct().count()
+        stream_ok = bool(idle_ok and n == nk)
+        out = silver.select("event_id", "event_type", "value").withColumn(
+            "stream_ok", F.lit(stream_ok)
+        )
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+# Silver = transform(bronze latest-wins by key): the %10 re-appends
+# land in a LATER commit than both halves, so their +777 value wins;
+# the transform filter drops %3 keys before the merge, and %10 AND %3
+# keys therefore never reach silver at all (their update is filtered
+# too). events.event_id is unique, so base rows are the key universe.
+WAREHOUSE_TABLE_STREAM_SQL = """
+SELECT event_id, event_type,
+       CAST(CASE WHEN event_id % 10 = 0 THEN value + 777 ELSE value END
+            AS DECIMAL(12,2)) AS value,
+       TRUE AS stream_ok
+FROM (SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value
+      FROM events)
+WHERE event_id % 3 != 0
+"""
 
 
 # The scenario's four data commits, reconstructed analytically. The
@@ -1310,6 +1443,7 @@ QUERIES = {
     "warehouse_data_skipping": warehouse_data_skipping,
     "warehouse_grants": warehouse_grants,
     "warehouse_zorder": warehouse_zorder,
+    "warehouse_table_stream": warehouse_table_stream,
 }
 
 ORACLES = {
@@ -1319,7 +1453,7 @@ ORACLES = {
     "warehouse_branch_wap": WAREHOUSE_BRANCH_WAP_SQL,
     "cdc_quarantine": CDC_QUARANTINE_SQL,
     "warehouse_delta_export": WAREHOUSE_DELTA_EXPORT_SQL,
-    "warehouse_tags": WAREHOUSE_TIME_TRAVEL_SQL,
+    "warehouse_tags": WAREHOUSE_TAGS_SQL,
     "warehouse_wap": WAREHOUSE_WAP_SQL,
     "warehouse_constraints": WAREHOUSE_CONSTRAINTS_SQL,
     "warehouse_merge_roundtrip": WAREHOUSE_MERGE_SQL,
@@ -1334,4 +1468,5 @@ ORACLES = {
     "warehouse_data_skipping": WAREHOUSE_DATA_SKIPPING_SQL,
     "warehouse_grants": WAREHOUSE_GRANTS_SQL,
     "warehouse_zorder": WAREHOUSE_ZORDER_SQL,
+    "warehouse_table_stream": WAREHOUSE_TABLE_STREAM_SQL,
 }

@@ -68,11 +68,14 @@ def _doc(tdir: str, v: int, branch: str | None) -> dict:
 
 class _FileSlice(InputPartition):
     """One appended data file: absolute path + the physical->logical
-    name projection to apply after reading."""
+    name projection to apply after reading. Each entry carries the
+    logical Spark type so files written BEFORE an ADD COLUMN evolution
+    (which lack the new physical column) can be null-filled to the
+    range-end schema, matching the batch path's schema projection."""
 
-    def __init__(self, path: str, names: list[tuple[str, str]]):
+    def __init__(self, path: str, names: list[tuple[str, str, object]]):
         self.path = path
-        self.names = names  # [(physical, logical)] in output order
+        self.names = names  # [(physical, logical, spark_type)] in order
 
 
 class WarehouseAppendsStreamReader(DataSourceStreamReader):
@@ -117,7 +120,10 @@ class WarehouseAppendsStreamReader(DataSourceStreamReader):
             )
         end_doc = _doc(self.tdir, hi, self.branch)
         phys = end_doc.get("physical") or {}
-        names = [(phys.get(f.name, f.name), f.name) for f in self.schema.fields]
+        names = [
+            (phys.get(f.name, f.name), f.name, f.dataType)
+            for f in self.schema.fields
+        ]
         out: list[InputPartition] = []
         prev_paths = {e["path"] for e in _doc(self.tdir, lo, self.branch)["files"]}
         prev_dels = {
@@ -154,16 +160,28 @@ class WarehouseAppendsStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: _FileSlice):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(
-            partition.path,
-            columns=[p for p, _ in partition.names],
-        )
+        # Files appended before an ADD COLUMN evolution lack the new
+        # physical column: read only the columns the file actually has
+        # and null-fill the rest to the range-end schema (the batch
+        # path's spark.read.schema does the same null projection).
+        avail = set(pq.read_schema(partition.path).names)
+        present = [p for p, _, _ in partition.names if p in avail]
+        table = pq.read_table(partition.path, columns=present)
+        cols, out_names = [], []
+        n = len(table)
+        for p, lg, dtype in partition.names:
+            if p in avail:
+                cols.append(table.column(p))
+            else:
+                from pyspark.sql.pandas.types import to_arrow_type
+
+                cols.append(pa.nulls(n, type=to_arrow_type(dtype)))
+            out_names.append(lg)
         # zero-copy physical->logical projection in output order
-        table = table.select([p for p, _ in partition.names])
-        table = table.rename_columns([lg for _, lg in partition.names])
-        yield from table.to_batches()
+        yield from pa.table(dict(zip(out_names, cols))).to_batches()
 
     def commit(self, end: dict) -> None:
         pass

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_v"
+_COMMIT_IDX = "_commits.idx"  # publish-time version->(ts, op) sidecar
 _SCHEMA_FILE = "_table.json"
 
 # Hidden-partitioning transforms (Iceberg partition-spec analog: the
@@ -752,6 +753,7 @@ class Warehouse:
         deletes: list[dict] | None = None,
         branch: str | None = None,
         op: str | None = None,
+        ts: float | None = None,
     ) -> None:
         """Atomic optimistic commit: link() fails if the version exists
         (the reference's versionToken CAS, scripts/update_metadata.py:135-141).
@@ -762,11 +764,15 @@ class Warehouse:
         (merge-on-read). ``op`` stamps the commit's operation type
         (Iceberg snapshot summary ``operation``): incremental/changelog
         readers skip ``replace`` commits (compaction rewrites no data)
-        by stamp instead of diffing content."""
+        by stamp instead of diffing content. ``ts`` overrides the commit
+        wall clock: fast_forward replays a branch manifest verbatim and
+        must preserve the ORIGINAL commit time (Iceberg's fast_forward
+        keeps snapshot timestamps) so timestamp time travel stays
+        truthful across a promote."""
         import time as _time
 
         doc: dict = {"version": version, "files": files}
-        doc["ts"] = _time.time()  # commit wall clock (FOR TIMESTAMP AS OF)
+        doc["ts"] = _time.time() if ts is None else ts
         if op:
             doc["op"] = op
         if schema is not None:
@@ -788,6 +794,56 @@ class Warehouse:
             ) from e
         finally:
             os.unlink(tmp)
+        # Compact commit index: one JSONL line per publish so
+        # snapshot_as_of/history resolve timestamps with O(1) file opens
+        # instead of re-parsing every manifest (manifests stay the
+        # source of truth; _commit_index rebuilds on any gap). Only the
+        # CAS winner reaches this append; O_APPEND keeps small writes
+        # atomic on a local fs.
+        line = json.dumps(
+            {"version": version, "ts": doc["ts"], "op": op or "append",
+             "n_files": len(files),
+             "bytes": sum(e.get("bytes", 0) for e in files)}
+        )
+        with open(os.path.join(vdir, _COMMIT_IDX), "a") as f:
+            f.write(line + "\n")
+
+    def _commit_index(
+        self, tdir: str, branch: str | None = None
+    ) -> list[dict]:
+        """Version-ordered ``{version, ts, op, n_files, bytes}`` rows for
+        every live snapshot, served from the publish-time sidecar when it
+        exactly covers the manifest set and rebuilt from manifests
+        otherwise (legacy tables, crashed publishes, expired snapshots).
+        Keeps timestamp resolution O(1) file opens on the happy path."""
+        versions = self._versions(tdir, branch)
+        vdir = self._vdir(tdir, branch)
+        idx_path = os.path.join(vdir, _COMMIT_IDX)
+        rows: dict[int, dict] = {}
+        try:
+            with open(idx_path) as f:
+                for ln in f:
+                    ln = ln.strip()
+                    if ln:
+                        r = json.loads(ln)
+                        rows[r["version"]] = r
+        except (FileNotFoundError, ValueError):
+            rows = {}
+        if set(rows) != set(versions):
+            rows = {}
+            for v in versions:
+                doc = self._manifest_doc(tdir, v, branch)
+                files = doc["files"]
+                rows[v] = {
+                    "version": v, "ts": doc.get("ts", 0.0),
+                    "op": doc.get("op", "append"), "n_files": len(files),
+                    "bytes": sum(e.get("bytes", 0) for e in files),
+                }
+            tmp = os.path.join(vdir, f".idx-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write("".join(json.dumps(rows[v]) + "\n" for v in versions))
+            os.replace(tmp, idx_path)
+        return [rows[v] for v in versions]
 
     # Bounded retries: optimistic concurrency should converge in one or
     # two rounds; an unbounded loop would mask a livelock under
@@ -1654,7 +1710,16 @@ class Warehouse:
         out so only logical changes remain. op="replace" commits
         (compaction, Z-order) are skipped by stamp: they change no
         data, and diffing their content would cost a full rewrite-sized
-        shuffle for a guaranteed-empty result."""
+        shuffle for a guaranteed-empty result.
+
+        Plan shape over LONG ranges: consecutive APPEND-ONLY commits
+        (the dominant shape of a streaming-ingest table -- thousands of
+        Firehose-style appends between rare DML commits) collapse into
+        ONE file-list scan whose ``_commit_version`` comes from a
+        broadcast file->version map joined on ``input_file_name()``,
+        not one union branch per commit; the ``exceptAll`` netting pair
+        runs only for commits that actually removed rows. A 10k-commit
+        append-only range therefore plans a single scan."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
         key = meta.get("key")
@@ -1667,11 +1732,60 @@ class Warehouse:
         # files correctly (same contract as time travel)
         schema = StructType.fromJson(end_doc.get("schema", meta["schema"]))
         phys = self._snapshot_phys(end_doc, meta)
-        out: DataFrame | None = None
+
+        # segment the range: runs of append-only commits fold together;
+        # delete/rewrite commits stay per-commit (their netting needs
+        # commit-local pre-images)
+        segments: list[tuple] = []
         for v in rng:
             added, removed, new_dels, op = self._commit_diff(tdir, v, branch)
             if op == "replace" or not (added or removed or new_dels):
                 continue
+            if not removed and not new_dels:
+                if segments and segments[-1][0] == "append":
+                    segments[-1][1].append((v, added))
+                else:
+                    segments.append(("append", [(v, added)]))
+            else:
+                segments.append(("dml", v, added, removed, new_dels))
+
+        cols = [*schema.fieldNames(), "_change_type", "_commit_version"]
+        out: DataFrame | None = None
+        for seg in segments:
+            if seg[0] == "append":
+                commits = seg[1]
+                entries = [e for _v, es in commits for e in es]
+                ins = self._read_files(tdir, entries, schema, phys=phys)
+                if len(commits) == 1:
+                    ins = ins.withColumn(
+                        "_commit_version",
+                        F.lit(commits[0][0]).cast("int"),
+                    )
+                else:
+                    vmap = self.spark.createDataFrame(
+                        [
+                            (os.path.abspath(os.path.join(tdir, e["path"])), v)
+                            for v, es in commits
+                            for e in es
+                        ],
+                        "__srcfile string, _commit_version int",
+                    )
+                    ins = (
+                        ins.withColumn(
+                            "__srcfile",
+                            F.regexp_replace(
+                                F.input_file_name(), "^file:/+", "/"
+                            ),
+                        )
+                        .join(F.broadcast(vmap), "__srcfile")
+                        .drop("__srcfile")
+                    )
+                changed = ins.withColumn(
+                    "_change_type", F.lit("insert")
+                ).select(*cols)
+                out = changed if out is None else out.unionByName(changed)
+                continue
+            _tag, v, added, removed, new_dels = seg
             prev_doc = self._manifest_doc(tdir, v - 1, branch)
             prev_deletes = prev_doc.get("deletes")
             ins = self._read_files(tdir, added, schema, phys=phys)
@@ -1715,14 +1829,14 @@ class Warehouse:
             dels = self.spark.createDataFrame([], schema)
             for part in del_parts:
                 dels = dels.unionByName(part)
-            if net:
+            if net and del_parts:
                 ins, dels = ins.exceptAll(dels), dels.exceptAll(ins)
             changed = ins.withColumn(
                 "_change_type", F.lit("insert")
             ).unionByName(dels.withColumn("_change_type", F.lit("delete")))
             changed = changed.withColumn(
                 "_commit_version", F.lit(v).cast("int")
-            )
+            ).select(*cols)
             out = changed if out is None else out.unionByName(changed)
         if out is None:
             empty = StructType.fromJson(json.loads(schema.json()))
@@ -3129,14 +3243,18 @@ class Warehouse:
         if main_tip != fork:
             # resumability: a crashed fast-forward may have left main
             # holding a PREFIX of this branch's commits. If every main
-            # version past the fork is byte-identical to the branch's
-            # manifest at that version, main is still an ancestor-or-
+            # version past the fork equals the branch's manifest at that
+            # version (modulo the commit wall clock, which a pre-r6
+            # replay may have re-stamped), main is still an ancestor-or-
             # prefix and the replay simply continues; anything else is
             # a real divergence.
+            def _sans_ts(d: dict) -> dict:
+                return {k: v for k, v in d.items() if k != "ts"}
+
             for v in range(fork + 1, main_tip + 1):
                 try:
-                    same = self._manifest_doc(tdir, v) == self._manifest_doc(
-                        tdir, v, name
+                    same = _sans_ts(self._manifest_doc(tdir, v)) == _sans_ts(
+                        self._manifest_doc(tdir, v, name)
                     )
                 except FileNotFoundError:
                     same = False
@@ -3152,7 +3270,7 @@ class Warehouse:
             self._publish(
                 tdir, v, doc["files"], schema=doc.get("schema"),
                 phys=doc.get("physical"), deletes=doc.get("deletes"),
-                op=doc.get("op"),
+                op=doc.get("op"), ts=doc.get("ts"),
             )
         new_tip = self._versions(tdir)[-1]
         self.drop_branch(ns, table, name)
@@ -3339,21 +3457,30 @@ class Warehouse:
         string (naive strings are read as UTC). Resolution scans the
         manifest chain's stamped commit wall clocks; pass the result to
         ``read(version=...)`` / ``plan_files`` / ``rollback_to``.
-        Pre-stamping legacy snapshots read as infinitely old."""
+        Pre-stamping legacy snapshots read as infinitely old. String
+        timestamps that are bare digits (``'1755180000'`` --
+        Delta/Trino users pass epoch millis or seconds unquoted, the SQL
+        router forwards them verbatim) resolve as epoch seconds rather
+        than failing ISO parsing. Resolution reads the publish-time
+        commit index -- O(1) file opens, not one JSON parse per
+        snapshot."""
         import datetime as _dt
 
         if isinstance(ts, str):
-            dt = _dt.datetime.fromisoformat(ts)
-            if dt.tzinfo is None:
-                dt = dt.replace(tzinfo=_dt.timezone.utc)
-            ts = dt.timestamp()
+            try:
+                ts = float(ts)  # bare epoch seconds
+            except ValueError:
+                dt = _dt.datetime.fromisoformat(ts)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=_dt.timezone.utc)
+                ts = dt.timestamp()
         tdir = self._table_dir(ns, table)
         if not os.path.exists(tdir):
             raise TableNotFoundError(f"{ns}.{table}")
         best = None
-        for v in self._versions(tdir):
-            if self._manifest_doc(tdir, v).get("ts", 0.0) <= ts:
-                best = v
+        for row in self._commit_index(tdir):
+            if row.get("ts", 0.0) <= ts:
+                best = row["version"]
         if best is None:
             raise ValueError(
                 f"no snapshot of {ns}.{table} exists at or before {ts}"
@@ -3362,17 +3489,11 @@ class Warehouse:
 
     def history(self, ns: str, table: str) -> list[dict]:
         tdir = self._table_dir(ns, table)
-        out = []
-        for v in self._versions(tdir):
-            files = self._manifest(tdir, v)
-            out.append(
-                {
-                    "version": v,
-                    "n_files": len(files),
-                    "bytes": sum(e.get("bytes", 0) for e in files),
-                }
-            )
-        return out
+        return [
+            {"version": r["version"], "n_files": r["n_files"],
+             "bytes": r["bytes"]}
+            for r in self._commit_index(tdir)
+        ]
 
     # -- metadata tables (Iceberg's ``db.table.snapshots`` /
     # ``db.table.files`` exposed as DataFrames: queryable table

@@ -212,3 +212,52 @@ def test_fast_forward_still_conflicts_on_real_divergence(spark, wh, monkeypatch)
     wh.insert("ns", "t", _df(spark, [("m1", "d0", 9)]).coalesce(1))  # diverge
     with pytest.raises(CommitConflictError, match="fast-forward"):
         wh.fast_forward("ns", "t", "audit")
+
+
+def test_fast_forward_preserves_branch_commit_timestamps(spark, wh):
+    """Replayed commits keep the BRANCH manifest's original wall clock
+    (Iceberg fast_forward preserves snapshot timestamps), so
+    ``FOR TIMESTAMP AS OF`` on main resolves to fork-time stamps, not
+    replay time."""
+    import time
+
+    _base(spark, wh)
+    wh.create_branch("ns", "t", "audit")
+    wh.insert("ns", "t", _df(spark, [("b1", "d0", 1)]).coalesce(1), branch="audit")
+    v_branch = wh.current_version("ns", "t", branch="audit")
+    tdir = wh._table_dir("ns", "t")
+    branch_ts = wh._manifest_doc(tdir, v_branch, "audit")["ts"]
+    after_commit = time.time()
+    time.sleep(0.05)
+    wh.fast_forward("ns", "t", "audit")
+    main_ts = wh._manifest_doc(tdir, v_branch)["ts"]
+    assert main_ts == branch_ts  # replay carried the original stamp
+    # timestamp travel on main sees the branch commit as of fork time
+    assert wh.snapshot_as_of("ns", "t", after_commit) == v_branch
+
+
+def test_snapshot_as_of_uses_commit_index_o1_opens(spark, wh, monkeypatch):
+    """Once the publish-time commit index covers the snapshot set,
+    timestamp resolution opens ZERO manifest JSONs."""
+    import time
+
+    import sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse as whmod
+
+    _base(spark, wh)
+    wh.insert("ns", "t", _df(spark, [("x1", "d0", 1)]).coalesce(1))
+    now = time.time()
+    tip = wh.current_version("ns", "t")
+    assert wh.snapshot_as_of("ns", "t", now) == tip  # warms/validates idx
+
+    calls = {"n": 0}
+    orig = whmod.Warehouse._manifest_doc
+
+    def counting(self, tdir, version, branch=None):
+        calls["n"] += 1
+        return orig(self, tdir, version, branch)
+
+    monkeypatch.setattr(whmod.Warehouse, "_manifest_doc", counting)
+    assert wh.snapshot_as_of("ns", "t", now) == tip
+    assert calls["n"] == 0
+    # bare-digit epoch string resolves too (Delta/Trino unquoted epoch)
+    assert wh.snapshot_as_of("ns", "t", str(now)) == tip

@@ -302,3 +302,61 @@ def test_stream_table_to_table_medallion_hop(registered, wh, spark):
     hop()
     assert wh.current_version("ns", "silver") == v
     assert {(r.id, r.v) for r in wh.read("ns", "silver").collect()} == got
+
+
+def test_stream_across_add_column_evolution(registered, wh, spark):
+    """Files appended BEFORE an ADD COLUMN lack the new physical
+    column; the stream read null-fills them to the range-end schema
+    (same projection as the batch path) instead of raising."""
+    from pyspark.sql.types import DoubleType, StructField
+
+    root = wh.root
+    wh.insert("ns", "t", _rows(spark, [("k1", "d0", 1)]))
+    wh.add_column("ns", "t", StructField("score", DoubleType()))
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame(
+            [("k2", "d1", 2, 0.5)],
+            "id string, day string, v long, score double",
+        ),
+    )
+    stream = _stream(spark, root)
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp() + "/out"
+    _drain(spark, stream, ckpt, out)
+    rows = spark.read.parquet(out)
+    assert set(rows.columns) == {"id", "day", "v", "score"}
+    got = {(r.id, r.v, r.score) for r in rows.collect()}
+    assert got == {("k1", 1, None), ("k2", 2, 0.5)}
+
+
+def test_changelog_append_only_range_plans_one_scan(wh, spark):
+    """A long append-only commit range folds into ONE parquet scan
+    (file->version broadcast map), not one union branch per commit,
+    and plans no exceptAll netting."""
+    for i in range(8):
+        wh.insert("ns", "t", _rows(spark, [(f"k{i}", "d0", i)]))
+    df = wh.changelog("ns", "t", 0)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_scans = plan.count("parquet")
+    assert n_scans == 1, f"expected 1 parquet relation, plan:\n{plan}"
+    assert "Except" not in plan
+    got = {(r.id, r._change_type, r._commit_version) for r in df.collect()}
+    assert got == {(f"k{i}", "insert", i + 1) for i in range(8)}
+
+
+def test_changelog_mixed_range_segments(wh, spark):
+    """Append runs fold; a DML commit in the middle stays per-commit
+    with correct pre/post images on both sides."""
+    wh.insert("ns", "t", _rows(spark, [("k1", "d0", 1)]))
+    wh.insert("ns", "t", _rows(spark, [("k2", "d0", 2)]))
+    wh.update_where("ns", "t", {"v": F.lit(99)}, F.col("id") == "k1")
+    wh.insert("ns", "t", _rows(spark, [("k3", "d1", 3)]))
+    v = wh.current_version("ns", "t")
+    got = _changes(wh.changelog("ns", "t", 0, v))
+    assert got == {
+        ("k1", 1, "insert", 1),
+        ("k2", 2, "insert", 2),
+        ("k1", 1, "delete", 3),
+        ("k1", 99, "insert", 3),
+        ("k3", 3, "insert", 4),
+    }
