@@ -110,6 +110,14 @@ def bench_dml(spark, sf_dir: str) -> dict[str, float]:
             "delete_where_pruned",
             lambda: wh.delete_where("b", "t", [("event_id", ">=", 10_000_000)]),
         )
+        # position-delete MoR: row-granular keyless delete, zero
+        # rewrites, commit O(matches) -- the scattered-row delete shape
+        _t(
+            "delete_where_pos",
+            lambda: wh.delete_where(
+                "b", "t", [("event_id", "<", 500)], strategy="mor-pos",
+            ),
+        )
         # merge-on-read: same batch shape as merge_small_batch, zero
         # file rewrites (appends data + one equality-delete file) -- the
         # steady-state CDC commit; the trailing compact folds it in

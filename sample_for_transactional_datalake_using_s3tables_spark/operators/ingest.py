@@ -650,9 +650,14 @@ def warehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             wh.read_incremental("q", "state", v2 - 1, v2).count()
             == appended.count()
         )
-        out = wh.changelog("q", "state", 0).select(
-            "event_id", "event_type", "value",
-            "_change_type", "_commit_version",
+        # read the changelog through the SQL router's table_changes TVF
+        # (Delta CDF / Iceberg .changes surface) so the parse + route
+        # path is certified along with the engine
+        from ..sources.sqlexec import WarehouseSQL
+
+        out = WarehouseSQL(wh).execute(
+            "SELECT event_id, event_type, value, _change_type, "
+            "_commit_version FROM table_changes('q.state', 0)"
         ).withColumn("inc_ok", F.lit(bool(inc_ok)))
         return _lazy_snapshot(spark, root, out)
     except BaseException:

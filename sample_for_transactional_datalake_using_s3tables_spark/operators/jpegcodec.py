@@ -14,9 +14,10 @@ prediction. The decoder handles arbitrary integer sampling factors
 whose max is a multiple of each component's (covers 4:4:4, 4:2:2,
 4:2:0).
 
-Scope: baseline sequential (SOF0), 8-bit, no restart markers.
-Progressive (SOF2) and arithmetic-coded JPEG remain the PIL deployment
-seam.
+Scope: baseline sequential (SOF0) AND progressive (SOF2: spectral
+selection + successive approximation, full DC/AC first+refine scan
+machinery with EOB-run coding), 8-bit, no restart markers.
+Arithmetic-coded JPEG and DRI/RSTn remain the PIL deployment seam.
 
 Reference behavior it re-expresses: the reference pipeline treats media
 as opaque S3 objects; decoding is the analytics-side capability a
@@ -448,9 +449,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci: 9 + 3 * ci]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+        elif marker == 0xC2:
+            return _decode_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError(
-                "only baseline SOF0 JPEG supported (progressive needs PIL)"
+                "only baseline SOF0 / progressive SOF2 JPEG supported"
             )
         elif marker == 0xDA:
             if h is None:
@@ -514,3 +517,525 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     if out.ndim != 2:
         raise ValueError("decode_jpeg_gray got a color JPEG")
     return out
+
+
+# -- progressive JPEG (SOF2): spectral selection + successive
+# approximation, ITU T.81 Annex G. The decoder accumulates quantized
+# coefficients across scans (DC first/refine, AC first/refine with
+# EOB-run coding) and reconstructs once at EOI; the encoder emits a
+# libjpeg-style scan script with per-scan optimal Huffman tables.
+# Identical quantized coefficients => progressive decode is bit-exact
+# with the baseline decode of the same image. --
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, truncation toward zero
+    (T.81 G.1.2.1 -- DC uses plain arithmetic shift instead)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+class _ProgEmitter:
+    """Per-scan token stream for progressive entropy coding: Huffman
+    symbols interleaved with raw bits, plus the EOB-run accumulator and
+    its buffered correction bits (T.81 G.1.2.3; the bit_buffer/BE
+    mechanism of libjpeg's encoder)."""
+
+    def __init__(self):
+        self.tokens: list[tuple] = []  # (is_sym, sym, bits, nbits)
+        self.syms: list[int] = []
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits owed to EOB run
+
+    def sym(self, s: int) -> None:
+        self.syms.append(s)
+        self.tokens.append((True, s, 0, 0))
+
+    def raw(self, v: int, n: int) -> None:
+        if n:
+            self.tokens.append((False, 0, v, n))
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            self.raw(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+            for b in self.pending:
+                self.raw(b, 1)
+            self.pending = []
+
+    def eob(self, bits: tuple | list = ()) -> None:
+        self.eobrun += 1
+        self.pending.extend(bits)
+        if self.eobrun == 0x7FFF:  # 14-bit EOBn cap
+            self.flush_eobrun()
+
+
+def _dc_scan_order(
+    blocks: list[np.ndarray], comps_idx: list[int], samp, mcux: int, mcuy: int
+) -> list[tuple[int, int, int]]:
+    if len(comps_idx) == 1:
+        ci = comps_idx[0]
+        bh, bw = blocks[ci].shape[:2]
+        return [(ci, r, c) for r in range(bh) for c in range(bw)]
+    order = []
+    for m in range(mcuy * mcux):
+        my, mx = divmod(m, mcux)
+        for ci in comps_idx:
+            hi, vi = samp[ci]
+            for vy in range(vi):
+                for vx in range(hi):
+                    order.append((ci, my * vi + vy, mx * hi + vx))
+    return order
+
+
+def _enc_dc_first(blocks, order, al: int, em: _ProgEmitter) -> None:
+    pred: dict[int, int] = {}
+    for ci, r, c in order:
+        v = int(blocks[ci][r, c, 0]) >> al  # DC: arithmetic shift
+        diff = v - pred.get(ci, 0)
+        pred[ci] = v
+        s, bits = _encode_magnitude(diff)
+        em.sym(s)
+        em.raw(bits, s)
+
+
+def _enc_dc_refine(blocks, order, al: int, em: _ProgEmitter) -> None:
+    for ci, r, c in order:
+        em.raw((int(blocks[ci][r, c, 0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(bk: np.ndarray, ss: int, se: int, al: int, em: _ProgEmitter) -> None:
+    bh, bw = bk.shape[:2]
+    for r in range(bh):
+        for c in range(bw):
+            zz = bk[r, c]
+            vals = [_trunc_shift(int(zz[k]), al) for k in range(ss, se + 1)]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                em.eob()
+                continue
+            em.flush_eobrun()
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    em.sym(0xF0)
+                    run -= 16
+                s, bits = _encode_magnitude(v)
+                em.sym((run << 4) | s)
+                em.raw(bits, s)
+                run = 0
+            if nz[-1] < len(vals) - 1:
+                em.eob()
+
+
+def _enc_ac_refine(bk: np.ndarray, ss: int, se: int, al: int, em: _ProgEmitter) -> None:
+    bh, bw = bk.shape[:2]
+    for r in range(bh):
+        for c in range(bw):
+            zz = bk[r, c]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            # last NEWLY-nonzero position: ZRL only makes sense before it
+            eob_idx = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+            run = 0
+            br_bits: list[int] = []  # this block's correction bits
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eob_idx:
+                    em.flush_eobrun()
+                    em.sym(0xF0)
+                    run -= 16
+                    for b in br_bits:
+                        em.raw(b, 1)
+                    br_bits = []
+                if t > 1:
+                    # history coefficient: buffered correction bit; does
+                    # NOT count toward nor reset the zero run
+                    br_bits.append(t & 1)
+                    continue
+                em.flush_eobrun()
+                em.sym((run << 4) | 1)
+                em.raw(0 if int(zz[ss + i]) < 0 else 1, 1)
+                for b in br_bits:
+                    em.raw(b, 1)
+                br_bits = []
+                run = 0
+            if run > 0 or br_bits:
+                em.eob(br_bits)
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray,
+    quant_y: np.ndarray = _Q_FLAT,
+    quant_c: np.ndarray = _Q_FLAT,
+    subsample: bool = True,
+) -> bytes:
+    """Progressive JPEG (SOF2) for an (h, w) grayscale or (h, w, 3) RGB
+    uint8 array. Same block/quant math as the baseline encoders (so a
+    progressive payload decodes bit-exactly to the baseline decode of
+    the same pixels); the scan script follows libjpeg's default --
+    interleaved DC first pass at Al=1, spectrally-split AC first passes,
+    then DC and AC successive-approximation refinements to full
+    precision. Dimension rules match the baseline encoders."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        if h % 8 or w % 8:
+            raise ValueError("encode_jpeg_progressive needs /8 dims")
+        planes = [px.astype(np.float64)]
+        samp = ((1, 1),)
+        quants = [quant_y]
+        tqs = [0]
+        cids = [1]
+    else:
+        mcu = 16 if subsample else 8
+        if h % mcu or w % mcu:
+            raise ValueError(
+                f"encode_jpeg_progressive needs multiple-of-{mcu} dims"
+            )
+        y, cb, cr = _rgb_to_ycbcr(px.astype(np.float64))
+        if subsample:
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            samp = ((2, 2), (1, 1), (1, 1))
+        else:
+            samp = ((1, 1), (1, 1), (1, 1))
+        planes = [y, cb, cr]
+        quants = [quant_y, quant_c, quant_c]
+        tqs = [0, 1, 1]
+        cids = [1, 2, 3]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
+    blocks: list[np.ndarray] = []
+    for ci, p in enumerate(planes):
+        ph, pw = p.shape
+        bk = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
+        for r in range(ph // 8):
+            for c in range(pw // 8):
+                bk[r, c] = _quantize_block(p, r * 8, c * 8, quants[ci])
+        blocks.append(bk)
+
+    all_c = list(range(len(planes)))
+    if gray:
+        script = [
+            (all_c, 0, 0, 0, 1),   # DC first
+            ([0], 1, 5, 0, 2),     # AC low band, coarse
+            ([0], 6, 63, 0, 2),    # AC high band, coarse
+            (all_c, 0, 0, 1, 0),   # DC refine
+            ([0], 1, 63, 2, 1),    # AC refine
+            ([0], 1, 63, 1, 0),    # AC refine to full precision
+        ]
+    else:
+        script = [
+            (all_c, 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([2], 1, 63, 0, 1),
+            ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            (all_c, 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    emitted_q: set[int] = set()
+    for ci in all_c:
+        if tqs[ci] not in emitted_q:
+            zq = quants[ci].reshape(-1)[_ZIGZAG].astype(np.uint8)
+            out += seg(0xFFDB, bytes([tqs[ci]]) + zq.tobytes())
+            emitted_q.add(tqs[ci])
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci in all_c:
+        hi, vi = samp[ci]
+        sof += bytes([cids[ci], (hi << 4) | vi, tqs[ci]])
+    out += seg(0xFFC2, sof)
+
+    for comps_idx, ss, se, ah, al in script:
+        em = _ProgEmitter()
+        if ss == 0:
+            order = _dc_scan_order(blocks, comps_idx, samp, mcux, mcuy)
+            if ah == 0:
+                _enc_dc_first(blocks, order, al, em)
+            else:
+                _enc_dc_refine(blocks, order, al, em)
+            tc = 0
+        else:
+            if len(comps_idx) != 1:
+                raise ValueError("AC scans are single-component")
+            if ah == 0:
+                _enc_ac_first(blocks[comps_idx[0]], ss, se, al, em)
+            else:
+                _enc_ac_refine(blocks[comps_idx[0]], ss, se, al, em)
+            tc = 1
+        em.flush_eobrun()
+        bw = _BitWriter()
+        if em.syms:
+            bits, vals, codes = _canonical_table(em.syms)
+            out += seg(0xFFC4, bytes([tc << 4]) + bytes(bits) + bytes(vals))
+        for is_sym, s, v, n in em.tokens:
+            if is_sym:
+                code, ln = codes[s]
+                bw.write(code, ln)
+            else:
+                bw.write(v, n)
+        bw.flush()
+        sos = bytes([len(comps_idx)])
+        for ci in comps_idx:
+            sos += bytes([cids[ci], 0x00])  # table 0 for both classes
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        out += bytes(bw.out)
+    out += b"\xff\xd9"
+    return out
+
+
+def _ac_refine_block(br, act, zz, ss, se, al, eobrun):
+    """Decode one block of an AC successive-approximation refinement
+    scan (T.81 G.2; the libjpeg decode_mcu_AC_refine algorithm):
+    correction bits for history coefficients, new +-1<<Al insertions,
+    EOB-run accounting. Mutates ``zz`` in place, returns the EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(br, act)
+            run, size = sym >> 4, sym & 0x0F
+            val = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += br.read(run)
+                    break
+                # ZRL: skip 16 zero-history positions (with corrections)
+            else:
+                if size != 1:
+                    raise ValueError("AC refinement size must be 1")
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read(1) and (int(zz[k]) & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if br.read(1) and (int(zz[k]) & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _find_scan_end(data: bytes, pos: int) -> int:
+    """Offset of the next true marker (not a stuffed 0x00, not RSTn)
+    after ``pos`` -- the end of an entropy-coded scan segment."""
+    i = pos
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= len(data):
+            return len(data)
+        nxt = data[j + 1]
+        if nxt == 0x00 or nxt == 0xFF or 0xD0 <= nxt <= 0xD7:
+            i = j + 1 if nxt == 0xFF else j + 2
+            continue
+        return j
+
+
+def _decode_progressive(payload: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2) JPEG: accumulate quantized
+    coefficients across DC/AC first and refinement scans, reconstruct
+    at EOI. Restart markers (DRI) remain unsupported -- this engine's
+    encoders never emit them (documented seam)."""
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comps: list[tuple[int, int, int, int]] = []
+    coefs: list[np.ndarray] = []
+    bdims: list[tuple[int, int]] = []  # per-comp real block dims
+    hmax = vmax = mcux = mcuy = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2: pos + ln]
+        pos += ln
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                if body[i] >> 4:
+                    raise NotImplementedError("16-bit quant tables")
+                tq = body[i] & 0x0F
+                zz = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int32)
+                q = np.zeros(64, dtype=np.int32)
+                q[_ZIGZAG] = zz
+                quant[tq] = q.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1: i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17: i + 17 + n])
+                huff[(tc_th >> 4, tc_th & 0x0F)] = _build_decoder_table(
+                    bits, vals
+                )
+                i += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc not in (1, 3):
+                raise NotImplementedError("8-bit gray/YCbCr only")
+            comps = []
+            for ci in range(nc):
+                cid, s, tq = body[6 + 3 * ci: 9 + 3 * ci]
+                comps.append((cid, s >> 4, s & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _cid, hi, vi, _tq in comps:
+                if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+                    raise NotImplementedError("fractional sampling")
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for _cid, hi, vi, _tq in comps:
+                coefs.append(
+                    np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                )
+                cw = (w * hi + hmax - 1) // hmax
+                ch = (h * vi + vmax - 1) // vmax
+                bdims.append(((ch + 7) // 8, (cw + 7) // 8))
+        elif marker == 0xDD:
+            if struct.unpack_from(">H", body, 0)[0]:
+                raise NotImplementedError(
+                    "restart markers in progressive scans (seam)"
+                )
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("mixed frame types")
+        elif marker == 0xDA:
+            if h is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan_comps = []
+            for si in range(ns):
+                cid, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                ci = next(
+                    i for i, c in enumerate(comps) if c[0] == cid
+                )
+                scan_comps.append((ci, tdta >> 4, tdta & 0x0F))
+            off = 1 + 2 * ns
+            ss, se, ahl = body[off], body[off + 1], body[off + 2]
+            ah, al = ahl >> 4, ahl & 0x0F
+            end = _find_scan_end(payload, pos)
+            br = _BitReader(payload[pos:end])
+            pos = end
+            if ss == 0:
+                idx = [ci for ci, _d, _a in scan_comps]
+                dc_ids = {ci: d for ci, d, _a in scan_comps}
+                if len(idx) == 1:
+                    # non-interleaved: the comp's REAL block grid, not
+                    # the MCU-padded one
+                    bh0, bw0 = bdims[idx[0]]
+                    order = [
+                        (idx[0], r, c)
+                        for r in range(bh0)
+                        for c in range(bw0)
+                    ]
+                else:
+                    order = _dc_scan_order(
+                        coefs, idx, [(c[1], c[2]) for c in comps],
+                        mcux, mcuy,
+                    )
+                if ah == 0:
+                    pred = dict.fromkeys(idx, 0)
+                    for ci, r, c in order:
+                        dct = huff[(0, dc_ids[ci])]
+                        s = _read_symbol(br, dct)
+                        pred[ci] += _extend(br.read(s), s) if s else 0
+                        coefs[ci][r, c, 0] = pred[ci] << al
+                else:
+                    p1 = 1 << al
+                    for ci, r, c in order:
+                        if br.read(1):
+                            coefs[ci][r, c, 0] |= p1
+            else:
+                if ns != 1:
+                    raise ValueError("AC scans are single-component")
+                ci, _dc_id, ac_id = scan_comps[0]
+                act = huff[(1, ac_id)]
+                bh, bw = bdims[ci]
+                eobrun = 0
+                for r in range(bh):
+                    for c in range(bw):
+                        zz = coefs[ci][r, c]
+                        if ah == 0:
+                            if eobrun:
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                sym = _read_symbol(br, act)
+                                run, size = sym >> 4, sym & 0x0F
+                                if size == 0:
+                                    if run == 15:
+                                        k += 16
+                                        continue
+                                    eobrun = (1 << run) - 1
+                                    if run:
+                                        eobrun += br.read(run)
+                                    break
+                                k += run
+                                if k > se:
+                                    raise ValueError("AC run past band")
+                                zz[k] = _extend(br.read(size), size) << al
+                                k += 1
+                        else:
+                            eobrun = _ac_refine_block(
+                                br, act, zz, ss, se, al, eobrun
+                            )
+    if h is None or not coefs:
+        raise ValueError("progressive JPEG has no frame")
+    full = []
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
+        q = quant[tq]
+        bh_full, bw_full = coefs[ci].shape[:2]
+        plane = np.zeros((bh_full * 8, bw_full * 8), dtype=np.float64)
+        for r in range(bh_full):
+            for c in range(bw_full):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZIGZAG] = coefs[ci][r, c]
+                plane[r * 8:r * 8 + 8, c * 8:c * 8 + 8] = (
+                    _C.T @ (coef.reshape(8, 8) * q) @ _C + 128.0
+                )
+        if vi != vmax or hi != hmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(*full)

@@ -883,26 +883,41 @@ def _synthesize_jpeg_batches(batches: Iterator) -> Iterator:
     COLOR JPEG (JFIF YCbCr, 4:2:0 chroma subsampling, 16-multiple
     dims) of the same constant gray -- the YCbCr transform is identity
     on R=G=B, so the color path is bit-exact too and the SAME oracle
-    certifies it."""
+    certifies it. Every FIFTH payload is PROGRESSIVE (SOF2: multi-scan
+    spectral selection + successive approximation), gray or color per
+    the same %3 split -- identical quantized coefficients mean the
+    decoded pixels (and the oracle) are unchanged, so a hash match
+    certifies the progressive scan machinery too."""
     import numpy as np
     import pandas as pd
 
-    from .jpegcodec import encode_jpeg_color, encode_jpeg_gray
+    from .jpegcodec import (
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
 
     for pdf in batches:
         jpegs = []
         for d in pdf["doc_id"]:
             d = int(d)
             v = (d % 120) * 2 + 8
+            progressive = d % 5 == 0
             if d % 3 == 0:
                 w, h = (d % 2 + 1) * 16, (d % 3 + 1) * 16
+                img = np.full((h, w, 3), v, dtype=np.uint8)
                 jpegs.append(
-                    encode_jpeg_color(np.full((h, w, 3), v, dtype=np.uint8))
+                    encode_jpeg_progressive(img)
+                    if progressive
+                    else encode_jpeg_color(img)
                 )
             else:
                 w, h = (d % 4 + 1) * 8, (d % 3 + 1) * 8
+                img = np.full((h, w), v, dtype=np.uint8)
                 jpegs.append(
-                    encode_jpeg_gray(np.full((h, w), v, dtype=np.uint8))
+                    encode_jpeg_progressive(img)
+                    if progressive
+                    else encode_jpeg_gray(img)
                 )
         yield pd.DataFrame(
             {"doc_id": pdf["doc_id"].astype("int64"), "jpg": jpegs}

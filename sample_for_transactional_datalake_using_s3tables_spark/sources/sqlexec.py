@@ -184,6 +184,12 @@ class WarehouseSQL:
         r"\s+(?:AS\s+)?(\w+)",
         re.IGNORECASE,
     )
+    # table_changes('<ns.tbl masked literal>', v1[, v2])
+    _TVF_CHANGES_RE = re.compile(
+        r"\btable_changes\s*\(\s*(\x00LIT\d+\x00)\s*,\s*(\d+)"
+        r"\s*(?:,\s*(\d+)\s*)?\)",
+        re.IGNORECASE,
+    )
     _SQL_KEYWORDS = {
         "where", "on", "join", "inner", "left", "right", "full", "cross",
         "natural", "lateral", "semi", "anti", "group", "order", "limit",
@@ -192,6 +198,34 @@ class WarehouseSQL:
         "select", "from", "set", "distinct", "sort", "cluster",
         "distribute", "window", "qualify", "offset", "tablesample",
     }
+
+    @staticmethod
+    def _comma_from_position(masked: str, pos: int) -> bool:
+        """True when the ref at ``pos`` sits after a ',' whose nearest
+        same-depth clause keyword is FROM -- i.e. a table in a
+        comma-separated FROM list (``FROM src q, q.state``), which is a
+        table position even when an alias shares its namespace name."""
+        before = masked[:pos].rstrip()
+        if not before.endswith(","):
+            return False
+        depth = 0
+        toks = re.finditer(
+            r"[()]|\b(?:FROM|JOIN|USING|SELECT|WHERE|GROUP|ORDER"
+            r"|HAVING|ON|SET|VALUES)\b",
+            before,
+            re.IGNORECASE,
+        )
+        for tok in reversed(list(toks)):
+            t = tok.group(0)
+            if t == ")":
+                depth += 1
+            elif t == "(":
+                if depth == 0:
+                    return False  # crossed into an enclosing expression
+                depth -= 1
+            elif depth == 0:
+                return t.upper() == "FROM"
+        return False
 
     def _rewrite_tables(self, sql: str) -> str:
         """Register every referenced warehouse table as a temp view and
@@ -211,6 +245,27 @@ class WarehouseSQL:
             return f"\x00LIT{len(literals) - 1}\x00"
 
         masked = self._LITERAL_RE.sub(_mask, sql)
+
+        # table_changes('ns.tbl', v1[, v2]) -- the Delta CDF TVF (and
+        # Iceberg's .changes read) routed to Warehouse.changelog. Runs
+        # before the generic ref pass; exposes ROW DATA, so it is
+        # SELECT-gated, not DESCRIBE-gated like the metadata tables.
+        def _tvf(m) -> str:
+            ref = literals[int(m.group(1)[4:-1])].strip("'")
+            if "." not in ref:
+                raise ValueError(
+                    f"table_changes needs a 'ns.tbl' name, got {ref!r}"
+                )
+            ns, tbl = ref.split(".", 1)
+            self._require("SELECT", ns, tbl)
+            v1 = int(m.group(2))
+            v2 = int(m.group(3)) if m.group(3) else None
+            tail = "tip" if v2 is None else str(v2)
+            view = f"__wh_{ns}__{tbl}__changes_{v1}_{tail}"
+            self.wh.changelog(ns, tbl, v1, v2).createOrReplaceTempView(view)
+            return view
+
+        masked = self._TVF_CHANGES_RE.sub(_tvf, masked)
         tables = None  # lazy: {(ns, tbl)} only if the statement has refs
         # Declared table aliases (FROM/JOIN <ref> [AS] a, or a closing
         # subquery paren): an alias-QUALIFIED column reference like
@@ -234,13 +289,25 @@ class WarehouseSQL:
                 }
             if (ns, tbl) not in tables:
                 return m.group(0)
-            if ns.lower() in aliases and not re.search(
-                r"\b(?:FROM|JOIN|USING)\s*$", masked[: m.start()],
-                re.IGNORECASE,
+            if (
+                ns.lower() in aliases
+                and not re.search(
+                    r"\b(?:FROM|JOIN|USING)\s*$", masked[: m.start()],
+                    re.IGNORECASE,
+                )
+                and not self._comma_from_position(masked, m.start())
             ):
                 return m.group(0)  # alias-qualified column, not a table
             if meta_kind:
                 kind = meta_kind.lower()
+                if kind == "changes":
+                    # full-history CDF read: row data, SELECT-gated
+                    self._require("SELECT", ns, tbl)
+                    view = f"__wh_{ns}__{tbl}__changes"
+                    self.wh.changelog(ns, tbl, 0).createOrReplaceTempView(
+                        view
+                    )
+                    return view
                 if self.principal is not None and not self.wh.check(
                     self.principal, ns, tbl, "DESCRIBE"
                 ):
@@ -276,7 +343,7 @@ class WarehouseSQL:
         # rebuild the time-travel tail to accept placeholders too
         ref_re = re.compile(
             r"\b(\w+)\.(\w+)"
-            r"(?:\$(snapshots|files|partitions|deletes|history)\b"
+            r"(?:\$(snapshots|files|partitions|deletes|history|changes)\b"
             r"|\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
             r"(\d+|\x00LIT\d+\x00)"
             r")?",

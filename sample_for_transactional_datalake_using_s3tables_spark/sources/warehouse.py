@@ -654,7 +654,9 @@ class Warehouse:
         )
         self._swap_table_meta(tdir, meta)
 
-    def _swap_table_meta(self, tdir: str, meta: dict) -> None:
+    def _swap_table_meta(
+        self, tdir: str, meta: dict, op: str = "schema"
+    ) -> None:
         """Atomically swap the table metadata file and publish a
         metadata-only snapshot binding the new schema + column mapping
         (its FILE LIST rebases onto any concurrent tip; the schema
@@ -683,7 +685,7 @@ class Warehouse:
         os.replace(tmp, os.path.join(tdir, _SCHEMA_FILE))
         self._publish_append(
             tdir, self._versions(tdir)[-1], [], schema=meta["schema"],
-            phys=meta.get("physical"), rebase_meta=False, op="schema",
+            phys=meta.get("physical"), rebase_meta=False, op=op,
         )
 
     # -- manifest chain --
@@ -1165,7 +1167,11 @@ class Warehouse:
         meta["partition_specs"] = specs
         meta["partition_by"] = partition_by
         meta["partition_spec_id"] = len(specs) - 1
-        self._swap_table_meta(tdir, meta)
+        # publishes a metadata-only op="spec" snapshot under the same
+        # meta_seq CAS as schema changes: concurrent evolutions
+        # serialize, and the evolution is visible to history()/
+        # changelog/time travel like any other commit
+        self._swap_table_meta(tdir, meta, op="spec")
         return meta["partition_spec_id"]
 
     def _write_table_files(self, tdir: str, df: DataFrame, meta: dict) -> list[dict]:
@@ -1304,6 +1310,37 @@ class Warehouse:
             df = df.coalesce(1)
         entries = self._write_files(tdir, df, None, bloom_col=phys_key)
         return [dict(e, col=phys_key, content="deletes") for e in entries]
+
+    def _write_pos_delete_files(
+        self, tdir: str, addr_df: DataFrame
+    ) -> list[dict]:
+        """Write a ``(file, pos)`` address set as POSITION delete
+        parquet files (Iceberg v2 position deletes): ``file`` is the
+        data file's manifest-relative path, ``pos`` the row ordinal
+        inside it. The manifest entry records the distinct target
+        paths, so readers bind the delete to exactly the files it
+        names (``_delete_applies``) and it dangles the moment its
+        targets leave the manifest (compaction folds it in). The
+        caller stamps ``seq`` at publish."""
+        addr_df = addr_df.select(
+            F.col("file").cast("string"), F.col("pos").cast("long")
+        ).where(F.col("file").isNotNull())
+        entries = self._write_files(tdir, addr_df, None)
+        if not entries:
+            return []
+        # distinct target paths: one tiny job over the (dictionary-
+        # encoded) path column of the just-written delete files --
+        # bounded by the probe's candidate-file count, not by rows
+        targets = sorted(
+            r.file
+            for r in self.spark.read.parquet(
+                *[os.path.join(tdir, e["path"]) for e in entries]
+            ).select("file").distinct().collect()
+        )
+        return [
+            dict(e, kind="pos", content="deletes", targets=targets)
+            for e in entries
+        ]
 
     def _read_files(
         self,
@@ -1798,7 +1835,9 @@ class Warehouse:
                         tdir, removed, schema, phys, prev_deletes, key
                     )
                 )
-            if new_dels:
+            new_eq = [d for d in new_dels if d.get("kind") != "pos"]
+            new_pos = [d for d in new_dels if d.get("kind") == "pos"]
+            if new_eq:
                 if key is None:
                     raise ValueError("equality deletes need a table key")
                 phys_key = (phys or {}).get(key, key)
@@ -1807,17 +1846,17 @@ class Warehouse:
                     e
                     for e in prev_doc["files"]
                     if e["path"] not in removed_paths
-                    and any(_delete_applies(d, e, phys_key) for d in new_dels)
+                    and any(_delete_applies(d, e, phys_key) for d in new_eq)
                 ]
                 if cands:
                     pre = self._read_entries(
                         tdir, cands, schema, phys, prev_deletes, key
                     )
                     kdf = self._read_delete_keys(
-                        tdir, new_dels, schema[key].dataType
+                        tdir, new_eq, schema[key].dataType
                     )
                     if (
-                        sum(d.get("records", 0) for d in new_dels)
+                        sum(d.get("records", 0) for d in new_eq)
                         <= self._DELETE_BROADCAST_RECORDS
                     ):
                         kdf = F.broadcast(kdf)
@@ -1825,6 +1864,36 @@ class Warehouse:
                         pre.join(
                             kdf, F.col(key) == F.col("__delkey"), "left_semi"
                         )
+                    )
+            if new_pos:
+                # position deletes name their target files: pre-images
+                # are the (path, pos)-addressed rows of exactly those
+                # files (ghost-aware via the prior snapshot's deletes)
+                removed_paths = {e["path"] for e in removed}
+                named = {p for d in new_pos for p in d.get("targets") or []}
+                cands = [
+                    e
+                    for e in prev_doc["files"]
+                    if e["path"] not in removed_paths and e["path"] in named
+                ]
+                if cands:
+                    pre = self._read_entries(
+                        tdir, cands, schema, phys, prev_deletes, key,
+                        keep_pos=True,
+                    )
+                    pdf = self._read_pos_deletes(tdir, new_pos)
+                    if (
+                        sum(d.get("records", 0) for d in new_pos)
+                        <= self._DELETE_BROADCAST_RECORDS
+                    ):
+                        pdf = F.broadcast(pdf)
+                    del_parts.append(
+                        pre.join(
+                            pdf,
+                            (F.col("__afp") == F.col("__dafp"))
+                            & (F.col("__pos") == F.col("__dpos")),
+                            "left_semi",
+                        ).drop("__afp", "__pos")
                     )
             dels = self.spark.createDataFrame([], schema)
             for part in del_parts:
@@ -2427,6 +2496,10 @@ class Warehouse:
         predicate, predicates = self._predicate_spec(predicate, predicates)
         if strategy == "mor":
             return self._delete_where_mor(tdir, meta, predicate, predicates)
+        if strategy == "mor-pos":
+            return self._delete_where_mor_pos(
+                tdir, meta, predicate, predicates
+            )
         if strategy != "cow":
             raise ValueError(f"unknown DELETE strategy {strategy!r}")
         untouched, rewrite, schema, version, n_match, stats = self._touched_by_predicate(
@@ -2533,6 +2606,86 @@ class Warehouse:
             else:
                 df = df.join(matched, key, "left_semi")
             return df.limit(1).count() == 0
+
+        v = self._publish_append(
+            tdir, version, [], meta["schema"], phys=meta.get("physical"),
+            new_deletes=del_files, rebase_validate=validate_rebase,
+            op="delete",
+        )
+        return {
+            "version": v, "deleted_rows": deleted,
+            "delete_files": len(del_files), **stats,
+        }
+
+    def _delete_where_mor_pos(
+        self, tdir: str, meta: dict, predicate, predicates
+    ) -> dict:
+        """Merge-on-read DELETE with POSITION delete files (Iceberg v2
+        positional deletes): ROW-granular and KEYLESS -- the complement
+        of the equality path. One pruned, deletes-aware probe reads the
+        matching rows WITH their (file, row-ordinal) address
+        (``_metadata.row_index``); the commit appends a position-delete
+        file naming those addresses and rewrites nothing. Readers
+        anti-join on (path, pos) for exactly the targeted files;
+        ``compact()`` folds the delete in (its targets leave the
+        manifest, so it dangles). Unlike equality deletes this removes
+        ONLY the matched rows -- duplicate-key tables keep their other
+        copies -- and needs no table key at all.
+
+        Rebase safety: position deletes bind to immutable file paths,
+        so a concurrent APPEND never conflicts; but a concurrent
+        rewrite that removed one of our target files (compaction, CoW
+        DML) would silently resurrect its rows -- the rebase validator
+        turns that into a conflict."""
+        version = self._versions(tdir)[-1]
+        doc = self._manifest_doc(tdir, version)
+        entries = doc["files"]
+        schema = StructType.fromJson(meta["schema"])
+        phys = self._snapshot_phys(doc, meta)
+        candidates = (
+            self._prune_entries(
+                entries, [(phys.get(c, c), op, v) for c, op, v in predicates]
+            )
+            if predicates
+            else entries
+        )
+        stats = {
+            "manifest_files": len(entries),
+            "probed_files": len(candidates),
+            "rewritten_files": 0,
+        }
+        if not candidates:
+            return {
+                "version": version, "deleted_rows": 0, "delete_files": 0,
+                **stats,
+            }
+        prefix = os.path.abspath(tdir) + "/"
+        addr = (
+            self._read_entries(
+                tdir, candidates, schema, phys, doc.get("deletes"),
+                meta.get("key"), keep_pos=True,
+            )
+            .filter(F.coalesce(predicate, F.lit(False)))
+            .select(
+                F.col("__afp").substr(
+                    F.lit(len(prefix) + 1), F.lit(100_000)
+                ).alias("file"),
+                F.col("__pos").alias("pos"),
+            )
+        )
+        del_files = self._write_pos_delete_files(tdir, addr)
+        if not del_files:
+            return {
+                "version": version, "deleted_rows": 0, "delete_files": 0,
+                **stats,
+            }
+        deleted = sum(d.get("records", 0) for d in del_files)
+        target_set = set(del_files[0]["targets"])
+
+        def validate_rebase(_fresh: list[dict]) -> bool:
+            tip = self._versions(tdir)[-1]
+            live = {e["path"] for e in self._manifest(tdir, tip)}
+            return target_set <= live
 
         v = self._publish_append(
             tdir, version, [], meta["schema"], phys=meta.get("physical"),

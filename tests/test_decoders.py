@@ -266,14 +266,13 @@ def test_jpeg_roundtrip_exact_and_lossy():
     assert err2.max() <= 12
 
 
-def test_jpeg_via_decode_image_and_progressive_seam():
-    import struct
-
+def test_jpeg_via_decode_image_and_progressive():
     import numpy as np
 
     from sample_for_transactional_datalake_using_s3tables_spark.operators.jpegcodec import (
         encode_jpeg_color,
         encode_jpeg_gray,
+        encode_jpeg_progressive,
     )
 
     px = np.full((8, 8), 100, dtype=np.uint8)
@@ -283,15 +282,58 @@ def test_jpeg_via_decode_image_and_progressive_seam():
     rgb = np.full((16, 16, 3), 150, dtype=np.uint8)
     got = decode_image(encode_jpeg_color(rgb))
     assert got.shape == (16, 16, 3) and (got == 150).all()
-    # progressive (SOF2) remains the PIL seam
-    sof = struct.pack(">BHHB", 8, 8, 8, 3) + b"\x01\x21\x00\x02\x11\x01\x03\x11\x01"
-    prog = (
-        b"\xff\xd8"
-        + struct.pack(">HH", 0xFFC2, len(sof) + 2) + sof
-        + b"\xff\xd9"
+    # progressive (SOF2) decodes for real too -- constant even values
+    # stay bit-exact through the multi-scan pipeline
+    got = decode_image(encode_jpeg_progressive(px))
+    assert got.shape == (8, 8, 3) and (got == 100).all()
+    got = decode_image(encode_jpeg_progressive(rgb))
+    assert got.shape == (16, 16, 3) and (got == 150).all()
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """Progressive encode carries the SAME quantized coefficients as
+    baseline, so its decode must be BIT-EXACT with the baseline decode
+    of the same pixels -- the strongest check the scan machinery (DC
+    first/refine, spectral AC bands, successive-approximation AC
+    refinement with EOB runs and correction bits) can face."""
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
     )
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_image(prog)
+
+    rng = np.random.RandomState(11)
+    for shape in [(8, 8), (16, 24), (40, 32), (8, 64)]:
+        px = rng.randint(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(px)),
+            decode_jpeg(encode_jpeg_gray(px)),
+        ), shape
+    for sub in (True, False):
+        mcu = 16 if sub else 8
+        px = rng.randint(0, 256, (2 * mcu, 3 * mcu, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(px, subsample=sub)),
+            decode_jpeg(encode_jpeg_color(px, subsample=sub)),
+        ), sub
+    # smooth gradients exercise long EOB runs across blocks
+    x = np.linspace(0, 255, 64)
+    grad = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(grad)),
+        decode_jpeg(encode_jpeg_gray(grad)),
+    )
+    # sparse impulses exercise ZRL-in-refinement and correction bits
+    imp = np.full((32, 32), 128, dtype=np.uint8)
+    imp[::7, ::5] = 255
+    imp[3::11, 2::9] = 0
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(imp)),
+        decode_jpeg(encode_jpeg_gray(imp)),
+    )
 
 
 def test_jpeg_color_roundtrips():

@@ -466,3 +466,57 @@ def test_timestamp_time_travel(sql, spark):
     assert snaps[v2].op == "delete"
     assert snaps[v1].committed_at is not None
     assert snaps[v1].committed_at <= snaps[v2].committed_at
+
+
+def test_table_changes_tvf(sql, spark):
+    """SELECT ... FROM table_changes('ns.tbl', v1[, v2]) routes to
+    Warehouse.changelog (Delta CDF TVF / Iceberg .changes)."""
+    sql.execute("UPDATE ns.t SET v = 99 WHERE id = 'k1'")
+    v = sql.wh.current_version("ns", "t")
+    got = sql.execute(
+        f"SELECT id, v, _change_type, _commit_version "
+        f"FROM table_changes('ns.t', {v - 1}, {v}) ORDER BY _change_type"
+    ).collect()
+    assert [(r.id, r.v, r._change_type, r._commit_version) for r in got] == [
+        ("k1", 1, "delete", v),
+        ("k1", 99, "insert", v),
+    ]
+    # open-ended range (v1 only) reaches the tip
+    n = sql.execute(
+        "SELECT COUNT(*) AS n FROM table_changes('ns.t', 0)"
+    ).collect()[0].n
+    assert n == 22  # 20 initial inserts + delete/insert pair
+    # $changes suffix = full history
+    n2 = sql.execute(
+        "SELECT COUNT(*) AS n FROM ns.t$changes"
+    ).collect()[0].n
+    assert n2 == 22
+
+
+def test_table_changes_is_governed(sql, spark):
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import (
+        WarehouseSQL,
+    )
+
+    sql.wh.grant("spy", "ns", "t", ["DESCRIBE"])
+    gov = WarehouseSQL(sql.wh, principal="spy")
+    with pytest.raises(PermissionError, match="SELECT"):
+        gov.execute("SELECT * FROM table_changes('ns.t', 0)")
+    with pytest.raises(PermissionError, match="SELECT"):
+        gov.execute("SELECT * FROM ns.t$changes")
+
+
+def test_comma_from_list_ref_rewrites_despite_alias(sql, spark):
+    """A genuine table ref in a comma-separated FROM list rewrites even
+    when a declared alias shares its namespace name."""
+    sql.wh.create_namespace("q")
+    sql.wh.create_table("q", "state", SCHEMA, key="id")
+    sql.wh.insert(
+        "q", "state",
+        spark.createDataFrame([("z1", "d0", 7)], SCHEMA).coalesce(1),
+    )
+    got = sql.execute(
+        "SELECT q.id AS a, s.id AS b FROM ns.t q, q.state s "
+        "WHERE q.id = 'k1'"
+    ).collect()
+    assert [(r.a, r.b) for r in got] == [("k1", "z1")]

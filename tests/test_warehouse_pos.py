@@ -1,0 +1,148 @@
+"""Merge-on-read DELETE via POSITION delete files (Iceberg v2
+positional deletes): row-granular, keyless, zero rewrites; readers
+anti-join on (file path, row ordinal); compaction folds them in.
+Producer: ``delete_where(..., strategy="mor-pos")``.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
+
+S = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("day", StringType()),
+        StructField("v", LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def wh(spark):
+    with tempfile.TemporaryDirectory() as d:
+        w = Warehouse(spark, d)
+        w.create_namespace("ns")
+        yield w
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, S)
+
+
+def _state(wh, **kw):
+    return {(r.id, r.day, r.v) for r in wh.read("ns", "t", **kw).collect()}
+
+
+def test_mor_pos_delete_row_granular_keyless(wh, spark):
+    """Position deletes remove ONLY the matched rows -- duplicate-key
+    copies the predicate missed survive (unlike equality deletes) --
+    and need no table key."""
+    wh.create_table("ns", "t", S)  # keyless
+    wh.insert(
+        "ns", "t",
+        _rows(spark, [("k1", "d0", 1), ("k1", "d0", 99), ("k2", "d1", 2)])
+        .coalesce(1),
+    )
+    r = wh.delete_where("ns", "t", F.col("v") == 99, strategy="mor-pos")
+    assert r["deleted_rows"] == 1
+    assert r["rewritten_files"] == 0
+    assert r["delete_files"] >= 1
+    # the other k1 copy survives: row-granular semantics
+    assert _state(wh) == {("k1", "d0", 1), ("k2", "d1", 2)}
+    # manifest entry shape: kind=pos with explicit targets
+    tdir = wh._table_dir("ns", "t")
+    doc = wh._manifest_doc(tdir, r["version"])
+    dels = doc.get("deletes") or []
+    assert dels and all(d["kind"] == "pos" for d in dels)
+    assert all(d.get("targets") for d in dels)
+
+
+def test_mor_pos_delete_time_travel_and_noop(wh, spark):
+    wh.create_table("ns", "t", S, key="id", partition_by="day")
+    v1 = wh.insert(
+        "ns", "t", _rows(spark, [(f"k{i}", f"d{i % 2}", i) for i in range(8)])
+    )
+    r = wh.delete_where("ns", "t", F.col("v") >= 6, strategy="mor-pos")
+    assert r["deleted_rows"] == 2
+    assert _state(wh) == {(f"k{i}", f"d{i % 2}", i) for i in range(6)}
+    # pre-delete snapshot unaffected
+    assert len(_state(wh, version=v1)) == 8
+    # no matches -> no commit
+    r2 = wh.delete_where("ns", "t", F.col("v") > 100, strategy="mor-pos")
+    assert r2["deleted_rows"] == 0
+    assert r2["version"] == r["version"]
+
+
+def test_mor_pos_delete_prunes_by_manifest(wh, spark):
+    """Tuple predicates prune candidate files before the probe."""
+    wh.create_table("ns", "t", S, key="id", partition_by="day")
+    wh.insert("ns", "t", _rows(spark, [("k1", "d0", 1)]).coalesce(1))
+    wh.insert("ns", "t", _rows(spark, [("k2", "d1", 200)]).coalesce(1))
+    r = wh.delete_where(
+        "ns", "t", [("v", ">=", 100)], strategy="mor-pos"
+    )
+    assert r["deleted_rows"] == 1
+    assert r["probed_files"] < r["manifest_files"]
+
+
+def test_mor_pos_delete_compaction_folds(wh, spark):
+    wh.create_table("ns", "t", S, key="id", partition_by="day")
+    wh.insert("ns", "t", _rows(spark, [(f"k{i}", "d0", i) for i in range(6)]))
+    wh.delete_where("ns", "t", F.col("v") % 2 == 0, strategy="mor-pos")
+    want = {(f"k{i}", "d0", i) for i in range(6) if i % 2}
+    assert _state(wh) == want
+    wh.compact("ns", "t", min_files_per_partition=1)
+    tdir = wh._table_dir("ns", "t")
+    doc = wh._manifest_doc(tdir, wh.current_version("ns", "t"))
+    assert not (doc.get("deletes") or []), "compaction must fold pos deletes"
+    assert _state(wh) == want
+
+
+def test_mor_pos_stacked_with_equality_deletes(wh, spark):
+    """Position and equality deletes coexist on the same snapshot."""
+    wh.create_table("ns", "t", S, key="id", partition_by="day")
+    wh.insert("ns", "t", _rows(spark, [(f"k{i}", "d0", i) for i in range(6)]))
+    wh.delete_where("ns", "t", F.col("v") == 1, strategy="mor")
+    wh.delete_where("ns", "t", F.col("v") == 2, strategy="mor-pos")
+    assert _state(wh) == {(f"k{i}", "d0", i) for i in (0, 3, 4, 5)}
+    tdir = wh._table_dir("ns", "t")
+    doc = wh._manifest_doc(tdir, wh.current_version("ns", "t"))
+    kinds = {d.get("kind", "eq") for d in doc.get("deletes") or []}
+    assert kinds == {"eq", "pos"}
+
+
+def test_changelog_pos_delete_preimages(wh, spark):
+    wh.create_table("ns", "t", S, key="id", partition_by="day")
+    v1 = wh.insert(
+        "ns", "t", _rows(spark, [("k1", "d0", 1), ("k2", "d0", 2)]).coalesce(1)
+    )
+    r = wh.delete_where("ns", "t", F.col("v") == 2, strategy="mor-pos")
+    v2 = r["version"]
+    got = {
+        (x.id, x.v, x._change_type, x._commit_version)
+        for x in wh.changelog("ns", "t", v1, v2).collect()
+    }
+    assert got == {("k2", 2, "delete", v2)}
+
+
+def test_mor_pos_ghost_rows_not_redeleted(wh, spark):
+    """Rows already equality-deleted are ghosts: a later pos-delete
+    probe never addresses them, and the changelog never re-reports
+    them."""
+    wh.create_table("ns", "t", S, key="id", partition_by="day")
+    wh.insert("ns", "t", _rows(spark, [("k1", "d0", 5), ("k2", "d0", 5)]).coalesce(1))
+    wh.delete_where("ns", "t", F.col("id") == "k1", strategy="mor")
+    r = wh.delete_where("ns", "t", F.col("v") == 5, strategy="mor-pos")
+    assert r["deleted_rows"] == 1  # k1 was already a ghost
+    assert _state(wh) == set()
