@@ -16,8 +16,9 @@ whose max is a multiple of each component's (covers 4:4:4, 4:2:2,
 
 Scope: baseline sequential (SOF0) AND progressive (SOF2: spectral
 selection + successive approximation, full DC/AC first+refine scan
-machinery with EOB-run coding), 8-bit, no restart markers.
-Arithmetic-coded JPEG and DRI/RSTn remain the PIL deployment seam.
+machinery with EOB-run coding), 8-bit, WITH restart markers (DRI/RSTn
+encode + decode, predictor/EOB-run resets at each boundary).
+Arithmetic-coded JPEG remains the PIL deployment seam.
 
 Reference behavior it re-expresses: the reference pipeline treats media
 as opaque S3 objects; decoding is the analytics-side capability a
@@ -116,10 +117,37 @@ def _canonical_table(symbols: list[int]) -> tuple[list[int], list[int], dict]:
     return bits, syms, codes
 
 
-def encode_jpeg_gray(px: np.ndarray, quant: np.ndarray = _Q_FLAT) -> bytes:
+def _emit_tokens(tokens: list, tables) -> bytes:
+    """Entropy-code a token stream; ``("rst",)`` sentinels byte-align
+    (1-padded) and splice an unstuffed RSTn marker (T.81 restart
+    intervals -- resync points for corruption recovery and parallel
+    decode)."""
+    bw = _BitWriter()
+    rst = 0
+    for tok in tokens:
+        if tok[0] == "rst":
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            continue
+        tcls, kind, sym, extra, elen = tok
+        code, length = tables[(tcls, kind)][sym]
+        bw.write(code, length)
+        if elen:
+            bw.write(extra, elen)
+    bw.flush()
+    return bytes(bw.out)
+
+
+def encode_jpeg_gray(
+    px: np.ndarray,
+    quant: np.ndarray = _Q_FLAT,
+    restart_interval: int | None = None,
+) -> bytes:
     """Baseline JPEG for an (h, w) uint8 grayscale array. Dimensions
     must be multiples of 8 (no edge replication -- keeps the codec
-    exact and small)."""
+    exact and small). ``restart_interval`` emits a DRI segment and an
+    RSTn marker every N MCUs (DC prediction resets at each)."""
     h, w = px.shape
     if h % 8 or w % 8:
         raise ValueError("encode_jpeg_gray needs multiple-of-8 dims")
@@ -137,19 +165,14 @@ def encode_jpeg_gray(px: np.ndarray, quant: np.ndarray = _Q_FLAT) -> bytes:
     ac_syms: list = []
     tokens: list = []
     prev_dc = 0
-    for zz in blocks:
+    for i, zz in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            tokens.append(("rst",))
+            prev_dc = 0
         prev_dc = _tokenize_block(zz, prev_dc, 0, dc_syms, ac_syms, tokens)
 
     dc_bits, dc_vals, dc_codes = _canonical_table(dc_syms)
     ac_bits, ac_vals, ac_codes = _canonical_table(ac_syms)
-
-    bw = _BitWriter()
-    for _tcls, kind, sym, extra, elen in tokens:
-        code, length = (dc_codes if kind == "dc" else ac_codes)[sym]
-        bw.write(code, length)
-        if elen:
-            bw.write(extra, elen)
-    bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -160,8 +183,12 @@ def encode_jpeg_gray(px: np.ndarray, quant: np.ndarray = _Q_FLAT) -> bytes:
     out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF0
     out += seg(0xFFC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))  # DHT DC 0
     out += seg(0xFFC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))  # DHT AC 0
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
-    out += bytes(bw.out)
+    out += _emit_tokens(
+        tokens, {(0, "dc"): dc_codes, (0, "ac"): ac_codes}
+    )
     out += b"\xff\xd9"  # EOI
     return out
 
@@ -230,6 +257,7 @@ def encode_jpeg_color(
     quant_y: np.ndarray = _Q_FLAT,
     quant_c: np.ndarray = _Q_FLAT,
     subsample: bool = True,
+    restart_interval: int | None = None,
 ) -> bytes:
     """Baseline color JPEG for an (h, w, 3) uint8 RGB array: JFIF YCbCr,
     4:2:0 chroma subsampling (2x2 average) by default or 4:4:4 with
@@ -261,6 +289,9 @@ def encode_jpeg_color(
     tokens: list = []
     prev_dc = [0, 0, 0]
     for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
+            tokens.append(("rst",))
+            prev_dc = [0, 0, 0]
         my, mx = divmod(m, mcux)
         for ci in range(3):
             hi, vi = samp[ci]
@@ -290,14 +321,6 @@ def encode_jpeg_color(
         dht += struct.pack(
             ">HH", 0xFFC4, 2 + 17 + len(av)
         ) + bytes([0x10 | tcls]) + bytes(ab) + bytes(av)
-    bw = _BitWriter()
-    for tcls, kind, sym, extra, elen in tokens:
-        code, length = tables[(tcls, kind)][sym]
-        bw.write(code, length)
-        if elen:
-            bw.write(extra, elen)
-    bw.flush()
-
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
@@ -313,8 +336,10 @@ def encode_jpeg_color(
     out += seg(0xFFDB, b"\x01" + zq_c.tobytes())
     out += seg(0xFFC0, sof)
     out += dht
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, sos)
-    out += bytes(bw.out)
+    out += _emit_tokens(tokens, tables)
     out += b"\xff\xd9"
     return out
 
@@ -343,6 +368,21 @@ class _BitReader:
         self.n -= length
         self.acc &= (1 << self.n) - 1
         return v
+
+    def restart(self) -> int:
+        """Byte-align (drop pad bits) and consume an RSTn marker at a
+        restart-interval boundary (T.81 F.2.1.3); returns n."""
+        self.acc = 0
+        self.n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker")
+        m = self.data[self.pos + 1] & 0x07
+        self.pos += 2
+        return m
 
 
 def _build_decoder_table(bits: list[int], vals: list[int]) -> dict:
@@ -406,6 +446,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     h = w = None
+    ri = 0  # restart interval (DRI), in MCUs
     comps: list[tuple[int, int, int, int]] = []  # (cid, Hi, Vi, Tq)
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -451,6 +492,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
         elif marker == 0xC2:
             return _decode_progressive(payload)
+        elif marker == 0xDD:
+            ri = struct.unpack_from(">H", body, 0)[0]
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError(
                 "only baseline SOF0 / progressive SOF2 JPEG supported"
@@ -484,6 +527,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ]
             prev_dc = [0] * len(comps)
             for m in range(mcuy * mcux):
+                if ri and m and m % ri == 0:
+                    br.restart()  # byte-align + consume RSTn
+                    prev_dc = [0] * len(comps)
                 my, mx = divmod(m, mcux)
                 for ci, (cid, hi, vi, tq) in enumerate(comps):
                     dc_id, ac_id = scan_tables[cid]
@@ -570,104 +616,129 @@ class _ProgEmitter:
         if self.eobrun == 0x7FFF:  # 14-bit EOBn cap
             self.flush_eobrun()
 
+    def rst(self) -> None:
+        """Restart-interval boundary: EOB runs cannot cross it (the
+        decoder resets them), so flush, then splice the marker."""
+        self.flush_eobrun()
+        self.tokens.append(("rst", 0, 0, 0))
 
-def _dc_scan_order(
+
+def _dc_scan_units(
     blocks: list[np.ndarray], comps_idx: list[int], samp, mcux: int, mcuy: int
-) -> list[tuple[int, int, int]]:
+) -> list[list[tuple[int, int, int]]]:
+    """DC-scan block addressing grouped into restart units: one MCU per
+    unit when interleaved, one block per unit when single-component."""
     if len(comps_idx) == 1:
         ci = comps_idx[0]
         bh, bw = blocks[ci].shape[:2]
-        return [(ci, r, c) for r in range(bh) for c in range(bw)]
-    order = []
+        return [[(ci, r, c)] for r in range(bh) for c in range(bw)]
+    units = []
     for m in range(mcuy * mcux):
         my, mx = divmod(m, mcux)
+        unit = []
         for ci in comps_idx:
             hi, vi = samp[ci]
             for vy in range(vi):
                 for vx in range(hi):
-                    order.append((ci, my * vi + vy, mx * hi + vx))
-    return order
+                    unit.append((ci, my * vi + vy, mx * hi + vx))
+        units.append(unit)
+    return units
 
 
-def _enc_dc_first(blocks, order, al: int, em: _ProgEmitter) -> None:
+def _enc_dc_first(blocks, units, al: int, em: _ProgEmitter, ri: int) -> None:
     pred: dict[int, int] = {}
-    for ci, r, c in order:
-        v = int(blocks[ci][r, c, 0]) >> al  # DC: arithmetic shift
-        diff = v - pred.get(ci, 0)
-        pred[ci] = v
-        s, bits = _encode_magnitude(diff)
-        em.sym(s)
-        em.raw(bits, s)
+    for ui, unit in enumerate(units):
+        if ri and ui and ui % ri == 0:
+            em.rst()
+            pred = {}
+        for ci, r, c in unit:
+            v = int(blocks[ci][r, c, 0]) >> al  # DC: arithmetic shift
+            diff = v - pred.get(ci, 0)
+            pred[ci] = v
+            s, bits = _encode_magnitude(diff)
+            em.sym(s)
+            em.raw(bits, s)
 
 
-def _enc_dc_refine(blocks, order, al: int, em: _ProgEmitter) -> None:
-    for ci, r, c in order:
-        em.raw((int(blocks[ci][r, c, 0]) >> al) & 1, 1)
+def _enc_dc_refine(blocks, units, al: int, em: _ProgEmitter, ri: int) -> None:
+    for ui, unit in enumerate(units):
+        if ri and ui and ui % ri == 0:
+            em.rst()
+        for ci, r, c in unit:
+            em.raw((int(blocks[ci][r, c, 0]) >> al) & 1, 1)
 
 
-def _enc_ac_first(bk: np.ndarray, ss: int, se: int, al: int, em: _ProgEmitter) -> None:
+def _enc_ac_first(
+    bk: np.ndarray, ss: int, se: int, al: int, em: _ProgEmitter, ri: int = 0
+) -> None:
     bh, bw = bk.shape[:2]
-    for r in range(bh):
-        for c in range(bw):
-            zz = bk[r, c]
-            vals = [_trunc_shift(int(zz[k]), al) for k in range(ss, se + 1)]
-            nz = [i for i, v in enumerate(vals) if v]
-            if not nz:
-                em.eob()
+    for bi in range(bh * bw):
+        if ri and bi and bi % ri == 0:
+            em.rst()
+        r, c = divmod(bi, bw)
+        zz = bk[r, c]
+        vals = [_trunc_shift(int(zz[k]), al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            em.eob()
+            continue
+        em.flush_eobrun()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
                 continue
-            em.flush_eobrun()
+            while run > 15:
+                em.sym(0xF0)
+                run -= 16
+            s_, bits = _encode_magnitude(v)
+            em.sym((run << 4) | s_)
+            em.raw(bits, s_)
             run = 0
-            for i in range(nz[-1] + 1):
-                v = vals[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    em.sym(0xF0)
-                    run -= 16
-                s, bits = _encode_magnitude(v)
-                em.sym((run << 4) | s)
-                em.raw(bits, s)
-                run = 0
-            if nz[-1] < len(vals) - 1:
-                em.eob()
+        if nz[-1] < len(vals) - 1:
+            em.eob()
 
 
-def _enc_ac_refine(bk: np.ndarray, ss: int, se: int, al: int, em: _ProgEmitter) -> None:
+def _enc_ac_refine(
+    bk: np.ndarray, ss: int, se: int, al: int, em: _ProgEmitter, ri: int = 0
+) -> None:
     bh, bw = bk.shape[:2]
-    for r in range(bh):
-        for c in range(bw):
-            zz = bk[r, c]
-            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
-            # last NEWLY-nonzero position: ZRL only makes sense before it
-            eob_idx = max((i for i, t in enumerate(absv) if t == 1), default=-1)
-            run = 0
-            br_bits: list[int] = []  # this block's correction bits
-            for i, t in enumerate(absv):
-                if t == 0:
-                    run += 1
-                    continue
-                while run > 15 and i <= eob_idx:
-                    em.flush_eobrun()
-                    em.sym(0xF0)
-                    run -= 16
-                    for b in br_bits:
-                        em.raw(b, 1)
-                    br_bits = []
-                if t > 1:
-                    # history coefficient: buffered correction bit; does
-                    # NOT count toward nor reset the zero run
-                    br_bits.append(t & 1)
-                    continue
+    for bi in range(bh * bw):
+        if ri and bi and bi % ri == 0:
+            em.rst()
+        r, c = divmod(bi, bw)
+        zz = bk[r, c]
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        # last NEWLY-nonzero position: ZRL only makes sense before it
+        eob_idx = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+        run = 0
+        br_bits: list[int] = []  # this block's correction bits
+        for i, t in enumerate(absv):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob_idx:
                 em.flush_eobrun()
-                em.sym((run << 4) | 1)
-                em.raw(0 if int(zz[ss + i]) < 0 else 1, 1)
+                em.sym(0xF0)
+                run -= 16
                 for b in br_bits:
                     em.raw(b, 1)
                 br_bits = []
-                run = 0
-            if run > 0 or br_bits:
-                em.eob(br_bits)
+            if t > 1:
+                # history coefficient: buffered correction bit; does
+                # NOT count toward nor reset the zero run
+                br_bits.append(t & 1)
+                continue
+            em.flush_eobrun()
+            em.sym((run << 4) | 1)
+            em.raw(0 if int(zz[ss + i]) < 0 else 1, 1)
+            for b in br_bits:
+                em.raw(b, 1)
+            br_bits = []
+            run = 0
+        if run > 0 or br_bits:
+            em.eob(br_bits)
 
 
 def encode_jpeg_progressive(
@@ -675,6 +746,7 @@ def encode_jpeg_progressive(
     quant_y: np.ndarray = _Q_FLAT,
     quant_c: np.ndarray = _Q_FLAT,
     subsample: bool = True,
+    restart_interval: int | None = None,
 ) -> bytes:
     """Progressive JPEG (SOF2) for an (h, w) grayscale or (h, w, 3) RGB
     uint8 array. Same block/quant math as the baseline encoders (so a
@@ -682,7 +754,10 @@ def encode_jpeg_progressive(
     the same pixels); the scan script follows libjpeg's default --
     interleaved DC first pass at Al=1, spectrally-split AC first passes,
     then DC and AC successive-approximation refinements to full
-    precision. Dimension rules match the baseline encoders."""
+    precision. Dimension rules match the baseline encoders.
+    ``restart_interval`` splices RSTn every N restart units per scan
+    (MCUs when interleaved, blocks otherwise); predictors and EOB runs
+    reset at each."""
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if gray:
@@ -762,30 +837,38 @@ def encode_jpeg_progressive(
         sof += bytes([cids[ci], (hi << 4) | vi, tqs[ci]])
     out += seg(0xFFC2, sof)
 
+    ri = restart_interval or 0
+    if ri:
+        out += seg(0xFFDD, struct.pack(">H", ri))
     for comps_idx, ss, se, ah, al in script:
         em = _ProgEmitter()
         if ss == 0:
-            order = _dc_scan_order(blocks, comps_idx, samp, mcux, mcuy)
+            units = _dc_scan_units(blocks, comps_idx, samp, mcux, mcuy)
             if ah == 0:
-                _enc_dc_first(blocks, order, al, em)
+                _enc_dc_first(blocks, units, al, em, ri)
             else:
-                _enc_dc_refine(blocks, order, al, em)
+                _enc_dc_refine(blocks, units, al, em, ri)
             tc = 0
         else:
             if len(comps_idx) != 1:
                 raise ValueError("AC scans are single-component")
             if ah == 0:
-                _enc_ac_first(blocks[comps_idx[0]], ss, se, al, em)
+                _enc_ac_first(blocks[comps_idx[0]], ss, se, al, em, ri)
             else:
-                _enc_ac_refine(blocks[comps_idx[0]], ss, se, al, em)
+                _enc_ac_refine(blocks[comps_idx[0]], ss, se, al, em, ri)
             tc = 1
         em.flush_eobrun()
         bw = _BitWriter()
+        rst_n = 0
         if em.syms:
             bits, vals, codes = _canonical_table(em.syms)
             out += seg(0xFFC4, bytes([tc << 4]) + bytes(bits) + bytes(vals))
         for is_sym, s, v, n in em.tokens:
-            if is_sym:
+            if is_sym == "rst":
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst_n % 8)])
+                rst_n += 1
+            elif is_sym:
                 code, ln = codes[s]
                 bw.write(code, ln)
             else:
@@ -875,6 +958,7 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
     coefs: list[np.ndarray] = []
     bdims: list[tuple[int, int]] = []  # per-comp real block dims
     hmax = vmax = mcux = mcuy = 0
+    ri = 0  # restart interval (DRI), in restart units
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -930,10 +1014,7 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                 ch = (h * vi + vmax - 1) // vmax
                 bdims.append(((ch + 7) // 8, (cw + 7) // 8))
         elif marker == 0xDD:
-            if struct.unpack_from(">H", body, 0)[0]:
-                raise NotImplementedError(
-                    "restart markers in progressive scans (seam)"
-                )
+            ri = struct.unpack_from(">H", body, 0)[0]
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("mixed frame types")
         elif marker == 0xDA:
@@ -960,27 +1041,29 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                     # non-interleaved: the comp's REAL block grid, not
                     # the MCU-padded one
                     bh0, bw0 = bdims[idx[0]]
-                    order = [
-                        (idx[0], r, c)
+                    units = [
+                        [(idx[0], r, c)]
                         for r in range(bh0)
                         for c in range(bw0)
                     ]
                 else:
-                    order = _dc_scan_order(
+                    units = _dc_scan_units(
                         coefs, idx, [(c[1], c[2]) for c in comps],
                         mcux, mcuy,
                     )
-                if ah == 0:
-                    pred = dict.fromkeys(idx, 0)
-                    for ci, r, c in order:
-                        dct = huff[(0, dc_ids[ci])]
-                        s = _read_symbol(br, dct)
-                        pred[ci] += _extend(br.read(s), s) if s else 0
-                        coefs[ci][r, c, 0] = pred[ci] << al
-                else:
-                    p1 = 1 << al
-                    for ci, r, c in order:
-                        if br.read(1):
+                pred = dict.fromkeys(idx, 0)
+                p1 = 1 << al
+                for ui, unit in enumerate(units):
+                    if ri and ui and ui % ri == 0:
+                        br.restart()
+                        pred = dict.fromkeys(idx, 0)
+                    for ci, r, c in unit:
+                        if ah == 0:
+                            dct = huff[(0, dc_ids[ci])]
+                            s = _read_symbol(br, dct)
+                            pred[ci] += _extend(br.read(s), s) if s else 0
+                            coefs[ci][r, c, 0] = pred[ci] << al
+                        elif br.read(1):
                             coefs[ci][r, c, 0] |= p1
             else:
                 if ns != 1:
@@ -989,34 +1072,37 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                 act = huff[(1, ac_id)]
                 bh, bw = bdims[ci]
                 eobrun = 0
-                for r in range(bh):
-                    for c in range(bw):
-                        zz = coefs[ci][r, c]
-                        if ah == 0:
-                            if eobrun:
-                                eobrun -= 1
-                                continue
-                            k = ss
-                            while k <= se:
-                                sym = _read_symbol(br, act)
-                                run, size = sym >> 4, sym & 0x0F
-                                if size == 0:
-                                    if run == 15:
-                                        k += 16
-                                        continue
-                                    eobrun = (1 << run) - 1
-                                    if run:
-                                        eobrun += br.read(run)
-                                    break
-                                k += run
-                                if k > se:
-                                    raise ValueError("AC run past band")
-                                zz[k] = _extend(br.read(size), size) << al
-                                k += 1
-                        else:
-                            eobrun = _ac_refine_block(
-                                br, act, zz, ss, se, al, eobrun
-                            )
+                for bi in range(bh * bw):
+                    if ri and bi and bi % ri == 0:
+                        br.restart()
+                        eobrun = 0  # EOB runs never cross a restart
+                    r, c = divmod(bi, bw)
+                    zz = coefs[ci][r, c]
+                    if ah == 0:
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = _read_symbol(br, act)
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << run) - 1
+                                if run:
+                                    eobrun += br.read(run)
+                                break
+                            k += run
+                            if k > se:
+                                raise ValueError("AC run past band")
+                            zz[k] = _extend(br.read(size), size) << al
+                            k += 1
+                    else:
+                        eobrun = _ac_refine_block(
+                            br, act, zz, ss, se, al, eobrun
+                        )
     if h is None or not coefs:
         raise ValueError("progressive JPEG has no frame")
     full = []

@@ -675,6 +675,37 @@ class WarehouseSQL:
         )
         if m:
             return self.wh.create_namespace(m.group(1))
+        # CTAS (Athena/Spark CREATE TABLE ... AS SELECT): schema comes
+        # from the query; the insert lands as the table's first commit
+        m = re.match(
+            r"^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+            r"(?P<ns>\w+)\.(?P<tbl>\w+)"
+            r"(?:\s+PARTITIONED\s+BY\s+\((?P<part>[^)]+)\))?"
+            r"(?:\s+TBLPROPERTIES\s*\((?P<props>[^)]*)\))?"
+            r"\s+AS\s+(?P<select>(?:SELECT|WITH)\b.*)$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            ns, tbl = m.group("ns"), m.group("tbl")
+            if tbl in (
+                self.wh.list_tables(ns) if ns in self.wh.list_namespaces()
+                else ()
+            ):
+                if m.group("ine"):
+                    return None  # IF NOT EXISTS: silently keep existing
+                raise ValueError(f"table {ns}.{tbl} already exists")
+            df = self.spark.sql(self._rewrite_tables(m.group("select")))
+            key = None
+            for kv in _split_top_level(m.group("props") or ""):
+                pk, _, pv = kv.partition("=")
+                if pk.strip().strip("'\" ") == "primary-key":
+                    key = pv.strip().strip("'\" ")
+            part = m.group("part")
+            self.wh.create_table(
+                ns, tbl, df.schema, key=key,
+                partition_by=part.strip().strip("`") if part else None,
+            )
+            return self.wh.insert(ns, tbl, df)
         m = re.match(
             r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<ns>\w+)\.(?P<tbl>\w+)"
             r"\s*\((?P<cols>.*?)\)"

@@ -92,6 +92,16 @@ class WarehouseAppendsStreamReader(DataSourceStreamReader):
             raise ValueError("on_delete must be 'raise' or 'skip'")
         start = options.get("from_version")
         self._start = int(start) if start is not None else None
+        # rate limit (Iceberg streaming-max-files-per-micro-batch
+        # analog, at commit granularity): a stream that falls behind --
+        # or starts against a table with years of history -- catches up
+        # in bounded batches of at most N commits instead of one batch
+        # holding the entire backlog
+        mvt = options.get("max_versions_per_trigger")
+        self._max_versions = int(mvt) if mvt is not None else None
+        if self._max_versions is not None and self._max_versions < 1:
+            raise ValueError("max_versions_per_trigger must be >= 1")
+        self._cursor: int | None = None  # last offset this reader issued
         self.schema = schema
         self.tdir = os.path.join(self.root, self.ns, self.table)
         if not os.path.isdir(_vdir(self.tdir, self.branch)):
@@ -107,10 +117,24 @@ class WarehouseAppendsStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         versions = _versions(self.tdir, self.branch)
-        return {"version": versions[-1] if versions else 0}
+        tip = versions[-1] if versions else 0
+        if self._max_versions is None:
+            return {"version": tip}
+        if self._cursor is None:
+            self._cursor = self._start if self._start is not None else 0
+        self._cursor = min(tip, self._cursor + self._max_versions)
+        return {"version": self._cursor}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
+        if self._cursor is None or self._cursor < lo:
+            # on restart Spark replays the checkpointed batch through
+            # partitions() BEFORE the first latestOffset call -- adopt
+            # the checkpointed position so the rate-limited cursor
+            # resumes from it instead of re-pacing from the start
+            self._cursor = max(lo, hi)
+        if hi <= lo:
+            return []  # replay of an empty checkpointed range
         live = set(_versions(self.tdir, self.branch))
         missing = [v for v in range(lo, hi + 1) if v not in live]
         if missing:
@@ -193,7 +217,10 @@ class WarehouseAppendsDataSource(DataSource):
 
     Options: ``root`` (warehouse root), ``ns``, ``table``, optional
     ``branch``, ``from_version`` (exclusive start snapshot),
-    ``skip_replace`` (default true), ``on_delete`` ('raise'|'skip')."""
+    ``skip_replace`` (default true), ``on_delete`` ('raise'|'skip'),
+    ``max_versions_per_trigger`` (rate limit: at most N commits per
+    micro-batch -- Iceberg's streaming max-files-per-micro-batch at
+    commit granularity, bounding catch-up batch size)."""
 
     @classmethod
     def name(cls) -> str:

@@ -2808,6 +2808,95 @@ class Warehouse:
             "delete_files": len(del_files), **stats,
         }
 
+    def _update_where_mor_pos(
+        self, tdir: str, meta: dict, assignments: dict, predicate, predicates
+    ) -> dict:
+        """Merge-on-read UPDATE via POSITION deletes: row-granular and
+        keyless. One pruned, deletes-aware probe reads the matching
+        rows WITH their (file, row-ordinal) address, applies the
+        assignments, and stages the result ONCE; the commit appends the
+        updated copies as new data files plus a position-delete file of
+        the old addresses. Unlike the equality path this supersedes
+        EXACTLY the matched rows (safe on duplicate-key and keyless
+        tables) and any column -- including a key -- may be reassigned,
+        because the delete binds to addresses, not values. O(matches)
+        like the equality path; rebase turns a concurrent rewrite of a
+        target file into a conflict (same rule as mor-pos DELETE)."""
+        version = self._versions(tdir)[-1]
+        doc = self._manifest_doc(tdir, version)
+        entries = doc["files"]
+        schema = StructType.fromJson(meta["schema"])
+        phys = self._snapshot_phys(doc, meta)
+        candidates = (
+            self._prune_entries(
+                entries, [(phys.get(c, c), op, v) for c, op, v in predicates]
+            )
+            if predicates
+            else entries
+        )
+        stats = {
+            "manifest_files": len(entries),
+            "probed_files": len(candidates),
+            "rewritten_files": 0,
+        }
+        noop = {
+            "version": version, "updated_rows": 0, "delete_files": 0, **stats,
+        }
+        if not candidates:
+            return noop
+        prefix = os.path.abspath(tdir) + "/"
+        matched = self._read_entries(
+            tdir, candidates, schema, phys, doc.get("deletes"),
+            meta.get("key"), keep_pos=True,
+        ).filter(F.coalesce(predicate, F.lit(False)))
+        # one probe: stage updated rows + old addresses together, then
+        # split columnar (data files from the row columns, the delete
+        # file from the address columns)
+        staged = matched.select(
+            *[
+                assignments[f.name].cast(f.dataType).alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in schema.fields
+            ],
+            F.col("__afp").substr(
+                F.lit(len(prefix) + 1), F.lit(100_000)
+            ).alias("__file"),
+            F.col("__pos"),
+        )
+        stage = os.path.join(tdir, "data", f".upd-{uuid.uuid4().hex[:12]}")
+        try:
+            staged.write.mode("overwrite").parquet(stage)
+            snap = self.spark.read.parquet(stage)
+            updated = snap.select(*schema.fieldNames())
+            self._check_constraints(updated, meta)
+            data_files = self._write_table_files(tdir, updated, meta)
+            if not data_files:
+                return noop
+            addr = snap.select(
+                F.col("__file").alias("file"), F.col("__pos").alias("pos")
+            )
+            del_files = self._write_pos_delete_files(tdir, addr)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+        n_updated = sum(e.get("records", 0) for e in data_files)
+        target_set = set(del_files[0]["targets"]) if del_files else set()
+
+        def validate_rebase(_fresh: list[dict]) -> bool:
+            tip = self._versions(tdir)[-1]
+            live = {e["path"] for e in self._manifest(tdir, tip)}
+            return target_set <= live
+
+        v = self._publish_append(
+            tdir, version, data_files, meta["schema"],
+            phys=meta.get("physical"), new_deletes=del_files,
+            rebase_validate=validate_rebase, op="update",
+        )
+        return {
+            "version": v, "updated_rows": n_updated,
+            "delete_files": len(del_files), **stats,
+        }
+
     def update_where(
         self, ns: str, table: str, assignments: dict, predicate,
         predicates=None, strategy: str = "cow",
@@ -2832,6 +2921,10 @@ class Warehouse:
         predicate, predicates = self._predicate_spec(predicate, predicates)
         if strategy == "mor":
             return self._update_where_mor(
+                tdir, meta, assignments, predicate, predicates
+            )
+        if strategy == "mor-pos":
+            return self._update_where_mor_pos(
                 tdir, meta, assignments, predicate, predicates
             )
         if strategy != "cow":

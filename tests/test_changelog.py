@@ -360,3 +360,27 @@ def test_changelog_mixed_range_segments(wh, spark):
         ("k1", 99, "insert", 3),
         ("k3", 3, "insert", 4),
     }
+
+
+def test_stream_rate_limit_max_versions_per_trigger(registered, wh, spark):
+    """max_versions_per_trigger bounds each catch-up batch to N commits
+    (Iceberg's streaming read limit): a backlog of 6 single-row commits
+    drains in ceil(commits/N) availableNow runs, restarts resuming from
+    the checkpoint, no rows lost or duplicated."""
+    root = wh.root
+    for i in range(6):
+        wh.insert("ns", "t", _rows(spark, [(f"k{i}", "d0", i)]).coalesce(1))
+    stream = _stream(spark, root, max_versions_per_trigger="3")
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp() + "/out"
+    counts = []
+    for _ in range(5):
+        _drain(spark, stream, ckpt, out)
+        counts.append(spark.read.parquet(out).count())
+        if counts[-1] == 6:
+            break
+    # bounded progress per run, full drain, exactly-once
+    assert counts[-1] == 6
+    assert len(counts) >= 2  # the limit actually split the backlog
+    assert all(b - a <= 3 for a, b in zip(counts, counts[1:]))
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == [f"k{i}" for i in range(6)]

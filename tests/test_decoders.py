@@ -628,3 +628,44 @@ def test_gif_interlaced_frame_deinterlaces():
     frames, _ = decode_gif(bytes(out))
     assert (frames[0][..., 0] == img).all()
     assert (frames[0][..., 1:] == 0).all()
+
+
+def test_jpeg_restart_markers_all_modes():
+    """DRI/RSTn restart intervals: byte-aligned resync points with DC
+    predictor (and EOB-run) resets -- decode must be bit-identical to
+    the restart-free encoding in every mode (baseline gray/color,
+    progressive gray/color)."""
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(23)
+    g = rng.randint(0, 256, (40, 32), dtype=np.uint8)
+    base_g = decode_jpeg(encode_jpeg_gray(g))
+    for ri in (1, 2, 7):
+        wr = encode_jpeg_gray(g, restart_interval=ri)
+        assert b"\xff\xdd" in wr and b"\xff\xd0" in wr
+        assert np.array_equal(decode_jpeg(wr), base_g), ri
+    c = rng.randint(0, 256, (32, 48, 3), dtype=np.uint8)
+    base_c = decode_jpeg(encode_jpeg_color(c))
+    for ri in (1, 3):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_color(c, restart_interval=ri)), base_c
+        ), ri
+    base_pg = decode_jpeg(encode_jpeg_progressive(g))
+    for ri in (1, 2, 5):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(g, restart_interval=ri)),
+            base_pg,
+        ), ri
+    base_pc = decode_jpeg(encode_jpeg_progressive(c))
+    for ri in (1, 2):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(c, restart_interval=ri)),
+            base_pc,
+        ), ri

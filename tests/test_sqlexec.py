@@ -520,3 +520,49 @@ def test_comma_from_list_ref_rewrites_despite_alias(sql, spark):
         "WHERE q.id = 'k1'"
     ).collect()
     assert [(r.a, r.b) for r in got] == [("k1", "z1")]
+
+
+def test_create_table_as_select(sql, spark):
+    """CTAS (Athena CREATE TABLE AS SELECT): schema from the query,
+    first commit holds the result; PARTITIONED BY and primary-key
+    TBLPROPERTIES apply; IF NOT EXISTS keeps an existing table."""
+    sql.execute(
+        "CREATE TABLE ns.evens PARTITIONED BY (day) "
+        "TBLPROPERTIES ('primary-key' = 'id') "
+        "AS SELECT id, day, v * 10 AS v FROM ns.t WHERE v % 2 = 0"
+    )
+    got = {(r.id, r.v) for r in sql.execute("SELECT * FROM ns.evens").collect()}
+    assert got == {(f"k{i}", i * 10) for i in range(0, 20, 2)}
+    assert sql.wh.table_meta("ns", "evens").get("key") == "id"
+    assert sql.wh.table_meta("ns", "evens").get("partition_by") == "day"
+    # MERGE works against the CTAS table (key applied)
+    sql.execute(
+        "MERGE INTO ns.evens AS t USING "
+        "(SELECT 'k0' AS id, 'd0' AS day, CAST(999 AS BIGINT) AS v) AS s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert sql.execute(
+        "SELECT v FROM ns.evens WHERE id = 'k0'"
+    ).collect()[0].v == 999
+    # IF NOT EXISTS: no-op on an existing table
+    sql.execute(
+        "CREATE TABLE IF NOT EXISTS ns.evens AS SELECT * FROM ns.t"
+    )
+    assert sql.execute(
+        "SELECT COUNT(*) AS n FROM ns.evens"
+    ).collect()[0].n == 10
+    # plain CTAS on an existing table raises
+    with pytest.raises(ValueError, match="already exists"):
+        sql.execute("CREATE TABLE ns.evens AS SELECT * FROM ns.t")
+
+
+def test_update_mor_pos_strategy_keyless(sql, spark):
+    """UPDATE routed with strategy='mor-pos' commits position deletes
+    (zero rewrites) through the SQL text path."""
+    r = sql.execute(
+        "UPDATE ns.t SET v = v + 1000 WHERE v >= 18", strategy="mor-pos"
+    )
+    assert r["updated_rows"] == 2 and r["rewritten_files"] == 0
+    got = {x.v for x in sql.execute("SELECT v FROM ns.t WHERE v >= 18").collect()}
+    assert got == {1018, 1019}

@@ -146,3 +146,56 @@ def test_mor_pos_ghost_rows_not_redeleted(wh, spark):
     r = wh.delete_where("ns", "t", F.col("v") == 5, strategy="mor-pos")
     assert r["deleted_rows"] == 1  # k1 was already a ghost
     assert _state(wh) == set()
+
+
+def test_mor_pos_update_keyless_row_granular(wh, spark):
+    """Position-delete UPDATE supersedes exactly the matched rows on a
+    KEYLESS table -- duplicate rows the predicate missed survive."""
+    wh.create_table("ns", "t", S)
+    wh.insert(
+        "ns", "t",
+        _rows(spark, [("k1", "d0", 1), ("k1", "d0", 1), ("k2", "d1", 9)])
+        .coalesce(1),
+    )
+    r = wh.update_where(
+        "ns", "t", {"v": F.col("v") + 100}, F.col("v") == 9,
+        strategy="mor-pos",
+    )
+    assert r["updated_rows"] == 1 and r["rewritten_files"] == 0
+    assert _state(wh) == {("k1", "d0", 1), ("k2", "d1", 109)}
+    # both duplicate rows update when matched (row-granular, not keyed)
+    wh.update_where(
+        "ns", "t", {"v": F.lit(7)}, F.col("id") == "k1", strategy="mor-pos"
+    )
+    got = [tuple(x) for x in wh.read("ns", "t").collect()]
+    assert sorted(got) == [("k1", "d0", 7), ("k1", "d0", 7), ("k2", "d1", 109)]
+
+
+def test_mor_pos_update_can_reassign_key(wh, spark):
+    """The equality path forbids key reassignment; the positional path
+    allows it (the delete binds to addresses, not key values)."""
+    wh.create_table("ns", "t", S, key="id", partition_by="day")
+    wh.insert("ns", "t", _rows(spark, [("k1", "d0", 1), ("k2", "d0", 2)]))
+    with pytest.raises(ValueError, match="reassign"):
+        wh.update_where(
+            "ns", "t", {"id": F.lit("z9")}, F.col("v") == 2, strategy="mor",
+        )
+    r = wh.update_where(
+        "ns", "t", {"id": F.lit("z9")}, F.col("v") == 2, strategy="mor-pos",
+    )
+    assert r["updated_rows"] == 1
+    assert _state(wh) == {("k1", "d0", 1), ("z9", "d0", 2)}
+
+
+def test_mor_pos_update_partition_migration_and_travel(wh, spark):
+    wh.create_table("ns", "t", S, key="id", partition_by="day")
+    v1 = wh.insert("ns", "t", _rows(spark, [("k1", "d0", 1), ("k2", "d0", 2)]))
+    wh.update_where(
+        "ns", "t", {"day": F.lit("d9")}, F.col("id") == "k2",
+        strategy="mor-pos",
+    )
+    assert _state(wh) == {("k1", "d0", 1), ("k2", "d9", 2)}
+    assert _state(wh, version=v1) == {("k1", "d0", 1), ("k2", "d0", 2)}
+    # compaction folds the delete and keeps the migrated partition
+    wh.compact("ns", "t", min_files_per_partition=1)
+    assert _state(wh) == {("k1", "d0", 1), ("k2", "d9", 2)}
