@@ -665,6 +665,70 @@ def warehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+def warehouse_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted SQL views end-to-end (the Iceberg View spec analog:
+    versioned definitions in the catalog, expanded at query time with
+    invoker rights): CREATE VIEW over the events table, a view ON the
+    view, CREATE OR REPLACE versioning, and a final SELECT that joins
+    the view against the base table -- all through the SQL-text router.
+    The oracle recomputes the same composition analytically."""
+    from ..sources.sqlexec import WarehouseSQL
+
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_views_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id",
+            partition_by="event_type",
+        )
+        wh.insert("q", "state", events)
+        sql = WarehouseSQL(wh)
+        sql.execute(
+            "CREATE VIEW q.bigs AS SELECT event_id, event_type, value "
+            "FROM q.state WHERE event_id % 4 = 0"
+        )
+        sql.execute(
+            "CREATE VIEW q.big_counts AS SELECT event_type, "
+            "COUNT(*) AS n_big, SUM(value) AS big_value FROM q.bigs "
+            "GROUP BY event_type"
+        )
+        # versioning: the replaced definition must win
+        sql.execute(
+            "CREATE OR REPLACE VIEW q.bigs AS SELECT event_id, "
+            "event_type, value FROM q.state WHERE event_id % 2 = 0"
+        )
+        out = sql.execute(
+            "SELECT c.event_type, c.n_big, "
+            "CAST(c.big_value AS DECIMAL(18,2)) AS big_value, "
+            "COUNT(*) AS n_total "
+            "FROM q.big_counts c JOIN q.state s "
+            "ON s.event_type = c.event_type "
+            "GROUP BY c.event_type, c.n_big, c.big_value"
+        )
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_VIEWS_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value
+  FROM events
+),
+counts AS (
+  SELECT event_type, COUNT(*) AS n_big,
+         CAST(SUM(value) AS DECIMAL(18,2)) AS big_value
+  FROM base WHERE event_id % 2 = 0 GROUP BY event_type
+)
+SELECT c.event_type, c.n_big, c.big_value, COUNT(*) AS n_total
+FROM counts c JOIN base s ON s.event_type = c.event_type
+GROUP BY c.event_type, c.n_big, c.big_value
+"""
+
+
 def warehouse_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The medallion bronze -> silver streaming hop certified end to
     end (Structured Streaming over the table-appends source,
@@ -1449,6 +1513,7 @@ QUERIES = {
     "warehouse_grants": warehouse_grants,
     "warehouse_zorder": warehouse_zorder,
     "warehouse_table_stream": warehouse_table_stream,
+    "warehouse_views": warehouse_views,
 }
 
 ORACLES = {
@@ -1474,4 +1539,5 @@ ORACLES = {
     "warehouse_grants": WAREHOUSE_GRANTS_SQL,
     "warehouse_zorder": WAREHOUSE_ZORDER_SQL,
     "warehouse_table_stream": WAREHOUSE_TABLE_STREAM_SQL,
+    "warehouse_views": WAREHOUSE_VIEWS_SQL,
 }

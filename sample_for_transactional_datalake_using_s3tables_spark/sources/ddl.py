@@ -90,7 +90,14 @@ def create_resource_link(spark: SparkSession, link_ns: str, target_ns: str) -> N
 
 
 def show_tables(spark: SparkSession, ns: str) -> list[str]:
-    return sorted(r.tableName for r in spark.sql(f"SHOW TABLES IN {_q(ns)}").collect())
+    # SHOW TABLES includes session-global TEMP views (isTemporary) --
+    # the SQL router's internal __wh_* rewrite views among them; a
+    # catalog listing reports only the namespace's persistent tables
+    return sorted(
+        r.tableName
+        for r in spark.sql(f"SHOW TABLES IN {_q(ns)}").collect()
+        if not r.isTemporary
+    )
 
 
 def describe(spark: SparkSession, name: str) -> list[tuple[str, str]]:

@@ -227,7 +227,7 @@ class WarehouseSQL:
                 return t.upper() == "FROM"
         return False
 
-    def _rewrite_tables(self, sql: str) -> str:
+    def _rewrite_tables(self, sql: str, _depth: int = 0) -> str:
         """Register every referenced warehouse table as a temp view and
         rewrite references to the view names: ``ns.tbl`` resolves to
         the current snapshot (governed via ``read_as`` when a principal
@@ -278,8 +278,10 @@ class WarehouseSQL:
             for a in self._ALIAS_RE.findall(masked)
         } - self._SQL_KEYWORDS
 
+        views = None  # lazy: {(ns, view)} alongside the table set
+
         def _sub(m) -> str:
-            nonlocal tables
+            nonlocal tables, views
             ns, tbl, meta_kind, tt_kind, tt_ref = m.groups()
             if tables is None:
                 tables = {
@@ -287,7 +289,20 @@ class WarehouseSQL:
                     for n in self.wh.list_namespaces()
                     for t in self.wh.list_tables(n)
                 }
-            if (ns, tbl) not in tables:
+                views = {
+                    (n, v)
+                    for n in self.wh.list_namespaces()
+                    for v in self.wh.list_views(n)
+                }
+            is_table = (ns, tbl) in tables
+            # views take plain refs only (no $meta / time-travel tails)
+            is_view = (
+                not is_table
+                and not meta_kind
+                and not tt_ref
+                and (ns, tbl) in views
+            )
+            if not is_table and not is_view:
                 return m.group(0)
             if (
                 ns.lower() in aliases
@@ -298,6 +313,20 @@ class WarehouseSQL:
                 and not self._comma_from_position(masked, m.start())
             ):
                 return m.group(0)  # alias-qualified column, not a table
+            if is_view:
+                if _depth >= 8:
+                    raise ValueError(
+                        f"view expansion exceeds depth 8 at {ns}.{tbl} "
+                        "(cyclic views?)"
+                    )
+                vsql = self.wh.view_definition(ns, tbl)
+                view = f"__wh_view_{ns}__{tbl}"
+                # invoker rights: the nested rewrite resolves underlying
+                # tables through THIS session's principal
+                self.spark.sql(
+                    self._rewrite_tables(vsql, _depth + 1)
+                ).createOrReplaceTempView(view)
+                return view
             if meta_kind:
                 kind = meta_kind.lower()
                 if kind == "changes":
@@ -442,6 +471,12 @@ class WarehouseSQL:
             )
             if m:
                 return self.wh.drop_table(*m.groups())
+            m = re.match(
+                r"^DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\.(\w+)$",
+                s, re.IGNORECASE,
+            )
+            if m:
+                return self.wh.drop_view(*m.groups())
             m = re.match(
                 r"^DROP\s+NAMESPACE\s+(?:IF\s+EXISTS\s+)?(\w+)$",
                 s, re.IGNORECASE,
@@ -675,6 +710,21 @@ class WarehouseSQL:
         )
         if m:
             return self.wh.create_namespace(m.group(1))
+        # CREATE [OR REPLACE] VIEW (Iceberg View analog: a VERSIONED
+        # SQL definition in the catalog, expanded at query time with
+        # INVOKER rights -- the reading principal's grants apply to
+        # every underlying table)
+        m = re.match(
+            r"^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\.(\w+)\s+AS\s+"
+            r"((?:SELECT|WITH)\b.*)$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            replace, ns, name, sel = m.groups()
+            # fail fast on an invalid definition: analyze (not execute)
+            # the rewritten SELECT before persisting it
+            self.spark.sql(self._rewrite_tables(sel)).schema
+            return self.wh.create_view(ns, name, sel, replace=bool(replace))
         # CTAS (Athena/Spark CREATE TABLE ... AS SELECT): schema comes
         # from the query; the insert lands as the table's first commit
         m = re.match(

@@ -488,6 +488,8 @@ class Warehouse:
             if if_not_exists:
                 return
             raise FileExistsError(f"{ns}.{table}")
+        if os.path.exists(self._view_path(ns, table)):
+            raise ValueError(f"{ns}.{table} is a view, not a table")
         # fail fast on a bad partition spec (unknown source column or
         # malformed transform) before any metadata lands on disk
         self._partition_expr(partition_by, schema)
@@ -525,6 +527,70 @@ class Warehouse:
         return sorted(
             d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))
         )
+
+    # -- views (the Iceberg View spec analog: VERSIONED SQL definitions
+    # stored in the catalog; expansion and execution are the engine's
+    # job, and execution runs with INVOKER rights -- the reading
+    # principal's grants apply to every underlying table) --
+
+    def _view_path(self, ns: str, name: str) -> str:
+        return os.path.join(
+            self.root, self._resolve_ns(ns), f"{name}.view.json"
+        )
+
+    def create_view(
+        self, ns: str, name: str, sql: str, replace: bool = False
+    ) -> int:
+        """Persist a named SQL view. Like Iceberg view metadata, every
+        CREATE OR REPLACE appends a new version (the full definition
+        history stays auditable); returns the new current version id."""
+        import time as _time
+
+        if name in self.list_tables(ns):
+            raise ValueError(f"{ns}.{name} is a table, not a view")
+        path = self._view_path(ns, name)
+        exists = os.path.exists(path)
+        if exists and not replace:
+            raise ValueError(f"view {ns}.{name} already exists")
+        doc: dict = {"versions": []}
+        if exists:
+            with open(path) as f:
+                doc = json.load(f)
+        doc["versions"].append({"sql": sql, "ts": _time.time()})
+        doc["current"] = len(doc["versions"]) - 1
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+        return doc["current"]
+
+    def drop_view(self, ns: str, name: str, if_exists: bool = True) -> None:
+        path = self._view_path(ns, name)
+        if not os.path.exists(path):
+            if if_exists:
+                return
+            raise ValueError(f"unknown view {ns}.{name}")
+        os.remove(path)
+
+    def list_views(self, ns: str) -> list[str]:
+        path = os.path.join(self.root, self._resolve_ns(ns))
+        suffix = ".view.json"
+        return sorted(
+            f[: -len(suffix)]
+            for f in os.listdir(path)
+            if f.endswith(suffix)
+        )
+
+    def view_definition(
+        self, ns: str, name: str, version: int | None = None
+    ) -> str:
+        path = self._view_path(ns, name)
+        if not os.path.exists(path):
+            raise ValueError(f"unknown view {ns}.{name}")
+        with open(path) as f:
+            doc = json.load(f)
+        v = doc["current"] if version is None else version
+        return doc["versions"][v]["sql"]
 
     def table_meta(self, ns: str, table: str) -> dict:
         tdir = self._table_dir(ns, table)

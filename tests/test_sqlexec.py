@@ -566,3 +566,58 @@ def test_update_mor_pos_strategy_keyless(sql, spark):
     assert r["updated_rows"] == 2 and r["rewritten_files"] == 0
     got = {x.v for x in sql.execute("SELECT v FROM ns.t WHERE v >= 18").collect()}
     assert got == {1018, 1019}
+
+
+def test_create_view_and_select(sql, spark):
+    """Persisted views (Iceberg View analog): versioned SQL in the
+    catalog, expanded at query time; views compose (view-on-view) and
+    CREATE OR REPLACE appends a new version."""
+    sql.execute("CREATE VIEW ns.highs AS SELECT id, v FROM ns.t WHERE v >= 15")
+    got = {(r.id, r.v) for r in sql.execute("SELECT * FROM ns.highs").collect()}
+    assert got == {(f"k{i}", i) for i in range(15, 20)}
+    # view-on-view
+    sql.execute("CREATE VIEW ns.highest AS SELECT * FROM ns.highs WHERE v >= 18")
+    assert sql.execute("SELECT COUNT(*) AS n FROM ns.highest").collect()[0].n == 2
+    # joins between views and tables work
+    n = sql.execute(
+        "SELECT COUNT(*) AS n FROM ns.highs h JOIN ns.t t ON h.id = t.id"
+    ).collect()[0].n
+    assert n == 5
+    # CREATE without OR REPLACE on an existing view raises
+    with pytest.raises(ValueError, match="already exists"):
+        sql.execute("CREATE VIEW ns.highs AS SELECT * FROM ns.t")
+    # OR REPLACE appends a version; old definition stays auditable
+    sql.execute("CREATE OR REPLACE VIEW ns.highs AS SELECT id FROM ns.t WHERE v < 2")
+    assert sql.execute("SELECT COUNT(*) AS n FROM ns.highs").collect()[0].n == 2
+    assert "v >= 15" in sql.wh.view_definition("ns", "highs", version=0)
+    assert sql.wh.list_views("ns") == ["highest", "highs"]
+    sql.execute("DROP VIEW ns.highest")
+    assert sql.wh.list_views("ns") == ["highs"]
+    # a view definition that doesn't analyze is rejected up front
+    with pytest.raises(Exception):
+        sql.execute("CREATE VIEW ns.bad AS SELECT nope FROM ns.t")
+    assert "bad" not in sql.wh.list_views("ns")
+
+
+def test_view_runs_with_invoker_rights(sql, spark):
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import (
+        WarehouseSQL,
+    )
+
+    sql.execute("CREATE VIEW ns.allrows AS SELECT id, day, v FROM ns.t")
+    wh = sql.wh
+    wh.grant("d1", "ns", "t", permissions=("SELECT",), row_filter="day = 'd1'")
+    gov = WarehouseSQL(wh, principal="d1")
+    got = gov.execute("SELECT day FROM ns.allrows").collect()
+    assert got and all(r.day == "d1" for r in got)
+    # no grant at all -> the view cannot be used to bypass the table
+    nobody = WarehouseSQL(wh, principal="nobody")
+    with pytest.raises(PermissionError):
+        nobody.execute("SELECT * FROM ns.allrows")
+
+
+def test_view_cycle_detection(sql, spark):
+    sql.execute("CREATE VIEW ns.loopy AS SELECT * FROM ns.t")
+    sql.execute("CREATE OR REPLACE VIEW ns.loopy AS SELECT * FROM ns.loopy")
+    with pytest.raises(ValueError, match="depth"):
+        sql.execute("SELECT * FROM ns.loopy")
