@@ -409,6 +409,32 @@ class WarehouseSQL:
         head = s.split(None, 1)[0].upper() if s else ""
         if head in ("SELECT", "WITH"):
             return self.spark.sql(self._rewrite_tables(s))
+        if head == "SHOW":
+            return self._show(s)
+        if head == "DESCRIBE" or head == "DESC":
+            m = re.match(
+                r"^DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\.(\w+)$",
+                s, re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported DESCRIBE shape: {s[:120]!r}")
+            ns, tbl = m.groups()
+            self._require("DESCRIBE", ns, tbl)
+            meta = self.wh.table_meta(ns, tbl)
+            from pyspark.sql.types import StructType as _ST
+
+            schema = _ST.fromJson(meta["schema"])
+            rows = [
+                (f.name, f.dataType.simpleString(), f.nullable)
+                for f in schema.fields
+            ]
+            rows += [
+                ("# key", str(meta.get("key")), True),
+                ("# partition_by", str(meta.get("partition_by")), True),
+            ]
+            return self.spark.createDataFrame(
+                rows, "col_name STRING, data_type STRING, nullable BOOLEAN"
+            )
         # DML shape regexes run over LITERAL-MASKED text so a WHERE /
         # SET / ON / WHEN inside a string can never split the statement
         # in the wrong place; captured fragments unmask before use.
@@ -702,6 +728,31 @@ class WarehouseSQL:
             ns, tbl = table_arg(args[0])
             return self.wh.fast_forward(ns, tbl, str(args[1]))
         raise ValueError(f"unknown procedure system.{proc}")
+
+    def _show(self, s: str):
+        """SHOW NAMESPACES | SHOW TABLES IN ns | SHOW VIEWS IN ns --
+        catalog listings as DataFrames (Athena/Spark SHOW surface)."""
+        m = re.match(r"^SHOW\s+NAMESPACES$", s, re.IGNORECASE)
+        if m:
+            return self.spark.createDataFrame(
+                [(n,) for n in self.wh.list_namespaces()],
+                "namespace STRING",
+            )
+        m = re.match(r"^SHOW\s+TABLES\s+IN\s+(\w+)$", s, re.IGNORECASE)
+        if m:
+            ns = m.group(1)
+            return self.spark.createDataFrame(
+                [(ns, t) for t in self.wh.list_tables(ns)],
+                "namespace STRING, table STRING",
+            )
+        m = re.match(r"^SHOW\s+VIEWS\s+IN\s+(\w+)$", s, re.IGNORECASE)
+        if m:
+            ns = m.group(1)
+            return self.spark.createDataFrame(
+                [(ns, v) for v in self.wh.list_views(ns)],
+                "namespace STRING, view STRING",
+            )
+        raise ValueError(f"unsupported SHOW shape: {s[:120]!r}")
 
     def _create(self, s: str):
         m = re.match(

@@ -621,3 +621,20 @@ def test_view_cycle_detection(sql, spark):
     sql.execute("CREATE OR REPLACE VIEW ns.loopy AS SELECT * FROM ns.loopy")
     with pytest.raises(ValueError, match="depth"):
         sql.execute("SELECT * FROM ns.loopy")
+
+
+def test_show_and_describe_statements(sql, spark):
+    assert [r.namespace for r in sql.execute("SHOW NAMESPACES").collect()] == ["ns"]
+    assert [(r.namespace, r.table) for r in sql.execute("SHOW TABLES IN ns").collect()] == [
+        ("ns", "t")
+    ]
+    sql.execute("CREATE VIEW ns.v1 AS SELECT id FROM ns.t")
+    assert [r.view for r in sql.execute("SHOW VIEWS IN ns").collect()] == ["v1"]
+    d = {r.col_name: r.data_type for r in sql.execute("DESCRIBE ns.t").collect()}
+    assert d["id"] == "string" and d["v"] == "bigint"
+    assert d["# key"] == "id" and d["# partition_by"] == "day"
+    # DESCRIBE is governance-gated
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
+
+    with pytest.raises(PermissionError, match="DESCRIBE"):
+        WarehouseSQL(sql.wh, principal="nobody").execute("DESC ns.t")

@@ -208,3 +208,74 @@ def test_mor_sequences_match_model(spark, ops):
         assert got == want, f"ops={ops}"
         # count_rows agrees with the model through any ghost backlog
         assert wh.count_rows("m", "t") == len(model), f"ops={ops}"
+
+
+# Positional-delete interleavings: mor-pos DELETE/UPDATE mixed with
+# equality MoR, CoW DML, and maintenance. The table stays unique-keyed
+# (inserts go through MERGE), so row-granular pos semantics and
+# key-granular eq semantics agree with the same dict model -- any
+# divergence (a pos delete dangling wrongly, a resurrected row after
+# compaction, a stale address after CoW) breaks the equivalence.
+_op_pos = st.one_of(
+    st.tuples(st.just("mor_upsert"), st.lists(_row, min_size=1, max_size=3)),
+    st.tuples(st.just("cow_upsert"), st.lists(_row, min_size=1, max_size=3)),
+    st.tuples(st.just("pos_delete_where"), st.integers(min_value=0, max_value=99)),
+    st.tuples(st.just("pos_update_where"), st.integers(min_value=0, max_value=99)),
+    st.tuples(st.just("mor_delete_where"), st.integers(min_value=0, max_value=99)),
+    st.tuples(st.just("cow_update_where"), st.integers(min_value=0, max_value=99)),
+    st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("expire"), st.integers(min_value=1, max_value=2)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op_pos, min_size=1, max_size=5))
+def test_pos_delete_sequences_match_model(spark, ops):
+    model: dict[str, tuple[str | None, int]] = {}
+    with tempfile.TemporaryDirectory() as root:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("m")
+        wh.create_table("m", "t", SCHEMA, key="id", partition_by="day")
+        for kind, arg in ops:
+            if kind in ("mor_upsert", "cow_upsert"):
+                strat = "mor" if kind == "mor_upsert" else "cow"
+                wh.merge_upsert("m", "t", _df(spark, arg), strategy=strat)
+                for k, p, v in arg:
+                    model[k] = (p, v)
+            elif kind == "pos_delete_where":
+                wh.delete_where(
+                    "m", "t", [("v", ">=", arg)], strategy="mor-pos"
+                )
+                model = {k: pv for k, pv in model.items() if pv[1] < arg}
+            elif kind == "pos_update_where":
+                wh.update_where(
+                    "m", "t", {"v": F.col("v") + 100}, [("v", "<", arg)],
+                    strategy="mor-pos",
+                )
+                model = {
+                    k: (p, v + 100 if v < arg else v)
+                    for k, (p, v) in model.items()
+                }
+            elif kind == "mor_delete_where":
+                wh.delete_where("m", "t", [("v", ">=", arg)], strategy="mor")
+                model = {k: pv for k, pv in model.items() if pv[1] < arg}
+            elif kind == "cow_update_where":
+                wh.update_where(
+                    "m", "t", {"v": F.col("v") + 100}, [("v", "<", arg)]
+                )
+                model = {
+                    k: (p, v + 100 if v < arg else v)
+                    for k, (p, v) in model.items()
+                }
+            elif kind == "compact":
+                wh.compact("m", "t")
+            else:
+                wh.expire_snapshots("m", "t", keep_last=arg)
+        got = {(r.id, r.day, r.v) for r in wh.read("m", "t").collect()}
+        want = {(k, p, v) for k, (p, v) in model.items()}
+        assert got == want, f"ops={ops}"
+        assert wh.count_rows("m", "t") == len(model), f"ops={ops}"
