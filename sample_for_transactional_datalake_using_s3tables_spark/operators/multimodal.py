@@ -208,25 +208,19 @@ def decode_image(payload: bytes):
 
 
 def decode_audio(payload: bytes):
-    """Decode a WAV (16-bit PCM) payload to ``(samples[frames, ch],
-    sample_rate)`` -- REAL decoding via the stdlib ``wave`` module.
-    Compressed audio (MP3/OGG) needs librosa/av and raises."""
-    import io
-    import wave
-
-    import numpy as np
-
+    """Decode a WAV payload to ``(int16 samples[frames, ch],
+    sample_rate)`` -- REAL decoding via the from-scratch RIFF parser
+    (operators/audiocodec.py): PCM 8/16/24/32-bit, IEEE float32/64,
+    G.711 mu-law / A-law, and IMA ADPCM (format tag 0x11). Perceptual
+    codecs (MP3/OGG/AAC) need librosa/av and raise."""
     if payload[:4] != b"RIFF":
         raise NotImplementedError(
             "compressed audio decoding requires an audio library not present "
             "in this environment (librosa/av deployment seam)"
         )
-    with wave.open(io.BytesIO(payload)) as w:
-        if w.getsampwidth() != 2:
-            raise NotImplementedError("only 16-bit PCM WAV supported")
-        sr, ch = w.getframerate(), w.getnchannels()
-        raw = w.readframes(w.getnframes())
-    return np.frombuffer(raw, dtype=np.int16).reshape(-1, ch), sr
+    from .audiocodec import parse_wav
+
+    return parse_wav(payload)
 
 
 def _image_feature_batches(batches: Iterator) -> Iterator:
@@ -780,17 +774,21 @@ SPECTRAL_SCHEMA = (
 
 
 def _synthesize_sine_batches(batches: Iterator) -> Iterator:
-    """Genuine 16-bit PCM WAVs, each a pure sine placed EXACTLY on DFT
-    bin ``doc_id %% 100 + 4`` of a 256-sample window (an integer number
-    of periods -> no spectral leakage), amplitude ``doc_id %% 900 +
-    100``. Bin-aligned synthesis is what makes the downstream FFT
-    features analytically recomputable by the SQL oracle."""
-    import io
-    import wave
-
+    """Genuine WAVs, each a pure sine placed EXACTLY on DFT bin
+    ``doc_id %% 100 + 4`` of a 256-sample window (an integer number of
+    periods -> no spectral leakage), amplitude ``doc_id %% 900 + 100``.
+    The ENCODING rotates by doc_id: 16-bit PCM, G.711 mu-law, IMA
+    ADPCM, and A-law (operators/audiocodec.py) -- the dominant DFT bin
+    is invariant under companding/ADPCM quantization noise (>25 dB
+    SNR on these amplitudes), so the SAME analytic oracle certifies
+    the compressed decode paths. Bin-aligned synthesis is what makes
+    the downstream FFT features recomputable by the SQL oracle."""
     import numpy as np
     import pandas as pd
 
+    from .audiocodec import encode_wav
+
+    codecs = ("pcm16", "ulaw", "ima_adpcm", "alaw")
     t = np.arange(_SPEC_N)
     for pdf in batches:
         wavs = []
@@ -800,13 +798,7 @@ def _synthesize_sine_batches(batches: Iterator) -> Iterator:
             samples = np.round(
                 amp * np.sin(2.0 * np.pi * k * t / _SPEC_N)
             ).astype(np.int16)
-            buf = io.BytesIO()
-            with wave.open(buf, "wb") as f:
-                f.setnchannels(1)
-                f.setsampwidth(2)
-                f.setframerate(_SPEC_SR)
-                f.writeframes(samples.tobytes())
-            wavs.append(buf.getvalue())
+            wavs.append(encode_wav(samples, _SPEC_SR, codec=codecs[d % 4]))
         yield pd.DataFrame(
             {"doc_id": pdf["doc_id"].astype("int64"), "aud": wavs}
         )
