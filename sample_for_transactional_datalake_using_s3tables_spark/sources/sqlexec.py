@@ -597,6 +597,14 @@ class WarehouseSQL:
         ),
         (
             re.compile(
+                r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+ALTER\s+COLUMN\s+"
+                r"(\w+)\s+TYPE\s+([\w(),\s]+)$",
+                re.IGNORECASE,
+            ),
+            "widen",
+        ),
+        (
+            re.compile(
                 r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+SET\s+PARTITION\s+SPEC\s*"
                 r"\(\s*([^)]*?)\s*\)$",
                 re.IGNORECASE,
@@ -633,6 +641,10 @@ class WarehouseSQL:
                 return self.wh.rename_column(ns, tbl, m.group(3), m.group(4))
             if kind == "drop":
                 return self.wh.drop_column(ns, tbl, m.group(3))
+            if kind == "widen":
+                return self.wh.widen_column(
+                    ns, tbl, m.group(3), m.group(4).strip()
+                )
             if kind == "spec":
                 spec = m.group(3).strip().strip("`") or None
                 return self.wh.evolve_partition_spec(ns, tbl, spec)

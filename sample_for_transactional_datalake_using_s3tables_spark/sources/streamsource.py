@@ -191,18 +191,25 @@ class WarehouseAppendsStreamReader(DataSourceStreamReader):
         # physical column: read only the columns the file actually has
         # and null-fill the rest to the range-end schema (the batch
         # path's spark.read.schema does the same null projection).
+        from pyspark.sql.pandas.types import to_arrow_type
+
         avail = set(pq.read_schema(partition.path).names)
         present = [p for p, _, _ in partition.names if p in avail]
         table = pq.read_table(partition.path, columns=present)
         cols, out_names = [], []
         n = len(table)
         for p, lg, dtype in partition.names:
+            want = to_arrow_type(dtype)
             if p in avail:
-                cols.append(table.column(p))
+                col = table.column(p)
+                if col.type != want:
+                    # type-widening evolution (int->long, float->double,
+                    # decimal precision): old files keep the narrow
+                    # physical type; up-cast to the range-end schema
+                    col = col.cast(want)
+                cols.append(col)
             else:
-                from pyspark.sql.pandas.types import to_arrow_type
-
-                cols.append(pa.nulls(n, type=to_arrow_type(dtype)))
+                cols.append(pa.nulls(n, type=want))
             out_names.append(lg)
         # zero-copy physical->logical projection in output order
         yield from pa.table(dict(zip(out_names, cols))).to_batches()

@@ -602,6 +602,58 @@ class Warehouse:
     def schema(self, ns: str, table: str) -> StructType:
         return StructType.fromJson(self.table_meta(ns, table)["schema"])
 
+    def widen_column(self, ns: str, table: str, col: str, new_type) -> None:
+        """Type promotion (Iceberg schema-evolution widening rules):
+        ``int -> long``, ``float -> double``, ``decimal(P,S) ->
+        decimal(P'>P, S)``. METADATA-ONLY -- existing files keep their
+        narrower physical type; Spark's parquet reader up-casts them to
+        the evolved read schema natively (no rewrite, no reader shim).
+        Any other conversion is a narrowing or re-interpretation and is
+        rejected (a rewrite via CTAS is the explicit path for those).
+        Snapshot-bound like every schema change: time travel to older
+        versions sees the historical type."""
+        from pyspark.sql.types import (
+            DecimalType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+        )
+
+        if isinstance(new_type, str):
+            new_type = StructType.fromDDL(f"__c {new_type}")[0].dataType
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        schema = StructType.fromJson(meta["schema"])
+        if col not in schema.fieldNames():
+            raise ValueError(f"unknown column {col}")
+        old = schema[col].dataType
+        ok = (
+            (isinstance(old, IntegerType) and isinstance(new_type, LongType))
+            or (
+                isinstance(old, FloatType)
+                and isinstance(new_type, DoubleType)
+            )
+            or (
+                isinstance(old, DecimalType)
+                and isinstance(new_type, DecimalType)
+                and new_type.scale == old.scale
+                and new_type.precision > old.precision
+            )
+        )
+        if not ok:
+            raise ValueError(
+                f"cannot widen {col}: {old.simpleString()} -> "
+                f"{new_type.simpleString()} is not an Iceberg promotion "
+                "(int->long, float->double, decimal precision increase)"
+            )
+        fields = [
+            f if f.name != col else type(f)(f.name, new_type, f.nullable)
+            for f in schema.fields
+        ]
+        meta["schema"] = json.loads(StructType(fields).json())
+        self._swap_table_meta(tdir, meta)
+
     def add_column(self, ns: str, table: str, field) -> None:
         """Schema evolution by metadata swap (the reference updates table
         schemas by staging new metadata and CAS-swapping the table's

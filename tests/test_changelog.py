@@ -384,3 +384,38 @@ def test_stream_rate_limit_max_versions_per_trigger(registered, wh, spark):
     assert all(b - a <= 3 for a, b in zip(counts, counts[1:]))
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == [f"k{i}" for i in range(6)]
+
+
+def test_stream_across_type_widening(registered, wh, spark):
+    """Files written before an int->long widening carry the narrow
+    physical type; the stream read up-casts them to the range-end
+    schema (same as the batch path)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    S2 = StructType(
+        [StructField("id", StringType(), False), StructField("n", IntegerType())]
+    )
+    root = tempfile.mkdtemp()
+    w = Warehouse(spark, root)
+    w.create_namespace("ns")
+    w.create_table("ns", "t", S2, key="id")
+    w.insert("ns", "t", spark.createDataFrame([("k1", 7)], S2).coalesce(1))
+    w.widen_column("ns", "t", "n", "bigint")
+    w.insert(
+        "ns", "t",
+        spark.createDataFrame(
+            [("k2", 5_000_000_000)], "id string, n bigint"
+        ).coalesce(1),
+    )
+    stream = (
+        spark.readStream.format("warehouse_appends")
+        .option("root", root).option("ns", "ns").option("table", "t").load()
+    )
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp() + "/out"
+    _drain(spark, stream, ckpt, out)
+    got = sorted((r.id, r.n) for r in spark.read.parquet(out).collect())
+    assert got == [("k1", 7), ("k2", 5_000_000_000)]

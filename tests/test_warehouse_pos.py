@@ -199,3 +199,88 @@ def test_mor_pos_update_partition_migration_and_travel(wh, spark):
     # compaction folds the delete and keeps the migrated partition
     wh.compact("ns", "t", min_files_per_partition=1)
     assert _state(wh) == {("k1", "d0", 1), ("k2", "d9", 2)}
+
+
+def test_widen_column_metadata_only(wh, spark):
+    """Iceberg type promotion: int->long (and decimal precision) is a
+    metadata-only evolution -- old files keep their narrow physical
+    type and read up-cast; narrowing and re-interpretation reject."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    S2 = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("n", IntegerType()),
+        ]
+    )
+    wh.create_table("ns", "t", S2, key="id")
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("k1", 7)], S2).coalesce(1),
+    )
+    v_before = wh.current_version("ns", "t")
+    files_before = {
+        e["path"]
+        for e in wh._manifest(wh._table_dir("ns", "t"), v_before)
+    }
+    wh.widen_column("ns", "t", "n", "bigint")
+    tdir = wh._table_dir("ns", "t")
+    v_after = wh.current_version("ns", "t")
+    assert v_after == v_before + 1  # schema commit published
+    assert {
+        e["path"] for e in wh._manifest(tdir, v_after)
+    } == files_before  # nothing rewritten
+    df = wh.read("ns", "t")
+    assert dict(df.dtypes)["n"] == "bigint"
+    # old files read up-cast; new 64-bit values land fine
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame(
+            [("k2", 5_000_000_000)], "id string, n bigint"
+        ).coalesce(1),
+    )
+    got = {(r.id, r.n) for r in wh.read("ns", "t").collect()}
+    assert got == {("k1", 7), ("k2", 5_000_000_000)}
+    # time travel sees the historical (int) type
+    old = wh.read("ns", "t", version=v_before)
+    assert dict(old.dtypes)["n"] == "int"
+    # narrowing / re-interpretation rejected
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="promotion"):
+        wh.widen_column("ns", "t", "n", "int")
+    with _pt.raises(ValueError, match="promotion"):
+        wh.widen_column("ns", "t", "id", "bigint")
+
+
+def test_widen_column_via_sql_router(wh, spark):
+    from pyspark.sql.types import (
+        DecimalType, StringType, StructField, StructType,
+    )
+
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import (
+        WarehouseSQL,
+    )
+
+    S3 = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("amt", DecimalType(10, 2)),
+        ]
+    )
+    wh.create_table("ns", "t", S3, key="id")
+    from decimal import Decimal
+
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("k1", Decimal("12.34"))], S3).coalesce(1),
+    )
+    sql = WarehouseSQL(wh)
+    sql.execute("ALTER TABLE ns.t ALTER COLUMN amt TYPE DECIMAL(20, 2)")
+    df = sql.execute("SELECT * FROM ns.t")
+    assert dict(df.dtypes)["amt"] == "decimal(20,2)"
+    assert df.collect()[0].amt == Decimal("12.34")
+    with pytest.raises(ValueError, match="promotion"):
+        sql.execute("ALTER TABLE ns.t ALTER COLUMN amt TYPE DECIMAL(20, 4)")
