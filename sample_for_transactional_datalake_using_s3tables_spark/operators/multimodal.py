@@ -208,11 +208,18 @@ def decode_image(payload: bytes):
 
 
 def decode_audio(payload: bytes):
-    """Decode a WAV payload to ``(int16 samples[frames, ch],
-    sample_rate)`` -- REAL decoding via the from-scratch RIFF parser
-    (operators/audiocodec.py): PCM 8/16/24/32-bit, IEEE float32/64,
-    G.711 mu-law / A-law, and IMA ADPCM (format tag 0x11). Perceptual
-    codecs (MP3/OGG/AAC) need librosa/av and raise."""
+    """Decode a WAV or FLAC payload to ``(samples[frames, ch],
+    sample_rate)`` -- REAL decoding via the from-scratch codecs:
+    RIFF/WAVE (operators/audiocodec.py: PCM 8/16/24/32-bit, IEEE
+    float32/64, G.711 mu-law / A-law, IMA ADPCM) and FLAC
+    (operators/flaccodec.py: full lossless decode with CRC + MD5
+    verification). Perceptual codecs (MP3/OGG/AAC) need librosa/av and
+    raise."""
+    if payload[:4] == b"fLaC":
+        from .flaccodec import decode_flac
+
+        samples, sr = decode_flac(payload)  # int32; bps=16 fits int16
+        return samples.astype("int16"), sr
     if payload[:4] != b"RIFF":
         raise NotImplementedError(
             "compressed audio decoding requires an audio library not present "
@@ -778,17 +785,20 @@ def _synthesize_sine_batches(batches: Iterator) -> Iterator:
     ``doc_id %% 100 + 4`` of a 256-sample window (an integer number of
     periods -> no spectral leakage), amplitude ``doc_id %% 900 + 100``.
     The ENCODING rotates by doc_id: 16-bit PCM, G.711 mu-law, IMA
-    ADPCM, and A-law (operators/audiocodec.py) -- the dominant DFT bin
-    is invariant under companding/ADPCM quantization noise (>25 dB
-    SNR on these amplitudes), so the SAME analytic oracle certifies
-    the compressed decode paths. Bin-aligned synthesis is what makes
-    the downstream FFT features recomputable by the SQL oracle."""
+    ADPCM, A-law (operators/audiocodec.py), and FLAC
+    (operators/flaccodec.py, lossless) -- the dominant DFT bin is
+    invariant under companding/ADPCM quantization noise (>25 dB SNR on
+    these amplitudes) and untouched by FLAC, so the SAME analytic
+    oracle certifies every compressed decode path. Bin-aligned
+    synthesis is what makes the downstream FFT features recomputable
+    by the SQL oracle."""
     import numpy as np
     import pandas as pd
 
     from .audiocodec import encode_wav
+    from .flaccodec import encode_flac
 
-    codecs = ("pcm16", "ulaw", "ima_adpcm", "alaw")
+    codecs = ("pcm16", "ulaw", "ima_adpcm", "alaw", "flac")
     t = np.arange(_SPEC_N)
     for pdf in batches:
         wavs = []
@@ -798,7 +808,12 @@ def _synthesize_sine_batches(batches: Iterator) -> Iterator:
             samples = np.round(
                 amp * np.sin(2.0 * np.pi * k * t / _SPEC_N)
             ).astype(np.int16)
-            wavs.append(encode_wav(samples, _SPEC_SR, codec=codecs[d % 4]))
+            codec = codecs[d % 5]
+            wavs.append(
+                encode_flac(samples, _SPEC_SR, use_lpc=d % 2 == 0)
+                if codec == "flac"
+                else encode_wav(samples, _SPEC_SR, codec=codec)
+            )
         yield pd.DataFrame(
             {"doc_id": pdf["doc_id"].astype("int64"), "aud": wavs}
         )
