@@ -1057,10 +1057,99 @@ FROM documents
 """
 
 
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, n_frames int, fps int, n_sampled int, "
+    "first_mean double, last_mean double"
+)
+
+
+def _synthesize_avi_batches(batches: Iterator) -> Iterator:
+    """Genuine MJPEG AVIs: ``doc_id % 4 + 2`` constant-even-gray
+    frames (frame f's value = ``(doc_id*2 + 34*f) % 256``, always even
+    so the flat-quant JPEG pipeline is exactly invertible), RIFF
+    hdrl/movi/idx1 container, fps = ``doc_id % 20 + 5``."""
+    import numpy as np
+    import pandas as pd
+
+    from .avicodec import encode_avi_mjpeg
+
+    for pdf in batches:
+        avis = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h, nf = (d % 2 + 1) * 16, (d % 3 + 1) * 16, d % 4 + 2
+            frames = [
+                np.full((h, w, 3), (d * 2 + 34 * f) % 256, dtype=np.uint8)
+                for f in range(nf)
+            ]
+            avis.append(encode_avi_mjpeg(frames, fps=d % 20 + 5))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "avi": avis}
+        )
+
+
+def _avi_frame_batches(batches: Iterator) -> Iterator:
+    """REAL container + codec decode on executors: RIFF walk, per-frame
+    JPEG entropy/IDCT decode, then every-2nd-frame sampling -- the
+    video-curation frame-extraction stage with a true video
+    container."""
+    import numpy as np
+    import pandas as pd
+
+    from .avicodec import decode_avi_mjpeg, sample_frames
+
+    for pdf in batches:
+        rows = []
+        for d, avi in zip(pdf["doc_id"], pdf["avi"]):
+            frames, fps = decode_avi_mjpeg(bytes(avi))
+            sampled = sample_frames(frames, 2)
+            rows.append(
+                (
+                    int(d), len(frames), fps, len(sampled),
+                    float(frames[0].mean()), float(frames[-1].mean()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_frames", "fps", "n_sampled",
+                "first_mean", "last_mean",
+            ],
+        )
+
+
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-AVI frame extraction end-to-end: synthesize genuine RIFF
+    video containers whose frames are real JPEG payloads, round-trip
+    through binary columns, decode container + every frame with the
+    from-scratch codecs, and frame-sample. Constant even-gray frames
+    under the flat quant table decode bit-exactly, so the oracle
+    recomputes every feature analytically -- a hash match certifies a
+    TRUE video-container decode path (the step up from the GIF frame
+    query toward the ffmpeg seam)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    avis = docs.select("doc_id").mapInPandas(
+        _synthesize_avi_batches, "doc_id long, avi binary"
+    )
+    return avis.mapInPandas(_avi_frame_batches, VIDEO_FRAME_SCHEMA)
+
+
+MULTIMODAL_VIDEO_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 4 + 2 AS INTEGER) AS n_frames,
+       CAST(doc_id % 20 + 5 AS INTEGER) AS fps,
+       CAST((doc_id % 4 + 2 + 1) // 2 AS INTEGER) AS n_sampled,
+       CAST(doc_id * 2 % 256 AS DOUBLE) AS first_mean,
+       CAST((doc_id * 2 + 34 * (doc_id % 4 + 1)) % 256 AS DOUBLE) AS last_mean
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_image_features": multimodal_image_features,
     "multimodal_real_decode": multimodal_real_decode,
     "multimodal_gif_frames": multimodal_gif_frames,
+    "multimodal_video_frames": multimodal_video_frames,
     "multimodal_jpeg_decode": multimodal_jpeg_decode,
     "multimodal_spectral_features": multimodal_spectral_features,
     "multimodal_audio_stats": multimodal_audio_stats,
@@ -1072,6 +1161,7 @@ ORACLES = {
     "multimodal_image_features": MULTIMODAL_IMAGE_SQL,
     "multimodal_real_decode": MULTIMODAL_REAL_DECODE_SQL,
     "multimodal_gif_frames": MULTIMODAL_GIF_SQL,
+    "multimodal_video_frames": MULTIMODAL_VIDEO_SQL,
     "multimodal_jpeg_decode": MULTIMODAL_JPEG_SQL,
     "multimodal_spectral_features": MULTIMODAL_SPECTRAL_SQL,
     "multimodal_audio_stats": MULTIMODAL_AUDIO_SQL,

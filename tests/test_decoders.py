@@ -669,3 +669,40 @@ def test_jpeg_restart_markers_all_modes():
             decode_jpeg(encode_jpeg_progressive(c, restart_interval=ri)),
             base_pc,
         ), ri
+
+
+def test_avi_mjpeg_container_roundtrip():
+    """MJPEG AVI: RIFF hdrl/movi/idx1 container + per-frame JPEG.
+    Constant even-gray frames decode bit-exactly; non-MJPEG streams
+    raise the ffmpeg seam."""
+    import struct
+
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.avicodec import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        sample_frames,
+    )
+
+    frames = [
+        np.full((32, 16, 3), (10 + 34 * f) % 256, dtype=np.uint8)
+        for f in range(5)
+    ]
+    avi = encode_avi_mjpeg(frames, fps=12)
+    dec, fps = decode_avi_mjpeg(avi)
+    assert fps == 12 and len(dec) == 5
+    assert all(np.array_equal(a, b) for a, b in zip(frames, dec))
+    assert len(sample_frames(dec, 2)) == 3
+    # random content: container is transparent; loss bounded by the
+    # JPEG luma behavior (chroma subsampled)
+    rng = np.random.RandomState(4)
+    rf = [rng.randint(0, 256, (32, 32, 3), dtype=np.uint8) for _ in range(2)]
+    dec2, _ = decode_avi_mjpeg(encode_avi_mjpeg(rf, fps=5))
+    assert len(dec2) == 2 and dec2[0].shape == (32, 32, 3)
+    # foreign codec fourcc -> seam
+    bad = avi.replace(b"vidsMJPG", b"vidsH264", 1)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_avi_mjpeg(bad)
+    with pytest.raises(ValueError, match="AVI"):
+        decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
