@@ -101,6 +101,10 @@ _MODULES = (
 # certified). Aggregation keeps risk_analysis/pricing_summary
 # in-window; sampling keeps sample_stratified; both demoted variants
 # stay pytest-oracle-checked.
+# Round-6 second wave: funnel_stages -> warehouse_catalog_ddl, turning
+# the last pytest-only SURVEY rows (D4 IF NOT EXISTS, D5 DROP, D9
+# resource links) oracle-certified; funnel_stages is a behavioral
+# extension (not a section-2 row) and stays in the full registry.
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
@@ -152,8 +156,8 @@ _PRIORITY = (
     # event-time windows + custom state
     "window_tumbling",
     "stateful_user_stats",
-    # behavioral analytics
-    "funnel_stages",
+    # catalog DDL lifecycle (D4/D5/D9)
+    "warehouse_catalog_ddl",
     # UDF/UDAF/UDTF surface
     "udf_minmax_scale",
     "sequence_pack",

@@ -665,6 +665,59 @@ def warehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+def warehouse_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog DDL lifecycle certified end-to-end (SURVEY rows D4
+    IF NOT EXISTS idempotence, D5 DROP, D9 resource links -- reference
+    lambda/custom_resource/index.py table lifecycle +
+    stack/lakeformation.py:172-183 links): CREATE NAMESPACE / TABLE
+    twice with IF NOT EXISTS (idempotent), CTAS an aggregate table,
+    DROP the scratch table, link the namespace under a second name,
+    and read the aggregate THROUGH THE LINK. ``ddl_ok`` folds in the
+    catalog-shape invariants (exactly one table remains; SHOW TABLES /
+    SHOW NAMESPACES agree; the link lists the same tables). The oracle
+    recomputes the aggregate analytically."""
+    from ..sources.sqlexec import WarehouseSQL
+
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_catddl_")
+    try:
+        wh = Warehouse(spark, root)
+        sql = WarehouseSQL(wh)
+        sql.execute("CREATE NAMESPACE q")
+        sql.execute("CREATE NAMESPACE IF NOT EXISTS q")  # D4
+        sql.execute("CREATE TABLE q.tmp (a BIGINT, b STRING)")
+        sql.execute("CREATE TABLE IF NOT EXISTS q.tmp (a BIGINT, b STRING)")
+        events.createOrReplaceTempView("src_ev_catddl")
+        sql.execute(
+            "CREATE TABLE q.agg TBLPROPERTIES ('primary-key' = "
+            "'event_type') AS SELECT event_type, COUNT(*) AS n, "
+            "SUM(value) AS total FROM src_ev_catddl GROUP BY event_type"
+        )
+        sql.execute("DROP TABLE q.tmp")  # D5
+        wh.link_namespace("mirror", "q")  # D9
+        tables = [r.table for r in sql.execute("SHOW TABLES IN q").collect()]
+        linked = [
+            r.table for r in sql.execute("SHOW TABLES IN mirror").collect()
+        ]
+        ddl_ok = tables == ["agg"] and linked == ["agg"]
+        out = sql.execute(
+            "SELECT event_type, n, CAST(total AS DECIMAL(18,2)) AS total "
+            "FROM mirror.agg"
+        ).withColumn("ddl_ok", F.lit(bool(ddl_ok)))
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_CATALOG_DDL_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total,
+       TRUE AS ddl_ok
+FROM events GROUP BY event_type
+"""
+
+
 def warehouse_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted SQL views end-to-end (the Iceberg View spec analog:
     versioned definitions in the catalog, expanded at query time with
@@ -1514,6 +1567,7 @@ QUERIES = {
     "warehouse_zorder": warehouse_zorder,
     "warehouse_table_stream": warehouse_table_stream,
     "warehouse_views": warehouse_views,
+    "warehouse_catalog_ddl": warehouse_catalog_ddl,
 }
 
 ORACLES = {
@@ -1540,4 +1594,5 @@ ORACLES = {
     "warehouse_zorder": WAREHOUSE_ZORDER_SQL,
     "warehouse_table_stream": WAREHOUSE_TABLE_STREAM_SQL,
     "warehouse_views": WAREHOUSE_VIEWS_SQL,
+    "warehouse_catalog_ddl": WAREHOUSE_CATALOG_DDL_SQL,
 }

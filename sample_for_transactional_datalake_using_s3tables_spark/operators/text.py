@@ -708,7 +708,132 @@ GROUP BY doc_id
 """
 
 
+# -- full BPE tokenizer training + corpus encoding --
+
+BPE_MERGES = 40
+BPE_WORD_CAP = 50_000  # driver-side word-frequency table bound
+
+
+def _bpe_learn(
+    wordfreq: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """The classic BPE merge loop over a word-frequency table
+    (Sennrich et al. 2016; HF tokenizers train from word counts the
+    same way): each step merges the most frequent adjacent symbol pair
+    (ties broken lexicographically for a reproducible vocabulary).
+    Driver-side and bounded: cost is O(n_merges x vocab), independent
+    of corpus size."""
+    seqs: dict[str, tuple] = {w: tuple(w) for w, _ in wordfreq}
+    freqs = dict(wordfreq)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            f = freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for w, syms in seqs.items():
+            if a not in syms:
+                continue
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges
+
+
+def _bpe_apply(word: str, merges: list[tuple[str, str]]) -> int:
+    """Token count of ``word`` under the learned merge list (applied
+    in training order, the standard encoder)."""
+    syms = list(word)
+    for a, b in merges:
+        if a not in syms:
+            continue
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenizer training + corpus encoding (the step up from
+    ``text_bpe_pairs``' single iteration): distributed word counts ->
+    bounded driver-side merge loop (the industry-standard
+    train-from-word-counts shape; the word-frequency table is capped,
+    never the corpus) -> distributed encode where the Python work runs
+    over the DISTINCT-WORD dictionary only and per-document token
+    counts come from a broadcast dictionary join against the exploded
+    corpus. Emits per-doc word/char/token counts -- the tokens-per-doc
+    accounting a training-data pipeline budgets by. Not
+    SQL-expressible (iterative global state): rows-only driver check;
+    tests pin the merges against an independent reference
+    implementation."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    wordfreq = [
+        (r.word, r.n)
+        for r in words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(BPE_WORD_CAP)
+        .collect()
+    ]
+    merges = _bpe_learn(wordfreq, BPE_MERGES)
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_tokens": [
+                        _bpe_apply(w, merges) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    vocab = words.select("word").distinct()
+    encoded = vocab.mapInPandas(encode_batches, "word string, n_tokens int")
+    return (
+        words.join(F.broadcast(encoded), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id", "n_words",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
 QUERIES = {
+    "text_bpe_train_encode": bpe_train_encode,
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
