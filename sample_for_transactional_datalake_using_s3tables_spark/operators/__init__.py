@@ -101,10 +101,11 @@ _MODULES = (
 # certified). Aggregation keeps risk_analysis/pricing_summary
 # in-window; sampling keeps sample_stratified; both demoted variants
 # stay pytest-oracle-checked.
-# Round-6 second wave: funnel_stages -> warehouse_catalog_ddl, turning
-# the last pytest-only SURVEY rows (D4 IF NOT EXISTS, D5 DROP, D9
-# resource links) oracle-certified; funnel_stages is a behavioral
-# extension (not a section-2 row) and stays in the full registry.
+# Round-6 second wave: approx_distinct -> warehouse_catalog_ddl,
+# turning the last pytest-only SURVEY rows (D4 IF NOT EXISTS, D5 DROP,
+# D9 resource links) oracle-certified; Q9's COUNT DISTINCT keeps its
+# in-window representative inside risk_analysis and approx_distinct
+# stays oracle-checked in the full registry.
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
@@ -118,7 +119,6 @@ _PRIORITY = (
     "set_union",
     "json_extract",
     "sql_text_entry",
-    "approx_distinct",
     # LLM-data: dedup + similarity search
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -156,6 +156,8 @@ _PRIORITY = (
     # event-time windows + custom state
     "window_tumbling",
     "stateful_user_stats",
+    # behavioral analytics
+    "funnel_stages",
     # catalog DDL lifecycle (D4/D5/D9)
     "warehouse_catalog_ddl",
     # UDF/UDAF/UDTF surface

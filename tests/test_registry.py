@@ -20,9 +20,19 @@ from sample_for_transactional_datalake_using_s3tables_spark.operators import (
 from .conftest import SF_DIR_SMALL
 
 
+# Genuinely non-SQL-expressible operators (iterative global state):
+# the driver records a weaker rows-only check for these BY DESIGN --
+# they must be named here explicitly, never arrive by omission, and
+# must stay OUT of the driver's 50-row window (which should be all
+# hash-certified rows).
+ROWS_ONLY = {"text_bpe_train_encode"}
+
+
 def test_every_query_has_an_oracle():
     qs, os_ = all_queries(), all_oracles()
-    assert set(qs) == set(os_)
+    assert set(qs) - set(os_) == ROWS_ONLY
+    assert not set(os_) - set(qs)
+    assert not ROWS_ONLY & set(_PRIORITY)
 
 
 def test_priority_window_covers_every_module():
