@@ -832,7 +832,110 @@ def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC web-corpus ingestion end-to-end (sources/warc.py -- the
+    Common Crawl ``.warc.gz`` shape, THE bulk source of web-scale
+    training data): synthesize genuine per-doc archives (warcinfo +
+    request + response records, each its own gzip member, the HTML
+    body carrying the doc text wrapped in title/nav/script/style/
+    footer boilerplate), then run the real extraction on executors --
+    multi-member gunzip, WARC record grammar, HTTP envelope parse,
+    boilerplate-dropping HTML -> text. ``text_md5`` must equal the md5
+    of the ORIGINAL document text, so a hash match certifies that the
+    whole container + extraction pipeline is exactly invertible (and
+    that the boilerplate was dropped, not leaked into the corpus)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from ..sources.warc import (
+            encode_warc_gz,
+            http_response,
+            write_warc_record,
+        )
+
+        for pdf in batches:
+            warcs = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                html = (
+                    f"<html><head><title>Doc {d}</title>"
+                    "<script>var boiler = 'PLATE';</script>"
+                    "<style>.x{color:red}</style></head>"
+                    "<body><nav>Home | About | Contact</nav>"
+                    f"<article><p>{text}</p></article>"
+                    "<footer>copyright corp</footer></body></html>"
+                )
+                records = [
+                    write_warc_record(
+                        "warcinfo", b"software: spark-graft\r\n",
+                        record_id=f"<urn:uuid:{d}-info>",
+                    ),
+                    write_warc_record(
+                        "request", b"GET / HTTP/1.1\r\n\r\n",
+                        record_id=f"<urn:uuid:{d}-req>",
+                    ),
+                    write_warc_record(
+                        "response", http_response(html.encode()),
+                        headers={
+                            "WARC-Target-URI": f"http://ex.com/{d}"
+                        },
+                        record_id=f"<urn:uuid:{d}-resp>",
+                    ),
+                ]
+                warcs.append(encode_warc_gz(records))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "warc": warcs}
+            )
+
+    def extract(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from ..sources.warc import decode_warc, extract_text_records
+
+        for pdf in batches:
+            rows = []
+            for d, w in zip(pdf["doc_id"], pdf["warc"]):
+                w = bytes(w)
+                n_records = len(decode_warc(w))
+                rec = extract_text_records(w)[0]
+                rows.append(
+                    (
+                        int(d), n_records, rec["title"],
+                        hashlib.md5(rec["text"].encode()).hexdigest(),
+                        len(rec["text"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_records", "title", "text_md5", "text_len",
+                ],
+            )
+
+    warcs = docs.select("doc_id", "text").mapInPandas(
+        synth, "doc_id long, warc binary"
+    )
+    return warcs.mapInPandas(
+        extract,
+        "doc_id long, n_records int, title string, text_md5 string, "
+        "text_len int",
+    )
+
+
+WARC_EXTRACT_SQL = """
+SELECT doc_id, 3 AS n_records, 'Doc ' || doc_id AS title,
+       md5(text) AS text_md5,
+       CAST(length(text) AS INTEGER) AS text_len
+FROM documents
+"""
+
+
 QUERIES = {
+    "text_warc_extract": warc_extract,
     "text_bpe_train_encode": bpe_train_encode,
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
@@ -850,6 +953,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_warc_extract": WARC_EXTRACT_SQL,
     "text_token_stats": TOKEN_STATS_SQL,
     "text_quality_score": QUALITY_SCORE_SQL,
     "text_lang_id": _lang_id_sql(),
