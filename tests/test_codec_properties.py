@@ -1,0 +1,110 @@
+"""Property-based codec tests (hypothesis): the lossless paths must
+invert EXACTLY on arbitrary content, the lossy paths must stay within
+their analytic bounds, and container grammars must survive adversarial
+bodies. Complements the example-based suites with shrinkable
+counterexamples."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_fast = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@_fast
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=600),
+    st.sampled_from([1, 2]),
+)
+def test_flac_lossless_on_arbitrary_int16(vals, ch):
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.flaccodec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    x = np.array(vals, dtype=np.int16)
+    if ch == 2:
+        x = np.stack([x, x[::-1]], axis=1)
+    dec, sr = decode_flac(encode_flac(x, 8000, blocksize=256))
+    assert sr == 8000
+    assert np.array_equal(dec[:, 0], x if x.ndim == 1 else x[:, 0])
+    if ch == 2:
+        assert np.array_equal(dec[:, 1], x[:, 1])
+
+
+@_fast
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=400))
+def test_wav_pcm_paths_lossless(vals):
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.audiocodec import (
+        encode_wav,
+        parse_wav,
+    )
+
+    x = np.array(vals, dtype=np.int16)[:, None]
+    for codec in ("pcm16", "pcm24", "float32"):
+        got, sr = parse_wav(encode_wav(x, 22050, codec=codec))
+        assert sr == 22050
+        assert np.array_equal(got, x), codec
+
+
+@_fast
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=256))
+def test_g711_decode_encode_fixed_point(byte_vals):
+    """Companded values are fixed points: encode(decode(b)) decodes
+    back to decode(b) for arbitrary byte streams."""
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.audiocodec import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    data = bytes(byte_vals)
+    u = ulaw_decode(data)
+    assert np.array_equal(ulaw_decode(ulaw_encode(u)), u)
+    a = alaw_decode(data)
+    assert np.array_equal(alaw_decode(alaw_encode(a)), a)
+
+
+@_fast
+@given(
+    st.integers(1, 6).flatmap(
+        lambda h: st.integers(1, 6).map(lambda w: (8 * h, 8 * w))
+    ),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_progressive_equals_baseline(dims, seed):
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    h, w = dims
+    px = np.random.RandomState(seed % 2**31).randint(
+        0, 256, (h, w), dtype=np.uint8
+    )
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(px)),
+        decode_jpeg(encode_jpeg_gray(px)),
+    )
+
+
+@_fast
+@given(st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=5))
+def test_warc_container_roundtrip_arbitrary_bodies(bodies):
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.warc import (
+        decode_warc,
+        encode_warc_gz,
+        write_warc_record,
+    )
+
+    recs = [write_warc_record("resource", b) for b in bodies]
+    got = decode_warc(encode_warc_gz(recs))
+    assert [b for _h, b in got] == bodies
