@@ -68,6 +68,7 @@ def stream_table_to_table(
     trigger: dict | None = None,
     strategy: str = "cow",
     from_version: int | None = None,
+    on_delete: str = "raise",
 ):
     """Tail ``src``'s append stream and MERGE each micro-batch into
     ``dst`` (optionally through ``transform``, an arbitrary
@@ -78,8 +79,12 @@ def stream_table_to_table(
 
     Exactly-once: the checkpoint pins the last consumed manifest
     version; a replayed batch re-MERGEs the same keys, which is
-    idempotent for a keyed destination."""
-    stream = read_table_stream(spark, wh, *src, from_version=from_version)
+    idempotent for a keyed destination. ``on_delete="skip"`` streams
+    past row-level-DML commits in the source (insert-only downstream;
+    the Iceberg streaming-skip-delete-snapshots posture)."""
+    stream = read_table_stream(
+        spark, wh, *src, from_version=from_version, on_delete=on_delete
+    )
     dst_ns, dst_table = dst
 
     def sink(batch: DataFrame, _epoch: int) -> None:

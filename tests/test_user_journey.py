@@ -135,3 +135,90 @@ def test_full_reference_journey(spark, wh):
         }
         assert promoted["TXN_3"] == "33.00"
         assert promoted["TXN_2"] == "22.00"
+
+
+def test_round6_surface_journey(spark, wh):
+    """The round-6 user surface as one story: CTAS a curated table,
+    ALTER COLUMN widening, a GDPR-style positional row erasure, the
+    audit via table_changes, timestamp time travel to the pre-erasure
+    state, a governed VIEW for the analyst, and the medallion hop
+    streaming the table into a downstream copy."""
+    import tempfile as _tf
+
+    import pyspark.sql.functions as F
+
+    from sample_for_transactional_datalake_using_s3tables_spark.streaming.tables import (
+        stream_table_to_table,
+    )
+
+    sql = WarehouseSQL(wh)
+    spark.createDataFrame(
+        [("u1", "eu", 10), ("u2", "us", 20), ("u3", "eu", 30)],
+        "user_id string, region string, spend int",
+    ).createOrReplaceTempView("raw_users")
+    # CTAS with key; then widen spend before big values arrive
+    sql.execute(
+        "CREATE TABLE analytics.users TBLPROPERTIES "
+        "('primary-key' = 'user_id') AS SELECT * FROM raw_users"
+    )
+    sql.execute("ALTER TABLE analytics.users ALTER COLUMN spend TYPE BIGINT")
+    sql.execute(
+        "INSERT INTO analytics.users VALUES ('u4', 'eu', 5000000000)"
+    )
+    import time as _time
+
+    ts_before_erasure = _time.time()
+    # GDPR erasure: positional delete -- exact rows, no key required,
+    # zero rewrites (the erasure itself must not churn the table)
+    r = wh.delete_where(
+        "analytics", "users", F.col("user_id") == "u2",
+        strategy="mor-pos",
+    )
+    assert r["deleted_rows"] == 1 and r["rewritten_files"] == 0
+    # audit: the CDF shows exactly the erased row
+    changes = sql.execute(
+        f"SELECT user_id, _change_type FROM "
+        f"table_changes('analytics.users', {r['version'] - 1}, "
+        f"{r['version']})"
+    ).collect()
+    assert [(c.user_id, c._change_type) for c in changes] == [
+        ("u2", "delete")
+    ]
+    # compliance snapshot: timestamp travel still sees the pre-erasure
+    # state (until expiration policy reclaims it)
+    v_old = wh.snapshot_as_of("analytics", "users", ts_before_erasure)
+    assert wh.read("analytics", "users", version=v_old).count() == 4
+    assert wh.read("analytics", "users").count() == 3
+    # governed view: the analyst sees only EU users through it
+    sql.execute(
+        "CREATE VIEW analytics.eu_spend AS SELECT user_id, spend "
+        "FROM analytics.users WHERE region = 'eu'"
+    )
+    wh.grant(
+        "analyst2", "analytics", "users", permissions=("SELECT",),
+        row_filter="region = 'eu'",
+    )
+    analyst = WarehouseSQL(wh, principal="analyst2")
+    got = {
+        r.user_id: r.spend
+        for r in analyst.execute(
+            "SELECT * FROM analytics.eu_spend"
+        ).collect()
+    }
+    assert got == {"u1": 10, "u3": 30, "u4": 5000000000}
+    # medallion hop: stream the curated table into a downstream copy
+    wh.create_table(
+        "analytics", "users_silver",
+        wh.schema("analytics", "users"), key="user_id",
+    )
+    ckpt = _tf.mkdtemp()
+    q = stream_table_to_table(
+        spark, wh, ("analytics", "users"), ("analytics", "users_silver"),
+        ckpt, strategy="mor", on_delete="skip",
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None, q.exception()
+    silver = {
+        r.user_id for r in wh.read("analytics", "users_silver").collect()
+    }
+    assert {"u1", "u3", "u4"} <= silver
