@@ -575,6 +575,14 @@ class WarehouseSQL:
     _ALTER_RES = (
         (
             re.compile(
+                r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+ADD\s+COLUMN\s+"
+                r"(\w+(?:\.\w+)+)\s+([\w(),\s]+)$",
+                re.IGNORECASE,
+            ),
+            "add_nested",
+        ),
+        (
+            re.compile(
                 r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+ADD\s+COLUMNS?\s+(.+)$",
                 re.IGNORECASE | re.DOTALL,
             ),
@@ -630,6 +638,11 @@ class WarehouseSQL:
                 continue
             ns, tbl = m.group(1), m.group(2)
             self._require("ALL", ns, tbl)
+            if kind == "add_nested":
+                # ADD COLUMN geo.alt DOUBLE -- field inside a struct
+                path, dtype = m.group(3), m.group(4).strip()
+                leaf = StructType.fromDDL(f"`{path.split('.')[-1]}` {dtype}")
+                return self.wh.add_struct_field(ns, tbl, path, leaf[0])
             if kind == "add":
                 cols = m.group(3).strip()
                 if cols.startswith("(") and cols.endswith(")"):

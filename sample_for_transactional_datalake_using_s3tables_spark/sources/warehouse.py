@@ -602,6 +602,64 @@ class Warehouse:
     def schema(self, ns: str, table: str) -> StructType:
         return StructType.fromJson(self.table_meta(ns, table)["schema"])
 
+    def add_struct_field(
+        self, ns: str, table: str, path: str, field
+    ) -> None:
+        """Nested schema evolution (Iceberg ``ADD COLUMN point.z``):
+        append a nullable field INSIDE an existing struct column, at
+        any depth (``"meta.geo.alt"``). Metadata-only: Spark's parquet
+        reader null-fills the missing subfield in pre-evolution files
+        natively. Writers must supply the full evolved struct after
+        (struct casts are positional); the top-level column mapping is
+        untouched -- nested names are addressed by path, not
+        remapped."""
+        from pyspark.sql.types import StructField
+
+        assert isinstance(field, StructField)
+        if not field.nullable:
+            raise ValueError("added struct fields must be nullable")
+        parts = path.split(".")
+        if len(parts) < 2:
+            raise ValueError(
+                "add_struct_field needs a dotted path inside a struct "
+                "column; use add_column for top-level fields"
+            )
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        schema = StructType.fromJson(meta["schema"])
+
+        def rebuild(st: StructType, depth: int) -> StructType:
+            name = parts[depth]
+            if name not in st.fieldNames():
+                raise ValueError(
+                    f"unknown field {'.'.join(parts[:depth + 1])!r}"
+                )
+            out = []
+            for f in st.fields:
+                if f.name != name:
+                    out.append(f)
+                    continue
+                if not isinstance(f.dataType, StructType):
+                    raise ValueError(
+                        f"{'.'.join(parts[:depth + 1])} is not a struct"
+                    )
+                if depth == len(parts) - 2:
+                    inner = f.dataType
+                    leaf = parts[-1]
+                    if leaf in inner.fieldNames():
+                        raise ValueError(f"field {path!r} already exists")
+                    new_inner = StructType(
+                        [*inner.fields,
+                         type(field)(leaf, field.dataType, True)]
+                    )
+                else:
+                    new_inner = rebuild(f.dataType, depth + 1)
+                out.append(type(f)(f.name, new_inner, f.nullable))
+            return StructType(out)
+
+        meta["schema"] = json.loads(rebuild(schema, 0).json())
+        self._swap_table_meta(tdir, meta)
+
     def widen_column(self, ns: str, table: str, col: str, new_type) -> None:
         """Type promotion (Iceberg schema-evolution widening rules):
         ``int -> long``, ``float -> double``, ``decimal(P,S) ->

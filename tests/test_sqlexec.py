@@ -638,3 +638,26 @@ def test_show_and_describe_statements(sql, spark):
 
     with pytest.raises(PermissionError, match="DESCRIBE"):
         WarehouseSQL(sql.wh, principal="nobody").execute("DESC ns.t")
+
+
+def test_alter_add_nested_column(sql, spark):
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+
+    S2 = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField(
+                "geo", StructType([StructField("lat", DoubleType())])
+            ),
+        ]
+    )
+    sql.wh.create_table("ns", "geo_t", S2, key="id")
+    sql.wh.insert(
+        "ns", "geo_t",
+        spark.createDataFrame([("k1", (1.5,))], S2).coalesce(1),
+    )
+    sql.execute("ALTER TABLE ns.geo_t ADD COLUMN geo.alt DOUBLE")
+    r = sql.execute("SELECT geo.alt AS alt FROM ns.geo_t").collect()
+    assert [x.alt for x in r] == [None]

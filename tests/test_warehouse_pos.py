@@ -284,3 +284,63 @@ def test_widen_column_via_sql_router(wh, spark):
     assert df.collect()[0].amt == Decimal("12.34")
     with pytest.raises(ValueError, match="promotion"):
         sql.execute("ALTER TABLE ns.t ALTER COLUMN amt TYPE DECIMAL(20, 4)")
+
+
+def test_add_struct_field_nested_evolution(wh, spark):
+    """Iceberg-style nested evolution: a field added INSIDE a struct
+    column is metadata-only; pre-evolution files read the subfield as
+    NULL, post-evolution writes carry it, time travel keeps the old
+    shape."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField, StructType,
+    )
+
+    S2 = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField(
+                "geo",
+                StructType(
+                    [
+                        StructField("lat", DoubleType()),
+                        StructField("lon", DoubleType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    wh.create_table("ns", "t", S2, key="id")
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("k1", (1.0, 2.0))], S2).coalesce(1),
+    )
+    v1 = wh.current_version("ns", "t")
+    wh.add_struct_field("ns", "t", "geo.alt", StructField("alt", IntegerType()))
+    df = wh.read("ns", "t")
+    assert df.schema["geo"].dataType.fieldNames() == ["lat", "lon", "alt"]
+    r = df.collect()[0]
+    assert (r.geo.lat, r.geo.lon, r.geo.alt) == (1.0, 2.0, None)
+    # post-evolution insert carries the new subfield
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame(
+            [("k2", (3.0, 4.0, 9))],
+            "id string, geo struct<lat:double, lon:double, alt:int>",
+        ).coalesce(1),
+    )
+    got = {x.id: x.geo.alt for x in wh.read("ns", "t").collect()}
+    assert got == {"k1": None, "k2": 9}
+    # time travel keeps the historical shape
+    old = wh.read("ns", "t", version=v1)
+    assert old.schema["geo"].dataType.fieldNames() == ["lat", "lon"]
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        wh.add_struct_field(
+            "ns", "t", "geo.alt", StructField("alt", IntegerType())
+        )
+    with pytest.raises(ValueError, match="not a struct"):
+        wh.add_struct_field(
+            "ns", "t", "id.x", StructField("x", IntegerType())
+        )
+    with pytest.raises(ValueError, match="top-level"):
+        wh.add_struct_field("ns", "t", "geo", StructField("geo", IntegerType()))
