@@ -135,6 +135,13 @@ def bench_dml(spark, sf_dir: str) -> dict[str, float]:
                 sort_by=["event_id", "user_id"], target_files=8,
             ),
         )
+        # commit-granular CDF over the whole DML history above
+        # (manifest-diff planning; append runs fold into one scan)
+        _t(
+            "changelog_full_range",
+            lambda: wh.changelog("b", "t", 0).write.format("noop")
+            .mode("overwrite").save(),
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return timings
