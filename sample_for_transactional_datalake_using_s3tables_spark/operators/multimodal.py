@@ -158,15 +158,22 @@ def decode_image(payload: bytes):
 
     REAL decoding for formats parsable without imaging libraries:
     PPM ``P6`` (header + raw RGB), uncompressed 24-bit BMP (BGR rows,
-    bottom-up, 4-byte-aligned), 8-bit grey/RGB/RGBA non-interlaced PNG
-    (stdlib zlib inflate + full scanline de-filtering), and baseline
-    JPEG -- grayscale AND color (JFIF YCbCr, 4:4:4/4:2:2/4:2:0) via the
-    real Huffman + dequant + IDCT in ``jpegcodec``. Progressive JPEG
-    needs PIL -- that seam raises."""
+    bottom-up, 4-byte-aligned), 8-bit grey/RGB/RGBA PNG (stdlib zlib
+    inflate + full scanline de-filtering, incl. Adam7), baseline AND
+    progressive JPEG (grayscale + JFIF YCbCr color) via the real
+    Huffman + dequant + IDCT in ``jpegcodec``, and strip-based TIFF
+    (none/PackBits/LZW, both byte orders) via ``tiffcodec``."""
     import numpy as np
 
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiffcodec import decode_tiff
+
+        px = decode_tiff(payload)
+        if px.ndim == 2:
+            return np.repeat(px[..., None], 3, axis=2)
+        return px
     if payload[:2] == b"\xff\xd8":
         from .jpegcodec import decode_jpeg
 
@@ -443,17 +450,20 @@ def encode_png(px, filters=(0, 1, 2)) -> bytes:
 
 
 def _synthesize_media_batches(batches: Iterator) -> Iterator:
-    """Stage 1: REAL media synthesis -- a genuine image (PPM P6, or a
-    real zlib-compressed PNG for every third doc, exercising the PNG
-    decode path end-to-end) and a genuine 16-bit PCM WAV per doc,
-    parameterized by doc_id so the oracle can recompute the expected
-    features analytically (pixel content is identical across formats,
-    so the oracle is format-blind)."""
+    """Stage 1: REAL media synthesis -- a genuine image (rotating by
+    doc_id through zlib-compressed PNG, LZW-compressed TIFF, and raw
+    PPM P6, exercising three container decode paths end-to-end) and a
+    genuine 16-bit PCM WAV per doc, parameterized by doc_id so the
+    oracle can recompute the expected features analytically (pixel
+    content is identical across formats, so the oracle is
+    format-blind)."""
     import io
     import wave
 
     import numpy as np
     import pandas as pd
+
+    from .tiffcodec import encode_tiff
 
     for pdf in batches:
         imgs, auds = [], []
@@ -463,6 +473,9 @@ def _synthesize_media_batches(batches: Iterator) -> Iterator:
             if d % 3 == 0:
                 px = np.full((h, w, 3), val, dtype=np.uint8)
                 imgs.append(encode_png(px))
+            elif d % 3 == 1:
+                px = np.full((h, w, 3), val, dtype=np.uint8)
+                imgs.append(encode_tiff(px, compression="lzw"))
             else:
                 imgs.append(b"P6\n%d %d\n255\n" % (w, h) + bytes([val]) * (w * h * 3))
             n, amp = d % 64 + 8, d % 1000

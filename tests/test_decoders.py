@@ -62,7 +62,9 @@ def test_wav_roundtrip_stereo():
 
 def test_undecodable_formats_raise_seam():
     with pytest.raises(NotImplementedError, match="seam"):
-        decode_image(b"II*\x00....")  # TIFF: unrecognized container
+        decode_image(b"RIFFxxxxWEBPVP8 ")  # WebP: unrecognized container
+    with pytest.raises(Exception):
+        decode_image(b"II*\x00....")  # malformed TIFF: parsed, rejected
     with pytest.raises(NotImplementedError, match="audio library"):
         decode_audio(b"ID3\x04....")
     with pytest.raises(ValueError):
@@ -706,3 +708,72 @@ def test_avi_mjpeg_container_roundtrip():
         decode_avi_mjpeg(bad)
     with pytest.raises(ValueError, match="AVI"):
         decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_tiff_roundtrips_all_compressions():
+    """Strip-based TIFF: none / PackBits / TIFF-LZW (early change),
+    gray + RGB, multi-strip, lossless."""
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.tiffcodec import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(6)
+    for comp in ("none", "packbits", "lzw"):
+        g = rng.randint(0, 256, (23, 17), dtype=np.uint8)
+        assert np.array_equal(decode_tiff(encode_tiff(g, comp)), g), comp
+        c = rng.randint(0, 256, (12, 9, 3), dtype=np.uint8)
+        assert np.array_equal(decode_tiff(encode_tiff(c, comp)), c), comp
+    # LZW genuinely compresses smooth content
+    big = (np.add.outer(np.arange(64), np.arange(48)) % 256).astype(np.uint8)
+    assert len(encode_tiff(big, "lzw")) < 0.7 * big.size
+    # decode_image routes TIFF and grays -> 3 channels
+    got = decode_image(encode_tiff(big, "lzw"))
+    assert got.shape == (64, 48, 3) and (got[..., 0] == big).all()
+
+
+def test_tiff_big_endian_and_white_is_zero():
+    """Hand-built MM (big-endian) fixture with WhiteIsZero photometric:
+    the reader honors both."""
+    import struct
+
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.tiffcodec import (
+        decode_tiff,
+    )
+
+    h, w = 3, 4
+    px = np.arange(12, dtype=np.uint8).reshape(h, w)
+
+    def tag(t, typ, count, inline4):
+        return struct.pack(">HHI", t, typ, count) + inline4
+
+    def short(v):
+        return struct.pack(">HH", v, 0)
+
+    def long_(v):
+        return struct.pack(">I", v)
+
+    n = 9
+    data_off = 8 + 2 + 12 * n + 4
+    tags = (
+        tag(256, 4, 1, long_(w))
+        + tag(257, 4, 1, long_(h))
+        + tag(258, 3, 1, short(8))
+        + tag(259, 3, 1, short(1))
+        + tag(262, 3, 1, short(0))      # WhiteIsZero
+        + tag(273, 4, 1, long_(data_off))
+        + tag(277, 3, 1, short(1))
+        + tag(278, 4, 1, long_(h))
+        + tag(279, 4, 1, long_(h * w))
+    )
+    payload = (
+        b"MM\x00*" + struct.pack(">I", 8)
+        + struct.pack(">H", n) + tags + struct.pack(">I", 0)
+        + px.tobytes()
+    )
+    got = decode_tiff(payload)
+    assert np.array_equal(got, 255 - px)  # photometric inversion
