@@ -1,11 +1,11 @@
 """TIFF codec (baseline 8-bit grayscale/RGB), stdlib + numpy only.
 
 Real TIFF 6.0: both byte orders (II/MM), IFD tag parsing, strip-based
-layout, and the three baseline compressions -- none, PackBits (the
-TIFF RLE), and TIFF-flavor LZW (variable 9..12-bit codes, MSB-first
-packing, ClearCode/EOI, EARLY code-width change -- the detail that
-distinguishes TIFF LZW from GIF LZW). The encoder writes
-little-endian strip-per-8-rows files in any of the three compressions,
+layout, and four compressions -- none, PackBits (the TIFF RLE), Adobe
+deflate (zlib streams per strip), and TIFF-flavor LZW (variable
+9..12-bit codes, MSB-first packing, ClearCode/EOI, EARLY code-width
+change -- the detail that distinguishes TIFF LZW from GIF LZW). The
+encoder writes little-endian strip-per-8-rows files in any of them,
 so decode(encode(x)) == x exactly (lossless) and every roundtrip is a
 bit-exact oracle; a hand-built big-endian fixture pins the MM read
 path.
@@ -34,6 +34,7 @@ _TAG_PLANAR = 284
 
 _COMP_NONE = 1
 _COMP_LZW = 5
+_COMP_DEFLATE = 8  # zlib streams per strip (Adobe deflate)
 _COMP_PACKBITS = 32773
 
 
@@ -203,12 +204,12 @@ def encode_tiff(
     px: np.ndarray, compression: str = "none", rows_per_strip: int = 8
 ) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as little-endian
-    strip-based TIFF. ``compression``: 'none' | 'packbits' | 'lzw'."""
+    strip-based TIFF. ``compression``: 'none'|'packbits'|'lzw'|'deflate'."""
     gray = px.ndim == 2
     h, w = px.shape[:2]
     spp = 1 if gray else 3
     comp = {"none": _COMP_NONE, "packbits": _COMP_PACKBITS,
-            "lzw": _COMP_LZW}[compression]
+            "lzw": _COMP_LZW, "deflate": _COMP_DEFLATE}[compression]
     strips = []
     for r0 in range(0, h, rows_per_strip):
         raw = px[r0:r0 + rows_per_strip].tobytes()
@@ -216,6 +217,10 @@ def encode_tiff(
             raw = packbits_encode(raw)
         elif comp == _COMP_LZW:
             raw = lzw_encode(raw)
+        elif comp == _COMP_DEFLATE:
+            import zlib
+
+            raw = zlib.compress(raw)
         strips.append(raw)
 
     n_tags = 10
@@ -340,9 +345,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             raw += packbits_decode(block, expected)
         elif comp == _COMP_LZW:
             raw += lzw_decode(block, expected)
+        elif comp == _COMP_DEFLATE:
+            import zlib
+
+            raw += zlib.decompress(block)[:expected]
         else:
             raise NotImplementedError(
-                f"TIFF compression {comp} (JPEG-in-TIFF/deflate seam)"
+                f"TIFF compression {comp} (JPEG-in-TIFF seam)"
             )
     arr = np.frombuffer(bytes(raw), dtype=np.uint8)
     if spp == 1:

@@ -721,7 +721,7 @@ def test_tiff_roundtrips_all_compressions():
     )
 
     rng = np.random.RandomState(6)
-    for comp in ("none", "packbits", "lzw"):
+    for comp in ("none", "packbits", "lzw", "deflate"):
         g = rng.randint(0, 256, (23, 17), dtype=np.uint8)
         assert np.array_equal(decode_tiff(encode_tiff(g, comp)), g), comp
         c = rng.randint(0, 256, (12, 9, 3), dtype=np.uint8)
