@@ -150,7 +150,9 @@ class WarehouseSQL:
 
     # -- helpers --
 
-    _META_TABLES = ("snapshots", "files", "partitions", "deletes", "history")
+    _META_TABLES = (
+        "snapshots", "files", "partitions", "deletes", "history", "refs"
+    )
 
     def _meta_df(self, ns: str, tbl: str, kind: str) -> DataFrame:
         if kind == "snapshots":
@@ -161,6 +163,18 @@ class WarehouseSQL:
             return self.wh.partitions_df(ns, tbl)
         if kind == "deletes":
             return self.wh.deletes_df(ns, tbl)
+        if kind == "refs":
+            # Iceberg's `refs` metadata table: tags + branches
+            rows = [
+                (name, "TAG", v)
+                for name, v in sorted(self.wh.refs(ns, tbl).items())
+            ] + [
+                (b, "BRANCH", self.wh.current_version(ns, tbl, branch=b))
+                for b in self.wh.list_branches(ns, tbl)
+            ]
+            return self.spark.createDataFrame(
+                rows, "name STRING, type STRING, version INT"
+            )
         rows = [
             (h["version"], h["n_files"], h["bytes"])
             for h in self.wh.history(ns, tbl)
@@ -372,7 +386,8 @@ class WarehouseSQL:
         # rebuild the time-travel tail to accept placeholders too
         ref_re = re.compile(
             r"\b(\w+)\.(\w+)"
-            r"(?:\$(snapshots|files|partitions|deletes|history|changes)\b"
+            r"(?:\$(snapshots|files|partitions|deletes|history|refs"
+            r"|changes)\b"
             r"|\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
             r"(\d+|\x00LIT\d+\x00)"
             r")?",
@@ -408,6 +423,10 @@ class WarehouseSQL:
         s = stmt.strip().rstrip(";").strip()
         head = s.split(None, 1)[0].upper() if s else ""
         if head in ("SELECT", "WITH"):
+            return self.spark.sql(self._rewrite_tables(s))
+        if head == "EXPLAIN":
+            # EXPLAIN [EXTENDED|FORMATTED] SELECT ... -> one-row plan
+            # DataFrame (Spark's own EXPLAIN over the rewritten query)
             return self.spark.sql(self._rewrite_tables(s))
         if head == "SHOW":
             return self._show(s)

@@ -661,3 +661,28 @@ def test_alter_add_nested_column(sql, spark):
     sql.execute("ALTER TABLE ns.geo_t ADD COLUMN geo.alt DOUBLE")
     r = sql.execute("SELECT geo.alt AS alt FROM ns.geo_t").collect()
     assert [x.alt for x in r] == [None]
+
+
+def test_refs_metadata_table_and_explain(sql, spark):
+    sql.wh.create_tag("ns", "t", "v1tag")
+    sql.wh.create_branch("ns", "t", "audit")
+    got = [
+        (r.name, r.type, r.version)
+        for r in sql.execute(
+            "SELECT * FROM ns.t$refs ORDER BY type, name"
+        ).collect()
+    ]
+    v = sql.wh.current_version("ns", "t")
+    assert got == [("audit", "BRANCH", v), ("v1tag", "TAG", v)]
+    # EXPLAIN routes through the rewrite and returns the plan text
+    plan = sql.execute("EXPLAIN SELECT COUNT(*) FROM ns.t").collect()
+    assert plan and "Aggregate" in plan[0].plan
+    # refs is DESCRIBE-gated like the other metadata tables
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import (
+        WarehouseSQL,
+    )
+
+    with pytest.raises(PermissionError, match="DESCRIBE"):
+        WarehouseSQL(sql.wh, principal="nobody").execute(
+            "SELECT * FROM ns.t$refs"
+        )
