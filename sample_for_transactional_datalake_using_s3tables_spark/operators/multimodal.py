@@ -1158,11 +1158,108 @@ FROM documents
 """
 
 
+WEBDATASET_SCHEMA = (
+    "doc_id long, n_files int, text_md5 string, jpg_mean double, "
+    "meta_ok boolean"
+)
+
+
+def _build_shard_batches(key, pdf):
+    """One WebDataset tar shard per group: every doc becomes a sample
+    (``<key>.txt`` + ``<key>.jpg`` + ``<key>.json``), members laid out
+    sample-contiguously. Runs as applyInPandas -- the distributed
+    shard-building stage of corpus packaging."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.webdataset import encode_tar_shard
+    from .jpegcodec import encode_jpeg_gray
+
+    samples = {}
+    for d, text in zip(pdf["doc_id"], pdf["text"]):
+        d = int(d)
+        v = (d % 120) * 2 + 8
+        w, h = (d % 4 + 1) * 8, (d % 3 + 1) * 8
+        samples[f"{d:012d}"] = {
+            "txt": str(text).encode(),
+            "jpg": encode_jpeg_gray(np.full((h, w), v, dtype=np.uint8)),
+            "json": _json.dumps({"doc_id": d, "v": v}).encode(),
+        }
+    return pd.DataFrame(
+        {"shard_id": [int(key[0])], "shard": [encode_tar_shard(samples)]}
+    )
+
+
+def _parse_shard_batches(batches: Iterator) -> Iterator:
+    """Distributed shard consumption: stream samples out of each tar
+    (shard-sequential, the WebDataset read shape), decode every member
+    with the real codecs, emit per-sample features."""
+    import hashlib
+    import json as _json
+
+    import pandas as pd
+
+    from ..sources.webdataset import iter_samples
+    from .jpegcodec import decode_jpeg
+
+    for pdf in batches:
+        rows = []
+        for shard in pdf["shard"]:
+            for skey, files in iter_samples(bytes(shard)):
+                d = int(skey)
+                meta = _json.loads(files["json"])
+                px = decode_jpeg(files["jpg"])
+                rows.append(
+                    (
+                        d,
+                        len(files),
+                        hashlib.md5(files["txt"]).hexdigest(),
+                        float(px.mean()),
+                        meta.get("doc_id") == d
+                        and meta.get("v") == float(px.mean()),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_files", "text_md5", "jpg_mean", "meta_ok",
+            ],
+        )
+
+
+def multimodal_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard packaging round trip (the de-facto
+    multimodal training-corpus format): build shards DISTRIBUTED (one
+    per hash group, one .txt/.jpg/.json sample per doc), then consume
+    them shard-sequentially with the real tar reader + JPEG decoder.
+    ``text_md5`` must equal md5 of the original document text and the
+    JPEG mean must hit the analytic constant, so the oracle certifies
+    the pack -> shard -> stream-unpack -> decode chain end to end."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    shards = (
+        docs.select("doc_id", "text")
+        .groupBy((F.col("doc_id") % 61).alias("shard_id"))
+        .applyInPandas(_build_shard_batches, "shard_id long, shard binary")
+    )
+    return shards.mapInPandas(_parse_shard_batches, WEBDATASET_SCHEMA)
+
+
+MULTIMODAL_WEBDATASET_SQL = """
+SELECT doc_id, 3 AS n_files, md5(text) AS text_md5,
+       CAST((doc_id % 120) * 2 + 8 AS DOUBLE) AS jpg_mean,
+       TRUE AS meta_ok
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_image_features": multimodal_image_features,
     "multimodal_real_decode": multimodal_real_decode,
     "multimodal_gif_frames": multimodal_gif_frames,
     "multimodal_video_frames": multimodal_video_frames,
+    "multimodal_webdataset": multimodal_webdataset,
     "multimodal_jpeg_decode": multimodal_jpeg_decode,
     "multimodal_spectral_features": multimodal_spectral_features,
     "multimodal_audio_stats": multimodal_audio_stats,
@@ -1175,6 +1272,7 @@ ORACLES = {
     "multimodal_real_decode": MULTIMODAL_REAL_DECODE_SQL,
     "multimodal_gif_frames": MULTIMODAL_GIF_SQL,
     "multimodal_video_frames": MULTIMODAL_VIDEO_SQL,
+    "multimodal_webdataset": MULTIMODAL_WEBDATASET_SQL,
     "multimodal_jpeg_decode": MULTIMODAL_JPEG_SQL,
     "multimodal_spectral_features": MULTIMODAL_SPECTRAL_SQL,
     "multimodal_audio_stats": MULTIMODAL_AUDIO_SQL,

@@ -104,3 +104,40 @@ def test_parse_http_response():
 def test_bad_version_line_rejected():
     with pytest.raises(ValueError, match="version"):
         decode_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+# -- WebDataset tar shards (sources/webdataset.py) --
+
+
+def test_webdataset_shard_roundtrip_and_grouping():
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.webdataset import (
+        decode_tar_shard,
+        encode_tar_shard,
+        iter_samples,
+    )
+
+    samples = {
+        "000000000001": {"txt": b"hello", "jpg": b"\xff\xd8fake",
+                         "json": b"{}"},
+        "000000000002": {"txt": b"world", "seg.png": b"\x89PNGfake"},
+    }
+    shard = encode_tar_shard(samples)
+    assert decode_tar_shard(shard) == samples
+    # multi-dot extensions keep everything after the FIRST dot
+    got = dict(iter_samples(shard))
+    assert got["000000000002"]["seg.png"] == b"\x89PNGfake"
+    # sample-contiguous streaming order: keys arrive sorted
+    assert list(got) == sorted(samples)
+    # deterministic bytes (mtime pinned): same input, same shard
+    assert encode_tar_shard(samples) == shard
+
+
+def test_webdataset_empty_and_single():
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.webdataset import (
+        decode_tar_shard,
+        encode_tar_shard,
+    )
+
+    assert decode_tar_shard(encode_tar_shard({})) == {}
+    one = {"k": {"txt": b""}}
+    assert decode_tar_shard(encode_tar_shard(one)) == one
