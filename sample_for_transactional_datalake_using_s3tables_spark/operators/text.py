@@ -934,7 +934,77 @@ FROM documents
 """
 
 
+def pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF document ingestion end-to-end (sources/pdf.py -- the other
+    big document-corpus container next to WARC): write each doc as a
+    genuine two-page PDF (Flate-compressed content streams, page tree,
+    xref) splitting the text mid-word-list, then run the real
+    extraction on executors -- object walk, page-tree /Contents
+    resolution, inflate, Tj/' text operators with PDF escapes.
+    ``text_md5`` must equal md5 of the ORIGINAL text, so a hash match
+    certifies exact invertibility of the whole container chain."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from ..sources.pdf import encode_pdf
+
+        for pdf_ in batches:
+            blobs = []
+            for text in pdf_["text"]:
+                words = str(text).split(" ")
+                k = len(words) // 2
+                blobs.append(
+                    encode_pdf(
+                        [" ".join(words[:k]), " ".join(words[k:])]
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf_["doc_id"].astype("int64"), "pdf": blobs}
+            )
+
+    def extract(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from ..sources.pdf import decode_pdf_text
+
+        for pdf_ in batches:
+            rows = []
+            for d, blob in zip(pdf_["doc_id"], pdf_["pdf"]):
+                pages = decode_pdf_text(bytes(blob))
+                text = " ".join(p for p in pages if p)
+                rows.append(
+                    (
+                        int(d), len(pages),
+                        hashlib.md5(text.encode()).hexdigest(),
+                        len(text),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_pages", "text_md5", "text_len"],
+            )
+
+    pdfs = docs.select("doc_id", "text").mapInPandas(
+        synth, "doc_id long, pdf binary"
+    )
+    return pdfs.mapInPandas(
+        extract, "doc_id long, n_pages int, text_md5 string, text_len int"
+    )
+
+
+PDF_EXTRACT_SQL = """
+SELECT doc_id, 2 AS n_pages, md5(text) AS text_md5,
+       CAST(length(text) AS INTEGER) AS text_len
+FROM documents
+"""
+
+
 QUERIES = {
+    "text_pdf_extract": pdf_extract,
     "text_warc_extract": warc_extract,
     "text_bpe_train_encode": bpe_train_encode,
     "text_token_stats": token_stats,
@@ -953,6 +1023,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_pdf_extract": PDF_EXTRACT_SQL,
     "text_warc_extract": WARC_EXTRACT_SQL,
     "text_token_stats": TOKEN_STATS_SQL,
     "text_quality_score": QUALITY_SCORE_SQL,
