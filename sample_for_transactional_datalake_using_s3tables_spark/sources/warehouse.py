@@ -981,7 +981,9 @@ class Warehouse:
         line = json.dumps(
             {"version": version, "ts": doc["ts"], "op": op or "append",
              "n_files": len(files),
-             "bytes": sum(e.get("bytes", 0) for e in files)}
+             "bytes": sum(e.get("bytes", 0) for e in files),
+             "records": sum(e.get("records", 0) for e in files),
+             "n_partitions": len({_scope_key(e) for e in files})}
         )
         with open(os.path.join(vdir, _COMMIT_IDX), "a") as f:
             f.write(line + "\n")
@@ -1007,7 +1009,9 @@ class Warehouse:
                         rows[r["version"]] = r
         except (FileNotFoundError, ValueError):
             rows = {}
-        if set(rows) != set(versions):
+        if set(rows) != set(versions) or any(
+            "records" not in r for r in rows.values()
+        ):
             rows = {}
             for v in versions:
                 doc = self._manifest_doc(tdir, v, branch)
@@ -1016,6 +1020,8 @@ class Warehouse:
                     "version": v, "ts": doc.get("ts", 0.0),
                     "op": doc.get("op", "append"), "n_files": len(files),
                     "bytes": sum(e.get("bytes", 0) for e in files),
+                    "records": sum(e.get("records", 0) for e in files),
+                    "n_partitions": len({_scope_key(e) for e in files}),
                 }
             tmp = os.path.join(vdir, f".idx-{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
@@ -3923,30 +3929,24 @@ class Warehouse:
 
     def snapshots_df(self, ns: str, table: str) -> DataFrame:
         """One row per live snapshot: version, file/record/byte totals,
-        and distinct partition count -- all from manifests alone."""
+        and distinct partition count -- served from the publish-time
+        commit index (O(1) file opens; manifests only re-parsed when
+        the index needs a rebuild)."""
         tdir = self._table_dir(ns, table)
         if not os.path.exists(tdir):
             raise TableNotFoundError(f"{ns}.{table}")
         import datetime as _dt
 
-        rows = []
-        for v in self._versions(tdir):
-            doc = self._manifest_doc(tdir, v)
-            files = doc["files"]
-            ts = doc.get("ts")
-            rows.append(
-                (
-                    v,
-                    len(files),
-                    sum(e.get("records", 0) for e in files),
-                    sum(e.get("bytes", 0) for e in files),
-                    len({_scope_key(e) for e in files}),
-                    doc.get("op"),
-                    _dt.datetime.fromtimestamp(ts, tz=_dt.timezone.utc)
-                    if ts
-                    else None,
-                )
+        rows = [
+            (
+                r["version"], r["n_files"], r["records"], r["bytes"],
+                r["n_partitions"], r.get("op"),
+                _dt.datetime.fromtimestamp(r["ts"], tz=_dt.timezone.utc)
+                if r.get("ts")
+                else None,
             )
+            for r in self._commit_index(tdir)
+        ]
         return self.spark.createDataFrame(
             rows,
             "version INT, n_files INT, records BIGINT, bytes BIGINT, "
