@@ -106,13 +106,19 @@ _MODULES = (
 # D9 resource links) oracle-certified; Q9's COUNT DISTINCT keeps its
 # in-window representative inside risk_analysis and approx_distinct
 # stays oracle-checked in the full registry.
+# Round-7 swap (VERDICT r6 #5): join_left -> warehouse_views
+# (invoker-rights view expansion -- D8's data-cell-filter analog
+# through persisted views, LakeFormation's governance story,
+# stack/lakeformation.py:186-243 -- replica-green since r6 but never
+# officially certified). Joins keep join_salted_skew in-window (inner
+# + agg + skew salting); join_left stays oracle-checked in the full
+# registry and in bench.py's 20-query series.
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
     "filter_date_range",
     "risk_analysis",
     "pricing_summary",
-    "join_left",
     "join_salted_skew",
     "window_rank",
     "rollup_agg",
@@ -146,6 +152,7 @@ _PRIORITY = (
     "warehouse_snapshots_meta",
     "warehouse_time_travel",
     "warehouse_grants",
+    "warehouse_views",
     "warehouse_zorder",
     "warehouse_sql_dml",
     "warehouse_branch_wap",

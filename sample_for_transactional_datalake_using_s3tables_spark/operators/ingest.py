@@ -1428,7 +1428,9 @@ def warehouse_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     as Athena SQL and Iceberg row-level ops are the same statements):
     INSERT INTO ... SELECT, UPDATE (complex predicate -> Column path),
     DELETE (simple predicate -> manifest-pruned path), MERGE INTO with
-    a delete flag, then SELECT the final snapshot -- every statement
+    a delete flag, DELETE with an IN (SELECT ...) subquery predicate
+    (Catalyst plans it as a semi-join against the probe scan, no
+    collected key list), then SELECT the final snapshot -- every statement
     parsed from text by sources/sqlexec.py and routed through the
     transactional warehouse. The oracle recomputes the same composition
     analytically, so a hash match certifies parser + routing + the
@@ -1462,6 +1464,10 @@ def warehouse_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *"
         )
+        sql.execute(
+            "DELETE FROM q.state WHERE event_id IN "
+            "(SELECT event_id FROM src_events WHERE event_id % 7 = 0)"
+        )
         final = sql.execute(
             "SELECT event_id, event_type, value AS value_final FROM q.state"
         )
@@ -1482,6 +1488,7 @@ SELECT event_id, event_type,
 FROM base
 WHERE NOT (event_id % 5 = 0 AND event_id % 4 = 0)
   AND (event_id % 5 = 0 OR event_id < 7000)
+  AND event_id % 7 != 0
 """
 
 

@@ -781,12 +781,14 @@ def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-from-word-counts shape; the word-frequency table is capped,
     never the corpus) -> distributed encode where the Python work runs
     over the DISTINCT-WORD dictionary only and per-document token
-    counts come from a broadcast dictionary join against the exploded
-    corpus. Emits per-doc word/char/token counts -- the tokens-per-doc
-    accounting a training-data pipeline budgets by. Not
-    SQL-expressible (iterative global state): rows-only driver check;
-    tests pin the merges against an independent reference
-    implementation."""
+    counts come from a dictionary join against the exploded corpus
+    (broadcast only when the dictionary is provably small -- see
+    below). Emits per-doc word/char/token counts -- the tokens-per-doc
+    accounting a training-data pipeline budgets by. Oracle-certified:
+    DuckDB replays the whole train+encode loop as recursive CTEs over
+    the same capped word-frequency table (BPE_TRAIN_ENCODE_SQL); the
+    merge loop is additionally pinned against an independent reference
+    implementation in tests/test_bpe_train.py."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     words = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("word")
@@ -800,6 +802,13 @@ def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     merges = _bpe_learn(wordfreq, BPE_MERGES)
+    # the frequency table came back BELOW its cap => it holds every
+    # distinct word, so the encode dictionary is provably <= CAP rows
+    # and safe to broadcast. At web-corpus scale (10^8+ distinct
+    # tokens: typos, URLs, code) the cap binds and the dictionary join
+    # falls back to a shuffle join -- same size-guard shape as the
+    # warehouse's _DELETE_BROADCAST_RECORDS.
+    vocab_is_small = len(wordfreq) < BPE_WORD_CAP
 
     def encode_batches(batches):
         import pandas as pd
@@ -816,8 +825,10 @@ def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vocab = words.select("word").distinct()
     encoded = vocab.mapInPandas(encode_batches, "word string, n_tokens int")
+    if vocab_is_small:
+        encoded = F.broadcast(encoded)
     return (
-        words.join(F.broadcast(encoded), "word")
+        words.join(encoded, "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),
@@ -830,6 +841,84 @@ def bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+_BPE_D = "\x1f"  # unit separator: wraps each symbol in the SQL replay
+
+
+def _bpe_train_encode_sql() -> str:
+    """DuckDB replay of the FULL BPE train+encode loop as recursive
+    CTEs -- the independent oracle for ``bpe_train_encode``. Each
+    word's segmentation is a string of ``\\x1f``-wrapped symbols
+    (``<d>a<d><d>b<d>`` for [a, b]); merging pair (a, b) is then one
+    SQL ``replace`` of ``<d>a<d><d>b<d>`` with ``<d>ab<d>``, whose
+    left-to-right non-overlapping semantics equal the greedy BPE
+    rewrite exactly (each symbol owns BOTH its delimiters, so adjacent
+    matches never share a boundary character). The training CTE
+    carries the per-iteration best pair (ties broken lexicographically
+    like ``_bpe_learn``); a second recursion applies the learned merge
+    list in order to EVERY distinct corpus word."""
+    d = _BPE_D
+    return f"""
+WITH RECURSIVE
+words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+),
+wf AS (
+  SELECT word, COUNT(*) AS freq FROM words GROUP BY word
+  ORDER BY freq DESC, word ASC LIMIT {BPE_WORD_CAP}
+),
+state(iter, word, freq, s, ma, mb) AS (
+  SELECT 0, word, freq,
+         '{d}' || array_to_string(regexp_split_to_array(word, ''), '{d}{d}') || '{d}',
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM wf
+  UNION ALL
+  SELECT st.iter + 1, st.word, st.freq,
+         replace(st.s, '{d}' || best.a || '{d}{d}' || best.b || '{d}',
+                 '{d}' || best.a || best.b || '{d}'),
+         best.a, best.b
+  FROM state st,
+       (SELECT a, b FROM (
+          SELECT sl[i] AS a, sl[i + 1] AS b, SUM(freq) AS cnt
+          FROM (SELECT freq, str_split(trim(s, '{d}'), '{d}{d}') AS sl
+                FROM state) x,
+               UNNEST(range(1, len(sl))) AS t(i)
+          GROUP BY 1, 2
+          ORDER BY cnt DESC, a ASC, b ASC
+          LIMIT 1
+        )) best
+  WHERE st.iter < {BPE_MERGES}
+),
+merges AS (
+  SELECT DISTINCT iter, ma AS a, mb AS b FROM state WHERE iter >= 1
+),
+enc(step, word, s) AS (
+  SELECT 0, word,
+         '{d}' || array_to_string(regexp_split_to_array(word, ''), '{d}{d}') || '{d}'
+  FROM (SELECT DISTINCT word FROM words)
+  UNION ALL
+  SELECT e.step + 1, e.word,
+         replace(e.s, '{d}' || m.a || '{d}{d}' || m.b || '{d}',
+                 '{d}' || m.a || m.b || '{d}')
+  FROM enc e JOIN merges m ON m.iter = e.step + 1
+  WHERE e.step < {BPE_MERGES}
+),
+encoded AS (
+  SELECT word,
+         CASE WHEN word = '' THEN 0
+              ELSE len(str_split(trim(s, '{d}'), '{d}{d}')) END AS n_tokens
+  FROM enc
+  QUALIFY row_number() OVER (PARTITION BY word ORDER BY step DESC) = 1
+)
+SELECT w.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(length(w.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(e.n_tokens) AS BIGINT) AS n_bpe_tokens
+FROM words w JOIN encoded e USING (word)
+GROUP BY w.doc_id
+"""
 
 
 def warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1025,6 +1114,7 @@ QUERIES = {
 ORACLES = {
     "text_pdf_extract": PDF_EXTRACT_SQL,
     "text_warc_extract": WARC_EXTRACT_SQL,
+    "text_bpe_train_encode": _bpe_train_encode_sql(),
     "text_token_stats": TOKEN_STATS_SQL,
     "text_quality_score": QUALITY_SCORE_SQL,
     "text_lang_id": _lang_id_sql(),

@@ -95,6 +95,46 @@ def _unmask(text: str, literals: list[str]) -> str:
     return text
 
 
+_SUBQUERY_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+
+
+def _split_top_level_and(text: str) -> list[str]:
+    """Split a WHERE text on ``AND`` outside parentheses and string
+    literals -- the conjunct decomposition that lets simple comparisons
+    keep feeding manifest pruning even when a sibling conjunct is an
+    IN/EXISTS subquery."""
+    parts: list[str] = []
+    depth, in_str, start, i = 0, False, 0, 0
+    up = text.upper()
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith("AND", i)
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+            and (
+                i + 3 >= len(text)
+                or not (text[i + 3].isalnum() or text[i + 3] == "_")
+            )
+        ):
+            parts.append(text[start:i])
+            start = i + 3
+            i += 3
+            continue
+        i += 1
+    parts.append(text[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` outside parentheses and string literals (SET
     lists may contain ``fn(a, b)`` calls and quoted commas)."""
@@ -409,10 +449,28 @@ class WarehouseSQL:
 
     def _predicate(self, cond: str):
         """(predicate, predicates) for a WHERE text: simple conjunctions
-        become tuple predicates (manifest pruning); else a Column."""
+        become tuple predicates (manifest pruning); a WHERE containing
+        an ``IN/NOT IN/EXISTS (SELECT ...)`` subquery resolves its
+        warehouse table refs (governed snapshot reads) and passes
+        through as ONE expression Column -- Catalyst plans the subquery
+        as a LeftSemi/LeftAnti(NullAware) join against the probe scan,
+        never a collected key list, so the Athena DML shapes
+        ``DELETE FROM t WHERE k IN (SELECT ...)`` / correlated EXISTS
+        work at any subquery cardinality. Simple sibling conjuncts
+        still feed manifest min/max + Bloom skipping as a hint. Any
+        other shape runs as a plain Column (correct, post-scan)."""
         tuples = Warehouse._row_filter_predicates(cond)
         if tuples is not None:
             return tuples, None
+        if _SUBQUERY_RE.search(cond):
+            hints: list[tuple] = []
+            for part in _split_top_level_and(cond):
+                if _SUBQUERY_RE.search(part):
+                    continue
+                t = Warehouse._row_filter_predicates(part)
+                if t:
+                    hints.extend(t)
+            return F.expr(self._rewrite_tables(cond)), hints or None
         return F.expr(cond), None
 
     # -- entry point --
@@ -464,8 +522,10 @@ class WarehouseSQL:
                 raise ValueError(f"unsupported DELETE shape: {s[:120]!r}")
             ns, tbl, cond = m.groups()
             self._require("ALL", ns, tbl)
-            predicate, _ = self._predicate(_unmask(cond, lits))
-            return self.wh.delete_where(ns, tbl, predicate, strategy=strategy)
+            predicate, hints = self._predicate(_unmask(cond, lits))
+            return self.wh.delete_where(
+                ns, tbl, predicate, predicates=hints, strategy=strategy
+            )
         if head == "UPDATE":
             m = _UPDATE_RE.match(masked)
             if not m:
@@ -479,9 +539,10 @@ class WarehouseSQL:
                 if not rhs:
                     raise ValueError(f"bad SET clause: {part!r}")
                 assignments[col.strip().strip("`")] = F.expr(rhs.strip())
-            predicate, _ = self._predicate(cond)
+            predicate, hints = self._predicate(cond)
             return self.wh.update_where(
-                ns, tbl, assignments, predicate, strategy=strategy
+                ns, tbl, assignments, predicate, predicates=hints,
+                strategy=strategy,
             )
         if head == "INSERT":
             m = _INSERT_RE.match(s)
@@ -510,24 +571,32 @@ class WarehouseSQL:
         if head == "CREATE":
             return self._create(s)
         if head == "DROP":
+            # IF EXISTS is CAPTURED so a bare DROP of a missing object
+            # raises (ANSI semantics) instead of silently no-opping
             m = re.match(
-                r"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\.(\w+)$",
+                r"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)$",
                 s, re.IGNORECASE,
             )
             if m:
-                return self.wh.drop_table(*m.groups())
+                return self.wh.drop_table(
+                    m.group(2), m.group(3), if_exists=bool(m.group(1))
+                )
             m = re.match(
-                r"^DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(\w+)\.(\w+)$",
+                r"^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)$",
                 s, re.IGNORECASE,
             )
             if m:
-                return self.wh.drop_view(*m.groups())
+                return self.wh.drop_view(
+                    m.group(2), m.group(3), if_exists=bool(m.group(1))
+                )
             m = re.match(
-                r"^DROP\s+NAMESPACE\s+(?:IF\s+EXISTS\s+)?(\w+)$",
+                r"^DROP\s+NAMESPACE\s+(IF\s+EXISTS\s+)?(\w+)$",
                 s, re.IGNORECASE,
             )
             if m:
-                return self.wh.drop_namespace(m.group(1))
+                return self.wh.drop_namespace(
+                    m.group(2), if_exists=bool(m.group(1))
+                )
             # a dotted DROP NAMESPACE is almost certainly a typo for
             # DROP TABLE -- reject instead of silently dropping the ns
             raise ValueError(f"unsupported DROP shape: {s[:120]!r}")

@@ -102,6 +102,13 @@ class WarehouseAppendsStreamReader(DataSourceStreamReader):
         if self._max_versions is not None and self._max_versions < 1:
             raise ValueError("max_versions_per_trigger must be >= 1")
         self._cursor: int | None = None  # last offset this reader issued
+        # high-water mark: the largest offset observed in ANY engine
+        # call (latestOffset result, partitions() range end, commit()).
+        # latestOffset never returns below it, so correctness does not
+        # depend on Spark's engine-call order after restart (the old
+        # code relied on partitions() replaying the checkpointed batch
+        # BEFORE the first latestOffset -- true today, but fragile)
+        self._hwm: int = -1
         self.schema = schema
         self.tdir = os.path.join(self.root, self.ns, self.table)
         if not os.path.isdir(_vdir(self.tdir, self.branch)):
@@ -119,14 +126,20 @@ class WarehouseAppendsStreamReader(DataSourceStreamReader):
         versions = _versions(self.tdir, self.branch)
         tip = versions[-1] if versions else 0
         if self._max_versions is None:
-            return {"version": tip}
+            return {"version": max(tip, self._hwm)}
         if self._cursor is None:
             self._cursor = self._start if self._start is not None else 0
-        self._cursor = min(tip, self._cursor + self._max_versions)
+        # pace forward by at most max_versions, but NEVER below the
+        # high-water mark: a regressed offset would replay committed
+        # rows (break exactly-once) if the engine trusted it
+        base = max(self._cursor, self._hwm)
+        self._cursor = max(base, min(tip, base + self._max_versions))
+        self._hwm = max(self._hwm, self._cursor)
         return {"version": self._cursor}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
+        self._hwm = max(self._hwm, hi)
         if self._cursor is None or self._cursor < lo:
             # on restart Spark replays the checkpointed batch through
             # partitions() BEFORE the first latestOffset call -- adopt
@@ -215,7 +228,13 @@ class WarehouseAppendsStreamReader(DataSourceStreamReader):
         yield from pa.table(dict(zip(out_names, cols))).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass
+        # adopt the committed position: after a restart whose first
+        # engine call is latestOffset (last batch fully committed),
+        # the cursor re-paces from here, not from from_version/0
+        v = int(end["version"])
+        self._hwm = max(self._hwm, v)
+        if self._cursor is None or self._cursor < v:
+            self._cursor = v
 
 
 class WarehouseAppendsDataSource(DataSource):

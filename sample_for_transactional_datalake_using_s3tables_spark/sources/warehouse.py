@@ -1436,11 +1436,21 @@ class Warehouse:
                 comp = os.path.basename(dirpath)
                 if comp.startswith("_p="):
                     part = comp[3:]
-            paths.extend(
-                (os.path.join(dirpath, fn), part)
-                for fn in files
-                if fn.endswith(".parquet")
-            )
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                # give every file a TABLE-UNIQUE basename: dynamic
+                # partitioning reuses one task's part-file name across
+                # _p= dirs, but positional deletes address rows by
+                # basename (the URI-encoding-proof join key -- see
+                # _basename_relpath_map), which demands uniqueness.
+                # Files aren't referenced by any manifest yet, so the
+                # rename is free.
+                dst = os.path.join(
+                    dirpath, f"{uuid.uuid4().hex}.parquet"
+                )
+                os.rename(os.path.join(dirpath, fn), dst)
+                paths.append((dst, part))
         if not paths:
             return []
         key_col = bloom_col if (bloom_col and bloom_col in df.columns) else None
@@ -1536,14 +1546,19 @@ class Warehouse:
         logical -> physical column names (column-mapping evolution:
         renames are metadata-only because data files always store
         physical names, which never change). ``with_pos`` appends
-        ``__afp`` (the file's normalized absolute path) and ``__pos``
-        (the row's ordinal inside its file, Spark's
-        ``_metadata.row_index``) -- the (path, position) address
-        positional deletes bind to."""
+        ``__abase`` (the file's BASENAME) and ``__pos`` (the row's
+        ordinal inside its file, Spark's ``_metadata.row_index``) --
+        the (file, position) address positional deletes bind to.
+        Basename, not absolute path: ``_metadata.file_path`` is
+        URI-encoded, so a warehouse root with a space/%/non-ASCII char
+        never string-equals the raw ``os.path`` form, while part-file
+        basenames (``part-<task>-<jobUUID>*.parquet``) carry no
+        URI-escapable chars and are unique per table (per-job UUID;
+        enforced loudly by ``_basename_relpath_map``)."""
         if not entries:
             df = self.spark.createDataFrame([], schema)
             if with_pos:
-                df = df.withColumn("__afp", F.lit(None).cast("string"))
+                df = df.withColumn("__abase", F.lit(None).cast("string"))
                 df = df.withColumn("__pos", F.lit(None).cast("bigint"))
             return df
         phys = phys or {}
@@ -1563,10 +1578,10 @@ class Warehouse:
         ]
         if with_pos:
             cols += [
-                # "file:/x" and "file:///x" both normalize to "/x"
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/*", "/"
-                ).alias("__afp"),
+                # basename only: URI-encoding-proof (see docstring)
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__abase"),
                 F.col("_metadata.row_index").alias("__pos"),
             ]
         return df.select(*cols)
@@ -1626,7 +1641,7 @@ class Warehouse:
         stay on the zero-join fast path. ``file_col`` adds
         ``input_file_name()`` BEFORE the anti-joins (scan-stage
         evaluation) for probe callers; ``keep_pos`` keeps the
-        ``__afp``/``__pos`` address columns in the output (the
+        ``__abase``/``__pos`` address columns in the output (the
         positional-DELETE probe reads through this path)."""
         dels = _live_deletes(deletes, entries)
         eq = [d for d in dels if d.get("kind") != "pos"]
@@ -1670,12 +1685,12 @@ class Warehouse:
                     pdf = F.broadcast(pdf)
                 part = part.join(
                     pdf,
-                    (F.col("__afp") == F.col("__dafp"))
+                    (F.col("__abase") == F.col("__dbase"))
                     & (F.col("__pos") == F.col("__dpos")),
                     "left_anti",
                 )
                 if not keep_pos:
-                    part = part.drop("__afp", "__pos")
+                    part = part.drop("__abase", "__pos")
             if eq_fp:
                 seqs = set(eq_fp)
                 applicable = [d for d in eq if d["seq"] in seqs]
@@ -1694,9 +1709,10 @@ class Warehouse:
         return out
 
     def _read_pos_deletes(self, tdir: str, dels: list[dict]) -> DataFrame:
-        """Union of position-delete files as ``(__dafp, __dpos)``:
-        target paths resolved to the same normalized absolute form the
-        data scan's ``_metadata.file_path`` reports."""
+        """Union of position-delete files as ``(__dbase, __dpos)``.
+        ``file`` stores the manifest-relative target path; matching
+        happens on its BASENAME so the comparison never depends on how
+        the scan URI-encodes the warehouse root (see ``_read_files``)."""
         from pyspark.sql.types import LongType, StringType, StructField
 
         paths = [os.path.join(tdir, d["path"]) for d in dels]
@@ -1708,10 +1724,30 @@ class Warehouse:
                 ]
             )
         ).parquet(*paths)
-        prefix = os.path.abspath(tdir) + "/"
         return df.select(
-            F.concat(F.lit(prefix), F.col("file")).alias("__dafp"),
+            F.element_at(F.split(F.col("file"), "/"), -1).alias("__dbase"),
             F.col("pos").alias("__dpos"),
+        )
+
+    def _basename_relpath_map(self, entries: list[dict]) -> DataFrame:
+        """Broadcastable ``(__abase, __relpath)`` map recovering each
+        scanned file's manifest-relative path from its basename --
+        the URI-encoding-proof way to turn ``_metadata.file_path``
+        back into the path a position-delete file must store. Raises
+        loudly if two entries share a basename (never happens for
+        Spark part files, whose names embed a per-job UUID), because a
+        double-valued map would silently mis-address deletes."""
+        by_base: dict[str, str] = {}
+        for e in entries:
+            base = os.path.basename(e["path"])
+            if by_base.setdefault(base, e["path"]) != e["path"]:
+                raise RuntimeError(
+                    f"data-file basename {base!r} is not unique within "
+                    f"the table ({by_base[base]!r} vs {e['path']!r}); "
+                    "cannot address positional deletes by basename"
+                )
+        return self.spark.createDataFrame(
+            list(by_base.items()), "__abase string, __relpath string"
         )
 
     def plan_files(
@@ -1981,23 +2017,42 @@ class Warehouse:
                         F.lit(commits[0][0]).cast("int"),
                     )
                 else:
+                    # join on the file BASENAME, not the absolute path:
+                    # input_file_name() returns a URI-encoded path, so a
+                    # warehouse root containing a space/%/non-ASCII char
+                    # would never equal the raw os.path string and the
+                    # inner join would silently drop those insert rows.
+                    # Basenames (part-<task>-<jobUUID>*.parquet) carry no
+                    # URI-escapable chars and are unique per write job;
+                    # within one job dynamic partitioning can repeat a
+                    # basename across _p= dirs, but those share a commit,
+                    # so the map stays single-valued -- asserted below so
+                    # an unexpected collision fails loudly instead of
+                    # mis-stamping rows.
+                    by_base: dict[str, int] = {}
+                    for v, es in commits:
+                        for e in es:
+                            base = os.path.basename(e["path"])
+                            if by_base.setdefault(base, v) != v:
+                                raise RuntimeError(
+                                    "changelog: data-file basename "
+                                    f"{base!r} appears in commits "
+                                    f"{by_base[base]} and {v}; cannot "
+                                    "collapse append segment"
+                                )
                     vmap = self.spark.createDataFrame(
-                        [
-                            (os.path.abspath(os.path.join(tdir, e["path"])), v)
-                            for v, es in commits
-                            for e in es
-                        ],
-                        "__srcfile string, _commit_version int",
+                        list(by_base.items()),
+                        "__srcbase string, _commit_version int",
                     )
                     ins = (
                         ins.withColumn(
-                            "__srcfile",
-                            F.regexp_replace(
-                                F.input_file_name(), "^file:/+", "/"
+                            "__srcbase",
+                            F.element_at(
+                                F.split(F.input_file_name(), "/"), -1
                             ),
                         )
-                        .join(F.broadcast(vmap), "__srcfile")
-                        .drop("__srcfile")
+                        .join(F.broadcast(vmap), "__srcbase")
+                        .drop("__srcbase")
                     )
                 changed = ins.withColumn(
                     "_change_type", F.lit("insert")
@@ -2072,10 +2127,10 @@ class Warehouse:
                     del_parts.append(
                         pre.join(
                             pdf,
-                            (F.col("__afp") == F.col("__dafp"))
+                            (F.col("__abase") == F.col("__dbase"))
                             & (F.col("__pos") == F.col("__dpos")),
                             "left_semi",
-                        ).drop("__afp", "__pos")
+                        ).drop("__abase", "__pos")
                     )
             dels = self.spark.createDataFrame([], schema)
             for part in del_parts:
@@ -2841,17 +2896,18 @@ class Warehouse:
                 "version": version, "deleted_rows": 0, "delete_files": 0,
                 **stats,
             }
-        prefix = os.path.abspath(tdir) + "/"
         addr = (
             self._read_entries(
                 tdir, candidates, schema, phys, doc.get("deletes"),
                 meta.get("key"), keep_pos=True,
             )
             .filter(F.coalesce(predicate, F.lit(False)))
+            .join(
+                F.broadcast(self._basename_relpath_map(candidates)),
+                "__abase",
+            )
             .select(
-                F.col("__afp").substr(
-                    F.lit(len(prefix) + 1), F.lit(100_000)
-                ).alias("file"),
+                F.col("__relpath").alias("file"),
                 F.col("__pos").alias("pos"),
             )
         )
@@ -3026,11 +3082,17 @@ class Warehouse:
         }
         if not candidates:
             return noop
-        prefix = os.path.abspath(tdir) + "/"
-        matched = self._read_entries(
-            tdir, candidates, schema, phys, doc.get("deletes"),
-            meta.get("key"), keep_pos=True,
-        ).filter(F.coalesce(predicate, F.lit(False)))
+        matched = (
+            self._read_entries(
+                tdir, candidates, schema, phys, doc.get("deletes"),
+                meta.get("key"), keep_pos=True,
+            )
+            .filter(F.coalesce(predicate, F.lit(False)))
+            .join(
+                F.broadcast(self._basename_relpath_map(candidates)),
+                "__abase",
+            )
+        )
         # one probe: stage updated rows + old addresses together, then
         # split columnar (data files from the row columns, the delete
         # file from the address columns)
@@ -3041,9 +3103,7 @@ class Warehouse:
                 else F.col(f.name)
                 for f in schema.fields
             ],
-            F.col("__afp").substr(
-                F.lit(len(prefix) + 1), F.lit(100_000)
-            ).alias("__file"),
+            F.col("__relpath").alias("__file"),
             F.col("__pos"),
         )
         stage = os.path.join(tdir, "data", f".upd-{uuid.uuid4().hex[:12]}")
@@ -3888,17 +3948,32 @@ class Warehouse:
         Pre-stamping legacy snapshots read as infinitely old. String
         timestamps that are bare digits (``'1755180000'`` --
         Delta/Trino users pass epoch millis or seconds unquoted, the SQL
-        router forwards them verbatim) resolve as epoch seconds rather
-        than failing ISO parsing. Resolution reads the publish-time
-        commit index -- O(1) file opens, not one JSON parse per
-        snapshot."""
+        router forwards them verbatim) resolve as an epoch instant:
+        values >= 1e14 are micros, >= 1e11 are millis, else seconds --
+        a '1755180000000' millis string lands on the intended moment
+        instead of the year 57587. Digit-only 8-char strings are
+        YYYYMMDD dates, not epochs, and take the ISO path. Resolution
+        reads the publish-time commit index -- O(1) file opens, not one
+        JSON parse per snapshot."""
         import datetime as _dt
 
         if isinstance(ts, str):
-            try:
-                ts = float(ts)  # bare epoch seconds
-            except ValueError:
-                dt = _dt.datetime.fromisoformat(ts)
+            s = ts.strip()
+            numeric = None
+            if not (s.isdigit() and len(s) == 8):  # YYYYMMDD is a date
+                try:
+                    numeric = float(s)
+                except ValueError:
+                    numeric = None
+            if numeric is not None:
+                if numeric >= 1e14:  # epoch microseconds
+                    ts = numeric / 1e6
+                elif numeric >= 1e11:  # epoch milliseconds
+                    ts = numeric / 1e3
+                else:  # epoch seconds
+                    ts = numeric
+            else:
+                dt = _dt.datetime.fromisoformat(s)
                 if dt.tzinfo is None:
                     dt = dt.replace(tzinfo=_dt.timezone.utc)
                 ts = dt.timestamp()

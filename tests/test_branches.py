@@ -261,3 +261,31 @@ def test_snapshot_as_of_uses_commit_index_o1_opens(spark, wh, monkeypatch):
     assert calls["n"] == 0
     # bare-digit epoch string resolves too (Delta/Trino unquoted epoch)
     assert wh.snapshot_as_of("ns", "t", str(now)) == tip
+
+
+def test_snapshot_as_of_epoch_millis_micros_and_yyyymmdd(spark, wh):
+    """Delta/Trino users paste epoch MILLIS (13 digits) or MICROS (16);
+    both must land on the intended instant, not parse as far-future
+    seconds and silently resolve to the newest snapshot. Digit-only
+    8-char strings are YYYYMMDD dates, not epochs."""
+    import time
+
+    import pytest as _pytest
+
+    _base(spark, wh)
+    v1 = wh.current_version("ns", "t")
+    time.sleep(0.05)  # > 1ms so millis TRUNCATION stays above v1's ts
+    t_between = time.time()
+    time.sleep(0.05)
+    wh.insert("ns", "t", _df(spark, [("z1", "d0", 99)]).coalesce(1))
+    tip = wh.current_version("ns", "t")
+    assert tip > v1
+    # millis / micros strings between the two commits -> v1, not tip
+    assert wh.snapshot_as_of("ns", "t", str(int(t_between * 1e3))) == v1
+    assert wh.snapshot_as_of("ns", "t", str(int(t_between * 1e6))) == v1
+    # seconds string still works
+    assert wh.snapshot_as_of("ns", "t", str(t_between)) == v1
+    # YYYYMMDD takes the ISO-date path: far future -> tip, 1970 -> raises
+    assert wh.snapshot_as_of("ns", "t", "99990101") == tip
+    with _pytest.raises(ValueError, match="no snapshot"):
+        wh.snapshot_as_of("ns", "t", "19700101")

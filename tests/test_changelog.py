@@ -419,3 +419,46 @@ def test_stream_across_type_widening(registered, wh, spark):
     _drain(spark, stream, ckpt, out)
     got = sorted((r.id, r.n) for r in spark.read.parquet(out).collect())
     assert got == [("k1", 7), ("k2", 5_000_000_000)]
+
+
+def test_stream_cursor_never_regresses(registered, wh, spark):
+    """Offset safety must not depend on Spark's engine call order after
+    a restart: whatever call arrives first (latestOffset, partitions
+    replay, or commit), the reader never issues an offset below any
+    position it has already seen."""
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.streamsource import (
+        WarehouseAppendsStreamReader,
+    )
+
+    root = wh.root
+    for i in range(6):
+        wh.insert("ns", "t", _rows(spark, [(f"k{i}", "d0", i)]).coalesce(1))
+    schema = wh.read("ns", "t").schema
+    opts = {
+        "root": root, "ns": "ns", "table": "t",
+        "max_versions_per_trigger": "2",
+    }
+
+    # restart where the FIRST engine call is latestOffset (last batch
+    # fully committed at checkpoint offset 4): the paced offset (2) is
+    # below the checkpoint; partitions(4, 2) must plan nothing, and the
+    # next latestOffset must resume >= 4 -- no replayed rows
+    r = WarehouseAppendsStreamReader(schema, dict(opts))
+    first = int(r.latestOffset()["version"])
+    assert first <= 2
+    assert r.partitions({"version": 4}, {"version": first}) == []
+    nxt = int(r.latestOffset()["version"])
+    assert nxt >= 4
+    assert nxt == 6  # paced max(cursor, hwm=4) + 2
+
+    # restart where the FIRST engine call is commit(end) for the
+    # already-committed batch: the cursor adopts it and re-paces from
+    # there, not from version 0
+    r2 = WarehouseAppendsStreamReader(schema, dict(opts))
+    r2.commit({"version": 4})
+    assert int(r2.latestOffset()["version"]) == 6
+
+    # normal pacing is unchanged: 0 -> 2 -> 4 -> 6
+    r3 = WarehouseAppendsStreamReader(schema, dict(opts))
+    seen = [int(r3.latestOffset()["version"]) for _ in range(3)]
+    assert seen == [2, 4, 6]

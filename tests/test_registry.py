@@ -24,8 +24,10 @@ from .conftest import SF_DIR_SMALL
 # the driver records a weaker rows-only check for these BY DESIGN --
 # they must be named here explicitly, never arrive by omission, and
 # must stay OUT of the driver's 50-row window (which should be all
-# hash-certified rows).
-ROWS_ONLY = {"text_bpe_train_encode"}
+# hash-certified rows). Empty since round 7: text_bpe_train_encode's
+# merge loop is now replayed by DuckDB recursive CTEs
+# (_bpe_train_encode_sql), so every registry row is hash-certifiable.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_an_oracle():

@@ -686,3 +686,113 @@ def test_refs_metadata_table_and_explain(sql, spark):
         WarehouseSQL(sql.wh, principal="nobody").execute(
             "SELECT * FROM ns.t$refs"
         )
+
+
+def test_drop_missing_object_raises_without_if_exists(sql):
+    """ANSI semantics: a bare DROP of a missing object is an error;
+    IF EXISTS makes it a no-op. (Previously both silently no-opped.)"""
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import (
+        TableNotFoundError,
+    )
+
+    with pytest.raises(TableNotFoundError):
+        sql.execute("DROP TABLE ns.missing")
+    with pytest.raises(ValueError, match="unknown view"):
+        sql.execute("DROP VIEW ns.missing")
+    with pytest.raises(FileNotFoundError):
+        sql.execute("DROP NAMESPACE nowhere")
+    # IF EXISTS: all three no-op
+    sql.execute("DROP TABLE IF EXISTS ns.missing")
+    sql.execute("DROP VIEW IF EXISTS ns.missing")
+    sql.execute("DROP NAMESPACE IF EXISTS nowhere")
+    # dropping real objects still works bare
+    sql.execute("CREATE VIEW ns.tmpv AS SELECT id FROM ns.t")
+    sql.execute("DROP VIEW ns.tmpv")
+    sql.execute("DROP TABLE ns.t")
+
+
+def test_dml_subquery_predicates(sql, spark):
+    """Athena DML shapes with subquery predicates: IN (SELECT ...),
+    correlated EXISTS, NOT IN null semantics. Catalyst plans the
+    subquery as a semi/anti join against the probe scan -- works at any
+    subquery cardinality, no collected key list -- while simple sibling
+    conjuncts still feed manifest pruning."""
+    wh = sql.wh
+    wh.create_table(
+        "ns", "src",
+        StructType([StructField("sid", StringType(), False)]),
+        key="sid",
+    )
+    wh.insert(
+        "ns", "src",
+        spark.createDataFrame([("k1",), ("k3",), ("k5",)], "sid string"),
+    )
+    # correlated EXISTS drives UPDATE (outer column referenced bare --
+    # the inner FROM uses a different name, so correlation is real)
+    r = sql.execute(
+        "UPDATE ns.t SET v = v + 100 "
+        "WHERE EXISTS (SELECT 1 FROM ns.src s WHERE s.sid = id)"
+    )
+    assert r["updated_rows"] == 3
+    got = {(x.id, x.v) for x in sql.execute("SELECT id, v FROM ns.t").collect()}
+    assert {("k1", 101), ("k3", 103), ("k5", 105)} <= got
+    # pruning hint: the simple conjunct still skips files (day partition)
+    r = sql.execute(
+        "DELETE FROM ns.t WHERE day = 'd1' AND id IN (SELECT sid FROM ns.src)"
+    )
+    assert r["deleted_rows"] == 3
+    assert r["probed_files"] < r["manifest_files"]  # d0 files skipped
+    ids = {x.id for x in sql.execute("SELECT id FROM ns.t").collect()}
+    assert ids == {f"k{i}" for i in range(20)} - {"k1", "k3", "k5"}
+    # NOT IN with a NULL in the subquery deletes NOTHING (SQL tri-state)
+    wh.create_table(
+        "ns", "src_null",
+        StructType([StructField("id", StringType(), True)]),
+    )
+    wh.insert(
+        "ns", "src_null",
+        spark.createDataFrame([("k0",), (None,)], "id string"),
+    )
+    r = sql.execute(
+        "DELETE FROM ns.t WHERE id NOT IN (SELECT id FROM ns.src_null)"
+    )
+    assert r["deleted_rows"] == 0
+    # without the NULL, NOT IN deletes the complement
+    r = sql.execute(
+        "DELETE FROM ns.t WHERE id NOT IN "
+        "(SELECT id FROM ns.src_null WHERE id IS NOT NULL)"
+    )
+    assert r["deleted_rows"] == 16  # all but k0 (k1/k3/k5 already gone)
+    assert {x.id for x in sql.execute("SELECT id FROM ns.t").collect()} == {"k0"}
+
+
+def test_dml_subquery_self_reference_and_mor(sql, spark):
+    """The subquery may read the TARGET table itself (pre-image
+    snapshot) and the predicate composes with merge-on-read
+    strategies."""
+    # delete rows whose v is above the table's own average: self-ref
+    r = sql.execute(
+        "DELETE FROM ns.t WHERE v > (SELECT AVG(v) FROM ns.t)"
+    )
+    assert r["deleted_rows"] == 10  # v in 0..19, avg 9.5 -> 10..19 go
+    assert {x.v for x in sql.execute("SELECT v FROM ns.t").collect()} == set(
+        range(10)
+    )
+    # mor equality-delete path with an IN subquery
+    wh = sql.wh
+    wh.create_table(
+        "ns", "pick",
+        StructType([StructField("id", StringType(), False)]),
+        key="id",
+    )
+    wh.insert(
+        "ns", "pick", spark.createDataFrame([("k2",), ("k4",)], "id string")
+    )
+    r = sql.execute(
+        "DELETE FROM ns.t WHERE id IN (SELECT id FROM ns.pick)",
+        strategy="mor",
+    )
+    assert r["deleted_rows"] == 2 and r["rewritten_files"] == 0
+    assert {x.id for x in sql.execute("SELECT id FROM ns.t").collect()} == {
+        f"k{i}" for i in range(10)
+    } - {"k2", "k4"}

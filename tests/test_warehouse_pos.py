@@ -344,3 +344,47 @@ def test_add_struct_field_nested_evolution(wh, spark):
         )
     with pytest.raises(ValueError, match="top-level"):
         wh.add_struct_field("ns", "t", "geo", StructField("geo", IntegerType()))
+
+
+def test_uri_escapable_warehouse_root(spark):
+    """A warehouse root containing a SPACE and a ``%`` -- characters
+    Spark URI-encodes in ``_metadata.file_path`` / ``input_file_name``
+    -- must not break positional-delete addressing or MoR updates.
+    Addresses bind to file BASENAMES (never URI-encoded), so the raw
+    os.path form and the encoded scan form can't diverge."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp()
+    root = os.path.join(base, "ware house %41")  # space + percent
+    os.makedirs(root)
+    wh = Warehouse(spark, root)
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", S, key="id", partition_by="day")
+    wh.insert(
+        "ns", "t", _rows(spark, [(f"k{i}", f"d{i % 2}", i) for i in range(8)])
+    )
+    # mor-pos delete: rows must actually disappear (a silent join miss
+    # would leave them live)
+    r = wh.delete_where("ns", "t", F.col("v") >= 6, strategy="mor-pos")
+    assert r["deleted_rows"] == 2 and r["rewritten_files"] == 0
+    got = {(x.id, x.day, x.v) for x in wh.read("ns", "t").collect()}
+    assert got == {(f"k{i}", f"d{i % 2}", i) for i in range(6)}
+    # mor-pos update through the same addressing
+    r2 = wh.update_where(
+        "ns", "t", {"v": F.lit(100)}, F.col("id") == "k0", strategy="mor-pos"
+    )
+    assert r2["updated_rows"] == 1
+    got = {(x.id, x.v) for x in wh.read("ns", "t").collect()}
+    assert ("k0", 100) in got and len(got) == 6
+    # collapsed append-segment changelog: the basename join must stamp
+    # every insert row (the abs-path join silently dropped them all)
+    wh2 = Warehouse(spark, root)
+    wh2.create_table("ns", "t2", S, key="id")
+    for i in range(3):
+        wh2.insert("ns", "t2", _rows(spark, [(f"a{i}", "d0", i)]).coalesce(1))
+    ch = {
+        (x.id, x._change_type, x._commit_version)
+        for x in wh2.changelog("ns", "t2", 0).collect()
+    }
+    assert ch == {(f"a{i}", "insert", i + 1) for i in range(3)}
