@@ -106,9 +106,15 @@ def bench_dml(spark, sf_dir: str) -> dict[str, float]:
                 [("event_id", "<", 1000)], strategy="mor",
             ),
         )
+        # predicate beyond ANY scale's key domain (gen_sf.py offsets
+        # keys by copy*1e7, so 1e7 would match replicated rows at sf>=1
+        # and turn the no-op prune probe into a 90% table rewrite):
+        # measures pure manifest-prune latency at every SF
         _t(
             "delete_where_pruned",
-            lambda: wh.delete_where("b", "t", [("event_id", ">=", 10_000_000)]),
+            lambda: wh.delete_where(
+                "b", "t", [("event_id", ">=", 10**15)]
+            ),
         )
         # position-delete MoR: row-granular keyless delete, zero
         # rewrites, commit O(matches) -- the scattered-row delete shape
@@ -148,7 +154,35 @@ def bench_dml(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--sf", type=float, default=None,
+        help="scale factor: resolves /root/testdata/sf{N} or the "
+        "generated .localdata/sf{N} (see scripts/gen_sf.py)",
+    )
+    ap.add_argument(
+        "--sf-dir", default=None, help="explicit table directory"
+    )
+    args = ap.parse_args()
+    if args.sf_dir:
+        sf_dir = args.sf_dir
+    elif args.sf is not None:
+        tag = f"sf{args.sf:g}"
+        here = os.path.dirname(os.path.abspath(__file__))
+        cands = [
+            f"/root/testdata/{tag}",
+            os.path.join(here, ".localdata", tag),
+        ]
+        sf_dir = next((c for c in cands if os.path.isdir(c)), None)
+        if sf_dir is None:
+            raise SystemExit(
+                f"no table dir for {tag}; generate one with "
+                f"scripts/gen_sf.py --factor N"
+            )
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="s3tables-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -1974,7 +1974,19 @@ class Warehouse:
         broadcast file->version map joined on ``input_file_name()``,
         not one union branch per commit; the ``exceptAll`` netting pair
         runs only for commits that actually removed rows. A 10k-commit
-        append-only range therefore plans a single scan."""
+        append-only range therefore plans a single scan.
+
+        Driver-side metadata cost over LONG ranges: commits are
+        CLASSIFIED from the ``_commits.idx`` sidecar (one small file
+        read), and the added files of an op="append" run are recovered
+        from the run-END manifest alone by their ``seq`` stamps
+        (appends never remove files, so every file the run added is
+        still listed at its end) -- O(#runs + #DML commits) manifest
+        JSON parses instead of O(#commits), so a 10^5-commit
+        append-mostly history neither scans data NOR grinds the driver
+        through 10^5 JSON parses. A per-commit count cross-check
+        against the index falls back to the manifest diff if any seq
+        attribution looks off (legacy unstamped entries)."""
         tdir = self._table_dir(ns, table)
         meta = self.table_meta(ns, table)
         key = meta.get("key")
@@ -1990,19 +2002,58 @@ class Warehouse:
 
         # segment the range: runs of append-only commits fold together;
         # delete/rewrite commits stay per-commit (their netting needs
-        # commit-local pre-images)
-        segments: list[tuple] = []
+        # commit-local pre-images). op="append" commits are classified
+        # from the index without opening their manifests (entries
+        # resolved lazily per run, below); every other op pays one
+        # manifest diff, exactly as before.
+        idx = {r["version"]: r for r in self._commit_index(tdir, branch)}
+        items: list[tuple] = []  # ("a", v, entries|None) | ("d", ...)
         for v in rng:
-            added, removed, new_dels, op = self._commit_diff(tdir, v, branch)
-            if op == "replace" or not (added or removed or new_dels):
+            if idx[v]["op"] == "append":
+                if idx[v]["n_files"] > idx.get(v - 1, {}).get("n_files", 0):
+                    items.append(("a", v, None))  # lazy: seq-resolved
+                continue  # empty append adds no rows
+            if idx[v]["op"] == "replace":
+                continue
+            added, removed, new_dels, _op = self._commit_diff(tdir, v, branch)
+            if not (added or removed or new_dels):
                 continue
             if not removed and not new_dels:
-                if segments and segments[-1][0] == "append":
-                    segments[-1][1].append((v, added))
-                else:
-                    segments.append(("append", [(v, added)]))
+                items.append(("a", v, added))
             else:
-                segments.append(("dml", v, added, removed, new_dels))
+                items.append(("d", v, added, removed, new_dels))
+
+        def _resolve_run(run: list[tuple]) -> list[tuple]:
+            """[(v, entries|None)] -> [(v, entries)]: one parse of the
+            run-end manifest recovers every lazy member's added files
+            by seq stamp, count-checked against the index."""
+            lazy = [v for v, es in run if es is None]
+            if not lazy:
+                return run
+            by_v: dict[int, list[dict]] = {v: [] for v in lazy}
+            for e in self._manifest(tdir, run[-1][0], branch):
+                s = e.get("seq")
+                if s in by_v:
+                    by_v[s].append(e)
+            for v in lazy:
+                want = idx[v]["n_files"] - idx.get(v - 1, {}).get("n_files", 0)
+                if len(by_v[v]) != want:  # unstamped legacy entries
+                    by_v[v] = self._commit_diff(tdir, v, branch)[0]
+            return [(v, by_v[v] if es is None else es) for v, es in run]
+
+        segments: list[tuple] = []
+        for it in items:
+            if it[0] == "a":
+                if segments and segments[-1][0] == "append":
+                    segments[-1][1].append((it[1], it[2]))
+                else:
+                    segments.append(("append", [(it[1], it[2])]))
+            else:
+                segments.append(("dml", *it[1:]))
+        segments = [
+            ("append", _resolve_run(seg[1])) if seg[0] == "append" else seg
+            for seg in segments
+        ]
 
         cols = [*schema.fieldNames(), "_change_type", "_commit_version"]
         out: DataFrame | None = None
@@ -3751,15 +3802,34 @@ class Warehouse:
                         f"main advanced to {main_tip} since branch {name!r} "
                         f"forked at {fork}; cannot fast-forward"
                     ) from None
+        # Replay = the branch manifest VERBATIM (files, schema, deletes,
+        # op, original ts), so hard-link each manifest JSON into main
+        # instead of parse + re-serialize: zero JSON parses however
+        # long the branch (manifests are immutable, and dropping the
+        # branch directory only decrements the link count). link() is
+        # the same CAS _publish uses; main's commit index extends from
+        # the BRANCH's index rows (O(1) sidecar read, rebuilt there if
+        # stale) so timestamp travel stays O(1) after the promote.
+        branch_vdir = self._vdir(tdir, name)
+        main_vdir = self._vdir(tdir)
+        branch_idx = {
+            r["version"]: r for r in self._commit_index(tdir, name)
+        }
         for v in self._versions(tdir, name):
             if v <= main_tip:
                 continue
-            doc = self._manifest_doc(tdir, v, name)
-            self._publish(
-                tdir, v, doc["files"], schema=doc.get("schema"),
-                phys=doc.get("physical"), deletes=doc.get("deletes"),
-                op=doc.get("op"), ts=doc.get("ts"),
-            )
+            try:
+                os.link(
+                    os.path.join(branch_vdir, f"{v:08d}.json"),
+                    os.path.join(main_vdir, f"{v:08d}.json"),
+                )
+            except FileExistsError as e:
+                raise CommitConflictError(
+                    f"main advanced to {v} during fast-forward of "
+                    f"{name!r}; cannot continue"
+                ) from e
+            with open(os.path.join(main_vdir, _COMMIT_IDX), "a") as f:
+                f.write(json.dumps(branch_idx[v]) + "\n")
         new_tip = self._versions(tdir)[-1]
         self.drop_branch(ns, table, name)
         return new_tip

@@ -6,6 +6,7 @@ files as live until the branch is dropped.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -182,25 +183,36 @@ def test_fast_forward_resumes_after_partial_replay(spark, wh, monkeypatch):
     wh.insert("ns", "t", _df(spark, [("b2", "d0", 2)]).coalesce(1), branch="audit")
     want = _state(wh, branch="audit")
 
-    orig = whmod.Warehouse._publish
+    orig_link = whmod.os.link
     calls = {"n": 0}
 
-    def crashing(self, tdir, version, files, **kw):
+    def crashing_link(src, dst):
+        # replay now hard-links branch manifests; crash on the second
         calls["n"] += 1
         if calls["n"] == 2:
             raise RuntimeError("simulated crash mid-replay")
-        return orig(self, tdir, version, files, **kw)
+        return orig_link(src, dst)
 
-    monkeypatch.setattr(whmod.Warehouse, "_publish", crashing)
+    monkeypatch.setattr(whmod.os, "link", crashing_link)
     with pytest.raises(RuntimeError, match="crash"):
         wh.fast_forward("ns", "t", "audit")
-    monkeypatch.setattr(whmod.Warehouse, "_publish", orig)
+    monkeypatch.setattr(whmod.os, "link", orig_link)
     # main has the first branch commit only; branch intact
     assert "b1" in _state(wh) and "b2" not in _state(wh)
     assert wh.list_branches("ns", "t") == ["audit"]
+    # torn harder: the crash may also land between link() and the index
+    # append, leaving main's _commits.idx one row short of the manifests
+    tdir = wh._table_dir("ns", "t")
+    idx_path = os.path.join(wh._vdir(tdir), "_commits.idx")
+    lines = open(idx_path).read().splitlines(keepends=True)
+    with open(idx_path, "w") as f:
+        f.writelines(lines[:-1])
     wh.fast_forward("ns", "t", "audit")
     assert _state(wh) == want
     assert wh.list_branches("ns", "t") == []
+    # index healed: gap-free and matching the manifest set
+    idx = wh._commit_index(tdir)
+    assert [r["version"] for r in idx] == wh._versions(tdir)
 
 
 def test_fast_forward_still_conflicts_on_real_divergence(spark, wh, monkeypatch):

@@ -1,0 +1,219 @@
+"""Cross-PROCESS durability of the commit protocol.
+
+The reference's versionToken CAS (scripts/update_metadata.py:135-141)
+is inherently cross-process: independent engine/Lambda workers race
+the same table with no shared interpreter state. The model-based
+concurrency tests elsewhere use threads in one process; these tests
+use real OS processes coordinated ONLY by the filesystem protocol
+(``_publish``'s link() CAS + the rebase retry loop), plus a
+kill-mid-publish crash leaving ``.tmp-`` debris, a torn half-written
+manifest draft, a stale ``_commits.idx``, and an orphaned data file --
+then verify index rebuild and ``remove_orphan_files`` recovery.
+
+No SparkSession anywhere: the commit protocol is metadata-only by
+design (manifest JSON + hard-link CAS), which is exactly the surface
+under test -- workers run ``Warehouse(None, root)``.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing
+import os
+import tempfile
+
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import (
+    CommitConflictError,
+    Warehouse,
+)
+
+S = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("v", LongType()),
+    ]
+)
+
+N_WORKERS = 4
+COMMITS_PER_WORKER = 25  # x4 = 100 contended commits
+
+
+def _entry(wid: int, i: int) -> dict:
+    return {
+        "path": f"data/w{wid}/f{i:04d}.parquet",
+        "records": 1,
+        "bytes": 10,
+        "partition": None,
+    }
+
+
+def _race_worker(root: str, wid: int, barrier, out_q) -> None:
+    """One OS process: commit COMMITS_PER_WORKER appends through the
+    link() CAS, retrying whole calls if the bounded rebase loop ever
+    gives up under the storm. Reports (wid, committed versions)."""
+    wh = Warehouse(None, root)
+    tdir = wh._table_dir("ns", "t")
+    meta = wh.table_meta("ns", "t")
+    barrier.wait()  # maximize contention: all workers start together
+    wins: list[int] = []
+    conflicts = 0
+    for i in range(COMMITS_PER_WORKER):
+        while True:
+            read_v = wh._versions(tdir)[-1]
+            try:
+                wins.append(
+                    wh._publish_append(
+                        tdir, read_v, [_entry(wid, i)], meta["schema"]
+                    )
+                )
+                break
+            except CommitConflictError:
+                conflicts += 1
+                if conflicts > 1000:  # livelock backstop, never expected
+                    out_q.put((wid, None))
+                    return
+    out_q.put((wid, wins))
+
+
+def test_cross_process_commit_race_no_corruption():
+    ctx = multiprocessing.get_context("spawn")
+    with tempfile.TemporaryDirectory() as root:
+        wh = Warehouse(None, root)
+        wh.create_namespace("ns")
+        wh.create_table("ns", "t", S, key="id")
+        tdir = wh._table_dir("ns", "t")
+        barrier = ctx.Barrier(N_WORKERS)
+        out_q = ctx.Queue()
+        procs = [
+            ctx.Process(
+                target=_race_worker, args=(root, wid, barrier, out_q)
+            )
+            for wid in range(N_WORKERS)
+        ]
+        for p in procs:
+            p.start()
+        results = {}
+        for _ in range(N_WORKERS):
+            wid, wins = out_q.get(timeout=240)
+            assert wins is not None, f"worker {wid} livelocked"
+            results[wid] = wins
+        for p in procs:
+            p.join(timeout=60)
+            assert p.exitcode == 0
+
+        # every commit landed: versions are the contiguous chain
+        # 1..100 (0 = create), each won by exactly one worker
+        all_wins = sorted(v for ws in results.values() for v in ws)
+        total = N_WORKERS * COMMITS_PER_WORKER
+        assert all_wins == list(range(1, total + 1))
+        assert wh._versions(tdir) == list(range(0, total + 1))
+
+        # no append was lost to a rebase: the tip manifest references
+        # every worker's every file exactly once
+        tip_paths = [e["path"] for e in wh._manifest(tdir, total)]
+        want = {
+            _entry(wid, i)["path"]
+            for wid in range(N_WORKERS)
+            for i in range(COMMITS_PER_WORKER)
+        }
+        assert len(tip_paths) == len(want)
+        assert set(tip_paths) == want
+
+        # every manifest in the chain parses and grows by exactly one
+        # file per commit (appends never drop or duplicate entries)
+        for v in range(0, total + 1):
+            doc = wh._manifest_doc(tdir, v)
+            assert doc["version"] == v
+            assert len(doc["files"]) == v
+
+        # the commit index sidecar agrees with the manifest chain
+        # (only CAS winners append to it, so it must be gap-free)
+        idx = wh._commit_index(tdir)
+        assert [r["version"] for r in idx] == list(range(0, total + 1))
+        assert [r["n_files"] for r in idx] == list(range(0, total + 1))
+
+        # publish leaves no .tmp- debris behind (unlinked in finally)
+        vdir = wh._vdir(tdir)
+        assert not [f for f in os.listdir(vdir) if f.startswith(".tmp-")]
+
+
+def _crash_worker(root: str, crash_after: int) -> None:
+    """Commit ``crash_after`` appends, then die by SIGKILL-equivalent
+    (os._exit) in the middle of the NEXT publish -- after staging the
+    manifest draft, before the link() CAS -- the exact window a crashed
+    writer leaves ``.tmp-`` debris in."""
+    wh = Warehouse(None, root)
+    tdir = wh._table_dir("ns", "t")
+    meta = wh.table_meta("ns", "t")
+    for i in range(crash_after):
+        read_v = wh._versions(tdir)[-1]
+        wh._publish_append(tdir, read_v, [_entry(9, i)], meta["schema"])
+    # replicate _publish's first half verbatim, then die before link()
+    vdir = wh._vdir(tdir)
+    tmp = os.path.join(vdir, ".tmp-crashed.json")
+    with open(tmp, "w") as f:
+        json.dump({"version": 99, "files": []}, f)
+    os._exit(1)
+
+
+def test_kill_mid_publish_recovery():
+    """A writer killed between manifest staging and the link() CAS must
+    leave the table fully readable; a stale/torn ``_commits.idx`` must
+    rebuild atomically from manifests; ``remove_orphan_files`` must
+    reap the crashed write's unreferenced data file."""
+    ctx = multiprocessing.get_context("spawn")
+    with tempfile.TemporaryDirectory() as root:
+        wh = Warehouse(None, root)
+        wh.create_namespace("ns")
+        wh.create_table("ns", "t", S, key="id")
+        tdir = wh._table_dir("ns", "t")
+        p = ctx.Process(target=_crash_worker, args=(root, 3))
+        p.start()
+        p.join(timeout=120)
+        assert p.exitcode == 1  # it really died mid-publish
+
+        vdir = wh._vdir(tdir)
+        assert ".tmp-crashed.json" in os.listdir(vdir)
+        # crashed draft is invisible: version listing and reads skip it
+        assert wh._versions(tdir) == [0, 1, 2, 3]
+        assert len(wh._manifest(tdir, 3)) == 3
+
+        # torn index: a writer died mid-append -> last line truncated,
+        # plus a stale row for a version that no longer exists
+        idx_path = os.path.join(vdir, "_commits.idx")
+        with open(idx_path) as f:
+            lines = f.read().splitlines()
+        torn = lines[:-1] + [json.dumps({"version": 42, "ts": 0.0}), '{"vers']
+        with open(idx_path, "w") as f:
+            f.write("\n".join(torn) + "\n")
+        # any index consumer triggers the atomic rebuild from manifests
+        idx = wh._commit_index(tdir)
+        assert [r["version"] for r in idx] == [0, 1, 2, 3]
+        assert [r["n_files"] for r in idx] == [0, 1, 2, 3]
+        with open(idx_path) as f:
+            again = [json.loads(ln) for ln in f if ln.strip()]
+        assert [r["version"] for r in again] == [0, 1, 2, 3]
+
+        # a crashed write's staged data file (referenced by NO
+        # manifest) is an orphan: reaped once past the age horizon,
+        # while every referenced path would survive (none exist on
+        # disk here -- entries are synthetic -- so removed == 1 proves
+        # the walk consulted the manifests, not the directory alone)
+        orphan = os.path.join(tdir, "data", "w9", "orphan.parquet")
+        os.makedirs(os.path.dirname(orphan), exist_ok=True)
+        with open(orphan, "wb") as f:
+            f.write(b"PAR1crashed")
+        r = wh.remove_orphan_files("ns", "t", older_than_seconds=0.0)
+        assert r["removed_files"] >= 1
+        assert not os.path.exists(orphan)
+
+        # the table still appends normally after recovery
+        meta = wh.table_meta("ns", "t")
+        v = wh._publish_append(
+            tdir, wh._versions(tdir)[-1], [_entry(8, 0)], meta["schema"]
+        )
+        assert v == 4
+        assert [r["version"] for r in wh._commit_index(tdir)] == [0, 1, 2, 3, 4]
