@@ -27,6 +27,41 @@ so a reference user can paste their statements unchanged:
 DML statements accept ``strategy="mor"`` to route through merge-on-read
 commits. Parsing is deliberately conservative: unsupported shapes raise
 with the statement fragment instead of guessing.
+
+## Accepted grammar (the explicit contract the fuzz suite exercises)
+
+The router is a statement CLASSIFIER, not a SQL parser: it splits a
+statement into shape-level fragments (table refs, WHERE text, SET list,
+MERGE clauses) and hands every expression fragment to Spark SQL, which
+does the real parsing. The split layer accepts exactly:
+
+- **identifiers**: ``\\w+`` (letters, digits, underscore). Namespace
+  and table in DML targets are ``ns.tbl`` two-part names. Quoted
+  (``"..."``/backtick) identifiers are NOT recognized by the split
+  layer (they pass through to Spark inside expression fragments only).
+- **string literals**: single-quoted, ANSI ``''`` doubling for an
+  embedded quote. Backslash-escaped quotes (``'a\\'b'``) are NOT part
+  of the accepted grammar -- the masker would close the literal at the
+  backslashed quote and the statement will raise or misparse; write
+  ``'a''b'``. Literal contents are otherwise arbitrary: keywords
+  (``WHERE``/``AND``/``THEN DELETE``), parens, commas, ``$files``,
+  ``ns.tbl`` lookalikes and placeholder lookalikes are all inert
+  inside a literal (shape regexes run over literal-MASKED text).
+- **NUL bytes** (``\\x00``) anywhere in a statement are rejected up
+  front: the masker's placeholders are NUL-delimited, so accepting
+  raw NULs would let crafted input collide with them.
+- **statement heads**: SELECT/WITH/EXPLAIN/SHOW/DESCRIBE/DESC/DELETE/
+  UPDATE/INSERT/MERGE/CREATE/DROP/ALTER/GRANT/REVOKE/CALL (each with
+  the shapes documented above); anything else raises ``ValueError``
+  with the offending fragment.
+- **table references** rewrite anywhere outside literals when they
+  name an existing warehouse table/view: ``ns.tbl``, ``ns.tbl$meta``
+  (snapshots/files/partitions/deletes/history/refs/changes),
+  ``ns.tbl FOR VERSION|TIMESTAMP AS OF <ref>``, and
+  ``table_changes('ns.tbl', v1[, v2])``. A declared alias that shadows
+  a namespace name wins for alias-qualified columns (``q.state`` in
+  ``FROM src q``) except directly after FROM/JOIN/USING or in a
+  comma-FROM list, which are always table positions.
 """
 
 from __future__ import annotations
@@ -478,6 +513,10 @@ class WarehouseSQL:
     def execute(self, stmt: str, strategy: str = "cow"):
         """Execute one statement. SELECTs return a DataFrame; DML
         returns the warehouse result (stats dict or version)."""
+        if "\x00" in stmt:
+            # the literal masker's placeholders are NUL-delimited;
+            # raw NULs in input could collide with them (grammar doc)
+            raise ValueError("NUL byte in SQL statement")
         s = stmt.strip().rstrip(";").strip()
         head = s.split(None, 1)[0].upper() if s else ""
         if head in ("SELECT", "WITH"):
