@@ -451,12 +451,15 @@ def encode_png(px, filters=(0, 1, 2)) -> bytes:
 
 def _synthesize_media_batches(batches: Iterator) -> Iterator:
     """Stage 1: REAL media synthesis -- a genuine image (rotating by
-    doc_id through zlib-compressed PNG, LZW-compressed TIFF, and raw
-    PPM P6, exercising three container decode paths end-to-end) and a
-    genuine 16-bit PCM WAV per doc, parameterized by doc_id so the
-    oracle can recompute the expected features analytically (pixel
-    content is identical across formats, so the oracle is
-    format-blind)."""
+    doc_id through zlib-compressed PNG, LZW-compressed TIFF, raw PPM
+    P6, and TTN2 JPEG-in-TIFF -- the scanned-document shape: per-strip
+    abbreviated JPEG streams + a shared JPEGTables tag -- exercising
+    four container decode paths end-to-end) and a genuine 16-bit PCM
+    WAV per doc, parameterized by doc_id so the oracle can recompute
+    the expected features analytically. The JPEG-TIFF rows use EVEN
+    pixel values and multiple-of-8 dims so the flat-quant DCT
+    roundtrip is exact (DC = 8*(val-128); /16 quantization is lossless
+    for even val), keeping the oracle a pure formula."""
     import io
     import wave
 
@@ -470,7 +473,11 @@ def _synthesize_media_batches(batches: Iterator) -> Iterator:
         for d in pdf["doc_id"]:
             d = int(d)
             w, h, val = d % 8 + 2, d % 6 + 2, d % 256
-            if d % 3 == 0:
+            if d % 4 == 3:
+                w, h, val = (d % 2 + 1) * 8, (d % 3 + 1) * 8, (d % 128) * 2
+                px = np.full((h, w, 3), val, dtype=np.uint8)
+                imgs.append(encode_tiff(px, compression="jpeg"))
+            elif d % 3 == 0:
                 px = np.full((h, w, 3), val, dtype=np.uint8)
                 imgs.append(encode_png(px))
             elif d % 3 == 1:
@@ -540,10 +547,13 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MULTIMODAL_REAL_DECODE_SQL = """
 SELECT doc_id,
-       CAST(doc_id % 8 + 2 AS INTEGER) AS width,
-       CAST(doc_id % 6 + 2 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN (doc_id % 2 + 1) * 8
+                 ELSE doc_id % 8 + 2 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN (doc_id % 3 + 1) * 8
+                 ELSE doc_id % 6 + 2 END AS INTEGER) AS height,
        3 AS channels,
-       CAST(doc_id % 256 AS DOUBLE) AS mean_pixel,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN (doc_id % 128) * 2
+                 ELSE doc_id % 256 END AS DOUBLE) AS mean_pixel,
        (doc_id % 64 + 8) * 1000 // 8000 AS wav_ms,
        CAST(doc_id % 1000 AS INTEGER) AS wav_peak
 FROM documents

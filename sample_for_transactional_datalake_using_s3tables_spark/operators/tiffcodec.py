@@ -31,11 +31,57 @@ _TAG_SPP = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
+_TAG_JPEG_TABLES = 347  # TTN2 shared DQT/DHT (abbreviated streams)
+_TAG_JPEG_IF = 513  # old-style (comp 6) full interchange stream
+_TAG_JPEG_IF_LEN = 514
 
 _COMP_NONE = 1
-_COMP_LZW = 5
+_COMP_OLDJPEG = 6  # deprecated TIFF 6.0 JPEG (decode-only here)
+_COMP_JPEG = 7  # TTN2 "new-style": JPEG streams per strip
 _COMP_DEFLATE = 8  # zlib streams per strip (Adobe deflate)
+_COMP_LZW = 5
 _COMP_PACKBITS = 32773
+
+
+# -- JPEG stream surgery (TIFF Technical Note 2) --
+#
+# TTN2 compression=7 allows the DQT/DHT table segments to live ONCE in
+# the JPEGTables tag while every strip carries an ABBREVIATED stream
+# (SOI + frame/scan, no tables); a reader splices tables + strip back
+# into one interchange stream. The splitter below is marker-level only
+# -- it never touches entropy-coded bytes.
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Full interchange stream -> (tables_stream, abbreviated_stream).
+    tables = SOI + every DQT segment + EOI; abbreviated = the stream
+    with its DQT segments removed (DHT stays per-strip: the encoder
+    derives canonical Huffman tables from each strip's own symbol
+    statistics, which TTN2 permits -- strip-local tables augment the
+    shared ones)."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables, body, pos = bytearray(), bytearray(b"\xff\xd8"), 2
+    while pos < len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data follows through EOI
+            body += stream[pos:]
+            break
+        (seg_len,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos: pos + 2 + seg_len]
+        (tables if marker == 0xDB else body).extend(seg)
+        pos += 2 + seg_len
+    return bytes(b"\xff\xd8" + tables + b"\xff\xd9"), bytes(body)
+
+
+def _join_jpeg_tables(tables: bytes, abbreviated: bytes) -> bytes:
+    """Inverse splice: insert the tables stream's segments (between its
+    SOI and EOI) right after the abbreviated stream's SOI."""
+    if not tables:
+        return abbreviated
+    return b"\xff\xd8" + tables[2:-2] + abbreviated[2:]
 
 
 # -- PackBits (TIFF RLE) --
@@ -204,14 +250,36 @@ def encode_tiff(
     px: np.ndarray, compression: str = "none", rows_per_strip: int = 8
 ) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 as little-endian
-    strip-based TIFF. ``compression``: 'none'|'packbits'|'lzw'|'deflate'."""
+    strip-based TIFF. ``compression``: 'none'|'packbits'|'lzw'|
+    'deflate'|'jpeg' (TTN2 new-style: per-strip abbreviated JPEG
+    streams, shared DQT in a JPEGTables tag; needs multiple-of-8 dims
+    and rows_per_strip, matching the from-scratch JPEG codec; color
+    encodes 4:4:4, and the pixel payload is DCT-quantized like any
+    JPEG -- the container roundtrip is exact vs the plain-JPEG path)."""
     gray = px.ndim == 2
     h, w = px.shape[:2]
     spp = 1 if gray else 3
     comp = {"none": _COMP_NONE, "packbits": _COMP_PACKBITS,
-            "lzw": _COMP_LZW, "deflate": _COMP_DEFLATE}[compression]
+            "lzw": _COMP_LZW, "deflate": _COMP_DEFLATE,
+            "jpeg": _COMP_JPEG}[compression]
+    jpeg_tables = b""
+    if comp == _COMP_JPEG and (
+        h % 8 or w % 8 or rows_per_strip % 8
+    ):
+        raise ValueError("TIFF-JPEG needs multiple-of-8 dims and strips")
     strips = []
     for r0 in range(0, h, rows_per_strip):
+        if comp == _COMP_JPEG:
+            from .jpegcodec import encode_jpeg_color, encode_jpeg_gray
+
+            band = px[r0:r0 + rows_per_strip]
+            full = (
+                encode_jpeg_gray(band) if gray
+                else encode_jpeg_color(band, subsample=False)
+            )
+            jpeg_tables, raw = _split_jpeg_tables(full)
+            strips.append(raw)
+            continue
         raw = px[r0:r0 + rows_per_strip].tobytes()
         if comp == _COMP_PACKBITS:
             raw = packbits_encode(raw)
@@ -223,15 +291,17 @@ def encode_tiff(
             raw = zlib.compress(raw)
         strips.append(raw)
 
-    n_tags = 10
-    # layout: header(8) IFD(2 + 12*n + 4) [bits values if rgb] strips
+    n_tags = 10 + (1 if jpeg_tables else 0)
+    # layout: header(8) IFD(2 + 12*n + 4) [bits values if rgb]
+    #         [jpeg tables] [strip arrays] strips
     ifd_off = 8
     after_ifd = ifd_off + 2 + 12 * n_tags + 4
     bits_off = after_ifd
     extra = b""
     if spp == 3:
         extra = struct.pack("<3H", 8, 8, 8)
-    data_off = after_ifd + len(extra)
+    tables_off = after_ifd + len(extra)
+    data_off = tables_off + len(jpeg_tables)
     offsets = []
     pos = data_off
     # strip offset/count arrays (if >1 strip they live in the data area)
@@ -279,10 +349,17 @@ def encode_tiff(
         ),
         tag(_TAG_PLANAR, 3, 1, inline_short(1)),
     ]
+    if jpeg_tables:
+        # IFD tags must stay sorted by tag number (TIFF 6.0); 347 sits
+        # after PLANAR(284)
+        tags.append(
+            tag(_TAG_JPEG_TABLES, 7, len(jpeg_tables),
+                inline_long(tables_off))
+        )
     out = b"II*\x00" + struct.pack("<I", ifd_off)
     out += struct.pack("<H", n_tags) + b"".join(tags)
     out += struct.pack("<I", 0)  # no next IFD
-    out += extra + arrays + b"".join(strips)
+    out += extra + jpeg_tables + arrays + b"".join(strips)
     return out
 
 
@@ -332,8 +409,56 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise NotImplementedError("planar TIFF")
     photometric = values(_TAG_PHOTOMETRIC)[0]
     rps = values(_TAG_ROWS_PER_STRIP, [h])[0]
+
+    def raw_bytes(t) -> bytes:
+        """UNDEFINED/BYTE tag payload (JPEGTables)."""
+        typ, count, val = tags[t]
+        if typ not in (1, 7):
+            raise ValueError(f"TIFF tag {t}: expected byte data")
+        if count <= 4:
+            return val[:count]
+        (off,) = struct.unpack_from(e + "I", val, 0)
+        return payload[off:off + count]
+
+    if comp == _COMP_OLDJPEG:
+        # deprecated TIFF 6.0 JPEG: JPEGInterchangeFormat points at ONE
+        # full-image interchange stream; strips are advisory
+        from .jpegcodec import decode_jpeg
+
+        if _TAG_JPEG_IF not in tags:
+            raise NotImplementedError(
+                "old-style TIFF-JPEG without JPEGInterchangeFormat"
+            )
+        (off,) = values(_TAG_JPEG_IF)
+        n = (
+            values(_TAG_JPEG_IF_LEN)[0]
+            if _TAG_JPEG_IF_LEN in tags
+            else len(payload) - off
+        )
+        return decode_jpeg(payload[off:off + n])
+
     offsets = values(_TAG_STRIP_OFFSETS)
     counts = values(_TAG_STRIP_COUNTS)
+
+    if comp == _COMP_JPEG:
+        # TTN2 new-style: each strip is a JPEG stream (abbreviated when
+        # a JPEGTables tag supplies the shared segments -- splice them
+        # back in); strips stack vertically
+        from .jpegcodec import decode_jpeg
+
+        tables = (
+            raw_bytes(_TAG_JPEG_TABLES)
+            if _TAG_JPEG_TABLES in tags
+            else b""
+        )
+        bands = [
+            decode_jpeg(
+                _join_jpeg_tables(tables, payload[off:off + cnt])
+            )
+            for off, cnt in zip(offsets, counts)
+        ]
+        return np.vstack(bands) if len(bands) > 1 else bands[0]
+
     raw = bytearray()
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         rows = min(rps, h - si * rps)

@@ -777,3 +777,114 @@ def test_tiff_big_endian_and_white_is_zero():
     )
     got = decode_tiff(payload)
     assert np.array_equal(got, 255 - px)  # photometric inversion
+
+
+def test_tiff_jpeg_new_style_matches_plain_jpeg_path():
+    """TTN2 compression=7: the container roundtrip is bit-exact vs the
+    plain-JPEG codec path (strips decode to exactly what the same band
+    through encode/decode_jpeg yields), the strips are genuinely
+    ABBREVIATED (no DQT -- the shared tables live in the JPEGTables
+    tag), and even-valued constant images survive exactly (the fixture
+    contract multimodal_real_decode's oracle formula relies on)."""
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.tiffcodec import (
+        _TAG_JPEG_TABLES,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(11)
+    g = np.kron(
+        rng.randint(0, 256, (3, 4), dtype=np.uint8), np.ones((8, 8), np.uint8)
+    )
+    t = encode_tiff(g, compression="jpeg")
+    ref = np.vstack(
+        [decode_jpeg(encode_jpeg_gray(g[r:r + 8])) for r in range(0, 24, 8)]
+    )
+    assert np.array_equal(decode_tiff(t), ref)
+    # the JPEGTables tag is present and the strip streams carry no DQT
+    assert struct.pack("<H", _TAG_JPEG_TABLES) in t
+    # find the first strip's SOS: exactly one DQT total (in the tables)
+    assert t.count(b"\xff\xdb") == 1
+
+    c = np.kron(
+        rng.randint(0, 256, (2, 3, 1), dtype=np.uint8),
+        np.ones((8, 8, 3), np.uint8),
+    )
+    tc = encode_tiff(c, compression="jpeg")
+    refc = np.vstack(
+        [
+            decode_jpeg(encode_jpeg_color(c[r:r + 8], subsample=False))
+            for r in range(0, 16, 8)
+        ]
+    )
+    assert np.array_equal(decode_tiff(tc), refc)
+
+    # even-value constants are EXACT (flat /16 quant, DC = 8*(val-128))
+    for val in (0, 2, 128, 254):
+        px = np.full((16, 8, 3), val, dtype=np.uint8)
+        assert np.array_equal(
+            decode_tiff(encode_tiff(px, compression="jpeg")), px
+        ), val
+    # decode_image routes TIFF magic to the JPEG-in-TIFF path too
+    px = np.full((8, 16, 3), 200, dtype=np.uint8)
+    assert np.array_equal(
+        decode_image(encode_tiff(px, compression="jpeg")), px
+    )
+
+
+def test_tiff_jpeg_old_style_interchange_format():
+    """Deprecated TIFF 6.0 JPEG (compression=6): the
+    JPEGInterchangeFormat/[Length] tags point at one full-image
+    interchange stream; decode must follow them (hand-built fixture --
+    our encoder never writes old-style)."""
+    import numpy as np
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.tiffcodec import (
+        decode_tiff,
+    )
+
+    rng = np.random.RandomState(3)
+    g = np.kron(
+        rng.randint(0, 256, (2, 5), dtype=np.uint8), np.ones((8, 8), np.uint8)
+    )
+    stream = encode_jpeg_gray(g)
+
+    def tag(t, typ, count, val):
+        return struct.pack("<HHI4s", t, typ, count, val)
+
+    def long_(v):
+        return struct.pack("<I", v)
+
+    def short(v):
+        return struct.pack("<HH", v, 0)
+
+    n = 9
+    data_off = 8 + 2 + 12 * n + 4
+    tags = (
+        tag(256, 4, 1, long_(40))
+        + tag(257, 4, 1, long_(16))
+        + tag(258, 3, 1, short(8))
+        + tag(259, 3, 1, short(6))       # old-style JPEG
+        + tag(262, 3, 1, short(1))
+        + tag(277, 3, 1, short(1))
+        + tag(278, 4, 1, long_(16))
+        + tag(513, 4, 1, long_(data_off))
+        + tag(514, 4, 1, long_(len(stream)))
+    )
+    payload = (
+        b"II*\x00" + struct.pack("<I", 8)
+        + struct.pack("<H", n) + tags + struct.pack("<I", 0)
+        + stream
+    )
+    assert np.array_equal(decode_tiff(payload), decode_jpeg(stream))
