@@ -921,6 +921,90 @@ GROUP BY w.doc_id
 """
 
 
+_SEG_WORDS = 10  # span width for segment-level dedup
+
+
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact deduplication (the C4 / "Deduplicating Training
+    Data Makes Language Models Better" shape, Lee et al. 2022): split
+    every document into fixed 10-word segments, keep only the FIRST
+    corpus-wide occurrence of each segment (ordered by doc_id, then
+    position), and rebuild each document from its surviving segments.
+    Catches copy-paste boilerplate that document-level minhash misses
+    because the surrounding text differs.
+
+    Scale shape: one map-side explode (no pairwise comparison), ONE
+    shuffle on the segment string for the keep-first window, one
+    shuffle on doc_id to reassemble -- linear in corpus size, the same
+    profile as the decontamination scan. At 100 TB the segment column
+    would be hashed (xxhash64) before the window to shrink shuffle
+    bytes; kept verbatim here so the rebuilt text certifies end-to-end.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = _SEG_WORDS
+    segs = docs.select(
+        "doc_id",
+        F.expr(
+            f"posexplode(transform("
+            f"  sequence(0, int(ceil(size(split(text, ' ')) / {w}.0)) - 1),"
+            f"  i -> concat_ws(' ', slice(split(text, ' '), i * {w} + 1, {w}))"
+            f"))"
+        ).alias("pos", "seg"),
+    )
+    from pyspark.sql import Window
+
+    first = F.row_number().over(
+        Window.partitionBy("seg").orderBy("doc_id", "pos")
+    )
+    ranked = segs.select("doc_id", "pos", "seg", first.alias("rn"))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("pos"), F.col("seg"))
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["seg"],
+                ),
+            ).alias("dedup_text"),
+        )
+        .select("doc_id", "n_segments", "n_kept", "dedup_text")
+    )
+
+
+def _segment_dedup_sql() -> str:
+    w = _SEG_WORDS
+    return f"""
+WITH segs AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         array_to_string(
+           string_split(text, ' ')[(i * {w} + 1):(i * {w} + {w})], ' '
+         ) AS seg
+  FROM documents,
+       UNNEST(range(CAST(ceil(len(string_split(text, ' ')) / {w}.0)
+                    AS BIGINT))) AS t(i)
+),
+ranked AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(
+         string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos), ''
+       ) AS dedup_text
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 def warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC web-corpus ingestion end-to-end (sources/warc.py -- the
     Common Crawl ``.warc.gz`` shape, THE bulk source of web-scale
@@ -1104,6 +1188,7 @@ QUERIES = {
     "text_chunk": chunk,
     "text_ngram_freq": ngram_freq,
     "text_decontamination": decontamination,
+    "text_segment_dedup": segment_dedup,
     "text_distinctive_terms": distinctive_terms,
     "text_repetition": repetition_stats,
     "text_pii_redaction": pii_redaction,
@@ -1123,6 +1208,7 @@ ORACLES = {
     "text_chunk": CHUNK_SQL,
     "text_ngram_freq": _ngram_freq_sql(),
     "text_decontamination": _decontamination_sql(),
+    "text_segment_dedup": _segment_dedup_sql(),
     "text_distinctive_terms": DISTINCTIVE_TERMS_SQL,
     "text_repetition": _repetition_stats_sql(),
     "text_pii_redaction": _pii_redaction_sql(),

@@ -15,6 +15,7 @@ from sample_for_transactional_datalake_using_s3tables_spark.operators import (
     pipeline,
     relational,
     sampling,
+    text,
 )
 
 SF_SMALL = "/root/testdata/sf0.001"
@@ -193,3 +194,47 @@ def test_stream_enrich_is_broadcast(spark):
     plan = _executed(streamwin.stream_static_enrich(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_segment_dedup_shuffle_budget(spark):
+    """Span-level dedup is linear: one explode (map-side generate), one
+    shuffle on the segment for the keep-first window, one on doc_id to
+    reassemble, plus the spread() repartition -- never a pairwise join
+    or cartesian."""
+    plan = _executed(text.segment_dedup(spark, SF_SMALL))
+    final_section = plan.split("Initial Plan")[0]
+    n_exchanges = sum(
+        1
+        for l in final_section.splitlines()
+        if "Exchange" in l and "Reused" not in l
+    )
+    assert n_exchanges <= 3, f"segment dedup grew to {n_exchanges} exchanges"
+    assert "Generate posexplode" in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_segment_dedup_keeps_first_occurrence(spark):
+    """Hand corpus: a span shared by two docs (and repeated within one)
+    survives only at its first (doc_id, pos) occurrence."""
+    import os
+    import tempfile
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one full 10-word span
+    u1 = " ".join(f"x{i}" for i in range(10))
+    u2 = " ".join(f"y{i}" for i in range(10))
+    rows = [
+        (0, f"{boiler} {u1}", "en", "s", 0),
+        (1, f"{u2} {boiler}", "en", "s", 0),  # dup span at pos 1
+        (2, boiler, "en", "s", 0),            # doc entirely boilerplate
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_segments, r.n_kept, r.dedup_text)
+            for r in text.segment_dedup(spark, d).collect()
+        }
+    assert got[0] == (2, 2, f"{boiler} {u1}")
+    assert got[1] == (2, 1, u2)
+    assert got[2] == (1, 0, "")
