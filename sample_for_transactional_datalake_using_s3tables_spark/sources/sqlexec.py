@@ -19,10 +19,12 @@ so a reference user can paste their statements unchanged:
   pushdown split.
 - ``MERGE INTO ns.tbl [AS] t USING <src> [AS] s ON t.key = s.key
   [WHEN MATCHED AND s.flag THEN DELETE]
-  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` --
+  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  [WHEN NOT MATCHED BY SOURCE THEN DELETE]`` --
   the Iceberg upsert statement shape (reference Firehose ``unique_keys``
-  semantics); ``<src>`` is a view name, a warehouse table, or a
-  parenthesized subquery.
+  semantics) plus the Delta / Spark 4 full-snapshot sync clause;
+  ``<src>`` is a view name, a warehouse table, or a parenthesized
+  subquery.
 
 DML statements accept ``strategy="mor"`` to route through merge-on-read
 commits. Parsing is deliberately conservative: unsupported shapes raise
@@ -102,7 +104,9 @@ _WHEN_DELETE_RE = re.compile(
 )
 _WHEN_CANON_RE = re.compile(
     r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*"
+    r"(?P<sync>\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE)?"
+    r"\s*$",
     re.IGNORECASE,
 )
 
@@ -1016,14 +1020,17 @@ class WarehouseSQL:
                 )
             delete_col = dm.group(2)
             when = (when[: dm.start()] + when[dm.end():]).strip()
-        if not _WHEN_CANON_RE.match(when):
+        cm = _WHEN_CANON_RE.match(when)
+        if not cm:
             raise ValueError(
                 "supported WHEN clauses: [WHEN MATCHED AND s.flag THEN "
                 "DELETE] WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED "
-                f"THEN INSERT * (got {m.group('when')!r})"
+                "THEN INSERT * [WHEN NOT MATCHED BY SOURCE THEN DELETE] "
+                f"(got {m.group('when')!r})"
             )
         self._require("ALL", ns, tbl)
         source = self._source_df(_unmask(m.group("src"), lits))
         return self.wh.merge_upsert(
-            ns, tbl, source, delete_col=delete_col, strategy=strategy
+            ns, tbl, source, delete_col=delete_col, strategy=strategy,
+            sync_deletes=bool(cm.group("sync")),
         )

@@ -2441,6 +2441,7 @@ class Warehouse:
         delete_col: str | None = None,
         strategy: str = "cow",
         branch: str | None = None,
+        sync_deletes: bool = False,
     ) -> int:
         """MERGE INTO on the table key (reference Firehose
         ``unique_keys=[transaction_id]``, stack/firehose.py:99,159):
@@ -2449,6 +2450,20 @@ class Warehouse:
         ``order_col`` breaks within-batch duplicates (latest wins --
         a Firehose micro-batch can hold INSERT then MODIFY of one key);
         ``delete_col`` (boolean) marks source rows as deletes.
+
+        ``sync_deletes`` adds ``WHEN NOT MATCHED BY SOURCE THEN
+        DELETE`` (the Delta / Spark 4 MERGE clause): target rows whose
+        key is absent from the source are deleted -- the full-snapshot
+        dimension-sync shape. With UPDATE SET * / INSERT * the result
+        table is then exactly the deduped source, so the CoW path
+        publishes ONE overwrite commit (no per-file probe) that
+        CONFLICTS with any concurrent commit (a by-source delete's
+        correctness depends on the exact read snapshot; serializable,
+        like Delta's blind-overwrite conflict rule). The MoR path stays
+        rewrite-free: one column-pruned scan of the key column computes
+        the stale-key set, which joins the batch keys in the commit's
+        equality-delete file -- O(table keys) shuffle, zero data-file
+        rewrites, the shape you want for a 100 TB dimension sync.
 
         ``strategy="cow"`` (default): file-level copy-on-write -- only
         files actually holding a matched key are rewritten.
@@ -2503,11 +2518,42 @@ class Warehouse:
             # equality delete
             if deletes is not None:
                 source = source.join(deletes, key, "left_anti")
+            if sync_deletes:
+                # WHEN NOT MATCHED BY SOURCE THEN DELETE, rewrite-free:
+                # one column-pruned scan of the key column finds target
+                # keys absent from the batch; they ride the commit's
+                # equality-delete file alongside the batch keys
+                target_keys = self._read_entries(
+                    tdir, entries, schema, phys_map, doc.get("deletes"), key
+                ).select(key)
+                stale = target_keys.join(
+                    match_keys, key, "left_anti"
+                ).distinct()
+                match_keys = match_keys.union(stale)
             return self._merge_upsert_mor(
                 tdir, meta, source, match_keys, version, branch=branch
             )
         if strategy != "cow":
             raise ValueError(f"unknown MERGE strategy {strategy!r}")
+        if sync_deletes:
+            # UPDATE SET * + INSERT * + by-source DELETE makes the
+            # result table exactly the deduped source: publish ONE
+            # overwrite commit via the raw CAS -- no retry/rebase, so
+            # ANY concurrent commit raises CommitConflictError
+            # (serializable: a by-source delete is only correct against
+            # the exact snapshot it read)
+            new_files = self._write_table_files(tdir, source, meta)
+            self.last_merge_stats.update(
+                mode="cow-sync", probed_files=0,
+                rewritten_files=len(entries),
+            )
+            self._publish(
+                tdir, version + 1,
+                [dict(e, seq=version + 1) for e in new_files],
+                schema=meta["schema"], phys=meta.get("physical"),
+                deletes=None, branch=branch, op="merge",
+            )
+            return version + 1
 
         # Small-batch fast path (the CDC steady state: a micro-batch of
         # a few thousand keys against a huge table): ONE bounded collect

@@ -49,9 +49,8 @@ def test_llmdata_oracle(spark, sf_dir, con, mod_name, name):
     compare(m.QUERIES[name](spark, sf_dir), con, m.ORACLES[name], name)
 
 
-@pytest.mark.parametrize("mod_name,name", ROWS_ONLY)
-def test_llmdata_rows_only(spark, sf_dir, mod_name, name):
-    """No SQL oracle: check the query runs and has a stable, nonempty shape."""
-    df = MODULES[mod_name].QUERIES[name](spark, sf_dir)
-    assert len(df.columns) > 0
-    assert df.count() >= 0
+def test_llmdata_every_query_is_oracle_certified():
+    """Since round 7 every llm-data query carries a DuckDB oracle
+    (text_bpe_train_encode was the last rows-only holdout); a new query
+    landing without one should trip this, not silently weaken the gate."""
+    assert ROWS_ONLY == []

@@ -796,3 +796,35 @@ def test_dml_subquery_self_reference_and_mor(sql, spark):
     assert {x.id for x in sql.execute("SELECT id FROM ns.t").collect()} == {
         f"k{i}" for i in range(10)
     } - {"k2", "k4"}
+
+
+def test_merge_not_matched_by_source_delete(sql, spark):
+    """The Delta / Spark 4 full-snapshot sync clause: target rows whose
+    key is absent from the source are deleted; result == deduped
+    source. Works with the delete-flag clause in the same statement."""
+    spark.createDataFrame(
+        [("k1", "d1", 1000, False), ("kNEW", "d0", 7, False),
+         ("k2", "d0", 0, True)],
+        "id string, day string, v long, _del boolean",
+    ).createOrReplaceTempView("snap")
+    sql.execute(
+        "MERGE INTO ns.t AS t USING snap AS s ON t.id = s.id "
+        "WHEN MATCHED AND s._del THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    s = {r[0]: r[2] for r in _state(sql)}
+    assert s == {"k1": 1000, "kNEW": 7}
+    # mor keeps the sync rewrite-free
+    spark.createDataFrame(
+        [("k1", "d1", 1)], "id string, day string, v long"
+    ).createOrReplaceTempView("snap2")
+    sql.execute(
+        "MERGE INTO ns.t AS t USING snap2 AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        strategy="mor",
+    )
+    assert sql.wh.last_merge_stats["rewritten_files"] == 0
+    assert {r[0]: r[2] for r in _state(sql)} == {"k1": 1}

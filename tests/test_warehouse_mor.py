@@ -525,3 +525,98 @@ def test_update_where_mor_changelog_preimages(spark, tmp_path):
         for x in wh.changelog("ns", "t", v - 1, v).collect()
     }
     assert got == {("a", 1, "delete"), ("a", 11, "insert")}
+
+
+# ---------------------------------------------------------------------------
+# WHEN NOT MATCHED BY SOURCE THEN DELETE (full-snapshot sync)
+# ---------------------------------------------------------------------------
+
+
+def test_sync_deletes_mor_is_rewrite_free(spark, wh):
+    """MoR by-source delete: batch rows survive, every other target row
+    dies via the commit's equality-delete file -- ZERO data files
+    rewritten, and history stays time-travelable."""
+    _base(spark, wh, n=20)
+    src = _df(spark, [("k3", "d1", 300), ("new1", "d0", 900)])
+    wh.merge_upsert("ns", "t", src, strategy="mor", sync_deletes=True)
+    assert wh.last_merge_stats["rewritten_files"] == 0
+    assert wh.last_merge_stats["delete_files"] >= 1
+    assert _state(wh) == {
+        "k3": ("k3", "d1", 300), "new1": ("new1", "d0", 900)
+    }
+    # the pre-sync snapshot is intact
+    assert len(wh.read("ns", "t", version=1).collect()) == 20
+
+
+def test_sync_deletes_cow_is_single_overwrite(spark, wh):
+    """CoW by-source delete: UPDATE SET * / INSERT * / by-source DELETE
+    makes the result exactly the deduped source -- one overwrite commit,
+    no per-file probe."""
+    _base(spark, wh, n=20)
+    src = _df(spark, [("k3", "d1", 300), ("new1", "d0", 900)])
+    v = wh.merge_upsert("ns", "t", src, strategy="cow", sync_deletes=True)
+    assert wh.last_merge_stats["mode"] == "cow-sync"
+    assert _state(wh) == {
+        "k3": ("k3", "d1", 300), "new1": ("new1", "d0", 900)
+    }
+    assert wh.table_meta("ns", "t")  # schema survived the overwrite
+    assert len(wh.read("ns", "t", version=v - 1).collect()) == 20
+
+
+def test_sync_deletes_cow_conflicts_with_concurrent_commit(
+    spark, wh, monkeypatch
+):
+    """A by-source delete is only correct against the exact snapshot it
+    read: a concurrent commit landing mid-merge must raise, never be
+    silently clobbered by the overwrite (serializable, the Delta
+    blind-overwrite conflict rule)."""
+    _base(spark, wh, n=6)
+    src = _df(spark, [("k1", "d1", 100)])
+
+    orig = whmod.Warehouse._write_table_files
+    fired = {"done": False}
+
+    def racing(self, tdir, df, meta, **kw):
+        files = orig(self, tdir, df, meta, **kw)
+        if not fired["done"]:  # the racing insert writes files too
+            fired["done"] = True
+            # another writer commits between our snapshot read and publish
+            wh.insert(
+                "ns", "t", _df(spark, [("late", "d0", 7)]).coalesce(1)
+            )
+        return files
+
+    monkeypatch.setattr(whmod.Warehouse, "_write_table_files", racing)
+    with pytest.raises(CommitConflictError):
+        wh.merge_upsert("ns", "t", src, strategy="cow", sync_deletes=True)
+    monkeypatch.undo()
+    # the concurrent insert survived; the failed sync changed nothing
+    assert "late" in _state(wh) and "k5" in _state(wh)
+
+
+def test_sync_deletes_empty_source_truncates(spark, wh):
+    """Degenerate full sync: an empty source deletes every row (mor
+    keeps it rewrite-free via the stale-key delete file)."""
+    _base(spark, wh, n=4)
+    empty = _df(spark, []).limit(0)
+    wh.merge_upsert("ns", "t", empty, strategy="mor", sync_deletes=True)
+    assert _state(wh) == {}
+    assert wh.last_merge_stats["rewritten_files"] == 0
+
+
+def test_sync_deletes_respects_delete_col(spark, wh):
+    """delete_col-marked source rows die AND by-source stale rows die;
+    surviving rows are exactly the unmarked source rows."""
+    flagged = StructType(
+        [*SCHEMA.fields, __import__("pyspark").sql.types.StructField(
+            "is_del", __import__("pyspark").sql.types.BooleanType())]
+    )
+    _base(spark, wh, n=5)
+    src = spark.createDataFrame(
+        [("k1", "d1", 100, False), ("k2", "d0", 200, True)], flagged
+    )
+    wh.merge_upsert(
+        "ns", "t", src, delete_col="is_del", strategy="mor",
+        sync_deletes=True,
+    )
+    assert _state(wh) == {"k1": ("k1", "d1", 100)}
