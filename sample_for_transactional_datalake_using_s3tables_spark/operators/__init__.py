@@ -113,6 +113,12 @@ _MODULES = (
 # officially certified). Joins keep join_salted_skew in-window (inner
 # + agg + skew salting); join_left stays oracle-checked in the full
 # registry and in bench.py's 20-query series.
+# Round-7 second swap: text_quality_score -> text_segment_dedup (the
+# round's NEW operator -- C4/Lee-et-al span-level exact dedup, the
+# curation shape doc-level minhash misses). The text family keeps
+# token_stats + lang_id + pii_redaction in-window; quality_score stays
+# oracle-checked in the full registry and inside curation_pipeline's
+# certified composition (which applies the same grade thresholds).
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
@@ -134,7 +140,7 @@ _PRIORITY = (
     "similarity_topk_lsh",
     # text analysis + curation
     "text_token_stats",
-    "text_quality_score",
+    "text_segment_dedup",
     "text_lang_id",
     "text_pii_redaction",
     "sample_stratified",

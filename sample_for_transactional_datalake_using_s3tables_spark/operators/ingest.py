@@ -1430,7 +1430,9 @@ def warehouse_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     DELETE (simple predicate -> manifest-pruned path), MERGE INTO with
     a delete flag, DELETE with an IN (SELECT ...) subquery predicate
     (Catalyst plans it as a semi-join against the probe scan, no
-    collected key list), then SELECT the final snapshot -- every statement
+    collected key list), a full-snapshot sync MERGE with WHEN NOT
+    MATCHED BY SOURCE THEN DELETE (the Delta / Spark 4 clause, from a
+    self-referential subquery source), then SELECT the final snapshot -- every statement
     parsed from text by sources/sqlexec.py and routed through the
     transactional warehouse. The oracle recomputes the same composition
     analytically, so a hash match certifies parser + routing + the
@@ -1468,6 +1470,19 @@ def warehouse_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DELETE FROM q.state WHERE event_id IN "
             "(SELECT event_id FROM src_events WHERE event_id % 7 = 0)"
         )
+        # full-snapshot sync (WHEN NOT MATCHED BY SOURCE THEN DELETE,
+        # the Delta / Spark 4 clause): a self-referential source keeps
+        # every prior transformation visible in the hash while the sync
+        # drops the %11 stragglers
+        sql.execute(
+            "MERGE INTO q.state AS t USING "
+            "(SELECT event_id, event_type, value FROM q.state "
+            " WHERE event_id % 11 != 0) AS s "
+            "ON t.event_id = s.event_id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
         final = sql.execute(
             "SELECT event_id, event_type, value AS value_final FROM q.state"
         )
@@ -1489,6 +1504,7 @@ FROM base
 WHERE NOT (event_id % 5 = 0 AND event_id % 4 = 0)
   AND (event_id % 5 = 0 OR event_id < 7000)
   AND event_id % 7 != 0
+  AND event_id % 11 != 0
 """
 
 
