@@ -782,6 +782,80 @@ GROUP BY c.event_type, c.n_big, c.big_value
 """
 
 
+def warehouse_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized views end-to-end (the Iceberg 1.4+ MV spec / Trino
+    analog: versioned definition + hidden storage table + per-source
+    snapshot watermarks): CREATE MATERIALIZED VIEW over an aggregate of
+    the events table, REFRESH, mutate the source, prove the MV serves
+    the STALE storage snapshot (the point of materializing), REFRESH
+    again, prove it caught up -- both reads and the freshness-flag
+    transitions (fresh -> stale with the source named -> fresh) folded
+    into one certified result. The oracle recomputes the pre- and
+    post-mutation aggregates analytically."""
+    from ..sources.sqlexec import WarehouseSQL
+
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_mv_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id",
+            partition_by="event_type",
+        )
+        wh.insert("q", "state", events)
+        sql = WarehouseSQL(wh)
+        sql.execute(
+            "CREATE MATERIALIZED VIEW q.by_type AS "
+            "SELECT event_type, COUNT(*) AS n, "
+            "CAST(SUM(value) AS DECIMAL(18,2)) AS total "
+            "FROM q.state GROUP BY event_type"
+        )
+        st1 = sql.execute("REFRESH MATERIALIZED VIEW q.by_type")
+        sql.execute("DELETE FROM q.state WHERE event_id % 3 = 0")
+        st2 = wh.mv_status("q", "by_type")
+        # serves the storage snapshot pinned at plan time: PRE-delete
+        stale = sql.execute("SELECT * FROM q.by_type")
+        sql.execute("REFRESH MATERIALIZED VIEW q.by_type")
+        st3 = wh.mv_status("q", "by_type")
+        fresh = sql.execute("SELECT * FROM q.by_type")
+        flags_ok = (
+            st1["fresh"]
+            and not st2["fresh"]
+            and st2["stale_sources"] == ["q.state"]
+            and st3["fresh"]
+        )
+        out = stale.select(
+            F.lit("stale").alias("stage"), "event_type", "n", "total",
+            F.lit(flags_ok).alias("flags_ok"),
+        ).unionByName(
+            fresh.select(
+                F.lit("fresh").alias("stage"), "event_type", "n", "total",
+                F.lit(flags_ok).alias("flags_ok"),
+            )
+        )
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_MATVIEW_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value
+  FROM events
+)
+SELECT 'stale' AS stage, event_type, COUNT(*) AS n,
+       CAST(SUM(value) AS DECIMAL(18,2)) AS total, TRUE AS flags_ok
+FROM base GROUP BY event_type
+UNION ALL
+SELECT 'fresh' AS stage, event_type, COUNT(*) AS n,
+       CAST(SUM(value) AS DECIMAL(18,2)) AS total, TRUE AS flags_ok
+FROM base WHERE event_id % 3 != 0 GROUP BY event_type
+"""
+
+
+
 def warehouse_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The medallion bronze -> silver streaming hop certified end to
     end (Structured Streaming over the table-appends source,
@@ -1590,6 +1664,7 @@ QUERIES = {
     "warehouse_zorder": warehouse_zorder,
     "warehouse_table_stream": warehouse_table_stream,
     "warehouse_views": warehouse_views,
+    "warehouse_matview": warehouse_matview,
     "warehouse_catalog_ddl": warehouse_catalog_ddl,
 }
 
@@ -1617,5 +1692,6 @@ ORACLES = {
     "warehouse_zorder": WAREHOUSE_ZORDER_SQL,
     "warehouse_table_stream": WAREHOUSE_TABLE_STREAM_SQL,
     "warehouse_views": WAREHOUSE_VIEWS_SQL,
+    "warehouse_matview": WAREHOUSE_MATVIEW_SQL,
     "warehouse_catalog_ddl": WAREHOUSE_CATALOG_DDL_SQL,
 }

@@ -53,9 +53,9 @@ does the real parsing. The split layer accepts exactly:
   front: the masker's placeholders are NUL-delimited, so accepting
   raw NULs would let crafted input collide with them.
 - **statement heads**: SELECT/WITH/EXPLAIN/SHOW/DESCRIBE/DESC/DELETE/
-  UPDATE/INSERT/MERGE/CREATE/DROP/ALTER/GRANT/REVOKE/CALL (each with
-  the shapes documented above); anything else raises ``ValueError``
-  with the offending fragment.
+  UPDATE/INSERT/MERGE/CREATE/DROP/ALTER/GRANT/REVOKE/CALL/REFRESH
+  (each with the shapes documented above); anything else raises
+  ``ValueError`` with the offending fragment.
 - **table references** rewrite anywhere outside literals when they
   name an existing warehouse table/view: ``ns.tbl``, ``ns.tbl$meta``
   (snapshots/files/partitions/deletes/history/refs/changes),
@@ -213,6 +213,10 @@ class WarehouseSQL:
         self.wh = wh
         self.spark = wh.spark
         self.principal = principal
+        # while a REFRESH MATERIALIZED VIEW rewrite runs, every resolved
+        # source table records {"ns.tbl": version} here -- the snapshot
+        # watermarks freshness is judged against
+        self._mv_refs: dict[str, int] | None = None
 
     def _read(self, ns: str, tbl: str):
         if self.principal is None:
@@ -372,9 +376,10 @@ class WarehouseSQL:
         } - self._SQL_KEYWORDS
 
         views = None  # lazy: {(ns, view)} alongside the table set
+        mvs = None  # lazy: {(ns, mv)} materialized views
 
         def _sub(m) -> str:
-            nonlocal tables, views
+            nonlocal tables, views, mvs
             ns, tbl, meta_kind, tt_kind, tt_ref = m.groups()
             if tables is None:
                 tables = {
@@ -387,6 +392,11 @@ class WarehouseSQL:
                     for n in self.wh.list_namespaces()
                     for v in self.wh.list_views(n)
                 }
+                mvs = {
+                    (n, v)
+                    for n in self.wh.list_namespaces()
+                    for v in self.wh.list_materialized_views(n)
+                }
             is_table = (ns, tbl) in tables
             # views take plain refs only (no $meta / time-travel tails)
             is_view = (
@@ -395,7 +405,14 @@ class WarehouseSQL:
                 and not tt_ref
                 and (ns, tbl) in views
             )
-            if not is_table and not is_view:
+            is_mv = (
+                not is_table
+                and not is_view
+                and not meta_kind
+                and not tt_ref
+                and (ns, tbl) in mvs
+            )
+            if not is_table and not is_view and not is_mv:
                 return m.group(0)
             if (
                 ns.lower() in aliases
@@ -418,6 +435,33 @@ class WarehouseSQL:
                 # tables through THIS session's principal
                 self.spark.sql(
                     self._rewrite_tables(vsql, _depth + 1)
+                ).createOrReplaceTempView(view)
+                return view
+            if is_mv:
+                # serve the STORAGE snapshot (possibly STALE -- the
+                # point of materializing); a never-refreshed MV expands
+                # inline like a plain view (always correct, never fast)
+                storage = Warehouse.mv_storage_table(tbl)
+                if (
+                    self.wh.mv_doc(ns, tbl).get("watermarks") is not None
+                    and storage in self.wh.list_tables(ns)
+                ):
+                    view = f"__wh_mv_{ns}__{tbl}"
+                    if self._mv_refs is not None:
+                        self._mv_refs[f"{ns}.{storage}"] = (
+                            self.wh.current_version(ns, storage)
+                        )
+                    self._read(ns, storage).createOrReplaceTempView(view)
+                    return view
+                if _depth >= 8:
+                    raise ValueError(
+                        f"view expansion exceeds depth 8 at {ns}.{tbl}"
+                    )
+                view = f"__wh_mv_{ns}__{tbl}"
+                self.spark.sql(
+                    self._rewrite_tables(
+                        self.wh.mv_definition(ns, tbl), _depth + 1
+                    )
                 ).createOrReplaceTempView(view)
                 return view
             if meta_kind:
@@ -455,9 +499,15 @@ class WarehouseSQL:
                     if self.principal is not None
                     else self.wh.read(ns, tbl, version=version)
                 )
+                # NOT recorded as an MV watermark: a pinned snapshot
+                # (FOR VERSION/TIMESTAMP AS OF) can never go stale
                 df.createOrReplaceTempView(view)
                 return view
             view = f"__wh_{ns}__{tbl}"
+            if self._mv_refs is not None:
+                self._mv_refs[f"{ns}.{tbl}"] = self.wh.current_version(
+                    ns, tbl
+                )
             self._read(ns, tbl).createOrReplaceTempView(view)
             return view
 
@@ -476,6 +526,38 @@ class WarehouseSQL:
         for i, lit in enumerate(literals):
             out = out.replace(f"\x00LIT{i}\x00", lit)
         return out
+
+    def _refresh_mv(self, ns: str, name: str) -> dict:
+        """Full recompute of a materialized view: run the definition
+        with DEFINER rights (like Trino, the refresh writes data the
+        owner computed; readers then need SELECT on the STORAGE table,
+        not the sources), overwrite the storage table, and stamp the
+        source snapshot versions the rewrite resolved as the freshness
+        watermarks. Incremental refresh from the sources' changelogs is
+        a documented seam -- the full recompute is always correct."""
+        if self.principal is not None:
+            raise PermissionError(
+                "REFRESH MATERIALIZED VIEW runs with definer rights; "
+                "use an ungoverned session"
+            )
+        sql_text = self.wh.mv_definition(ns, name)
+        self._mv_refs = {}
+        try:
+            df = self.spark.sql(self._rewrite_tables(sql_text))
+            refs = self._mv_refs
+        finally:
+            self._mv_refs = None
+        storage = Warehouse.mv_storage_table(name)
+        if storage in self.wh.list_tables(ns):
+            if self.wh.schema(ns, storage).jsonValue() != df.schema.jsonValue():
+                # OR REPLACE changed the output shape: rebuild storage
+                self.wh.drop_table(ns, storage)
+                self.wh.create_table(ns, storage, df.schema)
+        else:
+            self.wh.create_table(ns, storage, df.schema)
+        self.wh.insert(ns, storage, df, overwrite=True)
+        self.wh.mv_record_refresh(ns, name, refs)
+        return self.wh.mv_status(ns, name)
 
     def _source_df(self, src: str) -> DataFrame:
         src = src.strip()
@@ -531,6 +613,14 @@ class WarehouseSQL:
             return self.spark.sql(self._rewrite_tables(s))
         if head == "SHOW":
             return self._show(s)
+        if head == "REFRESH":
+            m = re.match(
+                r"^REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\.(\w+)$",
+                s, re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported REFRESH shape: {s[:120]!r}")
+            return self._refresh_mv(m.group(1), m.group(2))
         if head == "DESCRIBE" or head == "DESC":
             m = re.match(
                 r"^DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\.(\w+)$",
@@ -622,6 +712,15 @@ class WarehouseSQL:
             )
             if m:
                 return self.wh.drop_table(
+                    m.group(2), m.group(3), if_exists=bool(m.group(1))
+                )
+            m = re.match(
+                r"^DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?"
+                r"(\w+)\.(\w+)$",
+                s, re.IGNORECASE,
+            )
+            if m:
+                return self.wh.drop_materialized_view(
                     m.group(2), m.group(3), if_exists=bool(m.group(1))
                 )
             m = re.match(
@@ -917,6 +1016,20 @@ class WarehouseSQL:
         )
         if m:
             return self.wh.create_namespace(m.group(1))
+        # CREATE [OR REPLACE] MATERIALIZED VIEW (the Iceberg 1.4+ MV
+        # spec / Trino analog): definition + lazy storage table;
+        # REFRESH materializes and stamps source-snapshot watermarks
+        m = re.match(
+            r"^CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
+            r"(\w+)\.(\w+)\s+AS\s+((?:SELECT|WITH)\b.*)$",
+            s, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            replace, ns, name, sel = m.groups()
+            self.spark.sql(self._rewrite_tables(sel)).schema  # validate
+            return self.wh.create_materialized_view(
+                ns, name, sel, replace=bool(replace)
+            )
         # CREATE [OR REPLACE] VIEW (Iceberg View analog: a VERSIONED
         # SQL definition in the catalog, expanded at query time with
         # INVOKER rights -- the reading principal's grants apply to

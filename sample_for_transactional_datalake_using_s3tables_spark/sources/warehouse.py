@@ -490,6 +490,8 @@ class Warehouse:
             raise FileExistsError(f"{ns}.{table}")
         if os.path.exists(self._view_path(ns, table)):
             raise ValueError(f"{ns}.{table} is a view, not a table")
+        if os.path.exists(self._mv_path(ns, table)):
+            raise ValueError(f"{ns}.{table} is a materialized view")
         # fail fast on a bad partition spec (unknown source column or
         # malformed transform) before any metadata lands on disk
         self._partition_expr(partition_by, schema)
@@ -548,6 +550,8 @@ class Warehouse:
 
         if name in self.list_tables(ns):
             raise ValueError(f"{ns}.{name} is a table, not a view")
+        if os.path.exists(self._mv_path(ns, name)):
+            raise ValueError(f"{ns}.{name} is a materialized view")
         path = self._view_path(ns, name)
         exists = os.path.exists(path)
         if exists and not replace:
@@ -591,6 +595,129 @@ class Warehouse:
             doc = json.load(f)
         v = doc["current"] if version is None else version
         return doc["versions"][v]["sql"]
+
+    # -- materialized views (the Iceberg 1.4+ Materialized View spec /
+    # Trino analog: a VERSIONED SQL definition plus a hidden STORAGE
+    # table and per-source snapshot watermarks recorded at refresh
+    # time. Reads serve the storage snapshot -- possibly STALE, which
+    # is the point of materializing -- until the next REFRESH; a
+    # never-refreshed MV falls back to inline expansion. Unlike plain
+    # views (invoker rights), the materialized data is a
+    # DEFINER-rights snapshot: under governance a principal needs
+    # SELECT on the storage table, not the sources) --
+
+    def _mv_path(self, ns: str, name: str) -> str:
+        return os.path.join(
+            self.root, self._resolve_ns(ns), f"{name}.mv.json"
+        )
+
+    @staticmethod
+    def mv_storage_table(name: str) -> str:
+        return f"__mv_{name}"
+
+    def create_materialized_view(
+        self, ns: str, name: str, sql: str, replace: bool = False
+    ) -> int:
+        """Persist a materialized-view definition. The storage table is
+        created lazily at first REFRESH (its schema is the query's);
+        CREATE OR REPLACE appends a definition version and invalidates
+        the watermarks so the next read re-materializes or expands."""
+        import time as _time
+
+        if name in self.list_tables(ns):
+            raise ValueError(f"{ns}.{name} is a table")
+        if os.path.exists(self._view_path(ns, name)):
+            raise ValueError(f"{ns}.{name} is a plain view")
+        path = self._mv_path(ns, name)
+        exists = os.path.exists(path)
+        if exists and not replace:
+            raise ValueError(f"materialized view {ns}.{name} exists")
+        doc: dict = {"versions": []}
+        if exists:
+            with open(path) as f:
+                doc = json.load(f)
+        doc["versions"].append({"sql": sql, "ts": _time.time()})
+        doc["current"] = len(doc["versions"]) - 1
+        doc["watermarks"] = None  # not refreshed against this definition
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+        return doc["current"]
+
+    def drop_materialized_view(
+        self, ns: str, name: str, if_exists: bool = True
+    ) -> None:
+        path = self._mv_path(ns, name)
+        if not os.path.exists(path):
+            if if_exists:
+                return
+            raise ValueError(f"unknown materialized view {ns}.{name}")
+        os.remove(path)
+        storage = self.mv_storage_table(name)
+        if storage in self.list_tables(ns):
+            self.drop_table(ns, storage)
+
+    def list_materialized_views(self, ns: str) -> list[str]:
+        path = os.path.join(self.root, self._resolve_ns(ns))
+        suffix = ".mv.json"
+        return sorted(
+            f[: -len(suffix)]
+            for f in os.listdir(path)
+            if f.endswith(suffix)
+        )
+
+    def mv_doc(self, ns: str, name: str) -> dict:
+        path = self._mv_path(ns, name)
+        if not os.path.exists(path):
+            raise ValueError(f"unknown materialized view {ns}.{name}")
+        with open(path) as f:
+            return json.load(f)
+
+    def mv_definition(self, ns: str, name: str) -> str:
+        doc = self.mv_doc(ns, name)
+        return doc["versions"][doc["current"]]["sql"]
+
+    def mv_record_refresh(
+        self, ns: str, name: str, watermarks: dict[str, int]
+    ) -> None:
+        """Stamp the source-table snapshot versions a refresh read
+        (``{"ns.tbl": version}``); freshness is exact version equality."""
+        import time as _time
+
+        path = self._mv_path(ns, name)
+        doc = self.mv_doc(ns, name)
+        doc["watermarks"] = watermarks
+        doc["refreshed_ts"] = _time.time()
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+
+    def mv_status(self, ns: str, name: str) -> dict:
+        """{refreshed, fresh, watermarks, stale_sources}: fresh iff
+        every watermarked source still sits at its recorded version
+        (a metadata-only check -- one version listing per source)."""
+        doc = self.mv_doc(ns, name)
+        wm = doc.get("watermarks")
+        if wm is None:
+            return {
+                "refreshed": False, "fresh": False,
+                "watermarks": None, "stale_sources": None,
+            }
+        stale = []
+        for ref, v in wm.items():
+            s_ns, s_tbl = ref.split(".", 1)
+            try:
+                cur = self.current_version(s_ns, s_tbl)
+            except TableNotFoundError:
+                cur = -1
+            if cur != v:
+                stale.append(ref)
+        return {
+            "refreshed": True, "fresh": not stale,
+            "watermarks": wm, "stale_sources": stale,
+        }
 
     def table_meta(self, ns: str, table: str) -> dict:
         tdir = self._table_dir(ns, table)

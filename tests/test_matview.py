@@ -1,0 +1,156 @@
+"""Materialized views (the Iceberg 1.4+ MV spec / Trino analog):
+versioned SQL definition + hidden storage table + per-source snapshot
+watermarks. Reads serve the storage snapshot -- possibly STALE, the
+point of materializing -- until REFRESH; a never-refreshed (or just
+replaced) MV falls back to inline expansion; freshness is exact
+version equality per source, checked metadata-only.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
+from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
+
+S = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("v", LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def env(spark):
+    with tempfile.TemporaryDirectory() as d:
+        wh = Warehouse(spark, d)
+        wh.create_namespace("ns")
+        wh.create_table("ns", "t", S, key="id")
+        wh.insert(
+            "ns", "t",
+            spark.createDataFrame([(f"k{i}", i) for i in range(6)], S)
+            .coalesce(1),
+        )
+        yield wh, WarehouseSQL(wh), spark
+
+
+def test_mv_lifecycle_stale_serve_and_refresh(env):
+    wh, sql, spark = env
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.v_sum AS "
+        "SELECT COUNT(*) AS n, SUM(v) AS total FROM ns.t"
+    )
+    # never refreshed: inline expansion (correct, not materialized)
+    assert sql.execute("SELECT * FROM ns.v_sum").collect()[0][:] == (6, 15)
+    assert wh.mv_status("ns", "v_sum") == {
+        "refreshed": False, "fresh": False,
+        "watermarks": None, "stale_sources": None,
+    }
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.v_sum")
+    assert st["fresh"] and st["watermarks"] == {"ns.t": 1}
+    # storage table exists and serves the read
+    assert Warehouse.mv_storage_table("v_sum") in wh.list_tables("ns")
+    assert sql.execute("SELECT * FROM ns.v_sum").collect()[0][:] == (6, 15)
+
+    # source advances: the MV serves the STALE snapshot (by design)
+    wh.insert(
+        "ns", "t", spark.createDataFrame([("k9", 100)], S).coalesce(1)
+    )
+    assert sql.execute("SELECT * FROM ns.v_sum").collect()[0][:] == (6, 15)
+    st = wh.mv_status("ns", "v_sum")
+    assert not st["fresh"] and st["stale_sources"] == ["ns.t"]
+
+    sql.execute("REFRESH MATERIALIZED VIEW ns.v_sum")
+    assert sql.execute("SELECT * FROM ns.v_sum").collect()[0][:] == (7, 115)
+    assert wh.mv_status("ns", "v_sum")["fresh"]
+
+
+def test_mv_or_replace_invalidates_and_rebuilds_storage(env):
+    wh, sql, spark = env
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.m AS SELECT COUNT(*) AS n FROM ns.t"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.m")
+    sql.execute(
+        "CREATE OR REPLACE MATERIALIZED VIEW ns.m AS "
+        "SELECT MAX(v) AS mx FROM ns.t"
+    )
+    # replaced definition: watermarks invalidated -> inline expansion
+    # (the old storage has the WRONG schema; serving it would be wrong)
+    assert wh.mv_status("ns", "m")["refreshed"] is False
+    assert sql.execute("SELECT * FROM ns.m").collect()[0].mx == 5
+    sql.execute("REFRESH MATERIALIZED VIEW ns.m")  # rebuilds storage
+    assert sql.execute("SELECT * FROM ns.m").collect()[0].mx == 5
+    assert wh.schema(
+        "ns", Warehouse.mv_storage_table("m")
+    ).fieldNames() == ["mx"]
+
+
+def test_mv_name_collisions_and_drop(env):
+    wh, sql, _spark = env
+    sql.execute("CREATE MATERIALIZED VIEW ns.m AS SELECT id FROM ns.t")
+    with pytest.raises(ValueError, match="materialized view"):
+        wh.create_view("ns", "m", "SELECT 1")
+    with pytest.raises(ValueError, match="materialized view"):
+        wh.create_table("ns", "m", S)
+    with pytest.raises(ValueError, match="exists"):
+        sql.execute("CREATE MATERIALIZED VIEW ns.m AS SELECT id FROM ns.t")
+    sql.execute("REFRESH MATERIALIZED VIEW ns.m")
+    sql.execute("DROP MATERIALIZED VIEW ns.m")
+    # storage table cleaned up; bare drop of missing MV raises
+    assert wh.list_tables("ns") == ["t"]
+    with pytest.raises(ValueError, match="unknown materialized"):
+        sql.execute("DROP MATERIALIZED VIEW ns.m")
+    sql.execute("DROP MATERIALIZED VIEW IF EXISTS ns.m")  # no-op
+
+
+def test_mv_over_view_and_mv_chains_watermarks(env):
+    """An MV over a plain view watermarks the view's UNDERLYING tables
+    (the nested rewrite records them); an MV over another MV watermarks
+    the inner STORAGE table, so re-materializing the inner MV marks the
+    outer one stale."""
+    wh, sql, spark = env
+    wh.create_view("ns", "doubled", "SELECT id, v * 2 AS v2 FROM ns.t")
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.m1 AS "
+        "SELECT SUM(v2) AS s FROM ns.doubled"
+    )
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.m1")
+    assert st["watermarks"] == {"ns.t": 1}
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.m2 AS SELECT s + 1 AS s1 FROM ns.m1"
+    )
+    st2 = sql.execute("REFRESH MATERIALIZED VIEW ns.m2")
+    inner_storage = f"ns.{Warehouse.mv_storage_table('m1')}"
+    assert set(st2["watermarks"]) == {inner_storage}
+    assert sql.execute("SELECT * FROM ns.m2").collect()[0].s1 == 31
+    # inner refresh (even a no-op recompute) re-materializes storage,
+    # marking the outer MV stale
+    sql.execute("REFRESH MATERIALIZED VIEW ns.m1")
+    assert wh.mv_status("ns", "m2")["stale_sources"] == [inner_storage]
+
+
+def test_mv_governance_definer_rights(env):
+    """REFRESH is definer-rights (refuses a governed session); a
+    governed read serves the storage table under the reader's grants --
+    SELECT on the sources is NOT enough (unlike invoker-rights views)."""
+    wh, sql, _spark = env
+    sql.execute("CREATE MATERIALIZED VIEW ns.m AS SELECT COUNT(*) AS n FROM ns.t")
+    sql.execute("REFRESH MATERIALIZED VIEW ns.m")
+    gov = WarehouseSQL(wh, principal="ana")
+    with pytest.raises(PermissionError, match="definer"):
+        gov.execute("REFRESH MATERIALIZED VIEW ns.m")
+    wh.grant("ana", "ns", "t", ("SELECT",))
+    with pytest.raises(PermissionError):
+        gov.execute("SELECT * FROM ns.m").collect()
+    wh.grant("ana", "ns", Warehouse.mv_storage_table("m"), ("SELECT",))
+    assert gov.execute("SELECT * FROM ns.m").collect()[0].n == 6
