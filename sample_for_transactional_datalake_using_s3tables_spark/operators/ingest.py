@@ -855,6 +855,63 @@ FROM base WHERE event_id % 3 != 0 GROUP BY event_type
 """
 
 
+def warehouse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE + the $stats metadata table (the Iceberg Puffin /
+    engine ANALYZE analog): per-column exact NDV and null counts from
+    ONE aggregate pass, stamped with the snapshot version. The oracle
+    recomputes each column's NDV/nulls directly, so a hash match
+    certifies the whole chain: analyze -> sidecar -> $stats read.
+    Column min/max (manifest-folded, no data scan) are pytest-covered
+    rather than certified -- their string rendering is engine-specific.
+    """
+    from ..sources.sqlexec import WarehouseSQL
+
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_stats_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id",
+            partition_by="event_type",
+        )
+        wh.insert("q", "state", events)
+        sql = WarehouseSQL(wh)
+        sql.execute("ANALYZE TABLE q.state COMPUTE STATISTICS")
+        out = sql.execute(
+            "SELECT column AS col_name, ndv, n_nulls, records "
+            "FROM q.state$stats"
+        )
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_STATS_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value
+  FROM events
+)
+SELECT 'event_id' AS col_name, COUNT(DISTINCT event_id) AS ndv,
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       COUNT(*) AS records
+FROM base
+UNION ALL
+SELECT 'event_type', COUNT(DISTINCT event_type),
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM base
+UNION ALL
+SELECT 'value', COUNT(DISTINCT value),
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*)
+FROM base
+"""
+
+
+
 
 def warehouse_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The medallion bronze -> silver streaming hop certified end to
@@ -1665,6 +1722,7 @@ QUERIES = {
     "warehouse_table_stream": warehouse_table_stream,
     "warehouse_views": warehouse_views,
     "warehouse_matview": warehouse_matview,
+    "warehouse_stats": warehouse_stats,
     "warehouse_catalog_ddl": warehouse_catalog_ddl,
 }
 
@@ -1693,5 +1751,6 @@ ORACLES = {
     "warehouse_table_stream": WAREHOUSE_TABLE_STREAM_SQL,
     "warehouse_views": WAREHOUSE_VIEWS_SQL,
     "warehouse_matview": WAREHOUSE_MATVIEW_SQL,
+    "warehouse_stats": WAREHOUSE_STATS_SQL,
     "warehouse_catalog_ddl": WAREHOUSE_CATALOG_DDL_SQL,
 }

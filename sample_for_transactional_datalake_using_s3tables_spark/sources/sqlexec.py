@@ -53,8 +53,8 @@ does the real parsing. The split layer accepts exactly:
   front: the masker's placeholders are NUL-delimited, so accepting
   raw NULs would let crafted input collide with them.
 - **statement heads**: SELECT/WITH/EXPLAIN/SHOW/DESCRIBE/DESC/DELETE/
-  UPDATE/INSERT/MERGE/CREATE/DROP/ALTER/GRANT/REVOKE/CALL/REFRESH
-  (each with the shapes documented above); anything else raises
+  UPDATE/INSERT/MERGE/CREATE/DROP/ALTER/GRANT/REVOKE/CALL/REFRESH/
+  ANALYZE (each with the shapes documented above); anything else raises
   ``ValueError`` with the offending fragment.
 - **table references** rewrite anywhere outside literals when they
   name an existing warehouse table/view: ``ns.tbl``, ``ns.tbl$meta``
@@ -244,6 +244,8 @@ class WarehouseSQL:
             return self.wh.files_df(ns, tbl)
         if kind == "partitions":
             return self.wh.partitions_df(ns, tbl)
+        if kind == "stats":
+            return self.wh.stats_df(ns, tbl)
         if kind == "deletes":
             return self.wh.deletes_df(ns, tbl)
         if kind == "refs":
@@ -516,7 +518,7 @@ class WarehouseSQL:
         ref_re = re.compile(
             r"\b(\w+)\.(\w+)"
             r"(?:\$(snapshots|files|partitions|deletes|history|refs"
-            r"|changes)\b"
+            r"|changes|stats)\b"
             r"|\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
             r"(\d+|\x00LIT\d+\x00)"
             r")?",
@@ -613,6 +615,19 @@ class WarehouseSQL:
             return self.spark.sql(self._rewrite_tables(s))
         if head == "SHOW":
             return self._show(s)
+        if head == "ANALYZE":
+            m = re.match(
+                r"^ANALYZE\s+TABLE\s+(\w+)\.(\w+)\s+COMPUTE\s+"
+                r"STATISTICS(\s+WITH\s+APPROX)?$",
+                s, re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported ANALYZE shape: {s[:120]!r}")
+            self._require("ALL", m.group(1), m.group(2))
+            return self.wh.analyze_table(
+                m.group(1), m.group(2),
+                mode="approx" if m.group(3) else "exact",
+            )
         if head == "REFRESH":
             m = re.match(
                 r"^REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\.(\w+)$",
@@ -985,7 +1000,8 @@ class WarehouseSQL:
         raise ValueError(f"unknown procedure system.{proc}")
 
     def _show(self, s: str):
-        """SHOW NAMESPACES | SHOW TABLES IN ns | SHOW VIEWS IN ns --
+        """SHOW NAMESPACES | SHOW TABLES IN ns | SHOW VIEWS IN ns |
+        SHOW MATERIALIZED VIEWS IN ns (with per-MV freshness) --
         catalog listings as DataFrames (Athena/Spark SHOW surface)."""
         m = re.match(r"^SHOW\s+NAMESPACES$", s, re.IGNORECASE)
         if m:
@@ -999,6 +1015,21 @@ class WarehouseSQL:
             return self.spark.createDataFrame(
                 [(ns, t) for t in self.wh.list_tables(ns)],
                 "namespace STRING, table STRING",
+            )
+        m = re.match(
+            r"^SHOW\s+MATERIALIZED\s+VIEWS\s+IN\s+(\w+)$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            ns = m.group(1)
+            rows = []
+            for v in self.wh.list_materialized_views(ns):
+                st = self.wh.mv_status(ns, v)
+                rows.append((ns, v, st["refreshed"], st["fresh"]))
+            return self.spark.createDataFrame(
+                rows,
+                "namespace STRING, view STRING, refreshed BOOLEAN, "
+                "fresh BOOLEAN",
             )
         m = re.match(r"^SHOW\s+VIEWS\s+IN\s+(\w+)$", s, re.IGNORECASE)
         if m:

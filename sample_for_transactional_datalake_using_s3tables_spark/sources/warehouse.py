@@ -719,6 +719,110 @@ class Warehouse:
             "watermarks": wm, "stale_sources": stale,
         }
 
+    # -- table statistics (the Iceberg Puffin / ANALYZE TABLE analog:
+    # per-column NDV + null counts from ONE aggregate pass, column
+    # min/max folded from the MANIFEST's per-file footer stats with no
+    # data scan, stamped with the snapshot version they describe) --
+
+    def analyze_table(
+        self, ns: str, table: str, mode: str = "exact"
+    ) -> dict:
+        """Compute and persist table statistics (``_stats.json``
+        sidecar). ``mode="exact"`` runs COUNT(DISTINCT) per atomic
+        column (one shuffle; the cost an explicit ANALYZE signs up
+        for); ``mode="approx"`` uses HLL++ (approx_count_distinct) --
+        the 100 TB path, constant memory per column. Null counts ride
+        the same single aggregate. Column min/max come from manifest
+        footer stats only (metadata: a column absent from any file's
+        stats reports None -- absence means 'unknown', never a guess).
+        Returns the stored stats document."""
+        import time as _time
+
+        if mode not in ("exact", "approx"):
+            raise ValueError(f"unknown ANALYZE mode {mode!r}")
+        tdir = self._table_dir(ns, table)
+        version = self.current_version(ns, table)
+        meta = self.table_meta(ns, table)
+        schema = StructType.fromJson(meta["schema"])
+        atomic = [
+            f.name for f in schema.fields
+            if not isinstance(f.dataType, (StructType,))
+            and f.dataType.typeName() not in ("array", "map", "binary")
+        ]
+        df = self.read(ns, table)
+        aggs = []
+        for c in atomic:
+            ndv = (
+                F.approx_count_distinct(c) if mode == "approx"
+                else F.count_distinct(F.col(c))
+            )
+            aggs.append(ndv.alias(f"__ndv_{c}"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
+            )
+        row = (
+            df.agg(*aggs).collect()[0] if aggs else {}
+        )  # bounded: two scalars per column
+        # manifest-side min/max (physical column names)
+        phys = meta.get("physical") or {}
+        entries = self._manifest(tdir, version)
+        records = sum(e.get("records", 0) for e in entries)
+        columns: dict[str, dict] = {}
+        for c in atomic:
+            pc = phys.get(c, c)
+            file_stats = [
+                (e.get("stats") or {}).get(pc) for e in entries
+            ]
+            if entries and all(s is not None for s in file_stats):
+                lo = min(s[0] for s in file_stats)  # stats = [min, max]
+                hi = max(s[1] for s in file_stats)
+            else:
+                lo = hi = None
+            columns[c] = {
+                "ndv": int(row[f"__ndv_{c}"]) if aggs else 0,
+                "n_nulls": int(row[f"__nulls_{c}"]) if aggs else 0,
+                "min": lo,
+                "max": hi,
+            }
+        doc = {
+            "as_of_version": version, "ts": _time.time(), "mode": mode,
+            "records": records, "columns": columns,
+        }
+        tmp = os.path.join(tdir, f".stats-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, os.path.join(tdir, "_stats.json"))
+        return doc
+
+    def table_stats(self, ns: str, table: str) -> dict:
+        path = os.path.join(self._table_dir(ns, table), "_stats.json")
+        if not os.path.exists(path):
+            raise ValueError(
+                f"{ns}.{table} has no statistics; run ANALYZE TABLE"
+            )
+        with open(path) as f:
+            return json.load(f)
+
+    def stats_df(self, ns: str, table: str) -> DataFrame:
+        """``ns.t$stats``: one row per analyzed column, plus the
+        snapshot version the stats describe (readers can compare it to
+        the current version to judge staleness, same rule as MVs)."""
+        doc = self.table_stats(ns, table)
+        rows = [
+            (
+                c, s["ndv"], s["n_nulls"],
+                None if s["min"] is None else str(s["min"]),
+                None if s["max"] is None else str(s["max"]),
+                doc["as_of_version"], doc["mode"], doc["records"],
+            )
+            for c, s in sorted(doc["columns"].items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "column STRING, ndv BIGINT, n_nulls BIGINT, min STRING, "
+            "max STRING, as_of_version INT, mode STRING, records BIGINT",
+        )
+
     def table_meta(self, ns: str, table: str) -> dict:
         tdir = self._table_dir(ns, table)
         if not os.path.exists(tdir):

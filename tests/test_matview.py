@@ -154,3 +154,13 @@ def test_mv_governance_definer_rights(env):
         gov.execute("SELECT * FROM ns.m").collect()
     wh.grant("ana", "ns", Warehouse.mv_storage_table("m"), ("SELECT",))
     assert gov.execute("SELECT * FROM ns.m").collect()[0].n == 6
+
+
+def test_show_materialized_views(env):
+    wh, sql, _spark = env
+    sql.execute("CREATE MATERIALIZED VIEW ns.m AS SELECT COUNT(*) AS n FROM ns.t")
+    rows = sql.execute("SHOW MATERIALIZED VIEWS IN ns").collect()
+    assert [(r.view, r.refreshed, r.fresh) for r in rows] == [("m", False, False)]
+    sql.execute("REFRESH MATERIALIZED VIEW ns.m")
+    rows = sql.execute("SHOW MATERIALIZED VIEWS IN ns").collect()
+    assert [(r.view, r.refreshed, r.fresh) for r in rows] == [("m", True, True)]
