@@ -529,14 +529,32 @@ class WarehouseSQL:
             out = out.replace(f"\x00LIT{i}\x00", lit)
         return out
 
+    # logical-plan nodes that make a definition non-row-local: their
+    # output for existing rows can change when new rows arrive, so an
+    # incremental (append-the-delta) refresh would be WRONG for them
+    _MV_NON_ROW_LOCAL = (
+        "Aggregate", "Join", "Window", "Distinct", "Deduplicate",
+        "Sort", "GlobalLimit", "LocalLimit", "Intersect", "Except",
+    )
+
     def _refresh_mv(self, ns: str, name: str) -> dict:
-        """Full recompute of a materialized view: run the definition
-        with DEFINER rights (like Trino, the refresh writes data the
-        owner computed; readers then need SELECT on the STORAGE table,
-        not the sources), overwrite the storage table, and stamp the
-        source snapshot versions the rewrite resolved as the freshness
-        watermarks. Incremental refresh from the sources' changelogs is
-        a documented seam -- the full recompute is always correct."""
+        """Refresh a materialized view with DEFINER rights (like Trino,
+        the refresh writes data the owner computed; readers then need
+        SELECT on the STORAGE table, not the sources).
+
+        INCREMENTAL when provably safe, full recompute otherwise. Safe
+        means: (a) the definition is ROW-LOCAL -- its analyzed plan has
+        no aggregate/join/window/distinct/sort/limit/set-op, so each
+        output row derives from one input row (projections, filters,
+        explode all qualify); (b) it reads exactly ONE source table;
+        (c) every commit that source took since the watermark is a pure
+        APPEND (classified from the _commits.idx sidecar, metadata-
+        only). Then the new output rows are exactly the definition
+        applied to the INSERT delta: read it from the changelog,
+        re-point the source's resolved temp view at the delta, APPEND
+        to storage -- refresh cost O(delta), never O(table), the shape
+        a 100 TB fact-table MV needs. Any doubt falls back to the full
+        recompute, which is always correct."""
         if self.principal is not None:
             raise PermissionError(
                 "REFRESH MATERIALIZED VIEW runs with definer rights; "
@@ -545,11 +563,30 @@ class WarehouseSQL:
         sql_text = self.wh.mv_definition(ns, name)
         self._mv_refs = {}
         try:
-            df = self.spark.sql(self._rewrite_tables(sql_text))
+            rewritten = self._rewrite_tables(sql_text)
+            df = self.spark.sql(rewritten)
             refs = self._mv_refs
         finally:
             self._mv_refs = None
         storage = Warehouse.mv_storage_table(name)
+
+        inc = self._mv_incremental_delta(ns, name, refs)
+        if inc is not None:
+            src_ref, delta = inc
+            # re-point the source's resolved view at the INSERT delta
+            # and run the SAME rewritten query over it
+            s_ns, s_tbl = src_ref.split(".", 1)
+            delta.createOrReplaceTempView(f"__wh_{s_ns}__{s_tbl}")
+            new_rows = self.spark.sql(rewritten)
+            self.wh.insert(ns, storage, new_rows)  # APPEND, not overwrite
+            self.wh.mv_record_refresh(
+                ns, name,
+                {src_ref: self.wh.current_version(s_ns, s_tbl)},
+            )
+            st = self.wh.mv_status(ns, name)
+            st["incremental"] = True
+            return st
+
         if storage in self.wh.list_tables(ns):
             if self.wh.schema(ns, storage).jsonValue() != df.schema.jsonValue():
                 # OR REPLACE changed the output shape: rebuild storage
@@ -559,7 +596,45 @@ class WarehouseSQL:
             self.wh.create_table(ns, storage, df.schema)
         self.wh.insert(ns, storage, df, overwrite=True)
         self.wh.mv_record_refresh(ns, name, refs)
-        return self.wh.mv_status(ns, name)
+        st = self.wh.mv_status(ns, name)
+        st["incremental"] = False
+        return st
+
+    def _mv_incremental_delta(self, ns, name, refs):
+        """(source_ref, insert_delta_df) when the incremental path is
+        provably safe for this refresh, else None (see _refresh_mv)."""
+        doc = self.wh.mv_doc(ns, name)
+        wm = doc.get("watermarks")
+        storage = Warehouse.mv_storage_table(name)
+        if (
+            wm is None
+            or len(wm) != 1
+            or set(refs) != set(wm)
+            or storage not in self.wh.list_tables(ns)
+        ):
+            return None
+        (src_ref, from_v), = wm.items()
+        s_ns, s_tbl = src_ref.split(".", 1)
+        tip = self.wh.current_version(s_ns, s_tbl)
+        if tip == from_v:
+            return None  # already fresh: nothing to append
+        idx = {
+            r["version"]: r
+            for r in self.wh._commit_index(self.wh._table_dir(s_ns, s_tbl))
+        }
+        if any(
+            idx[v]["op"] != "append" for v in range(from_v + 1, tip + 1)
+        ):
+            return None  # a delete/rewrite landed: only full is correct
+        plan = self.spark.sql(
+            self._rewrite_tables(self.wh.mv_definition(ns, name))
+        )._jdf.queryExecution().analyzed().toString()
+        if any(node in plan for node in self._MV_NON_ROW_LOCAL):
+            return None
+        delta = self.wh.changelog(s_ns, s_tbl, from_v, tip).filter(
+            F.col("_change_type") == "insert"
+        ).drop("_change_type", "_commit_version")
+        return src_ref, delta
 
     def _source_df(self, src: str) -> DataFrame:
         src = src.strip()

@@ -164,3 +164,80 @@ def test_show_materialized_views(env):
     sql.execute("REFRESH MATERIALIZED VIEW ns.m")
     rows = sql.execute("SHOW MATERIALIZED VIEWS IN ns").collect()
     assert [(r.view, r.refreshed, r.fresh) for r in rows] == [("m", True, True)]
+
+
+def test_mv_incremental_refresh_appends_only_the_delta(env):
+    """Row-local definition + append-only source: REFRESH takes the
+    incremental path -- the storage table receives an APPEND commit
+    computed from the changelog delta, never a full recompute -- and
+    the result still equals the definition over the full table."""
+    wh, sql, spark = env
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.m AS "
+        "SELECT id, v * 10 AS v10 FROM ns.t WHERE v >= 2"
+    )
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.m")
+    assert st["incremental"] is False  # first materialization is full
+    storage = Warehouse.mv_storage_table("m")
+    v_before = wh.current_version("ns", storage)
+
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("k7", 7), ("k8", 1)], S).coalesce(1),
+    )
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.m")
+    assert st["incremental"] is True and st["fresh"]
+    # storage advanced by ONE append commit (no overwrite/rebuild)
+    assert wh.current_version("ns", storage) == v_before + 1
+    idx = wh._commit_index(wh._table_dir("ns", storage))
+    assert idx[-1]["op"] == "append"
+    got = {
+        (r.id, r.v10)
+        for r in sql.execute("SELECT * FROM ns.m").collect()
+    }
+    assert got == {("k2", 20), ("k3", 30), ("k4", 40), ("k5", 50), ("k7", 70)}
+
+
+def test_mv_incremental_ineligible_aggregate_falls_back(env):
+    wh, sql, spark = env
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.m AS SELECT SUM(v) AS s FROM ns.t"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.m")
+    wh.insert("ns", "t", spark.createDataFrame([("x", 100)], S).coalesce(1))
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.m")
+    assert st["incremental"] is False  # aggregate: full recompute only
+    assert sql.execute("SELECT * FROM ns.m").collect()[0].s == 115
+
+
+def test_mv_incremental_ineligible_after_source_delete(env):
+    """A delete in the source window breaks append-only: the refresh
+    must fall back to the full recompute (an incremental append cannot
+    remove rows) and still be correct."""
+    wh, sql, spark = env
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.m AS SELECT id, v FROM ns.t"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.m")
+    wh.insert("ns", "t", spark.createDataFrame([("x", 100)], S).coalesce(1))
+    wh.delete_where("ns", "t", [("id", "=", "k1")])
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.m")
+    assert st["incremental"] is False
+    got = {r.id for r in sql.execute("SELECT id FROM ns.m").collect()}
+    assert got == {"k0", "k2", "k3", "k4", "k5", "x"}
+
+
+def test_mv_incremental_allows_explode(env):
+    """Generate (explode) is row-local: each output row derives from
+    one input row, so the incremental path stays eligible."""
+    wh, sql, spark = env
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.m AS "
+        "SELECT id, EXPLODE(SEQUENCE(1, 2)) AS c FROM ns.t"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.m")
+    wh.insert("ns", "t", spark.createDataFrame([("z", 1)], S).coalesce(1))
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.m")
+    assert st["incremental"] is True
+    rows = sql.execute("SELECT COUNT(*) AS n FROM ns.m").collect()
+    assert rows[0].n == 14  # (6 + 1) ids x 2
