@@ -148,6 +148,34 @@ def bench_dml(spark, sf_dir: str) -> dict[str, float]:
             lambda: wh.changelog("b", "t", 0).write.format("noop")
             .mode("overwrite").save(),
         )
+        # materialized view: full materialization vs O(delta)
+        # incremental refresh after a 0.5% append -- the incremental
+        # time should stay flat as SF grows while the full one scales
+        # with the table
+        from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import (
+            WarehouseSQL,
+        )
+
+        sql = WarehouseSQL(wh)
+        wh.create_table("b", "facts", events.schema, key="event_id")
+        wh.insert("b", "facts", events)
+        sql.execute(
+            "CREATE MATERIALIZED VIEW b.mv AS "
+            "SELECT event_id, event_type, CAST(value * 2 AS DECIMAL(18,2))"
+            " AS v2 FROM b.facts WHERE event_id % 2 = 0"
+        )
+        _t(
+            "mv_refresh_full",
+            lambda: sql.execute("REFRESH MATERIALIZED VIEW b.mv"),
+        )
+        delta = events.filter(F.col("event_id") % 200 == 7).withColumn(
+            "event_id", F.col("event_id") + 10**9
+        )
+        wh.insert("b", "facts", delta)
+        _t(
+            "mv_refresh_incremental",
+            lambda: sql.execute("REFRESH MATERIALIZED VIEW b.mv"),
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return timings

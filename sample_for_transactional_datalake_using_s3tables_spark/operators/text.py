@@ -933,12 +933,17 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catches copy-paste boilerplate that document-level minhash misses
     because the surrounding text differs.
 
-    Scale shape: one map-side explode (no pairwise comparison), ONE
-    shuffle on the segment string for the keep-first window, one
-    shuffle on doc_id to reassemble -- linear in corpus size, the same
-    profile as the decontamination scan. At 100 TB the segment column
-    would be hashed (xxhash64) before the window to shrink shuffle
-    bytes; kept verbatim here so the rebuilt text certifies end-to-end.
+    Scale shape: one map-side explode (no pairwise comparison), then
+    keep-first computed as ``min(struct(doc_id, pos))`` PER SEGMENT --
+    a hash aggregate with map-side combine, so a boilerplate segment
+    occurring 10^9 times collapses to one row per map task instead of
+    flooding one reducer (a row_number window over the segment would
+    have exactly that hot-partition problem, and windows get no AQE
+    skew mitigation; the equi-join back on the segment does). One more
+    shuffle on doc_id reassembles. Linear in corpus size. At 100 TB
+    the segment column would be hashed (xxhash64) before the shuffle
+    to shrink bytes; kept verbatim here so the rebuilt text certifies
+    end-to-end.
     """
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     w = _SEG_WORDS
@@ -951,12 +956,17 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"))"
         ).alias("pos", "seg"),
     )
-    from pyspark.sql import Window
-
-    first = F.row_number().over(
-        Window.partitionBy("seg").orderBy("doc_id", "pos")
+    firsts = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
     )
-    ranked = segs.select("doc_id", "pos", "seg", first.alias("rn"))
+    ranked = segs.join(firsts, "seg").select(
+        "doc_id", "pos", "seg",
+        F.when(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos")),
+            1,
+        ).otherwise(2).alias("rn"),
+    )
     kept_struct = F.when(
         F.col("rn") == 1, F.struct(F.col("pos"), F.col("seg"))
     )
