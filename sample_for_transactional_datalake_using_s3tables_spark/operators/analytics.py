@@ -116,12 +116,147 @@ GROUP BY cohort_week, week
 """
 
 
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-bucket gap-fill with LOCF and linear interpolation
+    (the TimescaleDB ``time_bucket_gapfill`` + ``locf`` +
+    ``interpolate`` shape): aggregate events into per-type hourly
+    buckets, generate the COMPLETE bucket spine per series, left-join,
+    and fill each gap two ways -- last observation carried forward and
+    a linear interpolation between the neighboring observations.
+
+    LOCF/neighbors use the portable COUNTING-GROUPS formulation
+    (``grp = COUNT(value) OVER (ORDER BY bucket)``: each non-null
+    observation starts a group, so the group's MAX is that observation
+    -- no IGNORE NULLS dependence, identical semantics on any engine).
+    The average is ``CAST(SUM(decimal) AS DOUBLE) / COUNT(*)``: one
+    exact decimal sum, one correctly-rounded cast, one IEEE division
+    -- bit-identical across engines, so interpolation arithmetic
+    hashes cleanly.
+
+    Scale: the spine is metadata-sized (buckets x series, never rows);
+    the two window passes run over the spine, not the raw events --
+    at 100 TB the only row-scale work is the initial bucket aggregate
+    (map-side combine)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        F.col("value").cast("decimal(12,2)").alias("val"),
+    )
+    agg = e.groupBy("event_type", "bucket").agg(
+        (F.sum("val").cast("double") / F.count("*")).alias("avg_value"),
+        F.count("*").alias("n_events"),
+    )
+    spine = agg.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    ).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    j = spine.join(agg, ["event_type", "bucket"], "left")
+    asc = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    desc = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = j.withColumn("grp", F.count("avg_value").over(asc)).withColumn(
+        "grp2", F.count("avg_value").over(desc)
+    )
+    obs_bucket = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
+    wg = Window.partitionBy("event_type", "grp")
+    wg2 = Window.partitionBy("event_type", "grp2")
+    j = (
+        j.withColumn("prev_val", F.max("avg_value").over(wg))
+        .withColumn("prev_ts", F.max(obs_bucket).over(wg))
+        .withColumn("next_val", F.max("avg_value").over(wg2))
+        .withColumn("next_ts", F.max(obs_bucket).over(wg2))
+    )
+    ratio = (
+        F.unix_timestamp("bucket") - F.unix_timestamp("prev_ts")
+    ) / (F.unix_timestamp("next_ts") - F.unix_timestamp("prev_ts"))
+    interp = F.when(
+        F.col("avg_value").isNotNull(), F.col("avg_value")
+    ).when(
+        F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(),
+        F.col("prev_val")
+        + (F.col("next_val") - F.col("prev_val")) * ratio,
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        "avg_value",
+        F.col("prev_val").alias("locf_value"),
+        interp.alias("interp_value"),
+    )
+
+
+GAPFILL_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS avg_value,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(MIN(bucket), MAX(bucket),
+                                INTERVAL 1 HOUR)) AS bucket
+  FROM agg GROUP BY event_type
+),
+j AS (
+  SELECT s.event_type, s.bucket, a.avg_value, a.n_events
+  FROM spine s LEFT JOIN agg a USING (event_type, bucket)
+),
+g AS (
+  SELECT *,
+         COUNT(avg_value) OVER
+           (PARTITION BY event_type ORDER BY bucket) AS grp,
+         COUNT(avg_value) OVER
+           (PARTITION BY event_type ORDER BY bucket DESC) AS grp2
+  FROM j
+),
+f AS (
+  SELECT *,
+         MAX(avg_value) OVER (PARTITION BY event_type, grp) AS prev_val,
+         MAX(CASE WHEN avg_value IS NOT NULL THEN bucket END)
+           OVER (PARTITION BY event_type, grp) AS prev_ts,
+         MAX(avg_value) OVER (PARTITION BY event_type, grp2) AS next_val,
+         MAX(CASE WHEN avg_value IS NOT NULL THEN bucket END)
+           OVER (PARTITION BY event_type, grp2) AS next_ts
+  FROM g
+)
+SELECT event_type, bucket,
+       COALESCE(n_events, 0) AS n_events,
+       avg_value,
+       prev_val AS locf_value,
+       CASE WHEN avg_value IS NOT NULL THEN avg_value
+            WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+              prev_val + (next_val - prev_val) *
+                ((epoch(bucket) - epoch(prev_ts))
+                 / (epoch(next_ts) - epoch(prev_ts)))
+       END AS interp_value
+FROM f
+"""
+
+
 QUERIES = {
     "funnel_stages": funnel_stages,
     "retention_cohorts": retention_cohorts,
+    "timeseries_gapfill": timeseries_gapfill,
 }
 
 ORACLES = {
     "funnel_stages": _funnel_sql(),
     "retention_cohorts": RETENTION_SQL,
+    "timeseries_gapfill": GAPFILL_SQL,
 }

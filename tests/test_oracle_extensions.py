@@ -34,3 +34,36 @@ def con():
 def test_extension_oracle(spark, sf_dir, con, mod_name, name):
     m = MODULES[mod_name]
     compare(m.QUERIES[name](spark, sf_dir), con, m.ORACLES[name], name)
+
+
+def test_gapfill_hand_series(spark):
+    """Hand series pins the fill semantics: observations at h0 (10.0)
+    and h3 (40.0) with a 2-hour gap -> locf carries 10.0, linear
+    interpolation gives 20.0 and 30.0; edges outside the span never
+    appear (spine runs min..max bucket only)."""
+    import datetime
+    import os
+    import tempfile
+
+    rows = [
+        (1, "click", 100, datetime.datetime(2024, 1, 1, 0, 15), 10.0),
+        (2, "click", 100, datetime.datetime(2024, 1, 1, 3, 45), 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, "
+        "ts timestamp, value double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r.bucket.hour: (
+                r.n_events, r.avg_value, r.locf_value, r.interp_value
+            )
+            for r in analytics.timeseries_gapfill(spark, d).collect()
+        }
+    assert got == {
+        0: (1, 10.0, 10.0, 10.0),
+        1: (0, None, 10.0, 20.0),
+        2: (0, None, 10.0, 30.0),
+        3: (1, 40.0, 40.0, 40.0),
+    }
