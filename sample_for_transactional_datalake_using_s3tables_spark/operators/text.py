@@ -921,6 +921,84 @@ GROUP BY w.doc_id
 """
 
 
+# Hashed-feature linear quality classifier: bucket count and the
+# deterministic weight surrogate. A production pipeline loads TRAINED
+# weights (fastText / logistic-regression quality filters, the
+# CCNet/GPT-3 curation shape) into the same bucket space; the
+# congruential surrogate keeps the oracle exact while the plumbing --
+# md5 feature hashing, weight lookup as pure int arithmetic, map-only
+# JVM-side scoring with NO shuffle and NO Python -- is the production
+# shape. Weights: w(b) = (b * 2654435761) % 1009 - 504, in [-504, 504].
+_CLF_BUCKETS = 16384
+_CLF_MULT = 2654435761
+_CLF_MOD = 1009
+_CLF_SHIFT = 504
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE over every document: hash
+    each whitespace token into one of 16384 feature buckets (md5 --
+    portable), sum the bucket weights (exact int64), and score =
+    weight_sum / (n_tokens * 504) with keep = score > 0. One map-only
+    pass: at 100 TB this is the classic embarrassingly-parallel
+    model-inference shape -- no shuffle, no UDF, whole-stage codegen
+    end to end; swapping in real trained weights is a lookup-table
+    seam, not a plan change."""
+    from ..functions.textfns import md5_int
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok = tokens(F.col("text"))
+    w = (
+        lambda t: (md5_int(t) % _CLF_BUCKETS) * _CLF_MULT % _CLF_MOD
+        - _CLF_SHIFT
+    )
+    weight_sum = F.aggregate(
+        tok, F.lit(0).cast("bigint"), lambda acc, t: acc + w(t)
+    )
+    d = docs.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        weight_sum.alias("weight_sum"),
+    )
+    score = F.when(
+        F.col("n_tokens") > 0,
+        F.col("weight_sum").cast("double")
+        / (F.col("n_tokens") * _CLF_SHIFT),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id", "n_tokens", "weight_sum",
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
+def _quality_classifier_sql() -> str:
+    from ..functions.textfns import md5_int_sql
+
+    tok = TOKENS_SQL.format(col="text")
+    wexpr = (
+        f"({md5_int_sql('t')} % {_CLF_BUCKETS}) * {_CLF_MULT} "
+        f"% {_CLF_MOD} - {_CLF_SHIFT}"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len({tok}) AS INTEGER) AS n_tokens,
+         COALESCE(CAST(list_sum(list_transform({tok}, t -> {wexpr}))
+                  AS BIGINT), 0) AS weight_sum
+  FROM documents
+)
+SELECT doc_id, n_tokens, weight_sum,
+       CASE WHEN n_tokens > 0
+            THEN CAST(weight_sum AS DOUBLE) / (n_tokens * {_CLF_SHIFT})
+            ELSE 0.0 END AS score,
+       (CASE WHEN n_tokens > 0
+             THEN CAST(weight_sum AS DOUBLE) / (n_tokens * {_CLF_SHIFT})
+             ELSE 0.0 END) > 0 AS keep
+FROM d
+"""
+
+
 _SEG_WORDS = 10  # span width for segment-level dedup
 
 
@@ -1199,6 +1277,7 @@ QUERIES = {
     "text_ngram_freq": ngram_freq,
     "text_decontamination": decontamination,
     "text_segment_dedup": segment_dedup,
+    "text_quality_classifier": quality_classifier,
     "text_distinctive_terms": distinctive_terms,
     "text_repetition": repetition_stats,
     "text_pii_redaction": pii_redaction,
@@ -1219,6 +1298,7 @@ ORACLES = {
     "text_ngram_freq": _ngram_freq_sql(),
     "text_decontamination": _decontamination_sql(),
     "text_segment_dedup": _segment_dedup_sql(),
+    "text_quality_classifier": _quality_classifier_sql(),
     "text_distinctive_terms": DISTINCTIVE_TERMS_SQL,
     "text_repetition": _repetition_stats_sql(),
     "text_pii_redaction": _pii_redaction_sql(),

@@ -241,3 +241,37 @@ def test_mv_incremental_allows_explode(env):
     assert st["incremental"] is True
     rows = sql.execute("SELECT COUNT(*) AS n FROM ns.m").collect()
     assert rows[0].n == 14  # (6 + 1) ids x 2
+
+
+def test_mv_definition_with_adversarial_literals(env):
+    """An MV definition whose literals contain statement keywords must
+    survive persist -> rewrite -> refresh -> storage-serve unchanged
+    (the definition rides the same literal-masked rewrite as any
+    SELECT)."""
+    wh, sql, _spark = env
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.m AS "
+        "SELECT id, CONCAT(id, ' AS SELECT * WHERE ') AS tag, "
+        "'REFRESH MATERIALIZED VIEW x.y' AS bait "
+        "FROM ns.t WHERE id != 'DROP TABLE ns.t'"
+    )
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.m")
+    assert st["incremental"] is False and st["fresh"]
+    rows = sql.execute(
+        "SELECT tag, bait FROM ns.m WHERE id = 'k0'"
+    ).collect()
+    assert rows[0][:] == (
+        "k0 AS SELECT * WHERE ", "REFRESH MATERIALIZED VIEW x.y"
+    )
+    # the table is intact (no statement smuggling through the literal)
+    assert wh.count_rows("ns", "t") == 6
+
+
+def test_analyze_rejects_malformed_shapes(env):
+    _wh, sql, _spark = env
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported ANALYZE"):
+        sql.execute("ANALYZE TABLE ns.t")
+    with _pytest.raises(ValueError, match="unsupported REFRESH"):
+        sql.execute("REFRESH TABLE ns.t")
