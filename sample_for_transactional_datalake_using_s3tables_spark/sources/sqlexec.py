@@ -908,6 +908,22 @@ class WarehouseSQL:
             ),
             "add",
         ),
+        (  # Delta-syntax CHECK constraints (enforced on every write)
+            re.compile(
+                r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+ADD\s+CONSTRAINT\s+"
+                r"(\w+)\s+CHECK\s*\((.+)\)$",
+                re.IGNORECASE | re.DOTALL,
+            ),
+            "add_constraint",
+        ),
+        (
+            re.compile(
+                r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+DROP\s+CONSTRAINT\s+"
+                r"(\w+)$",
+                re.IGNORECASE,
+            ),
+            "drop_constraint",
+        ),
         (
             re.compile(
                 r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+RENAME\s+COLUMN\s+"
@@ -970,6 +986,12 @@ class WarehouseSQL:
                 for field in StructType.fromDDL(cols):
                     self.wh.add_column(ns, tbl, field)
                 return None
+            if kind == "add_constraint":
+                return self.wh.add_constraint(
+                    ns, tbl, m.group(3), m.group(4).strip()
+                )
+            if kind == "drop_constraint":
+                return self.wh.drop_constraint(ns, tbl, m.group(3))
             if kind == "rename":
                 return self.wh.rename_column(ns, tbl, m.group(3), m.group(4))
             if kind == "drop":

@@ -828,3 +828,17 @@ def test_merge_not_matched_by_source_delete(sql, spark):
     )
     assert sql.wh.last_merge_stats["rewritten_files"] == 0
     assert {r[0]: r[2] for r in _state(sql)} == {"k1": 1}
+
+
+def test_alter_add_drop_constraint(sql, spark):
+    """Delta-syntax CHECK constraints from SQL text: a violating batch
+    fails every write path while the constraint stands; DROP lifts it."""
+    sql.execute("ALTER TABLE ns.t ADD CONSTRAINT v_small CHECK (v < 1000)")
+    bad = spark.createDataFrame([("zz", "d0", 5000)], SCHEMA)
+    with pytest.raises(ValueError, match="v_small"):
+        sql.wh.insert("ns", "t", bad)
+    with pytest.raises(ValueError, match="v_small"):
+        sql.execute("UPDATE ns.t SET v = v + 10000 WHERE id = 'k1'")
+    sql.execute("ALTER TABLE ns.t DROP CONSTRAINT v_small")
+    sql.wh.insert("ns", "t", bad)  # lifted
+    assert ("zz", "d0", 5000) in _state(sql)
