@@ -54,7 +54,8 @@ does the real parsing. The split layer accepts exactly:
   raw NULs would let crafted input collide with them.
 - **statement heads**: SELECT/WITH/EXPLAIN/SHOW/DESCRIBE/DESC/DELETE/
   UPDATE/INSERT/MERGE/CREATE/DROP/ALTER/GRANT/REVOKE/CALL/REFRESH/
-  ANALYZE (each with the shapes documented above); anything else raises
+  ANALYZE/TRUNCATE (each with the shapes documented above); anything
+  else raises
   ``ValueError`` with the offending fragment.
 - **table references** rewrite anywhere outside literals when they
   name an existing warehouse table/view: ``ns.tbl``, ``ns.tbl$meta``
@@ -690,6 +691,14 @@ class WarehouseSQL:
             return self.spark.sql(self._rewrite_tables(s))
         if head == "SHOW":
             return self._show(s)
+        if head == "TRUNCATE":
+            m = re.match(
+                r"^TRUNCATE\s+TABLE\s+(\w+)\.(\w+)$", s, re.IGNORECASE
+            )
+            if not m:
+                raise ValueError(f"unsupported TRUNCATE shape: {s[:120]!r}")
+            self._require("ALL", m.group(1), m.group(2))
+            return self.wh.truncate(m.group(1), m.group(2))
         if head == "ANALYZE":
             m = re.match(
                 r"^ANALYZE\s+TABLE\s+(\w+)\.(\w+)\s+COMPUTE\s+"
@@ -1094,6 +1103,12 @@ class WarehouseSQL:
         if proc == "fast_forward":
             ns, tbl = table_arg(args[0])
             return self.wh.fast_forward(ns, tbl, str(args[1]))
+        if proc == "cherrypick_snapshot":
+            ns, tbl = table_arg(args[0])
+            return self.wh.cherrypick(
+                ns, tbl, int(args[1]),
+                branch_from=str(args[2]) if len(args) > 2 else None,
+            )
         raise ValueError(f"unknown procedure system.{proc}")
 
     def _show(self, s: str):

@@ -4286,6 +4286,65 @@ class Warehouse:
         )
         return new_version
 
+    def cherrypick(
+        self, ns: str, table: str, version: int,
+        branch_from: str | None = None,
+    ) -> int:
+        """``cherrypick_snapshot`` analog (Iceberg's WAP publish
+        primitive): apply ONE commit's changes onto the current main
+        tip. Supported for APPEND-type deltas -- added data files and
+        added equality-delete files; the files re-reference
+        metadata-only (manifests share physical files, exactly like
+        branches). A commit that REMOVED files refuses, as Iceberg
+        does: its netting was computed against its own base snapshot
+        and replaying it elsewhere would delete the wrong rows.
+        ``branch_from`` picks the commit off a branch (cherry-pick a
+        single audited change without fast-forwarding the whole
+        branch)."""
+        tdir = self._table_dir(ns, table)
+        if not os.path.exists(tdir):
+            raise TableNotFoundError(f"{ns}.{table}")
+        added, removed, new_dels, op = self._commit_diff(
+            tdir, version, branch_from
+        )
+        if removed:
+            raise ValueError(
+                f"cannot cherry-pick commit {version} (op={op}): it "
+                f"removed {len(removed)} file(s); only append-type "
+                "commits cherry-pick cleanly"
+            )
+        if not added and not new_dels:
+            return self._versions(tdir)[-1]  # empty delta: no-op
+        tip = self._versions(tdir)[-1]
+        return self._publish_append(
+            tdir, tip,
+            [{k: v for k, v in e.items() if k != "seq"} for e in added],
+            self.table_meta(ns, table)["schema"],
+            phys=self.table_meta(ns, table).get("physical"),
+            new_deletes=[
+                {k: v for k, v in d.items() if k != "seq"}
+                for d in new_dels
+            ] or None,
+            op="cherrypick",
+        )
+
+    def truncate(self, ns: str, table: str) -> int:
+        """TRUNCATE TABLE (Athena/Spark surface): commit a NEW snapshot
+        with an empty file set. Metadata-only -- no data file is read
+        or deleted, history stays time-travelable, and
+        ``remove_orphan_files`` later reclaims the unreferenced bytes
+        (the same lifecycle as any overwrite)."""
+        tdir = self._table_dir(ns, table)
+        if not os.path.exists(tdir):
+            raise TableNotFoundError(f"{ns}.{table}")
+        version = self._versions(tdir)[-1]
+        doc = self._manifest_doc(tdir, version)
+        self._publish(
+            tdir, version + 1, [], schema=doc.get("schema"),
+            phys=doc.get("physical"), deletes=None, op="overwrite",
+        )
+        return version + 1
+
     def snapshot_as_of(self, ns: str, table: str, ts) -> int:
         """Latest snapshot committed at or before ``ts`` -- Iceberg
         ``FOR TIMESTAMP AS OF``. ``ts`` is epoch seconds or an ISO-8601

@@ -301,3 +301,43 @@ def test_snapshot_as_of_epoch_millis_micros_and_yyyymmdd(spark, wh):
     assert wh.snapshot_as_of("ns", "t", "99990101") == tip
     with _pytest.raises(ValueError, match="no snapshot"):
         wh.snapshot_as_of("ns", "t", "19700101")
+
+
+def test_cherrypick_single_branch_commit(spark, wh):
+    """WAP publish primitive: pick ONE audited branch commit onto main
+    without fast-forwarding the branch; the branch stays intact and
+    main gains exactly that commit's rows (metadata-only re-reference
+    of the same physical files)."""
+    _base(spark, wh)
+    wh.create_branch("ns", "t", "audit")
+    wh.insert("ns", "t", _df(spark, [("b1", "d0", 1)]).coalesce(1), branch="audit")
+    v2 = wh.insert("ns", "t", _df(spark, [("b2", "d0", 2)]).coalesce(1), branch="audit")
+    wh.cherrypick("ns", "t", v2, branch_from="audit")
+    main = _state(wh)
+    assert "b2" in main and "b1" not in main
+    assert wh.list_branches("ns", "t") == ["audit"]
+    # audit branch unchanged
+    assert {r.id for r in wh.read("ns", "t", branch="audit").collect()} >= {"b1", "b2"}
+
+
+def test_cherrypick_refuses_removal_commits(spark, wh):
+    _base(spark, wh)
+    wh.insert("ns", "t", _df(spark, [("x", "d0", 9)]).coalesce(1))
+    wh.delete_where("ns", "t", [("id", "=", "k0")])
+    v_del = wh.current_version("ns", "t")
+    with pytest.raises(ValueError, match="cherry-pick"):
+        wh.cherrypick("ns", "t", v_del)
+
+
+def test_cherrypick_mor_merge_reapplies_equality_delete(spark, wh):
+    """A MoR merge commit (data + equality-delete files, nothing
+    removed) cherry-picks onto main and its delete re-applies there:
+    the upsert-publish shape."""
+    _base(spark, wh)
+    wh.create_branch("ns", "t", "audit")
+    src = _df(spark, [("k1", "d1", 999)])
+    v = wh.merge_upsert("ns", "t", src, strategy="mor", branch="audit")
+    # main still has the old k1
+    assert _state(wh)["k1"][2] != 999
+    wh.cherrypick("ns", "t", v, branch_from="audit")
+    assert _state(wh)["k1"] == ("k1", "d1", 999)

@@ -127,7 +127,7 @@ def test_unsupported_shapes_raise(sql):
     with pytest.raises(ValueError, match="unsupported"):
         sql.execute("DELETE FROM ns.t")  # no WHERE
     with pytest.raises(ValueError, match="unsupported"):
-        sql.execute("TRUNCATE TABLE ns.t")
+        sql.execute("TRUNCATE ns.t")  # TABLE keyword required
     with pytest.raises(ValueError, match="ON must equate"):
         sql.execute(
             "MERGE INTO ns.t t USING ns.t s ON t.v = s.v "
@@ -842,3 +842,15 @@ def test_alter_add_drop_constraint(sql, spark):
     sql.execute("ALTER TABLE ns.t DROP CONSTRAINT v_small")
     sql.wh.insert("ns", "t", bad)  # lifted
     assert ("zz", "d0", 5000) in _state(sql)
+
+
+def test_truncate_table(sql):
+    """TRUNCATE TABLE: metadata-only empty snapshot -- zero rows after,
+    the pre-truncate snapshot still time-travels, and the table accepts
+    new writes."""
+    v = sql.wh.current_version("ns", "t")
+    sql.execute("TRUNCATE TABLE ns.t")
+    assert sql.execute("SELECT COUNT(*) AS n FROM ns.t").collect()[0].n == 0
+    assert len(sql.wh.read("ns", "t", version=v).collect()) == 20
+    sql.execute("INSERT INTO ns.t VALUES ('post', 'd0', 1)")
+    assert _state(sql) == {("post", "d0", 1)}
