@@ -86,7 +86,9 @@ _UPDATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
-    r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\.(\w+)\s+(SELECT\b.*|VALUES\b.*)$",
+    r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\.(\w+)"
+    r"(?:\s*\(([\w\s,]+)\))?"
+    r"\s+(SELECT\b.*|VALUES\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_RE = re.compile(
@@ -780,20 +782,56 @@ class WarehouseSQL:
             m = _INSERT_RE.match(s)
             if not m:
                 raise ValueError(f"unsupported INSERT shape: {s[:120]!r}")
-            mode, ns, tbl, src = m.groups()
+            mode, ns, tbl, col_list, src = m.groups()
+            schema = self.wh.schema(ns, tbl)
+            targets = (
+                [c.strip() for c in col_list.split(",")]
+                if col_list
+                else [f.name for f in schema.fields]
+            )
+            unknown = [c for c in targets if c not in schema.fieldNames()]
+            if unknown:
+                raise ValueError(
+                    f"INSERT column list names unknown columns {unknown}"
+                )
             if src.upper().startswith("VALUES"):
                 df = self.spark.sql(f"SELECT * FROM ({src})")
                 # inline VALUES carry positional colN names; align to
-                # the table schema by position
-                schema = self.wh.schema(ns, tbl)
-                if len(df.columns) != len(schema.fields):
+                # the (possibly partial) target list by position
+                if len(df.columns) != len(targets):
                     raise ValueError(
-                        f"VALUES arity {len(df.columns)} != table arity "
-                        f"{len(schema.fields)}"
+                        f"VALUES arity {len(df.columns)} != target arity "
+                        f"{len(targets)}"
                     )
-                df = df.toDF(*[f.name for f in schema.fields])
+                df = df.toDF(*targets)
             else:
                 df = self.spark.sql(self._rewrite_tables(src))
+                if col_list:
+                    if len(df.columns) != len(targets):
+                        raise ValueError(
+                            f"SELECT arity {len(df.columns)} != target "
+                            f"arity {len(targets)}"
+                        )
+                    df = df.toDF(*targets)
+            if col_list:
+                # ANSI partial-column INSERT: unnamed columns get NULL
+                # (a required column left out would silently drop every
+                # row at the NOT NULL filter -- raise instead)
+                missing = [
+                    f for f in schema.fields if f.name not in targets
+                ]
+                req_meta = self.wh.table_meta(ns, tbl).get("required") or []
+                req = [
+                    f.name for f in missing
+                    if f.name in req_meta or not f.nullable
+                ]
+                if req:
+                    raise ValueError(
+                        f"INSERT column list omits required columns {req}"
+                    )
+                for f in missing:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                df = df.select(*[f.name for f in schema.fields])
             self._require("INSERT", ns, tbl)
             return self.wh.insert(
                 ns, tbl, df, overwrite=mode.upper() == "OVERWRITE"
@@ -1113,7 +1151,8 @@ class WarehouseSQL:
 
     def _show(self, s: str):
         """SHOW NAMESPACES | SHOW TABLES IN ns | SHOW VIEWS IN ns |
-        SHOW MATERIALIZED VIEWS IN ns (with per-MV freshness) --
+        SHOW MATERIALIZED VIEWS IN ns (with per-MV freshness) |
+        SHOW CREATE TABLE ns.t (reconstructed DDL) --
         catalog listings as DataFrames (Athena/Spark SHOW surface)."""
         m = re.match(r"^SHOW\s+NAMESPACES$", s, re.IGNORECASE)
         if m:
@@ -1127,6 +1166,34 @@ class WarehouseSQL:
             return self.spark.createDataFrame(
                 [(ns, t) for t in self.wh.list_tables(ns)],
                 "namespace STRING, table STRING",
+            )
+        m = re.match(
+            r"^SHOW\s+CREATE\s+TABLE\s+(\w+)\.(\w+)$", s, re.IGNORECASE
+        )
+        if m:
+            ns, tbl = m.group(1), m.group(2)
+            self._require("DESCRIBE", ns, tbl)
+            meta = self.wh.table_meta(ns, tbl)
+            schema = StructType.fromJson(meta["schema"])
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                + ("" if f.nullable else " NOT NULL")
+                for f in schema.fields
+            )
+            ddl = f"CREATE TABLE {ns}.{tbl} (\n  {cols}\n)"
+            if meta.get("partition_by"):
+                ddl += f"\nPARTITIONED BY ({meta['partition_by']})"
+            props = []
+            if meta.get("key"):
+                props.append(f"'unique_keys'='{meta['key']}'")
+            for cname, cexpr in sorted(
+                (meta.get("constraints") or {}).items()
+            ):
+                props.append(f"'constraint.{cname}'='{cexpr}'")
+            if props:
+                ddl += "\nTBLPROPERTIES (" + ", ".join(props) + ")"
+            return self.spark.createDataFrame(
+                [(ddl,)], "createtab_stmt STRING"
             )
         m = re.match(
             r"^SHOW\s+MATERIALIZED\s+VIEWS\s+IN\s+(\w+)$",

@@ -854,3 +854,29 @@ def test_truncate_table(sql):
     assert len(sql.wh.read("ns", "t", version=v).collect()) == 20
     sql.execute("INSERT INTO ns.t VALUES ('post', 'd0', 1)")
     assert _state(sql) == {("post", "d0", 1)}
+
+
+def test_insert_partial_column_list(sql, spark):
+    """ANSI partial-column INSERT: named columns bind by position,
+    unnamed nullable columns get NULL; omitting a NOT NULL / required
+    column raises instead of silently dropping rows."""
+    sql.execute("INSERT INTO ns.t (id, v) VALUES ('p1', 7)")
+    sql.execute(
+        "INSERT INTO ns.t (v, id) SELECT 8 AS a, 'p2' AS b"
+    )
+    s = {r[0]: (r[1], r[2]) for r in _state(sql)}
+    assert s["p1"] == (None, 7) and s["p2"] == (None, 8)
+    with pytest.raises(ValueError, match="required|NOT NULL|id"):
+        sql.execute("INSERT INTO ns.t (day, v) VALUES ('d9', 1)")
+    with pytest.raises(ValueError, match="unknown columns"):
+        sql.execute("INSERT INTO ns.t (nope) VALUES (1)")
+
+
+def test_show_create_table(sql):
+    sql.execute("ALTER TABLE ns.t ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    ddl = sql.execute("SHOW CREATE TABLE ns.t").collect()[0].createtab_stmt
+    assert "CREATE TABLE ns.t" in ddl
+    assert "id STRING NOT NULL" in ddl
+    assert "PARTITIONED BY (day)" in ddl
+    assert "'unique_keys'='id'" in ddl
+    assert "'constraint.v_pos'='v >= 0'" in ddl
