@@ -1163,6 +1163,7 @@ class Warehouse:
         branch: str | None = None,
         op: str | None = None,
         ts: float | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """Atomic optimistic commit: link() fails if the version exists
         (the reference's versionToken CAS, scripts/update_metadata.py:135-141).
@@ -1184,6 +1185,11 @@ class Warehouse:
         doc["ts"] = _time.time() if ts is None else ts
         if op:
             doc["op"] = op
+        if txn:
+            # Delta txnAppId/txnVersion analog: the idempotence stamp
+            # rides the COMMIT itself, so a crash can never land data
+            # without its stamp (the ledger IS the manifest chain)
+            doc["txn"] = [str(txn[0]), int(txn[1])]
         if schema is not None:
             doc["schema"] = schema
         if phys:
@@ -1209,15 +1215,39 @@ class Warehouse:
         # source of truth; _commit_index rebuilds on any gap). Only the
         # CAS winner reaches this append; O_APPEND keeps small writes
         # atomic on a local fs.
-        line = json.dumps(
-            {"version": version, "ts": doc["ts"], "op": op or "append",
-             "n_files": len(files),
-             "bytes": sum(e.get("bytes", 0) for e in files),
-             "records": sum(e.get("records", 0) for e in files),
-             "n_partitions": len({_scope_key(e) for e in files})}
-        )
+        idx_row = {
+            "version": version, "ts": doc["ts"], "op": op or "append",
+            "n_files": len(files),
+            "bytes": sum(e.get("bytes", 0) for e in files),
+            "records": sum(e.get("records", 0) for e in files),
+            "n_partitions": len({_scope_key(e) for e in files}),
+        }
+        if txn:
+            idx_row["txn"] = doc["txn"]
+        line = json.dumps(idx_row)
         with open(os.path.join(vdir, _COMMIT_IDX), "a") as f:
             f.write(line + "\n")
+
+    def _last_txn(
+        self, tdir: str, branch: str | None, app: str
+    ) -> int | None:
+        """Highest committed txn version for ``app`` (newest first --
+        one reverse scan of the compact commit index)."""
+        for r in reversed(self._commit_index(tdir, branch)):
+            t = r.get("txn")
+            if t and t[0] == app:
+                return int(t[1])
+        return None
+
+    def last_txn_version(
+        self, ns: str, table: str, app: str, branch: str | None = None
+    ) -> int | None:
+        """Delta ``txnVersion(appId)`` analog: the highest transaction
+        version an idempotent writer (``insert(txn=(app, v))``) has
+        committed, or None. Foundation for exactly-once keyless
+        streaming sinks: a replayed micro-batch whose epoch <= this is
+        a no-op."""
+        return self._last_txn(self._table_dir(ns, table), branch, app)
 
     def _commit_index(
         self, tdir: str, branch: str | None = None
@@ -1254,6 +1284,8 @@ class Warehouse:
                     "records": sum(e.get("records", 0) for e in files),
                     "n_partitions": len({_scope_key(e) for e in files}),
                 }
+                if doc.get("txn"):
+                    rows[v]["txn"] = doc["txn"]
             tmp = os.path.join(vdir, f".idx-{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
                 f.write("".join(json.dumps(rows[v]) + "\n" for v in versions))
@@ -1316,6 +1348,7 @@ class Warehouse:
         rebase_meta: bool = True, new_deletes: list[dict] | None = None,
         rebase_validate=None, branch: str | None = None,
         op: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Publish an append (or overwrite), rebasing onto the tip on a
         concurrent commit: an append conflicts with nothing -- its file
@@ -1350,6 +1383,14 @@ class Warehouse:
             else set()
         )
         for _ in range(self._MAX_COMMIT_RETRIES):
+            if txn is not None:
+                # Delta txnAppId/txnVersion idempotence, re-checked per
+                # attempt: a CAS loser whose winner carried the SAME
+                # stamp (a racing replay of one micro-batch) must skip,
+                # not double-commit
+                last = self._last_txn(tdir, branch, txn[0])
+                if last is not None and last >= int(txn[1]):
+                    return self._versions(tdir, branch)[-1]
             base_doc = (
                 {"files": []}
                 if overwrite
@@ -1365,6 +1406,7 @@ class Warehouse:
                     tdir, version + 1, base + stamped, schema=schema, phys=phys,
                     deletes=_live_deletes(dels, base + stamped), branch=branch,
                     op=op or ("overwrite" if overwrite else "append"),
+                    txn=txn,
                 )
                 return version + 1
             except CommitConflictError:
@@ -2546,13 +2588,24 @@ class Warehouse:
         overwrite: bool = False,
         merge_schema: bool = False,
         branch: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Append (or overwrite) a batch; returns the new version.
         ``merge_schema`` adds the batch's new columns to the table
         first (nullable, metadata-only) instead of failing the align.
         ``branch`` commits onto a branch chain (audit-branch pattern)
-        instead of main."""
+        instead of main. ``txn=(app_id, version)`` makes the write
+        IDEMPOTENT (Delta txnAppId/txnVersion): if the table has
+        already committed ``app_id`` at >= ``version``, the call is a
+        no-op returning the current tip -- the exactly-once primitive
+        for keyless streaming appends (replayed micro-batches carry the
+        same epoch). The stamp rides the commit manifest, so the check
+        and the data are atomic."""
         tdir = self._table_dir(ns, table)
+        if txn is not None:
+            last = self._last_txn(tdir, branch, txn[0])
+            if last is not None and last >= int(txn[1]):
+                return self._versions(tdir, branch)[-1]  # replay: skip
         if merge_schema and branch:
             raise ValueError(
                 "schema evolution is table-wide; evolve on main, then "
@@ -2567,6 +2620,7 @@ class Warehouse:
         return self._publish_append(
             tdir, self._versions(tdir, branch)[-1], new_files, meta["schema"],
             overwrite=overwrite, phys=meta.get("physical"), branch=branch,
+            txn=txn,
         )
 
     # -- write-audit-publish (Iceberg WAP / stage-only commits): a write

@@ -69,28 +69,50 @@ def stream_table_to_table(
     strategy: str = "cow",
     from_version: int | None = None,
     on_delete: str = "raise",
+    mode: str = "merge",
+    app_id: str | None = None,
 ):
-    """Tail ``src``'s append stream and MERGE each micro-batch into
+    """Tail ``src``'s append stream and write each micro-batch into
     ``dst`` (optionally through ``transform``, an arbitrary
     batch-DataFrame function -- filters, projections, enrichment
     joins). Returns the StreamingQuery. Both tables may live in the
     same warehouse or different ones (pass a Warehouse-bound method via
     functools.partial if so; this convenience signature uses one).
 
-    Exactly-once: the checkpoint pins the last consumed manifest
-    version; a replayed batch re-MERGEs the same keys, which is
-    idempotent for a keyed destination. ``on_delete="skip"`` streams
-    past row-level-DML commits in the source (insert-only downstream;
-    the Iceberg streaming-skip-delete-snapshots posture)."""
+    Exactly-once, two shapes:
+    - ``mode="merge"`` (default, needs a keyed destination): a
+      replayed batch re-MERGEs the same keys -- idempotent by
+      latest-wins.
+    - ``mode="append"`` (keyless destination): each micro-batch
+      commits with a Delta-style ``txn=(app_id, epoch)`` stamp riding
+      the manifest, so a crash-replayed epoch is a provable no-op --
+      the exactly-once KEYLESS sink (Spark's foreachBatch contract
+      says epochs may re-fire; the stamp makes the re-fire free).
+      ``app_id`` defaults to a checkpoint-derived stable id.
+
+    ``on_delete="skip"`` streams past row-level-DML commits in the
+    source (insert-only downstream; the Iceberg
+    streaming-skip-delete-snapshots posture)."""
+    if mode not in ("merge", "append"):
+        raise ValueError(f"unknown sink mode {mode!r}")
     stream = read_table_stream(
         spark, wh, *src, from_version=from_version, on_delete=on_delete
     )
     dst_ns, dst_table = dst
+    if app_id is None:
+        import hashlib
 
-    def sink(batch: DataFrame, _epoch: int) -> None:
+        app_id = "stream-" + hashlib.md5(
+            checkpoint_dir.encode()
+        ).hexdigest()[:12]
+
+    def sink(batch: DataFrame, epoch: int) -> None:
         if transform is not None:
             batch = transform(batch)
-        wh.merge_upsert(dst_ns, dst_table, batch, strategy=strategy)
+        if mode == "append":
+            wh.insert(dst_ns, dst_table, batch, txn=(app_id, epoch))
+        else:
+            wh.merge_upsert(dst_ns, dst_table, batch, strategy=strategy)
 
     trigger = trigger or {"availableNow": True}
     return (
