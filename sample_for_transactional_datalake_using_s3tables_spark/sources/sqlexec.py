@@ -730,6 +730,33 @@ class WarehouseSQL:
             if not m:
                 raise ValueError(f"unsupported DESCRIBE shape: {s[:120]!r}")
             ns, tbl = m.groups()
+            if tbl in self.wh.list_views(ns):
+                # a view/MV describes as its definition + resolved schema
+                vsql = self.wh.view_definition(ns, tbl)
+                schema = self.spark.sql(self._rewrite_tables(vsql)).schema
+                rows = [
+                    (f.name, f.dataType.simpleString(), f.nullable)
+                    for f in schema.fields
+                ] + [("# view_definition", vsql, True)]
+                return self.spark.createDataFrame(
+                    rows,
+                    "col_name STRING, data_type STRING, nullable BOOLEAN",
+                )
+            if tbl in self.wh.list_materialized_views(ns):
+                vsql = self.wh.mv_definition(ns, tbl)
+                st = self.wh.mv_status(ns, tbl)
+                schema = self.spark.sql(self._rewrite_tables(vsql)).schema
+                rows = [
+                    (f.name, f.dataType.simpleString(), f.nullable)
+                    for f in schema.fields
+                ] + [
+                    ("# view_definition", vsql, True),
+                    ("# materialized", f"fresh={st['fresh']}", True),
+                ]
+                return self.spark.createDataFrame(
+                    rows,
+                    "col_name STRING, data_type STRING, nullable BOOLEAN",
+                )
             self._require("DESCRIBE", ns, tbl)
             meta = self.wh.table_meta(ns, tbl)
             from pyspark.sql.types import StructType as _ST

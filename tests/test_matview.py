@@ -275,3 +275,13 @@ def test_analyze_rejects_malformed_shapes(env):
         sql.execute("ANALYZE TABLE ns.t")
     with _pytest.raises(ValueError, match="unsupported REFRESH"):
         sql.execute("REFRESH TABLE ns.t")
+
+
+def test_describe_view_and_mv(env):
+    wh, sql, _spark = env
+    wh.create_view("ns", "pv", "SELECT id, v * 2 AS v2 FROM ns.t")
+    sql.execute("CREATE MATERIALIZED VIEW ns.m AS SELECT COUNT(*) AS n FROM ns.t")
+    rows = {r.col_name: r.data_type for r in sql.execute("DESCRIBE ns.pv").collect()}
+    assert rows["v2"] == "bigint" and "SELECT id" in rows["# view_definition"]
+    rows = {r.col_name: r.data_type for r in sql.execute("DESCRIBE ns.m").collect()}
+    assert rows["n"] == "bigint" and rows["# materialized"] == "fresh=False"
