@@ -59,3 +59,68 @@ def shingles_sql(tok_expr: str, n: int = 3) -> str:
         f"i -> array_to_string(({tok_expr})[i : i + {n - 1}], ' ')) "
         f"ELSE [] END"
     )
+
+
+# Integer shingle hashing: instead of building each n-gram as a STRING
+# and md5-ing it (allocation-heavy -- it dominated the whole MinHash
+# pipeline), hash each TOKEN once (30-bit md5 prefix) and combine n
+# consecutive token hashes with a rolling polynomial mod a Mersenne
+# prime. All arithmetic stays exact in int64 on both engines:
+# h < 2^31, SHINGLE_A < 2^20 => every intermediate product < 2^51.
+# Two distinct shingles collide with probability ~2^-31 -- immaterial
+# for candidate generation and Jaccard estimation, and both engines
+# compute the identical value so oracle hash-matching is unaffected.
+SHINGLE_P = 2147483647  # 2^31 - 1
+SHINGLE_A = 1000003  # prime multiplier
+
+_H30_MASK = (1 << 30) - 1
+
+
+def token_hashes(tok: Column) -> Column:
+    """30-bit md5-derived hash per token (the only string hashing the
+    shingle pipeline performs -- one md5 per token, not per shingle)."""
+    return F.transform(
+        tok,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit(_H30_MASK)),
+    )
+
+
+TOKEN_HASHES_SQL = (
+    "list_transform({tok}, t -> "
+    f"CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) & {_H30_MASK})"
+)
+
+
+def hashed_shingles(ht: Column, n: int = 3) -> Column:
+    """n-gram shingle hashes from a token-hash array: rolling polynomial
+    ``((h1*A + h2) % P * A + h3) % P`` over ``zip_with`` of shifted
+    slices. Each slice references ``ht`` once PER ROW (an indexed
+    ``transform(sequence(...), i -> ht[i])`` formulation would re-evaluate
+    the token-hash expression per ELEMENT when Catalyst collapses
+    projections -- measured 25x slower). Empty array if < n tokens."""
+    sz = F.size(ht)
+    m = F.greatest(sz - (n - 1), F.lit(0))
+    acc = F.slice(ht, 1, m)
+    for j in range(2, n + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(ht, j, m),
+            lambda a, b: (a * F.lit(SHINGLE_A) + b) % F.lit(SHINGLE_P),
+        )
+    return F.when(sz >= n, acc).otherwise(F.array().cast("array<bigint>"))
+
+
+def hashed_shingles_sql(ht_expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`hashed_shingles` (1-based list indexing;
+    DuckDB evaluates each CTE column once per row, so the indexed form
+    is safe there)."""
+    poly = f"({ht_expr})[i]"
+    for j in range(1, n):
+        poly = f"({poly} * {SHINGLE_A} + ({ht_expr})[i + {j}]) % {SHINGLE_P}"
+    return (
+        f"CASE WHEN len({ht_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({ht_expr}) - {n - 2}), i -> {poly}) "
+        f"ELSE [] END"
+    )

@@ -28,7 +28,15 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.textfns import TOKENS_SQL, md5_int_sql, shingles, shingles_sql, tokens
+from ..functions.textfns import (
+    TOKEN_HASHES_SQL,
+    TOKENS_SQL,
+    hashed_shingles,
+    hashed_shingles_sql,
+    md5_int_sql,
+    token_hashes,
+    tokens,
+)
 from ..functions.vectors import (
     QUANTIZE_SQL,
     cosine_from_ints,
@@ -45,11 +53,13 @@ MINHASH_K = 12
 MINHASH_BANDS = 4
 MINHASH_R = MINHASH_K // MINHASH_BANDS
 
-# The MINHASH_K hash functions are affine remixes of ONE md5-derived
-# 30-bit base hash:  h_i(s) = (a_i * h30(s) + b_i) mod P.  One md5 pass
-# per shingle instead of K -- the dominant cost at scale -- with exact
-# int64 arithmetic (a_i < 2^28, h30 < 2^30 => product < 2^58, no
-# overflow) reproducible verbatim in the DuckDB oracle.
+# The MINHASH_K hash functions are affine remixes of ONE 31-bit shingle
+# hash:  h_i(s) = (a_i * sh(s) + b_i) mod P.  The shingle hash itself is
+# a rolling polynomial over per-TOKEN md5 hashes (functions/textfns
+# SHINGLE_A/SHINGLE_P) -- one md5 per token instead of one string build +
+# md5 per shingle, which was the dominant cost at scale.  Exact int64
+# arithmetic throughout (a_i < 2^28, sh < 2^31 => product < 2^59, no
+# overflow), reproducible verbatim in the DuckDB oracle.
 MINHASH_P = 2147483647
 MINHASH_COEF = [
     (
@@ -62,7 +72,16 @@ MINHASH_COEF = [
 SIMHASH_BITS = 16
 
 _TOK = TOKENS_SQL.format(col="text")
-_SHINGLES = f"list_distinct({shingles_sql(_TOK)})"
+# Oracle CTE pair shared by every shingle-based dedup oracle: token-hash
+# array, then distinct rolling-poly shingle hashes (textfns twins).
+_HASHED_CTE = (
+    f"SELECT doc_id{{extra}}, {TOKEN_HASHES_SQL.format(tok=_TOK)} AS ht"
+    " FROM documents"
+)
+_BASE_CTE = (
+    f"SELECT doc_id{{extra}}, list_distinct({hashed_shingles_sql('ht')}) AS sh"
+    " FROM hashed"
+)
 
 
 # --------------------------------------------------------------------------
@@ -94,47 +113,58 @@ FROM documents GROUP BY 1
 # MinHash + LSH.
 # --------------------------------------------------------------------------
 
-def _h30(sh_col: F.Column) -> F.Column:
-    """Array of 30-bit md5-derived base hashes, one per shingle."""
-    return F.transform(
-        sh_col,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-        .cast("bigint")
-        .bitwiseAND(F.lit((1 << 30) - 1)),
-    )
-
-
 def _remix(a: int, b: int):
-    """Affine remix of the base hash: ``h -> (a*h + b) mod P`` (exact
-    int64: a < 2^28, h < 2^30 => product < 2^58)."""
+    """Affine remix of the shingle hash: ``h -> (a*h + b) mod P`` (exact
+    int64: a < 2^28, h < 2^31 => product < 2^59)."""
     return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
+    """``(doc_id, *extra, sh: array<bigint>)`` -- the distinct 31-bit
+    shingle hashes of each document (rolling polynomial over per-token
+    md5 hashes, textfns.hashed_shingles), rows with < 3 tokens dropped.
+
+    Materialized TWICE via localCheckpoint, deliberately:
+
+    - the token-hash array is pinned before shingling because Spark
+      evaluates higher-order lambdas interpreted and projection collapse
+      would otherwise re-run the per-token md5 transform once per
+      downstream array reference (measured 25x slower);
+    - the finished frame is pinned because THREE downstream consumers
+      re-read it (the signature pass, both sides of the band self-join
+      via exchange reuse, and the verify join's two probe sides).
+
+    At cluster scale this is the standard persist(MEMORY_AND_DISK) of a
+    multi-pass dedup working set ~10x smaller than the text it encodes;
+    at 100 TB of text the checkpointed hashes are ~1-2 TB spread across
+    executor local disks, and every later pass is int-array reads
+    instead of re-tokenizing the corpus."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    # Materialize the token array BEFORE shingling: the shingle lambda
-    # references its input per element, and an inlined split() expression
-    # would re-tokenize the whole text per shingle position (quadratic).
-    toked = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
-    sh = F.array_distinct(shingles(F.col("tok")))
-    return toked.select("doc_id", sh.alias("sh")).filter(F.size("sh") > 0)
+    toked = docs.select("doc_id", *extra, tokens(F.col("text")).alias("tok"))
+    hdf = toked.select(
+        "doc_id", *extra, token_hashes(F.col("tok")).alias("ht")
+    ).localCheckpoint()
+    sh = F.array_distinct(hashed_shingles(F.col("ht")))
+    out = hdf.select("doc_id", *extra, sh.alias("sh")).filter(F.size("sh") > 0)
+    return out.localCheckpoint()
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures -> banded LSH candidate pairs -> exact Jaccard.
 
-    Signature: one md5 pass hashes each shingle to 30 bits, then
-    ``mh_i = min over shingles of (a_i * h30 + b_i) mod P`` (see
+    Signature: each document's distinct 31-bit shingle hashes (one md5
+    per TOKEN + a rolling polynomial -- see _doc_shingles), then
+    ``mh_i = min over shingles of (a_i * sh + b_i) mod P`` (see
     MINHASH_COEF). Band key = md5 of the band's signature triple;
-    candidates share any band key; the final column is the *exact*
-    shingle-set Jaccard of the candidate pair (int division ->
-    portable double)."""
+    candidates share any band key; the final column is the exact Jaccard
+    of the pair's hashed-shingle sets (int division -> portable double;
+    identical to string-shingle Jaccard up to ~2^-31 hash collisions,
+    and bit-identical to the DuckDB oracle either way)."""
     base = _doc_shingles(spark, sf_dir)
-    sig = base.withColumn("h30", _h30(F.col("sh"))).select(
+    sig = base.select(
         "doc_id",
-        "sh",
         *[
-            F.array_min(F.transform(F.col("h30"), _remix(a, b))).alias(f"mh{i}")
+            F.array_min(F.transform(F.col("sh"), _remix(a, b))).alias(f"mh{i}")
             for i, (a, b) in enumerate(MINHASH_COEF)
         ],
     )
@@ -190,7 +220,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     mh_cols = ",\n         ".join(
-        f"list_min(list_transform(h30, h -> (h * {a} + {b}) % {MINHASH_P})) AS mh{i}"
+        f"list_min(list_transform(sh, h -> (h * {a} + {b}) % {MINHASH_P})) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_COEF)
     )
     band_rows = "\n  UNION ALL\n".join(
@@ -199,18 +229,16 @@ def _minhash_sql() -> str:
         for b in range(MINHASH_BANDS)
     )
     return f"""
-WITH base AS (
-  SELECT doc_id, {_SHINGLES} AS sh FROM documents WHERE len({_SHINGLES}) > 0
+WITH hashed AS (
+  {_HASHED_CTE.format(extra="")}
 ),
-hashed AS (
-  SELECT doc_id, sh,
-         list_transform(sh, s -> {md5_int_sql('s')} & {(1 << 30) - 1}) AS h30
-  FROM base
+base AS (
+  SELECT * FROM ({_BASE_CTE.format(extra="")}) WHERE len(sh) > 0
 ),
 sig AS (
   SELECT doc_id, sh,
          {mh_cols}
-  FROM hashed
+  FROM base
 ),
 bands AS (
 {band_rows}
@@ -291,16 +319,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole blocks -- and the exact Jaccard verify touches candidate pairs
     only. The oracle mirrors the same candidate generation verbatim, so
     the pair set is deterministic and engine-independent."""
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    toked = docs.select(
-        "doc_id", "lang", "source", tokens(F.col("text")).alias("tok")
-    )
-    sh = F.array_distinct(shingles(F.col("tok")))
-    base = toked.select("doc_id", "lang", "source", sh.alias("sh")).filter(
-        F.size("sh") > 0
-    )
-    sig = base.withColumn("h30", _h30(F.col("sh")))
-    bands = sig.select(
+    base = _doc_shingles(spark, sf_dir, "lang", "source")
+    bands = base.select(
         "doc_id",
         "lang",
         "source",
@@ -309,7 +329,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        F.array_min(F.transform(F.col("h30"), _remix(a, b))).alias(
+                        F.array_min(F.transform(F.col("sh"), _remix(a, b))).alias(
                             "band_key"
                         ),
                     )
@@ -350,8 +370,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_jaccard_sql() -> str:
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, lang, source, {i} AS band_id, "
-        f"list_min(list_transform(h30, h -> (h * {a} + {b}) % {MINHASH_P})) AS band_key "
-        "FROM hashed"
+        f"list_min(list_transform(sh, h -> (h * {a} + {b}) % {MINHASH_P})) AS band_key "
+        "FROM base"
         for i, (a, b) in enumerate(MINHASH_COEF)
     )
     jac = (
@@ -359,14 +379,11 @@ def _ngram_jaccard_sql() -> str:
         "/ (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
     )
     return f"""
-WITH base AS (
-  SELECT doc_id, lang, source, {_SHINGLES} AS sh
-  FROM documents WHERE len({_SHINGLES}) > 0
+WITH hashed AS (
+  {_HASHED_CTE.format(extra=", lang, source")}
 ),
-hashed AS (
-  SELECT doc_id, lang, source,
-         list_transform(sh, s -> {md5_int_sql('s')} & {(1 << 30) - 1}) AS h30
-  FROM base
+base AS (
+  SELECT * FROM ({_BASE_CTE.format(extra=", lang, source")}) WHERE len(sh) > 0
 ),
 bands AS (
 {band_rows}
