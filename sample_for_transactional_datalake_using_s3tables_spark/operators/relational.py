@@ -432,6 +432,80 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COLOC_BUCKETS = 8
+
+
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join over Spark-bucketed tables.
+
+    THE join strategy for two big fact tables repeatedly joined on the
+    same key (SURVEY section 6's 100 TB north star; the prompt-level
+    "bucketing for co-located joins"): pay ONE bucketed write per table
+    (``bucketBy(N, key) + sortBy(key)``), then every subsequent join is
+    a zero-exchange SortMergeJoin -- both scans report the same
+    ``HashPartitioning(key, N)``, so Catalyst plans NO Exchange on
+    either side, and because the aggregation also keys on the bucket
+    key the whole plan runs shuffle-free end to end (pinned by
+    tests/test_plans.py::test_bucketed_join_has_no_exchange).
+
+    At 100 TB this converts every repeat join from a full-corpus
+    shuffle (the cluster-wide network bottleneck) into node-local merge
+    reads; the one-time bucketed write is amortized across every
+    downstream join, which is why warehouse fact tables ship bucketed
+    in production lakes. ``hint("merge")`` pins SMJ so a small-scale
+    auto-broadcast cannot erase the demonstration.
+    """
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    # External tables in a fresh temp dir: bucketing metadata lives in
+    # the session catalog, the data path is unique per call, so re-runs
+    # (and stale dirs from earlier sessions) can never collide.
+    tmp = tempfile.mkdtemp(prefix="coloc_")
+    spark.sql("DROP TABLE IF EXISTS coloc_orders")
+    spark.sql("DROP TABLE IF EXISTS coloc_lineitem")
+    (
+        orders.write.mode("overwrite")
+        .option("path", f"{tmp}/orders")
+        .bucketBy(_COLOC_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("coloc_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .option("path", f"{tmp}/lineitem")
+        .bucketBy(_COLOC_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("coloc_lineitem")
+    )
+    bo = spark.table("coloc_orders")
+    bl = spark.table("coloc_lineitem")
+    joined = bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
+    return (
+        joined.groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("revenue"),
+        )
+    )
+
+
+JOIN_BUCKETED_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderstatus
+"""
+
+
 JOIN_SALTED_SQL = """
 SELECT c_mktsegment,
        COUNT(*) AS n_events,
@@ -947,6 +1021,7 @@ QUERIES = {
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_salted_skew": join_salted_skew,
+    "join_bucketed_colocated": join_bucketed_colocated,
     "window_rank": window_rank,
     "window_running_sum": window_running_sum,
     "window_lag_lead": window_lag_lead,
@@ -992,6 +1067,7 @@ ORACLES = {
     "join_semi": JOIN_SEMI_SQL,
     "join_anti": JOIN_ANTI_SQL,
     "join_salted_skew": JOIN_SALTED_SQL,
+    "join_bucketed_colocated": JOIN_BUCKETED_SQL,
     "window_rank": WINDOW_RANK_SQL,
     "window_running_sum": WINDOW_RUNNING_SUM_SQL,
     "window_lag_lead": WINDOW_LAG_LEAD_SQL,

@@ -87,6 +87,20 @@ def test_salted_join_keys_on_salt(spark):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """The co-located join runs shuffle-free end to end: both bucketed
+    scans report the same HashPartitioning, so neither the SortMergeJoin
+    nor the bucket-keyed aggregation plans an Exchange."""
+    plan = _executed(relational.join_bucketed_colocated(spark, SF_SMALL))
+    final_section = plan.split("Initial Plan")[0]
+    assert "SortMergeJoin" in final_section
+    assert not any(
+        "Exchange" in l and "Reused" not in l
+        for l in final_section.splitlines()
+    ), "bucketed co-located join introduced a shuffle"
+    assert "Bucketed: true" in plan, "scan did not use the bucketed layout"
+
+
 def test_dedup_candidates_join_on_buckets(spark):
     plan = _executed(dedup.dedup_ngram_jaccard(spark, SF_SMALL))
     joins = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
