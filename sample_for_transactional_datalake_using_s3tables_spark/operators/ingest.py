@@ -718,6 +718,83 @@ FROM events GROUP BY event_type
 """
 
 
+def warehouse_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO + column write-defaults certified end-to-end (Delta
+    COPY INTO / ANSI SET DEFAULT; the batch-side idempotent twin of the
+    reference's continuous Firehose delivery, stack/firehose.py): land
+    the even-keyed events as parquet, COPY them in under
+    ``batch DEFAULT 'b1'``; land the odd-keyed events as NEW files in
+    the same directory, flip the default to 'b2', COPY again -- only
+    the new files load (the ledger rides the commit manifests); a third
+    COPY is a pure no-op. ``copy_ok`` folds the idempotence invariants
+    (second copy skipped the first delivery; third copy loaded
+    nothing); the per-row ``batch`` column certifies BOTH the
+    incremental file set and the default fill in one hash."""
+    from ..sources.sqlexec import WarehouseSQL
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_copy_")
+    try:
+        landing = os.path.join(root, "landing")
+        events.filter(F.col("event_id") % 2 == 0).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(landing)
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q",
+            "state",
+            StructType(
+                list(events.schema.fields)
+                + [StructField("batch", StringType(), True)]
+            ),
+        )
+        sql = WarehouseSQL(wh)
+        sql.execute(
+            "ALTER TABLE q.state ALTER COLUMN batch SET DEFAULT 'b1'"
+        )
+        c1 = sql.execute(
+            f"COPY INTO q.state FROM '{landing}' FILEFORMAT = PARQUET"
+        )
+        # second delivery: new files alongside the already-loaded ones
+        events.filter(F.col("event_id") % 2 == 1).coalesce(2).write.mode(
+            "append"
+        ).parquet(landing)
+        sql.execute(
+            "ALTER TABLE q.state ALTER COLUMN batch SET DEFAULT 'b2'"
+        )
+        c2 = sql.execute(
+            f"COPY INTO q.state FROM '{landing}' FILEFORMAT = PARQUET"
+        )
+        c3 = sql.execute(
+            f"COPY INTO q.state FROM '{landing}' FILEFORMAT = PARQUET"
+        )
+        copy_ok = (
+            c1["files_loaded"] > 0
+            and c2["files_loaded"] > 0
+            and c2["files_skipped"] == c1["files_loaded"]
+            and c3["files_loaded"] == 0
+            and c3["files_skipped"]
+            == c1["files_loaded"] + c2["files_loaded"]
+        )
+        out = sql.execute(
+            "SELECT event_id, event_type, value, batch FROM q.state"
+        ).withColumn("copy_ok", F.lit(bool(copy_ok)))
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_COPY_INTO_SQL = """
+SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value,
+       CASE WHEN event_id % 2 = 0 THEN 'b1' ELSE 'b2' END AS batch,
+       TRUE AS copy_ok
+FROM events
+"""
+
+
 def warehouse_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted SQL views end-to-end (the Iceberg View spec analog:
     versioned definitions in the catalog, expanded at query time with
@@ -1724,6 +1801,7 @@ QUERIES = {
     "warehouse_matview": warehouse_matview,
     "warehouse_stats": warehouse_stats,
     "warehouse_catalog_ddl": warehouse_catalog_ddl,
+    "warehouse_copy_into": warehouse_copy_into,
 }
 
 ORACLES = {
@@ -1753,4 +1831,5 @@ ORACLES = {
     "warehouse_matview": WAREHOUSE_MATVIEW_SQL,
     "warehouse_stats": WAREHOUSE_STATS_SQL,
     "warehouse_catalog_ddl": WAREHOUSE_CATALOG_DDL_SQL,
+    "warehouse_copy_into": WAREHOUSE_COPY_INTO_SQL,
 }

@@ -54,8 +54,8 @@ does the real parsing. The split layer accepts exactly:
   raw NULs would let crafted input collide with them.
 - **statement heads**: SELECT/WITH/EXPLAIN/SHOW/DESCRIBE/DESC/DELETE/
   UPDATE/INSERT/MERGE/CREATE/DROP/ALTER/GRANT/REVOKE/CALL/REFRESH/
-  ANALYZE/TRUNCATE (each with the shapes documented above); anything
-  else raises
+  ANALYZE/TRUNCATE/COPY (each with the shapes documented above);
+  anything else raises
   ``ValueError`` with the offending fragment.
 - **table references** rewrite anywhere outside literals when they
   name an existing warehouse table/view: ``ns.tbl``, ``ns.tbl$meta``
@@ -693,6 +693,21 @@ class WarehouseSQL:
             return self.spark.sql(self._rewrite_tables(s))
         if head == "SHOW":
             return self._show(s)
+        if head == "COPY":
+            # Delta: COPY INTO ns.t FROM '<dir>' FILEFORMAT = PARQUET
+            #   [PATTERN = '<glob>'] -- idempotent bulk file loading
+            m = re.match(
+                r"^COPY\s+INTO\s+(\w+)\.(\w+)\s+FROM\s+'([^']+)'\s+"
+                r"FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?$",
+                s, re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported COPY shape: {s[:120]!r}")
+            ns, tbl, path, fmt, pat = m.groups()
+            self._require("INSERT", ns, tbl)
+            return self.wh.copy_into(
+                ns, tbl, path, fileformat=fmt.lower(), pattern=pat
+            )
         if head == "TRUNCATE":
             m = re.match(
                 r"^TRUNCATE\s+TABLE\s+(\w+)\.(\w+)$", s, re.IGNORECASE
@@ -841,23 +856,32 @@ class WarehouseSQL:
                         )
                     df = df.toDF(*targets)
             if col_list:
-                # ANSI partial-column INSERT: unnamed columns get NULL
-                # (a required column left out would silently drop every
-                # row at the NOT NULL filter -- raise instead)
+                # ANSI partial-column INSERT: unnamed columns get their
+                # column DEFAULT if one is set, else NULL (a required
+                # column left out with no default would silently drop
+                # every row at the NOT NULL filter -- raise instead)
                 missing = [
                     f for f in schema.fields if f.name not in targets
                 ]
-                req_meta = self.wh.table_meta(ns, tbl).get("required") or []
+                meta = self.wh.table_meta(ns, tbl)
+                req_meta = meta.get("required") or []
+                defaults = meta.get("defaults") or {}
                 req = [
                     f.name for f in missing
-                    if f.name in req_meta or not f.nullable
+                    if (f.name in req_meta or not f.nullable)
+                    and f.name not in defaults
                 ]
                 if req:
                     raise ValueError(
                         f"INSERT column list omits required columns {req}"
                     )
                 for f in missing:
-                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                    fill = (
+                        F.expr(defaults[f.name])
+                        if f.name in defaults
+                        else F.lit(None)
+                    )
+                    df = df.withColumn(f.name, fill.cast(f.dataType))
                 df = df.select(*[f.name for f in schema.fields])
             self._require("INSERT", ns, tbl)
             return self.wh.insert(
@@ -1021,6 +1045,22 @@ class WarehouseSQL:
             ),
             "widen",
         ),
+        (  # ANSI / Delta column write-defaults
+            re.compile(
+                r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+ALTER\s+COLUMN\s+"
+                r"(\w+)\s+SET\s+DEFAULT\s+(.+)$",
+                re.IGNORECASE | re.DOTALL,
+            ),
+            "set_default",
+        ),
+        (
+            re.compile(
+                r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+ALTER\s+COLUMN\s+"
+                r"(\w+)\s+DROP\s+DEFAULT$",
+                re.IGNORECASE,
+            ),
+            "drop_default",
+        ),
         (
             re.compile(
                 r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+SET\s+PARTITION\s+SPEC\s*"
@@ -1074,6 +1114,12 @@ class WarehouseSQL:
                 return self.wh.widen_column(
                     ns, tbl, m.group(3), m.group(4).strip()
                 )
+            if kind == "set_default":
+                return self.wh.set_column_default(
+                    ns, tbl, m.group(3), m.group(4).strip()
+                )
+            if kind == "drop_default":
+                return self.wh.set_column_default(ns, tbl, m.group(3), None)
             if kind == "spec":
                 spec = m.group(3).strip().strip("`") or None
                 return self.wh.evolve_partition_spec(ns, tbl, spec)

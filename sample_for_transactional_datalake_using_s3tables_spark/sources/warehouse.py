@@ -1164,6 +1164,7 @@ class Warehouse:
         op: str | None = None,
         ts: float | None = None,
         txn: tuple[str, int] | None = None,
+        copied: list[str] | None = None,
     ) -> None:
         """Atomic optimistic commit: link() fails if the version exists
         (the reference's versionToken CAS, scripts/update_metadata.py:135-141).
@@ -1190,6 +1191,11 @@ class Warehouse:
             # rides the COMMIT itself, so a crash can never land data
             # without its stamp (the ledger IS the manifest chain)
             doc["txn"] = [str(txn[0]), int(txn[1])]
+        if copied:
+            # COPY INTO source-file ledger: rides the commit (atomic
+            # with the data), so "was this file loaded" is answerable
+            # from the manifest chain alone and survives index rebuild
+            doc["copied"] = sorted(copied)
         if schema is not None:
             doc["schema"] = schema
         if phys:
@@ -1224,6 +1230,8 @@ class Warehouse:
         }
         if txn:
             idx_row["txn"] = doc["txn"]
+        if copied:
+            idx_row["copied"] = doc["copied"]
         line = json.dumps(idx_row)
         with open(os.path.join(vdir, _COMMIT_IDX), "a") as f:
             f.write(line + "\n")
@@ -1238,6 +1246,14 @@ class Warehouse:
             if t and t[0] == app:
                 return int(t[1])
         return None
+
+    def _copied_sources(self, tdir: str, branch: str | None = None) -> set:
+        """Every source file any committed COPY INTO recorded (union of
+        the per-commit ledgers, one pass over the compact index)."""
+        out: set = set()
+        for r in self._commit_index(tdir, branch):
+            out.update(r.get("copied") or [])
+        return out
 
     def last_txn_version(
         self, ns: str, table: str, app: str, branch: str | None = None
@@ -1286,6 +1302,8 @@ class Warehouse:
                 }
                 if doc.get("txn"):
                     rows[v]["txn"] = doc["txn"]
+                if doc.get("copied"):
+                    rows[v]["copied"] = doc["copied"]
             tmp = os.path.join(vdir, f".idx-{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
                 f.write("".join(json.dumps(rows[v]) + "\n" for v in versions))
@@ -1349,6 +1367,7 @@ class Warehouse:
         rebase_validate=None, branch: str | None = None,
         op: str | None = None,
         txn: tuple[str, int] | None = None,
+        copied: list[str] | None = None,
     ) -> int:
         """Publish an append (or overwrite), rebasing onto the tip on a
         concurrent commit: an append conflicts with nothing -- its file
@@ -1391,6 +1410,17 @@ class Warehouse:
                 last = self._last_txn(tdir, branch, txn[0])
                 if last is not None and last >= int(txn[1]):
                     return self._versions(tdir, branch)[-1]
+            if copied:
+                # COPY idempotence, re-checked per attempt: a CAS loser
+                # whose winner loaded an overlapping source set must not
+                # double-load those rows -- surface the conflict so the
+                # caller re-plans against the winner's ledger
+                clash = self._copied_sources(tdir, branch).intersection(copied)
+                if clash:
+                    raise CommitConflictError(
+                        f"COPY sources already loaded concurrently: "
+                        f"{sorted(clash)[:3]}"
+                    )
             base_doc = (
                 {"files": []}
                 if overwrite
@@ -1406,7 +1436,7 @@ class Warehouse:
                     tdir, version + 1, base + stamped, schema=schema, phys=phys,
                     deletes=_live_deletes(dels, base + stamped), branch=branch,
                     op=op or ("overwrite" if overwrite else "append"),
-                    txn=txn,
+                    txn=txn, copied=copied,
                 )
                 return version + 1
             except CommitConflictError:
@@ -2506,8 +2536,23 @@ class Warehouse:
                 f"{schema.fieldNames()}; pass merge_schema=True to evolve "
                 "(silently dropping them would lose data)"
             )
+        # Column write-defaults (set_column_default): a field absent
+        # from the batch fills with its default expression; absent
+        # WITHOUT a default stays an analysis error (explicitness --
+        # the SQL INSERT path pre-fills NULL for partial column lists).
+        defaults = meta.get("defaults") or {}
+        have = set(df.columns)
         out = df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            *[
+                (
+                    F.col(f.name)
+                    if f.name in have or f.name not in defaults
+                    else F.expr(defaults[f.name])
+                )
+                .cast(f.dataType)
+                .alias(f.name)
+                for f in schema.fields
+            ]
         )
         for col in meta.get("required", []):
             out = out.filter(F.col(col).isNotNull())
@@ -2562,6 +2607,36 @@ class Warehouse:
         constraints = dict(meta.get("constraints") or {})
         constraints.pop(name, None)
         meta["constraints"] = constraints
+        self._swap_table_meta(tdir, meta)
+
+    def set_column_default(
+        self, ns: str, table: str, col: str, sql_expr: str | None
+    ) -> None:
+        """Column WRITE default (ANSI ``SET DEFAULT`` / Delta column
+        defaults / Iceberg v3 write-default): future writes that omit
+        ``col`` fill it with ``sql_expr`` instead of NULL. Metadata-only
+        (existing rows are untouched -- this is the write-default, not
+        the retroactive initial-default). ``None`` clears it (``DROP
+        DEFAULT``). The expression is validated here by evaluating it
+        once against the column's type, so a typo fails the ALTER, not
+        a later midnight ingest."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        schema = StructType.fromJson(meta["schema"])
+        if col not in schema.fieldNames():
+            raise KeyError(f"no such column {col!r} in {ns}.{table}")
+        if sql_expr is not None:
+            # constant-evaluate once: raises on unresolvable names,
+            # bad casts, or non-deterministic/aggregate expressions
+            self.spark.range(1).select(
+                F.expr(sql_expr).cast(schema[col].dataType)
+            ).collect()
+        defaults = dict(meta.get("defaults") or {})
+        if sql_expr is None:
+            defaults.pop(col, None)
+        else:
+            defaults[col] = sql_expr
+        meta["defaults"] = defaults
         self._swap_table_meta(tdir, meta)
 
     def _merge_schema(self, ns: str, table: str, df: DataFrame) -> dict:
@@ -2622,6 +2697,93 @@ class Warehouse:
             overwrite=overwrite, phys=meta.get("physical"), branch=branch,
             txn=txn,
         )
+
+    def copy_into(
+        self,
+        ns: str,
+        table: str,
+        path: str,
+        fileformat: str = "parquet",
+        pattern: str | None = None,
+        branch: str | None = None,
+    ) -> dict:
+        """Delta ``COPY INTO`` analog: idempotent bulk file loading.
+
+        Lists ``path`` (glob ``pattern``, default ``*.<format>``),
+        skips every file a previous COPY already committed -- the
+        loaded-source ledger rides each commit manifest, atomic with
+        the data and restored by index rebuild -- reads the rest with
+        the table schema applied by NAME (casts, column defaults, NOT
+        NULL, CHECK constraints all via the normal write validation),
+        and appends them in ONE commit that records the source list.
+        Re-running after a crash or on a schedule loads exactly the new
+        files; racing COPYs with overlapping sources serialize through
+        the commit CAS (the loser's data files become orphans for
+        ``remove_orphan_files``; it re-plans against the winner's
+        ledger and loads only what remains).
+
+        At 100 TB the ledger check is metadata-only (compact commit
+        index, no data scan) and the load is one distributed read of
+        only the new files. Reference capability: the reference's
+        Firehose delivery stream lands files continuously
+        (stack/firehose.py); COPY INTO is the batch-side idempotent
+        equivalent, in Delta Lake's SQL shape."""
+        import glob as _glob
+
+        fileformat = fileformat.lower()
+        if fileformat not in ("parquet", "csv", "json"):
+            raise ValueError(f"unsupported COPY INTO format {fileformat!r}")
+        tdir = self._table_dir(ns, table)
+        pat = pattern or f"*.{fileformat}"
+        sources = sorted(
+            os.path.abspath(p)
+            for p in _glob.glob(os.path.join(path, pat))
+        )
+        for _ in range(self._MAX_COMMIT_RETRIES):
+            seen = self._copied_sources(tdir, branch)
+            todo = [s for s in sources if s not in seen]
+            if not todo:
+                return {
+                    "files_loaded": 0,
+                    "rows_loaded": 0,
+                    "files_skipped": len(sources),
+                    "version": self._versions(tdir, branch)[-1],
+                }
+            reader = self.spark.read
+            if fileformat == "csv":
+                reader = reader.option("header", "true")
+            raw = reader.format(fileformat).load(todo)
+            meta = self.table_meta(ns, table)
+            schema = StructType.fromJson(meta["schema"])
+            defaults = meta.get("defaults") or {}
+            missing = [
+                f.name
+                for f in schema.fields
+                if f.name not in raw.columns and f.name not in defaults
+            ]
+            if missing:
+                raise ValueError(
+                    f"COPY source lacks columns {missing} and the table "
+                    "defines no defaults for them"
+                )
+            new_files = self._write_table_files(
+                tdir, self._validated(raw, meta), meta
+            )
+            try:
+                v = self._publish_append(
+                    tdir, self._versions(tdir, branch)[-1], new_files,
+                    meta["schema"], phys=meta.get("physical"),
+                    branch=branch, copied=todo,
+                )
+                return {
+                    "files_loaded": len(todo),
+                    "rows_loaded": sum(e.get("records", 0) for e in new_files),
+                    "files_skipped": len(sources) - len(todo),
+                    "version": v,
+                }
+            except CommitConflictError:
+                continue  # overlapping COPY won the race: re-plan
+        raise CommitConflictError("copy_into did not converge")
 
     # -- write-audit-publish (Iceberg WAP / stage-only commits): a write
     # lands as an UNPUBLISHED staged changeset an auditor can read and

@@ -1,0 +1,180 @@
+"""COPY INTO (idempotent bulk file loading, Delta syntax) and column
+write-defaults (ANSI SET DEFAULT / Delta column defaults / Iceberg v3
+write-default).
+
+The COPY ledger rides the commit manifests (atomic with the data,
+restored by index rebuild), so re-runs, crashes, and racing COPYs can
+never double-load a source file."""
+
+from __future__ import annotations
+
+import os
+
+
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
+from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
+
+S = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("day", StringType(), True),
+        StructField("v", IntegerType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    w = Warehouse(spark, str(tmp_path / "wh"))
+    w.create_namespace("ns")
+    w.create_table("ns", "t", S, key="id")
+    return w
+
+
+def _write_src(spark, path, rows):
+    spark.createDataFrame(rows, S).coalesce(1).write.mode("overwrite").parquet(
+        path
+    )
+
+
+
+def test_copy_into_loads_then_skips(wh, spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _write_src(spark, src, [("a", "d0", 1), ("b", "d0", 2)])
+    r1 = wh.copy_into("ns", "t", src)
+    assert r1["files_loaded"] >= 1 and r1["rows_loaded"] == 2
+    # identical re-run: pure no-op, no new snapshot
+    r2 = wh.copy_into("ns", "t", src)
+    assert r2 == {
+        "files_loaded": 0,
+        "rows_loaded": 0,
+        "files_skipped": r1["files_loaded"],
+        "version": r1["version"],
+    }
+    assert wh.read("ns", "t").count() == 2
+
+
+def test_copy_into_loads_only_new_files(wh, spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _write_src(spark, src, [("a", "d0", 1)])
+    wh.copy_into("ns", "t", src)
+    # a second delivery lands NEW files next to the old ones
+    spark.createDataFrame([("b", "d1", 2)], S).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    r = wh.copy_into("ns", "t", src)
+    assert r["files_loaded"] >= 1 and r["rows_loaded"] == 1
+    assert r["files_skipped"] >= 1
+    got = {(r.id, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", 1), ("b", 2)}
+
+
+def test_copy_ledger_survives_index_rebuild(wh, spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _write_src(spark, src, [("a", "d0", 1)])
+    wh.copy_into("ns", "t", src)
+    tdir = wh._table_dir("ns", "t")
+    os.unlink(os.path.join(wh._vdir(tdir), "_commits.idx"))
+    r = wh.copy_into("ns", "t", src)  # rebuilt index still knows the file
+    assert r["files_loaded"] == 0 and wh.read("ns", "t").count() == 1
+
+
+def test_copy_into_sql_route(wh, spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _write_src(spark, src, [("a", "d0", 1), ("b", "d1", 2)])
+    ex = WarehouseSQL(wh)
+    r = ex.execute(
+        f"COPY INTO ns.t FROM '{src}' FILEFORMAT = PARQUET "
+        "PATTERN = '*.parquet'"
+    )
+    assert r["rows_loaded"] == 2
+    r2 = ex.execute(f"COPY INTO ns.t FROM '{src}' FILEFORMAT = PARQUET")
+    assert r2["files_loaded"] == 0
+    assert ex.execute("SELECT COUNT(*) AS n FROM ns.t").collect()[0].n == 2
+
+
+def test_copy_into_missing_column_raises(wh, spark, tmp_path):
+    src = str(tmp_path / "landing")
+    spark.createDataFrame([("a",)], "id string").write.parquet(src)
+    with pytest.raises(ValueError, match="lacks columns"):
+        wh.copy_into("ns", "t", src)
+
+
+def test_copy_into_fills_missing_column_from_default(wh, spark, tmp_path):
+    wh.set_column_default("ns", "t", "v", "42")
+    src = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [("a", "d0")], "id string, day string"
+    ).write.parquet(src)
+    wh.copy_into("ns", "t", src)
+    assert [(r.id, r.v) for r in wh.read("ns", "t").collect()] == [("a", 42)]
+
+
+def test_set_default_validates_and_applies_on_insert(wh, spark):
+    wh.set_column_default("ns", "t", "day", "'1970-01-01'")
+    with pytest.raises(Exception):
+        wh.set_column_default("ns", "t", "nope", "'x'")  # unknown column
+    with pytest.raises(Exception):
+        wh.set_column_default("ns", "t", "day", "no_such_col + 1")
+    # python-API insert of a frame MISSING the defaulted column
+    wh.insert("ns", "t", spark.createDataFrame([("a", 7)], "id string, v int"))
+    row = wh.read("ns", "t").collect()[0]
+    assert row.day == "1970-01-01" and row.v == 7
+
+
+def test_sql_alter_set_default_and_partial_insert(wh, spark):
+    ex = WarehouseSQL(wh)
+    ex.execute("ALTER TABLE ns.t ALTER COLUMN v SET DEFAULT 10 + 1")
+    ex.execute("INSERT INTO ns.t (id, day) VALUES ('a', 'd0')")
+    assert ex.execute("SELECT v FROM ns.t").collect()[0].v == 11
+    ex.execute("ALTER TABLE ns.t ALTER COLUMN v DROP DEFAULT")
+    ex.execute("INSERT INTO ns.t (id, day) VALUES ('b', 'd1')")
+    got = {(r.id, r.v) for r in ex.execute("SELECT id, v FROM ns.t").collect()}
+    assert got == {("a", 11), ("b", None)}
+
+
+def test_default_on_required_column_allows_partial_insert(wh, spark):
+    # a required column with a default no longer blocks partial INSERT
+    w2 = Warehouse(spark, wh.root + "_req")
+    w2.create_namespace("ns")
+    w2.create_table("ns", "r", S, key="id", required=["v"])
+    ex = WarehouseSQL(w2)
+    with pytest.raises(ValueError, match="required"):
+        ex.execute("INSERT INTO ns.r (id, day) VALUES ('a', 'd0')")
+    w2.set_column_default("ns", "r", "v", "0")
+    ex.execute("INSERT INTO ns.r (id, day) VALUES ('a', 'd0')")
+    assert ex.execute("SELECT v FROM ns.r").collect()[0].v == 0
+
+
+def test_copy_conflict_replans_against_winner_ledger(wh, spark, tmp_path):
+    """Simulate losing the CAS to a concurrent COPY of the same files:
+    the loser must skip them, not double-load."""
+    src = str(tmp_path / "landing")
+    _write_src(spark, src, [("a", "d0", 1)])
+    tdir = wh._table_dir("ns", "t")
+    real_publish = wh._publish
+    raced = {"done": False}
+
+    def racing_publish(*args, **kwargs):
+        if not raced["done"]:
+            raced["done"] = True
+            # winner lands the same source set first
+            wh_b = Warehouse(spark, wh.root)
+            wh_b.copy_into("ns", "t", src)
+        return real_publish(*args, **kwargs)
+
+    wh._publish = racing_publish
+    try:
+        r = wh.copy_into("ns", "t", src)
+    finally:
+        wh._publish = real_publish
+    assert r["files_loaded"] == 0  # re-planned: winner already loaded it
+    assert wh.read("ns", "t").count() == 1
