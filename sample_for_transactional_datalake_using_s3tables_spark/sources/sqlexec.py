@@ -1248,9 +1248,15 @@ class WarehouseSQL:
             self._require("DESCRIBE", ns, tbl)
             meta = self.wh.table_meta(ns, tbl)
             schema = StructType.fromJson(meta["schema"])
+            defaults = meta.get("defaults") or {}
             cols = ",\n  ".join(
                 f"{f.name} {f.dataType.simpleString().upper()}"
                 + ("" if f.nullable else " NOT NULL")
+                + (
+                    f" DEFAULT {defaults[f.name]}"
+                    if f.name in defaults
+                    else ""
+                )
                 for f in schema.fields
             )
             ddl = f"CREATE TABLE {ns}.{tbl} (\n  {cols}\n)"
@@ -1368,8 +1374,27 @@ class WarehouseSQL:
         )
         if not m:
             raise ValueError(f"unsupported CREATE shape: {s[:120]!r}")
-        # column defs parse through Spark's own DDL grammar
-        schema = StructType.fromDDL(m.group("cols"))
+        # column defs parse through Spark's own DDL grammar, EXCEPT the
+        # optional trailing ``DEFAULT <expr>`` per column (accepted
+        # grammar: ``col TYPE [NOT NULL] [DEFAULT expr]``), which
+        # fromDDL does not know -- strip it here, apply after create.
+        # Lossless for struct types: fragments a naive comma-split cuts
+        # through never match the \s+DEFAULT\s+ tail and re-join as-is.
+        defaults: dict[str, str] = {}
+        cleaned = []
+        for cd in _split_top_level(m.group("cols")):
+            dm = re.match(
+                r"^(.*?)\s+DEFAULT\s+(.+?)$", cd.strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if dm:
+                cleaned.append(dm.group(1))
+                defaults[dm.group(1).split()[0].strip("`")] = (
+                    dm.group(2).strip()
+                )
+            else:
+                cleaned.append(cd)
+        schema = StructType.fromDDL(",".join(cleaned))
         part = m.group("part")
         if part:
             part = part.strip().strip("`")
@@ -1379,9 +1404,13 @@ class WarehouseSQL:
             pk, _, pv = kv.partition("=")
             if pk.strip().strip("'\" ") == "primary-key":
                 key = pv.strip().strip("'\" ")
-        return self.wh.create_table(
-            m.group("ns"), m.group("tbl"), schema, key=key, partition_by=part
-        )
+        ns, tbl = m.group("ns"), m.group("tbl")
+        existed = ns in self.wh.list_namespaces() and tbl in self.wh.list_tables(ns)
+        out = self.wh.create_table(ns, tbl, schema, key=key, partition_by=part)
+        if not existed:
+            for c, e in defaults.items():
+                self.wh.set_column_default(ns, tbl, c, e)
+        return out
 
     def _merge(self, s: str, lits: list[str], strategy: str):
         # ``s`` arrives literal-masked so ON/WHEN keywords inside string

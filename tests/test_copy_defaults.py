@@ -154,6 +154,27 @@ def test_default_on_required_column_allows_partial_insert(wh, spark):
     assert ex.execute("SELECT v FROM ns.r").collect()[0].v == 0
 
 
+def test_create_table_default_clause_roundtrips(wh, spark):
+    ex = WarehouseSQL(wh)
+    ex.execute(
+        "CREATE TABLE ns.d (id STRING NOT NULL, lane STRING DEFAULT 'bulk', "
+        "w STRUCT<a: INT, b: INT>, n INT DEFAULT 1 + 2)"
+    )
+    ex.execute("INSERT INTO ns.d (id) VALUES ('x')")
+    row = ex.execute("SELECT id, lane, n FROM ns.d").collect()[0]
+    assert (row.id, row.lane, row.n) == ("x", "bulk", 3)
+    ddl = ex.execute("SHOW CREATE TABLE ns.d").collect()[0].createtab_stmt
+    assert "lane STRING DEFAULT 'bulk'" in ddl and "DEFAULT 1 + 2" in ddl
+    # the emitted DDL is re-runnable verbatim against a fresh warehouse
+    w2 = Warehouse(spark, wh.root + "_rt")
+    w2.create_namespace("ns")
+    WarehouseSQL(w2).execute(ddl)
+    assert (w2.table_meta("ns", "d").get("defaults") or {}) == {
+        "lane": "'bulk'",
+        "n": "1 + 2",
+    }
+
+
 def test_copy_conflict_replans_against_winner_ledger(wh, spark, tmp_path):
     """Simulate losing the CAS to a concurrent COPY of the same files:
     the loser must skip them, not double-load."""
