@@ -682,6 +682,71 @@ FROM joined
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representative selection: keep each
+    duplicate cluster's BEST member, not its min-id one -- production
+    corpora keep the highest-quality copy of a near-dup cluster
+    (RefinedWeb / FineWeb pipelines), since crawl copies differ in
+    truncation and boilerplate. "Best" = most tokens, then most
+    distinct tokens, then min doc_id -- a deterministic total order.
+
+    Scale shape: ONE hash aggregate with map-side combine --
+    ``min(array(-n_tokens, -n_distinct, doc_id))`` folds the whole
+    selection into a combiner-friendly lexicographic min (a row_number
+    window would funnel a billion-copy boilerplate cluster through one
+    reducer; the aggregate collapses it per task, same argument as
+    text_segment_dedup's keep-first). The array never reaches the
+    output -- fields are extracted to plain columns."""
+    labels = dedup_connected_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toked = spread(docs, "doc_id").select(
+        "doc_id", tokens(F.col("text")).alias("tok")
+    )
+    stats = toked.select(
+        "doc_id",
+        F.size("tok").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("tok")).cast("bigint").alias("n_distinct"),
+    )
+    j = labels.join(stats, "doc_id")
+    key = F.array(-F.col("n_tokens"), -F.col("n_distinct"), F.col("doc_id"))
+    return (
+        j.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(key).alias("_b"),
+        )
+        .select(
+            "component_id",
+            "n_members",
+            F.element_at("_b", 3).alias("kept_doc"),
+            (-F.element_at("_b", 1)).alias("kept_tokens"),
+        )
+    )
+
+
+def _keep_best_sql() -> str:
+    return f"""
+WITH comp AS ({_connected_components_sql()}),
+stats AS (
+  SELECT doc_id,
+         CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({_TOK})) AS BIGINT) AS n_distinct
+  FROM documents
+),
+j AS (
+  SELECT c.component_id, s.doc_id, s.n_tokens, s.n_distinct
+  FROM comp c JOIN stats s USING (doc_id)
+),
+agg AS (
+  SELECT component_id, COUNT(*) AS n_members,
+         min([-n_tokens, -n_distinct, doc_id]) AS b
+  FROM j GROUP BY component_id
+)
+SELECT component_id, n_members, b[3] AS kept_doc, -b[1] AS kept_tokens
+FROM agg
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -690,6 +755,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_connected_components": dedup_connected_components,
     "dedup_apply": dedup_apply,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 ORACLES = {
@@ -700,4 +766,5 @@ ORACLES = {
     "dedup_embedding": _dedup_embedding_sql(),
     "dedup_connected_components": _connected_components_sql(),
     "dedup_apply": _dedup_apply_sql(),
+    "dedup_keep_best": _keep_best_sql(),
 }
