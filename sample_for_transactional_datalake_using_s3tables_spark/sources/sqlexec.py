@@ -92,7 +92,8 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_RE = re.compile(
-    r"^MERGE\s+INTO\s+(?P<ns>\w+)\.(?P<tbl>\w+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
+    r"^MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+    r"INTO\s+(?P<ns>\w+)\.(?P<tbl>\w+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
     r"\s+USING\s+(?P<src>\(.*\)|\w+(?:\.\w+)?)(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
     r"\s+ON\s+(?P<on>.+?)"
     r"\s+(?P<when>WHEN\s+.*)$",
@@ -1458,4 +1459,5 @@ class WarehouseSQL:
         return self.wh.merge_upsert(
             ns, tbl, source, delete_col=delete_col, strategy=strategy,
             sync_deletes=bool(cm.group("sync")),
+            merge_schema=bool(m.group("evolve")),
         )

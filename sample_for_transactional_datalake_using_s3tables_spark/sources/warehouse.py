@@ -2889,6 +2889,7 @@ class Warehouse:
         strategy: str = "cow",
         branch: str | None = None,
         sync_deletes: bool = False,
+        merge_schema: bool = False,
     ) -> int:
         """MERGE INTO on the table key (reference Firehose
         ``unique_keys=[transaction_id]``, stack/firehose.py:99,159):
@@ -2922,9 +2923,27 @@ class Warehouse:
         and ``compact()`` folds them in. The steady-state CDC shape at
         100 TB: per-batch write cost is O(batch), not O(files touched),
         and concurrent MoR merges never conflict -- they serialize by
-        commit order."""
+        commit order.
+
+        ``merge_schema`` (Delta autoMerge / Spark 4 ``MERGE WITH SCHEMA
+        EVOLUTION``): source columns missing from the table are added
+        first (nullable, metadata-only); existing rows read them as
+        NULL."""
         tdir = self._table_dir(ns, table)
-        meta = self.table_meta(ns, table)
+        if merge_schema and branch:
+            raise ValueError(
+                "schema evolution is table-wide; evolve on main, then "
+                "merge into the branch"
+            )
+        meta = (
+            # the delete marker is batch metadata, never a table column
+            self._merge_schema(
+                ns, table,
+                source.drop(delete_col) if delete_col else source,
+            )
+            if merge_schema
+            else self.table_meta(ns, table)
+        )
         key, pcol = meta["key"], meta["partition_by"]
         if key is None:
             raise ValueError(f"{ns}.{table} has no key; use insert()")

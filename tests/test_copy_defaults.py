@@ -199,3 +199,30 @@ def test_copy_conflict_replans_against_winner_ledger(wh, spark, tmp_path):
         wh._publish = real_publish
     assert r["files_loaded"] == 0  # re-planned: winner already loaded it
     assert wh.read("ns", "t").count() == 1
+
+
+def test_merge_with_schema_evolution(wh, spark):
+    ex = WarehouseSQL(wh)
+    ex.execute("INSERT INTO ns.t VALUES ('a', 'd0', 1)")
+    spark.createDataFrame(
+        [("a", "d0", 2, "eu"), ("b", "d1", 3, "us")],
+        "id string, day string, v int, region string",
+    ).createOrReplaceTempView("src_evolve")
+    ex.execute(
+        "MERGE WITH SCHEMA EVOLUTION INTO ns.t USING src_evolve s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {
+        (r.id, r.v, r.region)
+        for r in ex.execute("SELECT id, v, region FROM ns.t").collect()
+    }
+    assert got == {("a", 2, "eu"), ("b", 3, "us")}
+    # WITHOUT the clause, a wider source still raises
+    with pytest.raises(Exception, match="not in table schema"):
+        ex.execute(
+            "MERGE INTO ns.t USING (SELECT 'c' AS id, 'd2' AS day, "
+            "4 AS v, 'ap' AS region, 1 AS extra2) s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
