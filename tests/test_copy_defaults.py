@@ -226,3 +226,22 @@ def test_merge_with_schema_evolution(wh, spark):
             "WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+def test_create_default_adversarial_literals(wh, spark):
+    """DEFAULT expressions containing commas, parens, quotes and
+    keyword lookalikes must not confuse the column-def splitter."""
+    ex = WarehouseSQL(wh)
+    ex.execute(
+        "CREATE TABLE ns.adv (id STRING, "
+        "a STRING DEFAULT concat('x,y', '(', ''''), "
+        "b STRING DEFAULT 'DEFAULT not null, c INT', "
+        "c INT)"
+    )
+    ex.execute("INSERT INTO ns.adv (id, c) VALUES ('k', 5)")
+    row = ex.execute("SELECT a, b, c FROM ns.adv").collect()[0]
+    assert (row.a, row.b, row.c) == ("x,y('", "DEFAULT not null, c INT", 5)
+    # schema kept exactly 4 columns despite the embedded lookalikes
+    assert [f.name for f in wh.schema("ns", "adv").fields] == [
+        "id", "a", "b", "c",
+    ]
