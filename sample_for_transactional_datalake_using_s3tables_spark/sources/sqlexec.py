@@ -541,6 +541,45 @@ class WarehouseSQL:
         "Sort", "GlobalLimit", "LocalLimit", "Intersect", "Except",
     )
 
+    def _metadata_count(self, s: str):
+        """Serve a bare ``SELECT COUNT(*) FROM ns.t`` from manifest
+        statistics alone -- zero data files opened (Trino-on-Iceberg
+        answers this from the snapshot summary; at 100 TB the
+        difference is O(1) metadata vs a full-corpus scan). Strictly
+        guarded: only a plain current-snapshot table (no view, no
+        $meta/time-travel tail, no WHERE), only when the snapshot
+        carries NO live delete files (MoR deletes make file record
+        counts overcounts), only when every entry has a record count,
+        and only for the root principal (a row-filtered grant must see
+        the filtered count through the normal scan). Returns None to
+        fall through to the ordinary plan."""
+        m = re.match(
+            r"^SELECT\s+COUNT\(\s*\*\s*\)\s*(?:AS\s+(\w+))?\s+"
+            r"FROM\s+(\w+)\.(\w+)$",
+            s, re.IGNORECASE,
+        )
+        if not m or self.principal is not None:
+            return None
+        alias, ns, tbl = m.groups()
+        try:
+            if (
+                ns not in self.wh.list_namespaces()
+                or tbl not in self.wh.list_tables(ns)
+            ):
+                return None
+            tdir = self.wh._table_dir(ns, tbl)
+            doc = self.wh._manifest_doc(tdir, self.wh._versions(tdir)[-1])
+        except Exception:
+            return None
+        if doc.get("deletes"):
+            return None
+        if any("records" not in e for e in doc["files"]):
+            return None
+        n = sum(e["records"] for e in doc["files"])
+        return self.spark.createDataFrame(
+            [(n,)], f"`{alias or 'count(1)'}` BIGINT"
+        )
+
     def _refresh_mv(self, ns: str, name: str) -> dict:
         """Refresh a materialized view with DEFINER rights (like Trino,
         the refresh writes data the owner computed; readers then need
@@ -687,6 +726,9 @@ class WarehouseSQL:
         s = stmt.strip().rstrip(";").strip()
         head = s.split(None, 1)[0].upper() if s else ""
         if head in ("SELECT", "WITH"):
+            meta_count = self._metadata_count(s)
+            if meta_count is not None:
+                return meta_count
             return self.spark.sql(self._rewrite_tables(s))
         if head == "EXPLAIN":
             # EXPLAIN [EXTENDED|FORMATTED] SELECT ... -> one-row plan
@@ -810,12 +852,18 @@ class WarehouseSQL:
             ns, tbl, set_text, cond = m.groups()
             cond = _unmask(cond, lits)
             self._require("ALL", ns, tbl)
+            defaults = self.wh.table_meta(ns, tbl).get("defaults") or {}
             assignments = {}
             for part in _split_top_level(_unmask(set_text, lits)):
                 col, _, rhs = part.partition("=")
                 if not rhs:
                     raise ValueError(f"bad SET clause: {part!r}")
-                assignments[col.strip().strip("`")] = F.expr(rhs.strip())
+                cname, rhs = col.strip().strip("`"), rhs.strip()
+                if rhs.upper() == "DEFAULT":
+                    # ANSI: SET col = DEFAULT -> the column's write
+                    # default, or NULL when none is declared
+                    rhs = defaults.get(cname, "NULL")
+                assignments[cname] = F.expr(rhs)
             predicate, hints = self._predicate(cond)
             return self.wh.update_where(
                 ns, tbl, assignments, predicate, predicates=hints,

@@ -245,3 +245,40 @@ def test_create_default_adversarial_literals(wh, spark):
     assert [f.name for f in wh.schema("ns", "adv").fields] == [
         "id", "a", "b", "c",
     ]
+
+
+def test_update_set_default_keyword(wh, spark):
+    ex = WarehouseSQL(wh)
+    ex.execute("INSERT INTO ns.t VALUES ('a', 'd0', 1), ('b', 'd0', 2)")
+    ex.execute("ALTER TABLE ns.t ALTER COLUMN v SET DEFAULT 99")
+    ex.execute("UPDATE ns.t SET v = DEFAULT WHERE id = 'a'")
+    # no default declared on day -> DEFAULT means NULL
+    ex.execute("UPDATE ns.t SET day = DEFAULT WHERE id = 'b'")
+    got = {(r.id, r.day, r.v) for r in ex.execute("SELECT * FROM ns.t").collect()}
+    assert got == {("a", "d0", 99), ("b", None, 2)}
+    # a string literal 'DEFAULT' is NOT the keyword
+    ex.execute("UPDATE ns.t SET day = 'DEFAULT' WHERE id = 'a'")
+    assert (
+        ex.execute("SELECT day FROM ns.t WHERE id = 'a'").collect()[0].day
+        == "DEFAULT"
+    )
+
+
+def test_metadata_count_matches_scan_and_falls_back(wh, spark):
+    ex = WarehouseSQL(wh)
+    ex.execute("INSERT INTO ns.t VALUES ('a', 'd0', 1), ('b', 'd0', 2), ('c', 'd1', 3)")
+    assert ex.execute("SELECT COUNT(*) FROM ns.t").collect()[0][0] == 3
+    # CoW delete: manifest record counts stay exact
+    ex.execute("DELETE FROM ns.t WHERE id = 'b'")
+    assert ex.execute("SELECT COUNT(*) AS n FROM ns.t").collect()[0].n == 2
+    # MoR equality delete: live delete files -> metadata path must
+    # refuse and the scan path must still be exact
+    ex.execute("DELETE FROM ns.t WHERE id = 'c'", strategy="mor")
+    tdir = wh._table_dir("ns", "t")
+    doc = wh._manifest_doc(tdir, wh._versions(tdir)[-1])
+    assert doc.get("deletes"), "test setup: expected a live MoR delete file"
+    assert ex.execute("SELECT COUNT(*) AS n FROM ns.t").collect()[0].n == 1
+    # row-filtered principal sees the FILTERED count (normal scan path)
+    wh.grant("ro", "ns", "t", ("SELECT",), row_filter="day = 'd0'")
+    exr = WarehouseSQL(wh, principal="ro")
+    assert exr.execute("SELECT COUNT(*) AS n FROM ns.t").collect()[0].n == 1
