@@ -541,6 +541,39 @@ class WarehouseSQL:
         "Sort", "GlobalLimit", "LocalLimit", "Intersect", "Except",
     )
 
+    def _fill_values_defaults(
+        self, src: str, targets: list[str], ns: str, tbl: str
+    ) -> str:
+        """ANSI per-cell ``DEFAULT`` inside ``INSERT ... VALUES``: each
+        bare DEFAULT token is replaced by the TARGET column's declared
+        default expression (``NULL`` when none), positionally. Runs over
+        literal-masked text so a string ``'DEFAULT'`` stays data; cells
+        are split depth-aware so function-call commas stay intact."""
+        if not re.search(r"\bDEFAULT\b", src, re.IGNORECASE):
+            return src
+        masked, lits = _mask_literals(src)
+        body = masked[len("VALUES"):].strip()
+        defaults = self.wh.table_meta(ns, tbl).get("defaults") or {}
+        rows_out = []
+        for tup in _split_top_level(body):
+            tup = tup.strip()
+            if not (tup.startswith("(") and tup.endswith(")")):
+                raise ValueError(f"unsupported VALUES row: {tup[:60]!r}")
+            cells = _split_top_level(tup[1:-1])
+            if len(cells) != len(targets):
+                raise ValueError(
+                    f"VALUES arity {len(cells)} != target arity "
+                    f"{len(targets)}"
+                )
+            out = [
+                defaults.get(t, "NULL")
+                if c.strip().upper() == "DEFAULT"
+                else c
+                for c, t in zip(cells, targets)
+            ]
+            rows_out.append("(" + ", ".join(x.strip() for x in out) + ")")
+        return _unmask("VALUES " + ", ".join(rows_out), lits)
+
     def _metadata_count(self, s: str):
         """Serve a bare ``SELECT COUNT(*) FROM ns.t`` from manifest
         statistics alone -- zero data files opened (Trino-on-Iceberg
@@ -741,15 +774,17 @@ class WarehouseSQL:
             #   [PATTERN = '<glob>'] -- idempotent bulk file loading
             m = re.match(
                 r"^COPY\s+INTO\s+(\w+)\.(\w+)\s+FROM\s+'([^']+)'\s+"
-                r"FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?$",
+                r"FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?"
+                r"(?:\s+FORCE\s*=\s*(TRUE|FALSE))?$",
                 s, re.IGNORECASE,
             )
             if not m:
                 raise ValueError(f"unsupported COPY shape: {s[:120]!r}")
-            ns, tbl, path, fmt, pat = m.groups()
+            ns, tbl, path, fmt, pat, force = m.groups()
             self._require("INSERT", ns, tbl)
             return self.wh.copy_into(
-                ns, tbl, path, fileformat=fmt.lower(), pattern=pat
+                ns, tbl, path, fileformat=fmt.lower(), pattern=pat,
+                force=bool(force) and force.upper() == "TRUE",
             )
         if head == "TRUNCATE":
             m = re.match(
@@ -886,6 +921,7 @@ class WarehouseSQL:
                     f"INSERT column list names unknown columns {unknown}"
                 )
             if src.upper().startswith("VALUES"):
+                src = self._fill_values_defaults(src, targets, ns, tbl)
                 df = self.spark.sql(f"SELECT * FROM ({src})")
                 # inline VALUES carry positional colN names; align to
                 # the (possibly partial) target list by position

@@ -1368,6 +1368,7 @@ class Warehouse:
         op: str | None = None,
         txn: tuple[str, int] | None = None,
         copied: list[str] | None = None,
+        copied_exclusive: bool = True,
     ) -> int:
         """Publish an append (or overwrite), rebasing onto the tip on a
         concurrent commit: an append conflicts with nothing -- its file
@@ -1410,7 +1411,7 @@ class Warehouse:
                 last = self._last_txn(tdir, branch, txn[0])
                 if last is not None and last >= int(txn[1]):
                     return self._versions(tdir, branch)[-1]
-            if copied:
+            if copied and copied_exclusive:
                 # COPY idempotence, re-checked per attempt: a CAS loser
                 # whose winner loaded an overlapping source set must not
                 # double-load those rows -- surface the conflict so the
@@ -2706,6 +2707,7 @@ class Warehouse:
         fileformat: str = "parquet",
         pattern: str | None = None,
         branch: str | None = None,
+        force: bool = False,
     ) -> dict:
         """Delta ``COPY INTO`` analog: idempotent bulk file loading.
 
@@ -2720,7 +2722,9 @@ class Warehouse:
         files; racing COPYs with overlapping sources serialize through
         the commit CAS (the loser's data files become orphans for
         ``remove_orphan_files``; it re-plans against the winner's
-        ledger and loads only what remains).
+        ledger and loads only what remains). ``force=True`` (Delta
+        COPY_OPTIONS force) reloads every matching file regardless of
+        the ledger -- duplicates are then the caller's intent.
 
         At 100 TB the ledger check is metadata-only (compact commit
         index, no data scan) and the load is one distributed read of
@@ -2740,7 +2744,9 @@ class Warehouse:
             for p in _glob.glob(os.path.join(path, pat))
         )
         for _ in range(self._MAX_COMMIT_RETRIES):
-            seen = self._copied_sources(tdir, branch)
+            seen = (
+                set() if force else self._copied_sources(tdir, branch)
+            )
             todo = [s for s in sources if s not in seen]
             if not todo:
                 return {
@@ -2774,6 +2780,7 @@ class Warehouse:
                     tdir, self._versions(tdir, branch)[-1], new_files,
                     meta["schema"], phys=meta.get("physical"),
                     branch=branch, copied=todo,
+                    copied_exclusive=not force,
                 )
                 return {
                     "files_loaded": len(todo),

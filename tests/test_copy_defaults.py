@@ -282,3 +282,32 @@ def test_metadata_count_matches_scan_and_falls_back(wh, spark):
     wh.grant("ro", "ns", "t", ("SELECT",), row_filter="day = 'd0'")
     exr = WarehouseSQL(wh, principal="ro")
     assert exr.execute("SELECT COUNT(*) AS n FROM ns.t").collect()[0].n == 1
+
+
+def test_insert_values_default_keyword(wh, spark):
+    ex = WarehouseSQL(wh)
+    ex.execute("ALTER TABLE ns.t ALTER COLUMN day SET DEFAULT upper('d')")
+    ex.execute(
+        "INSERT INTO ns.t VALUES ('a', DEFAULT, 1), ('b', 'x,DEFAULT', 2), "
+        "('c', DEFAULT, DEFAULT)"
+    )
+    got = {(r.id, r.day, r.v) for r in ex.execute("SELECT * FROM ns.t").collect()}
+    # v has no default -> DEFAULT is NULL; literal 'x,DEFAULT' is data
+    assert got == {("a", "D", 1), ("b", "x,DEFAULT", 2), ("c", "D", None)}
+    # partial column list: positional against the LIST, not the table
+    ex.execute("INSERT INTO ns.t (id, day) VALUES ('e', DEFAULT)")
+    assert (
+        ex.execute("SELECT day FROM ns.t WHERE id = 'e'").collect()[0].day
+        == "D"
+    )
+
+
+def test_copy_into_force_reloads(wh, spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _write_src(spark, src, [("a", "d0", 1)])
+    ex = WarehouseSQL(wh)
+    ex.execute(f"COPY INTO ns.t FROM '{src}' FILEFORMAT = PARQUET")
+    r = ex.execute(
+        f"COPY INTO ns.t FROM '{src}' FILEFORMAT = PARQUET FORCE = TRUE"
+    )
+    assert r["files_loaded"] >= 1 and wh.read("ns", "t").count() == 2
