@@ -126,6 +126,7 @@ _PRIORITY = (
     "risk_analysis",
     "pricing_summary",
     "join_salted_skew",
+    "join_bucketed_colocated",
     "window_rank",
     "rollup_agg",
     "set_union",
@@ -134,7 +135,6 @@ _PRIORITY = (
     # LLM-data: dedup + similarity search
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_embedding",
     "dedup_connected_components",
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
@@ -173,11 +173,11 @@ _PRIORITY = (
     "funnel_stages",
     # catalog DDL lifecycle (D4/D5/D9)
     "warehouse_catalog_ddl",
+    "warehouse_copy_into",
     # UDF/UDAF/UDTF surface
     "udf_minmax_scale",
     "sequence_pack",
     "udf_tokenize_udtf",
-    "udf_grouped_agg",
     # temporal joins
     "asof_join",
     "range_join",
