@@ -358,6 +358,18 @@ def _delete_applies(d: dict, e: dict, phys_key: str) -> bool:
     return not (lo_d > hi_e or hi_d < lo_e)
 
 
+def _constraints_referencing(meta: dict, col: str) -> list[str]:
+    """Names of CHECK constraints whose stored SQL text references
+    ``col`` (word-boundary match with string literals stripped, so a
+    quoted 'col' inside a literal is data, not a reference)."""
+    out = []
+    for cname, expr in (meta.get("constraints") or {}).items():
+        stripped = re.sub(r"'(?:[^']|'')*'", "", expr)
+        if re.search(rf"\b{re.escape(col)}\b", stripped):
+            out.append(cname)
+    return sorted(out)
+
+
 def _live_deletes(deletes: list[dict] | None, files: list[dict]) -> list[dict]:
     """Equality-delete entries that may still apply to at least one data
     file. Iceberg v2 semantics: a delete at sequence ``d`` removes
@@ -1009,6 +1021,19 @@ class Warehouse:
         )
         if meta.get("key") == old:
             meta["key"] = new
+        if old in (meta.get("defaults") or {}):
+            d = dict(meta["defaults"])
+            d[new] = d.pop(old)
+            meta["defaults"] = d
+        hit = _constraints_referencing(meta, old)
+        if hit:
+            # Delta semantics: a column referenced by a CHECK constraint
+            # cannot be renamed -- the stored SQL text would dangle and
+            # every future write would fail at constraint eval instead
+            raise ValueError(
+                f"cannot rename {old}: referenced by CHECK constraint(s) "
+                f"{hit}; drop them first"
+            )
         meta["required"] = [new if c == old else c for c in meta.get("required", [])]
         if meta.get("write_order"):
             meta["write_order"] = [
@@ -1039,6 +1064,16 @@ class Warehouse:
             raise ValueError("cannot drop the table key column")
         if name in meta.get("required", []):
             raise ValueError("cannot drop a required column")
+        hit = _constraints_referencing(meta, name)
+        if hit:
+            raise ValueError(
+                f"cannot drop {name}: referenced by CHECK constraint(s) "
+                f"{hit}; drop them first"
+            )
+        if name in (meta.get("defaults") or {}):
+            d = dict(meta["defaults"])
+            d.pop(name)
+            meta["defaults"] = d
         pb = meta.get("partition_by")
         if pb:
             m = _TRANSFORM_RE.match(pb)

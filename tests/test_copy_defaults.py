@@ -311,3 +311,26 @@ def test_copy_into_force_reloads(wh, spark, tmp_path):
         f"COPY INTO ns.t FROM '{src}' FILEFORMAT = PARQUET FORCE = TRUE"
     )
     assert r["files_loaded"] >= 1 and wh.read("ns", "t").count() == 2
+
+
+def test_rename_drop_follow_defaults_and_guard_constraints(wh, spark):
+    ex = WarehouseSQL(wh)
+    ex.execute("ALTER TABLE ns.t ALTER COLUMN v SET DEFAULT 7")
+    ex.execute("ALTER TABLE ns.t RENAME COLUMN v TO val")
+    # the default FOLLOWED the rename
+    ex.execute("INSERT INTO ns.t (id, day) VALUES ('a', 'd0')")
+    assert ex.execute("SELECT val FROM ns.t").collect()[0].val == 7
+    assert wh.table_meta("ns", "t")["defaults"] == {"val": "7"}
+    # a column referenced by a CHECK constraint can be neither renamed
+    # nor dropped (Delta semantics); a 'val' inside a literal is data
+    ex.execute("ALTER TABLE ns.t ADD CONSTRAINT pos CHECK (val > 0)")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        ex.execute("ALTER TABLE ns.t RENAME COLUMN val TO v2")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        ex.execute("ALTER TABLE ns.t DROP COLUMN val")
+    # 'day' appears only INSIDE a string literal -> not a reference
+    ex.execute("ALTER TABLE ns.t ADD CONSTRAINT lit CHECK (id != 'day')")
+    ex.execute("ALTER TABLE ns.t RENAME COLUMN day TO d")
+    ex.execute("ALTER TABLE ns.t DROP CONSTRAINT pos")
+    ex.execute("ALTER TABLE ns.t DROP COLUMN val")
+    assert wh.table_meta("ns", "t").get("defaults") == {}
