@@ -1419,6 +1419,39 @@ class WarehouseSQL:
             # the rewritten SELECT before persisting it
             self.spark.sql(self._rewrite_tables(sel)).schema
             return self.wh.create_view(ns, name, sel, replace=bool(replace))
+        # CREATE TABLE ... LIKE: clone the full table SHAPE (schema,
+        # key, partition spec, required columns, write defaults, CHECK
+        # constraints, write order) with zero data -- the standard way
+        # to stamp out per-tenant/per-day tables from a template
+        m = re.match(
+            r"^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+            r"(?P<ns>\w+)\.(?P<tbl>\w+)\s+LIKE\s+"
+            r"(?P<sns>\w+)\.(?P<stbl>\w+)$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            ns, tbl = m.group("ns"), m.group("tbl")
+            src_meta = self.wh.table_meta(m.group("sns"), m.group("stbl"))
+            if tbl in (
+                self.wh.list_tables(ns) if ns in self.wh.list_namespaces()
+                else ()
+            ):
+                if m.group("ine"):
+                    return None
+                raise ValueError(f"table {ns}.{tbl} already exists")
+            self.wh.create_table(
+                ns, tbl, StructType.fromJson(src_meta["schema"]),
+                key=src_meta.get("key"),
+                partition_by=src_meta.get("partition_by"),
+                required=tuple(src_meta.get("required") or ()),
+                write_order=src_meta.get("write_order"),
+                write_distribution=src_meta.get("write_distribution", "none"),
+            )
+            for c, e in (src_meta.get("defaults") or {}).items():
+                self.wh.set_column_default(ns, tbl, c, e)
+            for cname, expr in (src_meta.get("constraints") or {}).items():
+                self.wh.add_constraint(ns, tbl, cname, expr)
+            return None
         # CTAS (Athena/Spark CREATE TABLE ... AS SELECT): schema comes
         # from the query; the insert lands as the table's first commit
         m = re.match(

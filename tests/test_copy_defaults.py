@@ -334,3 +334,21 @@ def test_rename_drop_follow_defaults_and_guard_constraints(wh, spark):
     ex.execute("ALTER TABLE ns.t DROP CONSTRAINT pos")
     ex.execute("ALTER TABLE ns.t DROP COLUMN val")
     assert wh.table_meta("ns", "t").get("defaults") == {}
+
+
+def test_create_table_like_clones_shape(wh, spark):
+    ex = WarehouseSQL(wh)
+    ex.execute("ALTER TABLE ns.t ALTER COLUMN v SET DEFAULT 5")
+    ex.execute("ALTER TABLE ns.t ADD CONSTRAINT pos CHECK (v > 0)")
+    ex.execute("CREATE TABLE ns.t2 LIKE ns.t")
+    m = wh.table_meta("ns", "t2")
+    assert m["key"] == "id" and m["defaults"] == {"v": "5"}
+    assert m["constraints"] == {"pos": "v > 0"}
+    assert wh.read("ns", "t2").count() == 0  # shape only, no data
+    ex.execute("INSERT INTO ns.t2 (id, day) VALUES ('a', 'd0')")
+    assert ex.execute("SELECT v FROM ns.t2").collect()[0].v == 5
+    with pytest.raises(Exception, match="constraint"):
+        ex.execute("INSERT INTO ns.t2 VALUES ('b', 'd0', -1)")
+    ex.execute("CREATE TABLE IF NOT EXISTS ns.t2 LIKE ns.t")  # idempotent
+    with pytest.raises(ValueError, match="already exists"):
+        ex.execute("CREATE TABLE ns.t2 LIKE ns.t")
