@@ -9,5 +9,6 @@ from .cdc import (  # noqa: F401
 )
 from .tables import (  # noqa: F401
     read_table_stream,
+    stream_copy_into,
     stream_table_to_table,
 )

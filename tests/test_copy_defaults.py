@@ -352,3 +352,35 @@ def test_create_table_like_clones_shape(wh, spark):
     ex.execute("CREATE TABLE IF NOT EXISTS ns.t2 LIKE ns.t")  # idempotent
     with pytest.raises(ValueError, match="already exists"):
         ex.execute("CREATE TABLE ns.t2 LIKE ns.t")
+
+
+def test_stream_copy_into_exactly_once(wh, spark, tmp_path):
+    """Auto-loader shape: continuous COPY of a landing directory --
+    availableNow drains the backlog; a later run with the same
+    checkpoint picks up ONLY new files; the txn stamp makes a replayed
+    epoch a no-op."""
+    from sample_for_transactional_datalake_using_s3tables_spark.streaming import stream_copy_into
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    _write_src(spark, landing, [("a", "d0", 1), ("b", "d0", 2)])
+    q = stream_copy_into(spark, wh, landing, ("ns", "t"), ckpt)
+    q.awaitTermination(120)
+    assert wh.read("ns", "t").count() == 2
+    # second delivery: new files only
+    spark.createDataFrame([("c", "d1", 3)], S).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    q2 = stream_copy_into(spark, wh, landing, ("ns", "t"), ckpt)
+    q2.awaitTermination(120)
+    got = {(r.id, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
+    # idle restart commits nothing (no new files, no new snapshot)
+    v = wh._versions(wh._table_dir("ns", "t"))[-1]
+    q3 = stream_copy_into(spark, wh, landing, ("ns", "t"), ckpt)
+    q3.awaitTermination(120)
+    assert wh._versions(wh._table_dir("ns", "t"))[-1] == v
+    # a replayed epoch (same app_id + epoch) is a provable no-op
+    wh.insert("ns", "t", spark.createDataFrame([("c", "d1", 3)], S),
+              txn=(f"copy-{__import__('hashlib').md5(ckpt.encode()).hexdigest()[:12]}", 0))
+    assert wh.read("ns", "t").count() == 3
