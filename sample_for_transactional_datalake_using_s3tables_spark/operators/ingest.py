@@ -795,6 +795,60 @@ FROM events
 """
 
 
+def warehouse_stream_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous COPY INTO certified end-to-end (the Auto Loader
+    shape, streaming/tables.stream_copy_into): land the even-keyed
+    events, drain them with an availableNow run; land the odd-keyed
+    events as new files, drain again off the SAME checkpoint -- Spark's
+    file-stream seen-file log picks up only the new files; an idle
+    third run commits nothing. ``stream_ok`` folds the exactly-once
+    invariants (idle restart left the version untouched; no duplicate
+    event ids) into the hashed result alongside the full row content."""
+    from ..streaming import stream_copy_into
+
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_streamcopy_")
+    try:
+        landing = os.path.join(root, "landing")
+        ckpt = os.path.join(root, "ckpt")
+        events.filter(F.col("event_id") % 2 == 0).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(landing)
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table("q", "state", events.schema)
+        q = stream_copy_into(spark, wh, landing, ("q", "state"), ckpt)
+        q.awaitTermination(300)
+        events.filter(F.col("event_id") % 2 == 1).coalesce(2).write.mode(
+            "append"
+        ).parquet(landing)
+        q2 = stream_copy_into(spark, wh, landing, ("q", "state"), ckpt)
+        q2.awaitTermination(300)
+        tdir = wh._table_dir("q", "state")
+        v_before = wh._versions(tdir)[-1]
+        q3 = stream_copy_into(spark, wh, landing, ("q", "state"), ckpt)
+        q3.awaitTermination(300)
+        final = wh.read("q", "state")
+        n_rows = final.count()
+        n_ids = final.select("event_id").distinct().count()
+        stream_ok = (
+            wh._versions(tdir)[-1] == v_before  # idle run: no commit
+            and n_rows == n_ids  # exactly-once: no duplicate events
+        )
+        out = final.withColumn("stream_ok", F.lit(bool(stream_ok)))
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_STREAM_COPY_SQL = """
+SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value,
+       TRUE AS stream_ok
+FROM events
+"""
+
+
 def warehouse_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted SQL views end-to-end (the Iceberg View spec analog:
     versioned definitions in the catalog, expanded at query time with
@@ -1802,6 +1856,7 @@ QUERIES = {
     "warehouse_stats": warehouse_stats,
     "warehouse_catalog_ddl": warehouse_catalog_ddl,
     "warehouse_copy_into": warehouse_copy_into,
+    "warehouse_stream_copy": warehouse_stream_copy,
 }
 
 ORACLES = {
@@ -1832,4 +1887,5 @@ ORACLES = {
     "warehouse_stats": WAREHOUSE_STATS_SQL,
     "warehouse_catalog_ddl": WAREHOUSE_CATALOG_DDL_SQL,
     "warehouse_copy_into": WAREHOUSE_COPY_INTO_SQL,
+    "warehouse_stream_copy": WAREHOUSE_STREAM_COPY_SQL,
 }
