@@ -384,3 +384,58 @@ def test_stream_copy_into_exactly_once(wh, spark, tmp_path):
     wh.insert("ns", "t", spark.createDataFrame([("c", "d1", 3)], S),
               txn=(f"copy-{__import__('hashlib').md5(ckpt.encode()).hexdigest()[:12]}", 0))
     assert wh.read("ns", "t").count() == 3
+
+
+def test_landing_zone_journey(wh, spark, tmp_path):
+    """The round-7 ingestion story end to end, public surface only:
+    template table (LIKE) -> defaults -> batch COPY backfill ->
+    streaming COPY of late files -> wider vendor feed via MERGE WITH
+    SCHEMA EVOLUTION -> metadata-only count -> SHOW CREATE round-trip."""
+    from sample_for_transactional_datalake_using_s3tables_spark.streaming import stream_copy_into
+
+    ex = WarehouseSQL(wh)
+    # 1. template: defaults + constraint, stamped out via LIKE
+    ex.execute("ALTER TABLE ns.t ALTER COLUMN day SET DEFAULT 'backfill'")
+    ex.execute("ALTER TABLE ns.t ADD CONSTRAINT vnn CHECK (v >= 0)")
+    ex.execute("CREATE TABLE ns.daily LIKE ns.t")
+    # 2. batch backfill: day column absent in the landing files ->
+    #    default fills it
+    backfill = str(tmp_path / "backfill")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "id string, v int"
+    ).coalesce(1).write.parquet(backfill)
+    r = ex.execute(
+        f"COPY INTO ns.daily FROM '{backfill}' FILEFORMAT = PARQUET"
+    )
+    assert r["rows_loaded"] == 2
+    # 3. live landing zone drains through the streaming copy
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    _write_src(spark, landing, [("c", "d1", 3)])
+    stream_copy_into(spark, wh, landing, ("ns", "daily"), ckpt).awaitTermination(120)
+    # 4. a vendor starts shipping a wider feed
+    spark.createDataFrame(
+        [("c", "d1", 3, "acme")], "id string, day string, v int, vendor string"
+    ).createOrReplaceTempView("vendor_feed")
+    ex.execute(
+        "MERGE WITH SCHEMA EVOLUTION INTO ns.daily t USING vendor_feed s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    # 5. metadata-only count agrees with the scan
+    assert ex.execute("SELECT COUNT(*) AS n FROM ns.daily").collect()[0].n == 3
+    got = {
+        (r.id, r.day, r.v, r.vendor)
+        for r in ex.execute("SELECT * FROM ns.daily").collect()
+    }
+    assert got == {
+        ("a", "backfill", 1, None),
+        ("b", "backfill", 2, None),
+        ("c", "d1", 3, "acme"),
+    }
+    # 6. the evolved table's DDL (defaults included) is re-runnable
+    ddl = ex.execute("SHOW CREATE TABLE ns.daily").collect()[0].createtab_stmt
+    w2 = Warehouse(spark, wh.root + "_ddl")
+    w2.create_namespace("ns")
+    WarehouseSQL(w2).execute(ddl)
+    assert "vendor" in w2.schema("ns", "daily").fieldNames()
