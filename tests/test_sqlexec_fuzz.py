@@ -337,3 +337,55 @@ def test_unsupported_head_raises(fuzz_env):
     sql, _wh, _spark = fuzz_env
     with pytest.raises(ValueError, match="unsupported statement"):
         sql.execute("FROBNICATE ns.t")
+
+
+# -- INSERT VALUES fuzz: partial column lists + DEFAULT cells ----------
+ins_cell = st.one_of(
+    st.just("DEFAULT"),
+    st.sampled_from(PAYLOADS),
+)
+
+
+@given(
+    cells=st.lists(ins_cell, min_size=1, max_size=3),
+    partial=st.booleans(),
+    with_default=st.booleans(),
+)
+@FUZZ_DML
+def test_insert_values_matches_python_oracle(
+    fuzz_env, cells, partial, with_default
+):
+    """INSERT VALUES rows mixing adversarial string literals with the
+    DEFAULT keyword, against full and partial column lists: each cell
+    must land as data (keywords inside literals inert), each DEFAULT
+    must resolve to the declared default (or NULL), and omitted
+    columns of a partial list must fill like DEFAULT."""
+    _sql, wh, spark = fuzz_env
+    name = f"fz{next(_uniq)}"
+    wh.create_table("ns", name, SCHEMA, key="id")
+    sql = WarehouseSQL(wh)
+    default = "d WHERE d" if with_default else None
+    if default is not None:
+        sql.execute(
+            f"ALTER TABLE ns.{name} ALTER COLUMN category "
+            f"SET DEFAULT {_lit(default)}"
+        )
+    rows_sql, want = [], set()
+    for i, cell in enumerate(cells):
+        cat = "DEFAULT" if cell == "DEFAULT" else _lit(cell)
+        if partial:
+            rows_sql.append(f"({i}, {cat})")
+        else:
+            rows_sql.append(f"({i}, {cat}, {10 * i}, DEFAULT)")
+        expect_cat = default if cell == "DEFAULT" else cell
+        want.add((i, expect_cat, 10 * i if not partial else None, None))
+    cols = "(id, category)" if partial else ""
+    sql.execute(
+        f"INSERT INTO ns.{name} {cols} VALUES {', '.join(rows_sql)}"
+    )
+    got = {
+        (r.id, r.category, r.qty, r.price)
+        for r in wh.read("ns", name).collect()
+    }
+    assert got == want
+    wh.drop_table("ns", name)
