@@ -1156,6 +1156,14 @@ class WarehouseSQL:
         ),
         (
             re.compile(
+                r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+SET\s+TBLPROPERTIES\s*"
+                r"\((.+)\)$",
+                re.IGNORECASE | re.DOTALL,
+            ),
+            "props",
+        ),
+        (
+            re.compile(
                 r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+WRITE\s+"
                 r"(?:ORDERED\s+BY\s*\(\s*([^)]+?)\s*\)"
                 r"(?:\s+DISTRIBUTED\s+BY\s+(RANGE|NONE))?"
@@ -1199,6 +1207,24 @@ class WarehouseSQL:
                 return self.wh.widen_column(
                     ns, tbl, m.group(3), m.group(4).strip()
                 )
+            if kind == "props":
+                # recognized properties route to engine features; an
+                # unknown key raises instead of silently vanishing
+                for kv in _split_top_level(m.group(3)):
+                    pk, _, pv = kv.partition("=")
+                    pk = pk.strip().strip("'\" ")
+                    pv = pv.strip().strip("'\" ").lower()
+                    if pk.lower() in (
+                        "change_feed", "delta.enablechangedatafeed"
+                    ):
+                        self.wh.set_change_feed(
+                            ns, tbl, pv in ("true", "1")
+                        )
+                    else:
+                        raise ValueError(
+                            f"unknown table property {pk!r}"
+                        )
+                return None
             if kind == "set_default":
                 return self.wh.set_column_default(
                     ns, tbl, m.group(3), m.group(4).strip()

@@ -1174,10 +1174,14 @@ class Warehouse:
         self, tdir: str, version: int, branch: str | None = None
     ) -> list[dict]:
         """Every file a snapshot references: data files PLUS merge-on-
-        read equality-delete files (maintenance must treat both as
-        live)."""
+        read equality-delete files PLUS stored change-feed files
+        (maintenance must treat all three as live)."""
         doc = self._manifest_doc(tdir, version, branch)
-        return doc["files"] + list(doc.get("deletes") or [])
+        return (
+            doc["files"]
+            + list(doc.get("deletes") or [])
+            + list(doc.get("change_files") or [])
+        )
 
     def _branches(self, tdir: str) -> list[str]:
         prefix = _MANIFEST_DIR + "@"
@@ -1200,6 +1204,7 @@ class Warehouse:
         ts: float | None = None,
         txn: tuple[str, int] | None = None,
         copied: list[str] | None = None,
+        change_files: list[dict] | None = None,
     ) -> None:
         """Atomic optimistic commit: link() fails if the version exists
         (the reference's versionToken CAS, scripts/update_metadata.py:135-141).
@@ -1231,6 +1236,12 @@ class Warehouse:
             # with the data), so "was this file loaded" is answerable
             # from the manifest chain alone and survives index rebuild
             doc["copied"] = sorted(copied)
+        if change_files:
+            # stored Change Data Feed (Delta enableChangeDataFeed): the
+            # commit's logical change set, persisted at write time so
+            # changelog() reads O(changed rows) instead of re-deriving
+            # pre-images from data-file diffs
+            doc["change_files"] = change_files
         if schema is not None:
             doc["schema"] = schema
         if phys:
@@ -1508,6 +1519,7 @@ class Warehouse:
         rebase_validate=None,
         branch: str | None = None,
         op: str = "overwrite",
+        change_files: list[dict] | None = None,
     ) -> int:
         """Publish a file-level rewrite with Iceberg-style conflict
         validation. ``touched`` is the set of partition keys this commit
@@ -1562,7 +1574,7 @@ class Warehouse:
                 self._publish(
                     tdir, version + 1, final, schema=schema, phys=phys,
                     deletes=_live_deletes(dels_base, final), branch=branch,
-                    op=op,
+                    op=op, change_files=change_files,
                 )
                 return version + 1
             except CommitConflictError:
@@ -2354,6 +2366,13 @@ class Warehouse:
                 continue  # empty append adds no rows
             if idx[v]["op"] == "replace":
                 continue
+            cdoc = self._manifest_doc(tdir, v, branch)
+            if cdoc.get("change_files"):
+                # stored CDF commit: its change set was persisted at
+                # write time -- read it directly, no diff, no netting
+                # shuffle, no pre-image reconstruction
+                items.append(("c", v, cdoc["change_files"]))
+                continue
             added, removed, new_dels, _op = self._commit_diff(tdir, v, branch)
             if not (added or removed or new_dels):
                 continue
@@ -2387,6 +2406,8 @@ class Warehouse:
                     segments[-1][1].append((it[1], it[2]))
                 else:
                     segments.append(("append", [(it[1], it[2])]))
+            elif it[0] == "c":
+                segments.append(("cdf", it[1], it[2]))
             else:
                 segments.append(("dml", *it[1:]))
         segments = [
@@ -2446,6 +2467,53 @@ class Warehouse:
                     )
                 changed = ins.withColumn(
                     "_change_type", F.lit("insert")
+                ).select(*cols)
+                out = changed if out is None else out.unionByName(changed)
+                continue
+            if seg[0] == "cdf":
+                _tag, v, centries = seg
+                from pyspark.sql.types import StringType, StructField
+
+                cschema = StructType(
+                    [
+                        StructField(
+                            (phys or {}).get(f.name, f.name),
+                            f.dataType,
+                            True,
+                        )
+                        for f in schema.fields
+                    ]
+                    + [StructField("_change_type", StringType(), True)]
+                )
+                cdf = self.spark.read.schema(cschema).parquet(
+                    *[os.path.join(tdir, e["path"]) for e in centries]
+                )
+                cdf = cdf.select(
+                    *[
+                        F.col((phys or {}).get(f.name, f.name)).alias(f.name)
+                        for f in schema.fields
+                    ],
+                    "_change_type",
+                )
+                ins = cdf.filter(F.col("_change_type") == "insert").drop(
+                    "_change_type"
+                )
+                dels = cdf.filter(F.col("_change_type") == "delete").drop(
+                    "_change_type"
+                )
+                if net:
+                    # same netting contract as the derived path: an
+                    # UPDATE whose assignment left a row unchanged emits
+                    # nothing (pairs cancel) -- cheap here, the stored
+                    # sets are O(matched rows)
+                    ins, dels = ins.exceptAll(dels), dels.exceptAll(ins)
+                changed = ins.withColumn(
+                    "_change_type", F.lit("insert")
+                ).unionByName(
+                    dels.withColumn("_change_type", F.lit("delete"))
+                )
+                changed = changed.withColumn(
+                    "_commit_version", F.lit(v).cast("int")
                 ).select(*cols)
                 out = changed if out is None else out.unionByName(changed)
                 continue
@@ -2644,6 +2712,54 @@ class Warehouse:
         constraints.pop(name, None)
         meta["constraints"] = constraints
         self._swap_table_meta(tdir, meta)
+
+    def set_change_feed(self, ns: str, table: str, enabled: bool) -> None:
+        """Toggle stored Change Data Feed for the table (Delta
+        ``delta.enableChangeDataFeed`` analog): while on, copy-on-write
+        UPDATE and DELETE commits persist their logical change set
+        (pre-images as 'delete', post-images as 'insert') as change
+        files riding the commit manifest, and :meth:`changelog` serves
+        those commits by READING the stored files -- O(changed rows) --
+        instead of re-deriving pre-images from data-file diffs. The
+        write pays one extra pass over the MATCHED rows (Delta's
+        documented CDF trade). Commits from other paths (MERGE,
+        merge-on-read strategies, appends) keep the derived changelog,
+        which remains exact; the two sources mix freely in one range.
+
+        ``net=False`` nuance: a stored commit returns its raw matched
+        pre/post pairs (including no-op updates, which ``net=True``
+        cancels, same as the derived path) but never the
+        carried-neighbor noise a file-level rewrite re-materializes --
+        stored commits are logical-changes-only by construction."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        meta["change_feed"] = bool(enabled)
+        self._swap_table_meta(tdir, meta)
+
+    def _write_change_files(
+        self, tdir: str, change_df: DataFrame, meta: dict
+    ) -> list[dict]:
+        """Persist one commit's change set (table columns +
+        ``_change_type``) under the data dir with PHYSICAL column names
+        -- the same mapping contract as data files, so later renames
+        stay metadata-only and changelog() projects stored changes with
+        the range-end mapping it already uses."""
+        phys = meta.get("physical") or {}
+        schema = StructType.fromJson(meta["schema"])
+        out = change_df.select(
+            *[
+                F.col(f.name).alias(phys.get(f.name, f.name))
+                for f in schema.fields
+            ],
+            "_change_type",
+        )
+        cdir = os.path.join(tdir, "data", f"changes-{uuid.uuid4().hex[:12]}")
+        out.write.mode("overwrite").parquet(cdir)
+        return [
+            {"path": os.path.relpath(os.path.join(cdir, fn), tdir)}
+            for fn in sorted(os.listdir(cdir))
+            if fn.endswith(".parquet")
+        ]
 
     def set_column_default(
         self, ns: str, table: str, col: str, sql_expr: str | None
@@ -3354,11 +3470,21 @@ class Warehouse:
         # pending equality deletes so the rewrite never resurrects
         # merge-on-read ghosts
         doc = self._manifest_doc(tdir, version)
-        kept = self._read_entries(
+        current = self._read_entries(
             tdir, rewrite, schema, meta.get("physical"), doc.get("deletes"),
             meta.get("key"),
-        ).filter(~F.coalesce(predicate, F.lit(False)))
+        )
+        kept = current.filter(~F.coalesce(predicate, F.lit(False)))
         new_files = self._write_table_files(tdir, kept, meta)
+        change_files = None
+        if meta.get("change_feed"):
+            # stored CDF: the deleted rows are the commit's change set
+            dropped = current.filter(F.coalesce(predicate, F.lit(False)))
+            change_files = self._write_change_files(
+                tdir,
+                dropped.withColumn("_change_type", F.lit("delete")),
+                meta,
+            )
         v = self._publish_rewrite(
             tdir, version,
             {_scope_key(e) for e in rewrite} if meta["partition_by"] else None,
@@ -3367,6 +3493,7 @@ class Warehouse:
                 tdir, schema, meta.get("physical") or {}, predicate, predicates
             ),
             op="delete",
+            change_files=change_files,
         )
         return {"version": v, "deleted_rows": n_match, **stats}
 
@@ -3802,6 +3929,25 @@ class Warehouse:
         )
         self._check_constraints(updated, meta)
         new_files = self._write_table_files(tdir, updated, meta)
+        change_files = None
+        if meta.get("change_feed"):
+            # stored CDF: pre-images as 'delete', post-images as
+            # 'insert' -- raw (un-netted) pairs; changelog nets at read
+            matched = current.filter(cond)
+            post = matched.select(
+                *[
+                    (
+                        assignments[f.name].cast(f.dataType)
+                        if f.name in assignments
+                        else F.col(f.name)
+                    ).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            change = matched.withColumn(
+                "_change_type", F.lit("delete")
+            ).unionByName(post.withColumn("_change_type", F.lit("insert")))
+            change_files = self._write_change_files(tdir, change, meta)
         v = self._publish_rewrite(
             tdir, version,
             {_scope_key(e) for e in rewrite} if meta["partition_by"] else None,
@@ -3810,6 +3956,7 @@ class Warehouse:
                 tdir, schema, meta.get("physical") or {}, predicate, predicates
             ),
             op="update",
+            change_files=change_files,
         )
         return {"version": v, "updated_rows": n_updated, **stats}
 

@@ -1,0 +1,134 @@
+"""Stored Change Data Feed (Delta enableChangeDataFeed parity).
+
+With the table property on, copy-on-write UPDATE/DELETE commits persist
+their logical change set as change files riding the commit manifest;
+``changelog()`` serves those commits by reading the stored files. The
+contract is DIFFERENTIAL: over the same DML history, the stored path
+must return exactly what the derived path returns -- and its plan must
+contain no exceptAll netting of rewritten data files."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
+from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
+
+S = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("day", StringType(), True),
+        StructField("v", IntegerType(), True),
+    ]
+)
+
+ROWS = [(f"k{i}", f"d{i % 3}", i) for i in range(12)]
+
+
+def _history(wh):
+    """The same mixed DML history driven against any warehouse."""
+    sql = WarehouseSQL(wh)
+    wh.insert("ns", "t", wh.spark.createDataFrame(ROWS, S).coalesce(2))
+    sql.execute("UPDATE ns.t SET v = v * 10 WHERE v >= 9")
+    sql.execute("DELETE FROM ns.t WHERE id = 'k1'")
+    # an UPDATE that leaves some rows unchanged (v=0 -> v=0): netting
+    # must cancel those pairs in BOTH paths
+    sql.execute("UPDATE ns.t SET v = v * v WHERE v <= 1")
+    wh.insert(
+        "ns", "t", wh.spark.createDataFrame([("k99", "d0", 99)], S)
+    )
+
+
+def _changes(df):
+    return sorted(
+        (r.id, r.day, r.v, r._change_type, r._commit_version)
+        for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    stored = Warehouse(spark, str(tmp_path / "stored"))
+    derived = Warehouse(spark, str(tmp_path / "derived"))
+    for w in (stored, derived):
+        w.create_namespace("ns")
+        w.create_table("ns", "t", S)
+    WarehouseSQL(stored).execute(
+        "ALTER TABLE ns.t SET TBLPROPERTIES ('change_feed' = 'true')"
+    )
+    _history(stored)
+    _history(derived)
+    return stored, derived
+
+
+def test_stored_cdf_matches_derived(pair):
+    stored, derived = pair
+    got = _changes(stored.changelog("ns", "t", 0))
+    want = _changes(derived.changelog("ns", "t", 0))
+    # the property toggle itself is one metadata commit, so the
+    # stored history runs exactly one version ahead
+    shifted = sorted((i, d, v, t, cv + 1) for i, d, v, t, cv in want)
+    assert got == shifted
+    # net=False on a stored commit returns the raw matched pre/post
+    # pairs (incl. no-op updates) but NEVER the carried-neighbor noise
+    # the derived path re-materializes -- logical changes only
+    raw = _changes(stored.changelog("ns", "t", 0, net=False))
+    assert set(got) <= set(raw)
+    noop_pairs = [t for t in raw if t not in got]
+    assert noop_pairs and all(t[0] == "k0" for t in noop_pairs)
+    # the stored table actually persisted change files
+    tdir = stored._table_dir("ns", "t")
+    docs = [stored._manifest_doc(tdir, v) for v in stored._versions(tdir)]
+    assert sum(1 for d in docs if d.get("change_files")) == 3
+
+
+def test_stored_cdf_plan_has_no_diff_netting(pair):
+    """The derived path nets rewritten files with exceptAll; the stored
+    path must not -- its only exceptAll is the O(matched-rows) pair
+    cancellation, which vanishes for net=False."""
+    stored, _derived = pair
+    plan = stored.changelog("ns", "t", 0, net=False)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Except" not in plan
+
+
+def test_orphan_cleanup_keeps_live_change_files(pair, spark):
+    stored, _ = pair
+    r = stored.remove_orphan_files("ns", "t", older_than_seconds=0.0)
+    # live change files are referenced, not debris
+    assert r["removed_files"] == 0
+    got = _changes(stored.changelog("ns", "t", 0))
+    assert any(t[3] == "delete" for t in got)
+
+
+def test_change_feed_survives_rename(pair, spark):
+    """Change files store physical names: a post-history column rename
+    must not break reading PRE-rename stored change files."""
+    stored, derived = pair
+    WarehouseSQL(stored).execute("ALTER TABLE ns.t RENAME COLUMN v TO val")
+    WarehouseSQL(derived).execute("ALTER TABLE ns.t RENAME COLUMN v TO val")
+    got = sorted(
+        (r.id, r.val, r._change_type, r._commit_version)
+        for r in stored.changelog("ns", "t", 0).collect()
+    )
+    want = sorted(
+        (r.val, r._change_type)
+        for r in derived.changelog("ns", "t", 0).collect()
+    )
+    assert sorted((g[1], g[2]) for g in got) == want
+
+
+def test_change_feed_off_by_default(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "off"))
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", S)
+    _history(wh)
+    tdir = wh._table_dir("ns", "t")
+    docs = [wh._manifest_doc(tdir, v) for v in wh._versions(tdir)]
+    assert not any(d.get("change_files") for d in docs)
