@@ -665,6 +665,81 @@ def warehouse_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+def warehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED Change Data Feed certified end-to-end (Delta
+    ``enableChangeDataFeed`` parity; complements warehouse_cdf, which
+    certifies the DERIVED path): enable the table property (one
+    metadata commit), append the events (derived insert rows), then a
+    copy-on-write UPDATE and a copy-on-write DELETE whose logical
+    change sets are PERSISTED as change files riding their commit
+    manifests -- ``changelog`` serves those two commits by reading the
+    stored files, O(changed rows), no data-file diff. ``stored_ok``
+    folds in that exactly two commits carry change files, so the hash
+    certifies both the routing (stored vs derived per commit) and the
+    stored contents."""
+    from ..sources.sqlexec import WarehouseSQL
+
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_cdfstore_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table("q", "state", events.schema)
+        sql = WarehouseSQL(wh)
+        sql.execute(
+            "ALTER TABLE q.state SET TBLPROPERTIES ('change_feed' = 'true')"
+        )
+        wh.insert("q", "state", events)  # v2: append (derived inserts)
+        sql.execute(  # v3: CoW UPDATE -- stored change files
+            "UPDATE q.state SET value = CAST(value + 11 AS DECIMAL(12,2)) "
+            "WHERE event_id % 7 = 0"
+        )
+        sql.execute(  # v4: CoW DELETE -- stored change files
+            "DELETE FROM q.state WHERE event_id % 4 = 0"
+        )
+        tdir = wh._table_dir("q", "state")
+        n_stored = sum(
+            1
+            for v in wh._versions(tdir)
+            if wh._manifest_doc(tdir, v).get("change_files")
+        )
+        out = sql.execute(
+            "SELECT event_id, event_type, value, _change_type, "
+            "_commit_version FROM table_changes('q.state', 0)"
+        ).withColumn("stored_ok", F.lit(n_stored == 2))
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_CHANGE_FEED_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value
+  FROM events
+),
+updated AS (
+  SELECT event_id, event_type,
+         CAST(CASE WHEN event_id % 7 = 0 THEN value + 11 ELSE value END
+              AS DECIMAL(12,2)) AS value
+  FROM base
+)
+SELECT event_id, event_type, value,
+       'insert' AS _change_type, 2 AS _commit_version, TRUE AS stored_ok
+FROM base
+UNION ALL
+SELECT event_id, event_type, value, 'delete', 3, TRUE
+FROM base WHERE event_id % 7 = 0
+UNION ALL
+SELECT event_id, event_type, CAST(value + 11 AS DECIMAL(12,2)),
+       'insert', 3, TRUE
+FROM base WHERE event_id % 7 = 0
+UNION ALL
+SELECT event_id, event_type, value, 'delete', 4, TRUE
+FROM updated WHERE event_id % 4 = 0
+"""
+
+
 def warehouse_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The catalog DDL lifecycle certified end-to-end (SURVEY rows D4
     IF NOT EXISTS idempotence, D5 DROP, D9 resource links -- reference
@@ -1857,6 +1932,7 @@ QUERIES = {
     "warehouse_catalog_ddl": warehouse_catalog_ddl,
     "warehouse_copy_into": warehouse_copy_into,
     "warehouse_stream_copy": warehouse_stream_copy,
+    "warehouse_change_feed": warehouse_change_feed,
 }
 
 ORACLES = {
@@ -1888,4 +1964,5 @@ ORACLES = {
     "warehouse_catalog_ddl": WAREHOUSE_CATALOG_DDL_SQL,
     "warehouse_copy_into": WAREHOUSE_COPY_INTO_SQL,
     "warehouse_stream_copy": WAREHOUSE_STREAM_COPY_SQL,
+    "warehouse_change_feed": WAREHOUSE_CHANGE_FEED_SQL,
 }
