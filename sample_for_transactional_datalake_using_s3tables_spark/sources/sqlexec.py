@@ -565,12 +565,18 @@ class WarehouseSQL:
                     f"VALUES arity {len(cells)} != target arity "
                     f"{len(targets)}"
                 )
-            out = [
-                defaults.get(t, "NULL")
-                if c.strip().upper() == "DEFAULT"
-                else c
-                for c, t in zip(cells, targets)
-            ]
+            generated = self.wh.table_meta(ns, tbl).get("generated") or {}
+            out = []
+            for c, t in zip(cells, targets):
+                if c.strip().upper() != "DEFAULT":
+                    out.append(c)
+                elif t in generated:
+                    raise ValueError(
+                        f"column {t} is GENERATED ALWAYS AS -- omit it "
+                        "(partial column list) instead of DEFAULT"
+                    )
+                else:
+                    out.append(defaults.get(t, "NULL"))
             rows_out.append("(" + ", ".join(x.strip() for x in out) + ")")
         return _unmask("VALUES " + ", ".join(rows_out), lits)
 
@@ -951,23 +957,33 @@ class WarehouseSQL:
                 meta = self.wh.table_meta(ns, tbl)
                 req_meta = meta.get("required") or []
                 defaults = meta.get("defaults") or {}
+                generated = meta.get("generated") or {}
                 req = [
                     f.name for f in missing
                     if (f.name in req_meta or not f.nullable)
                     and f.name not in defaults
+                    and f.name not in generated
                 ]
                 if req:
                     raise ValueError(
                         f"INSERT column list omits required columns {req}"
                     )
                 for f in missing:
+                    if f.name in generated:
+                        continue  # the write path computes these
                     fill = (
                         F.expr(defaults[f.name])
                         if f.name in defaults
                         else F.lit(None)
                     )
                     df = df.withColumn(f.name, fill.cast(f.dataType))
-                df = df.select(*[f.name for f in schema.fields])
+                df = df.select(
+                    *[
+                        f.name
+                        for f in schema.fields
+                        if f.name in df.columns
+                    ]
+                )
             self._require("INSERT", ns, tbl)
             return self.wh.insert(
                 ns, tbl, df, overwrite=mode.upper() == "OVERWRITE"
@@ -1360,12 +1376,18 @@ class WarehouseSQL:
             meta = self.wh.table_meta(ns, tbl)
             schema = StructType.fromJson(meta["schema"])
             defaults = meta.get("defaults") or {}
+            generated = meta.get("generated") or {}
             cols = ",\n  ".join(
                 f"{f.name} {f.dataType.simpleString().upper()}"
                 + ("" if f.nullable else " NOT NULL")
                 + (
                     f" DEFAULT {defaults[f.name]}"
                     if f.name in defaults
+                    else ""
+                )
+                + (
+                    f" GENERATED ALWAYS AS ({generated[f.name]})"
+                    if f.name in generated
                     else ""
                 )
                 for f in schema.fields
@@ -1475,6 +1497,8 @@ class WarehouseSQL:
             )
             for c, e in (src_meta.get("defaults") or {}).items():
                 self.wh.set_column_default(ns, tbl, c, e)
+            for c, e in (src_meta.get("generated") or {}).items():
+                self.wh.set_column_generated(ns, tbl, c, e)
             for cname, expr in (src_meta.get("constraints") or {}).items():
                 self.wh.add_constraint(ns, tbl, cname, expr)
             return None
@@ -1525,10 +1549,22 @@ class WarehouseSQL:
         # Lossless for struct types: fragments a naive comma-split cuts
         # through never match the \s+DEFAULT\s+ tail and re-join as-is.
         defaults: dict[str, str] = {}
+        generated: dict[str, str] = {}
         cleaned = []
         for cd in _split_top_level(m.group("cols")):
+            cds = cd.strip()
+            gm = re.match(
+                r"^(.*?)\s+GENERATED\s+ALWAYS\s+AS\s+\((.+)\)$", cds,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if gm:
+                cleaned.append(gm.group(1))
+                generated[gm.group(1).split()[0].strip("`")] = (
+                    gm.group(2).strip()
+                )
+                continue
             dm = re.match(
-                r"^(.*?)\s+DEFAULT\s+(.+?)$", cd.strip(),
+                r"^(.*?)\s+DEFAULT\s+(.+?)$", cds,
                 re.IGNORECASE | re.DOTALL,
             )
             if dm:
@@ -1554,6 +1590,8 @@ class WarehouseSQL:
         if not existed:
             for c, e in defaults.items():
                 self.wh.set_column_default(ns, tbl, c, e)
+            for c, e in generated.items():
+                self.wh.set_column_generated(ns, tbl, c, e)
         return out
 
     def _merge(self, s: str, lits: list[str], strategy: str):

@@ -358,16 +358,22 @@ def _delete_applies(d: dict, e: dict, phys_key: str) -> bool:
     return not (lo_d > hi_e or hi_d < lo_e)
 
 
-def _constraints_referencing(meta: dict, col: str) -> list[str]:
-    """Names of CHECK constraints whose stored SQL text references
-    ``col`` (word-boundary match with string literals stripped, so a
-    quoted 'col' inside a literal is data, not a reference)."""
+def _exprs_referencing(exprs: dict, col: str) -> list[str]:
+    """Keys of stored SQL expressions referencing ``col``
+    (word-boundary match with string literals stripped, so a quoted
+    'col' inside a literal is data, not a reference)."""
     out = []
-    for cname, expr in (meta.get("constraints") or {}).items():
+    for name, expr in exprs.items():
         stripped = re.sub(r"'(?:[^']|'')*'", "", expr)
         if re.search(rf"\b{re.escape(col)}\b", stripped):
-            out.append(cname)
+            out.append(name)
     return sorted(out)
+
+
+def _constraints_referencing(meta: dict, col: str) -> list[str]:
+    """Names of CHECK constraints whose stored SQL text references
+    ``col``."""
+    return _exprs_referencing(meta.get("constraints") or {}, col)
 
 
 def _live_deletes(deletes: list[dict] | None, files: list[dict]) -> list[dict]:
@@ -1025,6 +1031,16 @@ class Warehouse:
             d = dict(meta["defaults"])
             d[new] = d.pop(old)
             meta["defaults"] = d
+        if old in (meta.get("generated") or {}):
+            g = dict(meta["generated"])
+            g[new] = g.pop(old)
+            meta["generated"] = g
+        ghit = _exprs_referencing(meta.get("generated") or {}, old)
+        if ghit:
+            raise ValueError(
+                f"cannot rename {old}: referenced by generation "
+                f"expression(s) of {ghit}"
+            )
         hit = _constraints_referencing(meta, old)
         if hit:
             # Delta semantics: a column referenced by a CHECK constraint
@@ -1070,10 +1086,20 @@ class Warehouse:
                 f"cannot drop {name}: referenced by CHECK constraint(s) "
                 f"{hit}; drop them first"
             )
+        ghit = _exprs_referencing(meta.get("generated") or {}, name)
+        if ghit:
+            raise ValueError(
+                f"cannot drop {name}: referenced by generation "
+                f"expression(s) of {ghit}"
+            )
         if name in (meta.get("defaults") or {}):
             d = dict(meta["defaults"])
             d.pop(name)
             meta["defaults"] = d
+        if name in (meta.get("generated") or {}):
+            g = dict(meta["generated"])
+            g.pop(name)
+            meta["generated"] = g
         pb = meta.get("partition_by")
         if pb:
             m = _TRANSFORM_RE.match(pb)
@@ -2644,20 +2670,45 @@ class Warehouse:
         # from the batch fills with its default expression; absent
         # WITHOUT a default stays an analysis error (explicitness --
         # the SQL INSERT path pre-fills NULL for partial column lists).
+        # Generated columns (Delta GENERATED ALWAYS AS): absent -> the
+        # engine computes them from the batch's other columns; present
+        # -> every row must already satisfy col <=> expr (probed below),
+        # Delta's exact contract.
         defaults = meta.get("defaults") or {}
+        generated = meta.get("generated") or {}
         have = set(df.columns)
+
+        def _fill(f):
+            if f.name in have:
+                return F.col(f.name)
+            if f.name in generated:
+                return F.expr(generated[f.name])
+            if f.name in defaults:
+                return F.expr(defaults[f.name])
+            return F.col(f.name)  # unresolvable: same error as before
+
         out = df.select(
-            *[
-                (
-                    F.col(f.name)
-                    if f.name in have or f.name not in defaults
-                    else F.expr(defaults[f.name])
-                )
-                .cast(f.dataType)
-                .alias(f.name)
-                for f in schema.fields
-            ]
+            *[_fill(f).cast(f.dataType).alias(f.name) for f in schema.fields]
         )
+        gen_checks = {
+            c: e for c, e in generated.items() if c in have
+        }
+        if gen_checks:
+            ok = functools.reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(c).eqNullSafe(
+                        F.expr(e).cast(schema[c].dataType)
+                    )
+                    for c, e in gen_checks.items()
+                ],
+            )
+            hit = out.filter(~ok).limit(1).collect()
+            if hit:
+                raise ValueError(
+                    f"provided value violates GENERATED ALWAYS AS for "
+                    f"{sorted(gen_checks)} (e.g. {hit[0].asDict()!r})"
+                )
         for col in meta.get("required", []):
             out = out.filter(F.col(col).isNotNull())
         self._check_constraints(out, meta)
@@ -2711,6 +2762,48 @@ class Warehouse:
         constraints = dict(meta.get("constraints") or {})
         constraints.pop(name, None)
         meta["constraints"] = constraints
+        self._swap_table_meta(tdir, meta)
+
+    def set_column_generated(
+        self, ns: str, table: str, col: str, sql_expr: str
+    ) -> None:
+        """Generated column (Delta ``GENERATED ALWAYS AS``): writes
+        that omit ``col`` compute it from the row's other columns;
+        writes that provide it must satisfy ``col <=> expr`` or the
+        batch fails (probed in write validation). Declared at CREATE
+        time only -- the table must still be empty (existing rows were
+        never checked; Delta has the same restriction). The classic
+        use is partitioning by a derivation (``dt DATE GENERATED
+        ALWAYS AS (CAST(ts AS DATE))`` + ``PARTITIONED BY (dt)``)."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        schema = StructType.fromJson(meta["schema"])
+        if col not in schema.fieldNames():
+            raise KeyError(f"no such column {col!r} in {ns}.{table}")
+        tip = self._manifest_doc(tdir, self._versions(tdir)[-1])
+        if tip.get("files"):
+            raise ValueError(
+                "GENERATED ALWAYS AS must be declared while the table "
+                "is empty (existing rows were never checked)"
+            )
+        stripped = re.sub(r"'(?:[^']|'')*'", "", sql_expr)
+        bad = [
+            g
+            for g in list(meta.get("generated") or {}) + [col]
+            if re.search(rf"\b{re.escape(g)}\b", stripped)
+        ]
+        if bad:
+            raise ValueError(
+                f"generation expression may not reference generated "
+                f"columns {sorted(set(bad))}"
+            )
+        # resolve + type-check against the other columns, no execution
+        self.spark.createDataFrame([], schema).select(
+            F.expr(sql_expr).cast(schema[col].dataType)
+        )
+        generated = dict(meta.get("generated") or {})
+        generated[col] = sql_expr
+        meta["generated"] = generated
         self._swap_table_meta(tdir, meta)
 
     def set_change_feed(self, ns: str, table: str, enabled: bool) -> None:
@@ -3892,7 +3985,26 @@ class Warehouse:
         bad = [c for c in assignments if c not in StructType.fromJson(meta["schema"]).fieldNames()]
         if bad:
             raise ValueError(f"unknown columns in UPDATE assignments: {bad}")
+        generated = meta.get("generated") or {}
+        gen_assigned = sorted(set(assignments) & set(generated))
+        if gen_assigned:
+            raise ValueError(
+                f"cannot assign GENERATED ALWAYS AS columns {gen_assigned}"
+            )
+        # generated columns whose expression references an assigned
+        # column must be RECOMPUTED from the post-update row (Delta
+        # recomputes generated columns whose sources change)
+        gen_affected = {
+            g: e
+            for g, e in generated.items()
+            if any(_exprs_referencing({g: e}, c) for c in assignments)
+        }
         predicate, predicates = self._predicate_spec(predicate, predicates)
+        if strategy in ("mor", "mor-pos") and gen_affected:
+            raise ValueError(
+                "merge-on-read UPDATE cannot recompute generated "
+                f"columns {sorted(gen_affected)}; use strategy='cow'"
+            )
         if strategy == "mor":
             return self._update_where_mor(
                 tdir, meta, assignments, predicate, predicates
@@ -3915,18 +4027,44 @@ class Warehouse:
             self._manifest_doc(tdir, version).get("deletes"), meta.get("key"),
         )
         cond = F.coalesce(predicate, F.lit(False))
-        updated = current.select(
+        # stage 1: the explicit assignments, evaluated simultaneously
+        # over pre-update values (SQL UPDATE semantics); stage 2:
+        # generated columns whose sources changed recompute from the
+        # POST-update row. The match marker carries through so stage 2
+        # and the optional CDF write see the same row set.
+        stage1 = current.withColumn("__upd", cond).select(
             *[
                 (
-                    F.when(cond, assignments[f.name].cast(f.dataType))
+                    F.when(
+                        F.col("__upd"),
+                        assignments[f.name].cast(f.dataType),
+                    )
                     .otherwise(F.col(f.name))
                     .alias(f.name)
                     if f.name in assignments
                     else F.col(f.name)
                 )
                 for f in schema.fields
-            ]
+            ],
+            "__upd",
         )
+        stage2 = stage1.select(
+            *[
+                (
+                    F.when(
+                        F.col("__upd"),
+                        F.expr(gen_affected[f.name]).cast(f.dataType),
+                    )
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in gen_affected
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ],
+            "__upd",
+        )
+        updated = stage2.drop("__upd")
         self._check_constraints(updated, meta)
         new_files = self._write_table_files(tdir, updated, meta)
         change_files = None
@@ -3934,16 +4072,7 @@ class Warehouse:
             # stored CDF: pre-images as 'delete', post-images as
             # 'insert' -- raw (un-netted) pairs; changelog nets at read
             matched = current.filter(cond)
-            post = matched.select(
-                *[
-                    (
-                        assignments[f.name].cast(f.dataType)
-                        if f.name in assignments
-                        else F.col(f.name)
-                    ).alias(f.name)
-                    for f in schema.fields
-                ]
-            )
+            post = stage2.filter(F.col("__upd")).drop("__upd")
             change = matched.withColumn(
                 "_change_type", F.lit("delete")
             ).unionByName(post.withColumn("_change_type", F.lit("insert")))

@@ -439,3 +439,90 @@ def test_landing_zone_journey(wh, spark, tmp_path):
     w2.create_namespace("ns")
     WarehouseSQL(w2).execute(ddl)
     assert "vendor" in w2.schema("ns", "daily").fieldNames()
+
+
+def test_generated_columns(wh, spark):
+    ex = WarehouseSQL(wh)
+    ex.execute(
+        "CREATE TABLE ns.g (id STRING NOT NULL, v INT, "
+        "v2 INT GENERATED ALWAYS AS (v * 2), "
+        "lane STRING DEFAULT 'bulk')"
+    )
+    # omitted generated column -> computed from the row
+    ex.execute("INSERT INTO ns.g (id, v) VALUES ('a', 3)")
+    row = ex.execute("SELECT * FROM ns.g").collect()[0]
+    assert (row.id, row.v, row.v2, row.lane) == ("a", 3, 6, "bulk")
+    # provided AND consistent -> accepted; inconsistent -> batch fails
+    ex.execute("INSERT INTO ns.g VALUES ('b', 4, 8, 'x')")
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        ex.execute("INSERT INTO ns.g VALUES ('c', 4, 9, 'x')")
+    # DEFAULT keyword on a generated cell is a usage error
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        ex.execute("INSERT INTO ns.g VALUES ('d', 4, DEFAULT, 'x')")
+    # python API insert without the column computes it too
+    wh.insert("ns", "g", spark.createDataFrame(
+        [("e", 5, "y")], "id string, v int, lane string"))
+    got = {(r.id, r.v2) for r in ex.execute("SELECT id, v2 FROM ns.g").collect()}
+    assert got == {("a", 6), ("b", 8), ("e", 10)}
+    # rename/drop guards: v is referenced by v2's generation expr
+    with pytest.raises(ValueError, match="generation expression"):
+        ex.execute("ALTER TABLE ns.g RENAME COLUMN v TO w")
+    with pytest.raises(ValueError, match="generation expression"):
+        ex.execute("ALTER TABLE ns.g DROP COLUMN v")
+    # SHOW CREATE emits the clause and round-trips
+    ddl = ex.execute("SHOW CREATE TABLE ns.g").collect()[0].createtab_stmt
+    assert "GENERATED ALWAYS AS (v * 2)" in ddl
+    w2 = Warehouse(spark, wh.root + "_grt")
+    w2.create_namespace("ns")
+    WarehouseSQL(w2).execute(ddl)
+    assert w2.table_meta("ns", "g")["generated"] == {"v2": "v * 2"}
+
+
+def test_generated_partition_column(wh, spark):
+    """The classic use: partition by a generated derivation."""
+    ex = WarehouseSQL(wh)
+    ex.execute(
+        "CREATE TABLE ns.p (id STRING, amt INT, "
+        "bucket3 INT GENERATED ALWAYS AS (amt % 3)) "
+        "PARTITIONED BY (bucket3)"
+    )
+    ex.execute("INSERT INTO ns.p (id, amt) VALUES ('a', 4), ('b', 6), ('c', 7)")
+    got = {(r.id, r.bucket3) for r in ex.execute("SELECT id, bucket3 FROM ns.p").collect()}
+    assert got == {("a", 1), ("b", 0), ("c", 1)}
+    # declaring on a non-empty table refuses
+    with pytest.raises(ValueError, match="empty"):
+        wh.set_column_generated("ns", "p", "bucket3", "amt % 5")
+    # self/chained references refuse at declare time
+    ex.execute("CREATE TABLE ns.q2 (a INT, b INT, c INT)")
+    wh.set_column_generated("ns", "q2", "b", "a + 1")
+    with pytest.raises(ValueError, match="generated columns"):
+        wh.set_column_generated("ns", "q2", "c", "b + 1")
+
+
+def test_update_recomputes_generated_columns(wh, spark):
+    ex = WarehouseSQL(wh)
+    ex.execute(
+        "CREATE TABLE ns.gu (id STRING, v INT, "
+        "v2 INT GENERATED ALWAYS AS (v * 2))"
+    )
+    ex.execute("INSERT INTO ns.gu (id, v) VALUES ('a', 3), ('b', 4)")
+    # updating the source column recomputes the generated one
+    ex.execute("UPDATE ns.gu SET v = v + 10 WHERE id = 'a'")
+    got = {(r.id, r.v, r.v2) for r in ex.execute("SELECT * FROM ns.gu").collect()}
+    assert got == {("a", 13, 26), ("b", 4, 8)}
+    # assigning the generated column directly refuses
+    with pytest.raises(ValueError, match="GENERATED"):
+        ex.execute("UPDATE ns.gu SET v2 = 0 WHERE id = 'a'")
+    # MoR cannot recompute -> explicit refusal, not silent staleness
+    w2 = Warehouse(spark, wh.root + "_gmor")
+    w2.create_namespace("ns")
+    WarehouseSQL(w2).execute(
+        "CREATE TABLE ns.k (id STRING, v INT, "
+        "v2 INT GENERATED ALWAYS AS (v * 2)) "
+        "TBLPROPERTIES ('primary-key' = 'id')"
+    )
+    WarehouseSQL(w2).execute("INSERT INTO ns.k (id, v) VALUES ('a', 1)")
+    with pytest.raises(ValueError, match="recompute generated"):
+        WarehouseSQL(w2).execute(
+            "UPDATE ns.k SET v = 9 WHERE id = 'a'", strategy="mor"
+        )
