@@ -958,18 +958,20 @@ class WarehouseSQL:
                 req_meta = meta.get("required") or []
                 defaults = meta.get("defaults") or {}
                 generated = meta.get("generated") or {}
+                identity_cols = meta.get("identity") or {}
                 req = [
                     f.name for f in missing
                     if (f.name in req_meta or not f.nullable)
                     and f.name not in defaults
                     and f.name not in generated
+                    and f.name not in identity_cols
                 ]
                 if req:
                     raise ValueError(
                         f"INSERT column list omits required columns {req}"
                     )
                 for f in missing:
-                    if f.name in generated:
+                    if f.name in generated or f.name in identity_cols:
                         continue  # the write path computes these
                     fill = (
                         F.expr(defaults[f.name])
@@ -1377,6 +1379,7 @@ class WarehouseSQL:
             schema = StructType.fromJson(meta["schema"])
             defaults = meta.get("defaults") or {}
             generated = meta.get("generated") or {}
+            identity = meta.get("identity") or {}
             cols = ",\n  ".join(
                 f"{f.name} {f.dataType.simpleString().upper()}"
                 + ("" if f.nullable else " NOT NULL")
@@ -1388,6 +1391,13 @@ class WarehouseSQL:
                 + (
                     f" GENERATED ALWAYS AS ({generated[f.name]})"
                     if f.name in generated
+                    else ""
+                )
+                + (
+                    " GENERATED ALWAYS AS IDENTITY (START WITH "
+                    f"{identity[f.name]['start']} INCREMENT BY "
+                    f"{identity[f.name]['step']})"
+                    if f.name in identity
                     else ""
                 )
                 for f in schema.fields
@@ -1499,6 +1509,10 @@ class WarehouseSQL:
                 self.wh.set_column_default(ns, tbl, c, e)
             for c, e in (src_meta.get("generated") or {}).items():
                 self.wh.set_column_generated(ns, tbl, c, e)
+            for c, spec in (src_meta.get("identity") or {}).items():
+                self.wh.set_column_identity(
+                    ns, tbl, c, start=spec["start"], step=spec["step"]
+                )
             for cname, expr in (src_meta.get("constraints") or {}).items():
                 self.wh.add_constraint(ns, tbl, cname, expr)
             return None
@@ -1550,9 +1564,22 @@ class WarehouseSQL:
         # through never match the \s+DEFAULT\s+ tail and re-join as-is.
         defaults: dict[str, str] = {}
         generated: dict[str, str] = {}
+        identity: dict[str, tuple[int, int]] = {}
         cleaned = []
         for cd in _split_top_level(m.group("cols")):
             cds = cd.strip()
+            im = re.match(
+                r"^(.*?)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+                r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+"
+                r"INCREMENT\s+BY\s+(-?\d+)\s*\))?$",
+                cds, re.IGNORECASE,
+            )
+            if im:
+                cleaned.append(im.group(1))
+                identity[im.group(1).split()[0].strip("`")] = (
+                    int(im.group(2) or 1), int(im.group(3) or 1)
+                )
+                continue
             gm = re.match(
                 r"^(.*?)\s+GENERATED\s+ALWAYS\s+AS\s+\((.+)\)$", cds,
                 re.IGNORECASE | re.DOTALL,
@@ -1592,6 +1619,8 @@ class WarehouseSQL:
                 self.wh.set_column_default(ns, tbl, c, e)
             for c, e in generated.items():
                 self.wh.set_column_generated(ns, tbl, c, e)
+            for c, (st, inc) in identity.items():
+                self.wh.set_column_identity(ns, tbl, c, start=st, step=inc)
         return out
 
     def _merge(self, s: str, lits: list[str], strategy: str):

@@ -1441,6 +1441,7 @@ class Warehouse:
         txn: tuple[str, int] | None = None,
         copied: list[str] | None = None,
         copied_exclusive: bool = True,
+        identity_guard=None,
     ) -> int:
         """Publish an append (or overwrite), rebasing onto the tip on a
         concurrent commit: an append conflicts with nothing -- its file
@@ -1483,6 +1484,11 @@ class Warehouse:
                 last = self._last_txn(tdir, branch, txn[0])
                 if last is not None and last >= int(txn[1]):
                     return self._versions(tdir, branch)[-1]
+            if identity_guard is not None:
+                # identity allocation base re-checked per attempt: a
+                # concurrent insert that consumed ids must force the
+                # caller to reallocate, never commit duplicates
+                identity_guard()
             if copied and copied_exclusive:
                 # COPY idempotence, re-checked per attempt: a CAS loser
                 # whose winner loaded an overlapping source set must not
@@ -2806,6 +2812,123 @@ class Warehouse:
         meta["generated"] = generated
         self._swap_table_meta(tdir, meta)
 
+    def set_column_identity(
+        self, ns: str, table: str, col: str, start: int = 1, step: int = 1
+    ) -> None:
+        """Identity column (Delta / SQL-standard ``GENERATED ALWAYS AS
+        IDENTITY``): the engine assigns monotonically increasing values
+        on insert/COPY when the column is omitted; providing it raises
+        (ALWAYS semantics). Values are unique and increase by ``step``;
+        gaps are allowed across concurrent writers (the standard
+        identity contract). Declared while the table is empty.
+
+        No allocator state is stored: the high-water mark derives from
+        the manifest's per-file max stats (metadata-only), and the
+        commit re-checks it per CAS attempt -- a concurrent insert that
+        consumed ids forces reallocation instead of duplicates."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        schema = StructType.fromJson(meta["schema"])
+        if col not in schema.fieldNames():
+            raise KeyError(f"no such column {col!r} in {ns}.{table}")
+        if schema[col].dataType.simpleString() not in ("bigint", "int"):
+            raise ValueError("identity columns must be INT or BIGINT")
+        if int(step) == 0:
+            raise ValueError("identity step must be non-zero")
+        tip = self._manifest_doc(tdir, self._versions(tdir)[-1])
+        if tip.get("files"):
+            raise ValueError(
+                "IDENTITY must be declared while the table is empty"
+            )
+        identity = dict(meta.get("identity") or {})
+        identity[col] = {"start": int(start), "step": int(step)}
+        meta["identity"] = identity
+        self._swap_table_meta(tdir, meta)
+
+    def _identity_high_water(
+        self, tdir: str, col: str, meta: dict, branch: str | None = None
+    ) -> int:
+        """Current allocation base for an identity column: the max
+        committed value, from per-file manifest stats when every live
+        file carries them (metadata-only), else one column-pruned max
+        scan; ``start - step`` on an empty table."""
+        spec = meta["identity"][col]
+        doc = self._manifest_doc(tdir, self._versions(tdir, branch)[-1], branch)
+        entries = doc["files"]
+        if not entries:
+            return int(spec["start"]) - int(spec["step"])
+        pc = (meta.get("physical") or {}).get(col, col)
+        stats = [(e.get("stats") or {}).get(pc) for e in entries]
+        if all(s is not None for s in stats):
+            return max(int(s[1]) for s in stats)
+        schema = StructType.fromJson(meta["schema"])
+        row = self._read_entries(
+            tdir, entries, schema, meta.get("physical"), doc.get("deletes"),
+            meta.get("key"),
+        ).agg(F.max(col)).first()
+        return int(row[0]) if row[0] is not None else (
+            int(spec["start"]) - int(spec["step"])
+        )
+
+    def _with_identity(
+        self, tdir: str, df: DataFrame, meta: dict,
+        branch: str | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Assign identity values to every declared column the batch
+        omits; refuse provided ones (ALWAYS semantics). Returns the
+        frame plus the allocation bases for the publish-time guard.
+
+        Contiguous-within-batch distributed assignment: the batch is
+        pinned (localCheckpoint) so partition ids are stable, one
+        metadata-bounded pass collects per-partition row counts
+        (#partitions integers on the driver -- never rows), and each
+        row's id is ``base + step * (partition offset + local
+        row_number)`` -- fully parallel, no global sort, no single
+        reducer."""
+        identity = meta.get("identity") or {}
+        if not identity:
+            return df, {}
+        provided = [c for c in identity if c in df.columns]
+        if provided:
+            raise ValueError(
+                f"columns {provided} are GENERATED ALWAYS AS IDENTITY; "
+                "omit them -- the engine assigns values"
+            )
+        schema = StructType.fromJson(meta["schema"])
+        # __pid is MATERIALIZED pre-shuffle (spark_partition_id() would
+        # re-evaluate to post-exchange ids inside the window otherwise)
+        pinned = df.withColumn(
+            "__pid", F.spark_partition_id()
+        ).localCheckpoint()
+        counts = {
+            r["__pid"]: r["count"]
+            for r in pinned.groupBy("__pid").count().collect()
+        }
+        offs, acc = {}, 0
+        for p in sorted(counts):
+            offs[p] = acc
+            acc += counts[p]
+        omap = F.create_map(
+            *[F.lit(x) for kv in sorted(offs.items()) for x in kv]
+        ) if offs else F.create_map()
+        w = Window.partitionBy("__pid").orderBy(
+            F.monotonically_increasing_id()
+        )
+        out = pinned.withColumn(
+            "__row",
+            omap[F.col("__pid")] + F.row_number().over(w),
+        )
+        bases = {}
+        for c, spec in identity.items():
+            base = self._identity_high_water(tdir, c, meta, branch)
+            bases[c] = base
+            out = out.withColumn(
+                c,
+                (F.lit(base) + F.lit(int(spec["step"])) * F.col("__row"))
+                .cast(schema[c].dataType),
+            )
+        return out.drop("__row", "__pid"), bases
+
     def set_change_feed(self, ns: str, table: str, enabled: bool) -> None:
         """Toggle stored Change Data Feed for the table (Delta
         ``delta.enableChangeDataFeed`` analog): while on, copy-on-write
@@ -2936,6 +3059,34 @@ class Warehouse:
             if merge_schema
             else self.table_meta(ns, table)
         )
+        if meta.get("identity"):
+            # engine-assigned ids: allocate from the manifest high-water
+            # and re-plan if a concurrent insert consumed the range
+            for _ in range(self._MAX_COMMIT_RETRIES):
+                adf, bases = self._with_identity(tdir, df, meta, branch)
+                new_files = self._write_table_files(
+                    tdir, self._validated(adf, meta), meta
+                )
+
+                def _guard(b=bases):
+                    for c, base in b.items():
+                        if self._identity_high_water(
+                            tdir, c, meta, branch
+                        ) != base:
+                            raise CommitConflictError(
+                                f"identity {c} advanced past {base}"
+                            )
+
+                try:
+                    return self._publish_append(
+                        tdir, self._versions(tdir, branch)[-1], new_files,
+                        meta["schema"], overwrite=overwrite,
+                        phys=meta.get("physical"), branch=branch, txn=txn,
+                        identity_guard=_guard,
+                    )
+                except CommitConflictError:
+                    continue
+            raise CommitConflictError("identity allocation did not converge")
         new_files = self._write_table_files(tdir, self._validated(df, meta), meta)
         return self._publish_append(
             tdir, self._versions(tdir, branch)[-1], new_files, meta["schema"],
@@ -3006,18 +3157,30 @@ class Warehouse:
             meta = self.table_meta(ns, table)
             schema = StructType.fromJson(meta["schema"])
             defaults = meta.get("defaults") or {}
+            identity = meta.get("identity") or {}
             missing = [
                 f.name
                 for f in schema.fields
-                if f.name not in raw.columns and f.name not in defaults
+                if f.name not in raw.columns
+                and f.name not in defaults
+                and f.name not in identity
             ]
             if missing:
                 raise ValueError(
                     f"COPY source lacks columns {missing} and the table "
                     "defines no defaults for them"
                 )
+            adf, bases = self._with_identity(tdir, raw, meta, branch)
+
+            def _guard(b=bases):
+                for c, base in b.items():
+                    if self._identity_high_water(tdir, c, meta, branch) != base:
+                        raise CommitConflictError(
+                            f"identity {c} advanced past {base}"
+                        )
+
             new_files = self._write_table_files(
-                tdir, self._validated(raw, meta), meta
+                tdir, self._validated(adf, meta), meta
             )
             try:
                 v = self._publish_append(
@@ -3025,6 +3188,7 @@ class Warehouse:
                     meta["schema"], phys=meta.get("physical"),
                     branch=branch, copied=todo,
                     copied_exclusive=not force,
+                    identity_guard=_guard if bases else None,
                 )
                 return {
                     "files_loaded": len(todo),

@@ -526,3 +526,66 @@ def test_update_recomputes_generated_columns(wh, spark):
         WarehouseSQL(w2).execute(
             "UPDATE ns.k SET v = 9 WHERE id = 'a'", strategy="mor"
         )
+
+
+def test_identity_columns(wh, spark, tmp_path):
+    ex = WarehouseSQL(wh)
+    ex.execute(
+        "CREATE TABLE ns.i (seq BIGINT GENERATED ALWAYS AS IDENTITY "
+        "(START WITH 100 INCREMENT BY 10), id STRING, v INT)"
+    )
+    ex.execute("INSERT INTO ns.i (id, v) VALUES ('a', 1), ('b', 2), ('c', 3)")
+    first = {r.seq for r in ex.execute("SELECT seq FROM ns.i").collect()}
+    assert first == {100, 110, 120}
+    # the next batch continues past the high-water mark
+    ex.execute("INSERT INTO ns.i (id, v) VALUES ('d', 4)")
+    allv = sorted(r.seq for r in ex.execute("SELECT seq FROM ns.i").collect())
+    assert allv == [100, 110, 120, 130]
+    # providing the column refuses (ALWAYS semantics)
+    with pytest.raises(ValueError, match="IDENTITY"):
+        wh.insert("ns", "i", spark.createDataFrame(
+            [(999, "x", 9)], "seq bigint, id string, v int"))
+    # COPY assigns too
+    landing = str(tmp_path / "ident")
+    spark.createDataFrame([("e", 5)], "id string, v int").write.parquet(landing)
+    wh.copy_into("ns", "i", landing)
+    assert sorted(
+        r.seq for r in ex.execute("SELECT seq FROM ns.i").collect()
+    ) == [100, 110, 120, 130, 140]
+    # DDL round-trips
+    ddl = ex.execute("SHOW CREATE TABLE ns.i").collect()[0].createtab_stmt
+    assert "GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 10)" in ddl
+    w2 = Warehouse(spark, wh.root + "_irt")
+    w2.create_namespace("ns")
+    WarehouseSQL(w2).execute(ddl)
+    assert w2.table_meta("ns", "i")["identity"] == {
+        "seq": {"start": 100, "step": 10}
+    }
+
+
+def test_identity_concurrent_allocation_never_duplicates(wh, spark):
+    """A concurrent insert consuming ids between our allocation and our
+    publish forces reallocation: all ids stay unique."""
+    ex = WarehouseSQL(wh)
+    ex.execute(
+        "CREATE TABLE ns.ic (seq BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "id STRING)"
+    )
+    real_publish = wh._publish
+    raced = {"done": False}
+
+    def racing_publish(*args, **kwargs):
+        if not raced["done"]:
+            raced["done"] = True
+            wh_b = Warehouse(spark, wh.root)
+            wh_b.insert("ns", "ic", spark.createDataFrame(
+                [("r1",), ("r2",)], "id string"))
+        return real_publish(*args, **kwargs)
+
+    wh._publish = racing_publish
+    try:
+        wh.insert("ns", "ic", spark.createDataFrame([("a",), ("b",)], "id string"))
+    finally:
+        wh._publish = real_publish
+    seqs = sorted(r.seq for r in wh.read("ns", "ic").collect())
+    assert seqs == [1, 2, 3, 4]  # unique, dense, no duplicates
