@@ -2908,16 +2908,28 @@ class Warehouse:
         for p in sorted(counts):
             offs[p] = acc
             acc += counts[p]
-        omap = F.create_map(
-            *[F.lit(x) for kv in sorted(offs.items()) for x in kv]
-        ) if offs else F.create_map()
         w = Window.partitionBy("__pid").orderBy(
             F.monotonically_increasing_id()
         )
-        out = pinned.withColumn(
-            "__row",
-            omap[F.col("__pid")] + F.row_number().over(w),
-        )
+        if len(offs) <= 256:
+            omap = F.create_map(
+                *[F.lit(x) for kv in sorted(offs.items()) for x in kv]
+            ) if offs else F.create_map()
+            out = pinned.withColumn(
+                "__row",
+                omap[F.col("__pid")] + F.row_number().over(w),
+            )
+        else:
+            # thousands of partitions: a literal map would bloat the
+            # plan -- broadcast-join the offset table instead
+            odf = self.spark.createDataFrame(
+                sorted(offs.items()), "__pid INT, __off BIGINT"
+            )
+            out = (
+                pinned.join(F.broadcast(odf), "__pid")
+                .withColumn("__row", F.col("__off") + F.row_number().over(w))
+                .drop("__off")
+            )
         bases = {}
         for c, spec in identity.items():
             base = self._identity_high_water(tdir, c, meta, branch)
@@ -3345,6 +3357,13 @@ class Warehouse:
         first (nullable, metadata-only); existing rows read them as
         NULL."""
         tdir = self._table_dir(ns, table)
+        if self.table_meta(ns, table).get("identity"):
+            raise ValueError(
+                "MERGE on a table with IDENTITY columns is not "
+                "supported: matched rows keep their ids but inserted "
+                "rows would need allocation inside the merge; load new "
+                "rows via INSERT/COPY instead"
+            )
         if merge_schema and branch:
             raise ValueError(
                 "schema evolution is table-wide; evolve on main, then "
