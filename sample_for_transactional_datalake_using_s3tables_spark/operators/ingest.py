@@ -740,6 +740,67 @@ FROM updated WHERE event_id % 4 = 0
 """
 
 
+def warehouse_column_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The column feature triad certified end-to-end (Delta parity:
+    write DEFAULTs, GENERATED ALWAYS AS, GENERATED ALWAYS AS IDENTITY):
+    CREATE with all three clauses; a partial-column INSERT ... SELECT
+    fills the default, computes the generated column, and assigns
+    identity values; a CoW UPDATE doubles ``value`` where id%9=0 and
+    must RECOMPUTE the generated column from the post-update row.
+    Identity values are engine-assigned (their row binding is
+    partitioning-dependent), so the hashed output carries the
+    deterministic columns plus ``ident_ok`` -- the identity invariants
+    (exactly n rows, values dense 1..n) folded to a boolean."""
+    from ..sources.sqlexec import WarehouseSQL
+
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_colfeat_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        sql = WarehouseSQL(wh)
+        sql.execute(
+            "CREATE TABLE q.state (seq BIGINT GENERATED ALWAYS AS "
+            "IDENTITY, event_id BIGINT, event_type STRING, "
+            "value DECIMAL(12,2), "
+            "cents BIGINT GENERATED ALWAYS AS "
+            "(CAST(value * 100 AS BIGINT)), "
+            "lane STRING DEFAULT 'bulk')"
+        )
+        events.createOrReplaceTempView("src_colfeat")
+        sql.execute(
+            "INSERT INTO q.state (event_id, event_type, value) "
+            "SELECT event_id, event_type, value FROM src_colfeat"
+        )
+        sql.execute(
+            "UPDATE q.state SET value = CAST(value * 2 AS DECIMAL(12,2)) "
+            "WHERE event_id % 9 = 0"
+        )
+        n = events.count()
+        seqs = wh.read("q", "state").agg(
+            F.count("seq"), F.countDistinct("seq"), F.min("seq"), F.max("seq")
+        ).first()
+        ident_ok = tuple(seqs) == (n, n, 1, n)
+        out = sql.execute(
+            "SELECT event_id, event_type, value, cents, lane FROM q.state"
+        ).withColumn("ident_ok", F.lit(bool(ident_ok)))
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_COLUMN_FEATURES_SQL = """
+SELECT event_id, event_type,
+       CAST(CASE WHEN event_id % 9 = 0 THEN CAST(value AS DECIMAL(12,2)) * 2
+            ELSE CAST(value AS DECIMAL(12,2)) END AS DECIMAL(12,2)) AS value,
+       CAST(CASE WHEN event_id % 9 = 0 THEN CAST(value AS DECIMAL(12,2)) * 2
+            ELSE CAST(value AS DECIMAL(12,2)) END * 100 AS BIGINT) AS cents,
+       'bulk' AS lane, TRUE AS ident_ok
+FROM events
+"""
+
+
 def warehouse_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The catalog DDL lifecycle certified end-to-end (SURVEY rows D4
     IF NOT EXISTS idempotence, D5 DROP, D9 resource links -- reference
@@ -1933,6 +1994,7 @@ QUERIES = {
     "warehouse_copy_into": warehouse_copy_into,
     "warehouse_stream_copy": warehouse_stream_copy,
     "warehouse_change_feed": warehouse_change_feed,
+    "warehouse_column_features": warehouse_column_features,
 }
 
 ORACLES = {
@@ -1965,4 +2027,5 @@ ORACLES = {
     "warehouse_copy_into": WAREHOUSE_COPY_INTO_SQL,
     "warehouse_stream_copy": WAREHOUSE_STREAM_COPY_SQL,
     "warehouse_change_feed": WAREHOUSE_CHANGE_FEED_SQL,
+    "warehouse_column_features": WAREHOUSE_COLUMN_FEATURES_SQL,
 }
