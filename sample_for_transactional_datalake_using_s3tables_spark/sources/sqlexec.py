@@ -54,7 +54,8 @@ does the real parsing. The split layer accepts exactly:
   raw NULs would let crafted input collide with them.
 - **statement heads**: SELECT/WITH/EXPLAIN/SHOW/DESCRIBE/DESC/DELETE/
   UPDATE/INSERT/MERGE/CREATE/DROP/ALTER/GRANT/REVOKE/CALL/REFRESH/
-  ANALYZE/TRUNCATE/COPY (each with the shapes documented above);
+  ANALYZE/TRUNCATE/COPY/RESTORE (each with the shapes documented
+  above);
   anything else raises
   ``ValueError`` with the offending fragment.
 - **table references** rewrite anywhere outside literals when they
@@ -287,10 +288,13 @@ class WarehouseSQL:
         r"\s+(?:AS\s+)?(\w+)",
         re.IGNORECASE,
     )
-    # table_changes('<ns.tbl masked literal>', v1[, v2])
+    # table_changes('<ns.tbl>', v1[, v2]) -- bounds are versions
+    # (bare ints) or timestamp literals (resolved via snapshot_as_of,
+    # Delta's timestamp form)
     _TVF_CHANGES_RE = re.compile(
-        r"\btable_changes\s*\(\s*(\x00LIT\d+\x00)\s*,\s*(\d+)"
-        r"\s*(?:,\s*(\d+)\s*)?\)",
+        r"\btable_changes\s*\(\s*(\x00LIT\d+\x00)\s*,"
+        r"\s*(\d+|\x00LIT\d+\x00)"
+        r"\s*(?:,\s*(\d+|\x00LIT\d+\x00)\s*)?\)",
         re.IGNORECASE,
     )
     _SQL_KEYWORDS = {
@@ -361,8 +365,15 @@ class WarehouseSQL:
                 )
             ns, tbl = ref.split(".", 1)
             self._require("SELECT", ns, tbl)
-            v1 = int(m.group(2))
-            v2 = int(m.group(3)) if m.group(3) else None
+
+            def bound(g: str) -> int:
+                if g.startswith("\x00"):
+                    ts = literals[int(g[4:-1])].strip("'")
+                    return self.wh.snapshot_as_of(ns, tbl, ts)
+                return int(g)
+
+            v1 = bound(m.group(2))
+            v2 = bound(m.group(3)) if m.group(3) else None
             tail = "tip" if v2 is None else str(v2)
             view = f"__wh_{ns}__{tbl}__changes_{v1}_{tail}"
             self.wh.changelog(ns, tbl, v1, v2).createOrReplaceTempView(view)
@@ -792,6 +803,24 @@ class WarehouseSQL:
                 ns, tbl, path, fileformat=fmt.lower(), pattern=pat,
                 force=bool(force) and force.upper() == "TRUE",
             )
+        if head == "RESTORE":
+            # Delta: RESTORE TABLE ns.t TO VERSION AS OF n
+            #        RESTORE TABLE ns.t TO TIMESTAMP AS OF '<ts>'
+            m = re.match(
+                r"^RESTORE\s+TABLE\s+(\w+)\.(\w+)\s+TO\s+"
+                r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+|'[^']+')$",
+                s, re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported RESTORE shape: {s[:120]!r}")
+            ns, tbl, kind, val = m.groups()
+            self._require("ALL", ns, tbl)
+            version = (
+                int(val)
+                if kind.upper() == "VERSION"
+                else self.wh.snapshot_as_of(ns, tbl, val.strip("'"))
+            )
+            return self.wh.rollback_to(ns, tbl, version)
         if head == "TRUNCATE":
             m = re.match(
                 r"^TRUNCATE\s+TABLE\s+(\w+)\.(\w+)$", s, re.IGNORECASE

@@ -880,3 +880,69 @@ def test_show_create_table(sql):
     assert "PARTITIONED BY (day)" in ddl
     assert "'unique_keys'='id'" in ddl
     assert "'constraint.v_pos'='v >= 0'" in ddl
+
+
+def test_restore_table(sql, spark):
+    """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF (Delta RESTORE):
+    routes to Warehouse.rollback_to, rewinding the current snapshot
+    while preserving history (the undone snapshot still time-travels)."""
+    import datetime as _dt
+    import time as _time
+
+    v1 = sql.wh.current_version("ns", "t")
+    t_between = _time.time()
+    _time.sleep(0.02)
+    sql.execute("DELETE FROM ns.t WHERE v < 10")
+    assert sql.execute("SELECT COUNT(*) AS n FROM ns.t").collect()[0].n == 10
+    sql.execute(f"RESTORE TABLE ns.t TO VERSION AS OF {v1}")
+    assert sql.execute("SELECT COUNT(*) AS n FROM ns.t").collect()[0].n == 20
+    # timestamp form resolves through snapshot_as_of
+    sql.execute("DELETE FROM ns.t WHERE v >= 15")
+    iso = _dt.datetime.fromtimestamp(
+        t_between, tz=_dt.timezone.utc
+    ).isoformat()
+    sql.execute(f"RESTORE TABLE ns.t TO TIMESTAMP AS OF '{iso}'")
+    assert sql.execute("SELECT COUNT(*) AS n FROM ns.t").collect()[0].n == 20
+    with pytest.raises(ValueError, match="unsupported RESTORE"):
+        sql.execute("RESTORE TABLE ns.t TO THE MOON")
+    # governed principals without ALL cannot rewind history
+    sql.wh.grant("spy", "ns", "t", ["SELECT"])
+    gov = WarehouseSQL(sql.wh, principal="spy")
+    with pytest.raises(PermissionError):
+        gov.execute(f"RESTORE TABLE ns.t TO VERSION AS OF {v1}")
+
+
+def test_table_changes_timestamp_bounds(sql, spark):
+    """table_changes('ns.t', '<ts>' [, '<ts>']) -- Delta's timestamp
+    form: bounds resolve through snapshot_as_of, mixing with bare
+    version ints."""
+    import datetime as _dt
+    import time as _time
+
+    def iso(t):
+        return _dt.datetime.fromtimestamp(
+            t, tz=_dt.timezone.utc
+        ).isoformat()
+
+    t0 = _time.time()
+    _time.sleep(0.02)
+    sql.execute("UPDATE ns.t SET v = 99 WHERE id = 'k1'")
+    v = sql.wh.current_version("ns", "t")
+    _time.sleep(0.02)
+    t1 = _time.time()
+    got = sql.execute(
+        f"SELECT id, v, _change_type FROM "
+        f"table_changes('ns.t', '{iso(t0)}', '{iso(t1)}') "
+        f"ORDER BY _change_type"
+    ).collect()
+    assert [(r.id, r.v, r._change_type) for r in got] == [
+        ("k1", 1, "delete"),
+        ("k1", 99, "insert"),
+    ]
+    # mixed: int lower bound (exclusive, as in the int-int form),
+    # timestamp upper bound
+    n = sql.execute(
+        f"SELECT COUNT(*) AS n "
+        f"FROM table_changes('ns.t', {v - 1}, '{iso(t1)}')"
+    ).collect()[0].n
+    assert n == 2
