@@ -534,17 +534,216 @@ JOIN sums sb ON p.j = sb.i
 """
 
 
+K_CLUSTERS = 8
+KMEANS_ITERS = 3
+
+
+def _kmeans_floor_div(s: int, n: int) -> int:
+    """Python // is floor division; the SQL twin spells it explicitly as
+    (s - pmod(s, n)) / n so both engines round negatives identically."""
+    return s // n
+
+
+def _kmeans_assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Map-only Lloyd's assignment: centroids are plan LITERALS (the
+    broadcast-free analog of MLlib's broadcast centroid array), so the
+    assignment stage is embarrassingly parallel -- zero shuffle, zero
+    Python. ``array_position`` of the min distance = argmin with the
+    lowest-cluster-id tie-break (transform preserves centroid order)."""
+    carr = F.array(
+        *[F.array(*[F.lit(int(c)) for c in cent]) for cent in cents]
+    )
+    dists = F.transform(
+        carr,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return q.select(
+        "vec_id",
+        "qv",
+        F.array_min(dists).alias("dist2"),
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cluster_id"),
+    )
+
+
+def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's): the clustering pass an embedding
+    curation pipeline runs before semantic dedup / mixture balancing
+    (SemDeDup, DoReMi-style domain discovery). MLlib's exact execution
+    shape, re-derived: per iteration, (1) assignment is a map-only pass
+    against k centroid LITERALS -- no shuffle, no Python, cost O(k*dim)
+    per row; (2) the update is posexplode -> groupBy(cluster, dim) with
+    map-side partial sums, shuffling at most k*dim*partitions cells; (3)
+    the driver collects exactly k*dim (sum, count) ints -- the same
+    bounded driver loop MLlib uses (collectAsMap on k centers).
+
+    Cross-engine exactness: components are fixed-point int64
+    (functions/vectors.quantize), distances exact int64 sums, and the
+    centroid update is FLOOR division (Python ``//`` == the SQL pmod
+    spelling), so every iteration -- and therefore the final assignment
+    -- is bit-identical in the DuckDB recursive-CTE replay. Ties break
+    to the lowest cluster id in both engines. Seeds are the k lowest
+    vec_ids (deterministic; k-means|| would be the production seeding,
+    but seeding is orthogonal to the engine shape under test).
+
+    At 100 TB: assignment stays map-only (centroids are kilobytes at
+    any k*dim that fits a literal; beyond that, a broadcast join keyed
+    on a constant), the update shuffle carries k*dim cells per map
+    partition regardless of row count, and the driver holds k*dim ints
+    -- nothing scales with the corpus but the scan itself.
+
+    Reference scope: clustering is a §2.6 no-reference-implementation
+    capability (SURVEY.md §2.6); the reference's analytics stop at SQL
+    aggregates (query_data.py)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    # localCheckpoint: the qv array feeds k lambda bodies per iteration;
+    # CollapseProject would inline quantize's transform into each (the
+    # HOF re-evaluation trap, see dedup.py) and re-quantize k times per
+    # row. Pinning also lets every iteration re-read one materialization.
+    q = emb.select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    ).localCheckpoint()
+    seed_rows = {
+        r.vec_id: list(r.qv)
+        for r in q.filter(F.col("vec_id") < K_CLUSTERS).collect()
+    }
+    cents = [seed_rows[i] for i in range(K_CLUSTERS)]
+    for _ in range(KMEANS_ITERS):
+        sums = (
+            _kmeans_assign(q, cents)
+            .select("cluster_id", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()  # bounded: at most K_CLUSTERS * DIM rows
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r.cluster_id, {})[r.dim] = (r.s, r.n)
+        cents = [
+            [
+                _kmeans_floor_div(*by_cluster[k][d])
+                for d in range(len(cents[k]))
+            ]
+            if k in by_cluster
+            else cents[k]  # empty cluster keeps its centroid
+            for k in range(K_CLUSTERS)
+        ]
+    final = _kmeans_assign(q, cents)
+    cent_norm2 = {
+        k: sum(c * c for c in cents[k]) for k in range(K_CLUSTERS)
+    }
+    norms = spark.createDataFrame(
+        [(k, float(v)) for k, v in cent_norm2.items()],
+        "cluster_id INT, centroid_norm2 DOUBLE",
+    )
+    return (
+        final.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            # exact int64 accumulation; double only at the boundary
+            F.sum("dist2").cast("double").alias("inertia"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .join(F.broadcast(norms), "cluster_id")
+        .select(
+            "cluster_id", "n_vecs", "inertia", "min_vec_id",
+            "centroid_norm2",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# (s - pmod(s, n)) is exactly divisible by n, so truncating integer
+# division (//) equals floor division here -- and stays BIGINT (bare /
+# would promote to DOUBLE in DuckDB)
+_KMEANS_FDIV = "((s - (((s % n) + n) % n)) // n)"
+
+SIMILARITY_KMEANS_SQL = f"""
+WITH RECURSIVE
+q AS (
+  SELECT vec_id, {QUANTIZE_SQL.format(v='embedding')} AS qv FROM embeddings
+),
+dims AS (
+  SELECT vec_id, i - 1 AS dim, qv[i] AS v
+  FROM q, unnest(range(1, {DIM + 1})) AS t(i)
+),
+cent(iter, cluster_id, dim, c) AS (
+  SELECT 0, CAST(vec_id AS INTEGER), dim, v
+  FROM dims WHERE vec_id < {K_CLUSTERS}
+  UNION ALL
+  SELECT prev.iter + 1, prev.cluster_id, prev.dim,
+         CASE WHEN upd.n IS NULL THEN prev.c
+              ELSE {_KMEANS_FDIV} END
+  FROM cent prev
+  LEFT JOIN (
+    SELECT a.cluster_id, d2.dim,
+           CAST(SUM(d2.v) AS BIGINT) AS s, COUNT(*) AS n
+    FROM (
+      SELECT vec_id, cluster_id FROM (
+        SELECT d.vec_id, ct.cluster_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY SUM((d.v - ct.c) * (d.v - ct.c)) ASC,
+                          ct.cluster_id ASC
+               ) AS rn
+        FROM dims d JOIN cent ct ON d.dim = ct.dim
+        GROUP BY d.vec_id, ct.cluster_id
+      ) WHERE rn = 1
+    ) a JOIN dims d2 USING (vec_id)
+    GROUP BY 1, 2
+  ) upd ON upd.cluster_id = prev.cluster_id AND upd.dim = prev.dim
+  WHERE prev.iter < {KMEANS_ITERS}
+),
+final_cent AS (
+  SELECT cluster_id, dim, c FROM cent WHERE iter = {KMEANS_ITERS}
+),
+asg AS (
+  SELECT vec_id, cluster_id, dist2 FROM (
+    SELECT d.vec_id, ct.cluster_id,
+           CAST(SUM((d.v - ct.c) * (d.v - ct.c)) AS BIGINT) AS dist2,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY SUM((d.v - ct.c) * (d.v - ct.c)) ASC,
+                      ct.cluster_id ASC
+           ) AS rn
+    FROM dims d JOIN final_cent ct ON d.dim = ct.dim
+    GROUP BY d.vec_id, ct.cluster_id
+  ) WHERE rn = 1
+)
+SELECT a.cluster_id,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(a.dist2) AS DOUBLE) AS inertia,
+       MIN(a.vec_id) AS min_vec_id,
+       cn.centroid_norm2
+FROM asg a
+JOIN (
+  SELECT cluster_id,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS centroid_norm2
+  FROM final_cent GROUP BY 1
+) cn USING (cluster_id)
+GROUP BY a.cluster_id, cn.centroid_norm2
+ORDER BY a.cluster_id
+"""
+
+
 QUERIES = {
     "similarity_topk_bruteforce": similarity_topk_bruteforce,
     "similarity_topk_lsh": similarity_topk_lsh,
     "similarity_label_stats": similarity_label_stats,
     "similarity_topk_ivf": similarity_topk_ivf,
     "similarity_centroids": similarity_centroids,
+    "similarity_kmeans": similarity_kmeans,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_covariance": embedding_covariance,
 }
 
 ORACLES = {
+    "similarity_kmeans": SIMILARITY_KMEANS_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,
     "similarity_topk_lsh": _lsh_sql(),
     "similarity_label_stats": SIMILARITY_LABEL_STATS_SQL,

@@ -54,3 +54,38 @@ def test_llmdata_every_query_is_oracle_certified():
     (text_bpe_train_encode was the last rows-only holdout); a new query
     landing without one should trip this, not silently weaken the gate."""
     assert ROWS_ONLY == []
+
+
+def test_kmeans_partitions_and_improves(spark, sf_dir):
+    """Lloyd's invariants at sf0.001: the final assignment is a
+    partition of the corpus, and 3 iterations beat the seed assignment
+    (floor-divided centroids are within 1 ulp-of-int of the true mean,
+    far inside the improvement margin)."""
+    import pyspark.sql.functions as F
+
+    from sample_for_transactional_datalake_using_s3tables_spark.functions.vectors import quantize
+    from sample_for_transactional_datalake_using_s3tables_spark.operators.similarity import (
+        K_CLUSTERS,
+        _kmeans_assign,
+        similarity_kmeans,
+    )
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.testdata import load_table
+
+    out = similarity_kmeans(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in out) == total
+    assert all(0 <= r.cluster_id < K_CLUSTERS for r in out)
+    assert all(r.inertia >= 0 for r in out)
+    # seed-assignment inertia (iteration 0) strictly exceeds the final
+    q = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    ).localCheckpoint()
+    seeds = {
+        r.vec_id: list(r.qv)
+        for r in q.filter(F.col("vec_id") < K_CLUSTERS).collect()
+    }
+    cents = [seeds[i] for i in range(K_CLUSTERS)]
+    seed_inertia = (
+        _kmeans_assign(q, cents).agg(F.sum("dist2")).collect()[0][0]
+    )
+    assert sum(r.inertia for r in out) < seed_inertia
