@@ -854,6 +854,111 @@ FROM events GROUP BY event_type
 """
 
 
+def warehouse_rest_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg REST Catalog protocol certified end-to-end -- the
+    wire format the reference's catalog service (S3 Tables) actually
+    speaks (README.md:95-135 points Spark's S3TablesCatalog at it;
+    lambda/custom_resource/index.py's boto3 calls land on the same
+    endpoint). A real HTTP server (sources/restcatalog.py) fronts the
+    warehouse; a stdlib client drives the whole catalog lifecycle:
+    create namespace + table (schema shipped as Iceberg schema JSON),
+    an engine write surfacing as a snapshot on the next load, a
+    CAS-guarded properties commit (assert-ref-snapshot-id), a STALE
+    commit bouncing 409 CommitFailedException (the versionToken
+    optimistic-concurrency handshake, scripts/update_metadata.py:
+    135-141), and /v1/tables/rename. ``rest_ok`` folds the protocol
+    invariants; the aggregate rows certify that data written under the
+    REST-created table reads back exactly."""
+    from ..sources.restcatalog import (
+        IcebergRestCatalogServer,
+        RestCatalog,
+        RestCatalogError,
+    )
+
+    events = _events_table(spark, sf_dir)
+    agg = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").cast("decimal(18,2)").alias("total"),
+    )
+    root = tempfile.mkdtemp(prefix="wh_rest_")
+    try:
+        wh = Warehouse(spark, root)
+        checks: list[bool] = []
+        with IcebergRestCatalogServer(wh) as server:
+            client = RestCatalog(server.uri)
+            client.create_namespace("q")
+            created = client.create_table(
+                "q", "agg", agg.schema, properties={"primary-key": "event_type"}
+            )
+            uuid0 = created["metadata"]["table-uuid"]
+            v0 = created["metadata"]["current-snapshot-id"]
+            wh.insert("q", "agg", agg)  # engine write under a REST table
+            loaded = client.load_table("q", "agg")["metadata"]
+            checks.append(loaded["current-snapshot-id"] == v0 + 1)
+            checks.append(loaded["table-uuid"] == uuid0)
+            checks.append(
+                loaded["refs"]["main"]["snapshot-id"]
+                == loaded["current-snapshot-id"]
+            )
+            # CAS properties commit with the CORRECT expectation
+            client.commit_table(
+                "q", "agg",
+                requirements=[
+                    {"type": "assert-table-uuid", "uuid": uuid0},
+                    {
+                        "type": "assert-ref-snapshot-id",
+                        "ref": "main",
+                        "snapshot-id": loaded["current-snapshot-id"],
+                    },
+                ],
+                updates=[
+                    {"action": "set-properties", "updates": {"owner": "rest"}}
+                ],
+            )
+            # the STALE expectation must bounce 409 (protocol CAS)
+            try:
+                client.commit_table(
+                    "q", "agg",
+                    requirements=[
+                        {
+                            "type": "assert-ref-snapshot-id",
+                            "ref": "main",
+                            "snapshot-id": v0,
+                        }
+                    ],
+                    updates=[
+                        {"action": "set-properties", "updates": {"x": "1"}}
+                    ],
+                )
+                checks.append(False)
+            except RestCatalogError as e:
+                checks.append(
+                    e.code == 409 and e.etype == "CommitFailedException"
+                )
+            props = client.load_table("q", "agg")["metadata"]["properties"]
+            checks.append(
+                props.get("owner") == "rest" and "x" not in props
+            )
+            client.rename_table("q", "agg", "q", "agg_final")
+            checks.append(not client.table_exists("q", "agg"))
+            checks.append(client.list_tables("q") == ["agg_final"])
+        out = wh.read("q", "agg_final").withColumn(
+            "rest_ok", F.lit(bool(all(checks)))
+        )
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_REST_CATALOG_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total,
+       TRUE AS rest_ok
+FROM events GROUP BY event_type
+"""
+
+
 def warehouse_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COPY INTO + column write-defaults certified end-to-end (Delta
     COPY INTO / ANSI SET DEFAULT; the batch-side idempotent twin of the
@@ -1991,6 +2096,7 @@ QUERIES = {
     "warehouse_matview": warehouse_matview,
     "warehouse_stats": warehouse_stats,
     "warehouse_catalog_ddl": warehouse_catalog_ddl,
+    "warehouse_rest_catalog": warehouse_rest_catalog,
     "warehouse_copy_into": warehouse_copy_into,
     "warehouse_stream_copy": warehouse_stream_copy,
     "warehouse_change_feed": warehouse_change_feed,
@@ -2024,6 +2130,7 @@ ORACLES = {
     "warehouse_matview": WAREHOUSE_MATVIEW_SQL,
     "warehouse_stats": WAREHOUSE_STATS_SQL,
     "warehouse_catalog_ddl": WAREHOUSE_CATALOG_DDL_SQL,
+    "warehouse_rest_catalog": WAREHOUSE_REST_CATALOG_SQL,
     "warehouse_copy_into": WAREHOUSE_COPY_INTO_SQL,
     "warehouse_stream_copy": WAREHOUSE_STREAM_COPY_SQL,
     "warehouse_change_feed": WAREHOUSE_CHANGE_FEED_SQL,

@@ -1,0 +1,821 @@
+"""Iceberg REST Catalog facade over the manifest warehouse.
+
+The reference's catalog service -- Amazon S3 Tables -- IS an Iceberg
+REST catalog: engines reach it through the public Apache Iceberg REST
+Catalog OpenAPI protocol (the reference wires Spark to it via
+``spark.sql.catalog.s3tables`` + the S3TablesCatalog jar,
+README.md:95-135, and its Lambda talks to the same endpoint through
+boto3, lambda/custom_resource/index.py). The jars and the AWS endpoint
+are deployment-bound, but the PROTOCOL is public -- this module closes
+that seam locally: a real HTTP server speaking the REST catalog wire
+format (JSON bodies, error model, CAS requirements) over
+:class:`~.warehouse.Warehouse`, plus a stdlib client.
+
+Protocol scope (apache/iceberg rest-catalog-open-api.yaml, public):
+
+- ``GET  /v1/config`` -- catalog config handshake
+- ``GET|POST        /v1/namespaces`` -- list / create
+- ``GET|HEAD|DELETE /v1/namespaces/{ns}`` -- properties / exists / drop
+- ``GET|POST        /v1/namespaces/{ns}/tables`` -- list / create
+- ``GET|HEAD|DELETE /v1/namespaces/{ns}/tables/{t}`` -- load / exists /
+  drop (load returns ``LoadTableResult``: metadata-location + full
+  table metadata: schemas, partition specs, snapshots, refs, props)
+- ``POST /v1/namespaces/{ns}/tables/{t}`` -- commitTable:
+  ``requirements`` are ENFORCED (assert-create, assert-table-uuid,
+  assert-ref-snapshot-id) and a stale expectation returns 409
+  CommitFailedException, the protocol's optimistic-concurrency
+  contract (the reference's versionToken CAS,
+  scripts/update_metadata.py:135-141, is this same handshake);
+  supported ``updates`` are set-properties / remove-properties --
+  DATA-producing updates (add-snapshot) belong to the engine's own
+  commit path and return 400 with a pointer at it.
+- ``POST /v1/tables/rename``
+
+Auth: optional static bearer tokens mapped to engine principals; a
+token-bearing server returns 401 for missing/unknown tokens and 403
+where the warehouse grant layer denies the mapped principal (the
+LakeFormation-analog governance the engine already enforces).
+
+Error model: ``{"error": {"message", "type", "code"}}`` exactly as the
+spec's ``ErrorModel``; types mirror the Java exception names clients
+dispatch on (NoSuchNamespaceException, NoSuchTableException,
+AlreadyExistsException, CommitFailedException).
+
+Scale note: the facade is metadata-plane only -- each response is
+O(snapshots) JSON served from the commit index sidecar (O(1) file
+opens), never a data-file walk; at production scale this layer is
+stateless and horizontally shardable because every mutation funnels
+into the warehouse's link() CAS.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import urllib.error
+import urllib.request
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import types as T
+
+from .warehouse import CommitConflictError, TableNotFoundError, Warehouse
+
+# -- Iceberg schema JSON <-> Spark StructType ----------------------------
+
+_PRIMITIVES = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+}
+_PRIM_NAMES = {type(v): k for k, v in _PRIMITIVES.items()}
+
+
+def spark_to_iceberg_type(dt: T.DataType, next_id) -> object:
+    """Spark DataType -> Iceberg type JSON; ``next_id`` allocates the
+    spec's required unique field/element ids."""
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [_iceberg_field(f, next_id) for f in dt.fields],
+        }
+    if isinstance(dt, T.ArrayType):
+        eid = next_id()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": spark_to_iceberg_type(dt.elementType, next_id),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = next_id(), next_id()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": spark_to_iceberg_type(dt.keyType, next_id),
+            "value-id": vid,
+            "value": spark_to_iceberg_type(dt.valueType, next_id),
+            "value-required": not dt.valueContainsNull,
+        }
+    name = _PRIM_NAMES.get(type(dt))
+    if name is None:
+        raise ValueError(f"no Iceberg mapping for Spark type {dt}")
+    return name
+
+
+def _iceberg_field(f: T.StructField, next_id) -> dict:
+    fid = next_id()
+    return {
+        "id": fid,
+        "name": f.name,
+        "required": not f.nullable,
+        "type": spark_to_iceberg_type(f.dataType, next_id),
+    }
+
+
+def spark_to_iceberg_schema(st: T.StructType) -> dict:
+    counter = iter(range(1, 1 << 20))
+
+    def next_id() -> int:
+        return next(counter)
+
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [_iceberg_field(f, next_id) for f in st.fields],
+    }
+
+
+def iceberg_to_spark_type(t: object) -> T.DataType:
+    if isinstance(t, str):
+        m = re.match(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$", t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        if t in _PRIMITIVES:
+            return _PRIMITIVES[t]
+        raise ValueError(f"unknown Iceberg primitive {t!r}")
+    kind = t.get("type")
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    iceberg_to_spark_type(f["type"]),
+                    not f.get("required", False),
+                )
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(
+            iceberg_to_spark_type(t["element"]),
+            not t.get("element-required", False),
+        )
+    if kind == "map":
+        return T.MapType(
+            iceberg_to_spark_type(t["key"]),
+            iceberg_to_spark_type(t["value"]),
+            not t.get("value-required", False),
+        )
+    raise ValueError(f"unknown Iceberg type {t!r}")
+
+
+def iceberg_to_spark_schema(doc: dict) -> T.StructType:
+    st = iceberg_to_spark_type(
+        {"type": "struct", "fields": doc["fields"]}
+    )
+    assert isinstance(st, T.StructType)
+    return st
+
+
+# -- server ---------------------------------------------------------------
+
+
+class _HttpError(Exception):
+    def __init__(self, code: int, etype: str, message: str):
+        super().__init__(message)
+        self.code, self.etype, self.message = code, etype, message
+
+
+def _partition_spec_json(meta: dict) -> list[dict]:
+    """Our single-column (possibly transformed) partition spec in
+    Iceberg partition-spec JSON. Hidden transforms map to Iceberg's
+    transform strings (days/hours/bucket[N]/truncate[W])."""
+    spec = meta.get("partition_by")
+    spec_id = int(meta.get("partition_spec_id", 0))
+    if not spec:
+        return [{"spec-id": spec_id, "fields": []}]
+    # warehouse hidden-transform grammar: days(col) / bucket(N, col) /
+    # truncate(W, col) (warehouse._TRANSFORM_RE)
+    m = re.match(r"^(days|bucket|truncate)\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)$", spec)
+    if m:
+        fn, arg, src = m.group(1), m.group(2), m.group(3)
+        transform = "day" if fn == "days" else f"{fn}[{arg}]"
+    else:
+        transform, src = "identity", spec
+    return [
+        {
+            "spec-id": spec_id,
+            "fields": [
+                {
+                    "name": re.sub(r"\W+", "_", spec),
+                    "transform": transform,
+                    "source-name": src,
+                    "field-id": 1000,
+                }
+            ],
+        }
+    ]
+
+
+class IcebergRestCatalogServer:
+    """Serve the REST catalog protocol for one :class:`Warehouse`.
+
+    ``tokens``: optional ``{bearer_token: principal}`` map; when set,
+    requests must carry ``Authorization: Bearer <token>`` and the
+    mapped principal is enforced through the warehouse grant layer.
+    """
+
+    def __init__(
+        self,
+        warehouse: Warehouse,
+        tokens: dict[str, str] | None = None,
+    ):
+        self.wh = warehouse
+        self.tokens = tokens
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # - lifecycle -
+
+    def start(self) -> str:
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                if not n:
+                    return {}
+                return json.loads(self.rfile.read(n))
+
+            def _send(self, code: int, doc: dict | None) -> None:
+                payload = (
+                    json.dumps(doc).encode() if doc is not None else b""
+                )
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                if self.command != "HEAD":
+                    self.wfile.write(payload)
+
+            def _handle(self) -> None:
+                try:
+                    principal = outer._authenticate(self.headers)
+                    code, doc = outer._route(
+                        self.command, self.path, self._body(), principal
+                    )
+                    self._send(code, doc)
+                except _HttpError as e:
+                    self._send(
+                        e.code,
+                        {
+                            "error": {
+                                "message": e.message,
+                                "type": e.etype,
+                                "code": e.code,
+                            }
+                        },
+                    )
+
+            do_GET = do_POST = do_DELETE = do_HEAD = _handle
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.uri
+
+    @property
+    def uri(self) -> str:
+        assert self._httpd is not None, "server not started"
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    def __enter__(self) -> "IcebergRestCatalogServer":
+        self.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # - auth -
+
+    def _authenticate(self, headers) -> str:
+        if self.tokens is None:
+            return "root"
+        auth = headers.get("Authorization") or ""
+        token = auth[7:] if auth.startswith("Bearer ") else None
+        if token is None or token not in self.tokens:
+            raise _HttpError(
+                401, "NotAuthorizedException", "missing or unknown bearer token"
+            )
+        return self.tokens[token]
+
+    def _require(self, principal: str, perm: str, ns: str, tbl: str) -> None:
+        if principal != "root" and not self.wh.check(
+            principal, ns, tbl, perm
+        ):
+            raise _HttpError(
+                403,
+                "ForbiddenException",
+                f"principal {principal!r} lacks {perm} on {ns}.{tbl}",
+            )
+
+    # - routing -
+
+    _ROUTES = [
+        ("GET", r"^/v1/config(?:\?.*)?$", "config"),
+        ("GET", r"^/v1/namespaces$", "list_ns"),
+        ("POST", r"^/v1/namespaces$", "create_ns"),
+        ("GET", r"^/v1/namespaces/([\w.-]+)$", "load_ns"),
+        ("HEAD", r"^/v1/namespaces/([\w.-]+)$", "head_ns"),
+        ("DELETE", r"^/v1/namespaces/([\w.-]+)$", "drop_ns"),
+        ("GET", r"^/v1/namespaces/([\w.-]+)/tables$", "list_tables"),
+        ("POST", r"^/v1/namespaces/([\w.-]+)/tables$", "create_table"),
+        ("GET", r"^/v1/namespaces/([\w.-]+)/tables/([\w.-]+)$", "load_table"),
+        ("HEAD", r"^/v1/namespaces/([\w.-]+)/tables/([\w.-]+)$", "head_table"),
+        ("DELETE", r"^/v1/namespaces/([\w.-]+)/tables/([\w.-]+)$", "drop_table"),
+        ("POST", r"^/v1/namespaces/([\w.-]+)/tables/([\w.-]+)$", "commit_table"),
+        ("POST", r"^/v1/tables/rename$", "rename"),
+    ]
+
+    def _route(
+        self, method: str, path: str, body: dict, principal: str
+    ) -> tuple[int, dict | None]:
+        for m, rx, fn in self._ROUTES:
+            if m != method:
+                continue
+            match = re.match(rx, path)
+            if match:
+                return getattr(self, f"_r_{fn}")(
+                    *match.groups(), body=body, principal=principal
+                )
+        raise _HttpError(
+            404, "NoSuchEndpointException", f"{method} {path} not routed"
+        )
+
+    # - endpoints -
+
+    def _r_config(self, body, principal):
+        return 200, {"defaults": {}, "overrides": {}}
+
+    def _r_list_ns(self, body, principal):
+        return 200, {
+            "namespaces": [[n] for n in self.wh.list_namespaces()]
+        }
+
+    def _r_create_ns(self, body, principal):
+        ns = self._ns_of(body.get("namespace"))
+        if ns in self.wh.list_namespaces():
+            raise _HttpError(
+                409, "AlreadyExistsException", f"namespace {ns} exists"
+            )
+        self.wh.create_namespace(ns)
+        return 200, {
+            "namespace": [ns],
+            "properties": body.get("properties") or {},
+        }
+
+    def _r_load_ns(self, ns, body, principal):
+        self._check_ns(ns)
+        return 200, {"namespace": [ns], "properties": {}}
+
+    def _r_head_ns(self, ns, body, principal):
+        self._check_ns(ns)
+        return 204, None
+
+    def _r_drop_ns(self, ns, body, principal):
+        self._check_ns(ns)
+        if self.wh.list_tables(ns):
+            raise _HttpError(
+                409,
+                "NamespaceNotEmptyException",
+                f"namespace {ns} still holds tables",
+            )
+        self.wh.drop_namespace(ns, if_exists=False)
+        return 204, None
+
+    def _r_list_tables(self, ns, body, principal):
+        self._check_ns(ns)
+        tables = (
+            self.wh.list_tables(ns)
+            if principal == "root"
+            else self.wh.list_tables_as(principal, ns)
+        )
+        return 200, {
+            "identifiers": [
+                {"namespace": [ns], "name": t} for t in tables
+            ]
+        }
+
+    def _r_create_table(self, ns, body, principal):
+        self._check_ns(ns)
+        name = body.get("name")
+        if not name or not re.match(r"^[\w.-]+$", name):
+            raise _HttpError(400, "BadRequestException", "bad table name")
+        if name in self.wh.list_tables(ns):
+            raise _HttpError(
+                409, "AlreadyExistsException", f"table {ns}.{name} exists"
+            )
+        schema = iceberg_to_spark_schema(body["schema"])
+        props = body.get("properties") or {}
+        self.wh.create_table(
+            ns,
+            name,
+            schema,
+            key=props.get("primary-key"),
+            partition_by=self._spec_to_partition_by(
+                body.get("partition-spec"), body["schema"]
+            ),
+            if_not_exists=False,
+        )
+        if props:
+            meta = self.wh.table_meta(ns, name)
+            meta.setdefault("properties", {}).update(
+                {k: str(v) for k, v in props.items() if k != "primary-key"}
+            )
+            self.wh._swap_table_meta(
+                self.wh._table_dir(ns, name), meta, op="props"
+            )
+        return 200, self._load_result(ns, name)
+
+    def _r_load_table(self, ns, tbl, body, principal):
+        self._require(principal, "DESCRIBE", ns, tbl)
+        return 200, self._load_result(ns, tbl)
+
+    def _r_head_table(self, ns, tbl, body, principal):
+        self._table_meta_or_404(ns, tbl)
+        return 204, None
+
+    def _r_drop_table(self, ns, tbl, body, principal):
+        self._require(principal, "ALL", ns, tbl)
+        self._table_meta_or_404(ns, tbl)
+        self.wh.drop_table(ns, tbl, if_exists=False)
+        return 204, None
+
+    def _r_commit_table(self, ns, tbl, body, principal):
+        self._require(principal, "ALL", ns, tbl)
+        meta = self._table_meta_or_404(ns, tbl)
+        self._enforce_requirements(ns, tbl, meta, body.get("requirements") or [])
+        updates = body.get("updates") or []
+        props = dict(meta.get("properties") or {})
+        for u in updates:
+            action = u.get("action")
+            if action == "set-properties":
+                props.update(
+                    {str(k): str(v) for k, v in (u.get("updates") or {}).items()}
+                )
+            elif action == "remove-properties":
+                for k in u.get("removals") or []:
+                    props.pop(k, None)
+            else:
+                raise _HttpError(
+                    400,
+                    "BadRequestException",
+                    f"update action {action!r} is engine-side here: data "
+                    "and schema commits go through the warehouse write "
+                    "paths (insert/merge/alter), not the REST facade",
+                )
+        meta["properties"] = props
+        try:
+            self.wh._swap_table_meta(
+                self.wh._table_dir(ns, tbl), meta, op="props"
+            )
+        except CommitConflictError as e:
+            raise _HttpError(409, "CommitFailedException", str(e)) from e
+        return 200, self._load_result(ns, tbl)
+
+    def _r_rename(self, body, principal):
+        src, dst = body.get("source") or {}, body.get("destination") or {}
+        s_ns, s_t = self._ns_of(src.get("namespace")), src.get("name")
+        d_ns, d_t = self._ns_of(dst.get("namespace")), dst.get("name")
+        self._require(principal, "ALL", s_ns, s_t)
+        self._table_meta_or_404(s_ns, s_t)
+        self._check_ns(d_ns)
+        if not d_t or not re.match(r"^[\w.-]+$", d_t):
+            raise _HttpError(400, "BadRequestException", "bad destination name")
+        try:
+            self.wh.rename_table(s_ns, s_t, d_ns, d_t)
+        except FileExistsError as e:
+            raise _HttpError(409, "AlreadyExistsException", str(e)) from e
+        return 204, None
+
+    # - helpers -
+
+    def _ns_of(self, v) -> str:
+        if isinstance(v, list):
+            if len(v) != 1:
+                raise _HttpError(
+                    400,
+                    "BadRequestException",
+                    "multi-level namespaces are not supported here",
+                )
+            return v[0]
+        if isinstance(v, str) and v:
+            return v
+        raise _HttpError(400, "BadRequestException", "missing namespace")
+
+    def _check_ns(self, ns: str) -> None:
+        if ns not in self.wh.list_namespaces():
+            raise _HttpError(
+                404, "NoSuchNamespaceException", f"namespace {ns} not found"
+            )
+
+    def _table_meta_or_404(self, ns: str, tbl: str) -> dict:
+        try:
+            return self.wh.table_meta(ns, tbl)
+        except TableNotFoundError as e:
+            raise _HttpError(
+                404, "NoSuchTableException", f"table {ns}.{tbl} not found"
+            ) from e
+
+    def _spec_to_partition_by(self, spec: dict | None, schema: dict):
+        if not spec or not spec.get("fields"):
+            return None
+        if len(spec["fields"]) > 1:
+            raise _HttpError(
+                400,
+                "BadRequestException",
+                "multi-field partition specs are not supported here",
+            )
+        f = spec["fields"][0]
+        by_id = {fl["id"]: fl["name"] for fl in schema["fields"]}
+        src = f.get("source-name") or by_id.get(f.get("source-id"))
+        if src is None:
+            raise _HttpError(
+                400, "BadRequestException", "partition source not resolvable"
+            )
+        t = f.get("transform", "identity")
+        if t == "identity":
+            return src
+        m = re.match(r"^(bucket|truncate)\[(\d+)\]$", t)
+        if m:
+            return f"{m.group(1)}({m.group(2)}, {src})"
+        if t == "day":
+            return f"days({src})"
+        raise _HttpError(
+            400,
+            "BadRequestException",
+            f"transform {t!r} not supported by this warehouse "
+            "(identity/day/bucket[N]/truncate[W])",
+        )
+
+    def _enforce_requirements(
+        self, ns: str, tbl: str, meta: dict, reqs: list[dict]
+    ) -> None:
+        for r in reqs:
+            rt = r.get("type")
+            if rt == "assert-create":
+                raise _HttpError(
+                    409,
+                    "CommitFailedException",
+                    f"assert-create failed: {ns}.{tbl} already exists",
+                )
+            elif rt == "assert-table-uuid":
+                if r.get("uuid") != self._table_uuid(ns, tbl, meta):
+                    raise _HttpError(
+                        409,
+                        "CommitFailedException",
+                        "table UUID mismatch (table was replaced)",
+                    )
+            elif rt == "assert-ref-snapshot-id":
+                ref = r.get("ref", "main")
+                expected = r.get("snapshot-id")
+                current = self._ref_snapshot(ns, tbl, ref)
+                if expected != current:
+                    raise _HttpError(
+                        409,
+                        "CommitFailedException",
+                        f"requirement failed: ref {ref!r} is at snapshot "
+                        f"{current}, expected {expected}",
+                    )
+            else:
+                raise _HttpError(
+                    400, "BadRequestException", f"unknown requirement {rt!r}"
+                )
+
+    def _ref_snapshot(self, ns: str, tbl: str, ref: str) -> int | None:
+        if ref == "main":
+            return self.wh.current_version(ns, tbl)
+        refs = self.wh.refs(ns, tbl)
+        if ref in refs:
+            return refs[ref]
+        if ref in self.wh.list_branches(ns, tbl):
+            return self.wh.current_version(ns, tbl, branch=ref)
+        raise _HttpError(
+            404, "NoSuchReferenceException", f"ref {ref!r} not found"
+        )
+
+    def _table_uuid(self, ns: str, tbl: str, meta: dict) -> str:
+        """Deterministic v5 UUID from the table path + creation commit
+        wall clock: stable across loads, changes when the table is
+        dropped and re-created (the semantics clients CAS on)."""
+        tdir = self.wh._table_dir(ns, tbl)
+        idx = self.wh._commit_index(tdir)
+        created = idx[0].get("ts") if idx else None
+        return str(
+            uuid.uuid5(uuid.NAMESPACE_URL, f"{tdir}@{created}")
+        )
+
+    def _load_result(self, ns: str, tbl: str) -> dict:
+        meta = self._table_meta_or_404(ns, tbl)
+        tdir = self.wh._table_dir(ns, tbl)
+        idx = self.wh._commit_index(tdir)
+        schema = spark_to_iceberg_schema(
+            T.StructType.fromJson(meta["schema"])
+        )
+        snapshots = [
+            {
+                "snapshot-id": r["version"],
+                "timestamp-ms": int((r.get("ts") or 0) * 1000),
+                "summary": {
+                    "operation": r.get("op") or "append",
+                    "total-data-files": str(r["n_files"]),
+                    "total-records": str(r.get("records", 0)),
+                },
+            }
+            for r in idx
+        ]
+        current = self.wh.current_version(ns, tbl)
+        refs = {
+            "main": {"snapshot-id": current, "type": "branch"},
+        }
+        for name, v in (self.wh.refs(ns, tbl) or {}).items():
+            refs[name] = {"snapshot-id": v, "type": "tag"}
+        for b in self.wh.list_branches(ns, tbl):
+            refs[b] = {
+                "snapshot-id": self.wh.current_version(ns, tbl, branch=b),
+                "type": "branch",
+            }
+        props = dict(meta.get("properties") or {})
+        if meta.get("key"):
+            props["primary-key"] = meta["key"]
+        doc = {
+            "format-version": 2,
+            "table-uuid": self._table_uuid(ns, tbl, meta),
+            "location": tdir,
+            "last-updated-ms": (
+                int((idx[-1].get("ts") or 0) * 1000) if idx else 0
+            ),
+            "properties": props,
+            "schemas": [schema],
+            "current-schema-id": 0,
+            "partition-specs": _partition_spec_json(meta),
+            "default-spec-id": int(meta.get("partition_spec_id", 0)),
+            "current-snapshot-id": current,
+            "snapshots": snapshots,
+            "refs": refs,
+        }
+        return {
+            "metadata-location": f"{tdir}/_v/{current:08d}.json",
+            "metadata": doc,
+        }
+
+
+# -- client ---------------------------------------------------------------
+
+
+class RestCatalogError(Exception):
+    def __init__(self, code: int, etype: str, message: str):
+        super().__init__(f"{code} {etype}: {message}")
+        self.code, self.etype, self.message = code, etype, message
+
+
+class RestCatalog:
+    """Stdlib client for the REST catalog protocol (the role pyiceberg's
+    ``RestCatalog`` plays against S3 Tables)."""
+
+    def __init__(self, uri: str, token: str | None = None):
+        self.uri = uri.rstrip("/")
+        self.token = token
+
+    def _call(
+        self, method: str, path: str, body: dict | None = None
+    ) -> dict | None:
+        req = urllib.request.Request(
+            f"{self.uri}{path}",
+            method=method,
+            data=json.dumps(body).encode() if body is not None else None,
+            headers={
+                "Content-Type": "application/json",
+                **(
+                    {"Authorization": f"Bearer {self.token}"}
+                    if self.token
+                    else {}
+                ),
+            },
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                payload = resp.read()
+                return json.loads(payload) if payload else None
+        except urllib.error.HTTPError as e:
+            try:
+                err = json.loads(e.read())["error"]
+            except Exception:
+                err = {"message": str(e), "type": "HTTPError"}
+            raise RestCatalogError(
+                e.code, err.get("type", "?"), err.get("message", "?")
+            ) from e
+
+    def config(self) -> dict:
+        return self._call("GET", "/v1/config")
+
+    def list_namespaces(self) -> list[str]:
+        doc = self._call("GET", "/v1/namespaces")
+        return [ns[0] for ns in doc["namespaces"]]
+
+    def create_namespace(self, ns: str) -> None:
+        self._call("POST", "/v1/namespaces", {"namespace": [ns]})
+
+    def namespace_exists(self, ns: str) -> bool:
+        try:
+            self._call("HEAD", f"/v1/namespaces/{ns}")
+            return True
+        except RestCatalogError as e:
+            if e.code == 404:
+                return False
+            raise
+
+    def drop_namespace(self, ns: str) -> None:
+        self._call("DELETE", f"/v1/namespaces/{ns}")
+
+    def list_tables(self, ns: str) -> list[str]:
+        doc = self._call("GET", f"/v1/namespaces/{ns}/tables")
+        return [t["name"] for t in doc["identifiers"]]
+
+    def create_table(
+        self,
+        ns: str,
+        name: str,
+        schema: T.StructType,
+        partition_spec: dict | None = None,
+        properties: dict | None = None,
+    ) -> dict:
+        return self._call(
+            "POST",
+            f"/v1/namespaces/{ns}/tables",
+            {
+                "name": name,
+                "schema": spark_to_iceberg_schema(schema),
+                **(
+                    {"partition-spec": partition_spec}
+                    if partition_spec
+                    else {}
+                ),
+                **({"properties": properties} if properties else {}),
+            },
+        )
+
+    def load_table(self, ns: str, name: str) -> dict:
+        return self._call("GET", f"/v1/namespaces/{ns}/tables/{name}")
+
+    def table_exists(self, ns: str, name: str) -> bool:
+        try:
+            self._call("HEAD", f"/v1/namespaces/{ns}/tables/{name}")
+            return True
+        except RestCatalogError as e:
+            if e.code == 404:
+                return False
+            raise
+
+    def drop_table(self, ns: str, name: str) -> None:
+        self._call("DELETE", f"/v1/namespaces/{ns}/tables/{name}")
+
+    def commit_table(
+        self,
+        ns: str,
+        name: str,
+        requirements: list[dict],
+        updates: list[dict],
+    ) -> dict:
+        return self._call(
+            "POST",
+            f"/v1/namespaces/{ns}/tables/{name}",
+            {"requirements": requirements, "updates": updates},
+        )
+
+    def rename_table(
+        self, s_ns: str, s_name: str, d_ns: str, d_name: str
+    ) -> None:
+        self._call(
+            "POST",
+            "/v1/tables/rename",
+            {
+                "source": {"namespace": [s_ns], "name": s_name},
+                "destination": {"namespace": [d_ns], "name": d_name},
+            },
+        )

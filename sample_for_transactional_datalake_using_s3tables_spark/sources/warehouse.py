@@ -548,6 +548,35 @@ class Warehouse:
             d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))
         )
 
+    def rename_table(
+        self, ns: str, table: str, new_ns: str, new_table: str
+    ) -> None:
+        """Rename/move a table (Iceberg REST ``/v1/tables/rename``,
+        Athena ``ALTER TABLE RENAME TO``). Metadata-only: the table
+        directory -- manifests, data files (relpath-addressed), grants,
+        refs -- moves atomically under the new identifier; snapshots,
+        time travel and branches survive untouched. Refuses to clobber
+        an existing table/view and to move across a resource link in a
+        way that would silently land in the link target."""
+        src = self._table_dir(ns, table)
+        if not os.path.exists(src):
+            raise TableNotFoundError(f"{ns}.{table}")
+        if os.path.exists(self._view_path(ns, table)) or os.path.exists(
+            self._mv_path(ns, table)
+        ):
+            raise ValueError(f"{ns}.{table} is a view; rename its definition")
+        dst_ns_dir = os.path.join(self.root, self._resolve_ns(new_ns))
+        if not os.path.isdir(dst_ns_dir):
+            raise FileNotFoundError(f"namespace {new_ns}")
+        dst = os.path.join(dst_ns_dir, new_table)
+        if (
+            os.path.exists(dst)
+            or os.path.exists(self._view_path(new_ns, new_table))
+            or os.path.exists(self._mv_path(new_ns, new_table))
+        ):
+            raise FileExistsError(f"{new_ns}.{new_table}")
+        os.rename(src, dst)
+
     # -- views (the Iceberg View spec analog: VERSIONED SQL definitions
     # stored in the catalog; expansion and execution are the engine's
     # job, and execution runs with INVOKER rights -- the reading

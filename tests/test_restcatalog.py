@@ -1,0 +1,327 @@
+"""Iceberg REST Catalog facade (sources/restcatalog.py): the public
+REST catalog protocol -- the wire format S3 Tables itself speaks
+(reference README.md:95-135 wires Spark at it; the Lambda's boto3 calls
+land on the same endpoint) -- served over the manifest warehouse and
+driven through a stdlib HTTP client. Covers the catalog lifecycle, the
+error model, schema JSON round-trips, CAS requirement enforcement
+(409 CommitFailedException), bearer-token auth + grant enforcement,
+and rename."""
+
+from __future__ import annotations
+
+import tempfile
+import threading
+
+import pytest
+from pyspark.sql import types as T
+
+from sample_for_transactional_datalake_using_s3tables_spark.sources.restcatalog import (
+    IcebergRestCatalogServer,
+    RestCatalog,
+    RestCatalogError,
+    iceberg_to_spark_schema,
+    spark_to_iceberg_schema,
+)
+from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("day", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+@pytest.fixture()
+def cat(spark):
+    with tempfile.TemporaryDirectory() as d:
+        wh = Warehouse(spark, d)
+        with IcebergRestCatalogServer(wh) as server:
+            yield RestCatalog(server.uri), wh
+
+
+def test_config_and_namespace_lifecycle(cat):
+    client, wh = cat
+    assert client.config() == {"defaults": {}, "overrides": {}}
+    assert client.list_namespaces() == []
+    client.create_namespace("q")
+    assert client.list_namespaces() == ["q"]
+    assert client.namespace_exists("q") and not client.namespace_exists("x")
+    with pytest.raises(RestCatalogError) as e:
+        client.create_namespace("q")
+    assert e.value.code == 409 and e.value.etype == "AlreadyExistsException"
+    client.drop_namespace("q")
+    assert client.list_namespaces() == []
+    with pytest.raises(RestCatalogError) as e:
+        client.drop_namespace("q")
+    assert e.value.code == 404 and e.value.etype == "NoSuchNamespaceException"
+
+
+def test_table_create_load_drop(cat, spark):
+    client, wh = cat
+    client.create_namespace("q")
+    res = client.create_table(
+        "q", "t", SCHEMA, properties={"primary-key": "id", "owner": "ana"}
+    )
+    meta = res["metadata"]
+    assert meta["format-version"] == 2
+    assert meta["properties"]["primary-key"] == "id"
+    assert meta["properties"]["owner"] == "ana"
+    # create + the property-attach commit: properties land as their own
+    # metadata snapshot, exactly like an Iceberg properties commit
+    assert meta["current-snapshot-id"] == 1
+    # engine and facade agree on the catalog state
+    assert wh.list_tables("q") == ["t"]
+    assert wh.table_meta("q", "t")["key"] == "id"
+    assert client.list_tables("q") == ["t"]
+    assert client.table_exists("q", "t")
+    # an engine write becomes a snapshot on the next load
+    wh.insert(
+        "q", "t",
+        spark.createDataFrame([("a", "d0", 1), ("b", "d0", 2)], SCHEMA),
+    )
+    loaded = client.load_table("q", "t")["metadata"]
+    assert loaded["current-snapshot-id"] == 2
+    ops = [s["summary"]["operation"] for s in loaded["snapshots"]]
+    assert ops == ["create", "props", "append"]
+    assert loaded["refs"]["main"]["snapshot-id"] == 2
+    assert loaded["table-uuid"] == meta["table-uuid"]  # stable across loads
+    # duplicate create: protocol 409
+    with pytest.raises(RestCatalogError) as e:
+        client.create_table("q", "t", SCHEMA)
+    assert e.value.code == 409
+    # non-empty namespace refuses to drop
+    with pytest.raises(RestCatalogError) as e:
+        client.drop_namespace("q")
+    assert e.value.code == 409 and e.value.etype == "NamespaceNotEmptyException"
+    client.drop_table("q", "t")
+    assert not client.table_exists("q", "t")
+    with pytest.raises(RestCatalogError) as e:
+        client.load_table("q", "t")
+    assert e.value.code == 404 and e.value.etype == "NoSuchTableException"
+
+
+def test_schema_json_roundtrip():
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("price", T.DecimalType(12, 2)),
+            T.StructField("tags", T.ArrayType(T.StringType(), False)),
+            T.StructField(
+                "geo",
+                T.StructType(
+                    [
+                        T.StructField("lat", T.DoubleType(), False),
+                        T.StructField("lon", T.DoubleType(), False),
+                    ]
+                ),
+            ),
+            T.StructField("attrs", T.MapType(T.StringType(), T.LongType())),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts_ntz", T.TimestampNTZType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+    doc = spark_to_iceberg_schema(st)
+    assert doc["fields"][1]["type"] == "decimal(12, 2)"
+    assert doc["fields"][5]["type"] == "timestamptz"
+    assert doc["fields"][6]["type"] == "timestamp"
+    # unique field ids across the whole tree (the Iceberg invariant)
+    ids: list[int] = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            for f in t.get("fields", []):
+                ids.append(f["id"])
+                walk(f["type"])
+            for k in ("element-id", "key-id", "value-id"):
+                if k in t:
+                    ids.append(t[k])
+            for k in ("element", "key", "value"):
+                if k in t:
+                    walk(t[k])
+
+    walk(doc)
+    assert len(ids) == len(set(ids))
+    assert iceberg_to_spark_schema(doc) == st
+
+
+def test_partition_spec_transforms(cat):
+    client, wh = cat
+    client.create_namespace("q")
+    schema_doc = spark_to_iceberg_schema(
+        T.StructType([T.StructField("ts", T.TimestampType(), False)])
+    )
+    src_id = schema_doc["fields"][0]["id"]
+    res = client.create_table(
+        "q",
+        "by_day",
+        T.StructType([T.StructField("ts", T.TimestampType(), False)]),
+        partition_spec={
+            "fields": [{"source-id": src_id, "transform": "day"}]
+        },
+    )
+    assert wh.table_meta("q", "by_day")["partition_by"] == "days(ts)"
+    spec = res["metadata"]["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "day" and spec["source-name"] == "ts"
+    client.create_table(
+        "q",
+        "by_bucket",
+        SCHEMA,
+        partition_spec={
+            "fields": [{"source-name": "id", "transform": "bucket[16]"}]
+        },
+    )
+    assert wh.table_meta("q", "by_bucket")["partition_by"] == "bucket(16, id)"
+
+
+def test_commit_cas_requirements(cat, spark):
+    client, wh = cat
+    client.create_namespace("q")
+    client.create_table("q", "t", SCHEMA)
+    uuid0 = client.load_table("q", "t")["metadata"]["table-uuid"]
+    # correct expectation: succeeds and lands the property
+    res = client.commit_table(
+        "q", "t",
+        requirements=[
+            {"type": "assert-table-uuid", "uuid": uuid0},
+            {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 0},
+        ],
+        updates=[{"action": "set-properties", "updates": {"owner": "ana"}}],
+    )
+    assert res["metadata"]["properties"]["owner"] == "ana"
+    # the table moved (engine write) -> the OLD expectation now 409s
+    wh.insert("q", "t", spark.createDataFrame([("a", "d0", 1)], SCHEMA))
+    with pytest.raises(RestCatalogError) as e:
+        client.commit_table(
+            "q", "t",
+            requirements=[
+                {"type": "assert-ref-snapshot-id", "ref": "main",
+                 "snapshot-id": 0}
+            ],
+            updates=[{"action": "set-properties", "updates": {"x": "1"}}],
+        )
+    assert e.value.code == 409 and e.value.etype == "CommitFailedException"
+    # wrong uuid (drop + recreate changes identity)
+    client.drop_table("q", "t")
+    client.create_table("q", "t", SCHEMA)
+    with pytest.raises(RestCatalogError) as e:
+        client.commit_table(
+            "q", "t",
+            requirements=[{"type": "assert-table-uuid", "uuid": uuid0}],
+            updates=[],
+        )
+    assert e.value.code == 409
+    # remove-properties round-trip
+    client.commit_table(
+        "q", "t", requirements=[],
+        updates=[{"action": "set-properties", "updates": {"a": "1", "b": "2"}}],
+    )
+    res = client.commit_table(
+        "q", "t", requirements=[],
+        updates=[{"action": "remove-properties", "removals": ["a"]}],
+    )
+    props = res["metadata"]["properties"]
+    assert "a" not in props and props["b"] == "2"
+    # data commits are the engine's job: clear 400, not silent accept
+    with pytest.raises(RestCatalogError) as e:
+        client.commit_table(
+            "q", "t", requirements=[],
+            updates=[{"action": "add-snapshot", "snapshot": {}}],
+        )
+    assert e.value.code == 400
+
+
+def test_concurrent_commits_serialize(cat):
+    """Racing REST commits: every winner's property lands; losers get
+    409 and retry -- nothing is silently lost (the protocol's whole
+    point)."""
+    client, wh = cat
+    client.create_namespace("q")
+    client.create_table("q", "t", SCHEMA)
+    errors: list[Exception] = []
+
+    def worker(i: int) -> None:
+        for attempt in range(20):
+            try:
+                client.commit_table(
+                    "q", "t", requirements=[],
+                    updates=[{"action": "set-properties",
+                              "updates": {f"k{i}": str(i)}}],
+                )
+                return
+            except RestCatalogError as e:
+                if e.code != 409:
+                    errors.append(e)
+                    return
+        errors.append(RuntimeError(f"worker {i} starved"))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    props = client.load_table("q", "t")["metadata"]["properties"]
+    assert {f"k{i}" for i in range(6)} <= set(props)
+
+
+def test_rename_table(cat, spark):
+    client, wh = cat
+    client.create_namespace("q")
+    client.create_namespace("r")
+    client.create_table("q", "t", SCHEMA)
+    wh.insert("q", "t", spark.createDataFrame([("a", "d0", 1)], SCHEMA))
+    client.rename_table("q", "t", "r", "t2")
+    assert not client.table_exists("q", "t")
+    assert client.load_table("r", "t2")["metadata"]["current-snapshot-id"] == 1
+    assert [r.v for r in wh.read("r", "t2").collect()] == [1]
+    # clobber refused
+    client.create_table("q", "t", SCHEMA)
+    with pytest.raises(RestCatalogError) as e:
+        client.rename_table("q", "t", "r", "t2")
+    assert e.value.code == 409
+
+
+def test_bearer_auth_and_grants(spark):
+    with tempfile.TemporaryDirectory() as d:
+        wh = Warehouse(spark, d)
+        wh.create_namespace("q")
+        wh.create_table("q", "open", SCHEMA)
+        wh.create_table("q", "secret", SCHEMA)
+        wh.grant("ana", "q", "open", ("SELECT", "DESCRIBE"))
+        with IcebergRestCatalogServer(
+            wh, tokens={"tok-ana": "ana", "tok-root": "root"}
+        ) as server:
+            anon = RestCatalog(server.uri)
+            with pytest.raises(RestCatalogError) as e:
+                anon.list_namespaces()
+            assert e.value.code == 401
+            ana = RestCatalog(server.uri, token="tok-ana")
+            # listing is grant-filtered; load of ungranted table 403s
+            assert ana.list_tables("q") == ["open"]
+            assert ana.load_table("q", "open")["metadata"]["format-version"] == 2
+            with pytest.raises(RestCatalogError) as e:
+                ana.load_table("q", "secret")
+            assert e.value.code == 403
+            with pytest.raises(RestCatalogError) as e:
+                ana.drop_table("q", "open")  # SELECT grant is not ALL
+            assert e.value.code == 403
+            root = RestCatalog(server.uri, token="tok-root")
+            assert sorted(root.list_tables("q")) == ["open", "secret"]
+
+
+def test_refs_surface_tags_and_branches(cat, spark):
+    client, wh = cat
+    client.create_namespace("q")
+    client.create_table("q", "t", SCHEMA)
+    wh.insert("q", "t", spark.createDataFrame([("a", "d0", 1)], SCHEMA))
+    wh.create_tag("q", "t", "v1")
+    wh.create_branch("q", "t", "audit")
+    refs = client.load_table("q", "t")["metadata"]["refs"]
+    assert refs["main"] == {"snapshot-id": 1, "type": "branch"}
+    assert refs["v1"] == {"snapshot-id": 1, "type": "tag"}
+    assert refs["audit"]["type"] == "branch"
