@@ -181,6 +181,10 @@ def decode_image(payload: bytes):
         if px.ndim == 2:
             return np.repeat(px[..., None], 3, axis=2)
         return px
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webpcodec import decode_webp
+
+        return decode_webp(payload)[..., :3].copy()  # drop alpha
     if payload[:2] == b"P6":
         import re as _re
 
@@ -451,10 +455,11 @@ def encode_png(px, filters=(0, 1, 2)) -> bytes:
 
 def _synthesize_media_batches(batches: Iterator) -> Iterator:
     """Stage 1: REAL media synthesis -- a genuine image (rotating by
-    doc_id through zlib-compressed PNG, LZW-compressed TIFF, raw PPM
-    P6, and TTN2 JPEG-in-TIFF -- the scanned-document shape: per-strip
+    doc_id through zlib-compressed PNG, LZW-compressed TIFF, VP8L
+    lossless WebP (predictor transform + color cache), raw PPM P6, and
+    TTN2 JPEG-in-TIFF -- the scanned-document shape: per-strip
     abbreviated JPEG streams + a shared JPEGTables tag -- exercising
-    four container decode paths end-to-end) and a genuine 16-bit PCM
+    five container decode paths end-to-end) and a genuine 16-bit PCM
     WAV per doc, parameterized by doc_id so the oracle can recompute
     the expected features analytically. The JPEG-TIFF rows use EVEN
     pixel values and multiple-of-8 dims so the flat-quant DCT
@@ -483,6 +488,15 @@ def _synthesize_media_batches(batches: Iterator) -> Iterator:
             elif d % 3 == 1:
                 px = np.full((h, w, 3), val, dtype=np.uint8)
                 imgs.append(encode_tiff(px, compression="lzw"))
+            elif d % 2 == 0:
+                # VP8L lossless WebP (predictor + color cache engaged):
+                # lossless, so the oracle's mean-pixel formula holds
+                from .webpcodec import encode_webp_lossless
+
+                px = np.full((h, w, 3), val, dtype=np.uint8)
+                imgs.append(
+                    encode_webp_lossless(px, predictor_mode=2, cache_bits=4)
+                )
             else:
                 imgs.append(b"P6\n%d %d\n255\n" % (w, h) + bytes([val]) * (w * h * 3))
             n, amp = d % 64 + 8, d % 1000
