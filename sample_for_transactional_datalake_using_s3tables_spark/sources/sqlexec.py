@@ -1164,6 +1164,14 @@ class WarehouseSQL:
         ),
         (
             re.compile(
+                r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+RENAME\s+TO\s+"
+                r"(?:(\w+)\.)?(\w+)$",
+                re.IGNORECASE,
+            ),
+            "rename_table",
+        ),
+        (
+            re.compile(
                 r"^ALTER\s+TABLE\s+(\w+)\.(\w+)\s+DROP\s+COLUMN\s+(\w+)$",
                 re.IGNORECASE,
             ),
@@ -1248,6 +1256,11 @@ class WarehouseSQL:
                 return self.wh.drop_constraint(ns, tbl, m.group(3))
             if kind == "rename":
                 return self.wh.rename_column(ns, tbl, m.group(3), m.group(4))
+            if kind == "rename_table":
+                # ALTER TABLE ns.t RENAME TO [ns2.]t2 (Athena/Delta)
+                return self.wh.rename_table(
+                    ns, tbl, m.group(3) or ns, m.group(4)
+                )
             if kind == "drop":
                 return self.wh.drop_column(ns, tbl, m.group(3))
             if kind == "widen":

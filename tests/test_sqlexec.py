@@ -946,3 +946,26 @@ def test_table_changes_timestamp_bounds(sql, spark):
         f"FROM table_changes('ns.t', {v - 1}, '{iso(t1)}')"
     ).collect()[0].n
     assert n == 2
+
+
+def test_alter_table_rename_to(sql, spark):
+    """ALTER TABLE ns.t RENAME TO [ns2.]t2 (Athena/Delta): metadata-only
+    directory move; data, snapshots and time travel survive."""
+    v = sql.wh.current_version("ns", "t")
+    sql.execute("ALTER TABLE ns.t RENAME TO t_renamed")
+    assert sql.wh.list_tables("ns") == ["t_renamed"]
+    assert sql.execute(
+        "SELECT COUNT(*) AS n FROM ns.t_renamed"
+    ).collect()[0].n == 20
+    assert sql.wh.current_version("ns", "t_renamed") == v
+    with pytest.raises(Exception):
+        sql.execute("SELECT * FROM ns.t").collect()
+    # cross-namespace move + clobber refusal
+    sql.wh.create_namespace("other")
+    sql.execute("ALTER TABLE ns.t_renamed RENAME TO other.t2")
+    assert sql.execute(
+        "SELECT COUNT(*) AS n FROM other.t2"
+    ).collect()[0].n == 20
+    sql.execute("CREATE TABLE ns.blocker (a BIGINT)")
+    with pytest.raises(FileExistsError):
+        sql.execute("ALTER TABLE other.t2 RENAME TO ns.blocker")
