@@ -1264,7 +1264,103 @@ FROM documents
 """
 
 
+LM_SCALE = 1_000_000
+
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality filtering (the CCNet / FineWeb pattern: score
+    each document by how predictable it is under an n-gram language
+    model trained on the corpus itself, then filter the tail). A bigram
+    model with add-one smoothing is trained IN the engine -- context
+    counts c(a) and bigram counts c(a, b) are two map-side-combined
+    aggregations over an exploded bigram stream -- and each document is
+    scored by its mean integer SURPRISAL
+
+        surp(a, b) = ((c(a) + V) * 1e6) div (c(a, b) + 1),
+
+    the scaled reciprocal of the smoothed conditional probability
+    P(b | a). This is the engine-reproducible surrogate for
+    -log P: it orders bigrams identically (reciprocal is monotone in
+    1/P, as log is) while staying in exact int64 the whole way --
+    a float log would hash-diverge across engines at the last ulp
+    (Math.log vs libm are both 1-ulp functions with different
+    tables), the same reason distinctive_terms ranks on exact (tf, df)
+    instead of tf*idf. The doubles in the output are single divisions
+    of exact ints: bitwise identical everywhere.
+
+    Scale shape: bigram explosion is map-only (arrays_zip of two
+    slices); the two LM aggregations and the per-doc rollup are
+    combiner-friendly shuffles; scoring joins the doc bigram stream to
+    the (a, b)-keyed model co-partitioned, then to the much smaller
+    (a)-keyed context counts (AQE handles stopword-context skew); the
+    vocabulary size is one broadcast scalar. At 100 TB this is exactly
+    CCNet's layout: the model tables shard by key, no vector of
+    per-word floats ever reaches the driver. Documents with fewer than
+    two tokens have no bigrams and are excluded (a real pipeline
+    length-filters them first).
+
+    Reference scope: §2.6 text-extension capability (the reference's
+    transforms stop at AttributeValue unwrapping)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("a"),
+                F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("b"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    cab = bg.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
+    vocab = toks.select(F.explode("ws").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        bg.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "surp",
+            F.expr(f"((ca + v) * {LM_SCALE}L) div (cab + 1)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("surp").alias("total_surprisal"),
+        (F.sum("surp").cast("double") / F.count("*")).alias("avg_surprisal"),
+        F.max("surp").alias("max_surprisal"),
+    )
+
+
+LM_PERPLEXITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_SQL.format(col='text')} AS ws FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+  FROM toks, unnest(range(1, len(ws))) AS t(i)
+),
+cab AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+ca AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM cab GROUP BY a),
+vocab AS (SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(ws) AS w FROM toks)),
+scored AS (
+  SELECT bg.doc_id, ((ca.ca + vocab.v) * {LM_SCALE}) // (cab.cab + 1) AS surp
+  FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN vocab
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(surp) AS BIGINT) AS total_surprisal,
+       CAST(SUM(surp) AS DOUBLE) / COUNT(*) AS avg_surprisal,
+       MAX(surp) AS max_surprisal
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "text_lm_perplexity": lm_perplexity,
     "text_pdf_extract": pdf_extract,
     "text_warc_extract": warc_extract,
     "text_bpe_train_encode": bpe_train_encode,
@@ -1286,6 +1382,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_lm_perplexity": LM_PERPLEXITY_SQL,
     "text_pdf_extract": PDF_EXTRACT_SQL,
     "text_warc_extract": WARC_EXTRACT_SQL,
     "text_bpe_train_encode": _bpe_train_encode_sql(),
