@@ -119,6 +119,19 @@ _MODULES = (
 # token_stats + lang_id + pii_redaction in-window; quality_score stays
 # oracle-checked in the full registry and inside curation_pipeline's
 # certified composition (which applies the same grade thresholds).
+# Round-7 third wave (this session's flagships get official rows):
+# stream_static_enrich -> warehouse_rest_catalog (the Iceberg REST
+# Catalog protocol facade -- the wire format S3 Tables itself speaks,
+# with enforced CAS requirements); similarity_topk_bruteforce ->
+# similarity_kmeans (distributed Lloyd's, the clustering pass SemDeDup/
+# domain-discovery pipelines run); funnel_stages -> text_lm_perplexity
+# (CCNet-style corpus-LM quality filtering). Streaming keeps
+# cdc_pipeline/cdc_quarantine/warehouse_table_stream/window_tumbling/
+# stateful_user_stats in-window, similarity keeps topk_lsh (the scale
+# path; bruteforce stays its oracle twin in the registry), behavioral
+# analytics keep retention-style patterns inside risk_analysis/
+# window_rank; all three demoted rows stay oracle-checked in the full
+# registry and funnel_stages/stream_static_enrich stay in bench.py.
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
@@ -136,18 +149,18 @@ _PRIORITY = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_connected_components",
-    "similarity_topk_bruteforce",
     "similarity_topk_lsh",
+    "similarity_kmeans",
     # text analysis + curation
     "text_token_stats",
     "text_segment_dedup",
+    "text_lm_perplexity",
     "text_lang_id",
     "text_pii_redaction",
     "sample_stratified",
     "curation_pipeline",
     # multimodal plumbing
     "multimodal_image_features",
-    "stream_static_enrich",
     # ingest chain (+ quarantine/dead-letter path) + warehouse
     # MERGE/DML/metadata/grants/z-order + time travel
     "cdc_pipeline",
@@ -169,11 +182,10 @@ _PRIORITY = (
     # event-time windows + custom state
     "window_tumbling",
     "stateful_user_stats",
-    # behavioral analytics
-    "funnel_stages",
-    # catalog DDL lifecycle (D4/D5/D9)
+    # catalog DDL lifecycle (D4/D5/D9) + the REST catalog protocol
     "warehouse_catalog_ddl",
     "warehouse_copy_into",
+    "warehouse_rest_catalog",
     # UDF/UDAF/UDTF surface
     "udf_minmax_scale",
     "sequence_pack",
