@@ -1519,6 +1519,27 @@ class WarehouseSQL:
             # the rewritten SELECT before persisting it
             self.spark.sql(self._rewrite_tables(sel)).schema
             return self.wh.create_view(ns, name, sel, replace=bool(replace))
+        # CREATE TABLE ... SHALLOW CLONE src (Delta): a new table whose
+        # first snapshot REFERENCES the source's data files -- zero
+        # copy, metadata-only; optional VERSION/TIMESTAMP AS OF clones
+        # a historical snapshot
+        m = re.match(
+            r"^CREATE\s+TABLE\s+(\w+)\.(\w+)\s+SHALLOW\s+CLONE\s+"
+            r"(\w+)\.(\w+)"
+            r"(?:\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+|'[^']+'))?$",
+            s, re.IGNORECASE,
+        )
+        if m:
+            ns, tbl, sns, stbl, kind, val = m.groups()
+            self._require("SELECT", sns, stbl)
+            version = None
+            if kind:
+                version = (
+                    int(val)
+                    if kind.upper() == "VERSION"
+                    else self.wh.snapshot_as_of(sns, stbl, val.strip("'"))
+                )
+            return self.wh.clone_table(sns, stbl, ns, tbl, version=version)
         # CREATE TABLE ... LIKE: clone the full table SHAPE (schema,
         # key, partition spec, required columns, write defaults, CHECK
         # constraints, write order) with zero data -- the standard way

@@ -577,6 +577,84 @@ class Warehouse:
             raise FileExistsError(f"{new_ns}.{new_table}")
         os.rename(src, dst)
 
+    def clone_table(
+        self,
+        ns: str,
+        table: str,
+        new_ns: str,
+        new_table: str,
+        version: int | None = None,
+    ) -> None:
+        """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``):
+        a new table whose first snapshot REFERENCES the source's data
+        files (``../<src>/data/...`` relative entries) -- zero data
+        copied, metadata-only, O(#files) JSON. The clone is fully
+        independent from that point: its DML rewrites into its OWN data
+        dir, its snapshots/branches/grants start fresh, and its
+        ``remove_orphan_files`` walks only its own data dir so it can
+        never delete source files. Schema, key, partition spec,
+        constraints, write defaults/order, generated/identity columns,
+        the column mapping, and the COPY INTO loaded-source ledger all
+        carry over; live MoR delete files carry by reference too, so a
+        clone of a table with pending equality/position deletes reads
+        identically to its source.
+
+        ``version`` clones a historical snapshot (time-travel clone).
+
+        Delta-documented caveat, same here: VACUUM / compaction +
+        remove_orphan_files on the SOURCE can delete files a shallow
+        clone still references -- shallow clones are for dev/test
+        sandboxes and short-lived experiments, not archival.
+
+        Reference scope: S3 Tables has no clone; this mirrors Delta's
+        public CLONE semantics as an engine extension (SURVEY §2.6)."""
+        src_tdir = self._table_dir(ns, table)
+        if not os.path.exists(src_tdir):
+            raise TableNotFoundError(f"{ns}.{table}")
+        meta = self.table_meta(ns, table)
+        dst_ns_dir = os.path.join(self.root, self._resolve_ns(new_ns))
+        if not os.path.isdir(dst_ns_dir):
+            raise FileNotFoundError(f"namespace {new_ns}")
+        dst = os.path.join(dst_ns_dir, new_table)
+        if (
+            os.path.exists(dst)
+            or os.path.exists(self._view_path(new_ns, new_table))
+            or os.path.exists(self._mv_path(new_ns, new_table))
+        ):
+            raise FileExistsError(f"{new_ns}.{new_table}")
+        v = version if version is not None else self._versions(src_tdir)[-1]
+        doc = self._manifest_doc(src_tdir, v)
+        rel = os.path.relpath(src_tdir, dst)
+
+        def rebase(entries: list[dict]) -> list[dict]:
+            return [
+                dict(e, path=os.path.join(rel, e["path"])) for e in entries
+            ]
+
+        new_meta = json.loads(json.dumps(meta))  # deep copy
+        # the clone's snapshot pins the SOURCE SNAPSHOT's schema (a
+        # time-travel clone must not inherit later evolutions)
+        if doc.get("schema"):
+            new_meta["schema"] = doc["schema"]
+        new_meta.pop("meta_seq", None)
+        props = dict(new_meta.get("properties") or {})
+        props["clone_source"] = f"{ns}.{table}@{v}"
+        new_meta["properties"] = props
+        os.makedirs(os.path.join(dst, _MANIFEST_DIR))
+        with open(os.path.join(dst, _SCHEMA_FILE), "w") as f:
+            json.dump(new_meta, f, indent=1)
+        copied = self._copied_sources(src_tdir)
+        self._publish(
+            dst,
+            0,
+            rebase(doc["files"]),
+            schema=new_meta["schema"],
+            phys=new_meta.get("physical"),
+            deletes=rebase(doc.get("deletes") or []) or None,
+            op="clone",
+            copied=sorted(copied) if copied else None,
+        )
+
     # -- views (the Iceberg View spec analog: VERSIONED SQL definitions
     # stored in the catalog; expansion and execution are the engine's
     # job, and execution runs with INVOKER rights -- the reading

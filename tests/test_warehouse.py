@@ -827,3 +827,115 @@ def test_bloom_filter_point_lookup_skipping(spark, wh):
     # absent key: bloom may false-positive but never false-negative;
     # the row filter guarantees the empty result either way
     assert wh.read("ns", "t", predicates=[("id", "=", "nope")]).count() == 0
+
+
+class TestShallowClone:
+    """SHALLOW CLONE (Delta CLONE semantics): zero-copy snapshot
+    reference, full independence afterwards."""
+
+    def _mk(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        S = StructType(
+            [
+                StructField("id", StringType(), False),
+                StructField("day", StringType()),
+                StructField("v", LongType()),
+            ]
+        )
+        wh = Warehouse(spark, str(tmp_path))
+        wh.create_namespace("n")
+        wh.create_table("n", "src", S, key="id", partition_by="day")
+        rows = [(f"k{i}", f"d{i % 2}", i) for i in range(10)]
+        wh.insert("n", "src", spark.createDataFrame(rows, S).coalesce(2))
+        return wh, S
+
+    def test_clone_reads_and_is_zero_copy(self, spark, tmp_path):
+        import os
+
+        wh, S = self._mk(spark, tmp_path)
+        wh.clone_table("n", "src", "n", "dev")
+        assert {r.id for r in wh.read("n", "dev").collect()} == {
+            f"k{i}" for i in range(10)
+        }
+        # zero data files under the clone's own dir
+        ddir = os.path.join(wh._table_dir("n", "dev"), "data")
+        n_files = sum(
+            len(fs) for _, _, fs in os.walk(ddir)
+        ) if os.path.isdir(ddir) else 0
+        assert n_files == 0
+        meta = wh.table_meta("n", "dev")
+        assert meta["key"] == "id" and meta["partition_by"] == "day"
+        assert meta["properties"]["clone_source"].startswith("n.src@")
+
+    def test_clone_dml_isolated_from_source(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        wh, S = self._mk(spark, tmp_path)
+        wh.clone_table("n", "src", "n", "dev")
+        wh.delete_where("n", "dev", F.expr("v >= 5"))
+        wh.insert(
+            "n", "dev",
+            spark.createDataFrame([("zz", "d0", 99)], S),
+        )
+        assert wh.read("n", "src").count() == 10  # source untouched
+        got = {r.id: r.v for r in wh.read("n", "dev").collect()}
+        assert got["zz"] == 99 and len(got) == 6
+        # new clone data landed in the clone's OWN dir (no ../ writes)
+        import os
+
+        ddir = os.path.join(wh._table_dir("n", "dev"), "data")
+        assert any(f.endswith(".parquet") for _, _, fs in os.walk(ddir) for f in fs)
+        # source DML doesn't reach the clone either
+        wh.truncate("n", "src")
+        assert wh.read("n", "dev").count() == 6
+
+    def test_time_travel_clone_and_mor_deletes_carry(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        wh, S = self._mk(spark, tmp_path)
+        v1 = wh.current_version("n", "src")
+        wh.delete_where("n", "src", F.expr("v = 0"), strategy="mor")
+        wh.insert("n", "src", spark.createDataFrame([("new", "d0", 50)], S))
+        # historical clone: pre-MoR-delete snapshot
+        wh.clone_table("n", "src", "n", "past", version=v1)
+        assert wh.read("n", "past").count() == 10
+        # tip clone: MoR delete files carry by reference
+        wh.clone_table("n", "src", "n", "tip")
+        got = {r.id for r in wh.read("n", "tip").collect()}
+        assert "k0" not in got and "new" in got and len(got) == 10
+
+    def test_clone_orphan_removal_cannot_touch_source(self, spark, tmp_path):
+        wh, S = self._mk(spark, tmp_path)
+        wh.clone_table("n", "src", "n", "dev")
+        wh.remove_orphan_files("n", "dev", older_than_seconds=0)
+        assert wh.read("n", "dev").count() == 10
+        assert wh.read("n", "src").count() == 10
+
+    def test_clone_refuses_clobber(self, spark, tmp_path):
+        import pytest as _pytest
+
+        wh, S = self._mk(spark, tmp_path)
+        wh.clone_table("n", "src", "n", "dev")
+        with _pytest.raises(FileExistsError):
+            wh.clone_table("n", "src", "n", "dev")
+
+    def test_sql_shallow_clone_route(self, spark, tmp_path):
+        from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
+
+        wh, S = self._mk(spark, tmp_path)
+        sql = WarehouseSQL(wh)
+        v1 = wh.current_version("n", "src")
+        sql.execute("DELETE FROM n.src WHERE v >= 8")
+        sql.execute("CREATE TABLE n.dev SHALLOW CLONE n.src")
+        assert sql.execute(
+            "SELECT COUNT(*) AS c FROM n.dev"
+        ).collect()[0].c == 8
+        sql.execute(
+            f"CREATE TABLE n.past SHALLOW CLONE n.src VERSION AS OF {v1}"
+        )
+        assert sql.execute(
+            "SELECT COUNT(*) AS c FROM n.past"
+        ).collect()[0].c == 10
