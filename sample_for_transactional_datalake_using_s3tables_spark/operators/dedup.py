@@ -747,7 +747,117 @@ FROM agg
 """
 
 
+SEMDEDUP_COS = 0.4  # within-cluster cosine above this = semantic dup
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication with
+    k-means-bounded candidate generation -- cluster the embeddings
+    (the exact distributed Lloyd's of similarity.similarity_kmeans),
+    then compare pairs ONLY within a cluster and drop every vector
+    whose cosine to a lower-id cluster-mate exceeds the threshold.
+    This is the curation step that removes *semantic* duplicates
+    (paraphrases, templated rewrites) that exact/MinHash dedup cannot
+    see, at O(sum of cluster-size^2) instead of O(N^2) -- the paper's
+    entire scaling argument, reproduced as a plan shape: the pair join
+    is an equi-join on cluster_id (never a cross join), and cosines
+    are exact-int dot products with portable doubles.
+
+    Keep rule: lowest vec_id per duplicate relation (deterministic in
+    both engines; the paper's keep-farthest-from-centroid variant is a
+    one-line ORDER BY swap on the same candidate set).
+
+    At 100 TB: k scales with corpus size (k ~ sqrt(N) keeps expected
+    cluster populations bounded), the pair join shuffles (cluster_id)
+    keys only, and the verify is embarrassingly parallel over
+    candidate pairs."""
+    from .similarity import _kmeans_assign, _kmeans_quantized, _kmeans_train
+
+    q = _kmeans_quantized(spark, sf_dir)
+    cents = _kmeans_train(q)
+    asg = (
+        _kmeans_assign(q, cents)
+        .select("vec_id", "cluster_id", "qv")
+        .withColumn("n2", dot_int(F.col("qv"), F.col("qv")))
+    )
+    cos = cosine_from_ints(
+        dot_int(F.col("a.qv"), F.col("b.qv")),
+        F.col("a.n2"),
+        F.col("b.n2"),
+    )
+    dup_pairs = (
+        asg.alias("a")
+        .join(
+            asg.alias("b"),
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= SEMDEDUP_COS)
+        .select(
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.col("b.vec_id").alias("removed"),
+        )
+    )
+    removed = dup_pairs.groupBy("cluster_id").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("removed").alias("n_removed"),
+    )
+    return (
+        asg.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_vecs"))
+        .join(removed, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_vecs",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            (
+                F.col("n_vecs") - F.coalesce("n_removed", F.lit(0))
+            ).alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _dedup_semantic_sql() -> str:
+    from .similarity import _KMEANS_CTE_SQL
+
+    cos = cosine_from_ints_sql(
+        dot_int_sql("qa.qv", "qb.qv"), "qa.n2", "qb.n2"
+    )
+    return (
+        _KMEANS_CTE_SQL
+        + f""",
+qn AS (
+  SELECT vec_id, qv, {dot_int_sql('qv', 'qv')} AS n2 FROM q
+),
+dup_pairs AS (
+  SELECT a.cluster_id, b.vec_id AS removed
+  FROM asg a
+  JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  JOIN qn qa ON qa.vec_id = a.vec_id
+  JOIN qn qb ON qb.vec_id = b.vec_id
+  WHERE {cos} >= {SEMDEDUP_COS}
+),
+rem AS (
+  SELECT cluster_id, COUNT(*) AS n_dup_pairs,
+         COUNT(DISTINCT removed) AS n_removed
+  FROM dup_pairs GROUP BY cluster_id
+)
+SELECT g.cluster_id, g.n_vecs,
+       COALESCE(rem.n_dup_pairs, 0) AS n_dup_pairs,
+       COALESCE(rem.n_removed, 0) AS n_removed,
+       g.n_vecs - COALESCE(rem.n_removed, 0) AS n_kept
+FROM (SELECT cluster_id, COUNT(*) AS n_vecs FROM asg GROUP BY cluster_id) g
+LEFT JOIN rem USING (cluster_id)
+ORDER BY g.cluster_id
+"""
+    )
+
+
 QUERIES = {
+    "dedup_semantic": dedup_semantic,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -759,6 +869,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_semantic": _dedup_semantic_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),

@@ -571,6 +571,52 @@ def _kmeans_assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
     )
 
 
+def _kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means working frame: (vec_id, qv) fixed-point int64.
+    localCheckpoint: the qv array feeds k lambda bodies per iteration;
+    CollapseProject would inline quantize's transform into each (the
+    HOF re-evaluation trap, see dedup.py) and re-quantize k times per
+    row. Pinning also lets every iteration re-read one materialization.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    return emb.select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    ).localCheckpoint()
+
+
+def _kmeans_train(q: DataFrame) -> list[list[int]]:
+    """KMEANS_ITERS Lloyd's iterations; returns the final centroids
+    (k x dim exact ints). Each iteration: map-only assignment, one
+    combiner-friendly (cluster, dim) aggregation, a bounded k*dim
+    driver collect."""
+    seed_rows = {
+        r.vec_id: list(r.qv)
+        for r in q.filter(F.col("vec_id") < K_CLUSTERS).collect()
+    }
+    cents = [seed_rows[i] for i in range(K_CLUSTERS)]
+    for _ in range(KMEANS_ITERS):
+        sums = (
+            _kmeans_assign(q, cents)
+            .select("cluster_id", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()  # bounded: at most K_CLUSTERS * DIM rows
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r.cluster_id, {})[r.dim] = (r.s, r.n)
+        cents = [
+            [
+                _kmeans_floor_div(*by_cluster[k][d])
+                for d in range(len(cents[k]))
+            ]
+            if k in by_cluster
+            else cents[k]  # empty cluster keeps its centroid
+            for k in range(K_CLUSTERS)
+        ]
+    return cents
+
+
 def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (Lloyd's): the clustering pass an embedding
     curation pipeline runs before semantic dedup / mixture balancing
@@ -600,39 +646,8 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope: clustering is a §2.6 no-reference-implementation
     capability (SURVEY.md §2.6); the reference's analytics stop at SQL
     aggregates (query_data.py)."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
-    # localCheckpoint: the qv array feeds k lambda bodies per iteration;
-    # CollapseProject would inline quantize's transform into each (the
-    # HOF re-evaluation trap, see dedup.py) and re-quantize k times per
-    # row. Pinning also lets every iteration re-read one materialization.
-    q = emb.select(
-        "vec_id", quantize(F.col("embedding")).alias("qv")
-    ).localCheckpoint()
-    seed_rows = {
-        r.vec_id: list(r.qv)
-        for r in q.filter(F.col("vec_id") < K_CLUSTERS).collect()
-    }
-    cents = [seed_rows[i] for i in range(K_CLUSTERS)]
-    for _ in range(KMEANS_ITERS):
-        sums = (
-            _kmeans_assign(q, cents)
-            .select("cluster_id", F.posexplode("qv").alias("dim", "v"))
-            .groupBy("cluster_id", "dim")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-            .collect()  # bounded: at most K_CLUSTERS * DIM rows
-        )
-        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in sums:
-            by_cluster.setdefault(r.cluster_id, {})[r.dim] = (r.s, r.n)
-        cents = [
-            [
-                _kmeans_floor_div(*by_cluster[k][d])
-                for d in range(len(cents[k]))
-            ]
-            if k in by_cluster
-            else cents[k]  # empty cluster keeps its centroid
-            for k in range(K_CLUSTERS)
-        ]
+    q = _kmeans_quantized(spark, sf_dir)
+    cents = _kmeans_train(q)
     final = _kmeans_assign(q, cents)
     cent_norm2 = {
         k: sum(c * c for c in cents[k]) for k in range(K_CLUSTERS)
@@ -663,7 +678,9 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # would promote to DOUBLE in DuckDB)
 _KMEANS_FDIV = "((s - (((s % n) + n) % n)) // n)"
 
-SIMILARITY_KMEANS_SQL = f"""
+# the shared k-means replay (recursive CTE) -- consumers append either
+# a final SELECT or further CTEs (dedup.dedup_semantic reuses it)
+_KMEANS_CTE_SQL = f"""
 WITH RECURSIVE
 q AS (
   SELECT vec_id, {QUANTIZE_SQL.format(v='embedding')} AS qv FROM embeddings
@@ -715,6 +732,9 @@ asg AS (
     GROUP BY d.vec_id, ct.cluster_id
   ) WHERE rn = 1
 )
+"""
+
+SIMILARITY_KMEANS_SQL = _KMEANS_CTE_SQL + """
 SELECT a.cluster_id,
        COUNT(*) AS n_vecs,
        CAST(SUM(a.dist2) AS DOUBLE) AS inertia,
