@@ -997,11 +997,142 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice 
 """
 
 
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: per (order year, region),
+    the share of line-item revenue supplied by one nation. A 5-way
+    star join -- the lineitem fact streams once; orders co-shuffles on
+    the order key (the one genuinely large-large join); supplier,
+    nation and region are broadcast hash probes, so no dimension ever
+    shuffles the fact. The share is a single double division of two
+    exact decimal sums (conditional numerator via CASE inside SUM --
+    one pass, no self-join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    sdim = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            "r_name",
+            "n_name",
+            rev.alias("rev"),
+        )
+    )
+    total = F.sum("rev").cast(DEC4)
+    national = F.sum(
+        F.when(F.col("n_name") == "NATION_0", F.col("rev")).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    ).cast(DEC4)
+    return (
+        joined.groupBy("o_year", "r_name")
+        .agg(
+            total.alias("total_revenue"),
+            national.alias("nation_revenue"),
+            (national.cast("double") / total.cast("double")).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year", "r_name")
+    )
+
+
+MARKET_SHARE_SQL = """
+WITH joined AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year, r_name, n_name,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1 - l_discount AS DECIMAL(4,2)) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+)
+SELECT o_year, r_name,
+       CAST(SUM(rev) AS DECIMAL(18,4)) AS total_revenue,
+       CAST(SUM(CASE WHEN n_name = 'NATION_0' THEN rev
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(18,4))
+         AS nation_revenue,
+       CAST(SUM(CASE WHEN n_name = 'NATION_0' THEN rev
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+FROM joined
+GROUP BY o_year, r_name
+ORDER BY o_year, r_name
+"""
+
+
+def customer_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report: top 20 customers by revenue
+    lost to returns in one quarter. The returnflag + date filters reach
+    the lineitem/orders scans (predicate pushdown prunes before the
+    join); customer x nation broadcasts; global top-20 is a
+    TakeOrdered, not a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    cdim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast(DEC4).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+CUSTOMER_RETURNS_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))
+         AS lost_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry.
 # --------------------------------------------------------------------------
 
 QUERIES = {
+    "market_share": market_share,
+    "customer_returns": customer_returns,
     "scan_limit": scan_limit,
     "projection": projection,
     "filter_date_range": filter_date_range,
@@ -1042,6 +1173,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "market_share": MARKET_SHARE_SQL,
+    "customer_returns": CUSTOMER_RETURNS_SQL,
     "scan_limit": "SELECT * FROM events ORDER BY event_id LIMIT 100",
     "projection": "SELECT event_id, event_type, user_id, value FROM events",
     "filter_date_range": """
