@@ -89,6 +89,7 @@ _UPDATE_RE = re.compile(
 _INSERT_RE = re.compile(
     r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\.(\w+)"
     r"(?:\s*\(([\w\s,]+)\))?"
+    r"(?:\s+REPLACE\s+WHERE\s+(.+?))?"
     r"\s+(SELECT\b.*|VALUES\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -943,7 +944,12 @@ class WarehouseSQL:
             m = _INSERT_RE.match(s)
             if not m:
                 raise ValueError(f"unsupported INSERT shape: {s[:120]!r}")
-            mode, ns, tbl, col_list, src = m.groups()
+            mode, ns, tbl, col_list, repl_where, src = m.groups()
+            if repl_where and mode.upper() == "OVERWRITE":
+                raise ValueError(
+                    "REPLACE WHERE uses INSERT INTO (Databricks form); "
+                    "INSERT OVERWRITE replaces the whole table"
+                )
             schema = self.wh.schema(ns, tbl)
             targets = (
                 [c.strip() for c in col_list.split(",")]
@@ -1016,6 +1022,15 @@ class WarehouseSQL:
                     ]
                 )
             self._require("INSERT", ns, tbl)
+            if repl_where:
+                # Databricks INSERT INTO ... REPLACE WHERE: predicate-
+                # scoped overwrite in one commit (Delta replaceWhere)
+                self._require("ALL", ns, tbl)
+                predicate, hints = self._predicate(repl_where)
+                return self.wh.insert_overwrite(
+                    ns, tbl, df,
+                    replace_where=predicate, replace_predicates=hints,
+                )
             return self.wh.insert(
                 ns, tbl, df, overwrite=mode.upper() == "OVERWRITE"
             )

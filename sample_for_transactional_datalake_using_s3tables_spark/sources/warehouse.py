@@ -3213,6 +3213,135 @@ class Warehouse:
             txn=txn,
         )
 
+    def insert_overwrite(
+        self,
+        ns: str,
+        table: str,
+        df: DataFrame,
+        dynamic: bool = True,
+        replace_where: str | None = None,
+        replace_predicates: list[tuple] | None = None,
+    ) -> dict:
+        """INSERT OVERWRITE with partition- or predicate-scoped
+        replacement, in ONE atomic commit.
+
+        ``replace_where`` (Delta ``replaceWhere`` / Databricks ``INSERT
+        INTO ... REPLACE WHERE``): rows matching the predicate are
+        replaced by the batch; every batch row must itself satisfy the
+        predicate (Delta's contract -- violating batches raise instead
+        of silently leaking rows outside the replace scope). Files the
+        manifest proves clean carry by reference; candidate files are
+        rewritten WITHOUT their matching rows; the batch appends -- the
+        same file-level copy-on-write as DELETE, plus new data, fused
+        into one snapshot. ``replace_predicates`` are the optional
+        tuple predicates for manifest pruning (same contract as
+        delete_where).
+
+        ``dynamic=True`` (Spark ``partitionOverwriteMode=dynamic``):
+        replace exactly the partitions present in the batch -- the
+        standard idempotent daily-reload pattern (re-running a day's
+        load replaces that day, touching nothing else). Unpartitioned
+        tables fall back to whole-table overwrite, as Spark does.
+        ``dynamic=False``: whole-table overwrite (static mode).
+
+        Conflicts: the rewrite scope CAS-validates like every rewrite
+        (a concurrent commit into a replaced partition raises instead
+        of being silently clobbered; replace_where additionally
+        validates fresh files against the predicate table-wide).
+
+        Identity tables refuse: engine-assigned ids under replacement
+        semantics would need the MERGE path's allocation guard.
+
+        At 100 TB: the batch write is the only data motion for dynamic
+        mode -- replaced partitions are dropped by manifest reference,
+        never read. Reference capability: Athena/Iceberg
+        ``INSERT OVERWRITE`` (README.md's Trino surface) / Delta
+        replaceWhere, re-expressed on the manifest warehouse."""
+        tdir = self._table_dir(ns, table)
+        meta = self.table_meta(ns, table)
+        if meta.get("identity"):
+            raise ValueError(
+                "INSERT OVERWRITE on identity tables is not supported; "
+                "use insert()/merge_upsert()"
+            )
+        aligned = self._validated(df, meta)
+        if replace_where is not None:
+            raw = (
+                F.expr(replace_where)
+                if isinstance(replace_where, str)
+                else replace_where
+            )
+            predicate, preds = self._predicate_spec(raw, replace_predicates)
+            # Delta contract: the batch must live entirely inside the
+            # replaced region (one bounded existence probe)
+            leak = aligned.filter(~F.coalesce(predicate, F.lit(False)))
+            if leak.limit(1).count():
+                raise ValueError(
+                    "replaceWhere violation: batch rows fall outside "
+                    f"the predicate {replace_where!r} (Delta semantics: "
+                    "the batch must satisfy the replace predicate)"
+                )
+            untouched, rewrite, schema, version, _n, stats = (
+                self._touched_by_predicate(
+                    tdir, meta, predicate, predicates=preds
+                )
+            )
+            doc = self._manifest_doc(tdir, version)
+            new_files = list(self._write_table_files(tdir, aligned, meta))
+            if rewrite:
+                kept = self._read_entries(
+                    tdir, rewrite, schema, meta.get("physical"),
+                    doc.get("deletes"), meta.get("key"),
+                ).filter(~F.coalesce(predicate, F.lit(False)))
+                new_files += self._write_table_files(tdir, kept, meta)
+            v = self._publish_rewrite(
+                tdir, version,
+                {_scope_key(e) for e in rewrite} if meta["partition_by"] else None,
+                rewrite, untouched, new_files, meta["schema"],
+                phys=meta.get("physical"),
+                rebase_validate=self._predicate_rebase_validator(
+                    tdir, schema, meta.get("physical") or {}, predicate,
+                    preds,
+                ),
+                op="overwrite",
+            )
+            return {
+                "version": v, "replaced_files": len(rewrite), **stats,
+            }
+        if not dynamic or not meta.get("partition_by"):
+            v = self.insert(ns, table, df, overwrite=True)
+            return {"version": v, "replaced_files": None, "mode": "static"}
+        version = self._versions(tdir)[-1]
+        entries = self._manifest_doc(tdir, version)["files"]
+        schema = StructType.fromJson(meta["schema"])
+        pexpr = self._partition_expr(meta["partition_by"], schema)
+        # bounded collect: one value per incoming partition
+        incoming = {
+            _part_key(r.p)
+            for r in aligned.select(pexpr.alias("p")).distinct().collect()
+        }
+        # scope matches the partition VALUE under every spec it was
+        # written with (post-evolution files of the same value replace
+        # too -- "overwrite partition d0" means the partition, not one
+        # spec's encoding of it)
+        touched = {
+            sk for sk in ({_scope_key(e) for e in entries})
+            if sk[1] in incoming
+        } | {(meta.get("partition_spec_id", 0), k) for k in incoming}
+        rewrite = [e for e in entries if _scope_key(e) in touched]
+        untouched = [e for e in entries if _scope_key(e) not in touched]
+        new_files = self._write_table_files(tdir, aligned, meta)
+        v = self._publish_rewrite(
+            tdir, version, touched, rewrite, untouched, new_files,
+            meta["schema"], phys=meta.get("physical"), op="overwrite",
+        )
+        return {
+            "version": v,
+            "replaced_files": len(rewrite),
+            "replaced_partitions": sorted(incoming),
+            "mode": "dynamic",
+        }
+
     def copy_into(
         self,
         ns: str,

@@ -939,3 +939,144 @@ class TestShallowClone:
         assert sql.execute(
             "SELECT COUNT(*) AS c FROM n.past"
         ).collect()[0].c == 10
+
+
+class TestInsertOverwrite:
+    """INSERT OVERWRITE: dynamic partition overwrite (Spark
+    partitionOverwriteMode=dynamic) and Delta replaceWhere, each one
+    atomic commit."""
+
+    def _mk(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        S = StructType(
+            [
+                StructField("id", StringType(), False),
+                StructField("day", StringType()),
+                StructField("v", LongType()),
+            ]
+        )
+        wh = Warehouse(spark, str(tmp_path))
+        wh.create_namespace("n")
+        wh.create_table("n", "t", S, key="id", partition_by="day")
+        rows = [(f"k{i}", f"d{i % 3}", i) for i in range(12)]
+        wh.insert("n", "t", spark.createDataFrame(rows, S).coalesce(2))
+        return wh, S
+
+    def test_dynamic_overwrite_replaces_only_incoming_partitions(
+        self, spark, tmp_path
+    ):
+        wh, S = self._mk(spark, tmp_path)
+        batch = [("x1", "d0", 100), ("x2", "d0", 101), ("x3", "d2", 102)]
+        res = wh.insert_overwrite(
+            "n", "t", spark.createDataFrame(batch, S)
+        )
+        assert res["mode"] == "dynamic"
+        assert res["replaced_partitions"] == ["d0", "d2"]
+        got = {(r.id, r.day) for r in wh.read("n", "t").collect()}
+        # d1 rows survive untouched; d0/d2 fully replaced
+        assert {d for _, d in got} == {"d0", "d1", "d2"}
+        assert {i for i, d in got if d == "d0"} == {"x1", "x2"}
+        assert {i for i, d in got if d == "d2"} == {"x3"}
+        assert {i for i, d in got if d == "d1"} == {"k1", "k4", "k7", "k10"}
+        # re-running the same load is idempotent (the daily-reload shape)
+        wh.insert_overwrite("n", "t", spark.createDataFrame(batch, S))
+        assert wh.read("n", "t").count() == 3 + 4
+        # pre-overwrite snapshot still time-travels
+        assert len(wh.read("n", "t", version=1).collect()) == 12
+
+    def test_static_overwrite_and_unpartitioned_fallback(
+        self, spark, tmp_path
+    ):
+        wh, S = self._mk(spark, tmp_path)
+        res = wh.insert_overwrite(
+            "n", "t",
+            spark.createDataFrame([("z", "d9", 1)], S),
+            dynamic=False,
+        )
+        assert res["mode"] == "static"
+        assert [r.id for r in wh.read("n", "t").collect()] == ["z"]
+
+    def test_replace_where(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        wh, S = self._mk(spark, tmp_path)
+        batch = spark.createDataFrame(
+            [("r1", "d0", 1000), ("r2", "d0", 1001)], S
+        )
+        res = wh.insert_overwrite(
+            "n", "t", batch, replace_where="day = 'd0'"
+        )
+        assert res["replaced_files"] >= 1
+        got = {r.id for r in wh.read("n", "t").collect()}
+        assert {"r1", "r2"} <= got
+        assert not any(
+            r.day == "d0" and r.id.startswith("k")
+            for r in wh.read("n", "t").collect()
+        )
+        assert wh.read("n", "t").count() == 2 + 8  # d1+d2 intact
+        # Delta contract: batch rows outside the predicate raise
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="replaceWhere violation"):
+            wh.insert_overwrite(
+                "n", "t",
+                spark.createDataFrame([("bad", "d1", 1)], S),
+                replace_where="day = 'd0'",
+            )
+
+    def test_replace_where_row_granular(self, spark, tmp_path):
+        """A predicate narrower than a partition rewrites surviving
+        rows into new files instead of dropping the whole partition."""
+        wh, S = self._mk(spark, tmp_path)
+        batch = spark.createDataFrame([("big", "d0", 500)], S)
+        wh.insert_overwrite(
+            "n", "t", batch, replace_where="day = 'd0' AND v >= 500"
+        )
+        got = {r.id for r in wh.read("n", "t").filter("day = 'd0'").collect()}
+        # original d0 rows (v in 0,3,6,9 < 500) all survive + the new row
+        assert got == {"k0", "k3", "k6", "k9", "big"}
+
+    def test_identity_table_refuses(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+        import pytest as _pytest
+
+        S2 = StructType(
+            [
+                StructField("rid", LongType()),
+                StructField("id", StringType(), False),
+            ]
+        )
+        wh = Warehouse(spark, str(tmp_path))
+        wh.create_namespace("n")
+        wh.create_table("n", "ident", S2)
+        wh.set_column_identity("n", "ident", "rid", start=1, step=1)
+        with _pytest.raises(ValueError, match="identity"):
+            wh.insert_overwrite(
+                "n", "ident",
+                spark.createDataFrame([("a",)], "id string"),
+            )
+
+    def test_sql_replace_where_route(self, spark, tmp_path):
+        from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
+
+        wh, S = self._mk(spark, tmp_path)
+        sql = WarehouseSQL(wh)
+        sql.execute(
+            "INSERT INTO n.t REPLACE WHERE day = 'd1' "
+            "VALUES ('n1', 'd1', 7), ('n2', 'd1', 8)"
+        )
+        got = {r.id for r in wh.read("n", "t").filter("day = 'd1'").collect()}
+        assert got == {"n1", "n2"}
+        assert wh.read("n", "t").count() == 2 + 8
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="REPLACE WHERE"):
+            sql.execute(
+                "INSERT OVERWRITE n.t REPLACE WHERE day = 'd1' "
+                "VALUES ('x', 'd1', 1)"
+            )
