@@ -1474,6 +1474,72 @@ WHERE event_id % 4 != 0
 """
 
 
+def warehouse_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE certified end-to-end (Athena/Iceberg INSERT
+    OVERWRITE + Spark dynamic partitionOverwriteMode + Delta
+    replaceWhere): load events partitioned by event_type; (1) DYNAMIC
+    overwrite replaces exactly the 'click' partition with its doubled
+    even-id rows (the idempotent daily-reload shape -- other partitions
+    carry by manifest reference, zero files read); (2) REPLACE WHERE
+    swaps the high-value purchase rows (value >= 500) for flagged
+    copies in one row-granular atomic commit (survivors of probed files
+    rewritten, clean files untouched). The final read certifies both
+    replacement semantics AND that every other partition survived both
+    rewrites byte-exactly."""
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_iow_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table(
+            "q", "state", events.schema, key="event_id",
+            partition_by="event_type",
+        )
+        wh.insert("q", "state", events)
+        clicks_v2 = events.filter(
+            (F.col("event_type") == "click") & (F.col("event_id") % 2 == 0)
+        ).withColumn("value", (F.col("value") * 2).cast("decimal(14,2)").cast("decimal(12,2)"))
+        wh.insert_overwrite("q", "state", clicks_v2)  # dynamic
+        flagged = (
+            events.filter(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 500)
+            )
+            .withColumn("value", F.col("value") + 10000)
+        )
+        wh.insert_overwrite(
+            "q", "state", flagged,
+            replace_where="event_type = 'purchase' AND value >= 500",
+            replace_predicates=[("event_type", "=", "purchase")],
+        )
+        final = wh.read("q", "state").select(
+            "event_id", "event_type", F.col("value").alias("value_final")
+        )
+        return _lazy_snapshot(spark, root, final)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_INSERT_OVERWRITE_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST(value * 2 AS DECIMAL(12,2)) AS value_final
+FROM base WHERE event_type = 'click' AND event_id % 2 = 0
+UNION ALL
+SELECT event_id, event_type, CAST(value + 10000 AS DECIMAL(12,2))
+FROM base WHERE event_type = 'purchase' AND value >= 500
+UNION ALL
+SELECT event_id, event_type, value
+FROM base
+WHERE event_type NOT IN ('click', 'purchase')
+   OR (event_type = 'purchase' AND value < 500)
+"""
+
+
 def warehouse_snapshots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``snapshots`` metadata table as a checked query: create (v0),
     insert all events (v1), UPDATE value*2 where event_id%7=0 (v2, row
@@ -2096,6 +2162,7 @@ QUERIES = {
     "warehouse_matview": warehouse_matview,
     "warehouse_stats": warehouse_stats,
     "warehouse_catalog_ddl": warehouse_catalog_ddl,
+    "warehouse_insert_overwrite": warehouse_insert_overwrite,
     "warehouse_rest_catalog": warehouse_rest_catalog,
     "warehouse_copy_into": warehouse_copy_into,
     "warehouse_stream_copy": warehouse_stream_copy,
@@ -2130,6 +2197,7 @@ ORACLES = {
     "warehouse_matview": WAREHOUSE_MATVIEW_SQL,
     "warehouse_stats": WAREHOUSE_STATS_SQL,
     "warehouse_catalog_ddl": WAREHOUSE_CATALOG_DDL_SQL,
+    "warehouse_insert_overwrite": WAREHOUSE_INSERT_OVERWRITE_SQL,
     "warehouse_rest_catalog": WAREHOUSE_REST_CATALOG_SQL,
     "warehouse_copy_into": WAREHOUSE_COPY_INTO_SQL,
     "warehouse_stream_copy": WAREHOUSE_STREAM_COPY_SQL,
