@@ -132,6 +132,11 @@ _MODULES = (
 # analytics keep retention-style patterns inside risk_analysis/
 # window_rank; all three demoted rows stay oracle-checked in the full
 # registry and funnel_stages/stream_static_enrich stay in bench.py.
+# Round-7 fourth swap: warehouse_delete_update -> warehouse_insert_overwrite
+# (dynamic partition overwrite + Delta replaceWhere -- the new DML
+# surface). Row-level UPDATE/DELETE keep certified reps: warehouse_sql_dml
+# runs both through the router and warehouse_mor_merge covers the MoR
+# side; warehouse_delete_update stays oracle-checked in the registry.
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
@@ -167,7 +172,7 @@ _PRIORITY = (
     "cdc_quarantine",
     "warehouse_merge_roundtrip",
     "warehouse_mor_merge",
-    "warehouse_delete_update",
+    "warehouse_insert_overwrite",
     "warehouse_snapshots_meta",
     "warehouse_time_travel",
     "warehouse_grants",

@@ -685,6 +685,85 @@ FROM orders
 """
 
 
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (NTILE / PERCENT_RANK / CUME_DIST)
+    per order priority -- the quantile-bucketing shape feature stores
+    use for per-group score normalization. The window orders on
+    (o_totalprice, o_orderkey): the key tie-break makes NTILE (which is
+    position-, not value-based) deterministic across engines; the two
+    rank ratios are exact rationals -> identical doubles. One shuffle
+    on the partition key, sort within."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+WINDOW_DISTRIBUTION_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(NTILE(4) OVER w AS INTEGER) AS price_quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (ANSI UNPIVOT, Spark ``DataFrame.unpivot``):
+    wide part attributes to long (metric, value) rows -- the shape
+    feature pipelines use before per-metric aggregation. Map-only
+    (each input row fans out to k output rows inside the scan
+    projection, no shuffle); the per-metric rollup shuffles k x
+    #groups cells."""
+    part = load_table(spark, sf_dir, "part")
+    long = part.select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ["p_partkey", "p_brand"],
+        ["p_size", "p_retailprice"],
+        "metric",
+        "value",
+    )
+    return (
+        long.groupBy("p_brand", "metric")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+        )
+        .orderBy("p_brand", "metric")
+    )
+
+
+UNPIVOT_MELT_SQL = """
+WITH long AS (
+  SELECT p_partkey, p_brand, 'p_size' AS metric,
+         CAST(p_size AS DOUBLE) AS value FROM part
+  UNION ALL
+  SELECT p_partkey, p_brand, 'p_retailprice',
+         CAST(p_retailprice AS DOUBLE) FROM part
+)
+SELECT p_brand, metric, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+FROM long
+GROUP BY p_brand, metric
+ORDER BY p_brand, metric
+"""
+
+
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead across each user's event sequence."""
     events = load_table(spark, sf_dir, "events")
@@ -1154,6 +1233,8 @@ QUERIES = {
     "join_salted_skew": join_salted_skew,
     "join_bucketed_colocated": join_bucketed_colocated,
     "window_rank": window_rank,
+    "window_distribution": window_distribution,
+    "unpivot_melt": unpivot_melt,
     "window_running_sum": window_running_sum,
     "window_lag_lead": window_lag_lead,
     "rollup_agg": rollup_agg,
@@ -1173,6 +1254,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_distribution": WINDOW_DISTRIBUTION_SQL,
+    "unpivot_melt": UNPIVOT_MELT_SQL,
     "market_share": MARKET_SHARE_SQL,
     "customer_returns": CUSTOMER_RETURNS_SQL,
     "scan_limit": "SELECT * FROM events ORDER BY event_id LIMIT 100",
