@@ -350,6 +350,11 @@ class IcebergRestCatalogServer:
         ("DELETE", r"^/v1/namespaces/([\w.-]+)/tables/([\w.-]+)$", "drop_table"),
         ("POST", r"^/v1/namespaces/([\w.-]+)/tables/([\w.-]+)$", "commit_table"),
         ("POST", r"^/v1/tables/rename$", "rename"),
+        ("GET", r"^/v1/namespaces/([\w.-]+)/views$", "list_views"),
+        ("POST", r"^/v1/namespaces/([\w.-]+)/views$", "create_view"),
+        ("GET", r"^/v1/namespaces/([\w.-]+)/views/([\w.-]+)$", "load_view"),
+        ("HEAD", r"^/v1/namespaces/([\w.-]+)/views/([\w.-]+)$", "head_view"),
+        ("DELETE", r"^/v1/namespaces/([\w.-]+)/views/([\w.-]+)$", "drop_view"),
     ]
 
     def _route(
@@ -512,6 +517,96 @@ class IcebergRestCatalogServer:
         except FileExistsError as e:
             raise _HttpError(409, "AlreadyExistsException", str(e)) from e
         return 204, None
+
+    # - views (Iceberg REST view spec subset: versioned SQL
+    #   representations; the engine expands and executes them with
+    #   invoker rights, exactly as the warehouse view layer does) -
+
+    def _r_list_views(self, ns, body, principal):
+        self._check_ns(ns)
+        return 200, {
+            "identifiers": [
+                {"namespace": [ns], "name": v}
+                for v in self.wh.list_views(ns)
+            ]
+        }
+
+    def _r_create_view(self, ns, body, principal):
+        self._check_ns(ns)
+        name = body.get("name")
+        if not name or not re.match(r"^[\w.-]+$", name):
+            raise _HttpError(400, "BadRequestException", "bad view name")
+        reps = (body.get("view-version") or {}).get("representations") or []
+        sql = next(
+            (r.get("sql") for r in reps if r.get("type") == "sql"), None
+        )
+        if not sql:
+            raise _HttpError(
+                400, "BadRequestException", "need a sql representation"
+            )
+        try:
+            self.wh.create_view(
+                ns, name, sql, replace=bool(body.get("replace"))
+            )
+        except ValueError as e:
+            code = 409 if "already exists" in str(e) else 400
+            etype = (
+                "AlreadyExistsException"
+                if code == 409
+                else "BadRequestException"
+            )
+            raise _HttpError(code, etype, str(e)) from e
+        return 200, self._load_view_result(ns, name)
+
+    def _r_load_view(self, ns, view, body, principal):
+        return 200, self._load_view_result(ns, view)
+
+    def _r_head_view(self, ns, view, body, principal):
+        if view not in self.wh.list_views(ns):
+            raise _HttpError(
+                404, "NoSuchViewException", f"view {ns}.{view} not found"
+            )
+        return 204, None
+
+    def _r_drop_view(self, ns, view, body, principal):
+        if view not in self.wh.list_views(ns):
+            raise _HttpError(
+                404, "NoSuchViewException", f"view {ns}.{view} not found"
+            )
+        self.wh.drop_view(ns, view, if_exists=False)
+        return 204, None
+
+    def _load_view_result(self, ns: str, view: str) -> dict:
+        import json as _json
+
+        path = self.wh._view_path(ns, view)
+        try:
+            with open(path) as f:
+                doc = _json.load(f)
+        except FileNotFoundError as e:
+            raise _HttpError(
+                404, "NoSuchViewException", f"view {ns}.{view} not found"
+            ) from e
+        versions = [
+            {
+                "version-id": i,
+                "timestamp-ms": int(v.get("ts", 0) * 1000),
+                "representations": [
+                    {"type": "sql", "sql": v["sql"], "dialect": "spark"}
+                ],
+            }
+            for i, v in enumerate(doc["versions"])
+        ]
+        return {
+            "metadata-location": path,
+            "metadata": {
+                "view-uuid": str(
+                    uuid.uuid5(uuid.NAMESPACE_URL, path)
+                ),
+                "current-version-id": doc["current"],
+                "versions": versions,
+            },
+        }
 
     # - helpers -
 
@@ -807,6 +902,42 @@ class RestCatalog:
             f"/v1/namespaces/{ns}/tables/{name}",
             {"requirements": requirements, "updates": updates},
         )
+
+    def list_views(self, ns: str) -> list[str]:
+        doc = self._call("GET", f"/v1/namespaces/{ns}/views")
+        return [v["name"] for v in doc["identifiers"]]
+
+    def create_view(
+        self, ns: str, name: str, sql: str, replace: bool = False
+    ) -> dict:
+        return self._call(
+            "POST",
+            f"/v1/namespaces/{ns}/views",
+            {
+                "name": name,
+                "replace": replace,
+                "view-version": {
+                    "representations": [
+                        {"type": "sql", "sql": sql, "dialect": "spark"}
+                    ]
+                },
+            },
+        )
+
+    def load_view(self, ns: str, name: str) -> dict:
+        return self._call("GET", f"/v1/namespaces/{ns}/views/{name}")
+
+    def view_exists(self, ns: str, name: str) -> bool:
+        try:
+            self._call("HEAD", f"/v1/namespaces/{ns}/views/{name}")
+            return True
+        except RestCatalogError as e:
+            if e.code == 404:
+                return False
+            raise
+
+    def drop_view(self, ns: str, name: str) -> None:
+        self._call("DELETE", f"/v1/namespaces/{ns}/views/{name}")
 
     def rename_table(
         self, s_ns: str, s_name: str, d_ns: str, d_name: str

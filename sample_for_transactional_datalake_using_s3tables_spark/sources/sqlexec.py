@@ -1283,22 +1283,29 @@ class WarehouseSQL:
                     ns, tbl, m.group(3), m.group(4).strip()
                 )
             if kind == "props":
-                # recognized properties route to engine features; an
-                # unknown key raises instead of silently vanishing
+                # recognized properties route to engine features;
+                # other keys land in the generic properties store (the
+                # same store the REST catalog's set-properties commits
+                # to), surfaced by SHOW TBLPROPERTIES
+                custom: dict[str, str] = {}
                 for kv in _split_top_level(m.group(3)):
                     pk, _, pv = kv.partition("=")
                     pk = pk.strip().strip("'\" ")
-                    pv = pv.strip().strip("'\" ").lower()
+                    pv = pv.strip().strip("'\" ")
                     if pk.lower() in (
                         "change_feed", "delta.enablechangedatafeed"
                     ):
                         self.wh.set_change_feed(
-                            ns, tbl, pv in ("true", "1")
+                            ns, tbl, pv.lower() in ("true", "1")
                         )
                     else:
-                        raise ValueError(
-                            f"unknown table property {pk!r}"
-                        )
+                        custom[pk] = pv
+                if custom:
+                    meta = self.wh.table_meta(ns, tbl)
+                    meta.setdefault("properties", {}).update(custom)
+                    self.wh._swap_table_meta(
+                        self.wh._table_dir(ns, tbl), meta, op="props"
+                    )
                 return None
             if kind == "set_default":
                 return self.wh.set_column_default(
@@ -1411,8 +1418,27 @@ class WarehouseSQL:
     def _show(self, s: str):
         """SHOW NAMESPACES | SHOW TABLES IN ns | SHOW VIEWS IN ns |
         SHOW MATERIALIZED VIEWS IN ns (with per-MV freshness) |
-        SHOW CREATE TABLE ns.t (reconstructed DDL) --
+        SHOW CREATE TABLE ns.t (reconstructed DDL) |
+        SHOW TBLPROPERTIES ns.t (stored + engine properties) --
         catalog listings as DataFrames (Athena/Spark SHOW surface)."""
+        m = re.match(
+            r"^SHOW\s+TBLPROPERTIES\s+(\w+)\.(\w+)$", s, re.IGNORECASE
+        )
+        if m:
+            ns, tbl = m.group(1), m.group(2)
+            self._require("DESCRIBE", ns, tbl)
+            meta = self.wh.table_meta(ns, tbl)
+            rows = dict(meta.get("properties") or {})
+            if meta.get("key"):
+                rows["primary-key"] = meta["key"]
+            if meta.get("change_feed"):
+                rows["change_feed"] = "true"
+            if meta.get("partition_by"):
+                rows["partition-by"] = meta["partition_by"]
+            return self.spark.createDataFrame(
+                sorted(rows.items()) or [(None, None)],
+                "key STRING, value STRING",
+            ).filter(F.col("key").isNotNull())
         m = re.match(r"^SHOW\s+NAMESPACES$", s, re.IGNORECASE)
         if m:
             return self.spark.createDataFrame(

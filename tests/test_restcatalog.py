@@ -325,3 +325,74 @@ def test_refs_surface_tags_and_branches(cat, spark):
     assert refs["main"] == {"snapshot-id": 1, "type": "branch"}
     assert refs["v1"] == {"snapshot-id": 1, "type": "tag"}
     assert refs["audit"]["type"] == "branch"
+
+
+def test_sql_tblproperties_roundtrip(cat, spark):
+    """ALTER SET TBLPROPERTIES (SQL), REST set-properties, and SHOW
+    TBLPROPERTIES all read/write the same store."""
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
+
+    client, wh = cat
+    client.create_namespace("q")
+    client.create_table("q", "t", SCHEMA, properties={"primary-key": "id"})
+    sql = WarehouseSQL(wh)
+    sql.execute(
+        "ALTER TABLE q.t SET TBLPROPERTIES ('owner' = 'ana', 'tier' = 'gold')"
+    )
+    props = {
+        r.key: r.value
+        for r in sql.execute("SHOW TBLPROPERTIES q.t").collect()
+    }
+    assert props["owner"] == "ana" and props["tier"] == "gold"
+    assert props["primary-key"] == "id"
+    # REST sees the SQL-set property and vice versa
+    assert (
+        client.load_table("q", "t")["metadata"]["properties"]["owner"]
+        == "ana"
+    )
+    client.commit_table(
+        "q", "t", requirements=[],
+        updates=[{"action": "set-properties", "updates": {"rest": "1"}}],
+    )
+    props = {
+        r.key: r.value
+        for r in sql.execute("SHOW TBLPROPERTIES q.t").collect()
+    }
+    assert props["rest"] == "1" and props["owner"] == "ana"
+
+
+def test_view_endpoints(cat, spark):
+    """Iceberg REST view spec subset: versioned SQL representations,
+    engine and facade share one definition store."""
+    client, wh = cat
+    client.create_namespace("q")
+    client.create_table("q", "t", SCHEMA)
+    wh.insert("q", "t", spark.createDataFrame([("a", "d0", 5)], SCHEMA))
+    res = client.create_view(
+        "q", "big", "SELECT id, v FROM q.t WHERE v > 1"
+    )
+    assert res["metadata"]["current-version-id"] == 0
+    assert client.list_views("q") == ["big"]
+    assert client.view_exists("q", "big")
+    # engine executes the REST-created view (invoker rights)
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
+
+    sql = WarehouseSQL(wh)
+    assert sql.execute("SELECT * FROM q.big").collect()[0].v == 5
+    # replace appends a version (full history auditable)
+    client.create_view(
+        "q", "big", "SELECT id FROM q.t WHERE v > 2", replace=True
+    )
+    meta = client.load_view("q", "big")["metadata"]
+    assert meta["current-version-id"] == 1
+    assert len(meta["versions"]) == 2
+    assert "v > 1" in meta["versions"][0]["representations"][0]["sql"]
+    # duplicate create without replace: 409
+    with pytest.raises(RestCatalogError) as e:
+        client.create_view("q", "big", "SELECT 1")
+    assert e.value.code == 409
+    client.drop_view("q", "big")
+    assert not client.view_exists("q", "big")
+    with pytest.raises(RestCatalogError) as e:
+        client.load_view("q", "big")
+    assert e.value.code == 404 and e.value.etype == "NoSuchViewException"
