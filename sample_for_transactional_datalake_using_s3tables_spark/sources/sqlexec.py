@@ -981,6 +981,16 @@ class WarehouseSQL:
                             f"arity {len(targets)}"
                         )
                     df = df.toDF(*targets)
+                elif df.columns != targets:
+                    # ANSI: a full-width INSERT ... SELECT binds by
+                    # POSITION, not by the SELECT's output names
+                    # (SELECT 'x', 0 has literal-text names)
+                    if len(df.columns) != len(targets):
+                        raise ValueError(
+                            f"SELECT arity {len(df.columns)} != table "
+                            f"arity {len(targets)}"
+                        )
+                    df = df.toDF(*targets)
             if col_list:
                 # ANSI partial-column INSERT: unnamed columns get their
                 # column DEFAULT if one is set, else NULL (a required

@@ -222,3 +222,107 @@ def test_round6_surface_journey(spark, wh):
         r.user_id for r in wh.read("analytics", "users_silver").collect()
     }
     assert {"u1", "u3", "u4"} <= silver
+
+
+def test_round7_sandbox_journey(spark):
+    """The dev-sandbox journey the round-7 surface enables: a
+    production table is SHALLOW CLONEd into a dev namespace, reloaded
+    with INSERT OVERWRITE (dynamic + replaceWhere), inspected and
+    governed through the Iceberg REST catalog (CAS properties commit,
+    view, rename), and finally RESTOREd -- all on the public surface a
+    migrating user would touch."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.restcatalog import (
+        IcebergRestCatalogServer,
+        RestCatalog,
+        RestCatalogError,
+    )
+
+    S = StructType(
+        [
+            StructField("id", StringType(), False),
+            StructField("day", StringType()),
+            StructField("v", LongType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        wh = Warehouse(spark, d)
+        sql = WarehouseSQL(wh)
+        wh.create_namespace("prod")
+        wh.create_namespace("dev")
+        wh.create_table("prod", "t", S, key="id", partition_by="day")
+        wh.insert(
+            "prod", "t",
+            spark.createDataFrame(
+                [(f"k{i}", f"d{i % 2}", i) for i in range(10)], S
+            ),
+        )
+        # 1. sandbox: zero-copy clone into dev
+        sql.execute("CREATE TABLE dev.t SHALLOW CLONE prod.t")
+        # 2. experiment: replace one partition, then one row slice
+        sql.execute(
+            "INSERT OVERWRITE dev.t SELECT 'all', 'dX', 0"
+        )  # static mode replaced everything -> restore the clone point
+        sql.execute("RESTORE TABLE dev.t TO VERSION AS OF 0")
+        assert sql.execute(
+            "SELECT COUNT(*) AS n FROM dev.t"
+        ).collect()[0].n == 10
+        wh.insert_overwrite(
+            "dev", "t",
+            spark.createDataFrame([("n0", "d0", 100)], S),
+        )  # dynamic: replaces d0 only
+        sql.execute(
+            "INSERT INTO dev.t REPLACE WHERE day = 'd1' AND v >= 9 "
+            "VALUES ('n9', 'd1', 900)"
+        )
+        got = {r.id for r in wh.read("dev", "t").collect()}
+        assert got == {"n0", "n9", "k1", "k3", "k5", "k7"}
+        # prod untouched by any of it
+        assert wh.read("prod", "t").count() == 10
+        # 3. govern + inspect through the REST catalog
+        with IcebergRestCatalogServer(wh) as server:
+            client = RestCatalog(server.uri)
+            loaded = client.load_table("dev", "t")["metadata"]
+            assert loaded["properties"]["clone_source"].startswith("prod.t@")
+            tip = loaded["current-snapshot-id"]
+            client.commit_table(
+                "dev", "t",
+                requirements=[
+                    {"type": "assert-ref-snapshot-id", "ref": "main",
+                     "snapshot-id": tip}
+                ],
+                updates=[{"action": "set-properties",
+                          "updates": {"stage": "experiment"}}],
+            )
+            with pytest.raises(RestCatalogError) as e:
+                client.commit_table(
+                    "dev", "t",
+                    requirements=[
+                        {"type": "assert-ref-snapshot-id", "ref": "main",
+                         "snapshot-id": tip}
+                    ],
+                    updates=[{"action": "set-properties",
+                              "updates": {"stage": "stale"}}],
+                )
+            assert e.value.code == 409
+            client.create_view(
+                "dev", "recent", "SELECT id, v FROM dev.t WHERE v >= 100"
+            )
+            assert {r.id for r in
+                    sql.execute("SELECT * FROM dev.recent").collect()} == {
+                        "n0", "n9"}
+            client.rename_table("dev", "t", "dev", "experiment1")
+        props = {
+            r.key: r.value
+            for r in sql.execute(
+                "SHOW TBLPROPERTIES dev.experiment1"
+            ).collect()
+        }
+        assert props["stage"] == "experiment"
+        assert sql.execute(
+            "SELECT COUNT(*) AS n FROM dev.experiment1"
+        ).collect()[0].n == 6
