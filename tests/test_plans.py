@@ -254,3 +254,45 @@ def test_segment_dedup_keeps_first_occurrence(spark):
     assert got[0] == (2, 2, f"{boiler} {u1}")
     assert got[1] == (2, 1, u2)
     assert got[2] == (1, 0, "")
+
+
+def test_semantic_dedup_pairs_join_on_cluster(spark):
+    """SemDeDup's pair generation is an equi-join on cluster_id --
+    never a cartesian/BNLJ blowup (the paper's whole scaling point)."""
+    plan = _executed(dedup.dedup_semantic(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    joins = [
+        l for l in plan.splitlines()
+        if "HashJoin" in l or "SortMergeJoin" in l
+    ]
+    assert any("cluster_id" in l for l in joins), (
+        "semantic-dedup pair join lost its cluster key"
+    )
+
+
+def test_lm_perplexity_model_joins_are_keyed(spark):
+    """The bigram-LM scoring joins key on (a, b) / (a); the only
+    nested-loop is the broadcast of the 1-row vocab scalar."""
+    plan = _executed(text.lm_perplexity(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    joins = [
+        l for l in plan.splitlines()
+        if "HashJoin" in l or "SortMergeJoin" in l
+    ]
+    assert any("a#" in l and "b#" in l for l in joins), (
+        "bigram model join lost its (a, b) keys"
+    )
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """Lloyd's assignment against literal centroids plans with NO join
+    and NO exchange before the final aggregation -- the broadcast-free
+    map-only shape that makes the iteration scan-bound at 100 TB."""
+    from sample_for_transactional_datalake_using_s3tables_spark.operators import similarity
+
+    q = similarity._kmeans_quantized(spark, SF_SMALL)
+    cents = similarity._kmeans_train(q)
+    assigned = similarity._kmeans_assign(q, cents)
+    plan = _executed(assigned)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
