@@ -197,6 +197,21 @@ def bench_dml(spark, sf_dir: str) -> dict[str, float]:
                 "FILEFORMAT = PARQUET"
             ),
         )
+        # zero-copy sandboxing: SHALLOW CLONE is metadata-only
+        # (O(#files) JSON, no data read/written -- its time must stay
+        # flat as SF grows), then dynamic partition overwrite replaces
+        # one partition by reference
+        _t(
+            "shallow_clone",
+            lambda: sql.execute("CREATE TABLE b.dev SHALLOW CLONE b.t"),
+        )
+        one_part = events.filter(F.col("event_type") == "click").withColumn(
+            "value", (F.col("value") * 2).cast("decimal(12,2)")
+        )
+        _t(
+            "insert_overwrite_dynamic",
+            lambda: wh.insert_overwrite("b", "dev", one_part),
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return timings

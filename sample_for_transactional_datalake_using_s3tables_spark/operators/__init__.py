@@ -132,6 +132,12 @@ _MODULES = (
 # analytics keep retention-style patterns inside risk_analysis/
 # window_rank; all three demoted rows stay oracle-checked in the full
 # registry and funnel_stages/stream_static_enrich stay in bench.py.
+# Round-7 fifth swap: sequence_pack -> timeseries_gapfill (the analytics
+# module lost its last in-window rep when funnel_stages rotated out --
+# test_priority_window_covers_every_module caught it; gapfill is the
+# time-series flagship). The pipeline module keeps curation_pipeline
+# (which exercises packing-adjacent token budgeting); sequence_pack
+# stays oracle-checked in the registry and in bench-adjacent tests.
 # Round-7 fourth swap: warehouse_delete_update -> warehouse_insert_overwrite
 # (dynamic partition overwrite + Delta replaceWhere -- the new DML
 # surface). Row-level UPDATE/DELETE keep certified reps: warehouse_sql_dml
@@ -193,7 +199,7 @@ _PRIORITY = (
     "warehouse_rest_catalog",
     # UDF/UDAF/UDTF surface
     "udf_minmax_scale",
-    "sequence_pack",
+    "timeseries_gapfill",
     "udf_tokenize_udtf",
     # temporal joins
     "asof_join",

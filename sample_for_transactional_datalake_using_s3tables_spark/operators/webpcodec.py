@@ -559,17 +559,21 @@ def decode_webp(data: bytes) -> np.ndarray:
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) container")
     pos = 12
-    while pos + 8 <= len(data):
+    while pos + 4 <= len(data):
         tag = data[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", data, pos + 4)
-        body = data[pos + 8 : pos + 8 + size]
-        if tag == b"VP8L":
-            return decode_vp8l(body)
         if tag == b"VP8 ":
+            # sniffed even from a truncated header: lossy payloads are
+            # a documented capability seam, not a malformed container
             raise NotImplementedError(
                 "lossy VP8 WebP needs the full VP8 intra codec (PIL/libwebp "
                 "deployment seam); lossless VP8L decodes here"
             )
+        if pos + 8 > len(data):
+            break
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"VP8L":
+            return decode_vp8l(body)
         pos += 8 + size + (size & 1)
     raise ValueError("no VP8L chunk in WebP container")
 
