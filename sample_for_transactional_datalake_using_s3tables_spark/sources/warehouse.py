@@ -3313,13 +3313,12 @@ class Warehouse:
             return {"version": v, "replaced_files": None, "mode": "static"}
         version = self._versions(tdir)[-1]
         entries = self._manifest_doc(tdir, version)["files"]
-        schema = StructType.fromJson(meta["schema"])
-        pexpr = self._partition_expr(meta["partition_by"], schema)
-        # bounded collect: one value per incoming partition
-        incoming = {
-            _part_key(r.p)
-            for r in aligned.select(pexpr.alias("p")).distinct().collect()
-        }
+        # write FIRST, then derive the incoming partition set from the
+        # written files' manifest entries -- the batch is computed once
+        # (a distinct-partitions pre-pass would scan a derived batch
+        # twice), and the set is exact by construction
+        new_files = self._write_table_files(tdir, aligned, meta)
+        incoming = {_part_key(e["partition"]) for e in new_files}
         # scope matches the partition VALUE under every spec it was
         # written with (post-evolution files of the same value replace
         # too -- "overwrite partition d0" means the partition, not one
@@ -3330,7 +3329,6 @@ class Warehouse:
         } | {(meta.get("partition_spec_id", 0), k) for k in incoming}
         rewrite = [e for e in entries if _scope_key(e) in touched]
         untouched = [e for e in entries if _scope_key(e) not in touched]
-        new_files = self._write_table_files(tdir, aligned, meta)
         v = self._publish_rewrite(
             tdir, version, touched, rewrite, untouched, new_files,
             meta["schema"], phys=meta.get("physical"), op="overwrite",
