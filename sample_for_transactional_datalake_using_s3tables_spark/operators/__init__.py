@@ -143,6 +143,16 @@ _MODULES = (
 # surface). Row-level UPDATE/DELETE keep certified reps: warehouse_sql_dml
 # runs both through the router and warehouse_mor_merge covers the MoR
 # side; warehouse_delete_update stays oracle-checked in the registry.
+# Round-8 rotation (VERDICT r7 #1): the five round-7 components that
+# only ever had judge-replica evidence take official rows --
+# dedup_semantic, warehouse_change_feed (stored CDF),
+# warehouse_column_features (identity/generated/default),
+# warehouse_stream_copy, warehouse_shallow_clone. Out (families keep
+# reps): set_union, json_extract (relational stays repped by the
+# flagship battery), udf_tokenize_udtf (udf_minmax_scale reps UDFs),
+# warehouse_cdf (warehouse_change_feed is the stronger stored-CDF
+# superset), warehouse_delta_export (round-6-green, format export has
+# no peer family but stays registry-certified).
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
@@ -153,13 +163,12 @@ _PRIORITY = (
     "join_bucketed_colocated",
     "window_rank",
     "rollup_agg",
-    "set_union",
-    "json_extract",
     "sql_text_entry",
     # LLM-data: dedup + similarity search
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_connected_components",
+    "dedup_semantic",
     "similarity_topk_lsh",
     "similarity_kmeans",
     # text analysis + curation
@@ -186,10 +195,12 @@ _PRIORITY = (
     "warehouse_zorder",
     "warehouse_sql_dml",
     "warehouse_branch_wap",
-    "warehouse_cdf",
+    "warehouse_change_feed",
     "warehouse_partition_evolution",
     "warehouse_table_stream",
-    "warehouse_delta_export",
+    "warehouse_column_features",
+    "warehouse_stream_copy",
+    "warehouse_shallow_clone",
     # event-time windows + custom state
     "window_tumbling",
     "stateful_user_stats",
@@ -200,7 +211,6 @@ _PRIORITY = (
     # UDF/UDAF/UDTF surface
     "udf_minmax_scale",
     "timeseries_gapfill",
-    "udf_tokenize_udtf",
     # temporal joins
     "asof_join",
     "range_join",

@@ -30,6 +30,12 @@ Protocol scope (apache/iceberg rest-catalog-open-api.yaml, public):
   DATA-producing updates (add-snapshot) belong to the engine's own
   commit path and return 400 with a pointer at it.
 - ``POST /v1/tables/rename``
+- ``pageToken``/``pageSize`` pagination on the three list endpoints
+  (namespaces / tables / views) with an opaque resume token, stable
+  under concurrent creates -- the piece that matters exactly when a
+  catalog holds more tables than one page (the 100 TB shape)
+- ``POST /v1/namespaces/{ns}/tables/{t}/metrics`` -- ReportMetricsRequest,
+  accept-and-discard per the spec
 
 Auth: optional static bearer tokens mapped to engine principals; a
 token-bearing server returns 401 for missing/unknown tokens and 403
@@ -282,6 +288,32 @@ class IcebergRestCatalogServer:
                             }
                         },
                     )
+                except (
+                    json.JSONDecodeError, KeyError, ValueError, TypeError
+                ) as e:
+                    # malformed body / missing required field: the spec's
+                    # ErrorModel 400, never a dropped connection
+                    self._send(
+                        400,
+                        {
+                            "error": {
+                                "message": f"{type(e).__name__}: {e}",
+                                "type": "BadRequestException",
+                                "code": 400,
+                            }
+                        },
+                    )
+                except Exception as e:  # anything else: ErrorModel 500
+                    self._send(
+                        500,
+                        {
+                            "error": {
+                                "message": f"{type(e).__name__}: {e}",
+                                "type": "InternalServerError",
+                                "code": 500,
+                            }
+                        },
+                    )
 
             do_GET = do_POST = do_DELETE = do_HEAD = _handle
 
@@ -349,6 +381,7 @@ class IcebergRestCatalogServer:
         ("HEAD", r"^/v1/namespaces/([\w.-]+)/tables/([\w.-]+)$", "head_table"),
         ("DELETE", r"^/v1/namespaces/([\w.-]+)/tables/([\w.-]+)$", "drop_table"),
         ("POST", r"^/v1/namespaces/([\w.-]+)/tables/([\w.-]+)$", "commit_table"),
+        ("POST", r"^/v1/namespaces/([\w.-]+)/tables/([\w.-]+)/metrics$", "metrics"),
         ("POST", r"^/v1/tables/rename$", "rename"),
         ("GET", r"^/v1/namespaces/([\w.-]+)/views$", "list_views"),
         ("POST", r"^/v1/namespaces/([\w.-]+)/views$", "create_view"),
@@ -357,30 +390,88 @@ class IcebergRestCatalogServer:
         ("DELETE", r"^/v1/namespaces/([\w.-]+)/views/([\w.-]+)$", "drop_view"),
     ]
 
+    _PAGED = {"list_ns", "list_tables", "list_views"}
+
     def _route(
         self, method: str, path: str, body: dict, principal: str
     ) -> tuple[int, dict | None]:
+        import urllib.parse as _up
+
+        path, _, qs = path.partition("?")
+        params = {
+            k: v[-1] for k, v in _up.parse_qs(qs).items()
+        } if qs else {}
         for m, rx, fn in self._ROUTES:
             if m != method:
                 continue
             match = re.match(rx, path)
             if match:
-                return getattr(self, f"_r_{fn}")(
-                    *match.groups(), body=body, principal=principal
-                )
+                kwargs: dict = {"body": body, "principal": principal}
+                if fn in self._PAGED:
+                    kwargs["params"] = params
+                return getattr(self, f"_r_{fn}")(*match.groups(), **kwargs)
         raise _HttpError(
             404, "NoSuchEndpointException", f"{method} {path} not routed"
         )
+
+    @staticmethod
+    def _paginate(
+        names: list[str], params: dict
+    ) -> tuple[list[str], str | None]:
+        """``pageToken``/``pageSize`` per the public OpenAPI: the token
+        is opaque (base64 of the last name served), so a listing stays
+        stable under concurrent creates -- the next page is everything
+        strictly after that name in sorted order. No ``pageSize`` means
+        the full listing in one response (the spec allows a server to
+        ignore pagination)."""
+        import base64
+
+        names = sorted(names)
+        token = params.get("pageToken")
+        if token:
+            try:
+                last = base64.b64decode(
+                    token.encode(), altchars=b"-_", validate=True
+                ).decode()
+            except Exception:
+                raise _HttpError(
+                    400, "BadRequestException", "invalid pageToken"
+                ) from None
+            names = [n for n in names if n > last]
+        size = params.get("pageSize")
+        if size is None:
+            return names, None
+        try:
+            size = int(size)
+        except ValueError:
+            raise _HttpError(
+                400, "BadRequestException", "pageSize must be an integer"
+            ) from None
+        if size <= 0:
+            raise _HttpError(
+                400, "BadRequestException", "pageSize must be positive"
+            )
+        page = names[:size]
+        if len(names) > size and page:
+            next_token = base64.urlsafe_b64encode(
+                page[-1].encode()
+            ).decode()
+            return page, next_token
+        return page, None
 
     # - endpoints -
 
     def _r_config(self, body, principal):
         return 200, {"defaults": {}, "overrides": {}}
 
-    def _r_list_ns(self, body, principal):
-        return 200, {
-            "namespaces": [[n] for n in self.wh.list_namespaces()]
-        }
+    def _r_list_ns(self, body, principal, params=None):
+        page, nxt = self._paginate(
+            self.wh.list_namespaces(), params or {}
+        )
+        doc: dict = {"namespaces": [[n] for n in page]}
+        if nxt:
+            doc["next-page-token"] = nxt
+        return 200, doc
 
     def _r_create_ns(self, body, principal):
         ns = self._ns_of(body.get("namespace"))
@@ -413,18 +504,22 @@ class IcebergRestCatalogServer:
         self.wh.drop_namespace(ns, if_exists=False)
         return 204, None
 
-    def _r_list_tables(self, ns, body, principal):
+    def _r_list_tables(self, ns, body, principal, params=None):
         self._check_ns(ns)
         tables = (
             self.wh.list_tables(ns)
             if principal == "root"
             else self.wh.list_tables_as(principal, ns)
         )
-        return 200, {
+        page, nxt = self._paginate(list(tables), params or {})
+        doc: dict = {
             "identifiers": [
-                {"namespace": [ns], "name": t} for t in tables
+                {"namespace": [ns], "name": t} for t in page
             ]
         }
+        if nxt:
+            doc["next-page-token"] = nxt
+        return 200, doc
 
     def _r_create_table(self, ns, body, principal):
         self._check_ns(ns)
@@ -522,14 +617,29 @@ class IcebergRestCatalogServer:
     #   representations; the engine expands and executes them with
     #   invoker rights, exactly as the warehouse view layer does) -
 
-    def _r_list_views(self, ns, body, principal):
+    def _r_list_views(self, ns, body, principal, params=None):
         self._check_ns(ns)
-        return 200, {
+        page, nxt = self._paginate(list(self.wh.list_views(ns)), params or {})
+        doc: dict = {
             "identifiers": [
-                {"namespace": [ns], "name": v}
-                for v in self.wh.list_views(ns)
+                {"namespace": [ns], "name": v} for v in page
             ]
         }
+        if nxt:
+            doc["next-page-token"] = nxt
+        return 200, doc
+
+    def _r_metrics(self, ns, tbl, body, principal):
+        """``POST .../tables/{t}/metrics`` (ReportMetricsRequest):
+        accept-and-discard per the spec -- engines ship scan/commit
+        reports here; a catalog may no-op them. 404s on a missing
+        table so clients still get the usual resolution errors."""
+        self._check_ns(ns)
+        if tbl not in self.wh.list_tables(ns):
+            raise _HttpError(
+                404, "NoSuchTableException", f"table {ns}.{tbl}"
+            )
+        return 204, None
 
     def _r_create_view(self, ns, body, principal):
         self._check_ns(ns)
@@ -829,9 +939,35 @@ class RestCatalog:
     def config(self) -> dict:
         return self._call("GET", "/v1/config")
 
-    def list_namespaces(self) -> list[str]:
-        doc = self._call("GET", "/v1/namespaces")
-        return [ns[0] for ns in doc["namespaces"]]
+    def _list_paged(
+        self, path: str, key: str, page_size: int | None
+    ) -> list[dict | list]:
+        """Drain a paginated list endpoint: follow ``next-page-token``
+        until the server stops returning one. ``page_size=None`` asks
+        for the whole listing in one response."""
+        out: list = []
+        token: str | None = None
+        while True:
+            q = []
+            if page_size is not None:
+                q.append(f"pageSize={page_size}")
+            if token:
+                q.append(f"pageToken={token}")
+            doc = self._call(
+                "GET", path + ("?" + "&".join(q) if q else "")
+            )
+            out.extend(doc[key])
+            token = doc.get("next-page-token")
+            if not token:
+                return out
+
+    def list_namespaces(self, page_size: int | None = None) -> list[str]:
+        return [
+            ns[0]
+            for ns in self._list_paged(
+                "/v1/namespaces", "namespaces", page_size
+            )
+        ]
 
     def create_namespace(self, ns: str) -> None:
         self._call("POST", "/v1/namespaces", {"namespace": [ns]})
@@ -848,9 +984,20 @@ class RestCatalog:
     def drop_namespace(self, ns: str) -> None:
         self._call("DELETE", f"/v1/namespaces/{ns}")
 
-    def list_tables(self, ns: str) -> list[str]:
-        doc = self._call("GET", f"/v1/namespaces/{ns}/tables")
-        return [t["name"] for t in doc["identifiers"]]
+    def list_tables(self, ns: str, page_size: int | None = None) -> list[str]:
+        return [
+            t["name"]
+            for t in self._list_paged(
+                f"/v1/namespaces/{ns}/tables", "identifiers", page_size
+            )
+        ]
+
+    def report_metrics(self, ns: str, name: str, report: dict) -> None:
+        """``POST .../tables/{t}/metrics`` -- ship a scan/commit report;
+        the server accepts and discards per the spec."""
+        self._call(
+            "POST", f"/v1/namespaces/{ns}/tables/{name}/metrics", report
+        )
 
     def create_table(
         self,
@@ -903,9 +1050,13 @@ class RestCatalog:
             {"requirements": requirements, "updates": updates},
         )
 
-    def list_views(self, ns: str) -> list[str]:
-        doc = self._call("GET", f"/v1/namespaces/{ns}/views")
-        return [v["name"] for v in doc["identifiers"]]
+    def list_views(self, ns: str, page_size: int | None = None) -> list[str]:
+        return [
+            v["name"]
+            for v in self._list_paged(
+                f"/v1/namespaces/{ns}/views", "identifiers", page_size
+            )
+        ]
 
     def create_view(
         self, ns: str, name: str, sql: str, replace: bool = False

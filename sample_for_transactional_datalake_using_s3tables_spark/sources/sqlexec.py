@@ -666,17 +666,17 @@ class WarehouseSQL:
 
         inc = self._mv_incremental_delta(ns, name, refs)
         if inc is not None:
-            src_ref, delta = inc
+            src_ref, delta, covered_v = inc
             # re-point the source's resolved view at the INSERT delta
             # and run the SAME rewritten query over it
             s_ns, s_tbl = src_ref.split(".", 1)
             delta.createOrReplaceTempView(f"__wh_{s_ns}__{s_tbl}")
             new_rows = self.spark.sql(rewritten)
             self.wh.insert(ns, storage, new_rows)  # APPEND, not overwrite
-            self.wh.mv_record_refresh(
-                ns, name,
-                {src_ref: self.wh.current_version(s_ns, s_tbl)},
-            )
+            # stamp the version the delta actually COVERED -- a commit
+            # landing between delta computation and this stamp must
+            # stay ahead of the watermark or it is skipped forever
+            self.wh.mv_record_refresh(ns, name, {src_ref: covered_v})
             st = self.wh.mv_status(ns, name)
             st["incremental"] = True
             return st
@@ -695,8 +695,11 @@ class WarehouseSQL:
         return st
 
     def _mv_incremental_delta(self, ns, name, refs):
-        """(source_ref, insert_delta_df) when the incremental path is
-        provably safe for this refresh, else None (see _refresh_mv)."""
+        """(source_ref, insert_delta_df, covered_version) when the
+        incremental path is provably safe for this refresh, else None
+        (see _refresh_mv). ``covered_version`` is the source tip the
+        delta was computed against -- the ONLY version the caller may
+        stamp as refreshed."""
         doc = self.wh.mv_doc(ns, name)
         wm = doc.get("watermarks")
         storage = Warehouse.mv_storage_table(name)
@@ -728,7 +731,7 @@ class WarehouseSQL:
         delta = self.wh.changelog(s_ns, s_tbl, from_v, tip).filter(
             F.col("_change_type") == "insert"
         ).drop("_change_type", "_commit_version")
-        return src_ref, delta
+        return src_ref, delta, tip
 
     def _source_df(self, src: str) -> DataFrame:
         src = src.strip()

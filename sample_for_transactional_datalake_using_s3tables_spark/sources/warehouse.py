@@ -44,6 +44,7 @@ from pyspark.sql.types import StructType
 _MANIFEST_DIR = "_v"
 _COMMIT_IDX = "_commits.idx"  # publish-time version->(ts, op) sidecar
 _SCHEMA_FILE = "_table.json"
+_CLONES_FILE = "_clones.json"  # shallow-clone back-refs (clone dirs, root-rel)
 
 # Hidden-partitioning transforms (Iceberg partition-spec analog: the
 # table partitions on a DERIVED value; queries never see or maintain the
@@ -540,6 +541,13 @@ class Warehouse:
             if if_exists:
                 return
             raise TableNotFoundError(f"{ns}.{table}")
+        clones = self._registered_clones(tdir)
+        if clones:
+            rels = [os.path.relpath(c, self.root) for c in clones]
+            raise ValueError(
+                f"cannot drop {ns}.{table}: shallow clone(s) {rels} "
+                "reference its data files; drop the clones first"
+            )
         shutil.rmtree(tdir)
 
     def list_tables(self, ns: str) -> list[str]:
@@ -557,10 +565,24 @@ class Warehouse:
         refs -- moves atomically under the new identifier; snapshots,
         time travel and branches survive untouched. Refuses to clobber
         an existing table/view and to move across a resource link in a
-        way that would silently land in the link target."""
+        way that would silently land in the link target.
+
+        Shallow-clone safety: renaming a registered CLONE SOURCE is
+        refused (its clones address it by relative path and every one
+        would dangle); renaming a clone itself rewrites the clone's
+        ``..``-relative manifest entries so they keep resolving to the
+        same source files from the new location."""
         src = self._table_dir(ns, table)
         if not os.path.exists(src):
             raise TableNotFoundError(f"{ns}.{table}")
+        clones = self._registered_clones(src)
+        if clones:
+            rels = [os.path.relpath(c, self.root) for c in clones]
+            raise ValueError(
+                f"cannot rename {ns}.{table}: shallow clone(s) {rels} "
+                "reference its data files by relative path; drop the "
+                "clones first (or deep-copy them)"
+            )
         if os.path.exists(self._view_path(ns, table)) or os.path.exists(
             self._mv_path(ns, table)
         ):
@@ -576,6 +598,158 @@ class Warehouse:
         ):
             raise FileExistsError(f"{new_ns}.{new_table}")
         os.rename(src, dst)
+        self._rebase_relative_entries(src, dst)
+
+    # -- shallow-clone back-references: maintenance on a clone SOURCE
+    # must never delete files a registered clone still reads, and a
+    # clone that moves must keep resolving its source-relative entries
+    # (the Delta VACUUM footgun this engine closes) --
+
+    def _clones_path(self, tdir: str) -> str:
+        return os.path.join(tdir, _CLONES_FILE)
+
+    def _register_clone(self, src_tdir: str, clone_tdir: str) -> None:
+        """Record a clone back-ref (root-relative clone dir) on a
+        source table; idempotent, atomic replace."""
+        rel = os.path.relpath(
+            os.path.abspath(clone_tdir), os.path.abspath(self.root)
+        )
+        path = self._clones_path(src_tdir)
+        clones: list[str] = []
+        if os.path.exists(path):
+            with open(path) as f:
+                clones = json.load(f)
+        if rel in clones:
+            return
+        clones.append(rel)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(clones, f)
+        os.replace(tmp, path)
+
+    def _registered_clones(self, tdir: str) -> list[str]:
+        """Absolute dirs of this table's LIVE registered shallow
+        clones; back-refs whose clone was dropped are pruned lazily."""
+        path = self._clones_path(tdir)
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            clones = json.load(f)
+        live = [
+            c for c in clones
+            if os.path.isdir(os.path.join(self.root, c))
+        ]
+        if live != clones:
+            tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(live, f)
+            os.replace(tmp, path)
+        return [
+            os.path.abspath(os.path.join(self.root, c)) for c in live
+        ]
+
+    def _all_entry_paths(self, tdir: str) -> set[str]:
+        """Resolved abspaths of every file any snapshot (main +
+        branches) or WAP-staged batch of ``tdir`` references."""
+        paths: set[str] = set()
+        for v in self._versions(tdir):
+            for e in self._doc_all_entries(tdir, v):
+                paths.add(os.path.abspath(os.path.join(tdir, e["path"])))
+        for b in self._branches(tdir):
+            for v in self._versions(tdir, b):
+                for e in self._doc_all_entries(tdir, v, b):
+                    paths.add(
+                        os.path.abspath(os.path.join(tdir, e["path"]))
+                    )
+        mdir = os.path.join(tdir, _MANIFEST_DIR)
+        if os.path.isdir(mdir):
+            for fn in os.listdir(mdir):
+                if not fn.startswith(self._STAGE_PREFIX):
+                    continue
+                with open(os.path.join(mdir, fn)) as f:
+                    doc = json.load(f)
+                for e in (
+                    list(doc.get("files") or [])
+                    + list(doc.get("deletes") or [])
+                ):
+                    paths.add(
+                        os.path.abspath(os.path.join(tdir, e["path"]))
+                    )
+        return paths
+
+    def _clone_referenced_files(self, tdir: str) -> set[str]:
+        """Abspaths under ``tdir`` that registered shallow clones still
+        reference -- maintenance treats these as live even when no
+        snapshot of ``tdir`` itself references them."""
+        prefix = os.path.abspath(tdir) + os.sep
+        refs: set[str] = set()
+        for clone_dir in self._registered_clones(tdir):
+            refs |= {
+                p for p in self._all_entry_paths(clone_dir)
+                if p.startswith(prefix)
+            }
+        return refs
+
+    def _owning_table_dir(self, path: str) -> str | None:
+        """Nearest ancestor of ``path`` under the warehouse root that
+        is a table dir (carries the schema file)."""
+        root = os.path.abspath(self.root)
+        d = os.path.dirname(os.path.abspath(path))
+        while d.startswith(root + os.sep):
+            if os.path.exists(os.path.join(d, _SCHEMA_FILE)):
+                return d
+            d = os.path.dirname(d)
+        return None
+
+    def _rebase_relative_entries(
+        self, old_tdir: str, new_tdir: str
+    ) -> None:
+        """After a rename/move of a shallow clone, rewrite every
+        ``..``-relative manifest entry so it still resolves to the same
+        absolute source file from the table's NEW location, and refresh
+        the back-refs registered on each source (stale old-path refs
+        prune lazily)."""
+        changed_sources: set[str] = set()
+
+        def fix(entries: list[dict]) -> tuple[list[dict], bool]:
+            out, touched = [], False
+            for e in entries:
+                p = e.get("path", "")
+                if ".." in p.split("/"):
+                    ap = os.path.normpath(os.path.join(old_tdir, p))
+                    e = dict(e, path=os.path.relpath(ap, new_tdir))
+                    touched = True
+                    owner = self._owning_table_dir(ap)
+                    if owner:
+                        changed_sources.add(owner)
+                out.append(e)
+            return out, touched
+
+        mdirs = [os.path.join(new_tdir, _MANIFEST_DIR)] + [
+            os.path.join(new_tdir, f"{_MANIFEST_DIR}@{b}")
+            for b in self._branches(new_tdir)
+        ]
+        for mdir in mdirs:
+            if not os.path.isdir(mdir):
+                continue
+            for fn in os.listdir(mdir):
+                if not fn.endswith(".json"):
+                    continue
+                fpath = os.path.join(mdir, fn)
+                with open(fpath) as f:
+                    doc = json.load(f)
+                any_touched = False
+                for key in ("files", "deletes", "change_files"):
+                    if doc.get(key):
+                        doc[key], t = fix(doc[key])
+                        any_touched |= t
+                if any_touched:
+                    tmp = f"{fpath}.tmp-{uuid.uuid4().hex}"
+                    with open(tmp, "w") as f:
+                        json.dump(doc, f)
+                    os.replace(tmp, fpath)
+        for src in changed_sources:
+            self._register_clone(src, new_tdir)
 
     def clone_table(
         self,
@@ -601,10 +775,15 @@ class Warehouse:
 
         ``version`` clones a historical snapshot (time-travel clone).
 
-        Delta-documented caveat, same here: VACUUM / compaction +
-        remove_orphan_files on the SOURCE can delete files a shallow
-        clone still references -- shallow clones are for dev/test
-        sandboxes and short-lived experiments, not archival.
+        Unlike Delta's documented VACUUM caveat (source maintenance can
+        delete files a shallow clone still references), this engine
+        records a back-ref on the source at clone time; the source's
+        ``remove_orphan_files`` / ``expire_snapshots`` consult it and
+        keep clone-referenced files live (parity-plus -- the warehouse
+        owns both tables' manifests under one root, so it can).
+        Limitation: back-refs cover tables under THIS warehouse root
+        only; a cross-root clone (unsupported today) would reintroduce
+        the caveat.
 
         Reference scope: S3 Tables has no clone; this mirrors Delta's
         public CLONE semantics as an engine extension (SURVEY §2.6)."""
@@ -654,6 +833,19 @@ class Warehouse:
             op="clone",
             copied=sorted(copied) if copied else None,
         )
+        # back-refs: register this clone on every table whose data dir
+        # its entries resolve into (clone-of-clone registers on the
+        # ultimate owner too), so source maintenance keeps them live
+        owners: set[str] = set()
+        dst_prefix = os.path.abspath(dst) + os.sep
+        for e in rebase(doc["files"]) + rebase(doc.get("deletes") or []):
+            ap = os.path.abspath(os.path.join(dst, e["path"]))
+            if not ap.startswith(dst_prefix):
+                owner = self._owning_table_dir(ap)
+                if owner:
+                    owners.add(owner)
+        for owner in owners:
+            self._register_clone(owner, dst)
 
     # -- views (the Iceberg View spec analog: VERSIONED SQL definitions
     # stored in the catalog; expansion and execution are the engine's
@@ -2955,11 +3147,15 @@ class Warehouse:
     def _identity_high_water(
         self, tdir: str, col: str, meta: dict, branch: str | None = None
     ) -> int:
-        """Current allocation base for an identity column: the max
-        committed value, from per-file manifest stats when every live
-        file carries them (metadata-only), else one column-pruned max
-        scan; ``start - step`` on an empty table."""
+        """Current allocation base for an identity column: the
+        furthest-allocated committed value in the step's direction
+        (max for ascending, MIN for descending -- a negative step based
+        off max would re-issue already-allocated values), from per-file
+        manifest stats when every live file carries them
+        (metadata-only), else one column-pruned extremum scan;
+        ``start - step`` on an empty table."""
         spec = meta["identity"][col]
+        descending = int(spec["step"]) < 0
         doc = self._manifest_doc(tdir, self._versions(tdir, branch)[-1], branch)
         entries = doc["files"]
         if not entries:
@@ -2967,12 +3163,14 @@ class Warehouse:
         pc = (meta.get("physical") or {}).get(col, col)
         stats = [(e.get("stats") or {}).get(pc) for e in entries]
         if all(s is not None for s in stats):
+            if descending:
+                return min(int(s[0]) for s in stats)
             return max(int(s[1]) for s in stats)
         schema = StructType.fromJson(meta["schema"])
         row = self._read_entries(
             tdir, entries, schema, meta.get("physical"), doc.get("deletes"),
             meta.get("key"),
-        ).agg(F.max(col)).first()
+        ).agg(F.min(col) if descending else F.max(col)).first()
         return int(row[0]) if row[0] is not None else (
             int(spec["start"]) - int(spec["step"])
         )
@@ -3676,6 +3874,10 @@ class Warehouse:
             # ANY concurrent commit raises CommitConflictError
             # (serializable: a by-source delete is only correct against
             # the exact snapshot it read)
+            if deletes is not None:
+                # delete wins over a same-batch update of the same key,
+                # matching the MoR and plain-CoW paths' left_anti
+                source = source.join(deletes, key, "left_anti")
             new_files = self._write_table_files(tdir, source, meta)
             self.last_merge_stats.update(
                 mode="cow-sync", probed_files=0,
@@ -5167,6 +5369,12 @@ class Warehouse:
                 for v in self._versions(tdir, b)
                 for e in self._doc_all_entries(tdir, v, b)
             }
+        # files registered shallow clones still reference stay live
+        # even when every local snapshot referencing them expires
+        live |= {
+            os.path.relpath(p, tdir)
+            for p in self._clone_referenced_files(tdir)
+        }
         removed = 0
         for v in expire:
             for e in self._doc_all_entries(tdir, v):
@@ -5213,6 +5421,9 @@ class Warehouse:
                 os.path.abspath(os.path.join(tdir, e["path"]))
                 for e in self._staged_doc(tdir, sid)["files"]
             }
+        # files registered shallow clones still reference are not
+        # orphans either (closes Delta's documented VACUUM footgun)
+        live |= self._clone_referenced_files(tdir)
         cutoff = _time.time() - older_than_seconds
         removed = 0
         data_root = os.path.join(tdir, "data")

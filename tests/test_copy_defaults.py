@@ -589,3 +589,19 @@ def test_identity_concurrent_allocation_never_duplicates(wh, spark):
         wh._publish = real_publish
     seqs = sorted(r.seq for r in wh.read("ns", "ic").collect())
     assert seqs == [1, 2, 3, 4]  # unique, dense, no duplicates
+
+
+def test_identity_negative_step_never_reissues(wh, spark):
+    """INCREMENT BY -1 allocates off the MIN committed value (a
+    max-based high-water would silently re-issue ids — ADVICE r8)."""
+    ex = WarehouseSQL(wh)
+    ex.execute(
+        "CREATE TABLE ns.neg (seq BIGINT GENERATED ALWAYS AS IDENTITY "
+        "(START WITH 100 INCREMENT BY -1), id STRING)"
+    )
+    ex.execute("INSERT INTO ns.neg (id) VALUES ('a'), ('b'), ('c')")
+    first = sorted(r.seq for r in ex.execute("SELECT seq FROM ns.neg").collect())
+    assert first == [98, 99, 100]
+    ex.execute("INSERT INTO ns.neg (id) VALUES ('d'), ('e')")
+    allv = sorted(r.seq for r in ex.execute("SELECT seq FROM ns.neg").collect())
+    assert allv == [96, 97, 98, 99, 100]  # unique, continues DOWNWARD

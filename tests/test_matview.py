@@ -285,3 +285,46 @@ def test_describe_view_and_mv(env):
     assert rows["v2"] == "bigint" and "SELECT id" in rows["# view_definition"]
     rows = {r.col_name: r.data_type for r in sql.execute("DESCRIBE ns.m").collect()}
     assert rows["n"] == "bigint" and rows["# materialized"] == "fresh=False"
+
+
+def test_mv_incremental_stamp_covers_only_computed_delta(env):
+    """A source commit landing BETWEEN delta computation and the
+    watermark stamp must stay AHEAD of the watermark — stamping a
+    re-read current_version would mark it refreshed while its rows
+    were never materialized, skipping them forever (ADVICE r8)."""
+    wh, sql, spark = env
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.m AS "
+        "SELECT id, v * 10 AS v10 FROM ns.t WHERE v >= 0"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.m")  # full materialization
+    wh.insert("ns", "t", spark.createDataFrame([("k7", 7)], S).coalesce(1))
+
+    storage = Warehouse.mv_storage_table("m")
+    real_insert = wh.insert
+    raced = {"done": False}
+
+    def racing_insert(ns_, tbl, df, **kw):
+        # the storage append marks the point AFTER the delta was
+        # computed; sneak a source commit in right there
+        if tbl == storage and not raced["done"]:
+            raced["done"] = True
+            real_insert(
+                "ns", "t",
+                spark.createDataFrame([("k9", 9)], S).coalesce(1),
+            )
+        return real_insert(ns_, tbl, df, **kw)
+
+    wh.insert = racing_insert
+    try:
+        st = sql.execute("REFRESH MATERIALIZED VIEW ns.m")
+    finally:
+        wh.insert = real_insert
+    assert st["incremental"] is True and raced["done"]
+    # the racing commit is NOT yet covered: the MV must report stale
+    wm = wh.mv_doc("ns", "m")["watermarks"]
+    assert wm["ns.t"] < wh.current_version("ns", "t")
+    # and the NEXT refresh picks the late row up — nothing is skipped
+    sql.execute("REFRESH MATERIALIZED VIEW ns.m")
+    got = {(r.id, r.v10) for r in sql.execute("SELECT * FROM ns.m").collect()}
+    assert ("k9", 90) in got and ("k7", 70) in got

@@ -620,3 +620,55 @@ def test_sync_deletes_respects_delete_col(spark, wh):
         sync_deletes=True,
     )
     assert _state(wh) == {"k1": ("k1", "d1", 100)}
+
+
+def test_sync_deletes_cow_delete_wins_within_batch(spark, wh):
+    """A key carrying BOTH a delete marker and an update row in the
+    same batch dies under cow+sync_deletes, matching the MoR and
+    plain-CoW delete-wins semantics (ADVICE r8)."""
+    flagged = StructType(
+        [*SCHEMA.fields, __import__("pyspark").sql.types.StructField(
+            "is_del", __import__("pyspark").sql.types.BooleanType())]
+    )
+    _base(spark, wh, n=3)
+    src = spark.createDataFrame(
+        [
+            ("k0", "d0", 100, False),   # plain update: survives
+            ("k1", "d1", 200, False),   # update for a deleted key: dies
+            ("k1", "d1", 201, True),    # delete marker for k1
+        ],
+        flagged,
+    )
+    wh.merge_upsert(
+        "ns", "t", src, delete_col="is_del", strategy="cow",
+        sync_deletes=True,
+    )
+    assert _state(wh) == {"k0": ("k0", "d0", 100)}
+
+
+def test_delete_col_delete_wins_consistent_across_strategies(spark, wh):
+    """The same marker+update batch produces the same survivors under
+    mor, cow, and cow+sync_deletes (delete always wins)."""
+    flagged = StructType(
+        [*SCHEMA.fields, __import__("pyspark").sql.types.StructField(
+            "is_del", __import__("pyspark").sql.types.BooleanType())]
+    )
+    outcomes = {}
+    for mode in ("mor", "cow", "cow-sync"):
+        with tempfile.TemporaryDirectory() as d:
+            w = Warehouse(spark, d)
+            w.create_namespace("ns")
+            w.create_table("ns", "t", SCHEMA, key="id", partition_by="day")
+            w.insert("ns", "t", _df(spark, [("k1", "d1", 1)]).coalesce(1))
+            src = spark.createDataFrame(
+                [("k1", "d1", 99, False), ("k1", "d1", 98, True)], flagged
+            )
+            w.merge_upsert(
+                "ns", "t", src, delete_col="is_del",
+                strategy="cow" if mode == "cow-sync" else mode,
+                sync_deletes=(mode == "cow-sync"),
+            )
+            outcomes[mode] = {
+                r.id: r.v for r in w.read("ns", "t").collect()
+            }
+    assert outcomes["mor"] == outcomes["cow"] == outcomes["cow-sync"] == {}
