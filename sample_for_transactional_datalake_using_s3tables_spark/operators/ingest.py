@@ -442,7 +442,11 @@ def warehouse_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final state matches the oracle only if enforcement blocked
     exactly the poisoned rows and nothing else; ``enforced`` pins the
     inline rejection python-side."""
-    events = _events_table(spark, sf_dir)
+    # strictly positive values only: the raw table carries value = 0
+    # rows at some scales (the sf1 sweep hit one), which would
+    # legitimately fail add_constraint's existing-row check and negate
+    # to a non-violating 0 in the poisoned batch
+    events = _events_table(spark, sf_dir).filter(F.col("value") > 0)
     root = tempfile.mkdtemp(prefix="wh_constraints_")
     try:
         wh = Warehouse(spark, root)
@@ -475,6 +479,7 @@ WAREHOUSE_CONSTRAINTS_SQL = """
 SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value_final,
        TRUE AS enforced
 FROM events
+WHERE value > 0
 """
 
 
@@ -1475,11 +1480,14 @@ FROM base WHERE event_id % 3 = 0 AND event_id % 5 != 0
 # but events.value >= 0.01 so every id%3 survivor IS an update. No
 # inserts exist in the MERGE batch.
 WAREHOUSE_CHANGELOG_SQL = """
+-- a snapshot DIFF cannot see no-op updates: doubling a value of 0
+-- leaves the row byte-identical, so such keys are UNCHANGED, not
+-- UPDATE (the sf1 sweep surfaced value = 0 rows that sf0.01 lacks)
 SELECT event_type,
        CASE WHEN event_id % 5 = 0 THEN 'DELETE' ELSE 'UPDATE' END AS op,
        COUNT(*) AS n_keys
 FROM events
-WHERE event_id % 5 = 0 OR event_id % 3 = 0
+WHERE event_id % 5 = 0 OR (event_id % 3 = 0 AND value <> 0)
 GROUP BY 1, 2
 """
 

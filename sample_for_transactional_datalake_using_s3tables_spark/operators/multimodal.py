@@ -484,7 +484,16 @@ def _synthesize_media_batches(batches: Iterator) -> Iterator:
                 imgs.append(encode_tiff(px, compression="jpeg"))
             elif d % 3 == 0:
                 px = np.full((h, w, 3), val, dtype=np.uint8)
-                imgs.append(encode_png(px))
+                if d % 2:
+                    # lossy WebP (VP8 intra, round 8): flat images
+                    # reconstruct EXACTLY at qindex 0 (DC-only residual,
+                    # dequant step divides it), so the mean-pixel
+                    # formula oracle holds unchanged
+                    from .vp8codec import encode_webp_lossy
+
+                    imgs.append(encode_webp_lossy(px, qindex=0))
+                else:
+                    imgs.append(encode_png(px))
             elif d % 3 == 1:
                 px = np.full((h, w, 3), val, dtype=np.uint8)
                 imgs.append(encode_tiff(px, compression="lzw"))

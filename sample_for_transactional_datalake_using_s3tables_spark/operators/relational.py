@@ -276,8 +276,17 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_base_price"),
-            F.sum(disc_price).cast(DEC4).alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            # output scale 2 (TPC-H answer convention): a scale-6 sum at
+            # sf>=1 carries 17+ significant digits -- beyond float64 --
+            # and the decimal->double BOUNDARY conversion then differs
+            # by 1 ulp across engines (sf1 sweep, round 8). Explicit
+            # ROUND, not a narrowing cast: Spark's decimal cast rounds
+            # HALF_UP but DuckDB's TRUNCATES; both engines' round() is
+            # half-away-from-zero, so the rounded decimal is identical.
+            F.round(F.sum(disc_price), 2)
+            .cast("decimal(18,2)").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2)
+            .cast("decimal(18,2)").alias("sum_charge"),
             (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -289,8 +298,8 @@ PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6)) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DECIMAL(18,2)) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem

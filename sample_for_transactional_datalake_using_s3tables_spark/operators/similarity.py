@@ -492,9 +492,17 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sums.select(F.col("i").alias("_i"), F.col("s").alias("s_i"))
     sb = sums.select(F.col("i").alias("_j"), F.col("s").alias("s_j"))
-    num = F.col("n") * F.col("s_xy") - F.col("s_i") * F.col("s_j")
-    den = F.col("n") * F.col("n") * F.lit(SCALE).cast("bigint") * F.lit(SCALE).cast(
-        "bigint"
+    # final combine in DOUBLE: the all-bigint numerator n*s_xy - s_i*s_j
+    # overflows int64 at sf1 corpus sizes (s_xy ~ n * SCALE^2; the sf1
+    # sweep caught it). The exact int64 partials convert to double with
+    # one correctly-rounded IEEE conversion each, and the expression
+    # tree below is written IDENTICALLY in the DuckDB oracle, so both
+    # engines produce bit-equal doubles at any scale.
+    nd = F.col("n").cast("double")
+    num = (
+        F.col("s_xy").cast("double") / nd
+        - (F.col("s_i").cast("double") * F.col("s_j").cast("double"))
+        / (nd * nd)
     )
     return (
         pairs.join(F.broadcast(sa), F.col("i") == F.col("_i"))
@@ -503,7 +511,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             "n",
-            (num.cast("double") / den.cast("double")).alias("cov"),
+            (num / F.lit(float(SCALE) * float(SCALE))).alias("cov"),
         )
     )
 
@@ -526,8 +534,10 @@ pairs AS (
   GROUP BY a.i, b.i
 )
 SELECT p.i, p.j, p.n,
-       CAST(p.n * p.s_xy - sa.s * sb.s AS DOUBLE)
-         / CAST(p.n * p.n * {SCALE}::BIGINT * {SCALE}::BIGINT AS DOUBLE) AS cov
+       (CAST(p.s_xy AS DOUBLE) / CAST(p.n AS DOUBLE)
+        - (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE))
+          / (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE)))
+       / ({SCALE}.0 * {SCALE}.0) AS cov
 FROM pairs p
 JOIN sums sa ON p.i = sa.i
 JOIN sums sb ON p.j = sb.i

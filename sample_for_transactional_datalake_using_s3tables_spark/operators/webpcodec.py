@@ -561,21 +561,29 @@ def decode_webp(data: bytes) -> np.ndarray:
     pos = 12
     while pos + 4 <= len(data):
         tag = data[pos : pos + 4]
-        if tag == b"VP8 ":
-            # sniffed even from a truncated header: lossy payloads are
-            # a documented capability seam, not a malformed container
-            raise NotImplementedError(
-                "lossy VP8 WebP needs the full VP8 intra codec (PIL/libwebp "
-                "deployment seam); lossless VP8L decodes here"
-            )
         if pos + 8 > len(data):
             break
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + size]
         if tag == b"VP8L":
             return decode_vp8l(body)
+        if tag == b"VP8 ":
+            # lossy VP8 intra frame (RFC 6386): decoded by the
+            # from-scratch codec in vp8codec.py (round 8; the former
+            # whole-codec seam is now the narrower default-table seam
+            # documented there)
+            from .vp8codec import decode_vp8, yuv420_to_rgb
+
+            f = decode_vp8(body)
+            rgb = yuv420_to_rgb(f.y, f.u, f.v)
+            out = np.empty(
+                (rgb.shape[0], rgb.shape[1], 4), dtype=np.uint8
+            )
+            out[..., :3] = rgb
+            out[..., 3] = 255
+            return out
         pos += 8 + size + (size & 1)
-    raise ValueError("no VP8L chunk in WebP container")
+    raise ValueError("no VP8/VP8L chunk in WebP container")
 
 
 # -- encoder ----------------------------------------------------------------

@@ -179,10 +179,21 @@ def decode_pdf_text(payload: bytes) -> list[str]:
 
     def content_of(oid: int) -> bytes:
         body = objs.get(oid, b"")
-        m = _STREAM_RE.search(body)
-        if not m:
+        sm = re.search(rb"stream\r?\n", body)
+        if not sm:
             return b""
-        data = m.group(1)
+        # honor /Length when the dict declares it: the delimiter-regex
+        # fallback's optional \r would eat a compressed stream's last
+        # byte whenever that byte is 0x0D (~1/256 of documents -- the
+        # sf1 sweep caught exactly this as a truncated-zlib error)
+        lm = re.search(rb"/Length\s+(\d+)", body[: sm.start()])
+        if lm:
+            data = body[sm.end() : sm.end() + int(lm.group(1))]
+        else:
+            m = _STREAM_RE.search(body)
+            if not m:
+                return b""
+            data = m.group(1)
         if b"/FlateDecode" in body:
             data = zlib.decompress(data)
         return data

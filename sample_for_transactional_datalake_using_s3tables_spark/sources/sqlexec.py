@@ -204,6 +204,18 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _depth_at(text: str, pos: int) -> int:
+    """Paren/bracket nesting depth at ``pos`` (over literal-masked
+    text, so quotes need no handling)."""
+    depth = 0
+    for ch in text[:pos]:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+    return depth
+
+
 class WarehouseSQL:
     """Statement router binding a :class:`Warehouse` to SQL text.
 
@@ -1682,8 +1694,22 @@ class WarehouseSQL:
         defaults: dict[str, str] = {}
         generated: dict[str, str] = {}
         identity: dict[str, tuple[int, int]] = {}
+        col_frags = _split_top_level(m.group("cols"))
+        # _split_top_level DROPS empty fragments, so compare against the
+        # raw separator count: a trailing/doubled comma (or an empty
+        # column list) is malformed SQL that fromDDL would silently
+        # tolerate -- the conservative-parse contract says raise
+        masked_cols, _ = _mask_literals(m.group("cols"))
+        n_seps = sum(
+            1 for i, ch in enumerate(masked_cols)
+            if ch == "," and _depth_at(masked_cols, i) == 0
+        )
+        if len(col_frags) != n_seps + 1:
+            raise ValueError(
+                f"empty column definition in CREATE TABLE: {s[:120]!r}"
+            )
         cleaned = []
-        for cd in _split_top_level(m.group("cols")):
+        for cd in col_frags:
             cds = cd.strip()
             im = re.match(
                 r"^(.*?)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"

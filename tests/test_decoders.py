@@ -61,8 +61,10 @@ def test_wav_roundtrip_stereo():
 
 
 def test_undecodable_formats_raise_seam():
-    with pytest.raises(NotImplementedError, match="seam"):
-        decode_image(b"RIFFxxxxWEBPVP8 ")  # WebP: unrecognized container
+    with pytest.raises(ValueError):
+        # truncated VP8 chunk: parsed by the real VP8 decoder (round
+        # 8), rejected as malformed -- no longer a codec seam
+        decode_image(b"RIFFxxxxWEBPVP8 ")
     with pytest.raises(Exception):
         decode_image(b"II*\x00....")  # malformed TIFF: parsed, rejected
     with pytest.raises(NotImplementedError, match="audio library"):

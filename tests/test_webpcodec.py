@@ -106,10 +106,12 @@ def test_container_errors():
         decode_webp(b"NOPE")
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     data = bytearray(encode_webp_lossless(img))
-    # flip the VP8L tag to VP8 (lossy): documented seam
+    # flip the VP8L tag to VP8 (lossy): since round 8 this routes into
+    # the real VP8 decoder, which rejects the VP8L payload as a
+    # malformed VP8 stream instead of raising the old codec seam
     i = data.find(b"VP8L")
     data[i : i + 4] = b"VP8 "
-    with pytest.raises(NotImplementedError, match="VP8"):
+    with pytest.raises(ValueError):
         decode_webp(bytes(data))
     # truncation raises, never corrupts silently
     full = encode_webp_lossless(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
