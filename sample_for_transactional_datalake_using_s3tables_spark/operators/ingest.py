@@ -1120,12 +1120,20 @@ def warehouse_stream_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
         wh = Warehouse(spark, root)
         wh.create_namespace("q")
         wh.create_table("q", "state", events.schema)
-        q = stream_copy_into(spark, wh, landing, ("q", "state"), ckpt)
+        # auto_compact (round 8, Delta autoCompact analog): post-commit
+        # threshold compaction must be invisible to the hashed result
+        q = stream_copy_into(
+            spark, wh, landing, ("q", "state"), ckpt,
+            auto_compact=True, auto_compact_min_files=3,
+        )
         q.awaitTermination(300)
         events.filter(F.col("event_id") % 2 == 1).coalesce(2).write.mode(
             "append"
         ).parquet(landing)
-        q2 = stream_copy_into(spark, wh, landing, ("q", "state"), ckpt)
+        q2 = stream_copy_into(
+            spark, wh, landing, ("q", "state"), ckpt,
+            auto_compact=True, auto_compact_min_files=3,
+        )
         q2.awaitTermination(300)
         tdir = wh._table_dir("q", "state")
         v_before = wh._versions(tdir)[-1]

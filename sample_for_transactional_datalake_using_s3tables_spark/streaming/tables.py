@@ -25,7 +25,39 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.warehouse import Warehouse
+from ..sources.warehouse import CommitConflictError, Warehouse
+
+
+def _maybe_auto_compact(
+    wh: Warehouse, ns: str, table: str,
+    min_files: int, small_file_bytes: int,
+) -> bool:
+    """Post-commit auto-compaction (the Delta autoCompact analog):
+    per-trigger streaming commits land one small file each, so without
+    maintenance a long-running stream degrades every reader. The
+    DECISION is metadata-only -- one manifest read, no data scan -- and
+    fires only when some partition holds ``min_files`` or more files
+    averaging under ``small_file_bytes``; the compaction itself reuses
+    the ordinary :meth:`Warehouse.compact` bin-packing commit. A
+    concurrent-commit conflict just skips this round (maintenance is
+    best-effort; the next trigger re-checks)."""
+    tdir = wh._table_dir(ns, table)
+    doc = wh._manifest_doc(tdir, wh._versions(tdir)[-1])
+    by_part: dict = {}
+    for e in doc["files"]:
+        by_part.setdefault(e.get("partition"), []).append(e)
+    needs = any(
+        len(es) >= min_files
+        and (sum(x.get("bytes", 0) for x in es) / len(es)) < small_file_bytes
+        for es in by_part.values()
+    )
+    if not needs:
+        return False
+    try:
+        wh.compact(ns, table, min_files_per_partition=min_files)
+        return True
+    except CommitConflictError:
+        return False
 
 
 def read_table_stream(
@@ -71,6 +103,9 @@ def stream_table_to_table(
     on_delete: str = "raise",
     mode: str = "merge",
     app_id: str | None = None,
+    auto_compact: bool = False,
+    auto_compact_min_files: int = 8,
+    auto_compact_small_bytes: int = 32 << 20,
 ):
     """Tail ``src``'s append stream and write each micro-batch into
     ``dst`` (optionally through ``transform``, an arbitrary
@@ -92,7 +127,12 @@ def stream_table_to_table(
 
     ``on_delete="skip"`` streams past row-level-DML commits in the
     source (insert-only downstream; the Iceberg
-    streaming-skip-delete-snapshots posture)."""
+    streaming-skip-delete-snapshots posture).
+
+    ``auto_compact=True`` (Delta autoCompact analog) runs a
+    threshold-gated bin-packing compaction after each micro-batch
+    commit, bounding the destination's file count under continuous
+    small-batch traffic; the check is metadata-only per trigger."""
     if mode not in ("merge", "append"):
         raise ValueError(f"unknown sink mode {mode!r}")
     stream = read_table_stream(
@@ -113,6 +153,11 @@ def stream_table_to_table(
             wh.insert(dst_ns, dst_table, batch, txn=(app_id, epoch))
         else:
             wh.merge_upsert(dst_ns, dst_table, batch, strategy=strategy)
+        if auto_compact:
+            _maybe_auto_compact(
+                wh, dst_ns, dst_table,
+                auto_compact_min_files, auto_compact_small_bytes,
+            )
 
     trigger = trigger or {"availableNow": True}
     return (
@@ -135,6 +180,9 @@ def stream_copy_into(
     trigger: dict | None = None,
     max_files_per_trigger: int | None = None,
     app_id: str | None = None,
+    auto_compact: bool = False,
+    auto_compact_min_files: int = 8,
+    auto_compact_small_bytes: int = 32 << 20,
 ):
     """Continuous COPY INTO (the Databricks Auto Loader shape): tail a
     landing DIRECTORY for new files and append each micro-batch into a
@@ -160,6 +208,10 @@ def stream_copy_into(
     ``schema``: required for formats Spark can't infer statically on a
     stream (csv/json); defaults to the DESTINATION table's schema,
     which is almost always what a landing zone contains.
+
+    ``auto_compact=True``: as in :func:`stream_table_to_table` --
+    per-trigger landing files stay bounded by threshold-gated
+    post-commit compaction instead of accumulating one file per epoch.
     """
     from pyspark.sql.types import StructType as _ST
 
@@ -183,6 +235,11 @@ def stream_copy_into(
         if transform is not None:
             batch = transform(batch)
         wh.insert(dst_ns, dst_table, batch, txn=(app_id, epoch))
+        if auto_compact:
+            _maybe_auto_compact(
+                wh, dst_ns, dst_table,
+                auto_compact_min_files, auto_compact_small_bytes,
+            )
 
     trigger = trigger or {"availableNow": True}
     return (

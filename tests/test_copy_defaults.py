@@ -605,3 +605,63 @@ def test_identity_negative_step_never_reissues(wh, spark):
     ex.execute("INSERT INTO ns.neg (id) VALUES ('d'), ('e')")
     allv = sorted(r.seq for r in ex.execute("SELECT seq FROM ns.neg").collect())
     assert allv == [96, 97, 98, 99, 100]  # unique, continues DOWNWARD
+
+
+def test_stream_auto_compact_bounds_file_count(wh, spark, tmp_path):
+    """auto_compact=True (Delta autoCompact analog, round 8): 12
+    landing files drained one per trigger produce 12 tiny per-epoch
+    commits; post-commit threshold compaction keeps the LIVE file
+    count bounded well under one-per-epoch, and the data is intact."""
+    from sample_for_transactional_datalake_using_s3tables_spark.streaming import stream_copy_into
+
+    landing = str(tmp_path / "landing_ac")
+    ckpt = str(tmp_path / "ckpt_ac")
+    rows = [(f"k{i}", "d0", i) for i in range(12)]
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], S).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    q = stream_copy_into(
+        spark, wh, landing, ("ns", "t"), ckpt,
+        max_files_per_trigger=1, auto_compact=True,
+        auto_compact_min_files=4,
+    )
+    q.awaitTermination(300)
+    got = {(r.id, r.v) for r in wh.read("ns", "t").collect()}
+    assert got == {(f"k{i}", i) for i in range(12)}
+    tdir = wh._table_dir("ns", "t")
+    doc = wh._manifest_doc(tdir, wh._versions(tdir)[-1])
+    # 12 epochs without auto-compact => 12 live files; the threshold
+    # (4) keeps the live set strictly below it plus the tail
+    assert len(doc["files"]) <= 4, [e["path"] for e in doc["files"]]
+    # history: at least one commit classified as a replace/compaction
+    idx = wh._commit_index(tdir)
+    assert any(r["op"] in ("replace", "compact") for r in idx)
+
+
+def test_stream_merge_auto_compact(wh, spark, tmp_path):
+    """The table-to-table MERGE sink compacts too: 6 single-row source
+    commits stream across one-at-a-time; the destination's live file
+    count stays bounded."""
+    from sample_for_transactional_datalake_using_s3tables_spark.streaming import (
+        stream_table_to_table,
+    )
+
+    wh.create_table("ns", "dst", S, key="id")
+    wh.create_table("ns", "src_t", S, key="id")
+    ckpt = str(tmp_path / "ckpt_m")
+    for i in range(6):
+        wh.insert(
+            "ns", "src_t",
+            spark.createDataFrame([(f"m{i}", "d0", i)], S).coalesce(1),
+        )
+    q = stream_table_to_table(
+        spark, wh, ("ns", "src_t"), ("ns", "dst"), ckpt,
+        trigger={"availableNow": True}, auto_compact=True,
+        auto_compact_min_files=3,
+    )
+    q.awaitTermination(300)
+    assert wh.read("ns", "dst").count() == 6
+    tdir = wh._table_dir("ns", "dst")
+    doc = wh._manifest_doc(tdir, wh._versions(tdir)[-1])
+    assert len(doc["files"]) <= 3
