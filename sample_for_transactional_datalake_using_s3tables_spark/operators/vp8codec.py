@@ -483,14 +483,30 @@ def _pred_block(plane, x, y, size, mode, frame_w):
 def _bpred_context(plane, x, y, frame_w):
     """(above[8], left[4], above_left) for a 4x4 subblock at plane
     coords (x, y); off-frame above = 127, left = 129, above-right
-    beyond the coded width replicates the last above pixel."""
+    beyond the coded width replicates the last above pixel.
+
+    Above-right rule (12.3): for subblocks in the MB's RIGHT column
+    below its top row, the pixels to the upper right belong to the
+    not-yet-reconstructed neighbor MB -- they are taken from the row
+    above the MACROBLOCK instead (127s when the MB is in the top frame
+    row)."""
     if y > 0:
         above = plane[y - 1, x : x + 4].astype(np.int64)
         ar_x = x + 4
+        # right-column subblock below the MB top row: above-right
+        # comes from the row above the MB, never from inside it
+        ar_y = y - 1
+        if (x & 15) == 12 and (y & 15) != 0:
+            ar_y = (y & ~15) - 1
         ar = np.empty(4, dtype=np.int64)
         for i in range(4):
             xx = ar_x + i
-            ar[i] = plane[y - 1, xx] if xx < frame_w else plane[y - 1, frame_w - 1]
+            if ar_y < 0:
+                ar[i] = 127
+            elif xx < frame_w:
+                ar[i] = plane[ar_y, xx]
+            else:
+                ar[i] = plane[ar_y, frame_w - 1]
         above8 = np.concatenate([above, ar])
     else:
         above8 = np.full(8, 127, dtype=np.int64)
