@@ -5376,10 +5376,17 @@ class Warehouse:
             for p in self._clone_referenced_files(tdir)
         }
         removed = 0
+        prefix = os.path.abspath(tdir) + os.sep
         for v in expire:
             for e in self._doc_all_entries(tdir, v):
                 if e["path"] not in live:
                     path = os.path.join(tdir, e["path"])
+                    # a shallow clone's '..'-relative entries BORROW the
+                    # source's files -- never this table's to delete
+                    # (the reverse of the vacuum footgun: expiring a
+                    # clone must not reach into its source's data dir)
+                    if not os.path.abspath(path).startswith(prefix):
+                        continue
                     if os.path.exists(path):
                         os.remove(path)
                         removed += 1

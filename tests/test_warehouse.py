@@ -1193,3 +1193,43 @@ class TestCloneAwareMaintenance:
         wh.remove_orphan_files("n", "src", older_than_seconds=0)
         assert wh.read("n", "c1").count() == 10
         assert wh.read("m", "c2").count() == 10
+
+
+class TestCloneExpireSafety:
+    def test_expire_on_clone_never_deletes_source_files(self, spark, tmp_path):
+        """The REVERSE vacuum footgun (round 8): a clone whose own DML
+        stops referencing some borrowed ../src files, then
+        expire_snapshots(keep_last=1) on the CLONE -- borrowed files
+        are never the clone's to delete; the source stays fully
+        readable at every version."""
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        S = StructType(
+            [
+                StructField("id", StringType(), False),
+                StructField("day", StringType()),
+                StructField("v", LongType()),
+            ]
+        )
+        wh = Warehouse(spark, str(tmp_path))
+        wh.create_namespace("n")
+        wh.create_table("n", "src", S, key="id", partition_by="day")
+        rows = [(f"k{i}", f"d{i % 2}", i) for i in range(10)]
+        wh.insert("n", "src", spark.createDataFrame(rows, S).coalesce(2))
+        v_src = wh.current_version("n", "src")
+        wh.clone_table("n", "src", "n", "dev")
+        # CoW delete on the clone rewrites the touched partition into
+        # the clone's OWN dir; the borrowed d1 files leave its tip
+        wh.delete_where("n", "dev", F.expr("day = 'd1'"))
+        wh.insert("n", "dev", spark.createDataFrame([("zz", "d0", 99)], S))
+        wh.expire_snapshots("n", "dev", keep_last=1)
+        wh.remove_orphan_files("n", "dev", older_than_seconds=0)
+        # source intact: current read AND time travel
+        assert wh.read("n", "src").count() == 10
+        assert wh.read("n", "src", version=v_src).count() == 10
+        got = {r.id for r in wh.read("n", "dev").collect()}
+        assert "zz" in got and not any(
+            r.day == "d1" for r in wh.read("n", "dev").collect()
+        )
