@@ -871,7 +871,11 @@ def warehouse_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT leak into the clone. ``clone_ok`` folds the metadata
     invariants (clone_source provenance property; source row count
     untouched by the clone's DELETE; the source UPDATE really
-    happened)."""
+    happened) plus the round-8 clone-aware maintenance invariant:
+    expire_snapshots + remove_orphan_files on the SOURCE (the Delta
+    VACUUM footgun) leave the clone's borrowed files live -- the final
+    clone read below happens AFTER source maintenance, so the hash
+    itself certifies it."""
     events = _events_table(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="wh_clone_")
     try:
@@ -890,6 +894,12 @@ def warehouse_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"value": (F.col("value") * 2).cast("decimal(12,2)")},
             F.col("event_id") % 5 == 0,
         )
+        # source maintenance AFTER the source rewrite: pre-round-8 this
+        # deleted the pre-clone files the clone still references (the
+        # UPDATE produced version 2, so keep_last=1 would drop every
+        # version-1 file absent the clone back-refs)
+        wh.expire_snapshots("prod", "t", keep_last=1)
+        wh.remove_orphan_files("prod", "t", older_than_seconds=0.0)
         checks = [
             wh.table_meta("dev", "t")["properties"]["clone_source"]
             == "prod.t@1",
