@@ -731,6 +731,10 @@ def decode_vp8(data: bytes) -> VP8Frame:
     # token partition sizes: (n-1) 3-byte LE sizes at the head of rest
     sizes = []
     off = 3 * (n_parts - 1)
+    if len(rest) < off:
+        raise ValueError(
+            "truncated VP8 stream: partition size table cut off"
+        )
     for i in range(n_parts - 1):
         sizes.append(
             rest[3 * i] | (rest[3 * i + 1] << 8) | (rest[3 * i + 2] << 16)
@@ -872,9 +876,6 @@ def decode_vp8(data: bytes) -> VP8Frame:
                         dq[0] = coeffs[0] * qf.uv[0]
                         dq[1:] = coeffs[1:] * qf.uv[1]
                         coeff_arr[sb] = dq
-                if has_y2 and not mb_has_coeffs:
-                    # Y2-only-zero MB still reconstructs through dcs
-                    pass
 
             # ---- reconstruction ----
             bx, by = mb_x * 16, mb_y * 16
@@ -1010,19 +1011,6 @@ def _simple_filter(px, edge):
         four = [p1, p0, q0, q1]
         _common_adjust(1, four, 0, 1, 2, 3)
         px[1], px[2] = four[1], four[2]
-
-
-def _apply_edge(plane, xs, ys, horizontal, fn, *args):
-    """Run a 8-tap (or 4-tap simple) filter across one edge: for each
-    pixel line crossing the edge, gather p3..q3 (or p1..q1), filter,
-    write back. ``xs, ys`` locate q0; horizontal=True means the edge is
-    a horizontal line (filter along columns)."""
-    h, w = plane.shape
-    n_taps = 4 if fn is _simple_filter else 8
-    half = n_taps // 2
-    for t in range(16 if horizontal else 16):
-        pass  # replaced by caller loops; kept for clarity
-    raise RuntimeError("unused")
 
 
 def _filter_v_edge(plane, x, y0, n, fn, *args):

@@ -182,11 +182,18 @@ def decode_pdf_text(payload: bytes) -> list[str]:
         sm = re.search(rb"stream\r?\n", body)
         if not sm:
             return b""
-        # honor /Length when the dict declares it: the delimiter-regex
-        # fallback's optional \r would eat a compressed stream's last
-        # byte whenever that byte is 0x0D (~1/256 of documents -- the
-        # sf1 sweep caught exactly this as a truncated-zlib error)
-        lm = re.search(rb"/Length\s+(\d+)", body[: sm.start()])
+        # honor /Length when the dict declares it INLINE: the
+        # delimiter-regex fallback's optional \r would eat a compressed
+        # stream's last byte whenever that byte is 0x0D (~1/256 of
+        # documents -- the sf1 sweep caught exactly this as a
+        # truncated-zlib error). An INDIRECT length (`/Length 5 0 R`)
+        # must NOT match -- the digits there are an object number, not
+        # a byte count -- so it falls through to the delimiter scan.
+        # \b blocks backtracking into a shorter digit run that would
+        # sidestep the indirect-reference lookahead
+        lm = re.search(
+            rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)", body[: sm.start()]
+        )
         if lm:
             data = body[sm.end() : sm.end() + int(lm.group(1))]
         else:

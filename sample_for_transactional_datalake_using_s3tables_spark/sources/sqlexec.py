@@ -204,18 +204,6 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def _depth_at(text: str, pos: int) -> int:
-    """Paren/bracket nesting depth at ``pos`` (over literal-masked
-    text, so quotes need no handling)."""
-    depth = 0
-    for ch in text[:pos]:
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-    return depth
-
-
 class WarehouseSQL:
     """Statement router binding a :class:`Warehouse` to SQL text.
 
@@ -1700,10 +1688,14 @@ class WarehouseSQL:
         # column list) is malformed SQL that fromDDL would silently
         # tolerate -- the conservative-parse contract says raise
         masked_cols, _ = _mask_literals(m.group("cols"))
-        n_seps = sum(
-            1 for i, ch in enumerate(masked_cols)
-            if ch == "," and _depth_at(masked_cols, i) == 0
-        )
+        depth = n_seps = 0
+        for ch in masked_cols:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                n_seps += 1
         if len(col_frags) != n_seps + 1:
             raise ValueError(
                 f"empty column definition in CREATE TABLE: {s[:120]!r}"

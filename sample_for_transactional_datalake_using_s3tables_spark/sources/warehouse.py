@@ -597,8 +597,15 @@ class Warehouse:
             or os.path.exists(self._mv_path(new_ns, new_table))
         ):
             raise FileExistsError(f"{new_ns}.{new_table}")
+        # only a clone carries '..'-relative entries to rewrite; a
+        # plain table's rename stays a single metadata-only os.rename
+        # (no O(snapshots) manifest walk)
+        is_clone = "clone_source" in (
+            self.table_meta(ns, table).get("properties") or {}
+        )
         os.rename(src, dst)
-        self._rebase_relative_entries(src, dst)
+        if is_clone:
+            self._rebase_relative_entries(src, dst)
 
     # -- shallow-clone back-references: maintenance on a clone SOURCE
     # must never delete files a registered clone still reads, and a
@@ -629,16 +636,34 @@ class Warehouse:
 
     def _registered_clones(self, tdir: str) -> list[str]:
         """Absolute dirs of this table's LIVE registered shallow
-        clones; back-refs whose clone was dropped are pruned lazily."""
+        clones. Back-refs prune lazily when the clone was dropped OR
+        when the directory at the recorded path no longer references
+        this table's files -- a NEW unrelated table created at a
+        dropped clone's old path must not resurrect the back-ref and
+        wedge drop/rename of the source forever. References can only
+        shrink over a clone's life (DML rewrites into its own dir;
+        _all_entry_paths covers every snapshot, branch, and staged
+        batch), so pruning is permanent-safe."""
         path = self._clones_path(tdir)
         if not os.path.exists(path):
             return []
         with open(path) as f:
             clones = json.load(f)
-        live = [
-            c for c in clones
-            if os.path.isdir(os.path.join(self.root, c))
-        ]
+        prefix = os.path.abspath(tdir) + os.sep
+        live = []
+        for c in clones:
+            cdir = os.path.join(self.root, c)
+            if not os.path.isdir(cdir):
+                continue
+            try:
+                refs_us = any(
+                    p.startswith(prefix)
+                    for p in self._all_entry_paths(cdir)
+                )
+            except (OSError, ValueError, KeyError):
+                refs_us = False  # not a readable table dir: prune
+            if refs_us:
+                live.append(c)
         if live != clones:
             tmp = f"{path}.tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as f:

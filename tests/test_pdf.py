@@ -52,3 +52,26 @@ def test_seams_raise_clearly():
     )
     with pytest.raises(NotImplementedError, match="OCR"):
         decode_pdf_text(scanned)
+
+
+def test_indirect_length_reference_falls_back_to_delimiter():
+    """`/Length 5 0 R` (indirect reference) must NOT be read as a byte
+    count -- the digits are an object number; extraction falls back to
+    the delimiter scan (code-review r8 finding)."""
+    import re
+    import zlib
+
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.pdf import (
+        decode_pdf_text,
+        encode_pdf,
+    )
+
+    pdf = encode_pdf(["hello indirect world"])
+    # rewrite the inline /Length N into an indirect /Length N 0 R form
+    # (padding keeps offsets harmless: the xref is tolerated loosely)
+    out = re.sub(
+        rb"/Length (\d+) >>", rb"/Length \1 0 R>>", pdf, count=1
+    )
+    assert out != pdf
+    pages = decode_pdf_text(out)
+    assert pages == ["hello indirect world"]

@@ -328,3 +328,16 @@ def test_spec_table_seam_roundtrip():
         assert (f.y == ry).all() and (f.u == ru).all() and (f.v == rv).all()
     finally:
         V.DEFAULT_COEFF_PROBS, V.COEFF_UPDATE_PROBS, V.KF_BMODE_PROBS = old
+
+
+def test_truncated_partition_table_raises_valueerror():
+    rng = np.random.RandomState(0)
+    y = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    u = v = np.full((8, 8), 128, dtype=np.uint8)
+    data, *_ = encode_vp8(y, u, v, n_partitions=4)
+    # cut inside the 3*(n-1)-byte partition size table
+    tmp = data[0] | (data[1] << 8) | (data[2] << 16)
+    first_part = tmp >> 5
+    cut = 10 + first_part + 2
+    with pytest.raises(ValueError, match="partition size table"):
+        decode_vp8(data[:cut])

@@ -1233,3 +1233,30 @@ class TestCloneExpireSafety:
         assert "zz" in got and not any(
             r.day == "d1" for r in wh.read("n", "dev").collect()
         )
+
+
+class TestCloneBackrefHygiene:
+    def test_new_table_at_dropped_clone_path_does_not_wedge_source(
+        self, spark, tmp_path
+    ):
+        """A dropped clone's back-ref must not resurrect when an
+        unrelated table is created at the same path -- drop/rename of
+        the source would otherwise be wedged forever (code-review r8
+        finding)."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        S = StructType([StructField("id", StringType(), False)])
+        wh = Warehouse(spark, str(tmp_path))
+        wh.create_namespace("n")
+        wh.create_table("n", "src", S, key="id")
+        wh.insert("n", "src", spark.createDataFrame([("a",), ("b",)], S))
+        wh.clone_table("n", "src", "n", "dev")
+        wh.drop_table("n", "dev")
+        # unrelated table reuses the old clone path
+        wh.create_table("n", "dev", S, key="id")
+        wh.insert("n", "dev", spark.createDataFrame([("x",)], S))
+        # the source is free: no phantom clone blocks drop/rename
+        wh.rename_table("n", "src", "n", "src2")
+        assert wh.read("n", "src2").count() == 2
+        wh.drop_table("n", "src2")
+        assert wh.read("n", "dev").count() == 1
