@@ -53,11 +53,16 @@ def _vdir(tdir: str, branch: str | None = None) -> str:
 
 
 def _versions(tdir: str, branch: str | None) -> list[int]:
+    # keep the filter in lockstep with Warehouse._versions: the version
+    # dir also holds NON-numeric artifacts (_fork.json in every branch
+    # dir, staged-commit drafts), which must never parse as versions --
+    # this standalone copy exists because stream workers deserialize
+    # options and re-import without a Warehouse instance
     vdir = _vdir(tdir, branch)
     return sorted(
         int(f[:-5])
         for f in os.listdir(vdir)
-        if f.endswith(".json") and not f.startswith(".")
+        if f.endswith(".json") and f[:-5].isdigit()
     )
 
 
@@ -117,10 +122,20 @@ class WarehouseAppendsStreamReader(DataSourceStreamReader):
     # -- offsets: {"version": n} = "everything up to snapshot n is
     # consumed"; ranges are replayable because snapshots are immutable --
 
+    def _initial_version(self) -> int:
+        """Default stream baseline: the OLDEST LIVE snapshot. Version 0
+        does not exist on a branch (its dir starts at the fork-point
+        manifest) and stops existing on main after expire_snapshots --
+        a hard-coded 0 made every such stream unstartable. The baseline
+        snapshot's contents are the stream's initial state (not
+        replayed); pass from_version to position explicitly."""
+        versions = _versions(self.tdir, self.branch)
+        return versions[0] if versions else 0
+
     def initialOffset(self) -> dict:
         if self._start is not None:
             return {"version": self._start}
-        return {"version": 0}
+        return {"version": self._initial_version()}
 
     def latestOffset(self) -> dict:
         versions = _versions(self.tdir, self.branch)
@@ -128,7 +143,10 @@ class WarehouseAppendsStreamReader(DataSourceStreamReader):
         if self._max_versions is None:
             return {"version": max(tip, self._hwm)}
         if self._cursor is None:
-            self._cursor = self._start if self._start is not None else 0
+            self._cursor = (
+                self._start if self._start is not None
+                else self._initial_version()
+            )
         # pace forward by at most max_versions, but NEVER below the
         # high-water mark: a regressed offset would replay committed
         # rows (break exactly-once) if the engine trusted it
@@ -155,18 +173,10 @@ class WarehouseAppendsStreamReader(DataSourceStreamReader):
                 f"snapshots {missing} expired under the stream; restart "
                 "from a live snapshot (set from_version)"
             )
-        end_doc = _doc(self.tdir, hi, self.branch)
-        phys = end_doc.get("physical") or {}
-        names = [
-            (phys.get(f.name, f.name), f.name, f.dataType)
-            for f in self.schema.fields
-        ]
         out: list[InputPartition] = []
-        prev_paths = {e["path"] for e in _doc(self.tdir, lo, self.branch)["files"]}
-        prev_dels = {
-            d["path"]
-            for d in _doc(self.tdir, lo, self.branch).get("deletes") or []
-        }
+        doc_lo = _doc(self.tdir, lo, self.branch)
+        prev_paths = {e["path"] for e in doc_lo["files"]}
+        prev_dels = {d["path"] for d in doc_lo.get("deletes") or []}
         for v in range(lo + 1, hi + 1):
             doc = _doc(self.tdir, v, self.branch)
             cur_paths = {e["path"] for e in doc["files"]}
@@ -180,17 +190,40 @@ class WarehouseAppendsStreamReader(DataSourceStreamReader):
                 if self.on_delete == "raise":
                     raise ValueError(
                         f"commit {v} ({op or 'unknown op'}) deletes or "
-                        "rewrites rows; an append stream cannot express it "
-                        "(set on_delete=skip to stream inserts only, or "
-                        "consume Warehouse.changelog() in batch)"
+                        "rewrites rows; an append stream cannot express "
+                        "it (on_delete=skip skips such snapshots "
+                        "ENTIRELY, rows they insert included -- Iceberg "
+                        "streaming-skip-delete/overwrite-snapshots "
+                        "semantics; consume Warehouse.changelog() in "
+                        "batch for row-accurate change streams)"
                     )
                 skip = True  # skip the whole non-append snapshot (Iceberg)
-            if not skip:
+            if not skip and added:
+                # resolve physical names with the ADDING snapshot's own
+                # column mapping: a later rename re-maps the logical
+                # name, and the range-end map would then mis-resolve
+                # (null-filling live data, or resurrecting a retired
+                # physical column after drop + re-add). A logical column
+                # absent from this snapshot's schema null-fills.
+                phys_v = doc.get("physical") or {}
+                doc_fields = (
+                    {fl["name"] for fl in doc["schema"]["fields"]}
+                    if doc.get("schema")
+                    else None
+                )
+                names_v = []
+                for f in self.schema.fields:
+                    if doc_fields is not None and f.name not in doc_fields:
+                        names_v.append((None, f.name, f.dataType))
+                    else:
+                        names_v.append(
+                            (phys_v.get(f.name, f.name), f.name, f.dataType)
+                        )
                 for e in doc["files"]:
                     if e["path"] in added:
                         out.append(
                             _FileSlice(
-                                os.path.join(self.tdir, e["path"]), names
+                                os.path.join(self.tdir, e["path"]), names_v
                             )
                         )
             prev_paths, prev_dels = cur_paths, cur_dels

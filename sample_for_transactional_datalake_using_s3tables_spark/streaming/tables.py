@@ -126,8 +126,10 @@ def stream_table_to_table(
       ``app_id`` defaults to a checkpoint-derived stable id.
 
     ``on_delete="skip"`` streams past row-level-DML commits in the
-    source (insert-only downstream; the Iceberg
-    streaming-skip-delete-snapshots posture).
+    source by skipping such snapshots ENTIRELY -- rows they insert
+    included (the Iceberg streaming-skip-delete/overwrite-snapshots
+    posture; use ``Warehouse.changelog()`` in batch when every row of
+    a mixed commit matters).
 
     ``auto_compact=True`` (Delta autoCompact analog) runs a
     threshold-gated bin-packing compaction after each micro-batch

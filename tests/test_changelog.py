@@ -629,3 +629,69 @@ def test_stream_append_mode_keyless_exactly_once(registered, wh, spark):
         txn=("hop1", used),
     )
     assert wh.count_rows("ns", "log") == 3
+
+
+def test_stream_branch_starts_and_reads(registered, wh, spark):
+    """Streaming a BRANCH (code-review r8 findings): the version dir
+    carries _fork.json (must not parse as a version) and starts at the
+    fork point (a hard-coded initial version 0 made every branch
+    stream unstartable)."""
+    root = wh.root
+    wh.insert("ns", "t", _rows(spark, [("k1", "d0", 1)]))
+    wh.create_branch("ns", "t", "audit")
+    wh.insert("ns", "t", _rows(spark, [("b1", "d0", 10)]), branch="audit")
+    wh.insert("ns", "t", _rows(spark, [("b2", "d1", 11)]), branch="audit")
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp() + "/out"
+    stream = _stream(spark, root, branch="audit")
+    _drain(spark, stream, ckpt, out)
+    got = {r.id for r in spark.read.parquet(out).collect()}
+    # fork-point contents are the baseline state; branch appends stream
+    assert got == {"b1", "b2"}
+
+
+def test_stream_starts_after_expire_snapshots(registered, wh, spark):
+    """expire_snapshots removing version 0 must not make a fresh
+    stream unstartable: the default baseline is the oldest LIVE
+    snapshot (its contents are initial state, not replayed)."""
+    root = wh.root
+    wh.insert("ns", "t", _rows(spark, [("old", "d0", 1)]))
+    wh.insert("ns", "t", _rows(spark, [("mid", "d0", 2)]))
+    wh.expire_snapshots("ns", "t", keep_last=1)
+    wh.insert("ns", "t", _rows(spark, [("new", "d0", 3)]))
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp() + "/out"
+    stream = _stream(spark, root)
+    _drain(spark, stream, ckpt, out)
+    got = {r.id for r in spark.read.parquet(out).collect()}
+    assert got == {"new"}  # baseline = oldest live snapshot's state
+
+
+def test_stream_mid_stream_rename_uses_adding_snapshots_mapping(
+    registered, wh, spark
+):
+    """Files are projected with the ADDING snapshot's column mapping:
+    a pre-stream rename plus a MID-stream rename must keep values
+    flowing (the range-end map would null-fill them)."""
+    root = wh.root
+    wh.rename_column("ns", "t", "v", "val")       # phys map {'val': 'v'}
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("a", "d0", 1)], "id string, day string, val long"),
+    )
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp() + "/out"
+    stream = _stream(spark, root)
+    _drain(spark, stream, ckpt, out)
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("b", "d0", 2)], "id string, day string, val long"),
+    )
+    wh.rename_column("ns", "t", "val", "val2")    # mid-stream rename
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("c", "d0", 3)], "id string, day string, val2 long"),
+    )
+    _drain(spark, stream, ckpt, out)
+    rows = {r.id: r.val for r in spark.read.parquet(out).collect()}
+    # 'b' was added while the logical name was still 'val': its value
+    # must survive the later rename (pre-fix: NULL); 'c' was added
+    # under 'val2', which the fixed stream schema (val) null-fills
+    assert rows["a"] == 1 and rows["b"] == 2
