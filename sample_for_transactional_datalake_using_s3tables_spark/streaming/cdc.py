@@ -85,7 +85,12 @@ def _unwrap(img: Column, field: StructField) -> Column:
     numbers as {"N": "<string>"} so every tag coalesces to string first,
     then casts to the schema type."""
     cell = img[field.name]
-    raw = F.coalesce(cell["S"], cell["N"], cell["BOOL"], cell["NULL"])
+    # NULL-tagged attributes ({"NULL": true}) are deliberately NOT in
+    # the coalesce: from_json into map<string,string> stringifies the
+    # JSON boolean, so including the tag would write the literal
+    # string "true" instead of SQL NULL (and a NULL-tagged key would
+    # dodge the required-key quarantine)
+    raw = F.coalesce(cell["S"], cell["N"], cell["BOOL"])
     return raw.cast(field.dataType).alias(field.name)
 
 
@@ -107,7 +112,11 @@ def parse_cdc(
         else F.col(json_col)
     )
     env = raw.select(
-        payload.alias("_raw"),
+        # quarantine preserves the ORIGINAL record (base64 included) so
+        # dead-letter rows replay through the same ingest path verbatim
+        # -- storing the decoded text would double-decode on replay and
+        # mangle undecodable bytes into replacement chars
+        F.col(json_col).alias("_raw"),
         F.from_json(payload, CDC_ENVELOPE_DDL).alias("e"),
     )
     img = F.col("e.dynamodb.NewImage")
@@ -120,8 +129,15 @@ def parse_cdc(
             if f.name not in DERIVED
         ],
     )
-    # T3: derive date/hour/minute from epoch-millis (UTC).
-    ts = F.timestamp_millis(F.col("timestamp"))
+    # T3: derive date/hour/minute from epoch-millis in UTC regardless
+    # of the session timezone (a foreign session defaulting to a local
+    # zone would otherwise land rows in the wrong date partition).
+    # Two-arg convert_timezone (sourceTz=None) maps the INSTANT to a
+    # UTC wall-clock TIMESTAMP_NTZ; the 3-arg form would reinterpret
+    # through the session zone.
+    ts = F.convert_timezone(
+        None, F.lit("UTC"), F.timestamp_millis(F.col("timestamp"))
+    )
     parsed = parsed.withColumns(
         {"date": ts.cast("date"), "hour": F.hour(ts), "minute": F.minute(ts)}
     )
@@ -178,11 +194,17 @@ def merge_cdc_batch(
     table: str = "transactions",
     quarantine_table: str = "transactions_errors",
     strategy: str = "cow",
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """One micro-batch: parse -> quarantine split -> latest-wins MERGE.
 
     Idempotent under replay (at-least-once delivery + keyed upsert ==
-    the reference's effectively-once, stack/firehose.py:99).
+    the reference's effectively-once, stack/firehose.py:99). The
+    QUARANTINE append is keyless, so its replay protection is the
+    Delta-style ``txn=(app_id, epoch)`` stamp -- the streaming entry
+    point supplies it; without it a batch replayed after a crash
+    between the quarantine commit and the checkpoint would duplicate
+    dead-letter rows.
 
     Single-pass: the parsed batch is cached, one aggregate computes both
     split sizes (fully populating the cache), and the sinks read from
@@ -196,13 +218,13 @@ def merge_cdc_batch(
             F.count(F.when(F.col("_keep"), 1)).alias("n_good"),
         ).first()
         if n_bad:
-            if quarantine_table not in wh.list_tables(ns):
-                wh.create_table(
-                    ns,
-                    quarantine_table,
-                    StructType([StructField("raw_record", StringType())]),
-                )
-            wh.insert(ns, quarantine_table, quarantine_rows(parsed))
+            # idempotent: create_table defaults if_not_exists=True
+            wh.create_table(
+                ns,
+                quarantine_table,
+                StructType([StructField("raw_record", StringType())]),
+            )
+            wh.insert(ns, quarantine_table, quarantine_rows(parsed), txn=txn)
         if n_good:
             wh.merge_upsert(
                 ns, table, good_rows(parsed),
@@ -221,6 +243,7 @@ def stream_cdc_to_table(
     table: str = "transactions",
     trigger: dict | None = None,
     strategy: str = "cow",
+    quarantine_table: str = "transactions_errors",
 ):
     """S1/S6: file-source CDC stream (simulating the shard poller,
     reference stack/firehose.py:249-257) -> 60 s-style micro-batches ->
@@ -235,11 +258,16 @@ def stream_cdc_to_table(
         .option("maxFilesPerTrigger", 100)  # reference batch_size=100
         .load(source_dir)
     )
+    import hashlib
+
+    app_id = "cdcq-" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
     trigger = trigger or {"availableNow": True}
     return (
         raw.writeStream.foreachBatch(
-            lambda batch, _epoch: merge_cdc_batch(
-                wh, batch, ns, table, strategy=strategy
+            lambda batch, epoch: merge_cdc_batch(
+                wh, batch, ns, table, strategy=strategy,
+                quarantine_table=quarantine_table,
+                txn=(app_id, epoch),
             )
         )
         .option("checkpointLocation", checkpoint_dir)

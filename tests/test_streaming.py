@@ -222,3 +222,88 @@ def test_streaming_mor_end_to_end(spark, wh):
             for r in wh.read("analytics", "transactions").collect()
         }
         assert got2 == got
+
+
+def test_null_tagged_attribute_unwraps_to_sql_null(spark):
+    """{"NULL": true} attributes must land as SQL NULL, not the string
+    "true" (from_json stringifies the JSON boolean; code-review r8).
+    A NULL-tagged REQUIRED key quarantines instead of sneaking in."""
+    import json
+
+    from sample_for_transactional_datalake_using_s3tables_spark.streaming.cdc import parse_cdc
+
+    good = json.dumps({"eventName": "INSERT", "dynamodb": {"NewImage": {
+        "transaction_id": {"S": "T1"}, "timestamp": {"N": "1000"},
+        "status": {"NULL": "true"}}}})
+    keyless = json.dumps({"eventName": "INSERT", "dynamodb": {"NewImage": {
+        "transaction_id": {"NULL": "true"}, "timestamp": {"N": "2000"}}}})
+    df = spark.createDataFrame([(good,), (keyless,)], "value string")
+    rows = parse_cdc(df).select(
+        "transaction_id", "status", "_keep", "_corrupt"
+    ).collect()
+    by_keep = {bool(r._keep): r for r in rows}
+    assert by_keep[True].status is None
+    assert by_keep[False].transaction_id is None
+    assert by_keep[False]._corrupt is not None  # quarantined, not kept
+
+
+def test_time_derivation_pinned_to_utc(spark):
+    """date/hour/minute derive in UTC even under a non-UTC session
+    (partition placement must not depend on session timezone)."""
+    import json
+
+    from sample_for_transactional_datalake_using_s3tables_spark.streaming.cdc import parse_cdc
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        rec = json.dumps({"eventName": "INSERT", "dynamodb": {"NewImage": {
+            "transaction_id": {"S": "T1"},
+            "timestamp": {"N": "1755216600000"}}}})  # 2025-08-15T00:10Z
+        df = spark.createDataFrame([(rec,)], "value string")
+        row = parse_cdc(df).select("date", "hour").first()
+        assert str(row.date) == "2025-08-15" and row.hour == 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_quarantine_replay_is_idempotent(spark, wh):
+    """A replayed micro-batch (same txn stamp) must not duplicate
+    dead-letter rows: the quarantine append is keyless, so its replay
+    protection is the txn=(app_id, epoch) manifest stamp."""
+    from sample_for_transactional_datalake_using_s3tables_spark.streaming.cdc import (
+        create_transactions_table,
+        merge_cdc_batch,
+    )
+
+    create_transactions_table(wh)
+    batch = spark.createDataFrame([("NOTJSON|1",), ("NOTJSON|2",)], "value string")
+    merge_cdc_batch(wh, batch, txn=("cdcq-test", 7))
+    merge_cdc_batch(wh, batch, txn=("cdcq-test", 7))  # crash-replay
+    assert wh.read("analytics", "transactions_errors").count() == 2
+    merge_cdc_batch(wh, batch, txn=("cdcq-test", 8))  # a NEW epoch lands
+    assert wh.read("analytics", "transactions_errors").count() == 4
+
+
+def test_base64_quarantine_preserves_original_record(spark):
+    """On the Kinesis (base64) path, quarantined rows hold the ORIGINAL
+    base64 record so they replay through the same ingest path verbatim
+    (pre-fix: the decoded text, which would double-decode to garbage)."""
+    import base64
+
+    from sample_for_transactional_datalake_using_s3tables_spark.streaming.cdc import (
+        parse_cdc,
+        quarantine_rows,
+    )
+
+    original = base64.b64encode(b"NOTJSON garbage").decode()
+    df = spark.createDataFrame([(original,)], "value string")
+    parsed = parse_cdc(df, base64_encoded=True)
+    q = quarantine_rows(parsed).collect()
+    assert [r.raw_record for r in q] == [original]
+    # and the preserved record replays through the same path unchanged
+    replay = parse_cdc(
+        spark.createDataFrame([(q[0].raw_record,)], "value string"),
+        base64_encoded=True,
+    )
+    assert quarantine_rows(replay).collect()[0].raw_record == original
