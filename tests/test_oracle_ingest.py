@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from sample_for_transactional_datalake_using_s3tables_spark.operators import ingest
@@ -20,3 +22,48 @@ def con():
 @pytest.mark.parametrize("name", sorted(ingest.QUERIES))
 def test_ingest_oracle(spark, sf_dir, con, name):
     compare(ingest.QUERIES[name](spark, sf_dir), con, ingest.ORACLES[name], name)
+
+
+def test_constraints_fixture_independent(spark, tmp_path):
+    """VERDICT r8 #6: warehouse_constraints must hold for ANY fixture
+    content -- the CHECK threshold is derived from the data, so an
+    events table carrying zero and negative values (the case that
+    broke the old `value > 0` constraint at sf1) stays green."""
+    import pyspark.sql.functions as F
+
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(400)
+    hostile = base.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(0.0))
+        .when(F.col("event_id") % 11 == 0, -F.abs(F.col("value")))
+        .otherwise(F.col("value")),
+    )
+    sf_dir = str(tmp_path / "sf_hostile")
+    os.makedirs(sf_dir)
+    # single-FILE parquet (like the driver's testdata; a Spark write
+    # would produce a directory DuckDB's read_parquet can't open)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(hostile.toPandas()),
+        f"{sf_dir}/events.parquet",
+        coerce_timestamps="us",  # Spark rejects TIMESTAMP(NANOS)
+        allow_truncated_timestamps=True,
+    )
+    # duckdb_connection binds every table view eagerly; link the rest
+    from .oracle_utils import TABLES
+
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{SF_DIR}/{t}.parquet", f"{sf_dir}/{t}.parquet")
+    con = duckdb_connection(sf_dir)
+    try:
+        compare(
+            ingest.QUERIES["warehouse_constraints"](spark, sf_dir),
+            con,
+            ingest.ORACLES["warehouse_constraints"],
+            "warehouse_constraints-hostile-fixture",
+        )
+    finally:
+        con.close()

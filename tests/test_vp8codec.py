@@ -28,7 +28,7 @@ from sample_for_transactional_datalake_using_s3tables_spark.operators.vp8codec i
     KF_YMODE_PROBS,
     KF_YMODE_TREE,
     ZIGZAG,
-    decode_vp8,
+    decode_vp8 as _decode_vp8_guarded,
     encode_vp8,
     encode_webp_lossy,
     idct4x4,
@@ -42,6 +42,13 @@ from sample_for_transactional_datalake_using_s3tables_spark.operators.vp8codec i
 from sample_for_transactional_datalake_using_s3tables_spark.operators.webpcodec import (
     decode_webp,
 )
+
+
+def decode_vp8(data):
+    """Fixture round-trips decode their own encoder's streams, so the
+    placeholder-table opt-in is the point here (the guard itself is
+    tested in test_placeholder_guard_*)."""
+    return _decode_vp8_guarded(data, allow_placeholder_tables=True)
 
 FAST = settings(
     max_examples=20, deadline=None,
@@ -321,13 +328,70 @@ def test_spec_table_seam_roundtrip():
             rng.randint(1, 255, (4, 8, 3, 11)),
             rng.randint(1, 255, (10, 10, 9)),
         )
+        assert V.SPEC_TABLES_LOADED
         y, u, v = _planes(rng, 32, 32)
         data, ry, ru, rv = encode_vp8(y, u, v, qindex=30, mode_mix=True,
                                       use_bpred=True)
-        f = decode_vp8(data)
+        # tables "loaded": no opt-in needed
+        f = _decode_vp8_guarded(data)
         assert (f.y == ry).all() and (f.u == ru).all() and (f.v == rv).all()
     finally:
         V.DEFAULT_COEFF_PROBS, V.COEFF_UPDATE_PROBS, V.KF_BMODE_PROBS = old
+        V.SPEC_TABLES_LOADED = False
+
+
+def test_placeholder_guard_refuses_untagged_streams():
+    """While the placeholder tables are loaded: a raw VP8 payload with
+    no opt-in refuses loudly (naming load_spec_tables), and a WebP
+    container WITHOUT the SGft fixture marker refuses likewise -- a
+    third-party libwebp file must never silently mis-decode
+    (ADVICE r9 #1 / VERDICT r8 #8)."""
+    import struct
+
+    rgb = np.full((8, 8, 3), 77, dtype=np.uint8)
+    fixture = encode_webp_lossy(rgb, qindex=0)
+    # direct payload, no opt-in
+    (size,) = struct.unpack_from("<I", fixture, 16)
+    payload = fixture[20 : 20 + size]
+    with pytest.raises(ValueError, match="load_spec_tables"):
+        _decode_vp8_guarded(payload)
+    # container without the marker chunk (simulates third-party file)
+    chunk = fixture[12 : 20 + size + (size & 1)]  # tag+len+payload+pad
+    foreign = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    assert b"SGft" not in foreign
+    with pytest.raises(ValueError, match="load_spec_tables"):
+        decode_webp(foreign)
+    # the marker-tagged fixture file flows
+    out = decode_webp(fixture)
+    assert (out[..., :3] == 77).all()
+
+
+def test_placeholder_guard_refuses_cross_table_fixture_streams():
+    """A fixture stream encoded under one table generation refuses to
+    decode under another (SGft digest mismatch) -- in BOTH directions
+    across a load_spec_tables swap."""
+    from sample_for_transactional_datalake_using_s3tables_spark.operators import vp8codec as V
+
+    rgb = np.full((8, 8, 3), 42, dtype=np.uint8)
+    placeholder_era = encode_webp_lossy(rgb, qindex=0)
+    old = (V.DEFAULT_COEFF_PROBS, V.COEFF_UPDATE_PROBS, V.KF_BMODE_PROBS)
+    rng = np.random.RandomState(9)
+    try:
+        V.load_spec_tables(
+            rng.randint(1, 255, (4, 8, 3, 11)),
+            rng.randint(1, 255, (4, 8, 3, 11)),
+            rng.randint(1, 255, (10, 10, 9)),
+        )
+        spec_era = encode_webp_lossy(rgb, qindex=0)
+        assert (decode_webp(spec_era)[..., :3] == 42).all()
+        with pytest.raises(ValueError, match="digest mismatch"):
+            decode_webp(placeholder_era)  # old fixture, new tables
+    finally:
+        V.DEFAULT_COEFF_PROBS, V.COEFF_UPDATE_PROBS, V.KF_BMODE_PROBS = old
+        V.SPEC_TABLES_LOADED = False
+    with pytest.raises(ValueError, match="digest mismatch"):
+        decode_webp(spec_era)  # new fixture, old tables
+    assert (decode_webp(placeholder_era)[..., :3] == 42).all()
 
 
 def test_truncated_partition_table_raises_valueerror():
