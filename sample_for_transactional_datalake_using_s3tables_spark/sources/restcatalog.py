@@ -254,10 +254,28 @@ class IcebergRestCatalogServer:
                 pass
 
             def _body(self) -> dict:
-                n = int(self.headers.get("Content-Length") or 0)
-                if not n:
-                    return {}
-                return json.loads(self.rfile.read(n))
+                """Parse the request body AT THE BOUNDARY: anything
+                malformed is the spec's ErrorModel 400 here, so the
+                route handlers never rely on a blanket exception map
+                that would also swallow engine bugs (ADVICE r9 #3)."""
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                    if not n:
+                        return {}
+                    doc = json.loads(self.rfile.read(n))
+                except (ValueError, UnicodeDecodeError) as e:
+                    raise _HttpError(
+                        400,
+                        "BadRequestException",
+                        f"malformed request body: {type(e).__name__}: {e}",
+                    ) from e
+                if not isinstance(doc, dict):
+                    raise _HttpError(
+                        400,
+                        "BadRequestException",
+                        "request body must be a JSON object",
+                    )
+                return doc
 
             def _send(self, code: int, doc: dict | None) -> None:
                 payload = (
@@ -288,21 +306,12 @@ class IcebergRestCatalogServer:
                             }
                         },
                     )
-                except (
-                    json.JSONDecodeError, KeyError, ValueError, TypeError
-                ) as e:
-                    # malformed body / missing required field: the spec's
-                    # ErrorModel 400, never a dropped connection
-                    self._send(
-                        400,
-                        {
-                            "error": {
-                                "message": f"{type(e).__name__}: {e}",
-                                "type": "BadRequestException",
-                                "code": 400,
-                            }
-                        },
-                    )
+                # NO blanket (KeyError, ValueError, ...) -> 400 here:
+                # request validation happens at the boundary (_body,
+                # _client_input, explicit _HttpError raises), so those
+                # exception types escaping a handler are genuine
+                # server-side bugs and belong to the ErrorModel 500
+                # below (ADVICE r9 #3)
                 except Exception as e:  # anything else: ErrorModel 500
                     self._send(
                         500,
@@ -530,15 +539,22 @@ class IcebergRestCatalogServer:
             raise _HttpError(
                 409, "AlreadyExistsException", f"table {ns}.{name} exists"
             )
-        schema = iceberg_to_spark_schema(body["schema"])
+        if "schema" not in body:
+            raise _HttpError(400, "BadRequestException", "missing schema")
+        schema = self._client_input(
+            "schema", lambda: iceberg_to_spark_schema(body["schema"])
+        )
         props = body.get("properties") or {}
         self.wh.create_table(
             ns,
             name,
             schema,
             key=props.get("primary-key"),
-            partition_by=self._spec_to_partition_by(
-                body.get("partition-spec"), body["schema"]
+            partition_by=self._client_input(
+                "partition-spec",
+                lambda: self._spec_to_partition_by(
+                    body.get("partition-spec"), body["schema"]
+                ),
             ),
             if_not_exists=False,
         )
@@ -719,6 +735,23 @@ class IcebergRestCatalogServer:
         }
 
     # - helpers -
+
+    @staticmethod
+    def _client_input(what: str, fn):
+        """Evaluate a parse of CLIENT-supplied structure: malformed
+        shapes become the ErrorModel 400 at the endpoint boundary;
+        everything raised elsewhere keeps propagating to the generic
+        500 handler (ADVICE r9 #3 -- no blanket exception mapping)."""
+        try:
+            return fn()
+        except _HttpError:
+            raise
+        except (KeyError, ValueError, TypeError, AttributeError, IndexError) as e:
+            raise _HttpError(
+                400,
+                "BadRequestException",
+                f"malformed {what}: {type(e).__name__}: {e}",
+            ) from e
 
     def _ns_of(self, v) -> str:
         if isinstance(v, list):

@@ -484,3 +484,68 @@ def test_list_pagination_and_metrics(cat, spark):
     with pytest.raises(RestCatalogError) as e:
         client.report_metrics("p", "nope", {})
     assert e.value.code == 404
+
+
+def test_server_bugs_are_500_client_shapes_are_400(cat, monkeypatch):
+    """ADVICE r9 #3: KeyError/ValueError raised by ENGINE internals
+    must surface as the ErrorModel 500 (server bug), not be mislabeled
+    BadRequestException; genuinely malformed client structures stay
+    400 via boundary validation."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    client, wh = cat
+    client.create_namespace("q")
+    base = client.uri if hasattr(client, "uri") else client._uri
+
+    def post(path, doc):
+        req = urllib.request.Request(
+            base + path, data=_json.dumps(doc).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, _json.loads(r.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            return e.code, _json.loads(e.read() or b"{}")
+
+    good_schema = {
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "id", "type": "string", "required": True}
+        ],
+    }
+    # malformed SCHEMA structure (client's fault) -> 400
+    code, doc = post(
+        "/v1/namespaces/q/tables",
+        {"name": "t1", "schema": {"type": "struct", "fields": [{"nope": 1}]}},
+    )
+    assert code == 400 and doc["error"]["type"] == "BadRequestException"
+    # missing schema -> 400 with a self-explaining message
+    code, doc = post("/v1/namespaces/q/tables", {"name": "t1"})
+    assert code == 400 and "schema" in doc["error"]["message"]
+    # non-object body -> 400
+    req = urllib.request.Request(
+        base + "/v1/namespaces/q/tables", data=b"[1,2]",
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+    # an engine-side KeyError (injected into the warehouse) -> 500,
+    # NOT BadRequestException
+    import sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse as whmod
+
+    def boom(self, *a, **kw):
+        raise KeyError("engine internal bug")
+
+    monkeypatch.setattr(whmod.Warehouse, "create_table", boom)
+    code, doc = post(
+        "/v1/namespaces/q/tables", {"name": "t2", "schema": good_schema}
+    )
+    assert code == 500, f"engine bug mislabeled as {code}: {doc}"
+    assert doc["error"]["type"] == "InternalServerError"
