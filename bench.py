@@ -217,6 +217,209 @@ def bench_dml(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
+    """Streaming-ingest benchmark (VERDICT r8 #1): the ONE performance
+    bound the reference publishes is ingest latency -- ~60-120 s,
+    buffer-bound (two 60 s / 1 MB Firehose buffers in series;
+    BASELINE.md "End-to-end ingest latency", reference
+    stack/firehose.py:93,153). Measured here:
+
+    - ``cdc_rows_per_sec``: sustained throughput of the full CDC
+      parse -> AttributeValue unwrap -> quarantine split -> latest-wins
+      MERGE path (streaming/cdc.py) over the SF's events re-encoded as
+      DynamoDB-Streams envelopes, multi-trigger availableNow.
+    - ``cdc_commit_to_queryable_sec``: wall from a NEW landing file to
+      its rows readable from the warehouse table -- the engine's
+      equivalent of the reference's write->queryable bound.
+    - ``copy_rows_per_sec`` / ``copy_rows_per_sec_autocompact``:
+      streaming COPY INTO (streaming/tables.py), auto-compact off/on.
+    - ``copy_commit_to_queryable_sec``: same latency probe on the COPY
+      path.
+
+    Failure-isolated per phase like bench_dml."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.testdata import load_table
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
+    from sample_for_transactional_datalake_using_s3tables_spark.streaming.cdc import (
+        create_transactions_table,
+        stream_cdc_to_table,
+    )
+    from sample_for_transactional_datalake_using_s3tables_spark.streaming.tables import (
+        stream_copy_into,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    out: dict[str, float] = {}
+
+    def _attr(col, tag="S"):
+        return F.struct(col.cast("string").alias(tag))
+
+    try:
+        events = load_table(spark, sf_dir, "events")
+        n_rows = events.count()
+        # DynamoDB-Streams envelopes from the events table (FIXTURES.md
+        # F2 shape): one JSON line per event, sharded into ~100-record
+        # files matching the reference's stream-poll batch size
+        # (stack/firehose.py:254-255 batch_size=100); maxFilesPerTrigger
+        # =100 in stream_cdc_to_table then yields multi-trigger runs.
+        env = events.select(
+            F.to_json(
+                F.struct(
+                    F.lit("INSERT").alias("eventName"),
+                    F.struct(
+                        F.struct(
+                            _attr(F.concat(F.lit("TXN_"), F.col("event_id")))
+                            .alias("transaction_id"),
+                            F.struct(
+                                F.unix_millis(F.col("ts")).cast("string")
+                                .alias("N")
+                            ).alias("timestamp"),
+                            _attr(F.concat(F.lit("CUST_"), F.col("user_id")))
+                            .alias("customer_id"),
+                            _attr(F.col("event_type")).alias("transaction_type"),
+                            F.struct(
+                                F.col("value").cast("decimal(12,2)")
+                                .cast("string").alias("N")
+                            ).alias("amount"),
+                            _attr(F.lit("USD")).alias("currency"),
+                            _attr(F.lit("RETAIL")).alias("merchant_category"),
+                            _attr(F.lit("CREDIT_CARD")).alias("payment_method"),
+                            _attr(F.lit("US_EAST")).alias("region"),
+                            _attr(F.lit("LOW")).alias("risk_score"),
+                            _attr(F.lit("APPROVED")).alias("status"),
+                            F.struct(
+                                (F.unix_millis(F.col("ts")) + 100)
+                                .cast("string").alias("N")
+                            ).alias("processing_timestamp"),
+                        ).alias("NewImage")
+                    ).alias("dynamodb"),
+                )
+            ).alias("value")
+        )
+        n_shards = max(4, n_rows // 100)
+        src = f"{root}/cdc_src"
+        env.repartition(n_shards).write.mode("overwrite").text(src)
+
+        wh = Warehouse(spark, f"{root}/wh")
+        create_transactions_table(wh)
+
+        # (a) sustained CDC ingest: all shards, multiple micro-batches
+        try:
+            t0 = time.perf_counter()
+            q = stream_cdc_to_table(spark, src, wh, f"{root}/ckpt_cdc")
+            q.awaitTermination(1800)
+            wall = time.perf_counter() - t0
+            out["cdc_rows"] = float(n_rows)
+            out["cdc_wall_sec"] = round(wall, 3)
+            out["cdc_rows_per_sec"] = round(n_rows / wall, 1)
+        except Exception as e:  # noqa: BLE001
+            print(f"# streaming cdc: {type(e).__name__}: {e}"[:300],
+                  file=sys.stderr)
+
+        # (b) commit-to-queryable: one NEW 100-record file through the
+        # same checkpointed pipeline, timed until a reader sees the rows
+        try:
+            import json as _json
+
+            lines = [
+                _json.dumps(
+                    {
+                        "eventName": "INSERT",
+                        "dynamodb": {
+                            "NewImage": {
+                                "transaction_id": {"S": f"LAT_{i}"},
+                                "timestamp": {"N": "1718300000123"},
+                                "amount": {"N": "9.99"},
+                                "processing_timestamp": {"N": "1718300000223"},
+                            }
+                        },
+                    }
+                )
+                for i in range(100)
+            ]
+            with open(os.path.join(src, "latency_probe.jsonl"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+            t0 = time.perf_counter()
+            q = stream_cdc_to_table(spark, src, wh, f"{root}/ckpt_cdc")
+            q.awaitTermination(600)
+            visible = (
+                wh.read("analytics", "transactions")
+                .filter(F.col("transaction_id").startswith("LAT_"))
+                .count()
+            )
+            lat = time.perf_counter() - t0
+            if visible == 100:
+                out["cdc_commit_to_queryable_sec"] = round(lat, 3)
+            else:
+                print(f"# streaming cdc latency: {visible}/100 visible",
+                      file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# streaming cdc latency: {type(e).__name__}: {e}"[:300],
+                  file=sys.stderr)
+
+        # (c) streaming COPY INTO: parquet landing -> keyless
+        # exactly-once append, auto-compact OFF then ON
+        plain = events.select(
+            "event_id", "event_type", "user_id",
+            F.col("value").cast("decimal(12,2)").alias("value"),
+        )
+        landing = f"{root}/landing"
+        plain.repartition(64).write.mode("overwrite").parquet(landing)
+        for label, ac in (("copy", False), ("copy_autocompact", True)):
+            try:
+                tname = f"copy_{int(ac)}"
+                wh.create_table("analytics", tname, plain.schema)
+                t0 = time.perf_counter()
+                q = stream_copy_into(
+                    spark, wh, landing, ("analytics", tname),
+                    f"{root}/ckpt_{tname}", max_files_per_trigger=16,
+                    auto_compact=ac,
+                )
+                q.awaitTermination(1800)
+                wall = time.perf_counter() - t0
+                out[f"{label}_rows_per_sec"] = round(n_rows / wall, 1)
+                if not ac:
+                    # stage the probe OUTSIDE the landing dir, then move
+                    # one part file in (the file source doesn't recurse)
+                    probe_tmp = f"{root}/probe_tmp"
+                    plain.limit(100).coalesce(1).write.mode(
+                        "overwrite"
+                    ).parquet(probe_tmp)
+                    import glob as _glob
+                    import shutil as _sh
+
+                    part = _glob.glob(f"{probe_tmp}/part-*.parquet")[0]
+                    t0 = time.perf_counter()
+                    _sh.copy(part, f"{landing}/probe-0000.parquet")
+                    q = stream_copy_into(
+                        spark, wh, landing, ("analytics", tname),
+                        f"{root}/ckpt_{tname}", max_files_per_trigger=16,
+                    )
+                    q.awaitTermination(600)
+                    n_after = wh.read("analytics", tname).count()
+                    lat = time.perf_counter() - t0
+                    if n_after == n_rows + 100:
+                        out["copy_commit_to_queryable_sec"] = round(lat, 3)
+                    else:
+                        print(
+                            f"# copy latency: {n_after} != {n_rows + 100}",
+                            file=sys.stderr,
+                        )
+            except Exception as e:  # noqa: BLE001
+                print(f"# streaming {label}: {type(e).__name__}: {e}"[:300],
+                      file=sys.stderr)
+
+        # the reference's own bound, for the BENCH/BASELINE cross-read
+        out["reference_ingest_bound_sec"] = 60.0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     import argparse
 
@@ -290,6 +493,11 @@ def main() -> None:
     # 20-query headline series stays comparable across rounds)
     dml = bench_dml(spark, sf_dir)
 
+    # third section: streaming ingest (rows/s + commit-to-queryable
+    # latency vs the reference's 60-120 s buffer-bound ingest --
+    # BASELINE.md; also kept out of "value")
+    streaming = bench_streaming(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_wall_seconds",
@@ -299,6 +507,7 @@ def main() -> None:
         "sf": sf,
         "dml": dml,
         "dml_seconds": round(sum(dml.values()), 3),
+        "streaming": streaming,
     }
     if errors:
         out["errors"] = errors
