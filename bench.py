@@ -420,6 +420,111 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_planning(spark) -> dict[str, float]:
+    """Manifest-planning scale microbench (VERDICT r8 #4): synthesize a
+    100,000-entry STATS-ONLY manifest (planning is metadata-only, so no
+    data files are needed) and time the driver-side planning surfaces
+    SURVEY §9 claims distribute past 4096 entries:
+
+    - ``plan_full``: full manifest load (+schema bind)
+    - ``plan_predicate``: min/max+Bloom data skipping down to 1 file
+      (the >4096-entry path runs distributed via sc.parallelize)
+    - ``plan_partition``: partition pruning to 1/32 of the entries
+    - ``delete_noop``: predicate DELETE whose pruning proves 0 matches
+      (pure metadata, no rewrite)
+    - ``commit_index_rebuild``: _commits.idx rebuilt from manifests
+    - ``clone``: shallow clone of the 100k-entry snapshot (metadata-only)
+    - ``clone_refs_cold`` / ``clone_refs_warm``: clone-aware maintenance
+      refs, first computation vs the fingerprint-keyed _refs.idx cache
+      (the round-9 fix for O(clones x snapshots) maintenance walks)"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
+
+    n = 100_000
+    root = tempfile.mkdtemp(prefix="bench_plan_")
+    out: dict[str, float] = {"entries": float(n)}
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("p")
+        schema = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("day", StringType()),
+                StructField("v", LongType()),
+            ]
+        )
+        wh.create_table("p", "big", schema, key="id", partition_by="day")
+        tdir = wh._table_dir("p", "big")
+        entries = [
+            {
+                "path": f"data/day={i % 32}/f{i:06d}.parquet",
+                "partition": f"d{i % 32}",
+                "spec": 0,
+                "bytes": 1 << 20,
+                "records": 1000,
+                "stats": {
+                    "id": [i * 1000, i * 1000 + 999],
+                    "v": [i, i + 10],
+                },
+            }
+            for i in range(n)
+        ]
+        meta = wh.table_meta("p", "big")
+        wh._publish(tdir, 1, entries, schema=meta["schema"], op="append")
+
+        def _t(name, fn):
+            t0 = time.perf_counter()
+            try:
+                r = fn()
+                out[name] = round(time.perf_counter() - t0, 3)
+                return r
+            except Exception as e:  # noqa: BLE001
+                print(f"# planning {name}: {type(e).__name__}: {e}"[:300],
+                      file=sys.stderr)
+                return None
+
+        got = _t("plan_full", lambda: wh.plan_files("p", "big"))
+        if got is not None:
+            assert len(got[0]) == n, f"expected {n} entries, got {len(got[0])}"
+        got = _t(
+            "plan_predicate",
+            lambda: wh.plan_files(
+                "p", "big", predicates=[("id", "=", 42_123_500)]
+            ),
+        )
+        if got is not None:
+            out["plan_predicate_kept"] = float(len(got[0]))
+        got = _t(
+            "plan_partition",
+            lambda: wh.plan_files("p", "big", partition_filter=["d7"]),
+        )
+        if got is not None:
+            out["plan_partition_kept"] = float(len(got[0]))
+        _t(
+            "delete_noop",
+            lambda: wh.delete_where("p", "big", [("id", ">=", 10**15)]),
+        )
+        idx = os.path.join(tdir, "_v", "_commits.idx")
+        if os.path.exists(idx):
+            os.remove(idx)
+        _t("commit_index_rebuild", lambda: wh._commit_index(tdir))
+        _t("clone", lambda: wh.clone_table("p", "big", "p", "dev"))
+        _t("clone_refs_cold", lambda: wh._clone_referenced_files(tdir))
+        _t("clone_refs_warm", lambda: wh._clone_referenced_files(tdir))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     import argparse
 
@@ -498,6 +603,10 @@ def main() -> None:
     # BASELINE.md; also kept out of "value")
     streaming = bench_streaming(spark, sf_dir)
 
+    # fourth section: manifest-planning scale (100k stats-only entries;
+    # SF-independent, driver-side metadata cost)
+    planning = bench_planning(spark)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_wall_seconds",
@@ -508,6 +617,7 @@ def main() -> None:
         "dml": dml,
         "dml_seconds": round(sum(dml.values()), 3),
         "streaming": streaming,
+        "planning": planning,
     }
     if errors:
         out["errors"] = errors

@@ -751,10 +751,10 @@ class Warehouse:
                 with open(idx) as f:
                     doc = json.load(f)
                 if doc.get("fingerprint") == fp:
-                    return {
-                        os.path.abspath(os.path.join(self.root, p))
-                        for p in doc["refs"]
-                    }
+                    # stored absolute: the fingerprint embeds the dir
+                    # path, so any move invalidates rather than serving
+                    # stale roots (and the hot path skips 100k joins)
+                    return set(doc["refs"])
             except (OSError, ValueError, KeyError):
                 pass  # unreadable cache: recompute
         prefix = os.path.abspath(cdir) + os.sep
@@ -762,12 +762,7 @@ class Warehouse:
             p for p in self._all_entry_paths(cdir)
             if not p.startswith(prefix)
         }
-        doc = {
-            "fingerprint": fp,
-            "refs": sorted(
-                os.path.relpath(p, os.path.abspath(self.root)) for p in refs
-            ),
-        }
+        doc = {"fingerprint": fp, "refs": sorted(refs)}
         tmp = f"{idx}.tmp-{uuid.uuid4().hex}"
         try:
             with open(tmp, "w") as f:
@@ -950,13 +945,18 @@ class Warehouse:
         # prunes lazily (_registered_clones sees a dir with no manifest
         # referencing the source).
         owners: set[str] = set()
+        # memoized per parent dir: a 100k-entry clone must not do 100k
+        # ancestor stat-walks (files share a handful of data dirs)
+        dir_owner: dict[str, str | None] = {}
         dst_prefix = os.path.abspath(dst) + os.sep
         for e in rebase(doc["files"]) + rebase(doc.get("deletes") or []):
             ap = os.path.abspath(os.path.join(dst, e["path"]))
             if not ap.startswith(dst_prefix):
-                owner = self._owning_table_dir(ap)
-                if owner:
-                    owners.add(owner)
+                d = os.path.dirname(ap)
+                if d not in dir_owner:
+                    dir_owner[d] = self._owning_table_dir(ap)
+                if dir_owner[d]:
+                    owners.add(dir_owner[d])
         for owner in owners:
             self._register_clone(owner, dst)
         self._publish(
