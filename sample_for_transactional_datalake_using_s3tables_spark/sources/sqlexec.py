@@ -78,29 +78,57 @@ from pyspark.sql.types import StructType
 
 from .warehouse import Warehouse
 
-_DELETE_RE = re.compile(
-    r"^DELETE\s+FROM\s+(\w+)\.(\w+)\s+WHERE\s+(.*)$",
-    re.IGNORECASE | re.DOTALL,
-)
-_UPDATE_RE = re.compile(
-    r"^UPDATE\s+(\w+)\.(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$",
-    re.IGNORECASE | re.DOTALL,
-)
-_INSERT_RE = re.compile(
-    r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\.(\w+)"
-    r"(?:\s*\(([\w\s,]+)\))?"
-    r"(?:\s+REPLACE\s+WHERE\s+(.+?))?"
-    r"\s+(SELECT\b.*|VALUES\b.*)$",
-    re.IGNORECASE | re.DOTALL,
-)
-_MERGE_RE = re.compile(
-    r"^MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
-    r"INTO\s+(?P<ns>\w+)\.(?P<tbl>\w+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
-    r"\s+USING\s+(?P<src>\(.*\)|\w+(?:\.\w+)?)(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
-    r"\s+ON\s+(?P<on>.+?)"
-    r"\s+(?P<when>WHEN\s+.*)$",
-    re.IGNORECASE | re.DOTALL,
-)
+# -- tokenizer-first clause splitting (VERDICT r8 #7) -----------------------
+# The DML clause boundaries (DELETE's WHERE, UPDATE's SET/WHERE, MERGE's
+# USING/ON/WHEN, INSERT's source start) were historically located with
+# non-greedy shape regexes over the masked text, and a parenthesized
+# subquery CONTAINING the boundary keyword split the statement in the
+# wrong place (``UPDATE t SET a = (SELECT x FROM u WHERE y) WHERE id=1``
+# split at the inner WHERE). Statement detection now reads a
+# depth-tracked token stream: a keyword is a boundary only at paren/
+# bracket depth 0 of the literal-MASKED text -- never inside a subquery,
+# never inside a string. New statement heads must route through this
+# splitter, not line regexes.
+
+_WORD_RE = re.compile(r"[A-Za-z_]\w*")
+
+
+def _top_level_words(masked: str) -> list[tuple[str, int, int]]:
+    """``(UPPER_WORD, start, end)`` for every identifier token at paren/
+    bracket depth 0. Runs over literal-MASKED text, so string contents
+    are already inert (placeholders surface as LIT<n> words, which
+    match no SQL keyword)."""
+    out: list[tuple[str, int, int]] = []
+    depth = 0
+    i, n = 0, len(masked)
+    while i < n:
+        ch = masked[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch.isalpha() or ch == "_":
+            m = _WORD_RE.match(masked, i)
+            assert m is not None
+            if depth == 0:
+                out.append((m.group(0).upper(), i, m.end()))
+            i = m.end()
+            continue
+        i += 1
+    return out
+
+
+def _find_words(
+    words: list[tuple[str, int, int]], seq: tuple[str, ...], start_idx: int = 0
+) -> int:
+    """Index of the first occurrence of the keyword sequence in the
+    top-level word list, or -1."""
+    for j in range(start_idx, len(words) - len(seq) + 1):
+        if all(words[j + k][0] == seq[k] for k in range(len(seq))):
+            return j
+    return -1
+
+
 _ON_RE = re.compile(
     r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$",
 )
@@ -909,22 +937,44 @@ class WarehouseSQL:
         # SET / ON / WHEN inside a string can never split the statement
         # in the wrong place; captured fragments unmask before use.
         masked, lits = _mask_literals(s)
+        words = _top_level_words(masked)
         if head == "DELETE":
-            m = _DELETE_RE.match(masked)
+            wi = _find_words(words, ("WHERE",))
+            m = (
+                re.match(
+                    r"^DELETE\s+FROM\s+(\w+)\.(\w+)\s*$",
+                    masked[: words[wi][1]],
+                    re.IGNORECASE,
+                )
+                if wi != -1
+                else None
+            )
             if not m:
                 raise ValueError(f"unsupported DELETE shape: {s[:120]!r}")
-            ns, tbl, cond = m.groups()
+            ns, tbl = m.groups()
+            cond = masked[words[wi][2]:]
             self._require("ALL", ns, tbl)
             predicate, hints = self._predicate(_unmask(cond, lits))
             return self.wh.delete_where(
                 ns, tbl, predicate, predicates=hints, strategy=strategy
             )
         if head == "UPDATE":
-            m = _UPDATE_RE.match(masked)
+            si = _find_words(words, ("SET",))
+            wi = _find_words(words, ("WHERE",), si + 1) if si != -1 else -1
+            m = (
+                re.match(
+                    r"^UPDATE\s+(\w+)\.(\w+)\s*$",
+                    masked[: words[si][1]],
+                    re.IGNORECASE,
+                )
+                if si != -1 and wi != -1
+                else None
+            )
             if not m:
                 raise ValueError(f"unsupported UPDATE shape: {s[:120]!r}")
-            ns, tbl, set_text, cond = m.groups()
-            cond = _unmask(cond, lits)
+            ns, tbl = m.groups()
+            set_text = masked[words[si][2] : words[wi][1]]
+            cond = _unmask(masked[words[wi][2]:], lits)
             self._require("ALL", ns, tbl)
             defaults = self.wh.table_meta(ns, tbl).get("defaults") or {}
             assignments = {}
@@ -944,10 +994,34 @@ class WarehouseSQL:
                 strategy=strategy,
             )
         if head == "INSERT":
-            m = _INSERT_RE.match(s)
+            # source start: first TOP-LEVEL SELECT/VALUES (a SELECT
+            # inside a REPLACE WHERE subquery or a string literal can
+            # no longer split the statement)
+            src_i = next(
+                (
+                    j
+                    for j in range(1, len(words))
+                    if words[j][0] in ("SELECT", "VALUES")
+                ),
+                -1,
+            )
+            m = (
+                re.match(
+                    r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+                    r"(\w+)\.(\w+)\s*(?:\(([\w\s,]+)\))?"
+                    r"\s*(?:REPLACE\s+WHERE\s+(.+?))?\s*$",
+                    masked[: words[src_i][1]],
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if src_i != -1
+                else None
+            )
             if not m:
                 raise ValueError(f"unsupported INSERT shape: {s[:120]!r}")
-            mode, ns, tbl, col_list, repl_where, src = m.groups()
+            mode, ns, tbl, col_list, repl_where = m.groups()
+            if repl_where:
+                repl_where = _unmask(repl_where, lits)
+            src = _unmask(masked[words[src_i][1]:], lits)
             if repl_where and mode.upper() == "OVERWRITE":
                 raise ValueError(
                     "REPLACE WHERE uses INSERT INTO (Databricks form); "
@@ -1759,29 +1833,67 @@ class WarehouseSQL:
         return out
 
     def _merge(self, s: str, lits: list[str], strategy: str):
-        # ``s`` arrives literal-masked so ON/WHEN keywords inside string
-        # literals (e.g. in the USING subquery) can't split the match
-        m = _MERGE_RE.match(s)
-        if not m:
+        # ``s`` arrives literal-masked; clause boundaries come from the
+        # top-level token stream, so ON/WHEN keywords inside string
+        # literals OR parenthesized subqueries (the USING source) can't
+        # split the statement in the wrong place
+        words = _top_level_words(s)
+        ui = _find_words(words, ("USING",))
+        oi = _find_words(words, ("ON",), ui + 1) if ui != -1 else -1
+        # the WHEN-clause head is WHEN MATCHED / WHEN NOT [MATCHED ...];
+        # a top-level CASE WHEN inside the ON expression is skipped
+        wi = -1
+        j = oi + 1
+        while oi != -1 and j != -1:
+            j = _find_words(words, ("WHEN",), j)
+            if j == -1:
+                break
+            if j + 1 < len(words) and words[j + 1][0] in ("MATCHED", "NOT"):
+                wi = j
+                break
+            j += 1
+        hm = (
+            re.match(
+                r"^MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+                r"INTO\s+(?P<ns>\w+)\.(?P<tbl>\w+)"
+                r"(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s*$",
+                s[: words[ui][1]],
+                re.IGNORECASE | re.DOTALL,
+            )
+            if ui != -1 and oi != -1 and wi != -1
+            else None
+        )
+        sm = (
+            re.match(
+                r"^(?P<src>\(.*\)|\w+(?:\.\w+)?)"
+                r"(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s*$",
+                s[words[ui][2] : words[oi][1]].strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if hm
+            else None
+        )
+        if not hm or not sm:
             raise ValueError(
                 f"unsupported MERGE shape: {_unmask(s, lits)[:120]!r}"
             )
-        ns, tbl = m.group("ns"), m.group("tbl")
-        talias = m.group("talias") or tbl
-        salias = m.group("salias") or "s"
+        ns, tbl = hm.group("ns"), hm.group("tbl")
+        talias = hm.group("talias") or tbl
+        salias = sm.group("salias") or "s"
         key = self.wh.table_meta(ns, tbl).get("key")
         if key is None:
             raise ValueError(f"{ns}.{tbl} has no key; MERGE needs one")
-        on = _ON_RE.match(m.group("on"))
+        on_text = s[words[oi][2] : words[wi][1]].strip()
+        on = _ON_RE.match(on_text)
         if not on:
-            raise ValueError(f"unsupported ON clause: {m.group('on')!r}")
+            raise ValueError(f"unsupported ON clause: {on_text!r}")
         qual = {on.group(1): on.group(2), on.group(3): on.group(4)}
         if qual.get(talias) != key or qual.get(salias) != key or len(qual) != 2:
             raise ValueError(
                 f"MERGE ON must equate the table key: "
-                f"{talias}.{key} = {salias}.{key} (got {m.group('on')!r})"
+                f"{talias}.{key} = {salias}.{key} (got {on_text!r})"
             )
-        when = m.group("when").strip()
+        when = s[words[wi][1]:].strip()
         delete_col = None
         dm = _WHEN_DELETE_RE.search(when)
         if dm:
@@ -1797,12 +1909,12 @@ class WarehouseSQL:
                 "supported WHEN clauses: [WHEN MATCHED AND s.flag THEN "
                 "DELETE] WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED "
                 "THEN INSERT * [WHEN NOT MATCHED BY SOURCE THEN DELETE] "
-                f"(got {m.group('when')!r})"
+                f"(got {_unmask(s[words[wi][1]:], lits).strip()!r})"
             )
         self._require("ALL", ns, tbl)
-        source = self._source_df(_unmask(m.group("src"), lits))
+        source = self._source_df(_unmask(sm.group("src"), lits))
         return self.wh.merge_upsert(
             ns, tbl, source, delete_col=delete_col, strategy=strategy,
             sync_deletes=bool(cm.group("sync")),
-            merge_schema=bool(m.group("evolve")),
+            merge_schema=bool(hm.group("evolve")),
         )

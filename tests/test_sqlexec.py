@@ -969,3 +969,92 @@ def test_alter_table_rename_to(sql, spark):
     sql.execute("CREATE TABLE ns.blocker (a BIGINT)")
     with pytest.raises(FileExistsError):
         sql.execute("ALTER TABLE other.t2 RENAME TO ns.blocker")
+
+
+class TestTokenizerClauseBoundaries:
+    """VERDICT r8 #7: clause boundaries come from the depth-tracked
+    token stream, so boundary keywords inside parenthesized subqueries
+    or string literals can no longer split a statement in the wrong
+    place (the hole class the old non-greedy shape regexes harbored)."""
+
+    def test_update_set_subquery_containing_where(self, sql, spark):
+        # the inner WHERE previously split SET/WHERE at the subquery
+        spark.createDataFrame([(41,), (99,)], "x long").createOrReplaceTempView(
+            "bounds_v"
+        )
+        sql.execute(
+            "UPDATE ns.t SET v = (SELECT MAX(x) FROM bounds_v WHERE x < 50)"
+            " WHERE id = 'k1'"
+        )
+        got = {r.id: r.v for r in sql.execute("SELECT id, v FROM ns.t").collect()}
+        assert got["k1"] == 41
+        assert got["k3"] == 3  # others untouched
+
+    def test_update_set_literal_containing_where_and_set(self, sql):
+        sql.execute(
+            "UPDATE ns.t SET day = 'x WHERE y SET z' WHERE id = 'k2'"
+        )
+        got = {r.id: r.day for r in sql.execute("SELECT id, day FROM ns.t").collect()}
+        assert got["k2"] == "x WHERE y SET z"
+        assert got["k4"] == "d0"
+
+    def test_delete_where_subquery(self, sql):
+        sql.execute(
+            "DELETE FROM ns.t WHERE v IN (SELECT v FROM ns.t WHERE v < 2)"
+        )
+        assert {r.v for r in sql.execute("SELECT v FROM ns.t").collect()} == set(
+            range(2, 20)
+        )
+
+    def test_merge_using_subquery_with_on_when_words(self, sql, spark):
+        # the USING subquery contains top-level-looking ON/WHEN text in
+        # literals plus a real CASE WHEN at subquery depth
+        spark.createDataFrame(
+            [("k1", "d9", 100), ("zz", "d9", 200)], SCHEMA
+        ).createOrReplaceTempView("src_v")
+        sql.execute(
+            "MERGE INTO ns.t AS t USING ("
+            "SELECT id, CASE WHEN day = 'ON WHEN MATCHED' THEN 'n' "
+            "ELSE day END AS day, v FROM src_v"
+            ") AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        got = {r.id: (r.day, r.v) for r in sql.execute("SELECT * FROM ns.t").collect()}
+        assert got["k1"] == ("d9", 100) and got["zz"] == ("d9", 200)
+
+    def test_merge_on_case_when_rejected_with_right_boundary(self, sql, spark):
+        spark.createDataFrame([("k1", "d9", 1)], SCHEMA).createOrReplaceTempView(
+            "src_v2"
+        )
+        with pytest.raises(ValueError, match="ON"):
+            sql.execute(
+                "MERGE INTO ns.t AS t USING src_v2 AS s "
+                "ON t.id = CASE WHEN s.v > 0 THEN s.id ELSE s.id END "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+
+    def test_insert_replace_where_literal_containing_select(self, sql):
+        # ' SELECT ' inside the REPLACE WHERE literal previously split
+        # the statement at the wrong source boundary (unmasked regex)
+        sql.execute(
+            "INSERT INTO ns.t REPLACE WHERE day = 'no SELECT here' "
+            "SELECT 'q1' AS id, 'no SELECT here' AS day, "
+            "CAST(50 AS BIGINT) AS v"
+        )
+        got = {
+            r.id
+            for r in sql.execute(
+                "SELECT id FROM ns.t WHERE day = 'no SELECT here'"
+            ).collect()
+        }
+        assert got == {"q1"}
+
+    def test_insert_values_subselect_in_scalar(self, sql):
+        sql.execute(
+            "INSERT INTO ns.t SELECT 'agg' AS id, 'd8' AS day, "
+            "(SELECT COUNT(*) FROM ns.t) AS v"
+        )
+        got = [r.v for r in sql.execute("SELECT v FROM ns.t WHERE id = 'agg'").collect()]
+        assert got == [20]
