@@ -300,7 +300,10 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
                 )
             ).alias("value")
         )
-        n_shards = max(4, n_rows // 100)
+        # ~100-record shards like the reference's poll batch, capped so
+        # a big SF doesn't degenerate into >2000 tiny files (the shard
+        # COUNT is the knob; per-trigger row volume still scales)
+        n_shards = min(max(4, n_rows // 100), 2000)
         src = f"{root}/cdc_src"
         env.repartition(n_shards).write.mode("overwrite").text(src)
 

@@ -767,14 +767,33 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; the paper's keep-farthest-from-centroid variant is a
     one-line ORDER BY swap on the same candidate set).
 
-    At 100 TB: k scales with corpus size (k ~ sqrt(N) keeps expected
-    cluster populations bounded), the pair join shuffles (cluster_id)
-    keys only, and the verify is embarrassingly parallel over
-    candidate pairs."""
-    from .similarity import _kmeans_assign, _kmeans_quantized, _kmeans_train
+    k scales with corpus size -- k = max(8, isqrt(N)) -- which keeps
+    expected cluster populations ~sqrt(N) and the pair join at
+    O(N^1.5 * dim) total work; the round-9 sf10 sweep caught the fixed
+    k=8 version going quadratic (25k-vector clusters -> ~320G pair-dim
+    ops, hours at 200k vectors). sqrt also balances the two cost terms
+    (assignment O(N*k*dim) vs pairs O(N^2/k*dim)). The oracle derives
+    the SAME k in SQL as GREATEST(8, FLOOR(SQRT(COUNT(*)))) --
+    bit-identical to isqrt for any feasible N (an integer n is never
+    within the half-ulp of (m+1)^2 that could round FLOOR(SQRT(n))
+    up past isqrt(n)). The pair join shuffles (cluster_id) keys only,
+    and the verify is embarrassingly parallel over candidate pairs."""
+    import math
+
+    from .similarity import (
+        K_CLUSTERS,
+        _kmeans_assign,
+        _kmeans_quantized,
+        _kmeans_train,
+    )
 
     q = _kmeans_quantized(spark, sf_dir)
-    cents = _kmeans_train(q)
+    # cap: centroids ride the plan as literals (k*dim ints); past ~1024
+    # clusters a real deployment would broadcast-join the centroid
+    # table instead (similarity_kmeans docstring) -- same math, bigger
+    # plumbing than this oracle-checked shape needs
+    k = min(max(K_CLUSTERS, math.isqrt(q.count())), 1024)
+    cents = _kmeans_train(q, k=k)
     asg = (
         _kmeans_assign(q, cents)
         .select("vec_id", "cluster_id", "qv")
@@ -821,13 +840,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_semantic_sql() -> str:
-    from .similarity import _KMEANS_CTE_SQL
+    from .similarity import K_CLUSTERS, _kmeans_cte_sql
 
     cos = cosine_from_ints_sql(
         dot_int_sql("qa.qv", "qb.qv"), "qa.n2", "qb.n2"
     )
+    # same k = min(max(8, isqrt(N)), 1024) as the Spark side
+    k_expr = (
+        f"(SELECT LEAST(GREATEST({K_CLUSTERS}, "
+        "CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)), 1024) FROM embeddings)"
+    )
     return (
-        _KMEANS_CTE_SQL
+        _kmeans_cte_sql(k_expr)
         + f""",
 qn AS (
   SELECT vec_id, qv, {dot_int_sql('qv', 'qv')} AS n2 FROM q

@@ -594,35 +594,35 @@ def _kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
 
 
-def _kmeans_train(q: DataFrame) -> list[list[int]]:
+def _kmeans_train(q: DataFrame, k: int = K_CLUSTERS) -> list[list[int]]:
     """KMEANS_ITERS Lloyd's iterations; returns the final centroids
     (k x dim exact ints). Each iteration: map-only assignment, one
     combiner-friendly (cluster, dim) aggregation, a bounded k*dim
     driver collect."""
     seed_rows = {
         r.vec_id: list(r.qv)
-        for r in q.filter(F.col("vec_id") < K_CLUSTERS).collect()
+        for r in q.filter(F.col("vec_id") < k).collect()
     }
-    cents = [seed_rows[i] for i in range(K_CLUSTERS)]
+    cents = [seed_rows[i] for i in range(k)]
     for _ in range(KMEANS_ITERS):
         sums = (
             _kmeans_assign(q, cents)
             .select("cluster_id", F.posexplode("qv").alias("dim", "v"))
             .groupBy("cluster_id", "dim")
             .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-            .collect()  # bounded: at most K_CLUSTERS * DIM rows
+            .collect()  # bounded: at most k * DIM rows
         )
         by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
         for r in sums:
             by_cluster.setdefault(r.cluster_id, {})[r.dim] = (r.s, r.n)
         cents = [
             [
-                _kmeans_floor_div(*by_cluster[k][d])
-                for d in range(len(cents[k]))
+                _kmeans_floor_div(*by_cluster[c][d])
+                for d in range(len(cents[c]))
             ]
-            if k in by_cluster
-            else cents[k]  # empty cluster keeps its centroid
-            for k in range(K_CLUSTERS)
+            if c in by_cluster
+            else cents[c]  # empty cluster keeps its centroid
+            for c in range(k)
         ]
     return cents
 
@@ -689,8 +689,13 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_FDIV = "((s - (((s % n) + n) % n)) // n)"
 
 # the shared k-means replay (recursive CTE) -- consumers append either
-# a final SELECT or further CTEs (dedup.dedup_semantic reuses it)
-_KMEANS_CTE_SQL = f"""
+# a final SELECT or further CTEs (dedup.dedup_semantic reuses it).
+# ``k_expr`` is a SQL expression for the cluster count: a literal for
+# the fixed-k consumers, a COUNT-derived scalar subquery for the
+# sqrt(N)-scaled SemDeDup path (its seeding is the only place k
+# appears -- cluster ids then flow from the seeds).
+def _kmeans_cte_sql(k_expr: str) -> str:
+    return f"""
 WITH RECURSIVE
 q AS (
   SELECT vec_id, {QUANTIZE_SQL.format(v='embedding')} AS qv FROM embeddings
@@ -701,7 +706,7 @@ dims AS (
 ),
 cent(iter, cluster_id, dim, c) AS (
   SELECT 0, CAST(vec_id AS INTEGER), dim, v
-  FROM dims WHERE vec_id < {K_CLUSTERS}
+  FROM dims WHERE vec_id < {k_expr}
   UNION ALL
   SELECT prev.iter + 1, prev.cluster_id, prev.dim,
          CASE WHEN upd.n IS NULL THEN prev.c
@@ -743,6 +748,9 @@ asg AS (
   ) WHERE rn = 1
 )
 """
+
+
+_KMEANS_CTE_SQL = _kmeans_cte_sql(str(K_CLUSTERS))
 
 SIMILARITY_KMEANS_SQL = _KMEANS_CTE_SQL + """
 SELECT a.cluster_id,
