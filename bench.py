@@ -385,36 +385,42 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
                 q.awaitTermination(1800)
                 wall = time.perf_counter() - t0
                 out[f"{label}_rows_per_sec"] = round(n_rows / wall, 1)
-                if not ac:
-                    # stage the probe OUTSIDE the landing dir, then move
-                    # one part file in (the file source doesn't recurse)
-                    probe_tmp = f"{root}/probe_tmp"
-                    plain.limit(100).coalesce(1).write.mode(
-                        "overwrite"
-                    ).parquet(probe_tmp)
-                    import glob as _glob
-                    import shutil as _sh
-
-                    part = _glob.glob(f"{probe_tmp}/part-*.parquet")[0]
-                    t0 = time.perf_counter()
-                    _sh.copy(part, f"{landing}/probe-0000.parquet")
-                    q = stream_copy_into(
-                        spark, wh, landing, ("analytics", tname),
-                        f"{root}/ckpt_{tname}", max_files_per_trigger=16,
-                    )
-                    q.awaitTermination(600)
-                    n_after = wh.read("analytics", tname).count()
-                    lat = time.perf_counter() - t0
-                    if n_after == n_rows + 100:
-                        out["copy_commit_to_queryable_sec"] = round(lat, 3)
-                    else:
-                        print(
-                            f"# copy latency: {n_after} != {n_rows + 100}",
-                            file=sys.stderr,
-                        )
             except Exception as e:  # noqa: BLE001
                 print(f"# streaming {label}: {type(e).__name__}: {e}"[:300],
                       file=sys.stderr)
+        # latency probe AFTER both throughput runs (it mutates the
+        # shared landing dir; probing mid-loop would feed the second
+        # configuration 100 extra rows + one extra file and skew the
+        # off-vs-on comparison). Continues the auto-compact-OFF
+        # table's checkpointed stream.
+        try:
+            # stage the probe OUTSIDE the landing dir, then move one
+            # part file in (the file source doesn't recurse)
+            probe_tmp = f"{root}/probe_tmp"
+            plain.limit(100).coalesce(1).write.mode("overwrite").parquet(
+                probe_tmp
+            )
+            import glob as _glob
+            import shutil as _sh
+
+            part = _glob.glob(f"{probe_tmp}/part-*.parquet")[0]
+            t0 = time.perf_counter()
+            _sh.copy(part, f"{landing}/probe-0000.parquet")
+            q = stream_copy_into(
+                spark, wh, landing, ("analytics", "copy_0"),
+                f"{root}/ckpt_copy_0", max_files_per_trigger=16,
+            )
+            q.awaitTermination(600)
+            n_after = wh.read("analytics", "copy_0").count()
+            lat = time.perf_counter() - t0
+            if n_after == n_rows + 100:
+                out["copy_commit_to_queryable_sec"] = round(lat, 3)
+            else:
+                print(f"# copy latency: {n_after} != {n_rows + 100}",
+                      file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# streaming copy latency: {type(e).__name__}: {e}"[:300],
+                  file=sys.stderr)
 
         # the reference's own bound, for the BENCH/BASELINE cross-read
         out["reference_ingest_bound_sec"] = 60.0

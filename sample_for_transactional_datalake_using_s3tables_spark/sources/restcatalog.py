@@ -533,7 +533,7 @@ class IcebergRestCatalogServer:
     def _r_create_table(self, ns, body, principal):
         self._check_ns(ns)
         name = body.get("name")
-        if not name or not re.match(r"^[\w.-]+$", name):
+        if not isinstance(name, str) or not re.match(r"^[\w.-]+$", name):
             raise _HttpError(400, "BadRequestException", "bad table name")
         if name in self.wh.list_tables(ns):
             raise _HttpError(
@@ -585,8 +585,8 @@ class IcebergRestCatalogServer:
     def _r_commit_table(self, ns, tbl, body, principal):
         self._require(principal, "ALL", ns, tbl)
         meta = self._table_meta_or_404(ns, tbl)
-        self._enforce_requirements(ns, tbl, meta, body.get("requirements") or [])
-        updates = body.get("updates") or []
+        self._enforce_requirements(ns, tbl, meta, self._obj_list(body, "requirements"))
+        updates = self._obj_list(body, "updates")
         props = dict(meta.get("properties") or {})
         for u in updates:
             action = u.get("action")
@@ -616,12 +616,22 @@ class IcebergRestCatalogServer:
 
     def _r_rename(self, body, principal):
         src, dst = body.get("source") or {}, body.get("destination") or {}
-        s_ns, s_t = self._ns_of(src.get("namespace")), src.get("name")
-        d_ns, d_t = self._ns_of(dst.get("namespace")), dst.get("name")
+        if not isinstance(src, dict) or not isinstance(dst, dict):
+            raise _HttpError(
+                400, "BadRequestException",
+                "source and destination must be objects",
+            )
+        s_t, d_t = src.get("name"), dst.get("name")
+        if not s_t or not isinstance(s_t, str):
+            raise _HttpError(
+                400, "BadRequestException", "missing source name"
+            )
+        s_ns = self._ns_of(src.get("namespace"))
+        d_ns = self._ns_of(dst.get("namespace"))
         self._require(principal, "ALL", s_ns, s_t)
         self._table_meta_or_404(s_ns, s_t)
         self._check_ns(d_ns)
-        if not d_t or not re.match(r"^[\w.-]+$", d_t):
+        if not isinstance(d_t, str) or not re.match(r"^[\w.-]+$", d_t):
             raise _HttpError(400, "BadRequestException", "bad destination name")
         try:
             self.wh.rename_table(s_ns, s_t, d_ns, d_t)
@@ -660,9 +670,14 @@ class IcebergRestCatalogServer:
     def _r_create_view(self, ns, body, principal):
         self._check_ns(ns)
         name = body.get("name")
-        if not name or not re.match(r"^[\w.-]+$", name):
+        if not isinstance(name, str) or not re.match(r"^[\w.-]+$", name):
             raise _HttpError(400, "BadRequestException", "bad view name")
-        reps = (body.get("view-version") or {}).get("representations") or []
+        vv = body.get("view-version") or {}
+        if not isinstance(vv, dict):
+            raise _HttpError(
+                400, "BadRequestException", "view-version must be an object"
+            )
+        reps = self._obj_list(vv, "representations")
         sql = next(
             (r.get("sql") for r in reps if r.get("type") == "sql"), None
         )
@@ -735,6 +750,22 @@ class IcebergRestCatalogServer:
         }
 
     # - helpers -
+
+    @staticmethod
+    def _obj_list(body: dict, key: str) -> list[dict]:
+        """A request field that must be a (possibly absent) list of
+        objects -- anything else is the client's 400, validated at the
+        boundary rather than left to raise TypeError deep in a route."""
+        v = body.get(key) or []
+        if not isinstance(v, list) or any(
+            not isinstance(x, dict) for x in v
+        ):
+            raise _HttpError(
+                400,
+                "BadRequestException",
+                f"{key} must be a list of objects",
+            )
+        return v
 
     @staticmethod
     def _client_input(what: str, fn):

@@ -47,6 +47,7 @@ _COMMIT_IDX = "_commits.idx"  # publish-time version->(ts, op) sidecar
 _SCHEMA_FILE = "_table.json"
 _CLONES_FILE = "_clones.json"  # shallow-clone back-refs (clone dirs, root-rel)
 _REFS_IDX_FILE = "_refs.idx"  # cached external-refs of a clone (fingerprinted)
+_CLONE_PENDING = "_clone_pending"  # marker: clone creation in flight
 
 # Hidden-partitioning transforms (Iceberg partition-spec analog: the
 # table partitions on a DERIVED value; queries never see or maintain the
@@ -659,14 +660,15 @@ class Warehouse:
                 continue
             try:
                 # clone_table registers the back-ref BEFORE publishing
-                # the clone's first manifest (crash safety); a dir with
-                # a schema file but zero snapshots is that in-flight
-                # window -- keep the ref (it contributes no file pins)
-                # rather than prune a clone mid-creation
-                if (
-                    os.path.exists(os.path.join(cdir, _SCHEMA_FILE))
-                    and not self._versions(cdir)
-                ):
+                # the clone's first manifest (crash safety); the
+                # _clone_pending marker flags that in-flight window --
+                # keep the ref (it contributes no file pins) rather
+                # than prune a clone mid-creation. clone_table removes
+                # the marker on success and rmtree's the dir on
+                # failure; only a HARD crash leaves it, and that case
+                # deliberately pins source drop/rename until the
+                # half-clone is inspected/removed (the safe direction).
+                if os.path.exists(os.path.join(cdir, _CLONE_PENDING)):
                     live.append(c)
                     continue
                 refs_us = any(
@@ -933,42 +935,55 @@ class Warehouse:
         props["clone_source"] = f"{ns}.{table}@{v}"
         new_meta["properties"] = props
         os.makedirs(os.path.join(dst, _MANIFEST_DIR))
-        with open(os.path.join(dst, _SCHEMA_FILE), "w") as f:
-            json.dump(new_meta, f, indent=1)
-        copied = self._copied_sources(src_tdir)
-        # back-refs: register this clone on every table whose data dir
-        # its entries resolve into (clone-of-clone registers on the
-        # ultimate owner too), so source maintenance keeps them live.
-        # Registered BEFORE _publish (ADVICE r9 #2): a crash between
-        # the two must never leave a live clone unprotected from source
-        # maintenance. If _publish then fails, the premature back-ref
-        # prunes lazily (_registered_clones sees a dir with no manifest
-        # referencing the source).
-        owners: set[str] = set()
-        # memoized per parent dir: a 100k-entry clone must not do 100k
-        # ancestor stat-walks (files share a handful of data dirs)
-        dir_owner: dict[str, str | None] = {}
-        dst_prefix = os.path.abspath(dst) + os.sep
-        for e in rebase(doc["files"]) + rebase(doc.get("deletes") or []):
-            ap = os.path.abspath(os.path.join(dst, e["path"]))
-            if not ap.startswith(dst_prefix):
-                d = os.path.dirname(ap)
-                if d not in dir_owner:
-                    dir_owner[d] = self._owning_table_dir(ap)
-                if dir_owner[d]:
-                    owners.add(dir_owner[d])
-        for owner in owners:
-            self._register_clone(owner, dst)
-        self._publish(
-            dst,
-            0,
-            rebase(doc["files"]),
-            schema=new_meta["schema"],
-            phys=new_meta.get("physical"),
-            deletes=rebase(doc.get("deletes") or []) or None,
-            op="clone",
-            copied=sorted(copied) if copied else None,
-        )
+        try:
+            # marker: creation in flight -- _registered_clones keeps
+            # (but doesn't count) the premature back-ref while it
+            # exists, so a concurrent prune can't orphan us mid-create
+            with open(os.path.join(dst, _CLONE_PENDING), "w"):
+                pass
+            with open(os.path.join(dst, _SCHEMA_FILE), "w") as f:
+                json.dump(new_meta, f, indent=1)
+            copied = self._copied_sources(src_tdir)
+            # back-refs: register this clone on every table whose data
+            # dir its entries resolve into (clone-of-clone registers on
+            # the ultimate owner too), so source maintenance keeps them
+            # live. Registered BEFORE _publish (ADVICE r9 #2): a crash
+            # between the two must never leave a live clone
+            # unprotected from source maintenance.
+            owners: set[str] = set()
+            # memoized per parent dir: a 100k-entry clone must not do
+            # 100k ancestor stat-walks (files share few data dirs)
+            dir_owner: dict[str, str | None] = {}
+            dst_prefix = os.path.abspath(dst) + os.sep
+            for e in rebase(doc["files"]) + rebase(doc.get("deletes") or []):
+                ap = os.path.abspath(os.path.join(dst, e["path"]))
+                if not ap.startswith(dst_prefix):
+                    d = os.path.dirname(ap)
+                    if d not in dir_owner:
+                        dir_owner[d] = self._owning_table_dir(ap)
+                    if dir_owner[d]:
+                        owners.add(dir_owner[d])
+            for owner in owners:
+                self._register_clone(owner, dst)
+            self._publish(
+                dst,
+                0,
+                rebase(doc["files"]),
+                schema=new_meta["schema"],
+                phys=new_meta.get("physical"),
+                deletes=rebase(doc.get("deletes") or []) or None,
+                op="clone",
+                copied=sorted(copied) if copied else None,
+            )
+            os.remove(os.path.join(dst, _CLONE_PENDING))
+        except BaseException:
+            # failed create: remove the half-clone so the premature
+            # back-refs prune lazily (dir gone) instead of wedging
+            # source drop/rename forever; a HARD crash instead leaves
+            # the _clone_pending marker, which pins the source until
+            # the half-clone is inspected (the safe direction)
+            shutil.rmtree(dst, ignore_errors=True)
+            raise
 
     # -- views (the Iceberg View spec analog: VERSIONED SQL definitions
     # stored in the catalog; expansion and execution are the engine's

@@ -1363,18 +1363,23 @@ class TestCloneMaintenanceCost:
             wh.clone_table("n", "src", "n", "dev")
         monkeypatch.undo()
         assert seen["registered"], "back-ref missing at publish time"
-        # the stale ref prunes lazily once the half-clone dir is gone
-        import shutil as _shutil
+        # the failed create cleaned up its half-clone dir itself, so
+        # the premature back-ref prunes lazily and nothing is wedged
+        import os as _os
 
-        _shutil.rmtree(wh._table_dir("n", "dev"), ignore_errors=True)
+        assert not _os.path.exists(
+            _os.path.join(_os.path.dirname(src_dir), "dev")
+        ), "failed clone left its half-created dir behind"
         assert wh._registered_clones(src_dir) == []
         wh.rename_table("n", "src", "n", "src2")  # not wedged
         assert wh.read("n", "src2").count() == 8
 
     def test_halfway_created_clone_backref_not_pruned(self, spark, tmp_path):
-        """While a clone dir exists with a schema but no snapshot yet
-        (the in-flight creation window), its back-ref must survive a
-        concurrent _registered_clones prune pass."""
+        """While a clone dir carries the _clone_pending marker (the
+        in-flight creation window, or a hard mid-clone crash), its
+        back-ref must survive a concurrent _registered_clones prune
+        pass -- but pin no files. Without the marker, an empty dir at
+        the path prunes as before."""
         import json
         import os
 
@@ -1382,6 +1387,8 @@ class TestCloneMaintenanceCost:
         src_dir = wh._table_dir("n", "src")
         dev_dir = os.path.join(os.path.dirname(src_dir), "dev")
         os.makedirs(os.path.join(dev_dir, "_v"))
+        with open(os.path.join(dev_dir, "_clone_pending"), "w"):
+            pass
         with open(os.path.join(src_dir, "_table.json")) as f:
             schema_doc = json.load(f)
         with open(os.path.join(dev_dir, "_table.json"), "w") as f:
@@ -1392,6 +1399,9 @@ class TestCloneMaintenanceCost:
         ], "in-flight clone back-ref was pruned"
         # but it pins nothing (no published entries)
         assert wh._clone_referenced_files(src_dir) == set()
+        # without the marker (no in-flight create), the same dir prunes
+        os.remove(os.path.join(dev_dir, "_clone_pending"))
+        assert wh._registered_clones(src_dir) == []
 
     def test_rebase_stages_all_manifests_before_swapping(
         self, spark, tmp_path, monkeypatch
