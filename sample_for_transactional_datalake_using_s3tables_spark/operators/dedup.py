@@ -788,11 +788,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     q = _kmeans_quantized(spark, sf_dir)
-    # cap: centroids ride the plan as literals (k*dim ints); past ~1024
-    # clusters a real deployment would broadcast-join the centroid
-    # table instead (similarity_kmeans docstring) -- same math, bigger
-    # plumbing than this oracle-checked shape needs
-    k = min(max(K_CLUSTERS, math.isqrt(q.count())), 1024)
+    # k is UNCAPPED: past CENTROID_LITERAL_BUDGET (k=1024 at dim 64)
+    # _kmeans_assign switches to a broadcast-joined centroid table, so
+    # cluster populations stay ~sqrt(N) at any corpus size -- a fixed
+    # cluster ceiling would re-open the O(N^2/k_max) pair-join tail at
+    # billion-vector scale (the same failure mode the round-9 sf10
+    # sweep caught for fixed k=8, one decade later)
+    k = max(K_CLUSTERS, math.isqrt(q.count()))
     cents = _kmeans_train(q, k=k)
     asg = (
         _kmeans_assign(q, cents)
@@ -845,10 +847,10 @@ def _dedup_semantic_sql() -> str:
     cos = cosine_from_ints_sql(
         dot_int_sql("qa.qv", "qb.qv"), "qa.n2", "qb.n2"
     )
-    # same k = min(max(8, isqrt(N)), 1024) as the Spark side
+    # same uncapped k = max(8, isqrt(N)) as the Spark side
     k_expr = (
-        f"(SELECT LEAST(GREATEST({K_CLUSTERS}, "
-        "CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)), 1024) FROM embeddings)"
+        f"(SELECT GREATEST({K_CLUSTERS}, "
+        "CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)"
     )
     return (
         _kmeans_cte_sql(k_expr)

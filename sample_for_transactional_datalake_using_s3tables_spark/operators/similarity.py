@@ -547,6 +547,18 @@ JOIN sums sb ON p.j = sb.i
 K_CLUSTERS = 8
 KMEANS_ITERS = 3
 
+# Literal-centroid assignment embeds k*dim int64s in the plan; past this
+# budget (k=1024 at dim 64, ~0.5 MB of plan literals) the plan itself
+# becomes the bottleneck (analysis/codegen time, task-binary size), so
+# assignment switches to a broadcast-joined centroid DataFrame -- same
+# exact int64 math, same lowest-cluster-id tie-break, one extra ~N-row
+# shuffle. This is what lets SemDeDup's k = isqrt(N) run UNCAPPED: at
+# a billion vectors k ~ 31623 (2 MB of centroids -- trivially
+# broadcastable), keeping the within-cluster pair join at O(N^1.5 * dim)
+# instead of re-opening the quadratic tail a fixed cluster ceiling
+# would cause.
+CENTROID_LITERAL_BUDGET = 65536
+
 
 def _kmeans_floor_div(s: int, n: int) -> int:
     """Python // is floor division; the SQL twin spells it explicitly as
@@ -555,11 +567,21 @@ def _kmeans_floor_div(s: int, n: int) -> int:
 
 
 def _kmeans_assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
-    """Map-only Lloyd's assignment: centroids are plan LITERALS (the
-    broadcast-free analog of MLlib's broadcast centroid array), so the
-    assignment stage is embarrassingly parallel -- zero shuffle, zero
-    Python. ``array_position`` of the min distance = argmin with the
-    lowest-cluster-id tie-break (transform preserves centroid order)."""
+    """Lloyd's assignment: (vec_id, qv, dist2, cluster_id) for every row
+    of ``q``. Two physically different but bit-identical strategies,
+    chosen by the literal budget:
+
+    - k*dim <= CENTROID_LITERAL_BUDGET: centroids ride the plan as
+      LITERALS (the broadcast-free analog of MLlib's broadcast centroid
+      array) -- map-only, zero shuffle, zero Python.
+    - past the budget: centroids become a broadcast DataFrame and
+      assignment is a BroadcastNestedLoopJoin fan-out + map-side-combined
+      min aggregate (see _kmeans_assign_broadcast).
+
+    Both compute exact int64 squared distances and break ties to the
+    lowest cluster id, so which path ran is invisible to results."""
+    if cents and len(cents) * len(cents[0]) > CENTROID_LITERAL_BUDGET:
+        return _kmeans_assign_broadcast(q, cents)
     carr = F.array(
         *[F.array(*[F.lit(int(c)) for c in cent]) for cent in cents]
     )
@@ -581,6 +603,51 @@ def _kmeans_assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
     )
 
 
+def _kmeans_assign_broadcast(
+    q: DataFrame, cents: list[list[int]]
+) -> DataFrame:
+    """Assignment via a broadcast centroid table, for k past the literal
+    budget. Plan shape: BroadcastNestedLoopJoin fans each row out to k
+    (vec_id, dist2, cluster_id) triples -- qv is consumed by the dist2
+    expression BEFORE the shuffle, so the fan-out never moves vectors --
+    then groupBy(vec_id).min(struct(dist2, cluster_id)) map-side-combines
+    back to exactly one row per vec_id per map partition (all k fan-out
+    rows of a vec_id are partition-local to the broadcast join), so the
+    shuffle carries ~N small rows regardless of k. min over the
+    (dist2, cluster_id) struct = argmin with the lowest-cluster-id
+    tie-break, identical to the literal path's array_position. A final
+    vec_id join re-attaches qv.
+
+    At 100 TB / billions of vectors: centroids are k*dim int64s
+    (isqrt(1e9)*64 ~ 16 MB) -- broadcast once, never reshuffled; total
+    extra cost over the literal path is one N-row shuffle."""
+    spark = q.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [int(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster_id INT, cv ARRAY<BIGINT>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        q.select("vec_id", "qv")
+        .crossJoin(F.broadcast(cent_df))
+        .select("vec_id", d2.alias("d2"), "cluster_id")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster_id")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.d2").alias("dist2"),
+            F.col("m.cluster_id").alias("cluster_id"),
+        )
+    )
+    return q.join(best, "vec_id").select(
+        "vec_id", "qv", "dist2", "cluster_id"
+    )
+
+
 def _kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The k-means working frame: (vec_id, qv) fixed-point int64.
     localCheckpoint: the qv array feeds k lambda bodies per iteration;
@@ -598,12 +665,25 @@ def _kmeans_train(q: DataFrame, k: int = K_CLUSTERS) -> list[list[int]]:
     """KMEANS_ITERS Lloyd's iterations; returns the final centroids
     (k x dim exact ints). Each iteration: map-only assignment, one
     combiner-friendly (cluster, dim) aggregation, a bounded k*dim
-    driver collect."""
-    seed_rows = {
-        r.vec_id: list(r.qv)
-        for r in q.filter(F.col("vec_id") < k).collect()
-    }
-    cents = [seed_rows[i] for i in range(k)]
+    driver collect.
+
+    Seeding: the k SMALLEST vec_ids (one bounded TakeOrdered collect of
+    k rows), cluster_id = rank of the seed's vec_id. With dense ids from
+    0 this is identical to the historical ``vec_id < k`` seeding, but it
+    does not ASSUME density -- offset or sparse id spaces (a sharded
+    corpus whose ids start at 10^6, post-filter gaps) seed correctly
+    instead of raising. The oracle CTE derives the same seed set via
+    ROW_NUMBER() OVER (ORDER BY vec_id) <= k."""
+    seed_rows = sorted(
+        q.select("vec_id", "qv").orderBy("vec_id").limit(k).collect(),
+        key=lambda r: r.vec_id,
+    )
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"k-means needs k={k} distinct rows to seed; corpus has "
+            f"only {len(seed_rows)}"
+        )
+    cents = [list(r.qv) for r in seed_rows]
     for _ in range(KMEANS_ITERS):
         sums = (
             _kmeans_assign(q, cents)
@@ -704,9 +784,14 @@ dims AS (
   SELECT vec_id, i - 1 AS dim, qv[i] AS v
   FROM q, unnest(range(1, {DIM + 1})) AS t(i)
 ),
+seeds AS (
+  SELECT vec_id, CAST(rk - 1 AS INTEGER) AS cluster_id
+  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM q)
+  WHERE rk <= {k_expr}
+),
 cent(iter, cluster_id, dim, c) AS (
-  SELECT 0, CAST(vec_id AS INTEGER), dim, v
-  FROM dims WHERE vec_id < {k_expr}
+  SELECT 0, s.cluster_id, d.dim, d.v
+  FROM seeds s JOIN dims d ON d.vec_id = s.vec_id
   UNION ALL
   SELECT prev.iter + 1, prev.cluster_id, prev.dim,
          CASE WHEN upd.n IS NULL THEN prev.c
