@@ -258,6 +258,19 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
     def _attr(col, tag="S"):
         return F.struct(col.cast("string").alias(tag))
 
+    def _await(q, timeout_s: float, label: str) -> bool:
+        """awaitTermination with the timeout honored: on timeout stop
+        the query and return False so no metric is computed from the
+        timeout wall (and the finally-rmtree never races a still-running
+        stream's source/checkpoint dirs)."""
+        if q.awaitTermination(timeout_s):
+            return True
+        print(f"# streaming {label}: timed out after {timeout_s}s; "
+              "stopping query, metric skipped", file=sys.stderr)
+        q.stop()
+        q.awaitTermination(60)
+        return False
+
     try:
         events = load_table(spark, sf_dir, "events")
         n_rows = events.count()
@@ -314,11 +327,11 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
         try:
             t0 = time.perf_counter()
             q = stream_cdc_to_table(spark, src, wh, f"{root}/ckpt_cdc")
-            q.awaitTermination(1800)
-            wall = time.perf_counter() - t0
-            out["cdc_rows"] = float(n_rows)
-            out["cdc_wall_sec"] = round(wall, 3)
-            out["cdc_rows_per_sec"] = round(n_rows / wall, 1)
+            if _await(q, 1800, "cdc"):
+                wall = time.perf_counter() - t0
+                out["cdc_rows"] = float(n_rows)
+                out["cdc_wall_sec"] = round(wall, 3)
+                out["cdc_rows_per_sec"] = round(n_rows / wall, 1)
         except Exception as e:  # noqa: BLE001
             print(f"# streaming cdc: {type(e).__name__}: {e}"[:300],
                   file=sys.stderr)
@@ -348,20 +361,96 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
                 f.write("\n".join(lines) + "\n")
             t0 = time.perf_counter()
             q = stream_cdc_to_table(spark, src, wh, f"{root}/ckpt_cdc")
-            q.awaitTermination(600)
-            visible = (
-                wh.read("analytics", "transactions")
-                .filter(F.col("transaction_id").startswith("LAT_"))
-                .count()
-            )
-            lat = time.perf_counter() - t0
-            if visible == 100:
-                out["cdc_commit_to_queryable_sec"] = round(lat, 3)
-            else:
-                print(f"# streaming cdc latency: {visible}/100 visible",
-                      file=sys.stderr)
+            if _await(q, 600, "cdc latency"):
+                visible = (
+                    wh.read("analytics", "transactions")
+                    .filter(F.col("transaction_id").startswith("LAT_"))
+                    .count()
+                )
+                lat = time.perf_counter() - t0
+                if visible == 100:
+                    out["cdc_commit_to_queryable_sec"] = round(lat, 3)
+                else:
+                    print(f"# streaming cdc latency: {visible}/100 visible",
+                          file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# streaming cdc latency: {type(e).__name__}: {e}"[:300],
+                  file=sys.stderr)
+
+        # (b2) MoR CDC: the 100 TB ingest DEFAULT (VERDICT r9 #4) --
+        # merge-on-read MERGE (append data + equality-delete files,
+        # zero rewrites per trigger) into a fresh table, same envelope
+        # corpus, then one auto_maintain backlog fold (the schedulable
+        # compaction a deployment runs beside the stream), then the
+        # same 100-row commit-to-queryable probe.
+        try:
+            create_transactions_table(wh, table="transactions_mor")
+            t0 = time.perf_counter()
+            q = stream_cdc_to_table(
+                spark, src, wh, f"{root}/ckpt_cdc_mor",
+                table="transactions_mor", strategy="mor",
+                quarantine_table="transactions_mor_errors",
+            )
+            if _await(q, 1800, "cdc mor"):
+                wall = time.perf_counter() - t0
+                out["cdc_mor_rows_per_sec"] = round(n_rows / wall, 1)
+                t0 = time.perf_counter()
+                wh.auto_maintain("analytics", "transactions_mor")
+                out["cdc_mor_maintain_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                # fresh probe file: the CoW probe's LAT_ rows were
+                # already consumed by the sustained MoR run above
+                import json as _json
+
+                probe = [
+                    _json.dumps(
+                        {
+                            "eventName": "INSERT",
+                            "dynamodb": {
+                                "NewImage": {
+                                    "transaction_id": {"S": f"LATM_{i}"},
+                                    "timestamp": {"N": "1718300001123"},
+                                    "amount": {"N": "9.99"},
+                                    "processing_timestamp": {
+                                        "N": "1718300001223"
+                                    },
+                                }
+                            },
+                        }
+                    )
+                    for i in range(100)
+                ]
+                with open(
+                    os.path.join(src, "latency_probe_mor.jsonl"), "w"
+                ) as f:
+                    f.write("\n".join(probe) + "\n")
+                t0 = time.perf_counter()
+                q = stream_cdc_to_table(
+                    spark, src, wh, f"{root}/ckpt_cdc_mor",
+                    table="transactions_mor", strategy="mor",
+                    quarantine_table="transactions_mor_errors",
+                )
+                if _await(q, 600, "cdc mor latency"):
+                    visible = (
+                        wh.read("analytics", "transactions_mor")
+                        .filter(
+                            F.col("transaction_id").startswith("LATM_")
+                        )
+                        .count()
+                    )
+                    lat = time.perf_counter() - t0
+                    if visible == 100:
+                        out["cdc_mor_commit_to_queryable_sec"] = round(
+                            lat, 3
+                        )
+                    else:
+                        print(
+                            f"# cdc mor latency: {visible}/100 visible",
+                            file=sys.stderr,
+                        )
+        except Exception as e:  # noqa: BLE001
+            print(f"# streaming cdc mor: {type(e).__name__}: {e}"[:300],
                   file=sys.stderr)
 
         # (c) streaming COPY INTO: parquet landing -> keyless
@@ -382,9 +471,9 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
                     f"{root}/ckpt_{tname}", max_files_per_trigger=16,
                     auto_compact=ac,
                 )
-                q.awaitTermination(1800)
-                wall = time.perf_counter() - t0
-                out[f"{label}_rows_per_sec"] = round(n_rows / wall, 1)
+                if _await(q, 1800, label):
+                    wall = time.perf_counter() - t0
+                    out[f"{label}_rows_per_sec"] = round(n_rows / wall, 1)
             except Exception as e:  # noqa: BLE001
                 print(f"# streaming {label}: {type(e).__name__}: {e}"[:300],
                       file=sys.stderr)
@@ -410,14 +499,14 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
                 spark, wh, landing, ("analytics", "copy_0"),
                 f"{root}/ckpt_copy_0", max_files_per_trigger=16,
             )
-            q.awaitTermination(600)
-            n_after = wh.read("analytics", "copy_0").count()
-            lat = time.perf_counter() - t0
-            if n_after == n_rows + 100:
-                out["copy_commit_to_queryable_sec"] = round(lat, 3)
-            else:
-                print(f"# copy latency: {n_after} != {n_rows + 100}",
-                      file=sys.stderr)
+            if _await(q, 600, "copy latency"):
+                n_after = wh.read("analytics", "copy_0").count()
+                lat = time.perf_counter() - t0
+                if n_after == n_rows + 100:
+                    out["copy_commit_to_queryable_sec"] = round(lat, 3)
+                else:
+                    print(f"# copy latency: {n_after} != {n_rows + 100}",
+                          file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# streaming copy latency: {type(e).__name__}: {e}"[:300],
                   file=sys.stderr)
@@ -593,15 +682,28 @@ def main() -> None:
                "similarity_topk_lsh", "window_tumbling", "risk_analysis"):
         _run(wq, "/root/testdata/sf0.001")
 
+    # Median-of-3 (VERDICT r9 #4): identical code measured 18.4 s and
+    # 26.4 s on the same box within one hour, so single-shot
+    # round-over-round deltas carried no signal. Each query runs 3x
+    # in-process; the headline sums per-query MEDIANS (noise-robust),
+    # with mins kept alongside for reference. ~40 s extra per bench run
+    # buys attributable (~±5%) cross-round deltas.
+    N_RUNS = 3
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        err = _run(name, sf_dir)
-        if err is None:
-            timings[name] = round(time.perf_counter() - t0, 3)
-        else:
-            errors[name] = err
+        runs: list[float] = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            err = _run(name, sf_dir)
+            if err is not None:
+                errors[name] = err
+                break
+            runs.append(round(time.perf_counter() - t0, 3))
+        if len(runs) == N_RUNS:
+            timings[name] = sorted(runs)[N_RUNS // 2]
+            timings_min[name] = min(runs)
 
     # second section: warehouse DML path (kept OUT of "value" so the
     # 20-query headline series stays comparable across rounds)
@@ -619,9 +721,11 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_wall_seconds",
-        "value": total,
+        "value": total,  # sum of per-query medians
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,  # median of N_RUNS per query
+        "queries_min": timings_min,
+        "runs_per_query": N_RUNS,
         "sf": sf,
         "dml": dml,
         "dml_seconds": round(sum(dml.values()), 3),
