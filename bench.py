@@ -562,16 +562,26 @@ def bench_planning(spark) -> dict[str, float]:
         )
         wh.create_table("p", "big", schema, key="id", partition_by="day")
         tdir = wh._table_dir("p", "big")
+        # layout mirrors a write-ordered time-partitioned table: ids
+        # CLUSTER within partitions (files land partition-by-partition,
+        # so the partition-grouped index can prune whole partitions on
+        # an id predicate -- Iceberg's O(candidate partitions) case),
+        # while v is hash-scattered (uncorrelated with partitions: group
+        # stats can't prune, only per-entry min/max can)
+        per_part = n // 32
         entries = [
             {
-                "path": f"data/day={i % 32}/f{i:06d}.parquet",
-                "partition": f"d{i % 32}",
+                "path": f"data/day={i // per_part}/f{i:06d}.parquet",
+                "partition": f"d{i // per_part}",
                 "spec": 0,
                 "bytes": 1 << 20,
                 "records": 1000,
                 "stats": {
                     "id": [i * 1000, i * 1000 + 999],
-                    "v": [i, i + 10],
+                    "v": [
+                        (i * 2654435761) % (10**8),
+                        (i * 2654435761) % (10**8) + 10,
+                    ],
                 },
             }
             for i in range(n)
@@ -593,6 +603,15 @@ def bench_planning(spark) -> dict[str, float]:
         got = _t("plan_full", lambda: wh.plan_files("p", "big"))
         if got is not None:
             assert len(got[0]) == n, f"expected {n} entries, got {len(got[0])}"
+        # first selective plan BUILDS the partition-grouped index
+        # (one-time, amortized); steady state is plan_predicate
+        got = _t(
+            "plan_predicate_cold",
+            lambda: wh.plan_files(
+                "p", "big", predicates=[("id", "=", 42_123_500)]
+            ),
+        )
+        wh._plan_idx_counters["entries_loaded"] = 0
         got = _t(
             "plan_predicate",
             lambda: wh.plan_files(
@@ -601,6 +620,28 @@ def bench_planning(spark) -> dict[str, float]:
         )
         if got is not None:
             out["plan_predicate_kept"] = float(len(got[0]))
+            out["plan_predicate_entries_parsed"] = float(
+                wh._plan_idx_counters["entries_loaded"]
+            )
+        # partition-UNcorrelated predicate: group stats keep every
+        # partition, so this measures load-all-groups + per-entry skip
+        # (the honest worst case the index cannot help). One untimed
+        # pass first: the >4096-entry prune path pays a one-time
+        # pickle/JIT warmup (~1.5 s) that the correlated probe above
+        # never reaches, and steady-state latency is the number that
+        # matters at 1M files.
+        wh.plan_files(
+            "p", "big", predicates=[("v", "=", (7 * 2654435761) % (10**8))]
+        )
+        got = _t(
+            "plan_predicate_uncorrelated",
+            lambda: wh.plan_files(
+                "p", "big",
+                predicates=[("v", "=", (42_123 * 2654435761) % (10**8))],
+            ),
+        )
+        if got is not None:
+            out["plan_predicate_uncorrelated_kept"] = float(len(got[0]))
         got = _t(
             "plan_partition",
             lambda: wh.plan_files("p", "big", partition_filter=["d7"]),

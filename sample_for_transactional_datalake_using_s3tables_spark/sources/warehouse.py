@@ -47,6 +47,7 @@ _COMMIT_IDX = "_commits.idx"  # publish-time version->(ts, op) sidecar
 _SCHEMA_FILE = "_table.json"
 _CLONES_FILE = "_clones.json"  # shallow-clone back-refs (clone dirs, root-rel)
 _REFS_IDX_FILE = "_refs.idx"  # cached external-refs of a clone (fingerprinted)
+_PLAN_IDX_FILE = "_plan.idx"  # partition-grouped planning index (fingerprinted)
 _CLONE_PENDING = "_clone_pending"  # marker: clone creation in flight
 
 # Hidden-partitioning transforms (Iceberg partition-spec analog: the
@@ -413,6 +414,11 @@ class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # observability for tests/bench: how much metadata planning
+        # actually touched (see _plan_index)
+        self._plan_idx_counters = {
+            "groups_loaded": 0, "entries_loaded": 0, "idx_plans": 0,
+        }
         os.makedirs(root, exist_ok=True)
 
     # -- namespace DDL (reference lambda/custom_resource/index.py:76-81) --
@@ -1869,6 +1875,177 @@ class Warehouse:
             .collect()
         )
 
+    # -- partition-grouped planning index (VERDICT r9 #3) ------------
+    #
+    # Predicate planning used to re-parse and re-distribute the FULL
+    # manifest entry list on every selective read: ~1.4-1.7 s at 100k
+    # entries, ~15 s of added latency per pruned query at 1M files.
+    # Iceberg pays O(candidate partitions) instead, via
+    # partition-grouped manifests under a small manifest list. The same
+    # layout here: a fingerprinted sidecar pair in the branch's _v dir
+    # (the _commits.idx / _refs.idx pattern) --
+    #
+    #   _plan.idx           small JSON header: tip fingerprint, schema,
+    #                       physical map, and per-partition-group rows
+    #                       {partition, spec, n, stats, offset, length}
+    #                       where stats = merged min/max over the group
+    #   _plan-<uuid>.dat    the entries themselves, one compact JSON
+    #                       array PER GROUP at (offset, length) byte
+    #                       ranges -- so planning parses ONLY surviving
+    #                       partitions' entries
+    #
+    # plan_files prunes groups first (driver-side: group count = live
+    # partition count, thousands at most), then seek-reads and
+    # min/max/Bloom-filters only the survivors. Built lazily on first
+    # predicate plan against a tip, atomically replaced (tmp +
+    # os.replace), keyed by the tip manifest's (version, size,
+    # mtime_ns): any new commit changes the tip version and the index
+    # rebuilds; any reader that finds a stale or torn index falls back
+    # to the full-parse path (fail-open, never fail-wrong).
+
+    def _plan_fingerprint(self, vdir: str, version: int) -> list:
+        st = os.stat(os.path.join(vdir, f"{version:08d}.json"))
+        return [version, st.st_size, st.st_mtime_ns]
+
+    @staticmethod
+    def _merge_group_stats(entries: list[dict]) -> dict:
+        """Per-column [min, max] over a partition group -- a column
+        appears ONLY if every entry carries comparable stats for it
+        (missing or mixed-type stats make the bound unprovable, so the
+        group is conservatively kept by omission)."""
+        merged: dict = {}
+        dropped: set = set()
+        for i, e in enumerate(entries):
+            stats = e.get("stats") or {}
+            if i == 0:
+                for c, (lo, hi) in stats.items():
+                    merged[c] = [lo, hi]
+                continue
+            for c in list(merged):
+                if c not in stats:
+                    dropped.add(c)
+                    del merged[c]
+            for c, (lo, hi) in stats.items():
+                if c not in merged:
+                    if i > 0 and c not in dropped:
+                        dropped.add(c)
+                    continue
+                mlo, mhi = merged[c]
+                try:
+                    if lo < mlo:
+                        merged[c][0] = lo
+                    if hi > mhi:
+                        merged[c][1] = hi
+                except TypeError:
+                    del merged[c]
+                    dropped.add(c)
+        return merged
+
+    def _plan_index(
+        self, tdir: str, version: int, branch: str | None
+    ) -> dict | None:
+        """Load (or lazily build) the planning index for ``version``.
+        Serves ONLY the branch tip; historical versions return None and
+        take the full-parse path."""
+        vdir = self._vdir(tdir, branch)
+        try:
+            fp = self._plan_fingerprint(vdir, version)
+        except OSError:
+            return None
+        idx_path = os.path.join(vdir, _PLAN_IDX_FILE)
+        try:
+            with open(idx_path) as f:
+                idx = json.load(f)
+            if idx.get("fingerprint") == fp and os.path.exists(
+                os.path.join(vdir, idx["dat"])
+            ):
+                return idx
+        except (OSError, ValueError, KeyError):
+            pass
+        if version != self._versions(tdir, branch)[-1]:
+            return None
+        return self._plan_index_build(tdir, vdir, version, branch, fp)
+
+    def _plan_index_build(
+        self, tdir: str, vdir: str, version: int, branch: str | None,
+        fp: list,
+    ) -> dict | None:
+        doc = self._manifest_doc(tdir, version, branch)
+        grouped: dict[tuple, list[dict]] = {}
+        for e in doc["files"]:
+            grouped.setdefault(
+                (_part_key(e.get("partition")), e.get("spec", 0)), []
+            ).append(e)
+        dat_name = f"_plan-{uuid.uuid4().hex}.dat"
+        gmeta: list[dict] = []
+        tmp_dat = os.path.join(vdir, f".{dat_name}.tmp")
+        try:
+            off = 0
+            with open(tmp_dat, "wb") as f:
+                for (pk, spec), es in grouped.items():
+                    blob = json.dumps(es, separators=(",", ":")).encode()
+                    f.write(blob)
+                    gmeta.append(
+                        {
+                            # the group's raw partition value (pk is its
+                            # canonical string form, kept for filtering)
+                            "partition": es[0].get("partition"),
+                            "pk": pk,
+                            "spec": spec,
+                            "n": len(es),
+                            "stats": self._merge_group_stats(es),
+                            "offset": off,
+                            "length": len(blob),
+                        }
+                    )
+                    off += len(blob)
+            os.replace(tmp_dat, os.path.join(vdir, dat_name))
+        except OSError:
+            with contextlib.suppress(OSError):
+                os.remove(tmp_dat)
+            return None
+        idx = {
+            "fingerprint": fp,
+            "dat": dat_name,
+            "schema": doc.get("schema"),
+            "physical": doc.get("physical") or {},
+            "n_entries": len(doc["files"]),
+            "groups": gmeta,
+        }
+        tmp = os.path.join(vdir, f".plan-idx-{uuid.uuid4().hex}")
+        try:
+            with open(tmp, "w") as f:
+                json.dump(idx, f)
+            os.replace(tmp, os.path.join(vdir, _PLAN_IDX_FILE))
+        except OSError:
+            with contextlib.suppress(OSError):
+                os.remove(tmp)
+            return None
+        # superseded dats are garbage once the header no longer names
+        # them (a concurrent reader holding an old header fails open)
+        for fn in os.listdir(vdir):
+            if (
+                fn.startswith("_plan-")
+                and fn.endswith(".dat")
+                and fn != dat_name
+            ):
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(vdir, fn))
+        return idx
+
+    def _plan_load_groups(
+        self, vdir: str, idx: dict, groups: list[dict]
+    ) -> list[dict]:
+        """Seek-read ONLY the surviving groups' byte ranges."""
+        entries: list[dict] = []
+        with open(os.path.join(vdir, idx["dat"]), "rb") as f:
+            for g in groups:
+                f.seek(g["offset"])
+                entries.extend(json.loads(f.read(g["length"])))
+        self._plan_idx_counters["groups_loaded"] += len(groups)
+        self._plan_idx_counters["entries_loaded"] += len(entries)
+        return entries
+
     def _publish_append(
         self, tdir: str, read_version: int, new_files: list[dict], schema: dict,
         overwrite: bool = False, phys: dict | None = None,
@@ -2594,6 +2771,48 @@ class Warehouse:
             raise ValueError(
                 f"snapshot {version} of {ns}.{table} is unknown or expired"
             )
+        if predicates or partition_filter is not None:
+            # selective plan: partition-grouped index first -- prune
+            # whole partitions from the (small) group table, then parse
+            # and min/max/Bloom-filter ONLY the survivors' entries.
+            # O(candidate partitions), not O(manifest).
+            idx = self._plan_index(tdir, version, branch)
+            if idx is not None:
+                self._plan_idx_counters["idx_plans"] += 1
+                groups = idx["groups"]
+                if partition_filter is not None:
+                    # values are spelled in the CURRENT spec's
+                    # transform; groups written under an earlier spec
+                    # can't be compared and are conservatively kept
+                    cur_spec = meta.get("partition_spec_id", 0)
+                    keep = {_part_key(p) for p in partition_filter}
+                    groups = [
+                        g for g in groups
+                        if g["spec"] != cur_spec or g["pk"] in keep
+                    ]
+                tr = None
+                if predicates:
+                    phys = idx["physical"] or {}
+                    tr = [
+                        (phys.get(c, c), op, v)
+                        for c, op, v in predicates
+                    ]
+                    # group-level stats carry no blooms; omission of a
+                    # column keeps the group (same conservative rule as
+                    # entries)
+                    groups = [
+                        g for g in groups
+                        if _entry_may_match({"stats": g["stats"]}, tr)
+                    ]
+                entries = self._plan_load_groups(
+                    self._vdir(tdir, branch), idx, groups
+                )
+                if tr:
+                    entries = self._prune_entries(entries, tr)
+                schema = StructType.fromJson(
+                    idx.get("schema") or meta["schema"]
+                )
+                return entries, schema
         doc = self._manifest_doc(tdir, version, branch)
         entries = doc["files"]
         if partition_filter is not None:
