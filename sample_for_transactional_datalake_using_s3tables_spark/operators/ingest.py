@@ -461,6 +461,18 @@ def warehouse_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         wh.insert("q", "state", events.filter(F.col("event_id") % 2 == 0))
         wh.add_constraint("q", "state", "value_floor", f"value >= {lo}")
         v = wh.current_version("q", "state")
+        # ADVICE r10 #5: lo - 1 must stay representable in decimal(12,2)
+        # -- at the type's lower bound the subtraction would overflow to
+        # NULL and the CHECK on NULL silently flips `enforced` for a
+        # reason unrelated to enforcement. Fail loudly instead (no
+        # fixture legitimately sits on the 10-digit boundary).
+        import decimal as _dec
+
+        if _dec.Decimal(lo) - 1 < _dec.Decimal("-9999999999.99"):
+            raise ValueError(
+                f"fixture min(value)={lo} sits at the decimal(12,2) "
+                "lower bound; poisoned batch cannot be constructed"
+            )
         poisoned = events.filter(F.col("event_id") % 2 == 1).withColumn(
             "value", (F.lit(lo) - 1).cast("decimal(12,2)")
         )

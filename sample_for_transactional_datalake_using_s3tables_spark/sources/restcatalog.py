@@ -544,7 +544,7 @@ class IcebergRestCatalogServer:
         schema = self._client_input(
             "schema", lambda: iceberg_to_spark_schema(body["schema"])
         )
-        props = body.get("properties") or {}
+        props = self._obj(body, "properties")
         self.wh.create_table(
             ns,
             name,
@@ -592,10 +592,10 @@ class IcebergRestCatalogServer:
             action = u.get("action")
             if action == "set-properties":
                 props.update(
-                    {str(k): str(v) for k, v in (u.get("updates") or {}).items()}
+                    {str(k): str(v) for k, v in self._obj(u, "updates").items()}
                 )
             elif action == "remove-properties":
-                for k in u.get("removals") or []:
+                for k in self._str_list(u, "removals"):
                     props.pop(k, None)
             else:
                 raise _HttpError(
@@ -752,6 +752,35 @@ class IcebergRestCatalogServer:
     # - helpers -
 
     @staticmethod
+    def _obj(body: dict, key: str) -> dict:
+        """A request field that must be a (possibly absent) object --
+        anything else is the client's 400 at the boundary (a non-dict
+        'properties'/'updates' would otherwise surface as an
+        AttributeError 500 deep in the route)."""
+        v = body.get(key) or {}
+        if not isinstance(v, dict):
+            raise _HttpError(
+                400, "BadRequestException", f"{key} must be an object"
+            )
+        return v
+
+    @staticmethod
+    def _str_list(body: dict, key: str) -> list[str]:
+        """A request field that must be a (possibly absent) list of
+        strings; a bare string would otherwise iterate character-wise
+        and silently remove one-letter keys."""
+        v = body.get(key) or []
+        if not isinstance(v, list) or any(
+            not isinstance(x, str) for x in v
+        ):
+            raise _HttpError(
+                400,
+                "BadRequestException",
+                f"{key} must be a list of strings",
+            )
+        return v
+
+    @staticmethod
     def _obj_list(body: dict, key: str) -> list[dict]:
         """A request field that must be a (possibly absent) list of
         objects -- anything else is the client's 400, validated at the
@@ -791,6 +820,10 @@ class IcebergRestCatalogServer:
                     400,
                     "BadRequestException",
                     "multi-level namespaces are not supported here",
+                )
+            if not isinstance(v[0], str) or not v[0]:
+                raise _HttpError(
+                    400, "BadRequestException", "namespace must be a string"
                 )
             return v[0]
         if isinstance(v, str) and v:

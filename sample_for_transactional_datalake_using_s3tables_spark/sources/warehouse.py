@@ -49,6 +49,7 @@ _CLONES_FILE = "_clones.json"  # shallow-clone back-refs (clone dirs, root-rel)
 _REFS_IDX_FILE = "_refs.idx"  # cached external-refs of a clone (fingerprinted)
 _PLAN_IDX_FILE = "_plan.idx"  # partition-grouped planning index (fingerprinted)
 _CLONE_PENDING = "_clone_pending"  # marker: clone creation in flight
+_REBASE_PENDING = "_rebase_pending"  # marker: manifest rebase in flight
 
 # Hidden-partitioning transforms (Iceberg partition-spec analog: the
 # table partitions on a DERIVED value; queries never see or maintain the
@@ -814,11 +815,18 @@ class Warehouse:
         the back-refs registered on each source (stale old-path refs
         prune lazily).
 
-        Crash-safety (ADVICE r9 #4): all rewritten manifests are
-        staged to temp names FIRST, then swapped in with a second
+        Crash-safety (ADVICE r9 #4 + r10 #3): all rewritten manifests
+        are staged to temp names FIRST, then swapped in with a second
         os.replace-only pass -- a crash mid-stage leaves every live
-        manifest untouched (rebase can be re-run), and the swap pass
-        narrows the partial-rewrite window to pure renames."""
+        manifest untouched, and the swap pass narrows the
+        partial-rewrite window to pure renames. The whole pass is
+        RE-RUNNABLE: entries are rewritten only when their old-relative
+        resolution points at a real file, so already-swapped manifests
+        (which resolve from the NEW location) pass through untouched on
+        a re-run. A ``_rebase_pending`` marker brackets the
+        registration+swap window -- if it survives, the rebase crashed
+        mid-way and must be re-run (call this method again); staged
+        .tmp files are cleaned on ANY failure."""
         changed_sources: set[str] = set()
 
         def fix(entries: list[dict]) -> tuple[list[dict], bool]:
@@ -827,6 +835,13 @@ class Warehouse:
                 p = e.get("path", "")
                 if ".." in p.split("/"):
                     ap = os.path.normpath(os.path.join(old_tdir, p))
+                    # existence check = idempotence: an entry already
+                    # rebased to the new location fails to resolve from
+                    # the OLD dir and is left alone (live entries always
+                    # resolve -- back-refs pin clone-referenced files)
+                    if not os.path.exists(ap):
+                        out.append(e)
+                        continue
                     e = dict(e, path=os.path.relpath(ap, new_tdir))
                     touched = True
                     owner = self._owning_table_dir(ap)
@@ -865,12 +880,31 @@ class Warehouse:
                 with contextlib.suppress(OSError):
                     os.remove(tmp)
             raise
-        # back-refs BEFORE the swap: once any manifest points at a
-        # source from the new location, that source must already pin us
-        for src in changed_sources:
-            self._register_clone(src, new_tdir)
-        for tmp, fpath in staged:
-            os.replace(tmp, fpath)
+        if not staged:
+            return
+        marker = os.path.join(new_tdir, _REBASE_PENDING)
+        swapped = 0
+        try:
+            with open(marker, "w") as f:
+                json.dump({"from": old_tdir}, f)
+            # back-refs BEFORE the swap: once any manifest points at a
+            # source from the new location, that source must already
+            # pin us
+            for src in changed_sources:
+                self._register_clone(src, new_tdir)
+            for tmp, fpath in staged:
+                os.replace(tmp, fpath)
+                swapped += 1
+        except BaseException:
+            # failure after staging: drop un-swapped tmps (swapped
+            # manifests are valid -- re-running this method completes
+            # the rebase); the marker STAYS to flag the re-run
+            for tmp, _ in staged[swapped:]:
+                with contextlib.suppress(OSError):
+                    os.remove(tmp)
+            raise
+        with contextlib.suppress(OSError):
+            os.remove(marker)
 
     def clone_table(
         self,
@@ -981,7 +1015,6 @@ class Warehouse:
                 op="clone",
                 copied=sorted(copied) if copied else None,
             )
-            os.remove(os.path.join(dst, _CLONE_PENDING))
         except BaseException:
             # failed create: remove the half-clone so the premature
             # back-refs prune lazily (dir gone) instead of wedging
@@ -990,6 +1023,12 @@ class Warehouse:
             # the half-clone is inspected (the safe direction)
             shutil.rmtree(dst, ignore_errors=True)
             raise
+        # marker removal OUTSIDE the failure scope (ADVICE r10 #4): the
+        # clone is durable once _publish returns, so an OSError here
+        # must never rmtree a fully published table -- leave the marker
+        # (it only pins source maintenance, the safe direction)
+        with contextlib.suppress(OSError):
+            os.remove(os.path.join(dst, _CLONE_PENDING))
 
     # -- views (the Iceberg View spec analog: VERSIONED SQL definitions
     # stored in the catalog; expansion and execution are the engine's

@@ -525,6 +525,33 @@ def test_server_bugs_are_500_client_shapes_are_400(cat, monkeypatch):
     # missing schema -> 400 with a self-explaining message
     code, doc = post("/v1/namespaces/q/tables", {"name": "t1"})
     assert code == 400 and "schema" in doc["error"]["message"]
+    # non-dict 'properties' (ADVICE r10 #1) -> 400, not AttributeError 500
+    code, doc = post(
+        "/v1/namespaces/q/tables",
+        {"name": "t1", "schema": good_schema, "properties": ["x"]},
+    )
+    assert code == 400 and doc["error"]["type"] == "BadRequestException"
+    # commit-table with non-dict 'updates' / non-list 'removals' -> 400
+    client.create_table("q", "tc", SCHEMA)
+    code, doc = post(
+        "/v1/namespaces/q/tables/tc",
+        {"updates": [{"action": "set-properties", "updates": "notadict"}]},
+    )
+    assert code == 400 and doc["error"]["type"] == "BadRequestException"
+    code, doc = post(
+        "/v1/namespaces/q/tables/tc",
+        {"updates": [{"action": "remove-properties", "removals": "abc"}]},
+    )
+    assert code == 400 and doc["error"]["type"] == "BadRequestException"
+    # non-string namespace element in rename -> 400
+    code, doc = post(
+        "/v1/tables/rename",
+        {
+            "source": {"namespace": [1], "name": "tc"},
+            "destination": {"namespace": ["q"], "name": "td"},
+        },
+    )
+    assert code == 400 and doc["error"]["type"] == "BadRequestException"
     # non-object body -> 400
     req = urllib.request.Request(
         base + "/v1/namespaces/q/tables", data=b"[1,2]",

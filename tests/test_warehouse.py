@@ -1456,3 +1456,80 @@ class TestCloneMaintenanceCost:
         # recovery: re-running the rebase from the new location heals
         wh._rebase_relative_entries(dev_dir, wh._table_dir("n", "dev2"))
         assert wh.read("n", "dev2").count() == 11
+
+    def test_rebase_mid_swap_leaves_marker_and_rerun_heals(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A crash DURING the swap pass (ADVICE r10 #3) leaves the
+        _rebase_pending marker in place and drops un-swapped temps; a
+        re-run completes the rebase and removes the marker."""
+        import os as _os
+
+        import sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse as whmod
+
+        wh, S = self._mk(spark, tmp_path)
+        wh.clone_table("n", "src", "n", "dev")
+        for i in range(3):
+            wh.insert(
+                "n",
+                "dev",
+                spark.createDataFrame([(f"c{i}", "d0", i)], S).coalesce(1),
+            )
+        calls = {"n": 0}
+        orig_replace = _os.replace
+
+        def failing_replace(a, b):
+            # fail the SECOND manifest swap (first one lands)
+            if "_v" in b and b.endswith(".json"):
+                calls["n"] += 1
+                if calls["n"] >= 2:
+                    raise OSError("disk full mid-swap")
+            return orig_replace(a, b)
+
+        monkeypatch.setattr(whmod.os, "replace", failing_replace)
+        with pytest.raises(OSError, match="disk full"):
+            wh.rename_table("n", "dev", "n", "dev2")
+        monkeypatch.undo()
+        dev2_dir = wh._table_dir("n", "dev2")
+        marker = _os.path.join(dev2_dir, "_rebase_pending")
+        assert _os.path.exists(marker), "crashed swap must leave the marker"
+        # no staged temps leak
+        mdirs = [_os.path.join(dev2_dir, "_v")]
+        assert not [
+            fn
+            for d in mdirs
+            for fn in _os.listdir(d)
+            if ".tmp-" in fn
+        ], "un-swapped temps leaked"
+        # re-run heals the mixed old/new-relative manifest set
+        wh._rebase_relative_entries(
+            wh._table_dir("n", "dev"), dev2_dir
+        )
+        assert not _os.path.exists(marker)
+        assert wh.read("n", "dev2").count() == 11
+
+    def test_clone_survives_marker_removal_failure(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An OSError removing _clone_pending AFTER a successful publish
+        must not delete the published clone (ADVICE r10 #4)."""
+        import os as _os
+
+        import sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse as whmod
+
+        wh, S = self._mk(spark, tmp_path)
+        orig_remove = _os.remove
+
+        def failing_remove(p):
+            if p.endswith("_clone_pending"):
+                raise OSError("flaky fs")
+            return orig_remove(p)
+
+        monkeypatch.setattr(whmod.os, "remove", failing_remove)
+        wh.clone_table("n", "src", "n", "dev")  # must NOT raise
+        monkeypatch.undo()
+        assert wh.read("n", "dev").count() == 8
+        # marker stays (pins source maintenance -- the safe direction)
+        assert _os.path.exists(
+            _os.path.join(wh._table_dir("n", "dev"), "_clone_pending")
+        )
