@@ -167,6 +167,17 @@ _MODULES = (
 # repped by warehouse_change_feed/catalog_ddl). All four demoted rows
 # stay oracle-checked in the full registry and in bench.py where
 # present.
+# Round-10 rotation (VERDICT r9 #7): the two corpus-container formats a
+# real LLM-data user touches first take official rows --
+# text_warc_extract (WARC response framing -> document extraction) and
+# multimodal_webdataset (tar-sharded sample grouping). Out:
+# sample_stratified (its deterministic md5-keyed sampling runs as
+# curation_pipeline's in-window sample stage) and udf_minmax_scale
+# (the Arrow/pandas execution path stays certified through
+# stateful_user_stats' applyInPandasWithState twin); both demotions are
+# CAPABILITY-covered rather than same-module-covered, encoded as
+# documented exceptions in tests/test_registry.py. Both demoted rows
+# stay oracle-checked in the full registry and in bench.py.
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
@@ -191,10 +202,11 @@ _PRIORITY = (
     "text_lm_perplexity",
     "text_pdf_extract",
     "text_pii_redaction",
-    "sample_stratified",
+    "text_warc_extract",
     "curation_pipeline",
-    # multimodal plumbing
+    # multimodal plumbing + corpus-container ingestion
     "multimodal_image_features",
+    "multimodal_webdataset",
     # ingest chain (+ quarantine/dead-letter path) + warehouse
     # MERGE/DML/metadata/grants/z-order + time travel
     "cdc_pipeline",
@@ -222,8 +234,6 @@ _PRIORITY = (
     "warehouse_catalog_ddl",
     "warehouse_copy_into",
     "warehouse_rest_catalog",
-    # UDF/UDAF/UDTF surface
-    "udf_minmax_scale",
     "timeseries_gapfill",
     # temporal joins
     "asof_join",
