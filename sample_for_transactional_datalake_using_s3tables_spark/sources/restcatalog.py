@@ -57,6 +57,7 @@ into the warehouse's link() CAS.
 from __future__ import annotations
 
 import json
+import os
 import re
 import threading
 import urllib.error
@@ -400,6 +401,8 @@ class IcebergRestCatalogServer:
     ]
 
     _PAGED = {"list_ns", "list_tables", "list_views"}
+    # non-paged routes that also read query params
+    _WANT_PARAMS = _PAGED | {"load_table"}
 
     def _route(
         self, method: str, path: str, body: dict, principal: str
@@ -416,7 +419,7 @@ class IcebergRestCatalogServer:
             match = re.match(rx, path)
             if match:
                 kwargs: dict = {"body": body, "principal": principal}
-                if fn in self._PAGED:
+                if fn in self._WANT_PARAMS:
                     kwargs["params"] = params
                 return getattr(self, f"_r_{fn}")(*match.groups(), **kwargs)
         raise _HttpError(
@@ -568,9 +571,15 @@ class IcebergRestCatalogServer:
             )
         return 200, self._load_result(ns, name)
 
-    def _r_load_table(self, ns, tbl, body, principal):
+    def _r_load_table(self, ns, tbl, body, principal, params=None):
         self._require(principal, "DESCRIBE", ns, tbl)
-        return 200, self._load_result(ns, tbl)
+        mode = (params or {}).get("snapshots", "all")
+        if mode not in ("all", "refs"):
+            raise _HttpError(
+                400, "BadRequestException",
+                "snapshots must be 'all' or 'refs'",
+            )
+        return 200, self._load_result(ns, tbl, snapshots_mode=mode)
 
     def _r_head_table(self, ns, tbl, body, principal):
         self._table_meta_or_404(ns, tbl)
@@ -932,25 +941,25 @@ class IcebergRestCatalogServer:
             uuid.uuid5(uuid.NAMESPACE_URL, f"{tdir}@{created}")
         )
 
-    def _load_result(self, ns: str, tbl: str) -> dict:
+    def _load_result(
+        self, ns: str, tbl: str, snapshots_mode: str = "all"
+    ) -> dict:
+        """Table metadata per the Iceberg REST LoadTableResult. Every
+        snapshot carries its ``manifest-list`` metadata ref (this
+        engine's per-commit manifest JSON), so an external client can
+        TIME-TRAVEL through the facade: pick a historical snapshot-id
+        from ``snapshots``, open its manifest-list, and scan exactly
+        that commit's file set -- the same read path Iceberg clients
+        run against any catalog. ``snapshots_mode='refs'`` serves only
+        snapshots referenced by a branch or tag (the spec's
+        ``?snapshots=refs`` filter -- metadata stays O(refs) on tables
+        with deep histories)."""
         meta = self._table_meta_or_404(ns, tbl)
         tdir = self.wh._table_dir(ns, tbl)
         idx = self.wh._commit_index(tdir)
         schema = spark_to_iceberg_schema(
             T.StructType.fromJson(meta["schema"])
         )
-        snapshots = [
-            {
-                "snapshot-id": r["version"],
-                "timestamp-ms": int((r.get("ts") or 0) * 1000),
-                "summary": {
-                    "operation": r.get("op") or "append",
-                    "total-data-files": str(r["n_files"]),
-                    "total-records": str(r.get("records", 0)),
-                },
-            }
-            for r in idx
-        ]
         current = self.wh.current_version(ns, tbl)
         refs = {
             "main": {"snapshot-id": current, "type": "branch"},
@@ -962,6 +971,25 @@ class IcebergRestCatalogServer:
                 "snapshot-id": self.wh.current_version(ns, tbl, branch=b),
                 "type": "branch",
             }
+        rows = idx
+        if snapshots_mode == "refs":
+            ref_ids = {r["snapshot-id"] for r in refs.values()}
+            rows = [r for r in idx if r["version"] in ref_ids]
+        snapshots = [
+            {
+                "snapshot-id": r["version"],
+                "timestamp-ms": int((r.get("ts") or 0) * 1000),
+                "manifest-list": os.path.join(
+                    tdir, "_v", f"{r['version']:08d}.json"
+                ),
+                "summary": {
+                    "operation": r.get("op") or "append",
+                    "total-data-files": str(r["n_files"]),
+                    "total-records": str(r.get("records", 0)),
+                },
+            }
+            for r in rows
+        ]
         props = dict(meta.get("properties") or {})
         if meta.get("key"):
             props["primary-key"] = meta["key"]
@@ -1119,8 +1147,11 @@ class RestCatalog:
             },
         )
 
-    def load_table(self, ns: str, name: str) -> dict:
-        return self._call("GET", f"/v1/namespaces/{ns}/tables/{name}")
+    def load_table(
+        self, ns: str, name: str, snapshots: str | None = None
+    ) -> dict:
+        q = f"?snapshots={snapshots}" if snapshots else ""
+        return self._call("GET", f"/v1/namespaces/{ns}/tables/{name}{q}")
 
     def table_exists(self, ns: str, name: str) -> bool:
         try:

@@ -115,17 +115,24 @@ def main() -> None:
     for name in names:
         src = os.path.join(args.src, f"{name}.parquet")
         base = pq.read_table(src)
+        dst = os.path.join(args.dst, f"{name}.parquet")
         if name in COPY_ONCE:
-            out = base
-        else:
-            out = pa.concat_tables(
-                [_copy(base, name, k) for k in range(args.factor)]
-            )
-        pq.write_table(
-            out, os.path.join(args.dst, f"{name}.parquet"),
-            row_group_size=131_072,
-        )
-        print(f"{name}: {len(base)} -> {len(out)} rows")
+            pq.write_table(base, dst, row_group_size=131_072)
+            print(f"{name}: {len(base)} -> {len(base)} rows")
+            continue
+        # stream one copy at a time: factor 1000 of lineitem is 600M
+        # rows -- the old concat-everything path needed O(factor) of
+        # the base table in RAM at once
+        total = 0
+        writer = pq.ParquetWriter(dst, base.schema)
+        try:
+            for k in range(args.factor):
+                out = _copy(base, name, k)
+                writer.write_table(out, row_group_size=131_072)
+                total += len(out)
+        finally:
+            writer.close()
+        print(f"{name}: {len(base)} -> {total} rows", flush=True)
 
 
 if __name__ == "__main__":

@@ -327,6 +327,54 @@ def test_refs_surface_tags_and_branches(cat, spark):
     assert refs["audit"]["type"] == "branch"
 
 
+def test_time_travel_through_facade(cat, spark):
+    """VERDICT r9 #8: an external client can time-travel using ONLY
+    facade responses -- pick a historical snapshot-id from the
+    ``snapshots`` listing, open its per-snapshot ``manifest-list``
+    metadata ref, resolve the file set, and scan exactly that commit's
+    state (the standard Iceberg-client read path against any REST
+    catalog)."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    client, wh = cat
+    client.create_namespace("q")
+    client.create_table("q", "t", SCHEMA)
+    wh.insert("q", "t", spark.createDataFrame([("a", "d0", 1)], SCHEMA))
+    wh.insert("q", "t", spark.createDataFrame([("b", "d0", 2)], SCHEMA))
+    meta = client.load_table("q", "t")["metadata"]
+    assert meta["current-snapshot-id"] == 2
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    assert set(by_id) >= {1, 2}
+    # historical scan: snapshot 1's manifest-list -> file set -> rows
+    loc = meta["location"]
+    man = _json.load(open(by_id[1]["manifest-list"]))
+    rows = []
+    for e in man["files"]:
+        rows += _pq.read_table(_os.path.join(loc, e["path"])).to_pylist()
+    assert [r["id"] for r in rows] == ["a"]
+    # matches the engine's own time-travel read
+    assert wh.read("q", "t", version=1).count() == 1
+    # the summary counts agree with the manifest
+    assert by_id[1]["summary"]["total-data-files"] == str(len(man["files"]))
+    # ?snapshots=refs serves only ref-reachable snapshots
+    wh.create_tag("q", "t", "first", version=1)
+    refs_meta = client.load_table("q", "t", snapshots="refs")["metadata"]
+    assert {s["snapshot-id"] for s in refs_meta["snapshots"]} == {1, 2}
+    wh2 = client.load_table("q", "t")["metadata"]
+    assert {s["snapshot-id"] for s in wh2["snapshots"]} == {0, 1, 2}
+    # drop the tag: snapshot 1 leaves the refs view but stays in 'all'
+    wh.drop_tag("q", "t", "first")
+    refs_meta = client.load_table("q", "t", snapshots="refs")["metadata"]
+    assert {s["snapshot-id"] for s in refs_meta["snapshots"]} == {2}
+    # invalid mode -> 400
+    with pytest.raises(RestCatalogError) as e:
+        client.load_table("q", "t", snapshots="bogus")
+    assert e.value.code == 400
+
+
 def test_sql_tblproperties_roundtrip(cat, spark):
     """ALTER SET TBLPROPERTIES (SQL), REST set-properties, and SHOW
     TBLPROPERTIES all read/write the same store."""
