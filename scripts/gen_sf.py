@@ -61,19 +61,63 @@ KEYED = {
 COPY_ONCE = ("region", "nation")
 
 
+_PERM_KEYS: dict = {"k": None, "keys": []}
+_PERM_ORDERS: dict = {}
+
+
+def _perm_order(k: int, n: int) -> list:
+    """Permutation of range(n) for copy k. The md5 sort key depends only
+    on (k, position), so docs sharing a word count share the order --
+    cache per (k, n) and grow one shared key list per k, instead of
+    hashing every word of every doc of every copy (factor 1000 would
+    otherwise be ~1e9 md5 calls)."""
+    import hashlib
+
+    got = _PERM_ORDERS.get((k, n))
+    if got is not None:
+        return got
+    if _PERM_KEYS["k"] != k:
+        _PERM_KEYS["k"] = k
+        _PERM_KEYS["keys"] = []
+        _PERM_ORDERS.clear()
+    keys = _PERM_KEYS["keys"]
+    while len(keys) < n:
+        keys.append(hashlib.md5(f"{k}:{len(keys)}".encode()).digest())
+    order = sorted(range(n), key=keys.__getitem__)
+    _PERM_ORDERS[(k, n)] = order
+    return order
+
+
 def _permute_words(text: str, k: int) -> str:
     """Deterministic per-copy word shuffle (md5-keyed order): destroys
     word ADJACENCY, so shingle sets decorrelate across copies, while
     word counts, char counts and whitespace structure stay identical
     (split/join on single spaces is length-preserving)."""
+    w = text.split(" ")
+    order = _perm_order(k, len(w))
+    return " ".join(w[i] for i in order)
+
+
+def _flip_signs(k_hi: int, dim: int):
+    """Norm-preserving +-1 pattern for copies past one rotation period.
+    Rotation alone has period dim (64): without this, copies k and k+64
+    carry IDENTICAL vectors under different vec_ids -- factor 1000 would
+    plant ~15 exact duplicates per vector and dedup/similarity rows
+    would measure the planted dups, not the engine (same trap the
+    docstring calls out for rotated documents). md5-keyed, no RNG;
+    k_hi == 0 (first 64 copies) stays identity so factor<=64 outputs
+    are byte-identical to earlier rounds' sf1/sf10 artifacts."""
     import hashlib
 
-    w = text.split(" ")
-    order = sorted(
-        range(len(w)),
-        key=lambda i: hashlib.md5(f"{k}:{i}".encode()).digest(),
+    import numpy as np
+
+    if k_hi == 0:
+        return np.ones(dim, dtype=np.float32)
+    return np.array(
+        [1.0 if hashlib.md5(f"flip:{k_hi}:{i}".encode()).digest()[0] & 1
+         else -1.0 for i in range(dim)],
+        dtype=np.float32,
     )
-    return " ".join(w[i] for i in order)
 
 
 def _copy(table: pa.Table, name: str, k: int) -> pa.Table:
@@ -93,12 +137,20 @@ def _copy(table: pa.Table, name: str, k: int) -> pa.Table:
         )
         out = out.set_column(i, out.schema.field(i), shuffled)
     if name == "embeddings":
+        import numpy as np
+
         i = out.schema.get_field_index("embedding")
-        rotated = pa.array(
-            [v[k % len(v):] + v[: k % len(v)] if v else v
-             for v in out.column(i).to_pylist()],
-            type=out.schema.field(i).type,
-        )
+        col = out.column(i).combine_chunks()
+        n = len(col)
+        flat = np.asarray(col.flatten(), dtype=np.float32)
+        dim = flat.size // n
+        # left-rotate by k % dim (v[r:] + v[:r]), then sign-flip past
+        # one full rotation period so no two copies repeat a vector
+        arr = np.roll(flat.reshape(n, dim), -(k % dim), axis=1)
+        arr = arr * _flip_signs(k // dim, dim)
+        offsets = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+        rotated = pa.ListArray.from_arrays(
+            offsets, pa.array(arr.ravel(), type=pa.float32()))
         out = out.set_column(i, out.schema.field(i), rotated)
     return out
 
