@@ -88,6 +88,14 @@ def main() -> int:
     args = sys.argv[1:]
     first_n = 50
     names: list[str] | None = None
+    rows_only = False
+    if "--rows-only" in args:
+        # scale sweeps past the oracle's single-node feasibility (e.g.
+        # dedup_semantic at sf100 is O(N^1.5 * dim) on BOTH sides): run
+        # the Spark query alone and report row count + wall time -- the
+        # weaker rows-only check the driver records for non-SQL ops
+        rows_only = True
+        args = [a for a in args if a != "--rows-only"]
     if args and args[0].isdigit():
         first_n = int(args[0])
         args = args[1:]
@@ -97,7 +105,10 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "8g")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .appName("driver_sim")
         .getOrCreate()
     )
@@ -129,6 +140,13 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
+            continue
+        if rows_only:
+            print(
+                f"ok   {name}: {len(sdf)} rows in {time.time() - t0:.1f}s "
+                "(rows-only)"
+            )
+            n_pass += 1
             continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle ({len(sdf)} rows)")
