@@ -759,9 +759,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the curation step that removes *semantic* duplicates
     (paraphrases, templated rewrites) that exact/MinHash dedup cannot
     see, at O(sum of cluster-size^2) instead of O(N^2) -- the paper's
-    entire scaling argument, reproduced as a plan shape: the pair join
-    is an equi-join on cluster_id (never a cross join), and cosines
-    are exact-int dot products with portable doubles.
+    entire scaling argument, reproduced as a plan shape: pairs are
+    generated ONLY within a cluster_id group (never a cross join),
+    as an Arrow-grouped exact-int64 gram matrix whose cosine doubles
+    are bit-identical to cosine_from_ints (see _cluster_pairs below).
 
     Keep rule: lowest vec_id per duplicate relation (deterministic in
     both engines; the paper's keep-farthest-from-centroid variant is a
@@ -788,7 +789,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     q = _kmeans_quantized(spark, sf_dir)
-    # k is UNCAPPED: past CENTROID_LITERAL_BUDGET (k=1024 at dim 64)
+    # k is UNCAPPED: past CENTROID_LITERAL_BUDGET (k=64 at dim 64)
     # _kmeans_assign switches to a broadcast-joined centroid table, so
     # cluster populations stay ~sqrt(N) at any corpus size -- a fixed
     # cluster ceiling would re-open the O(N^2/k_max) pair-join tail at
@@ -796,46 +797,61 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sweep caught for fixed k=8, one decade later)
     k = max(K_CLUSTERS, math.isqrt(q.count()))
     cents = _kmeans_train(q, k=k)
-    asg = (
-        _kmeans_assign(q, cents)
-        .select("vec_id", "cluster_id", "qv")
-        .withColumn("n2", dot_int(F.col("qv"), F.col("qv")))
-    )
-    cos = cosine_from_ints(
-        dot_int(F.col("a.qv"), F.col("b.qv")),
-        F.col("a.n2"),
-        F.col("b.n2"),
-    )
-    dup_pairs = (
-        asg.alias("a")
-        .join(
-            asg.alias("b"),
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    asg = _kmeans_assign(q, cents).select("vec_id", "cluster_id", "qv")
+    # Within-cluster pair stage: Arrow-grouped blockwise gram matrix.
+    # The previous cluster_id equi-join materialized sum(n_c^2)/2 ~
+    # N^2/(2k) pair rows, each paying an interpreted dim-wide HOF dot
+    # (~O(N^1.5 * dim) lambda steps; the round-10 sf100 sweep measured
+    # the whole run projecting to 4-5 h at N=2M on 32 cores). One
+    # cluster is ~sqrt(N) vectors by construction (16 MB of int64s at a
+    # BILLION vectors), so each group fits a task comfortably and the
+    # gram matrix Q @ Q.T computes every pairwise dot in one exact-int64
+    # BLAS pass; cosine assembles the SAME ieee754 double ops as
+    # cosine_from_ints (int64->double each operand, one sqrt each, one
+    # multiply, one divide), so the >= threshold decides identically to
+    # the joined path and the DuckDB oracle. Row blocks bound the dense
+    # cos slab at ~8e6 cells per pass for degenerate giant clusters.
+    # Shuffle cost: ~N rows keyed by cluster_id (vs the join's
+    # N^2/(2k) intermediate).
+    def _cluster_pairs(key, pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values("vec_id")  # index order == vec_id order
+        n = len(pdf)
+        qm = _np.array(list(pdf["qv"]), dtype=_np.int64)
+        n2 = _np.einsum("ij,ij->i", qm, qm)
+        rs = _np.sqrt(n2.astype(_np.float64))  # sqrt(CAST(n2 AS DOUBLE))
+        n_pairs = 0
+        removed_any = _np.zeros(n, dtype=bool)
+        block = max(1, 8_000_000 // max(n, 1))
+        for s in range(0, n, block):
+            e = min(n, s + block)
+            g = qm[s:e] @ qm.T  # exact int64 dots, every pair
+            cos = g.astype(_np.float64) / (rs[s:e, None] * rs[None, :])
+            m = cos >= SEMDEDUP_COS
+            m &= _np.arange(n)[None, :] > _np.arange(s, e)[:, None]
+            n_pairs += int(m.sum())
+            removed_any |= m.any(axis=0)
+        n_removed = int(removed_any.sum())
+        return _pd.DataFrame(
+            [
+                {
+                    "cluster_id": int(key[0]),
+                    "n_vecs": n,
+                    "n_dup_pairs": n_pairs,
+                    "n_removed": n_removed,
+                    "n_kept": n - n_removed,
+                }
+            ]
         )
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= SEMDEDUP_COS)
-        .select(
-            F.col("a.cluster_id").alias("cluster_id"),
-            F.col("b.vec_id").alias("removed"),
-        )
-    )
-    removed = dup_pairs.groupBy("cluster_id").agg(
-        F.count("*").alias("n_dup_pairs"),
-        F.countDistinct("removed").alias("n_removed"),
-    )
+
     return (
         asg.groupBy("cluster_id")
-        .agg(F.count("*").alias("n_vecs"))
-        .join(removed, "cluster_id", "left")
-        .select(
-            "cluster_id",
-            "n_vecs",
-            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
-            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
-            (
-                F.col("n_vecs") - F.coalesce("n_removed", F.lit(0))
-            ).alias("n_kept"),
+        .applyInPandas(
+            _cluster_pairs,
+            schema="cluster_id int, n_vecs bigint, n_dup_pairs bigint, "
+            "n_removed bigint, n_kept bigint",
         )
         .orderBy("cluster_id")
     )

@@ -547,17 +547,25 @@ JOIN sums sb ON p.j = sb.i
 K_CLUSTERS = 8
 KMEANS_ITERS = 3
 
-# Literal-centroid assignment embeds k*dim int64s in the plan; past this
-# budget (k=1024 at dim 64, ~0.5 MB of plan literals) the plan itself
-# becomes the bottleneck (analysis/codegen time, task-binary size), so
-# assignment switches to a broadcast-joined centroid DataFrame -- same
-# exact int64 math, same lowest-cluster-id tie-break, one extra ~N-row
-# shuffle. This is what lets SemDeDup's k = isqrt(N) run UNCAPPED: at
-# a billion vectors k ~ 31623 (2 MB of centroids -- trivially
-# broadcastable), keeping the within-cluster pair join at O(N^1.5 * dim)
+# Assignment-strategy crossover, in k*dim units. Literal-centroid
+# assignment evaluates k zip_with/aggregate lambda bodies PER ROW --
+# interpreted HOF steps, not codegen arithmetic -- so its per-vector
+# cost is ~k*dim lambda evaluations. The Arrow matmul path pays a
+# fixed per-batch serialization cost and then ~k*dim*0.3ns of BLAS per
+# vector, two orders of magnitude less per step. Measured at sf10
+# (N=200k, k=447, the round-10 sweep): the literal path's four
+# assignment passes dominated dedup_semantic at ~4 min; the matmul
+# path runs them in seconds. Below the crossover (k <= 64 at dim 64:
+# the k=8 certified queries) the literal path stays -- zero Python,
+# no worker startup, sub-second anyway. Results are bit-identical on
+# both sides of the line (pinned by
+# test_broadcast_assign_bit_identical_to_literal), so the switch is
+# invisible to every oracle. This is what lets SemDeDup's k = isqrt(N)
+# run UNCAPPED: at a billion vectors k ~ 31623 is 16 MB of broadcast
+# centroids, keeping the within-cluster pair stage at O(N^1.5 * dim)
 # instead of re-opening the quadratic tail a fixed cluster ceiling
 # would cause.
-CENTROID_LITERAL_BUDGET = 65536
+CENTROID_LITERAL_BUDGET = 4096
 
 
 def _kmeans_floor_div(s: int, n: int) -> int:
@@ -569,14 +577,15 @@ def _kmeans_floor_div(s: int, n: int) -> int:
 def _kmeans_assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
     """Lloyd's assignment: (vec_id, qv, dist2, cluster_id) for every row
     of ``q``. Two physically different but bit-identical strategies,
-    chosen by the literal budget:
+    chosen by the crossover budget:
 
     - k*dim <= CENTROID_LITERAL_BUDGET: centroids ride the plan as
       LITERALS (the broadcast-free analog of MLlib's broadcast centroid
       array) -- map-only, zero shuffle, zero Python.
-    - past the budget: centroids become a broadcast DataFrame and
-      assignment is a BroadcastNestedLoopJoin fan-out + map-side-combined
-      min aggregate (see _kmeans_assign_broadcast).
+    - past the budget: centroids ship once per executor as an
+      sc.broadcast numpy array and assignment is an Arrow-batched
+      exact-int64 matmul (see _kmeans_assign_broadcast) -- still
+      map-only, zero shuffle.
 
     Both compute exact int64 squared distances and break ties to the
     lowest cluster id, so which path ran is invisible to results."""
@@ -606,45 +615,59 @@ def _kmeans_assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
 def _kmeans_assign_broadcast(
     q: DataFrame, cents: list[list[int]]
 ) -> DataFrame:
-    """Assignment via a broadcast centroid table, for k past the literal
-    budget. Plan shape: BroadcastNestedLoopJoin fans each row out to k
-    (vec_id, dist2, cluster_id) triples -- qv is consumed by the dist2
-    expression BEFORE the shuffle, so the fan-out never moves vectors --
-    then groupBy(vec_id).min(struct(dist2, cluster_id)) map-side-combines
-    back to exactly one row per vec_id per map partition (all k fan-out
-    rows of a vec_id are partition-local to the broadcast join), so the
-    shuffle carries ~N small rows regardless of k. min over the
-    (dist2, cluster_id) struct = argmin with the lowest-cluster-id
-    tie-break, identical to the literal path's array_position. A final
-    vec_id join re-attaches qv.
+    """Assignment via broadcast centroids + Arrow-batched numpy matmul,
+    for k past the literal budget. This is the sanctioned vectorized-UDF
+    seam: per-row HOF expressions cost O(k*dim) interpreted lambda steps
+    per vector, and the round-10 sf100 sweep measured the previous
+    BroadcastNestedLoopJoin fan-out at ~50 min PER assignment pass at
+    N=2M, k=1414 on 32 cores (4 passes per SemDeDup run) -- dense
+    linear algebra belongs in a BLAS matmul, not an expression tree.
 
-    At 100 TB / billions of vectors: centroids are k*dim int64s
-    (isqrt(1e9)*64 ~ 16 MB) -- broadcast once, never reshuffled; total
-    extra cost over the literal path is one N-row shuffle."""
+    Shape: centroids ship ONCE per executor as an sc.broadcast numpy
+    array (k*dim int64s; isqrt(1e9)*64 ~ 16 MB at a billion vectors),
+    each Arrow batch computes all B*k distances as
+    ``|q|^2 + |c|^2 - 2 Q @ C.T`` in exact int64 (numpy integer matmul
+    is exact; the decomposition equals the literal path's
+    sum-of-(a-b)^2 integer for every pair), and ``argmin`` takes the
+    first occurrence of the minimum = the lowest cluster id -- the same
+    tie-break as the literal path's array_position(array_min). Results
+    are therefore bit-identical to the literal path (pinned by
+    test_broadcast_assign_bit_identical_to_literal); which path ran is
+    invisible to the oracle. Map-only: zero shuffle, qv rides the batch
+    through (no re-attach join)."""
+    import numpy as np
+
     spark = q.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, [int(x) for x in c]) for i, c in enumerate(cents)],
-        "cluster_id INT, cv ARRAY<BIGINT>",
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    best = (
-        q.select("vec_id", "qv")
-        .crossJoin(F.broadcast(cent_df))
-        .select("vec_id", d2.alias("d2"), "cluster_id")
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cluster_id")).alias("m"))
-        .select(
-            "vec_id",
-            F.col("m.d2").alias("dist2"),
-            F.col("m.cluster_id").alias("cluster_id"),
-        )
-    )
-    return q.join(best, "vec_id").select(
-        "vec_id", "qv", "dist2", "cluster_id"
+    carr = np.asarray(cents, dtype=np.int64)
+    cn2 = np.einsum("ij,ij->i", carr, carr)  # |c|^2, exact int64
+    bc = spark.sparkContext.broadcast((carr, cn2))
+
+    def assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ct = bc.value[0].T.copy()  # dim x k, contiguous for the matmul
+        ccn2 = bc.value[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = _np.array(list(pdf["qv"]), dtype=_np.int64)
+            qn2 = _np.einsum("ij,ij->i", qm, qm)
+            d2 = qn2[:, None] + ccn2[None, :] - 2 * (qm @ ct)
+            cid = d2.argmin(axis=1)  # first min = lowest cluster id
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "qv": pdf["qv"],
+                    "dist2": d2[_np.arange(len(pdf)), cid],
+                    "cluster_id": cid.astype(_np.int32),
+                }
+            )
+
+    return q.select("vec_id", "qv").mapInPandas(
+        assign,
+        schema="vec_id bigint, qv array<bigint>, dist2 bigint, "
+        "cluster_id int",
     )
 
 

@@ -4,10 +4,14 @@ Two failure classes the fixed-k / dense-id implementation had:
 
 1. The 1024-cluster literal cap re-opened SemDeDup's quadratic
    pair-join tail past ~1M vectors.  Now ``_kmeans_assign`` switches to
-   a broadcast-joined centroid DataFrame past
+   an Arrow-batched broadcast-centroid matmul past
    ``CENTROID_LITERAL_BUDGET`` and k is uncapped; these tests force the
    broadcast path (budget monkeypatch) and pin both bit-identical
-   results and the BroadcastNestedLoopJoin plan shape.
+   results and the map-only MapInPandas plan shape.  The sf100 sweep
+   then showed the pair stage itself (cluster_id equi-join + HOF dot
+   per pair row) projecting to hours at N=2M, so pairs are now a
+   grouped exact-int64 gram matmul -- test_semantic_pair_stage_matches_
+   reference_join pins it against the old join formulation.
 
 2. Seeding assumed vec_ids are dense from 0 (``seed_rows[i] for i in
    range(k)`` raised KeyError on any gap).  Seeding is now the k
@@ -106,14 +110,14 @@ def test_broadcast_assign_bit_identical_to_literal(spark, sf_dir_small):
 
 
 def test_broadcast_assign_plan_shape(spark, sf_dir_small):
-    """Past the literal budget: the plan broadcasts the centroid table
-    (BroadcastNestedLoopJoin fan-out) and carries NO k*dim literal
-    array; the fan-out aggregate map-side-combines (partial_min)."""
+    """Past the literal budget: assignment is a map-only Arrow batch
+    pass (MapInPandas; centroids ride an sc.broadcast, never the plan)
+    with NO shuffle and NO k*dim literal array."""
     q = similarity._kmeans_quantized(spark, sf_dir_small)
     cents = similarity._kmeans_train(q, k=16)
     plan = similarity._kmeans_assign_broadcast(q, cents)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "partial_min" in plan
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan  # map-only: zero shuffle
     # the literal path would embed every centroid component; the
     # broadcast path must not
     assert str(cents[0][0]) + ", " + str(cents[0][1]) not in plan
@@ -129,7 +133,7 @@ def test_semantic_dedup_forced_broadcast_path(
     monkeypatch.setattr(similarity, "CENTROID_LITERAL_BUDGET", 0)
     out = dedup.dedup_semantic(spark, sf_dir_small)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
     con = duckdb.connect()
     path = os.path.join(sf_dir_small, "embeddings.parquet")
     con.execute(
@@ -138,6 +142,76 @@ def test_semantic_dedup_forced_broadcast_path(
     compare(
         out, con, dedup.ORACLES["dedup_semantic"], "semantic_broadcast"
     )
+
+
+def test_semantic_pair_stage_matches_reference_join(spark, sparse_dir):
+    """The grouped gram-matmul pair stage returns exactly what the
+    round-9 cluster_id equi-join + cosine_from_ints formulation did --
+    same exact-int dots, same ieee754 double cosine, same >= decision,
+    row for row (run on the hostile sparse-id fixture for good
+    measure)."""
+    import pyspark.sql.functions as F
+
+    from sample_for_transactional_datalake_using_s3tables_spark.functions.vectors import (
+        cosine_from_ints,
+        dot_int,
+    )
+
+    new = {
+        r.cluster_id: (r.n_vecs, r.n_dup_pairs, r.n_removed, r.n_kept)
+        for r in dedup.dedup_semantic(spark, sparse_dir).collect()
+    }
+
+    # reference: the pre-vectorization join formulation, verbatim
+    q = similarity._kmeans_quantized(spark, sparse_dir)
+    k = max(similarity.K_CLUSTERS, 8)  # isqrt(80) = 8
+    cents = similarity._kmeans_train(q, k=k)
+    asg = (
+        similarity._kmeans_assign(q, cents)
+        .select("vec_id", "cluster_id", "qv")
+        .withColumn("n2", dot_int(F.col("qv"), F.col("qv")))
+    )
+    cos = cosine_from_ints(
+        dot_int(F.col("a.qv"), F.col("b.qv")),
+        F.col("a.n2"),
+        F.col("b.n2"),
+    )
+    dup_pairs = (
+        asg.alias("a")
+        .join(
+            asg.alias("b"),
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= dedup.SEMDEDUP_COS)
+        .select(
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.col("b.vec_id").alias("removed"),
+        )
+    )
+    removed = dup_pairs.groupBy("cluster_id").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("removed").alias("n_removed"),
+    )
+    ref_rows = (
+        asg.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_vecs"))
+        .join(removed, "cluster_id", "left")
+        .collect()
+    )
+    ref = {
+        r.cluster_id: (
+            r.n_vecs,
+            r.n_dup_pairs or 0,
+            r.n_removed or 0,
+            r.n_vecs - (r.n_removed or 0),
+        )
+        for r in ref_rows
+    }
+    assert new == ref
+    # the fixture must actually exercise the dup path
+    assert any(v[1] > 0 for v in new.values())
 
 
 def test_uncapped_k_formula():

@@ -256,17 +256,23 @@ def test_segment_dedup_keeps_first_occurrence(spark):
     assert got[2] == (1, 0, "")
 
 
-def test_semantic_dedup_pairs_join_on_cluster(spark):
-    """SemDeDup's pair generation is an equi-join on cluster_id --
-    never a cartesian/BNLJ blowup (the paper's whole scaling point)."""
+def test_semantic_dedup_pairs_grouped_on_cluster(spark):
+    """SemDeDup's pair generation never leaves a cluster_id group: the
+    plan is a cluster_id-keyed Arrow group stage (one shuffle of ~N
+    rows), with no cartesian/BNLJ blowup and no pair-row join at all
+    (the paper's whole scaling point, plus the round-10 vectorization:
+    the gram matmul happens inside the group, so sum(n_c^2) pair rows
+    never materialize in the plan)."""
     plan = _executed(dedup.dedup_semantic(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
-    joins = [
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    grouped = [
         l for l in plan.splitlines()
-        if "HashJoin" in l or "SortMergeJoin" in l
+        if "FlatMapGroupsInPandas" in l or "hashpartitioning" in l
     ]
-    assert any("cluster_id" in l for l in joins), (
-        "semantic-dedup pair join lost its cluster key"
+    assert any("cluster_id" in l for l in grouped), (
+        "semantic-dedup pair stage lost its cluster key"
     )
 
 
