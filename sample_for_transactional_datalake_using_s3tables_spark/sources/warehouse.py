@@ -2628,22 +2628,30 @@ class Warehouse:
     _DELETE_BROADCAST_RECORDS = 4_000_000
 
     def _read_delete_keys(
-        self, tdir: str, dels: list[dict], key_type
+        self, tdir: str, dels: list[dict], key_type, with_seq: bool = False
     ) -> DataFrame:
         """Union of equality-delete files as one column ``__delkey``.
         Each entry stores the PHYSICAL key column name it was written
         under (``col``), so later renames of the logical key stay
-        metadata-only for delete files too."""
+        metadata-only for delete files too. ``with_seq`` adds each
+        file's commit sequence as ``__dseq`` (files sharing (col, seq)
+        scan as one branch) -- the single-join read path aggregates it
+        to the per-key max."""
         from pyspark.sql.types import StructField
 
         out = None
-        by_col: dict[str, list[str]] = {}
+        by_grp: dict[tuple, list[str]] = {}
         for d in dels:
-            by_col.setdefault(d["col"], []).append(os.path.join(tdir, d["path"]))
-        for col, paths in by_col.items():
+            g = (d["col"], d["seq"] if with_seq else None)
+            by_grp.setdefault(g, []).append(os.path.join(tdir, d["path"]))
+        for (col, seq), paths in by_grp.items():
             df = self.spark.read.schema(
                 StructType([StructField(col, key_type, True)])
             ).parquet(*paths).select(F.col(col).alias("__delkey"))
+            if with_seq:
+                df = df.withColumn(
+                    "__dseq", F.lit(int(seq)).cast("bigint")
+                )
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -2666,19 +2674,30 @@ class Warehouse:
         rows by (file path, row ordinal); they apply exactly to the
         files they name.
 
-        Plan shape: data files are grouped by their APPLICABLE-DELETE
-        fingerprint (equality delete seqs + pos-delete paths that touch
-        the file), so the number of scan branches is bounded by the
-        number of MoR commits since the last compaction -- NOT by the
-        number of data files -- and each branch applies its deletes
-        with one equi ANTI-join per kind (hash-joinable; the delete
-        side broadcasts when its manifest record total is small, the
-        steady state for CDC batches). Files with no applicable delete
-        stay on the zero-join fast path. ``file_col`` adds
-        ``input_file_name()`` BEFORE the anti-joins (scan-stage
-        evaluation) for probe callers; ``keep_pos`` keeps the
-        ``__abase``/``__pos`` address columns in the output (the
-        positional-DELETE probe reads through this path)."""
+        Plan shape: POSITIONAL deletes group data files by the
+        pos-delete paths that touch them (branch count bounded by MoR
+        commits since compaction) and each branch applies ONE
+        (path, pos) anti-join. EQUALITY deletes apply as ONE join for
+        the whole read, not one per branch: every live equality-delete
+        file is scanned ONCE into ``(__delkey, seq)``, aggregated to
+        the per-key MAX delete sequence, and data rows -- tagged with
+        their file's sequence literal -- survive iff their key has no
+        delete or its max delete seq <= the file seq. That is exactly
+        the per-file rule ("a delete at seq d removes keys from files
+        with seq < d"): including a stats-pruned delete in the join is
+        harmless because pruning only ever drops deletes whose keys
+        provably cannot appear in the file, and the join checks
+        containment directly. Cost is O(delete files) small scans + one
+        hash join (broadcast while the delete backlog is small, the CDC
+        steady state) -- the previous per-branch anti-joins re-scanned
+        overlapping delete unions O(commits^2) times and collapsed to
+        shuffle joins past the broadcast bound, which wedged compaction
+        for an hour at a 10M-row, 21-commit backlog (round-10 sf10
+        bench). Files with no applicable delete stay on the zero-join
+        fast path. ``file_col`` adds ``input_file_name()`` BEFORE the
+        joins (scan-stage evaluation) for probe callers; ``keep_pos``
+        keeps the ``__abase``/``__pos`` address columns in the output
+        (the positional-DELETE probe reads through this path)."""
         dels = _live_deletes(deletes, entries)
         eq = [d for d in dels if d.get("kind") != "pos"]
         pos = [d for d in dels if d.get("kind") == "pos"]
@@ -2696,19 +2715,30 @@ class Warehouse:
         if not entries or (not eq and not pos):
             return base(entries)
         phys_key = (phys or {}).get(key, key) if key is not None else None
+        # group key: (file seq if any equality delete applies else None,
+        # applicable pos-delete paths). Branch count stays bounded by
+        # MoR commits since compaction; the seq literal is what the
+        # single equality join gates on.
         groups: dict[tuple, list[dict]] = {}
+        eq_applicable: list[dict] = []
+        eq_seen: set[int] = set()
         for e in entries:
-            eq_fp = tuple(
-                sorted(d["seq"] for d in eq if _delete_applies(d, e, phys_key))
-            )
+            fseq = None
+            for d in eq:
+                if _delete_applies(d, e, phys_key):
+                    fseq = _seq_of(e)
+                    if d["seq"] not in eq_seen:
+                        eq_seen.add(d["seq"])
+                        eq_applicable.append(d)
             pos_fp = tuple(
                 sorted(
                     d["path"] for d in pos if _delete_applies(d, e, phys_key)
                 )
             )
-            groups.setdefault((eq_fp, pos_fp), []).append(e)
-        out = None
-        for (eq_fp, pos_fp), es in groups.items():
+            groups.setdefault((fseq, pos_fp), []).append(e)
+        clean = None
+        dirty = None
+        for (fseq, pos_fp), es in groups.items():
             part = base(es, with_pos=bool(pos_fp))
             if pos_fp:
                 named = set(pos_fp)
@@ -2727,22 +2757,44 @@ class Warehouse:
                 )
                 if not keep_pos:
                     part = part.drop("__abase", "__pos")
-            if eq_fp:
-                seqs = set(eq_fp)
-                applicable = [d for d in eq if d["seq"] in seqs]
-                kdf = self._read_delete_keys(
-                    tdir, applicable, schema[key].dataType
+            if fseq is not None:
+                part = part.withColumn(
+                    "__fseq", F.lit(int(fseq)).cast("bigint")
                 )
-                if (
-                    sum(d.get("records", 0) for d in applicable)
-                    <= self._DELETE_BROADCAST_RECORDS
-                ):
-                    kdf = F.broadcast(kdf)
-                part = part.join(
-                    kdf, F.col(key) == F.col("__delkey"), "left_anti"
+                dirty = part if dirty is None else dirty.unionByName(part)
+            else:
+                clean = part if clean is None else clean.unionByName(part)
+        if dirty is not None:
+            # one scan per delete file, one aggregation, ONE join for
+            # the whole read: (key -> max delete seq); a row survives
+            # iff no delete holds its key or the newest one is not
+            # newer than the row's data file
+            kdf = (
+                self._read_delete_keys(
+                    tdir, eq_applicable, schema[key].dataType,
+                    with_seq=True,
                 )
-            out = part if out is None else out.unionByName(part)
-        return out
+                .groupBy("__delkey")
+                .agg(F.max("__dseq").alias("__dseq"))
+            )
+            if (
+                sum(d.get("records", 0) for d in eq_applicable)
+                <= self._DELETE_BROADCAST_RECORDS
+            ):
+                kdf = F.broadcast(kdf)
+            dirty = (
+                dirty.join(
+                    kdf, F.col(key) == F.col("__delkey"), "left"
+                )
+                .filter(
+                    F.col("__dseq").isNull()
+                    | (F.col("__dseq") <= F.col("__fseq"))
+                )
+                .drop("__delkey", "__dseq", "__fseq")
+            )
+        if clean is None:
+            return dirty
+        return clean if dirty is None else clean.unionByName(dirty)
 
     def _read_pos_deletes(self, tdir: str, dels: list[dict]) -> DataFrame:
         """Union of position-delete files as ``(__dbase, __dpos)``.
