@@ -414,9 +414,12 @@ def test_read_staged_overlay_applies_current_deletes(spark, wh):
 
 def test_mor_stats_disjoint_files_skip_anti_join(spark, wh):
     """Data files whose key min/max range is disjoint from every
-    applicable delete file's key range take the zero-join fast path --
-    the executed plan contains exactly ONE LeftAnti join (for the
-    overlapping commit), not one per commit."""
+    applicable delete file's key range take the zero-join fast path,
+    and the whole read applies its equality deletes with exactly ONE
+    seq-gated LEFT join against the (key -> max delete seq) table --
+    never one join per commit (the round-10 sf10 bench caught the
+    per-branch formulation going O(commits^2) on a 21-commit
+    backlog)."""
     wh.create_namespace("ns")
     wh.create_table("ns", "t", SCHEMA, key="id")
     wh.insert("ns", "t", _df(spark, [(f"a{i}", "d0", i) for i in range(8)]).coalesce(1))
@@ -424,9 +427,12 @@ def test_mor_stats_disjoint_files_skip_anti_join(spark, wh):
     wh.delete_where("ns", "t", [("id", "=", "b3")], strategy="mor")
     df = wh.read("ns", "t")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("LeftAnti") == 1, plan
+    # one LeftOuter for the overlapping file's branch; the disjoint
+    # file unions in join-free; equality deletes never LeftAnti now
+    assert plan.count("LeftOuter") == 1, plan
+    assert plan.count("LeftAnti") == 0, plan
     # small delete sets broadcast: the data side never shuffles
-    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
     assert "SortMergeJoin" not in plan, plan
     got = {r.id for r in df.collect()}
     assert got == {f"a{i}" for i in range(8)} | {
