@@ -323,15 +323,40 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
         wh = Warehouse(spark, f"{root}/wh")
         create_transactions_table(wh)
 
-        # (a) sustained CDC ingest: all shards, multiple micro-batches
+        def _median(xs: list[float]) -> float:
+            return sorted(xs)[len(xs) // 2]
+
+        # (a) sustained CDC ingest: all shards, multiple micro-batches.
+        # MEDIAN of N_STREAM_RUNS (VERDICT r10 #5: single-shot streaming
+        # probes swung 2041 vs 2570 rows/s on identical code; the judge
+        # was chasing noise). Each run gets a fresh table + checkpoint
+        # so every pass re-ingests the full shard set; the LAST run's
+        # table/checkpoint feed the latency probes below.
+        N_STREAM_RUNS = 3
+        cdc_runs: list[float] = []
         try:
-            t0 = time.perf_counter()
-            q = stream_cdc_to_table(spark, src, wh, f"{root}/ckpt_cdc")
-            if _await(q, 1800, "cdc"):
-                wall = time.perf_counter() - t0
+            for r in range(N_STREAM_RUNS):
+                last = r == N_STREAM_RUNS - 1
+                tname = "transactions" if last else f"transactions_warm{r}"
+                ckpt = f"{root}/ckpt_cdc" if last else f"{root}/ckpt_warm{r}"
+                qt = (
+                    "transactions_errors" if last
+                    else f"transactions_errors_warm{r}"
+                )
+                if not last:
+                    create_transactions_table(wh, table=tname)
+                t0 = time.perf_counter()
+                q = stream_cdc_to_table(
+                    spark, src, wh, ckpt, table=tname, quarantine_table=qt
+                )
+                if not _await(q, 1800, f"cdc run {r}"):
+                    break
+                cdc_runs.append(round(n_rows / (time.perf_counter() - t0), 1))
+            if cdc_runs:
                 out["cdc_rows"] = float(n_rows)
-                out["cdc_wall_sec"] = round(wall, 3)
-                out["cdc_rows_per_sec"] = round(n_rows / wall, 1)
+                out["cdc_rows_per_sec"] = _median(cdc_runs)
+                out["cdc_rows_per_sec_runs"] = cdc_runs
+                out["cdc_wall_sec"] = round(n_rows / _median(cdc_runs), 3)
         except Exception as e:  # noqa: BLE001
             print(f"# streaming cdc: {type(e).__name__}: {e}"[:300],
                   file=sys.stderr)
@@ -341,38 +366,50 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
         try:
             import json as _json
 
-            lines = [
-                _json.dumps(
-                    {
-                        "eventName": "INSERT",
-                        "dynamodb": {
-                            "NewImage": {
-                                "transaction_id": {"S": f"LAT_{i}"},
-                                "timestamp": {"N": "1718300000123"},
-                                "amount": {"N": "9.99"},
-                                "processing_timestamp": {"N": "1718300000223"},
-                            }
-                        },
-                    }
-                )
-                for i in range(100)
-            ]
-            with open(os.path.join(src, "latency_probe.jsonl"), "w") as f:
-                f.write("\n".join(lines) + "\n")
-            t0 = time.perf_counter()
-            q = stream_cdc_to_table(spark, src, wh, f"{root}/ckpt_cdc")
-            if _await(q, 600, "cdc latency"):
+            def _probe_lines(prefix: str) -> str:
+                return "\n".join(
+                    _json.dumps(
+                        {
+                            "eventName": "INSERT",
+                            "dynamodb": {
+                                "NewImage": {
+                                    "transaction_id": {"S": f"{prefix}_{i}"},
+                                    "timestamp": {"N": "1718300000123"},
+                                    "amount": {"N": "9.99"},
+                                    "processing_timestamp": {
+                                        "N": "1718300000223"
+                                    },
+                                }
+                            },
+                        }
+                    )
+                    for i in range(100)
+                ) + "\n"
+
+            lat_runs: list[float] = []
+            for r in range(N_STREAM_RUNS):
+                with open(
+                    os.path.join(src, f"latency_probe{r}.jsonl"), "w"
+                ) as f:
+                    f.write(_probe_lines(f"LAT{r}"))
+                t0 = time.perf_counter()
+                q = stream_cdc_to_table(spark, src, wh, f"{root}/ckpt_cdc")
+                if not _await(q, 600, f"cdc latency {r}"):
+                    break
                 visible = (
                     wh.read("analytics", "transactions")
-                    .filter(F.col("transaction_id").startswith("LAT_"))
+                    .filter(F.col("transaction_id").startswith(f"LAT{r}_"))
                     .count()
                 )
                 lat = time.perf_counter() - t0
                 if visible == 100:
-                    out["cdc_commit_to_queryable_sec"] = round(lat, 3)
+                    lat_runs.append(round(lat, 3))
                 else:
-                    print(f"# streaming cdc latency: {visible}/100 visible",
+                    print(f"# streaming cdc latency {r}: {visible}/100",
                           file=sys.stderr)
+            if lat_runs:
+                out["cdc_commit_to_queryable_sec"] = _median(lat_runs)
+                out["cdc_commit_to_queryable_sec_runs"] = lat_runs
         except Exception as e:  # noqa: BLE001
             print(f"# streaming cdc latency: {type(e).__name__}: {e}"[:300],
                   file=sys.stderr)
@@ -384,71 +421,75 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
         # compaction a deployment runs beside the stream), then the
         # same 100-row commit-to-queryable probe.
         try:
-            create_transactions_table(wh, table="transactions_mor")
-            t0 = time.perf_counter()
-            q = stream_cdc_to_table(
-                spark, src, wh, f"{root}/ckpt_cdc_mor",
-                table="transactions_mor", strategy="mor",
-                quarantine_table="transactions_mor_errors",
-            )
-            if _await(q, 1800, "cdc mor"):
-                wall = time.perf_counter() - t0
-                out["cdc_mor_rows_per_sec"] = round(n_rows / wall, 1)
+            mor_runs: list[float] = []
+            for r in range(N_STREAM_RUNS):
+                last = r == N_STREAM_RUNS - 1
+                tname = (
+                    "transactions_mor" if last
+                    else f"transactions_mor_warm{r}"
+                )
+                ckpt = (
+                    f"{root}/ckpt_cdc_mor" if last
+                    else f"{root}/ckpt_mor_warm{r}"
+                )
+                create_transactions_table(wh, table=tname)
+                t0 = time.perf_counter()
+                q = stream_cdc_to_table(
+                    spark, src, wh, ckpt, table=tname, strategy="mor",
+                    quarantine_table=f"{tname}_errors",
+                )
+                if not _await(q, 1800, f"cdc mor run {r}"):
+                    break
+                mor_runs.append(
+                    round(n_rows / (time.perf_counter() - t0), 1)
+                )
+            if len(mor_runs) == N_STREAM_RUNS:
+                out["cdc_mor_rows_per_sec"] = _median(mor_runs)
+                out["cdc_mor_rows_per_sec_runs"] = mor_runs
                 t0 = time.perf_counter()
                 wh.auto_maintain("analytics", "transactions_mor")
                 out["cdc_mor_maintain_sec"] = round(
                     time.perf_counter() - t0, 3
                 )
-                # fresh probe file: the CoW probe's LAT_ rows were
-                # already consumed by the sustained MoR run above
-                import json as _json
-
-                probe = [
-                    _json.dumps(
-                        {
-                            "eventName": "INSERT",
-                            "dynamodb": {
-                                "NewImage": {
-                                    "transaction_id": {"S": f"LATM_{i}"},
-                                    "timestamp": {"N": "1718300001123"},
-                                    "amount": {"N": "9.99"},
-                                    "processing_timestamp": {
-                                        "N": "1718300001223"
-                                    },
-                                }
-                            },
-                        }
+                # fresh probe files: the CoW probes' LAT rows were
+                # already consumed by the sustained MoR runs above
+                mor_lat_runs: list[float] = []
+                for r in range(N_STREAM_RUNS):
+                    with open(
+                        os.path.join(src, f"latency_probe_mor{r}.jsonl"),
+                        "w",
+                    ) as f:
+                        f.write(_probe_lines(f"LATM{r}"))
+                    t0 = time.perf_counter()
+                    q = stream_cdc_to_table(
+                        spark, src, wh, f"{root}/ckpt_cdc_mor",
+                        table="transactions_mor", strategy="mor",
+                        quarantine_table="transactions_mor_errors",
                     )
-                    for i in range(100)
-                ]
-                with open(
-                    os.path.join(src, "latency_probe_mor.jsonl"), "w"
-                ) as f:
-                    f.write("\n".join(probe) + "\n")
-                t0 = time.perf_counter()
-                q = stream_cdc_to_table(
-                    spark, src, wh, f"{root}/ckpt_cdc_mor",
-                    table="transactions_mor", strategy="mor",
-                    quarantine_table="transactions_mor_errors",
-                )
-                if _await(q, 600, "cdc mor latency"):
+                    if not _await(q, 600, f"cdc mor latency {r}"):
+                        break
                     visible = (
                         wh.read("analytics", "transactions_mor")
                         .filter(
-                            F.col("transaction_id").startswith("LATM_")
+                            F.col("transaction_id").startswith(f"LATM{r}_")
                         )
                         .count()
                     )
                     lat = time.perf_counter() - t0
                     if visible == 100:
-                        out["cdc_mor_commit_to_queryable_sec"] = round(
-                            lat, 3
-                        )
+                        mor_lat_runs.append(round(lat, 3))
                     else:
                         print(
-                            f"# cdc mor latency: {visible}/100 visible",
+                            f"# cdc mor latency {r}: {visible}/100",
                             file=sys.stderr,
                         )
+                if mor_lat_runs:
+                    out["cdc_mor_commit_to_queryable_sec"] = _median(
+                        mor_lat_runs
+                    )
+                    out["cdc_mor_commit_to_queryable_sec_runs"] = (
+                        mor_lat_runs
+                    )
         except Exception as e:  # noqa: BLE001
             print(f"# streaming cdc mor: {type(e).__name__}: {e}"[:300],
                   file=sys.stderr)
@@ -775,7 +816,30 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # ALSO persist the record to a file (VERDICT r10 #6: the r10
+    # driver record lost its headline to stdout tail-truncation --
+    # `parsed: null`). Round number inferred from the newest BENCH_r*
+    # record on disk; falls back to a fixed name, never fails the run.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for fn in os.listdir(here)
+            for m in [_re.match(r"BENCH_r(\d+)\.json$", fn)]
+            if m
+        ]
+        name = (
+            f"BENCH_r{max(rounds) + 1:02d}_builder.json"
+            if rounds else "BENCH_latest_run.json"
+        )
+        with open(os.path.join(here, name), "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"# bench record write failed: {e}", file=sys.stderr)
     spark.stop()
 
 

@@ -178,6 +178,17 @@ _MODULES = (
 # CAPABILITY-covered rather than same-module-covered, encoded as
 # documented exceptions in tests/test_registry.py. Both demoted rows
 # stay oracle-checked in the full registry and in bench.py.
+# Round-11 rotation (VERDICT r10 #2): warehouse_mor_multifile takes an
+# official row -- BOTH multi-file equality-delete producers
+# (delete_where mor, >5000-key merge mor) certified with AQE
+# coalescing pinned off, the exact shape the round-10 `_read_entries`
+# regression silently broke (delete files deduped by seq ->
+# resurrected rows; this row is red on the pre-fix engine).
+# warehouse_mor_merge additionally forces its predicate-delete commit
+# multi-file, so the shape holds two windows rows. Out:
+# warehouse_shallow_clone (round-8-green, zero-copy cloning keeps its
+# registry row and test_warehouse coverage; no peer family but the
+# capability is metadata-only and untouched since r8).
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
@@ -213,6 +224,7 @@ _PRIORITY = (
     "cdc_quarantine",
     "warehouse_merge_roundtrip",
     "warehouse_mor_merge",
+    "warehouse_mor_multifile",
     "warehouse_insert_overwrite",
     "warehouse_constraints",
     "warehouse_changelog",
@@ -226,7 +238,6 @@ _PRIORITY = (
     "warehouse_table_stream",
     "warehouse_column_features",
     "warehouse_stream_copy",
-    "warehouse_shallow_clone",
     # event-time windows + custom state
     "window_tumbling",
     "stateful_user_stats",

@@ -830,6 +830,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             g = qm[s:e] @ qm.T  # exact int64 dots, every pair
             cos = g.astype(_np.float64) / (rs[s:e, None] * rs[None, :])
             m = cos >= SEMDEDUP_COS
+            # zero-norm quantized vectors yield 0/0 = NaN; numpy's
+            # `>=` is False for NaN but Spark/DuckDB order NaN as the
+            # GREATEST value, so the joined path and the oracle count
+            # such pairs as duplicates -- replicate NaN-as-greatest
+            # here to keep "decides identically" true for zero vectors
+            m |= _np.isnan(cos)
             m &= _np.arange(n)[None, :] > _np.arange(s, e)[:, None]
             n_pairs += int(m.sum())
             removed_any |= m.any(axis=0)

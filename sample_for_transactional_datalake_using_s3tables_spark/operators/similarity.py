@@ -574,7 +574,11 @@ def _kmeans_floor_div(s: int, n: int) -> int:
     return s // n
 
 
-def _kmeans_assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+def _kmeans_assign(
+    q: DataFrame,
+    cents: list[list[int]],
+    bc_holder: list | None = None,
+) -> DataFrame:
     """Lloyd's assignment: (vec_id, qv, dist2, cluster_id) for every row
     of ``q``. Two physically different but bit-identical strategies,
     chosen by the crossover budget:
@@ -590,7 +594,7 @@ def _kmeans_assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
     Both compute exact int64 squared distances and break ties to the
     lowest cluster id, so which path ran is invisible to results."""
     if cents and len(cents) * len(cents[0]) > CENTROID_LITERAL_BUDGET:
-        return _kmeans_assign_broadcast(q, cents)
+        return _kmeans_assign_broadcast(q, cents, bc_holder)
     carr = F.array(
         *[F.array(*[F.lit(int(c)) for c in cent]) for cent in cents]
     )
@@ -613,7 +617,9 @@ def _kmeans_assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
 
 
 def _kmeans_assign_broadcast(
-    q: DataFrame, cents: list[list[int]]
+    q: DataFrame,
+    cents: list[list[int]],
+    bc_holder: list | None = None,
 ) -> DataFrame:
     """Assignment via broadcast centroids + Arrow-batched numpy matmul,
     for k past the literal budget. This is the sanctioned vectorized-UDF
@@ -641,6 +647,12 @@ def _kmeans_assign_broadcast(
     carr = np.asarray(cents, dtype=np.int64)
     cn2 = np.einsum("ij,ij->i", carr, carr)  # |c|^2, exact int64
     bc = spark.sparkContext.broadcast((carr, cn2))
+    if bc_holder is not None:
+        # callers that consume the returned frame eagerly (the train
+        # loop collects every iteration) unpersist via the holder --
+        # otherwise k*dim*8 bytes leak per assignment pass on a
+        # long-lived driver
+        bc_holder.append(bc)
 
     def assign(batches):
         import numpy as _np
@@ -708,13 +720,16 @@ def _kmeans_train(q: DataFrame, k: int = K_CLUSTERS) -> list[list[int]]:
         )
     cents = [list(r.qv) for r in seed_rows]
     for _ in range(KMEANS_ITERS):
+        bc_holder: list = []
         sums = (
-            _kmeans_assign(q, cents)
+            _kmeans_assign(q, cents, bc_holder)
             .select("cluster_id", F.posexplode("qv").alias("dim", "v"))
             .groupBy("cluster_id", "dim")
             .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
             .collect()  # bounded: at most k * DIM rows
         )
+        for bc in bc_holder:  # collect() consumed the pass: free it
+            bc.unpersist(False)
         by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
         for r in sums:
             by_cluster.setdefault(r.cluster_id, {})[r.dim] = (r.s, r.n)

@@ -1,0 +1,238 @@
+"""DML rung of the falsification ladder (VERDICT r10 #3).
+
+Large MoR DELETE / MERGE / compact interleavings at scale,
+oracle-compared against DuckDB survivor sets after EVERY step -- the
+class of wrong-answer bug the round-10 ``_read_entries`` regression
+lived in (multi-file equality-delete commits silently collapsed to one
+file per commit; only small, AQE-coalesced single-file commits were
+ever oracle-certified).
+
+Every MoR commit here is forced MULTI-FILE (AQE partition coalescing
+pinned off), batches run far past ``_MERGE_COLLECT_KEYS_MAX``, and the
+comparison is the full survivor SET (anti-join both directions via
+DuckDB over the exported snapshot), not just counts -- plus the
+metadata-COUNT == scan-count invariant at every step.
+
+Usage: python scripts/dml_sweep.py [sf_dir]   (default .localdata/sf1)
+Prints one JSON line; exit 0 iff every step matched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import duckdb
+    import pyspark.sql.functions as F
+    from pyspark.sql import SparkSession
+
+    from sample_for_transactional_datalake_using_s3tables_spark.plans import configure
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".localdata", "sf1",
+    )
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        .appName("dml_sweep")
+        .getOrCreate()
+    )
+    configure(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    # every distinct-key shuffle keeps its partitioning: all MoR
+    # commits in this sweep write as many delete files as the key set
+    # spans partitions -- the 100 TB steady state
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE shadow AS SELECT event_id, event_type, "
+        f"CAST(value AS DECIMAL(12,2)) AS value FROM '{sf_dir}/events.parquet'"
+    )
+
+    root = tempfile.mkdtemp(prefix="dml_sweep_")
+    results: list[dict] = []
+    ok_all = True
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("s")
+        events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "event_type",
+            F.col("value").cast("decimal(12,2)").alias("value"),
+        )
+        wh.create_table(
+            "s", "t", events.schema, key="event_id",
+            partition_by="event_type",
+        )
+        wh.insert("s", "t", events)
+
+        def check(step: str, full_set: bool = False) -> None:
+            nonlocal ok_all
+            t0 = time.perf_counter()
+            n_meta = wh.count_rows("s", "t")
+            n_scan = wh.read("s", "t").count()
+            n_shadow = con.sql("SELECT COUNT(*) FROM shadow").fetchone()[0]
+            dels = wh.deletes_df("s", "t").collect()
+            by_seq: dict[int, int] = {}
+            for d in dels:
+                by_seq[d.seq] = by_seq.get(d.seq, 0) + 1
+            rec = {
+                "step": step,
+                "rows": n_scan,
+                "count_invariant": n_meta == n_scan,
+                "count_vs_oracle": n_scan == n_shadow,
+                "delete_files_by_seq": by_seq,
+                "multifile_commits": sum(
+                    1 for n in by_seq.values() if n >= 2
+                ),
+            }
+            if full_set:
+                snap = os.path.join(root, "_snap")
+                wh.read("s", "t").write.mode("overwrite").parquet(snap)
+                missing = con.sql(
+                    "SELECT COUNT(*) FROM (SELECT event_id, event_type, value "
+                    "FROM shadow EXCEPT SELECT event_id, event_type, "
+                    f"CAST(value AS DECIMAL(12,2)) FROM '{snap}/*.parquet')"
+                ).fetchone()[0]
+                extra = con.sql(
+                    "SELECT COUNT(*) FROM (SELECT event_id, event_type, "
+                    f"CAST(value AS DECIMAL(12,2)) FROM '{snap}/*.parquet' "
+                    "EXCEPT SELECT event_id, event_type, value FROM shadow)"
+                ).fetchone()[0]
+                rec["set_missing"] = missing
+                rec["set_extra"] = extra
+                rec["set_match"] = missing == 0 and extra == 0
+            rec["check_sec"] = round(time.perf_counter() - t0, 2)
+            step_ok = (
+                rec["count_invariant"]
+                and rec["count_vs_oracle"]
+                and rec.get("set_match", True)
+            )
+            rec["ok"] = step_ok
+            ok_all = ok_all and step_ok
+            results.append(rec)
+            print(f"# {json.dumps(rec)}", file=sys.stderr)
+
+        check("insert", full_set=True)
+
+        # 1. large MoR MERGE: ~2/3 of all keys (>> 5000), multi-file
+        t0 = time.perf_counter()
+        batch = events.filter(F.col("event_id") % 3 != 0).withColumn(
+            "value", (F.col("value") * 3).cast("decimal(12,2)")
+        )
+        wh.merge_upsert("s", "t", batch, strategy="mor")
+        con.execute(
+            "UPDATE shadow SET value = CAST(value * 3 AS DECIMAL(12,2)) "
+            "WHERE event_id % 3 != 0"
+        )
+        merge_wall = round(time.perf_counter() - t0, 2)
+        check("mor_merge_large")
+
+        # 2. large MoR predicate DELETE (~25% of rows), multi-file
+        t0 = time.perf_counter()
+        wh.delete_where("s", "t", F.col("event_id") % 4 == 0, strategy="mor")
+        con.execute("DELETE FROM shadow WHERE event_id % 4 = 0")
+        del1_wall = round(time.perf_counter() - t0, 2)
+        check("mor_delete_where_1")
+
+        # 3. second large MERGE stacked on the ghost backlog: re-insert
+        # half the just-deleted keys at a newer seq (they must SURVIVE
+        # the older delete) + delete-mark a slice of survivors
+        t0 = time.perf_counter()
+        revive = events.filter(
+            (F.col("event_id") % 4 == 0) & (F.col("event_id") % 8 == 0)
+        ).withColumn(
+            "value", (F.col("value") + 1).cast("decimal(12,2)")
+        ).withColumn("_del", F.lit(False))
+        marks = events.filter(F.col("event_id") % 9 == 0).withColumn(
+            "_del", F.lit(True)
+        )
+        wh.merge_upsert(
+            "s", "t", revive.unionByName(marks), delete_col="_del",
+            strategy="mor",
+        )
+        # oracle replay: delete-marks win over revives for overlapping
+        # keys (%72); revive = upsert (insert-or-update)
+        con.execute("DELETE FROM shadow WHERE event_id % 9 = 0")
+        con.execute(
+            "DELETE FROM shadow WHERE event_id % 8 = 0 AND event_id % 9 != 0"
+        )
+        con.execute(
+            # revive rows carry ORIGINAL value + 1 (the batch was built
+            # from the source parquet, not the merged table)
+            "INSERT INTO shadow SELECT event_id, event_type, "
+            "CAST(CAST(value AS DECIMAL(12,2)) + 1 AS DECIMAL(12,2)) "
+            f"FROM '{sf_dir}/events.parquet' "
+            "WHERE event_id % 8 = 0 AND event_id % 9 != 0"
+        )
+        merge2_wall = round(time.perf_counter() - t0, 2)
+        check("mor_merge_revive_and_mark", full_set=True)
+
+        # 4. compact: folds the whole multi-file backlog in
+        t0 = time.perf_counter()
+        wh.compact("s", "t", min_files_per_partition=1)
+        compact_wall = round(time.perf_counter() - t0, 2)
+        check("compact_1", full_set=True)
+        if wh.deletes_df("s", "t").count() != 0:
+            ok_all = False
+            print("# backlog not empty after compact", file=sys.stderr)
+
+        # 5. post-compact: another multi-file DELETE + CoW update
+        # interleave, then final compact
+        t0 = time.perf_counter()
+        wh.delete_where("s", "t", F.col("event_id") % 5 == 1, strategy="mor")
+        con.execute("DELETE FROM shadow WHERE event_id % 5 = 1")
+        check("mor_delete_where_2")
+        wh.update_where(
+            "s", "t", {"value": (F.col("value") * 2).cast("decimal(12,2)")},
+            [("event_id", "<", 1000)],
+        )
+        con.execute(
+            "UPDATE shadow SET value = CAST(value * 2 AS DECIMAL(12,2)) "
+            "WHERE event_id < 1000"
+        )
+        check("cow_update_over_ghosts")
+        wh.compact("s", "t", min_files_per_partition=1)
+        interleave_wall = round(time.perf_counter() - t0, 2)
+        check("compact_2", full_set=True)
+
+        out = {
+            "metric": "dml_sweep",
+            "sf_dir": sf_dir,
+            "ok": ok_all,
+            "steps": results,
+            "walls_sec": {
+                "mor_merge_large": merge_wall,
+                "mor_delete_1": del1_wall,
+                "mor_merge_revive": merge2_wall,
+                "compact_1": compact_wall,
+                "delete2_update_compact2": interleave_wall,
+            },
+        }
+        print(json.dumps(out))
+        return 0 if ok_all else 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -143,7 +143,17 @@ def _copy(table: pa.Table, name: str, k: int) -> pa.Table:
         col = out.column(i).combine_chunks()
         n = len(col)
         flat = np.asarray(col.flatten(), dtype=np.float32)
-        dim = flat.size // n
+        # dim from the first non-empty vector, NOT flat.size // n:
+        # ragged or null lists can divide evenly and mis-reshape
+        # silently (e.g. one empty + one oversize vector)
+        lens = np.diff(np.asarray(col.offsets))
+        nonzero = lens[lens > 0]
+        dim = int(nonzero[0]) if len(nonzero) else 0
+        if flat.size != n * dim or (len(nonzero) and not (lens == dim).all()):
+            raise ValueError(
+                f"embeddings are ragged (n={n}, dim={dim}, "
+                f"flat={flat.size}); factor-copy requires uniform vectors"
+            )
         # left-rotate by k % dim (v[r:] + v[:r]), then sign-flip past
         # one full rotation period so no two copies repeat a vector
         arr = np.roll(flat.reshape(n, dim), -(k % dim), axis=1)

@@ -217,3 +217,118 @@ def test_kill_mid_publish_recovery():
         )
         assert v == 4
         assert [r["version"] for r in wh._commit_index(tdir)] == [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# Plan-index fail-open under concurrent rebuilds (VERDICT r10 #4):
+# every commit invalidates the sidecar fingerprint; the next selective
+# plan rebuilds it and GARBAGE-COLLECTS superseded dats. A planner that
+# read the old header can therefore find its dat deleted mid-plan --
+# the contract is fall back to the full parse, never raise, never
+# return a partial plan.
+# ---------------------------------------------------------------------------
+
+PLAN_COMMITS = 30
+
+
+def _stats_entry(wid: int, i: int) -> dict:
+    base = (wid * PLAN_COMMITS + i) * 100
+    return {
+        "path": f"data/p{wid}/f{i:04d}.parquet",
+        "records": 10,
+        "bytes": 100,
+        "partition": f"d{wid}",
+        "stats": {"id": [base, base + 99]},
+    }
+
+
+def _plan_churn_worker(root: str, wid: int, barrier, out_q) -> None:
+    """Commit appends AND run selective plans (each plan rebuilds the
+    stale index and GCs the previous dat) -- the rebuild side of the
+    race."""
+    wh = Warehouse(None, root)
+    tdir = wh._table_dir("ns", "t")
+    meta = wh.table_meta("ns", "t")
+    barrier.wait()
+    try:
+        for i in range(PLAN_COMMITS):
+            while True:
+                read_v = wh._versions(tdir)[-1]
+                try:
+                    wh._publish_append(
+                        tdir, read_v, [_stats_entry(wid, i)], meta["schema"]
+                    )
+                    break
+                except CommitConflictError:
+                    continue
+            # rebuild-for-tip + GC of the dat the planner may hold
+            wh.plan_files("ns", "t", predicates=[("id", ">=", 0)])
+        out_q.put((wid, "ok"))
+    except BaseException as e:  # noqa: BLE001 - report, don't hang join
+        out_q.put((wid, repr(e)))
+
+
+def test_plan_index_fail_open_cross_process():
+    ctx = multiprocessing.get_context("spawn")
+    n_workers = 2
+    with tempfile.TemporaryDirectory() as root:
+        wh = Warehouse(None, root)
+        wh.create_namespace("ns")
+        wh.create_table("ns", "t", S, key="id")
+        tdir = wh._table_dir("ns", "t")
+        meta = wh.table_meta("ns", "t")
+        # base entries every plan must always see (append-only traffic)
+        base = [
+            {
+                "path": f"data/base/f{i:02d}.parquet",
+                "records": 10,
+                "bytes": 100,
+                "partition": "base",
+                "stats": {"id": [10**9 + i * 100, 10**9 + i * 100 + 99]},
+            }
+            for i in range(20)
+        ]
+        wh._publish(tdir, 1, base, schema=meta["schema"], op="append")
+        base_paths = {e["path"] for e in base}
+        all_worker_paths = {
+            _stats_entry(w, i)["path"]
+            for w in range(n_workers)
+            for i in range(PLAN_COMMITS)
+        }
+
+        barrier = ctx.Barrier(n_workers)
+        out_q = ctx.Queue()
+        procs = [
+            ctx.Process(
+                target=_plan_churn_worker, args=(root, wid, barrier, out_q)
+            )
+            for wid in range(n_workers)
+        ]
+        for p in procs:
+            p.start()
+
+        # planner loop in THIS process, racing the workers' rebuild+GC.
+        # Sandwich invariant under append-only traffic: every plan
+        # contains all base entries and nothing outside base+workers.
+        planner = Warehouse(None, root)
+        plans = 0
+        while any(p.is_alive() for p in procs):
+            got, schema = planner.plan_files(
+                "ns", "t", predicates=[("id", ">=", 0)]
+            )
+            paths = {e["path"] for e in got}
+            assert base_paths <= paths, "plan lost committed entries"
+            assert paths <= base_paths | all_worker_paths
+            assert schema is not None
+            plans += 1
+
+        for _ in range(n_workers):
+            wid, status = out_q.get(timeout=240)
+            assert status == "ok", f"worker {wid}: {status}"
+        for p in procs:
+            p.join(timeout=60)
+            assert p.exitcode == 0
+        assert plans > 0
+        # tip plan is exact once quiet
+        got, _ = planner.plan_files("ns", "t", predicates=[("id", ">=", 0)])
+        assert {e["path"] for e in got} == base_paths | all_worker_paths
