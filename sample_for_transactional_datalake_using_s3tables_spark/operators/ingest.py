@@ -1067,6 +1067,85 @@ def warehouse_rest_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {s["snapshot-id"] for s in refs_doc["snapshots"]}
                 == ref_ids
             )
+            # external WRITE through the facade (VERDICT r10 #8): an
+            # Iceberg-client-shaped append -- data file + manifest-list
+            # staged into the table location, add-snapshot committed
+            # under assert-ref-snapshot-id, strict CAS -- whose row
+            # rides the OUTPUT HASH (the oracle UNION ALLs the same
+            # literal), so a hash match certifies the externally
+            # committed snapshot is read by the engine verbatim.
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tdir = wh._table_dir("q", "agg_final")
+            ext = os.path.join(tdir, "data", "ext")
+            os.makedirs(ext, exist_ok=True)
+            dpath = os.path.join(ext, "ext-00000.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_type": pa.array(
+                            ["EXTERNAL_APPEND"], pa.string()
+                        ),
+                        "n": pa.array([42], pa.int64()),
+                        "total": pa.array(
+                            ["4242.00"], pa.string()
+                        ).cast(pa.decimal128(18, 2)),
+                    }
+                ),
+                dpath,
+            )
+            with open(os.path.join(ext, "list.json"), "w") as fh:
+                json.dump(
+                    [
+                        {
+                            "path": os.path.relpath(dpath, tdir),
+                            "records": 1,
+                            "partition": None,
+                        }
+                    ],
+                    fh,
+                )
+            tip = client.load_table("q", "agg_final")["metadata"][
+                "current-snapshot-id"
+            ]
+            ext_req = [
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": "main",
+                    "snapshot-id": tip,
+                }
+            ]
+            ext_ups = [
+                {
+                    "action": "add-snapshot",
+                    "snapshot": {"manifest-list": "data/ext/list.json"},
+                },
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": "main",
+                    "snapshot-id": tip + 1,
+                },
+            ]
+            committed = client.commit_table(
+                "q", "agg_final", ext_req, ext_ups
+            )
+            checks.append(
+                committed["metadata"]["current-snapshot-id"] == tip + 1
+            )
+            # replaying the SAME commit is stale -> 409 (strict CAS)
+            try:
+                client.commit_table("q", "agg_final", ext_req, ext_ups)
+                checks.append(False)
+            except RestCatalogError as e:
+                checks.append(
+                    e.code == 409 and e.etype == "CommitFailedException"
+                )
+            # metadata COUNT sees the external append without a scan
+            checks.append(
+                wh.count_rows("q", "agg_final")
+                == wh.read("q", "agg_final").count()
+            )
         out = wh.read("q", "agg_final").withColumn(
             "rest_ok", F.lit(bool(all(checks)))
         )
@@ -1081,6 +1160,8 @@ SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total,
        TRUE AS rest_ok
 FROM events GROUP BY event_type
+UNION ALL
+SELECT 'EXTERNAL_APPEND', 42, CAST(4242.00 AS DECIMAL(18,2)), TRUE
 """
 
 

@@ -26,9 +26,13 @@ Protocol scope (apache/iceberg rest-catalog-open-api.yaml, public):
   CommitFailedException, the protocol's optimistic-concurrency
   contract (the reference's versionToken CAS,
   scripts/update_metadata.py:135-141, is this same handshake);
-  supported ``updates`` are set-properties / remove-properties --
-  DATA-producing updates (add-snapshot) belong to the engine's own
-  commit path and return 400 with a pointer at it.
+  supported ``updates`` are set-properties / remove-properties and --
+  the external WRITE path -- ``add-snapshot`` (+ ``set-snapshot-ref``
+  on ``main``): a client that staged data files + a manifest-list
+  into the table location commits a real append snapshot, strict CAS
+  at assert-ref-snapshot-id+1, path-safety-checked (see
+  ``_commit_add_snapshot``). Schema-evolving updates stay engine-side
+  and return 400 with a pointer at the warehouse DDL path.
 - ``POST /v1/tables/rename``
 - ``pageToken``/``pageSize`` pagination on the three list endpoints
   (namespaces / tables / views) with an opaque resume token, stable
@@ -594,34 +598,198 @@ class IcebergRestCatalogServer:
     def _r_commit_table(self, ns, tbl, body, principal):
         self._require(principal, "ALL", ns, tbl)
         meta = self._table_meta_or_404(ns, tbl)
-        self._enforce_requirements(ns, tbl, meta, self._obj_list(body, "requirements"))
+        reqs = self._obj_list(body, "requirements")
+        self._enforce_requirements(ns, tbl, meta, reqs)
         updates = self._obj_list(body, "updates")
         props = dict(meta.get("properties") or {})
+        props_touched = False
+        add_snap: dict | None = None
+        set_ref: dict | None = None
         for u in updates:
             action = u.get("action")
             if action == "set-properties":
                 props.update(
                     {str(k): str(v) for k, v in self._obj(u, "updates").items()}
                 )
+                props_touched = True
             elif action == "remove-properties":
                 for k in self._str_list(u, "removals"):
                     props.pop(k, None)
+                props_touched = True
+            elif action == "add-snapshot":
+                if add_snap is not None:
+                    raise _HttpError(
+                        400, "BadRequestException",
+                        "at most one add-snapshot per commit",
+                    )
+                add_snap = self._obj(u, "snapshot")
+            elif action == "set-snapshot-ref":
+                set_ref = u
             else:
                 raise _HttpError(
                     400,
                     "BadRequestException",
-                    f"update action {action!r} is engine-side here: data "
-                    "and schema commits go through the warehouse write "
+                    f"update action {action!r} is engine-side here: "
+                    "schema commits go through the warehouse write "
                     "paths (insert/merge/alter), not the REST facade",
                 )
-        meta["properties"] = props
+        if add_snap is not None:
+            self._commit_add_snapshot(ns, tbl, meta, reqs, add_snap, set_ref)
+        elif set_ref is not None:
+            raise _HttpError(
+                400, "BadRequestException",
+                "set-snapshot-ref is only supported alongside its "
+                "add-snapshot (the facade assigns ids catalog-side)",
+            )
+        if props_touched:
+            meta["properties"] = props
+            try:
+                self.wh._swap_table_meta(
+                    self.wh._table_dir(ns, tbl), meta, op="props"
+                )
+            except CommitConflictError as e:
+                raise _HttpError(409, "CommitFailedException", str(e)) from e
+        return 200, self._load_result(ns, tbl)
+
+    def _commit_add_snapshot(
+        self, ns: str, tbl: str, meta: dict, reqs: list[dict],
+        snap: dict, set_ref: dict | None,
+    ) -> None:
+        """External data APPEND through the REST protocol (the write
+        path an Iceberg client drives after staging data files into
+        the table location): ``add-snapshot`` names a manifest-list
+        the CLIENT wrote -- a JSON array of engine manifest entries
+        (``path``/``records``/``bytes``/``partition`` + optional
+        ``stats``) -- and the commit lands as a real engine append
+        snapshot, CAS-guarded.
+
+        Protocol fidelity (apache/iceberg rest-catalog-open-api.yaml):
+
+        - an append MUST carry ``assert-ref-snapshot-id`` on ``main``
+          (Iceberg clients always send it; a commit that can't say
+          what it read is rejected 400, and a STALE expectation was
+          already rejected 409 by ``_enforce_requirements``);
+        - the publish is strict CAS at expected+1 -- no engine-side
+          rebase, because the requirement IS the client's read
+          version; losing the race returns 409 CommitFailedException
+          and the client retries from a fresh load, exactly the
+          protocol loop (reference versionToken CAS,
+          scripts/update_metadata.py:135-141);
+        - snapshot ids are catalog-assigned (= engine version):
+          a client-proposed ``snapshot-id`` (spec allows it) is
+          accepted only if it equals the id the commit will get, and
+          ``set-snapshot-ref`` may only fast-forward ``main`` to that
+          same id (branch refs stay engine-side).
+
+        Path safety: the manifest-list and every data-file path must
+        resolve INSIDE the table directory (no escapes), and the data
+        files must exist -- the facade never trusts a path it didn't
+        check."""
+        tdir = self.wh._table_dir(ns, tbl)
+        expected = None
+        for r in reqs:
+            if (
+                r.get("type") == "assert-ref-snapshot-id"
+                and r.get("ref", "main") == "main"
+            ):
+                expected = r.get("snapshot-id")
+        if expected is None:
+            raise _HttpError(
+                400, "BadRequestException",
+                "add-snapshot requires assert-ref-snapshot-id on 'main'",
+            )
+        new_version = int(expected) + 1
+        sid = snap.get("snapshot-id")
+        if sid is not None and int(sid) != new_version:
+            raise _HttpError(
+                400, "BadRequestException",
+                f"snapshot ids are catalog-assigned here: the next id "
+                f"on 'main' is {new_version}, got {sid}",
+            )
+        if set_ref is not None:
+            if set_ref.get("ref-name", "main") != "main" or (
+                set_ref.get("snapshot-id") is not None
+                and int(set_ref["snapshot-id"]) != new_version
+            ):
+                raise _HttpError(
+                    400, "BadRequestException",
+                    "set-snapshot-ref may only move 'main' to the "
+                    "snapshot being added",
+                )
+        mlist = snap.get("manifest-list")
+        if not isinstance(mlist, str) or not mlist:
+            raise _HttpError(
+                400, "BadRequestException", "snapshot needs manifest-list"
+            )
+
+        def _inside(rel: str) -> str:
+            full = os.path.normpath(os.path.join(tdir, rel))
+            if not full.startswith(os.path.normpath(tdir) + os.sep):
+                raise _HttpError(
+                    400, "BadRequestException",
+                    f"path {rel!r} escapes the table location",
+                )
+            return full
+
         try:
-            self.wh._swap_table_meta(
-                self.wh._table_dir(ns, tbl), meta, op="props"
+            with open(_inside(mlist)) as f:
+                entries = json.load(f)
+        except OSError as e:
+            raise _HttpError(
+                400, "BadRequestException",
+                f"manifest-list {mlist!r} unreadable: {e}",
+            ) from e
+        except ValueError as e:
+            raise _HttpError(
+                400, "BadRequestException",
+                f"manifest-list {mlist!r} is not JSON: {e}",
+            ) from e
+        if not isinstance(entries, list) or not entries:
+            raise _HttpError(
+                400, "BadRequestException",
+                "manifest-list must be a non-empty JSON array",
+            )
+        new_files: list[dict] = []
+        for e in entries:
+            if not isinstance(e, dict) or not isinstance(e.get("path"), str):
+                raise _HttpError(
+                    400, "BadRequestException",
+                    "each manifest entry needs a string 'path'",
+                )
+            full = _inside(e["path"])
+            if not os.path.isfile(full):
+                raise _HttpError(
+                    400, "BadRequestException",
+                    f"data file {e['path']!r} does not exist",
+                )
+            ne = {
+                "path": os.path.relpath(full, tdir),
+                "records": int(e.get("records", 0)),
+                "bytes": int(e.get("bytes") or os.path.getsize(full)),
+                "partition": e.get("partition"),
+            }
+            if isinstance(e.get("stats"), dict):
+                ne["stats"] = e["stats"]
+            new_files.append(ne)
+        try:
+            doc = self.wh._manifest_doc(tdir, int(expected))
+        except (KeyError, ValueError, OSError) as e:
+            raise _HttpError(
+                409, "CommitFailedException",
+                f"base snapshot {expected} unavailable: {e}",
+            ) from e
+        try:
+            self.wh._publish(
+                tdir,
+                new_version,
+                list(doc["files"]) + new_files,
+                schema=doc.get("schema") or meta["schema"],
+                phys=doc.get("physical"),
+                deletes=doc.get("deletes"),
+                op="append",
             )
         except CommitConflictError as e:
             raise _HttpError(409, "CommitFailedException", str(e)) from e
-        return 200, self._load_result(ns, tbl)
 
     def _r_rename(self, body, principal):
         src, dst = body.get("source") or {}, body.get("destination") or {}

@@ -624,3 +624,200 @@ def test_server_bugs_are_500_client_shapes_are_400(cat, monkeypatch):
     )
     assert code == 500, f"engine bug mislabeled as {code}: {doc}"
     assert doc["error"]["type"] == "InternalServerError"
+
+
+# ---------------------------------------------------------------------------
+# External WRITE path through the facade (VERDICT r10 #8 stretch):
+# add-snapshot + set-snapshot-ref with the protocol's requirement set.
+# ---------------------------------------------------------------------------
+
+
+def _stage_external_file(wh, ns, tbl, rows):
+    """Play the external Iceberg client: stage a parquet data file into
+    the table location and write a manifest-list JSON describing it."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tdir = wh._table_dir(ns, tbl)
+    ddir = _os.path.join(tdir, "data", "ext")
+    _os.makedirs(ddir, exist_ok=True)
+    table = pa.table(
+        {
+            "id": pa.array([r[0] for r in rows], pa.string()),
+            "day": pa.array([r[1] for r in rows], pa.string()),
+            "v": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    dpath = _os.path.join(ddir, "ext-00000.parquet")
+    pq.write_table(table, dpath)
+    entries = [
+        {
+            "path": _os.path.relpath(dpath, tdir),
+            "records": len(rows),
+            "bytes": _os.path.getsize(dpath),
+            "partition": None,
+            "stats": {"v": [min(r[2] for r in rows), max(r[2] for r in rows)]},
+        }
+    ]
+    mpath = _os.path.join(ddir, "manifest-list-0.json")
+    with open(mpath, "w") as f:
+        _json.dump(entries, f)
+    return _os.path.relpath(mpath, tdir)
+
+
+def test_external_append_via_rest(cat, spark):
+    """Full facade-only write round-trip: external client stages data +
+    manifest-list, commits add-snapshot with assert-ref-snapshot-id,
+    the ENGINE read sees the rows, and a stale replay gets 409."""
+    client, wh = cat
+    client.create_namespace("q")
+    client.create_table("q", "t", SCHEMA, properties={"primary-key": "id"})
+    from .test_warehouse import _df
+
+    wh.insert("q", "t", _df(spark, [("a", "d1", 1), ("b", "d1", 2)]).coalesce(1))
+    cur = client.load_table("q", "t")["metadata"]["current-snapshot-id"]
+
+    mlist = _stage_external_file(
+        wh, "q", "t", [("x", "d2", 10), ("y", "d2", 11), ("z", "d2", 12)]
+    )
+    req = [{"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": cur}]
+    ups = [
+        {"action": "add-snapshot", "snapshot": {"manifest-list": mlist}},
+        {"action": "set-snapshot-ref", "ref-name": "main",
+         "snapshot-id": cur + 1},
+    ]
+    res = client.commit_table("q", "t", req, ups)
+    assert res["metadata"]["current-snapshot-id"] == cur + 1
+    # the engine sees the externally appended rows
+    got = {(r.id, r.day, r.v) for r in wh.read("q", "t").collect()}
+    assert got == {
+        ("a", "d1", 1), ("b", "d1", 2),
+        ("x", "d2", 10), ("y", "d2", 11), ("z", "d2", 12),
+    }
+    assert wh.count_rows("q", "t") == 5
+    # data skipping works off the client-provided stats
+    planned, _ = wh.plan_files("q", "t", predicates=[("v", ">=", 10)])
+    assert {e["partition"] for e in planned} <= {None}
+    assert any(e["path"].endswith("ext-00000.parquet") for e in planned)
+    # stale replay of the SAME commit: 409 CommitFailedException
+    with pytest.raises(RestCatalogError) as e:
+        client.commit_table("q", "t", req, ups)
+    assert e.value.code == 409 and e.value.etype == "CommitFailedException"
+    # time travel still serves the pre-append snapshot
+    pre = {(r.id, r.day, r.v) for r in wh.read("q", "t", version=cur).collect()}
+    assert pre == {("a", "d1", 1), ("b", "d1", 2)}
+
+
+def test_external_append_requirement_and_path_safety(cat, spark):
+    client, wh = cat
+    client.create_namespace("q")
+    client.create_table("q", "t", SCHEMA)
+    cur = client.load_table("q", "t")["metadata"]["current-snapshot-id"]
+    mlist = _stage_external_file(wh, "q", "t", [("p", "d1", 7)])
+
+    # no assert-ref-snapshot-id -> 400 (a commit must say what it read)
+    with pytest.raises(RestCatalogError) as e:
+        client.commit_table(
+            "q", "t", [],
+            [{"action": "add-snapshot", "snapshot": {"manifest-list": mlist}}],
+        )
+    assert e.value.code == 400
+
+    # manifest-list escaping the table location -> 400
+    with pytest.raises(RestCatalogError) as e:
+        client.commit_table(
+            "q", "t",
+            [{"type": "assert-ref-snapshot-id", "ref": "main",
+              "snapshot-id": cur}],
+            [{"action": "add-snapshot",
+              "snapshot": {"manifest-list": "../../etc/passwd"}}],
+        )
+    assert e.value.code == 400 and "escapes" in e.value.message
+
+    # entry path pointing at a missing file -> 400
+    import json as _json
+    import os as _os
+
+    tdir = wh._table_dir("q", "t")
+    bad = _os.path.join(tdir, "data", "ext", "bad-list.json")
+    with open(bad, "w") as f:
+        _json.dump([{"path": "data/ext/nope.parquet", "records": 1}], f)
+    with pytest.raises(RestCatalogError) as e:
+        client.commit_table(
+            "q", "t",
+            [{"type": "assert-ref-snapshot-id", "ref": "main",
+              "snapshot-id": cur}],
+            [{"action": "add-snapshot",
+              "snapshot": {"manifest-list": _os.path.relpath(bad, tdir)}}],
+        )
+    assert e.value.code == 400 and "does not exist" in e.value.message
+
+    # set-snapshot-ref without its add-snapshot -> 400
+    with pytest.raises(RestCatalogError) as e:
+        client.commit_table(
+            "q", "t", [],
+            [{"action": "set-snapshot-ref", "ref-name": "main",
+              "snapshot-id": cur}],
+        )
+    assert e.value.code == 400
+
+    # the table is untouched by all of the above
+    assert (
+        client.load_table("q", "t")["metadata"]["current-snapshot-id"] == cur
+    )
+
+
+def test_external_append_concurrent_cas(cat, spark):
+    """Two externally staged commits CAS on the same base: exactly one
+    lands, the loser gets 409 and retries from a fresh load."""
+    client, wh = cat
+    client.create_namespace("q")
+    client.create_table("q", "t", SCHEMA)
+    cur = client.load_table("q", "t")["metadata"]["current-snapshot-id"]
+    m1 = _stage_external_file(wh, "q", "t", [("c1", "d1", 100)])
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tdir = wh._table_dir("q", "t")
+    d2 = _os.path.join(tdir, "data", "ext2")
+    _os.makedirs(d2)
+    pq.write_table(
+        pa.table({"id": pa.array(["c2"], pa.string()),
+                  "day": pa.array(["d1"], pa.string()),
+                  "v": pa.array([200], pa.int64())}),
+        _os.path.join(d2, "ext2.parquet"),
+    )
+    with open(_os.path.join(d2, "list.json"), "w") as f:
+        _json.dump(
+            [{"path": "data/ext2/ext2.parquet", "records": 1}], f
+        )
+
+    def commit(mlist):
+        return client.commit_table(
+            "q", "t",
+            [{"type": "assert-ref-snapshot-id", "ref": "main",
+              "snapshot-id": cur}],
+            [{"action": "add-snapshot", "snapshot": {"manifest-list": mlist}}],
+        )
+
+    commit(m1)
+    with pytest.raises(RestCatalogError) as e:
+        commit("data/ext2/list.json")
+    assert e.value.code == 409
+    # loser retries against the fresh tip and lands
+    fresh = client.load_table("q", "t")["metadata"]["current-snapshot-id"]
+    client.commit_table(
+        "q", "t",
+        [{"type": "assert-ref-snapshot-id", "ref": "main",
+          "snapshot-id": fresh}],
+        [{"action": "add-snapshot",
+          "snapshot": {"manifest-list": "data/ext2/list.json"}}],
+    )
+    got = {r.id for r in wh.read("q", "t").collect()}
+    assert got == {"c1", "c2"}
