@@ -189,6 +189,14 @@ _MODULES = (
 # warehouse_shallow_clone (round-8-green, zero-copy cloning keeps its
 # registry row and test_warehouse coverage; no peer family but the
 # capability is metadata-only and untouched since r8).
+# Round-11 second swap: warehouse_mv_incremental takes an official row
+# -- the NEW engine capability this round (REFRESH MATERIALIZED VIEW
+# automatically folds append-delta partial aggregates into storage,
+# O(delta + groups) per refresh; sqlexec._mv_incremental_agg). Out:
+# warehouse_copy_into (round-6-green; the COPY INTO surface keeps its
+# registry row and stays certified in-window through
+# warehouse_stream_copy's streaming COPY, which routes the same
+# idempotent file-loading path).
 _PRIORITY = (
     # reference flagship queries + core relational
     "scan_limit",
@@ -243,7 +251,7 @@ _PRIORITY = (
     "stateful_user_stats",
     # catalog DDL lifecycle (D4/D5/D9) + the REST catalog protocol
     "warehouse_catalog_ddl",
-    "warehouse_copy_into",
+    "warehouse_mv_incremental",
     "warehouse_rest_catalog",
     "timeseries_gapfill",
     # temporal joins

@@ -1441,6 +1441,90 @@ FROM base WHERE event_id % 3 != 0 GROUP BY event_type
 """
 
 
+def warehouse_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-automatic incremental GROUP BY view maintenance: the
+    REFRESH MATERIALIZED VIEW statement itself detects a re-aggregable
+    single-level GROUP BY definition (SUM/COUNT/MIN/MAX -- commutative
+    semigroups) over an append-only refresh window and folds ONLY the
+    appended rows' partial groups into storage -- O(delta + groups) per
+    refresh, never O(table) (sqlexec._mv_incremental_agg; the
+    hand-rolled query-level twin is warehouse_incremental_agg, this row
+    certifies the statement-level automation).
+
+    Scenario: base load (80% of events) -> CREATE MV (per-type COUNT/
+    SUM/MIN/MAX with a row-local WHERE) -> full first REFRESH -> two
+    append batches, each followed by a REFRESH that MUST take the
+    aggregate-merge path (asserted into ``inc_ok``) -> read the MV.
+    The oracle computes the same aggregate over ALL events, so a hash
+    match certifies merged partials == full recompute across two
+    incremental cycles, new-group creation included.
+
+    Reference scope: Athena/Trino REFRESH MATERIALIZED VIEW over the
+    reference's transaction table (README.md:143-148 runs its analytics
+    as repeated Athena aggregates -- the MV is that query's managed
+    form)."""
+    from ..sources.sqlexec import WarehouseSQL
+
+    events = _events_table(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="wh_mvinc_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table("q", "fact", events.schema, key="event_id")
+        wh.insert("q", "fact", events.filter(F.col("event_id") % 5 != 0))
+        sql = WarehouseSQL(wh)
+        sql.execute(
+            "CREATE MATERIALIZED VIEW q.by_type AS "
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "SUM(value) AS total_value, MIN(event_id) AS min_id, "
+            "MAX(event_id) AS max_id "
+            "FROM q.fact WHERE event_id % 7 != 0 GROUP BY event_type"
+        )
+        st0 = sql.execute("REFRESH MATERIALIZED VIEW q.by_type")
+        wh.insert(
+            "q", "fact",
+            events.filter(
+                (F.col("event_id") % 5 == 0) & (F.col("event_id") % 2 == 0)
+            ),
+        )
+        st1 = sql.execute("REFRESH MATERIALIZED VIEW q.by_type")
+        wh.insert(
+            "q", "fact",
+            events.filter(
+                (F.col("event_id") % 5 == 0) & (F.col("event_id") % 2 != 0)
+            ),
+        )
+        st2 = sql.execute("REFRESH MATERIALIZED VIEW q.by_type")
+        inc_ok = (
+            st0["incremental"] is False
+            and st1.get("incremental_mode") == "aggregate-merge"
+            and st2.get("incremental_mode") == "aggregate-merge"
+            and st2["fresh"]
+        )
+        final = sql.execute("SELECT * FROM q.by_type").select(
+            "event_type", "n_events",
+            F.col("total_value").cast("decimal(18,2)").alias("total_value"),
+            "min_id", "max_id",
+        ).withColumn("inc_ok", F.lit(bool(inc_ok)))
+        return _lazy_snapshot(spark, root, final)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_MV_INCREMENTAL_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id,
+       TRUE AS inc_ok
+FROM events
+WHERE event_id % 7 != 0
+GROUP BY event_type
+"""
+
+
 def warehouse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE + the $stats metadata table (the Iceberg Puffin /
     engine ANALYZE analog): per-column exact NDV and null counts from
@@ -2529,6 +2613,7 @@ QUERIES = {
     "warehouse_table_stream": warehouse_table_stream,
     "warehouse_views": warehouse_views,
     "warehouse_matview": warehouse_matview,
+    "warehouse_mv_incremental": warehouse_mv_incremental,
     "warehouse_stats": warehouse_stats,
     "warehouse_catalog_ddl": warehouse_catalog_ddl,
     "warehouse_insert_overwrite": warehouse_insert_overwrite,
@@ -2566,6 +2651,7 @@ ORACLES = {
     "warehouse_table_stream": WAREHOUSE_TABLE_STREAM_SQL,
     "warehouse_views": WAREHOUSE_VIEWS_SQL,
     "warehouse_matview": WAREHOUSE_MATVIEW_SQL,
+    "warehouse_mv_incremental": WAREHOUSE_MV_INCREMENTAL_SQL,
     "warehouse_stats": WAREHOUSE_STATS_SQL,
     "warehouse_catalog_ddl": WAREHOUSE_CATALOG_DDL_SQL,
     "warehouse_insert_overwrite": WAREHOUSE_INSERT_OVERWRITE_SQL,

@@ -664,19 +664,35 @@ class WarehouseSQL:
         the refresh writes data the owner computed; readers then need
         SELECT on the STORAGE table, not the sources).
 
-        INCREMENTAL when provably safe, full recompute otherwise. Safe
-        means: (a) the definition is ROW-LOCAL -- its analyzed plan has
-        no aggregate/join/window/distinct/sort/limit/set-op, so each
-        output row derives from one input row (projections, filters,
-        explode all qualify); (b) it reads exactly ONE source table;
-        (c) every commit that source took since the watermark is a pure
-        APPEND (classified from the _commits.idx sidecar, metadata-
-        only). Then the new output rows are exactly the definition
-        applied to the INSERT delta: read it from the changelog,
-        re-point the source's resolved temp view at the delta, APPEND
-        to storage -- refresh cost O(delta), never O(table), the shape
-        a 100 TB fact-table MV needs. Any doubt falls back to the full
-        recompute, which is always correct."""
+        INCREMENTAL when provably safe, full recompute otherwise. Two
+        incremental shapes, both requiring (a) exactly ONE source table
+        and (b) every commit that source took since the watermark to be
+        a pure APPEND (classified from the _commits.idx sidecar,
+        metadata-only):
+
+        - **row-local append**: the analyzed plan has no aggregate/join/
+          window/distinct/sort/limit/set-op, so each output row derives
+          from one input row (projections, filters, explode all
+          qualify). The new output rows are exactly the definition
+          applied to the INSERT delta: read it from the changelog,
+          re-point the source's resolved temp view at the delta, APPEND
+          to storage. Refresh cost O(delta), never O(table).
+        - **aggregate merge**: the definition is ONE ``GROUP BY`` level
+          whose aggregates are all re-aggregable (SUM/COUNT/MIN/MAX --
+          commutative semigroups, so partials over the delta combine
+          with stored partials: SUM/COUNT by SUM, MIN by MIN, MAX by
+          MAX; appends never shrink a group, so MIN/MAX stay exact).
+          Compute the SAME definition over the INSERT delta only, union
+          with the stored groups, re-combine, and overwrite storage.
+          Refresh cost O(delta + groups), never O(table) -- the GROUP
+          BY maintenance shape a 100 TB fact-table rollup needs (the
+          classic partial-aggregate view-maintenance result; Spark's
+          own partialaggregate pushdown applies the identical
+          combiners map-side). AVG/COUNT DISTINCT/HAVING and any
+          multi-level or joined shape fall back.
+
+        Any doubt falls back to the full recompute, which is always
+        correct."""
         if self.principal is not None:
             raise PermissionError(
                 "REFRESH MATERIALIZED VIEW runs with definer rights; "
@@ -707,6 +723,17 @@ class WarehouseSQL:
             self.wh.mv_record_refresh(ns, name, {src_ref: covered_v})
             st = self.wh.mv_status(ns, name)
             st["incremental"] = True
+            st["incremental_mode"] = "append"
+            return st
+
+        agg = self._mv_incremental_agg(ns, name, refs, rewritten)
+        if agg is not None:
+            src_ref, merged, covered_v = agg
+            self.wh.insert(ns, storage, merged, overwrite=True)
+            self.wh.mv_record_refresh(ns, name, {src_ref: covered_v})
+            st = self.wh.mv_status(ns, name)
+            st["incremental"] = True
+            st["incremental_mode"] = "aggregate-merge"
             return st
 
         if storage in self.wh.list_tables(ns):
@@ -722,12 +749,13 @@ class WarehouseSQL:
         st["incremental"] = False
         return st
 
-    def _mv_incremental_delta(self, ns, name, refs):
-        """(source_ref, insert_delta_df, covered_version) when the
-        incremental path is provably safe for this refresh, else None
-        (see _refresh_mv). ``covered_version`` is the source tip the
-        delta was computed against -- the ONLY version the caller may
-        stamp as refreshed."""
+    def _mv_append_window(self, ns, name, refs):
+        """(source_ref, from_version, tip_version) when the refresh
+        window is incrementally coverable AT ALL: exactly one source,
+        a prior refresh watermark against the same source, storage
+        materialized, and every source commit since the watermark a
+        pure APPEND (classified from the _commits.idx sidecar,
+        metadata-only). None means only a full recompute is safe."""
         doc = self.wh.mv_doc(ns, name)
         wm = doc.get("watermarks")
         storage = Warehouse.mv_storage_table(name)
@@ -742,24 +770,190 @@ class WarehouseSQL:
         s_ns, s_tbl = src_ref.split(".", 1)
         tip = self.wh.current_version(s_ns, s_tbl)
         if tip == from_v:
-            return None  # already fresh: nothing to append
+            return None  # already fresh: nothing to fold in
         idx = {
             r["version"]: r
             for r in self.wh._commit_index(self.wh._table_dir(s_ns, s_tbl))
         }
         if any(
-            idx[v]["op"] != "append" for v in range(from_v + 1, tip + 1)
+            idx.get(v, {}).get("op") != "append"
+            for v in range(from_v + 1, tip + 1)
         ):
             return None  # a delete/rewrite landed: only full is correct
+        return src_ref, from_v, tip
+
+    def _mv_insert_delta(self, src_ref: str, from_v: int, tip: int):
+        """The INSERT rows the source appended in (from_v, tip] -- the
+        changelog reads only the files those commits ADDED (manifest
+        diff), so the scan is O(delta) regardless of table size."""
+        s_ns, s_tbl = src_ref.split(".", 1)
+        return self.wh.changelog(s_ns, s_tbl, from_v, tip).filter(
+            F.col("_change_type") == "insert"
+        ).drop("_change_type", "_commit_version")
+
+    def _mv_incremental_delta(self, ns, name, refs):
+        """(source_ref, insert_delta_df, covered_version) when the
+        row-local incremental path is provably safe for this refresh,
+        else None (see _refresh_mv). ``covered_version`` is the source
+        tip the delta was computed against -- the ONLY version the
+        caller may stamp as refreshed."""
+        win = self._mv_append_window(ns, name, refs)
+        if win is None:
+            return None
+        src_ref, from_v, tip = win
         plan = self.spark.sql(
             self._rewrite_tables(self.wh.mv_definition(ns, name))
         )._jdf.queryExecution().analyzed().toString()
         if any(node in plan for node in self._MV_NON_ROW_LOCAL):
             return None
-        delta = self.wh.changelog(s_ns, s_tbl, from_v, tip).filter(
-            F.col("_change_type") == "insert"
-        ).drop("_change_type", "_commit_version")
-        return src_ref, delta, tip
+        return src_ref, self._mv_insert_delta(src_ref, from_v, tip), tip
+
+    # re-aggregable combiners: how a stored group partial folds with a
+    # delta partial. SUM/COUNT fold by SUM (COUNT partials are counts,
+    # their union re-counts by summing); MIN/MAX fold by themselves.
+    # AVG is deliberately absent (not a semigroup without a carried
+    # count) -- it falls back to the full recompute.
+    _MV_AGG_COMBINE = {
+        "SUM": F.sum, "COUNT": F.sum, "MIN": F.min, "MAX": F.max,
+    }
+    _MV_AGG_ITEM_RE = re.compile(
+        r"^(SUM|COUNT|MIN|MAX)\s*\((.*)\)$", re.IGNORECASE | re.DOTALL
+    )
+    # any of these anywhere in the masked definition text disqualifies
+    # the aggregate-merge shape outright (set ops / HAVING / a second
+    # query level / window functions / non-deterministic group rows)
+    _MV_AGG_BLOCKED_RE = re.compile(
+        r"\b(JOIN|HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT|DISTINCT"
+        r"|OVER|WINDOW|LATERAL|QUALIFY|ALL)\b|\(\s*SELECT\b",
+        re.IGNORECASE,
+    )
+
+    @staticmethod
+    def _mv_item_alias(item: str) -> tuple[str, str | None]:
+        """(expression_text, alias) for one select item, splitting on
+        the LAST top-level ``AS`` (depth-aware: ``CAST(x AS INT) AS c``
+        splits at the second AS only)."""
+        words = _top_level_words(item)
+        for w, start, end in reversed(words):
+            if w == "AS":
+                alias = item[end:].strip()
+                if re.fullmatch(r"\w+", alias):
+                    return item[:start].strip(), alias
+                break
+        return item.strip(), None
+
+    @classmethod
+    def _mv_agg_spec(cls, sql_text: str):
+        """Parse a definition into the aggregate-merge shape, or None.
+
+        Accepted: ``SELECT <items> FROM <one table ref> [WHERE <row-
+        local cond>] GROUP BY <keys>`` where every item is either a
+        projected group key (bare column, or any expression textually
+        matching a GROUP BY key, aliased) or ``SUM|COUNT|MIN|MAX(expr)
+        AS alias`` with no DISTINCT. Every GROUP BY key must be
+        projected (an unprojected key makes storage rows finer than
+        their visible key -- re-grouping by the visible key would
+        wrongly collapse them). Ordinal GROUP BY (``GROUP BY 1, 2``)
+        resolves positionally, like Spark. Returns
+        ``(key_aliases, [(agg_alias, combiner)])``."""
+        masked, _ = _mask_literals(sql_text)
+        if cls._MV_AGG_BLOCKED_RE.search(masked):
+            return None
+        m = re.match(
+            r"^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<src>\w+(?:\.\w+)?)"
+            r"(?:\s+WHERE\s+(?P<where>.*?))?"
+            r"\s+GROUP\s+BY\s+(?P<keys>.*?)\s*;?\s*$",
+            masked, re.IGNORECASE | re.DOTALL,
+        )
+        if m is None:
+            return None
+
+        def _norm(expr: str) -> str:
+            return " ".join(expr.split()).lower()
+
+        items = [
+            cls._mv_item_alias(it)
+            for it in _split_top_level(m.group("items"))
+        ]
+        key_exprs: dict[str, str] = {}  # normalized expr -> output alias
+        aggs: list[tuple[str, object]] = []
+        for expr, alias in items:
+            am = cls._MV_AGG_ITEM_RE.match(expr)
+            if am is not None:
+                if alias is None:
+                    return None  # storage column name must be explicit
+                aggs.append((alias, cls._MV_AGG_COMBINE[am.group(1).upper()]))
+                continue
+            if alias is None:
+                if not re.fullmatch(r"\w+", expr):
+                    return None  # complex key with no declared name
+                alias = expr
+            key_exprs[_norm(expr)] = alias
+        if not aggs or not key_exprs:
+            return None
+        group_keys = _split_top_level(m.group("keys"))
+        if len(group_keys) != len(key_exprs):
+            return None
+        for gk in group_keys:
+            gk = gk.strip()
+            if re.fullmatch(r"\d+", gk):  # ordinal -> positional item
+                i = int(gk) - 1
+                if not (0 <= i < len(items)):
+                    return None
+                gk = items[i][0]
+                if cls._MV_AGG_ITEM_RE.match(gk):
+                    return None  # GROUP BY <ordinal of an aggregate>
+            if _norm(gk) not in key_exprs:
+                return None  # an unprojected (or reworded) group key
+        return list(key_exprs.values()), aggs
+
+    def _mv_incremental_agg(self, ns, name, refs, rewritten):
+        """(source_ref, merged_groups_df, covered_version) when the
+        aggregate-merge incremental path is provably safe, else None
+        (see _refresh_mv). The merged frame is the stored groups
+        unioned with the delta's partial groups, re-combined -- cost
+        O(stored groups + delta), never O(source table)."""
+        win = self._mv_append_window(ns, name, refs)
+        if win is None:
+            return None
+        src_ref, from_v, tip = win
+        spec = self._mv_agg_spec(self.wh.mv_definition(ns, name))
+        if spec is None:
+            return None
+        keys, aggs = spec
+        # belt-and-suspenders plan gate: exactly ONE Aggregate level and
+        # nothing the text parse could have missed (a view expanding to
+        # a join, a rewrite inserting a Sort, ...)
+        plan = self.spark.sql(rewritten)._jdf.queryExecution() \
+            .analyzed().toString()
+        blockers = tuple(
+            n for n in self._MV_NON_ROW_LOCAL if n != "Aggregate"
+        )
+        if plan.count("Aggregate") != 1 or any(n in plan for n in blockers):
+            return None
+        storage = Warehouse.mv_storage_table(name)
+        sch = self.wh.schema(ns, storage)
+        if set(sch.fieldNames()) != set(keys) | {a for a, _ in aggs}:
+            return None  # OR REPLACE changed the shape: full path only
+        s_ns, s_tbl = src_ref.split(".", 1)
+        delta = self._mv_insert_delta(src_ref, from_v, tip)
+        # the SAME rewritten definition over the delta only: partial
+        # groups with identical aliases and types as storage
+        delta.createOrReplaceTempView(f"__wh_{s_ns}__{s_tbl}")
+        delta_groups = self.spark.sql(rewritten)
+        merged = (
+            self.wh.read(ns, storage)
+            .unionByName(delta_groups)
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(*[comb(a).alias(a) for a, comb in aggs])
+            # re-combining widens SUM's decimal precision; pin the
+            # storage schema's exact types and column order back
+            .select(*[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in sch.fields
+            ])
+        )
+        return src_ref, merged, tip
 
     def _source_df(self, src: str) -> DataFrame:
         src = src.strip()

@@ -328,3 +328,181 @@ def test_mv_incremental_stamp_covers_only_computed_delta(env):
     sql.execute("REFRESH MATERIALIZED VIEW ns.m")
     got = {(r.id, r.v10) for r in sql.execute("SELECT * FROM ns.m").collect()}
     assert ("k9", 90) in got and ("k7", 70) in got
+
+
+# -- aggregate-merge incremental refresh (round 11) -------------------------
+
+
+def _mk_mv_agg(sql):
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.agg AS "
+        "SELECT v % 4 AS grp, COUNT(*) AS n, SUM(v) AS total, "
+        "MIN(v) AS mn, MAX(v) AS mx "
+        "FROM ns.t WHERE v != 3 OR v IS NULL GROUP BY v % 4"
+    )
+
+
+def _full_recompute(spark, wh):
+    wh.read("ns", "t").createOrReplaceTempView("__agg_oracle_src")
+    return {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT v % 4 AS grp, COUNT(*) AS n, SUM(v) AS total, "
+            "MIN(v) AS mn, MAX(v) AS mx "
+            "FROM __agg_oracle_src WHERE v != 3 OR v IS NULL GROUP BY v % 4"
+        ).collect()
+    }
+
+
+def test_mv_incremental_agg_merges_partials(env):
+    """A single-level re-aggregable GROUP BY over an append-only window
+    refreshes by folding the delta's partial groups into storage --
+    across two cycles, creating a NEW group (v=7 -> grp 3, absent from
+    the base), merging into existing groups, and carrying a NULL group
+    key (v IS NULL -> grp NULL, grouped like SQL GROUP BY does) with a
+    NULL-skipping SUM/MIN/MAX and a NULL-counting COUNT(*)."""
+    wh, sql, spark = env
+    _mk_mv_agg(sql)
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.agg")
+    assert st["incremental"] is False  # first materialization is full
+
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("k7", 7), ("k8", 8), ("kn", None)], S)
+        .coalesce(1),
+    )
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.agg")
+    assert st["incremental"] is True
+    assert st["incremental_mode"] == "aggregate-merge"
+    got = {tuple(r) for r in sql.execute("SELECT * FROM ns.agg").collect()}
+    assert got == _full_recompute(spark, wh)
+    assert (3, 1, 7, 7, 7) in got  # the new group materialized
+
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("k9", 9), ("kn2", None)], S).coalesce(1),
+    )
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.agg")
+    assert st["incremental_mode"] == "aggregate-merge"
+    got = {tuple(r) for r in sql.execute("SELECT * FROM ns.agg").collect()}
+    assert got == _full_recompute(spark, wh)
+    # NULL group: two rows counted, aggregates over v all NULL
+    assert (None, 2, None, None, None) in got
+
+
+def test_mv_incremental_agg_where_applies_to_delta(env):
+    """The definition's row-local WHERE must filter the delta before
+    partial aggregation (v=3 is excluded by the MV definition)."""
+    wh, sql, spark = env
+    _mk_mv_agg(sql)
+    sql.execute("REFRESH MATERIALIZED VIEW ns.agg")
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("x3", 3), ("x11", 11)], S).coalesce(1),
+    )
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.agg")
+    assert st["incremental_mode"] == "aggregate-merge"
+    got = {tuple(r) for r in sql.execute("SELECT * FROM ns.agg").collect()}
+    assert got == _full_recompute(spark, wh)
+    # grp 3 exists only via 11 (3 itself filtered): count 1, not 2
+    assert (3, 1, 11, 11, 11) in got
+
+
+def test_mv_incremental_agg_ordinal_group_by(env):
+    wh, sql, spark = env
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.agg AS "
+        "SELECT v % 2 AS parity, SUM(v) AS total FROM ns.t GROUP BY 1"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.agg")
+    wh.insert("ns", "t", spark.createDataFrame([("q", 10)], S).coalesce(1))
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.agg")
+    assert st["incremental_mode"] == "aggregate-merge"
+    got = {
+        (r.parity, r.total)
+        for r in sql.execute("SELECT * FROM ns.agg").collect()
+    }
+    assert got == {(0, 16), (1, 9)}
+
+
+def test_mv_incremental_agg_falls_back_after_source_delete(env):
+    """Appends never shrink a group, deletes do: a delete in the window
+    breaks MIN/MAX/SUM merge validity -> full recompute."""
+    wh, sql, spark = env
+    _mk_mv_agg(sql)
+    sql.execute("REFRESH MATERIALIZED VIEW ns.agg")
+    wh.insert("ns", "t", spark.createDataFrame([("q", 10)], S).coalesce(1))
+    wh.delete_where("ns", "t", [("id", "=", "k5")])
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.agg")
+    assert st["incremental"] is False
+    got = {tuple(r) for r in sql.execute("SELECT * FROM ns.agg").collect()}
+    assert got == _full_recompute(spark, wh)
+
+
+@pytest.mark.parametrize(
+    "definition",
+    [
+        # AVG is not a semigroup without a carried count
+        "SELECT id, AVG(v) AS a FROM ns.t GROUP BY id",
+        # COUNT(DISTINCT) partials don't sum
+        "SELECT id, COUNT(DISTINCT v) AS d FROM ns.t GROUP BY id",
+        # HAVING filters groups below threshold out of storage --
+        # merging could never resurrect them
+        "SELECT id, SUM(v) AS s FROM ns.t GROUP BY id HAVING SUM(v) > 2",
+        # unprojected group key: storage rows are finer than their
+        # visible key; re-grouping by it would wrongly collapse them
+        "SELECT SUM(v) AS s, MIN(id) AS i FROM ns.t GROUP BY id, v",
+        # arithmetic OVER an aggregate is not a stored partial
+        "SELECT id, SUM(v) + 1 AS s1 FROM ns.t GROUP BY id",
+    ],
+)
+def test_mv_incremental_agg_ineligible_shapes_fall_back(env, definition):
+    wh, sql, spark = env
+    sql.execute(f"CREATE MATERIALIZED VIEW ns.agg AS {definition}")
+    sql.execute("REFRESH MATERIALIZED VIEW ns.agg")
+    wh.insert("ns", "t", spark.createDataFrame([("k2", 50)], S).coalesce(1))
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.agg")
+    assert st["incremental"] is False  # fell back -- and stayed correct
+    wh.read("ns", "t").createOrReplaceTempView("__agg_oracle_src")
+    expect = {
+        tuple(r)
+        for r in spark.sql(
+            definition.replace("ns.t", "__agg_oracle_src")
+        ).collect()
+    }
+    got = {tuple(r) for r in sql.execute("SELECT * FROM ns.agg").collect()}
+    assert got == expect
+
+
+def test_mv_agg_spec_parser_battery():
+    """The text classifier alone: accepted shapes yield (keys, combiners),
+    everything doubtful yields None (fallback is always safe)."""
+    spec = WarehouseSQL._mv_agg_spec
+    keys, aggs = spec(
+        "SELECT a, UPPER(b) AS ub, SUM(x) AS s, COUNT(*) AS n, "
+        "MIN(x) AS mn, MAX(CAST(x AS INT)) AS mx "
+        "FROM ns.t WHERE x > 0 GROUP BY a, UPPER(b)"
+    )
+    assert keys == ["a", "ub"] and [a for a, _ in aggs] == ["s", "n", "mn", "mx"]
+    # literal containing keywords stays inert (masked)
+    assert spec(
+        "SELECT a, SUM(x) AS s FROM ns.t "
+        "WHERE b = 'JOIN HAVING DISTINCT' GROUP BY a"
+    ) is not None
+    for bad in [
+        "SELECT a, SUM(x) AS s FROM ns.t GROUP BY a ORDER BY a",
+        "SELECT a, SUM(x) AS s FROM ns.t GROUP BY a LIMIT 5",
+        "SELECT a, SUM(x) AS s FROM ns.t JOIN ns.u ON 1=1 GROUP BY a",
+        "SELECT a, SUM(x) AS s FROM ns.t GROUP BY a HAVING SUM(x) > 0",
+        "SELECT a, SUM(DISTINCT x) AS s FROM ns.t GROUP BY a",
+        "SELECT a, AVG(x) AS s FROM ns.t GROUP BY a",
+        "SELECT a, SUM(x) AS s FROM (SELECT * FROM ns.t) GROUP BY a",
+        "SELECT SUM(x) AS s FROM ns.t",  # no GROUP BY: global agg
+        "SELECT a + 1, SUM(x) AS s FROM ns.t GROUP BY a + 1",  # unnamed key
+        "SELECT a, b, SUM(x) AS s FROM ns.t GROUP BY a",  # b not a key
+        "SELECT a, SUM(x) AS s FROM ns.t GROUP BY a, b",  # b unprojected
+        "SELECT a, SUM(x) AS s FROM ns.t GROUP BY 2",  # ordinal of an agg
+        "SELECT a, SUM(x) AS s FROM ns.t GROUP BY 9",  # ordinal overflow
+        "SELECT a, SUM(x) FROM ns.t GROUP BY a",  # agg without a name
+    ]:
+        assert spec(bad) is None, bad
