@@ -13,6 +13,17 @@ comparison is the full survivor SET (anti-join both directions via
 DuckDB over the exported snapshot), not just counts -- plus the
 metadata-COUNT == scan-count invariant at every step.
 
+Round-11 rung (VERDICT r10 #7): the table runs with stored Change Data
+Feed ON, so the CoW UPDATE step writes change files and the changelog
+mixes stored + derived commits. At every full-set step the ENTIRE
+changelog (version 0 -> tip) is REPLAYED -- per key, the change with
+the highest commit version wins, insert beating delete at a tie (an
+update is delete(pre)+insert(post) at one version) -- and the replayed
+survivor set must exceptAll-match the direct read in both directions.
+That certifies the stored-CDF path and the MoR-aware derived diff at
+the sweep's scale, against the same interleavings that broke the
+round-10 read path.
+
 Usage: python scripts/dml_sweep.py [sf_dir]   (default .localdata/sf1)
 Prints one JSON line; exit 0 iff every step matched.
 """
@@ -82,7 +93,40 @@ def main() -> int:
             "s", "t", events.schema, key="event_id",
             partition_by="event_type",
         )
+        wh.set_change_feed("s", "t", True)
         wh.insert("s", "t", events)
+
+        def cdf_replay(rec: dict) -> None:
+            """Replay changelog(0 -> tip) into a survivor set and
+            compare it to the direct read, both directions."""
+            from pyspark.sql import Window as W
+
+            t0 = time.perf_counter()
+            tip = wh.current_version("s", "t")
+            ch = wh.changelog("s", "t", 0, tip)
+            w = W.partitionBy("event_id").orderBy(
+                F.col("_commit_version").desc(),
+                F.when(F.col("_change_type") == "insert", 1)
+                .otherwise(0).desc(),
+            )
+            replayed = (
+                ch.withColumn("_rn", F.row_number().over(w))
+                .filter(
+                    (F.col("_rn") == 1)
+                    & (F.col("_change_type") == "insert")
+                )
+                .select("event_id", "event_type", "value")
+            )
+            live = wh.read("s", "t").select(
+                "event_id", "event_type", "value"
+            )
+            rec["cdf_replay_missing"] = live.exceptAll(replayed).count()
+            rec["cdf_replay_extra"] = replayed.exceptAll(live).count()
+            rec["cdf_replay_match"] = (
+                rec["cdf_replay_missing"] == 0
+                and rec["cdf_replay_extra"] == 0
+            )
+            rec["cdf_replay_sec"] = round(time.perf_counter() - t0, 2)
 
         def check(step: str, full_set: bool = False) -> None:
             nonlocal ok_all
@@ -120,11 +164,13 @@ def main() -> int:
                 rec["set_missing"] = missing
                 rec["set_extra"] = extra
                 rec["set_match"] = missing == 0 and extra == 0
+                cdf_replay(rec)
             rec["check_sec"] = round(time.perf_counter() - t0, 2)
             step_ok = (
                 rec["count_invariant"]
                 and rec["count_vs_oracle"]
                 and rec.get("set_match", True)
+                and rec.get("cdf_replay_match", True)
             )
             rec["ok"] = step_ok
             ok_all = ok_all and step_ok
@@ -214,9 +260,21 @@ def main() -> int:
         interleave_wall = round(time.perf_counter() - t0, 2)
         check("compact_2", full_set=True)
 
+        # prove the STORED-CDF path was exercised (not just derived
+        # diffs): the CoW UPDATE above must have persisted change files
+        tdir = wh._table_dir("s", "t")
+        stored_cdf = sum(
+            1 for v in wh._versions(tdir)
+            if wh._manifest_doc(tdir, v).get("change_files")
+        )
+        if stored_cdf < 1:
+            ok_all = False
+            print("# no stored-CDF commit in history", file=sys.stderr)
+
         out = {
             "metric": "dml_sweep",
             "sf_dir": sf_dir,
+            "stored_cdf_commits": stored_cdf,
             "ok": ok_all,
             "steps": results,
             "walls_sec": {
