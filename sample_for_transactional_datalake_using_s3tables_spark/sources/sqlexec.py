@@ -243,10 +243,22 @@ class WarehouseSQL:
     ALL -- exactly the programmatic ``*_as`` surface, now reachable
     from SQL text."""
 
-    def __init__(self, wh: Warehouse, principal: str | None = None):
+    def __init__(
+        self,
+        wh: Warehouse,
+        principal: str | None = None,
+        mv_routing: bool = True,
+    ):
         self.wh = wh
         self.spark = wh.spark
         self.principal = principal
+        # transparent aggregate routing: a SELECT ... GROUP BY over a
+        # source table may be served from a FRESH matching MV's storage
+        # (see _mv_route); identical results by construction, set False
+        # to always read the source
+        self.mv_routing = mv_routing
+        self.mv_route_count = 0
+        self._last_mv_route: str | None = None
         # while a REFRESH MATERIALIZED VIEW rewrite runs, every resolved
         # source table records {"ns.tbl": version} here -- the snapshot
         # watermarks freshness is judged against
@@ -843,55 +855,76 @@ class WarehouseSQL:
         return item.strip(), None
 
     @classmethod
-    def _mv_agg_spec(cls, sql_text: str):
-        """Parse a definition into the aggregate-merge shape, or None.
+    def _mv_select_shape(cls, sql_text: str, require_group_by: bool = True):
+        """Classify one SELECT into the re-aggregable GROUP BY shape,
+        or None.
 
         Accepted: ``SELECT <items> FROM <one table ref> [WHERE <row-
         local cond>] GROUP BY <keys>`` where every item is either a
         projected group key (bare column, or any expression textually
         matching a GROUP BY key, aliased) or ``SUM|COUNT|MIN|MAX(expr)
         AS alias`` with no DISTINCT. Every GROUP BY key must be
-        projected (an unprojected key makes storage rows finer than
-        their visible key -- re-grouping by the visible key would
-        wrongly collapse them). Ordinal GROUP BY (``GROUP BY 1, 2``)
-        resolves positionally, like Spark. Returns
-        ``(key_aliases, [(agg_alias, combiner)])``."""
-        masked, _ = _mask_literals(sql_text)
+        projected (an unprojected key makes output rows finer than
+        their visible key). Ordinal GROUP BY (``GROUP BY 1, 2``)
+        resolves positionally, like Spark. With
+        ``require_group_by=False`` a GROUP-BY-less global aggregate
+        (every item an aggregate) also classifies, with empty keys.
+
+        Returns ``{"src", "where", "keys": [(norm_expr, alias)],
+        "aggs": [(FN, norm_inner_expr, alias)]}``. Compare texts are
+        whitespace-collapsed and case-folded, with string literals
+        re-substituted VERBATIM after folding, so two shapes match
+        only when their literals are byte-identical ('X' never
+        matches 'x')."""
+        masked, lits = _mask_literals(sql_text)
         if cls._MV_AGG_BLOCKED_RE.search(masked):
             return None
         m = re.match(
             r"^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<src>\w+(?:\.\w+)?)"
             r"(?:\s+WHERE\s+(?P<where>.*?))?"
-            r"\s+GROUP\s+BY\s+(?P<keys>.*?)\s*;?\s*$",
+            r"(?:\s+GROUP\s+BY\s+(?P<keys>.*?))?\s*;?\s*$",
             masked, re.IGNORECASE | re.DOTALL,
         )
         if m is None:
             return None
+        if m.group("keys") is None and require_group_by:
+            return None
 
         def _norm(expr: str) -> str:
-            return " ".join(expr.split()).lower()
+            folded = " ".join(expr.split()).lower()
+            return re.sub(
+                r"\x00lit(\d+)\x00",
+                lambda g: lits[int(g.group(1))], folded,
+            )
 
         items = [
             cls._mv_item_alias(it)
             for it in _split_top_level(m.group("items"))
         ]
         key_exprs: dict[str, str] = {}  # normalized expr -> output alias
-        aggs: list[tuple[str, object]] = []
+        aggs: list[tuple[str, str, str]] = []
         for expr, alias in items:
             am = cls._MV_AGG_ITEM_RE.match(expr)
             if am is not None:
                 if alias is None:
-                    return None  # storage column name must be explicit
-                aggs.append((alias, cls._MV_AGG_COMBINE[am.group(1).upper()]))
+                    return None  # output column name must be explicit
+                aggs.append(
+                    (am.group(1).upper(), _norm(am.group(2)), alias)
+                )
                 continue
             if alias is None:
                 if not re.fullmatch(r"\w+", expr):
                     return None  # complex key with no declared name
                 alias = expr
             key_exprs[_norm(expr)] = alias
-        if not aggs or not key_exprs:
+        if not aggs:
             return None
-        group_keys = _split_top_level(m.group("keys"))
+        group_keys = (
+            _split_top_level(m.group("keys"))
+            if m.group("keys") is not None else []
+        )
+        if not group_keys and key_exprs:
+            return None  # non-aggregate items without a GROUP BY
         if len(group_keys) != len(key_exprs):
             return None
         for gk in group_keys:
@@ -905,7 +938,29 @@ class WarehouseSQL:
                     return None  # GROUP BY <ordinal of an aggregate>
             if _norm(gk) not in key_exprs:
                 return None  # an unprojected (or reworded) group key
-        return list(key_exprs.values()), aggs
+        return {
+            "src": m.group("src").lower(),
+            "where": _norm(m.group("where")) if m.group("where") else None,
+            "keys": list(key_exprs.items()),
+            "aggs": aggs,
+        }
+
+    @classmethod
+    def _mv_agg_spec(cls, sql_text: str):
+        """``(key_aliases, [(agg_alias, combiner)])`` when the
+        definition classifies as the re-aggregable GROUP BY shape with
+        at least one group key (see _mv_select_shape), else None."""
+        shape = cls._mv_select_shape(sql_text, require_group_by=True)
+        if shape is None or not shape["keys"]:
+            return None
+        return (
+            [alias for _, alias in shape["keys"]],
+            [
+                (alias, cls._MV_AGG_COMBINE[fn])
+                for fn, _, alias in shape["aggs"]
+            ],
+        )
+
 
     def _mv_incremental_agg(self, ns, name, refs, rewritten):
         """(source_ref, merged_groups_df, covered_version) when the
@@ -954,6 +1009,128 @@ class WarehouseSQL:
             ])
         )
         return src_ref, merged, tip
+
+    def _mv_route(self, s: str):
+        """Transparent aggregate routing (Trino/Calcite materialized-
+        view rewrite, Oracle 'aggregate navigation'): serve a
+        ``SELECT ... GROUP BY`` over a SOURCE table from a FRESH
+        matching MV's storage instead of scanning the source --
+        O(groups) read instead of O(table).
+
+        A route requires, all textually verified through the same
+        conservative classifier the incremental refresh uses
+        (_mv_select_shape):
+
+        - same source table, BYTE-IDENTICAL WHERE (literals included);
+        - the query's group keys a SUBSET of the MV's keys (equal set
+          -> project storage 1:1; proper subset -> re-aggregate the
+          stored partials with the semigroup combiners, the rollup
+          navigation a date-grained MV serves month-grained queries
+          with; empty set -> global re-aggregation);
+        - every query aggregate present in the MV (same function,
+          same normalized inner expression);
+        - the MV FRESH (exact source-version equality, metadata-only
+          check -- a stale MV never routes, so results are identical
+          to the source scan by construction);
+        - an ungoverned session (a governed reader's grants are
+          enforced against the SOURCE scan; silently reading storage
+          would bypass row/column filters).
+
+        The routed frame is cast to the EXACT schema the unrouted
+        query would produce (one driver-side analysis of the original
+        statement), so downstream consumers can't tell which path ran.
+        Returns None to fall through to the ordinary scan."""
+        if not self.mv_routing or self.principal is not None:
+            return None
+        q = self._mv_select_shape(s, require_group_by=False)
+        if q is None or "." not in q["src"]:
+            return None
+        s_ns, s_tbl = q["src"].split(".", 1)
+        try:
+            if (
+                s_ns not in self.wh.list_namespaces()
+                or s_tbl not in self.wh.list_tables(s_ns)
+            ):
+                return None
+            candidates = self.wh.list_materialized_views(s_ns)
+        except Exception:  # noqa: BLE001 -- routing must never break SELECT
+            return None
+        for name in candidates:
+            try:
+                d = self._mv_select_shape(
+                    self.wh.mv_definition(s_ns, name)
+                )
+            except Exception:  # noqa: BLE001
+                continue
+            if d is None or d["src"] != q["src"] or d["where"] != q["where"]:
+                continue
+            mv_keys = dict(d["keys"])
+            mv_aggs = {(fn, inner): alias for fn, inner, alias in d["aggs"]}
+            if not all(expr in mv_keys for expr, _ in q["keys"]):
+                continue
+            if not all(
+                (fn, inner) in mv_aggs for fn, inner, _ in q["aggs"]
+            ):
+                continue
+            storage = Warehouse.mv_storage_table(name)
+            if storage not in self.wh.list_tables(s_ns):
+                continue
+            st = self.wh.mv_status(s_ns, name)
+            if not st.get("fresh"):
+                continue
+            sdf = self.wh.read(s_ns, storage)
+            if not set(mv_keys.values()) | set(mv_aggs.values()) <= set(
+                sdf.columns
+            ):
+                continue  # storage predates an OR REPLACE: not servable
+            if len(q["keys"]) == len(d["keys"]):
+                # every MV group visible 1:1: project + rename
+                out = sdf.select(
+                    *[
+                        F.col(mv_keys[expr]).alias(alias)
+                        for expr, alias in q["keys"]
+                    ],
+                    *[
+                        F.col(mv_aggs[(fn, inner)]).alias(alias)
+                        for fn, inner, alias in q["aggs"]
+                    ],
+                )
+            else:
+                # coarser grain: re-aggregate the stored partials.
+                # COUNT partials fold by SUM but a global COUNT over
+                # zero groups must be 0, not NULL.
+                def _fold(fn: str, col: str):
+                    folded = self._MV_AGG_COMBINE[fn](col)
+                    if fn == "COUNT":
+                        folded = F.coalesce(folded, F.lit(0))
+                    return folded
+
+                out = sdf.groupBy(
+                    *[
+                        F.col(mv_keys[expr]).alias(alias)
+                        for expr, alias in q["keys"]
+                    ]
+                ).agg(
+                    *[
+                        _fold(fn, mv_aggs[(fn, inner)]).alias(alias)
+                        for fn, inner, alias in q["aggs"]
+                    ]
+                )
+            # pin the routed output to the EXACT schema the unrouted
+            # query produces (re-aggregation widens SUM's decimal)
+            expected = self.spark.sql(self._rewrite_tables(s)).schema
+            if set(expected.fieldNames()) != set(out.columns):
+                continue  # classifier/alias drift: never route wrong
+            out = out.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in expected.fields
+                ]
+            )
+            self.mv_route_count += 1
+            self._last_mv_route = f"{s_ns}.{name}"
+            return out
+        return None
 
     def _source_df(self, src: str) -> DataFrame:
         src = src.strip()
@@ -1005,6 +1182,9 @@ class WarehouseSQL:
             meta_count = self._metadata_count(s)
             if meta_count is not None:
                 return meta_count
+            routed = self._mv_route(s)
+            if routed is not None:
+                return routed
             return self.spark.sql(self._rewrite_tables(s))
         if head == "EXPLAIN":
             # EXPLAIN [EXTENDED|FORMATTED] SELECT ... -> one-row plan

@@ -506,3 +506,160 @@ def test_mv_agg_spec_parser_battery():
         "SELECT a, SUM(x) FROM ns.t GROUP BY a",  # agg without a name
     ]:
         assert spec(bad) is None, bad
+
+
+# -- transparent aggregate routing (round 11) --------------------------------
+
+
+def _mk_routed_mv(sql):
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.r AS "
+        "SELECT id, v % 2 AS parity, COUNT(*) AS n, SUM(v) AS total, "
+        "MIN(v) AS mn, MAX(v) AS mx "
+        "FROM ns.t WHERE v >= 1 GROUP BY id, v % 2"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.r")
+
+
+def test_mv_route_exact_match_serves_storage(env):
+    """A SELECT with the MV's exact shape is served from storage: prove
+    it by planting a sentinel group directly in the storage table (the
+    source never had it) -- the routed read surfaces the sentinel."""
+    wh, sql, spark = env
+    _mk_routed_mv(sql)
+    storage = Warehouse.mv_storage_table("r")
+    wh.insert(
+        "ns", storage,
+        spark.createDataFrame(
+            [("SENTINEL", 9, 1, 999, 999, 999)],
+            wh.schema("ns", storage),
+        ).coalesce(1),
+    )
+    got = sql.execute(
+        "SELECT id, v % 2 AS parity, COUNT(*) AS n, SUM(v) AS total, "
+        "MIN(v) AS mn, MAX(v) AS mx "
+        "FROM ns.t WHERE v >= 1 GROUP BY id, v % 2"
+    )
+    rows = {tuple(r) for r in got.collect()}
+    assert sql.mv_route_count == 1
+    assert sql._last_mv_route == "ns.r"
+    assert ("SENTINEL", 9, 1, 999, 999, 999) in rows
+    assert ("k3", 1, 1, 3, 3, 3) in rows
+
+
+def test_mv_route_rollup_to_coarser_grain(env):
+    """Query grouping by a SUBSET of the MV's keys re-aggregates the
+    stored partials (COUNT/SUM by SUM, MIN/MAX by themselves) and must
+    equal the direct source aggregate bit-for-bit, schema included."""
+    wh, sql, spark = env
+    _mk_routed_mv(sql)
+    q = (
+        "SELECT v % 2 AS parity, COUNT(*) AS n, SUM(v) AS total, "
+        "MIN(v) AS mn, MAX(v) AS mx FROM ns.t WHERE v >= 1 "
+        "GROUP BY v % 2"
+    )
+    routed = sql.execute(q)
+    assert sql.mv_route_count == 1
+    direct_sql = WarehouseSQL(wh, mv_routing=False)
+    direct = direct_sql.execute(q)
+    assert direct_sql.mv_route_count == 0
+    assert routed.schema == direct.schema
+    assert {tuple(r) for r in routed.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+
+def test_mv_route_global_aggregate_and_zero_groups(env):
+    wh, sql, spark = env
+    _mk_routed_mv(sql)
+    q = "SELECT COUNT(*) AS n, SUM(v) AS total FROM ns.t WHERE v >= 1"
+    row = sql.execute(q).collect()[0]
+    assert sql.mv_route_count == 1
+    assert (row.n, row.total) == (5, 15)  # v in 1..5
+    # zero surviving groups: routed global COUNT must be 0, not NULL
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.empty AS "
+        "SELECT id, SUM(v) AS s, COUNT(*) AS c FROM ns.t "
+        "WHERE v > 1000 GROUP BY id"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.empty")
+    row = sql.execute(
+        "SELECT SUM(v) AS s, COUNT(*) AS c FROM ns.t WHERE v > 1000"
+    ).collect()[0]
+    assert sql.mv_route_count == 2
+    assert (row.s, row.c) == (None, 0)
+
+
+def test_mv_route_requires_freshness(env):
+    """A stale MV never routes -- the source scan answers, so results
+    reflect the NEW source rows the storage hasn't absorbed."""
+    wh, sql, spark = env
+    _mk_routed_mv(sql)
+    wh.insert("ns", "t", spark.createDataFrame([("z", 100)], S).coalesce(1))
+    row = sql.execute(
+        "SELECT COUNT(*) AS n, SUM(v) AS total FROM ns.t WHERE v >= 1"
+    ).collect()[0]
+    assert sql.mv_route_count == 0
+    assert (row.n, row.total) == (6, 115)
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        # WHERE differs (boundary value)
+        "SELECT id, v % 2 AS parity, SUM(v) AS total FROM ns.t "
+        "WHERE v >= 2 GROUP BY id, v % 2",
+        # aggregate not stored in the MV
+        "SELECT id, v % 2 AS parity, AVG(v) AS a FROM ns.t "
+        "WHERE v >= 1 GROUP BY id, v % 2",
+        # group key not an MV key
+        "SELECT v % 3 AS m3, SUM(v) AS total FROM ns.t "
+        "WHERE v >= 1 GROUP BY v % 3",
+        # different aggregate input expression
+        "SELECT id, v % 2 AS parity, SUM(v + 1) AS total FROM ns.t "
+        "WHERE v >= 1 GROUP BY id, v % 2",
+    ],
+)
+def test_mv_route_mismatches_fall_through(env, q):
+    wh, sql, spark = env
+    _mk_routed_mv(sql)
+    direct = WarehouseSQL(wh, mv_routing=False)
+    got = {tuple(r) for r in sql.execute(q).collect()}
+    assert sql.mv_route_count == 0
+    assert got == {tuple(r) for r in direct.execute(q).collect()}
+
+
+def test_mv_route_disabled_for_governed_sessions(env):
+    """A governed reader's grants are enforced on the SOURCE scan;
+    routing to storage would bypass row/column filters."""
+    wh, sql, spark = env
+    _mk_routed_mv(sql)
+    wh.grant("ana", "ns", "t", ("SELECT",))
+    gov = WarehouseSQL(wh, principal="ana")
+    row = gov.execute(
+        "SELECT COUNT(*) AS n FROM ns.t WHERE v >= 1 GROUP BY id, v % 2"
+    )
+    assert gov.mv_route_count == 0
+
+
+def test_mv_route_literal_case_must_match_exactly(env):
+    """Case-folding must never extend to string literals: a query whose
+    literal differs only by case is a DIFFERENT query and must not
+    route."""
+    wh, sql, spark = env
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.lit AS "
+        "SELECT v % 2 AS parity, COUNT(*) AS n FROM ns.t "
+        "WHERE id != 'K1' GROUP BY v % 2"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.lit")
+    sql.execute(
+        "SELECT v % 2 AS parity, COUNT(*) AS n FROM ns.t "
+        "WHERE id != 'k1' GROUP BY v % 2"
+    )
+    assert sql.mv_route_count == 0  # 'k1' is not 'K1'
+    sql.execute(
+        "SELECT v % 2 AS parity, COUNT(*) AS n FROM ns.t "
+        "WHERE id != 'K1' GROUP BY v % 2"
+    )
+    assert sql.mv_route_count == 1
