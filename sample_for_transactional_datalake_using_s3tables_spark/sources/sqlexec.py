@@ -1010,6 +1010,32 @@ class WarehouseSQL:
         )
         return src_ref, merged, tip
 
+    @staticmethod
+    def _split_select_tail(s: str) -> tuple[str, str]:
+        """(core, tail): detach a trailing top-level ``ORDER BY ... /
+        LIMIT ...`` from a SELECT. Both commute with aggregate routing
+        (they apply AFTER grouping), so the core classifies and the
+        tail re-applies over the routed frame. Depth-tracked over
+        literal-masked text: an OVER(ORDER BY ...) or a literal
+        'LIMIT' never splits."""
+        masked, lits = _mask_literals(s)
+        words = _top_level_words(masked)
+        cut = None
+        for i, (w, start, _end) in enumerate(words):
+            if w == "LIMIT" or (
+                w == "ORDER"
+                and i + 1 < len(words)
+                and words[i + 1][0] == "BY"
+            ):
+                cut = start
+                break
+        if cut is None:
+            return s, ""
+        return (
+            _unmask(masked[:cut].rstrip(), lits),
+            _unmask(masked[cut:].strip(), lits),
+        )
+
     def _mv_route(self, s: str):
         """Transparent aggregate routing (Trino/Calcite materialized-
         view rewrite, Oracle 'aggregate navigation'): serve a
@@ -1042,7 +1068,8 @@ class WarehouseSQL:
         Returns None to fall through to the ordinary scan."""
         if not self.mv_routing or self.principal is not None:
             return None
-        q = self._mv_select_shape(s, require_group_by=False)
+        core, tail = self._split_select_tail(s)
+        q = self._mv_select_shape(core, require_group_by=False)
         if q is None or "." not in q["src"]:
             return None
         s_ns, s_tbl = q["src"].split(".", 1)
@@ -1118,7 +1145,7 @@ class WarehouseSQL:
                 )
             # pin the routed output to the EXACT schema the unrouted
             # query produces (re-aggregation widens SUM's decimal)
-            expected = self.spark.sql(self._rewrite_tables(s)).schema
+            expected = self.spark.sql(self._rewrite_tables(core)).schema
             if set(expected.fieldNames()) != set(out.columns):
                 continue  # classifier/alias drift: never route wrong
             out = out.select(
@@ -1127,6 +1154,18 @@ class WarehouseSQL:
                     for f in expected.fields
                 ]
             )
+            if tail:
+                # re-apply ORDER BY / LIMIT over the routed frame; a
+                # tail referencing something storage can't resolve
+                # (e.g. ORDER BY a raw source expression) falls through
+                out.createOrReplaceTempView("__wh_mv_routed")
+                try:
+                    out = self.spark.sql(
+                        f"SELECT * FROM __wh_mv_routed {tail}"
+                    )
+                    out.schema  # force analysis inside the try
+                except Exception:  # noqa: BLE001
+                    return None
             self.mv_route_count += 1
             self._last_mv_route = f"{s_ns}.{name}"
             return out

@@ -663,3 +663,29 @@ def test_mv_route_literal_case_must_match_exactly(env):
         "WHERE id != 'K1' GROUP BY v % 2"
     )
     assert sql.mv_route_count == 1
+
+
+def test_mv_route_order_by_limit_tail(env):
+    """Trailing ORDER BY/LIMIT commute with routing: the core routes,
+    the tail re-applies over the routed frame. A tail referencing a
+    raw source expression the storage can't resolve falls through to
+    the source scan (still correct, just unrouted)."""
+    wh, sql, spark = env
+    _mk_routed_mv(sql)
+    q = (
+        "SELECT v % 2 AS parity, SUM(v) AS total FROM ns.t "
+        "WHERE v >= 1 GROUP BY v % 2 ORDER BY total DESC LIMIT 1"
+    )
+    rows = sql.execute(q).collect()
+    assert sql.mv_route_count == 1
+    direct = WarehouseSQL(wh, mv_routing=False).execute(q).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in direct]
+    assert rows[0].parity == 1  # 1+3+5=9 > 2+4=6
+    # tail references the raw expression, not the output alias
+    q2 = (
+        "SELECT v % 2 AS parity, SUM(v) AS total FROM ns.t "
+        "WHERE v >= 1 GROUP BY v % 2 ORDER BY v % 2"
+    )
+    rows2 = sql.execute(q2).collect()
+    assert sql.mv_route_count == 1  # unchanged: fell through
+    assert [r.parity for r in rows2] == [0, 1]
