@@ -1525,6 +1525,92 @@ GROUP BY event_type
 """
 
 
+def warehouse_mv_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent aggregate routing certified end-to-end
+    (sqlexec._mv_route; Trino/Calcite MV rewrite): a per-(type, user)
+    MV is materialized, then a COARSER per-type query is served by
+    re-aggregating the stored partials -- never rescanning the source.
+    ``route_ok`` folds in what SQL can't see: the query really took the
+    routed path (mv_route_count), a deliberately mismatched-WHERE twin
+    did NOT, and after a source append (stale MV) the same query fell
+    back to the source scan. The returned rows are the routed result
+    UNION the post-append fallback result, so the oracle certifies both
+    the partial re-aggregation AND the staleness fallback values."""
+    from ..sources.sqlexec import WarehouseSQL
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="wh_mvroute_")
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("q")
+        wh.create_table("q", "fact", events.schema, key="event_id")
+        wh.insert("q", "fact", events.filter(F.col("event_id") % 10 != 0))
+        sql = WarehouseSQL(wh)
+        sql.execute(
+            "CREATE MATERIALIZED VIEW q.by_type_user AS "
+            "SELECT event_type, user_id, COUNT(*) AS n, "
+            "SUM(value) AS total FROM q.fact "
+            "WHERE event_id % 3 != 0 GROUP BY event_type, user_id"
+        )
+        sql.execute("REFRESH MATERIALIZED VIEW q.by_type_user")
+        coarse = (
+            "SELECT event_type, COUNT(*) AS n_events, SUM(value) AS total "
+            "FROM q.fact WHERE event_id % 3 != 0 GROUP BY event_type"
+        )
+        routed = sql.execute(coarse).select(
+            "event_type", "n_events",
+            F.col("total").cast("decimal(18,2)").alias("total"),
+        )
+        routed_hits = sql.mv_route_count
+        # mismatched WHERE must NOT route
+        sql.execute(
+            "SELECT event_type, COUNT(*) AS n_events FROM q.fact "
+            "WHERE event_id % 4 != 0 GROUP BY event_type"
+        )
+        no_route_ok = sql.mv_route_count == routed_hits
+        # source append -> MV stale -> the SAME query falls back to the
+        # source scan and sees the new rows
+        wh.insert("q", "fact", events.filter(F.col("event_id") % 10 == 0))
+        fallback = sql.execute(coarse).select(
+            "event_type", "n_events",
+            F.col("total").cast("decimal(18,2)").alias("total"),
+        )
+        route_ok = bool(
+            routed_hits == 1
+            and no_route_ok
+            and sql.mv_route_count == routed_hits  # stale: no new route
+        )
+        out = routed.withColumn("stage", F.lit("routed")).unionByName(
+            fallback.withColumn("stage", F.lit("fallback"))
+        ).withColumn("route_ok", F.lit(route_ok))
+        return _lazy_snapshot(spark, root, out)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+WAREHOUSE_MV_ROUTING_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(value) AS DECIMAL(18,2)) AS total,
+       'routed' AS stage, TRUE AS route_ok
+FROM base WHERE event_id % 10 != 0 AND event_id % 3 != 0
+GROUP BY event_type
+UNION ALL
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(value) AS DECIMAL(18,2)) AS total,
+       'fallback' AS stage, TRUE AS route_ok
+FROM base WHERE event_id % 3 != 0
+GROUP BY event_type
+"""
+
+
 def warehouse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE + the $stats metadata table (the Iceberg Puffin /
     engine ANALYZE analog): per-column exact NDV and null counts from
@@ -2614,6 +2700,7 @@ QUERIES = {
     "warehouse_views": warehouse_views,
     "warehouse_matview": warehouse_matview,
     "warehouse_mv_incremental": warehouse_mv_incremental,
+    "warehouse_mv_routing": warehouse_mv_routing,
     "warehouse_stats": warehouse_stats,
     "warehouse_catalog_ddl": warehouse_catalog_ddl,
     "warehouse_insert_overwrite": warehouse_insert_overwrite,
@@ -2652,6 +2739,7 @@ ORACLES = {
     "warehouse_views": WAREHOUSE_VIEWS_SQL,
     "warehouse_matview": WAREHOUSE_MATVIEW_SQL,
     "warehouse_mv_incremental": WAREHOUSE_MV_INCREMENTAL_SQL,
+    "warehouse_mv_routing": WAREHOUSE_MV_ROUTING_SQL,
     "warehouse_stats": WAREHOUSE_STATS_SQL,
     "warehouse_catalog_ddl": WAREHOUSE_CATALOG_DDL_SQL,
     "warehouse_insert_overwrite": WAREHOUSE_INSERT_OVERWRITE_SQL,
