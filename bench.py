@@ -559,6 +559,80 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_mv(spark, sf_dir: str) -> dict[str, float]:
+    """Materialized-view maintenance + routing economics (round 11):
+
+    - ``refresh_full``: first materialization of a per-(type, user)
+      GROUP BY MV over the SF's events (O(table) by definition)
+    - ``refresh_incremental``: refresh after a ~1% append -- MUST take
+      the aggregate-merge path (O(delta + groups)); reported only if
+      it actually did
+    - ``query_direct``: the coarser per-type aggregate with routing
+      DISABLED (full source scan + shuffle)
+    - ``query_routed``: the same query served from MV storage partials
+      (O(groups) scan) -- the measured gap is the routing win and
+      grows linearly with SF while routed stays flat
+    """
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.testdata import load_table
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("decimal(12,2)").alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="bench_mv_")
+    out: dict[str, float] = {}
+    try:
+        wh = Warehouse(spark, root)
+        wh.create_namespace("b")
+        wh.create_table("b", "fact", events.schema, key="event_id")
+        wh.insert("b", "fact", events.filter(F.col("event_id") % 100 != 0))
+        sql = WarehouseSQL(wh)
+        sql.execute(
+            "CREATE MATERIALIZED VIEW b.rollup AS "
+            "SELECT event_type, user_id, COUNT(*) AS n, "
+            "SUM(value) AS total, MAX(value) AS mx "
+            "FROM b.fact GROUP BY event_type, user_id"
+        )
+        t0 = time.perf_counter()
+        st = sql.execute("REFRESH MATERIALIZED VIEW b.rollup")
+        out["refresh_full"] = round(time.perf_counter() - t0, 3)
+        wh.insert("b", "fact", events.filter(F.col("event_id") % 100 == 0))
+        t0 = time.perf_counter()
+        st = sql.execute("REFRESH MATERIALIZED VIEW b.rollup")
+        wall = round(time.perf_counter() - t0, 3)
+        if st.get("incremental_mode") == "aggregate-merge":
+            out["refresh_incremental"] = wall
+        else:
+            print("# mv: incremental refresh did not engage", file=sys.stderr)
+        coarse = (
+            "SELECT event_type, COUNT(*) AS n, SUM(value) AS total "
+            "FROM b.fact GROUP BY event_type"
+        )
+        direct = WarehouseSQL(wh, mv_routing=False)
+        t0 = time.perf_counter()
+        direct.execute(coarse).collect()
+        out["query_direct"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        sql.execute(coarse).collect()
+        wall = round(time.perf_counter() - t0, 3)
+        if sql.mv_route_count == 1:
+            out["query_routed"] = wall
+        else:
+            print("# mv: query did not route", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# mv bench: {type(e).__name__}: {e}"[:300], file=sys.stderr)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def bench_planning(spark) -> dict[str, float]:
     """Manifest-planning scale microbench (VERDICT r8 #4): synthesize a
     100,000-entry STATS-ONLY manifest (planning is metadata-only, so no
@@ -800,6 +874,9 @@ def main() -> None:
     # SF-independent, driver-side metadata cost)
     planning = bench_planning(spark)
 
+    # fifth section: MV maintenance + routing economics (round 11)
+    mv = bench_mv(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_wall_seconds",
@@ -813,6 +890,7 @@ def main() -> None:
         "dml_seconds": round(sum(dml.values()), 3),
         "streaming": streaming,
         "planning": planning,
+        "mv": mv,
     }
     if errors:
         out["errors"] = errors
