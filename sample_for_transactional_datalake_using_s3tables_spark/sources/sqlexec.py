@@ -1010,6 +1010,52 @@ class WarehouseSQL:
         )
         return src_ref, merged, tip
 
+    # words allowed (besides bare-column MV key names and literal
+    # placeholders) inside a WHERE-refinement conjunct: pure boolean /
+    # comparison connectives whose value depends only on the key
+    # columns they mention
+    _MV_REFINE_WORDS = frozenset(
+        {"AND", "OR", "NOT", "IN", "IS", "NULL", "BETWEEN", "LIKE",
+         "TRUE", "FALSE"}
+    )
+
+    @classmethod
+    def _mv_where_refinement(cls, q_where, d_where, mv_keys):
+        """The query's extra WHERE conjuncts when they are a pure
+        REFINEMENT of the MV's WHERE over bare-column group keys, else
+        None. A key predicate commutes with grouping (the key is
+        constant within its group), so the extra conjuncts can filter
+        STORED GROUPS instead of source rows. Conjuncts compare as
+        normalized text, order-insensitive; every identifier in an
+        extra conjunct must be a bare-column MV key (its storage alias
+        equals the column name) or a connective from _MV_REFINE_WORDS
+        -- any function call, non-key column, or expression key
+        rejects the refinement."""
+        if q_where is None:
+            return None
+        q_conj = set(_split_top_level_and(q_where))
+        d_conj = set(_split_top_level_and(d_where)) if d_where else set()
+        if not d_conj <= q_conj:
+            return None  # the MV filters rows the query wants back
+        extra = sorted(q_conj - d_conj)
+        if not extra:
+            return None  # identical WHERE: no refinement needed
+        bare_keys = {
+            alias for expr, alias in mv_keys.items() if expr == alias
+        }
+        for conj in extra:
+            masked, _ = _mask_literals(conj)
+            for w in _WORD_RE.findall(masked):
+                up = w.upper()
+                if (
+                    up in cls._MV_REFINE_WORDS
+                    or re.fullmatch(r"LIT\d+", up)
+                    or w in bare_keys
+                ):
+                    continue
+                return None
+        return " AND ".join(f"({c})" for c in extra)
+
     @staticmethod
     def _split_select_tail(s: str) -> tuple[str, str]:
         """(core, tail): detach a trailing top-level ``ORDER BY ... /
@@ -1047,7 +1093,11 @@ class WarehouseSQL:
         conservative classifier the incremental refresh uses
         (_mv_select_shape):
 
-        - same source table, BYTE-IDENTICAL WHERE (literals included);
+        - same source table; WHERE either BYTE-IDENTICAL (literals
+          included) or a pure REFINEMENT -- the query adds conjuncts
+          over bare-column group keys, which commute with grouping and
+          filter the STORED GROUPS (_mv_where_refinement: the
+          dashboard point-query-on-rollup shape);
         - the query's group keys a SUBSET of the MV's keys (equal set
           -> project storage 1:1; proper subset -> re-aggregate the
           stored partials with the semigroup combiners, the rollup
@@ -1089,10 +1139,21 @@ class WarehouseSQL:
                 )
             except Exception:  # noqa: BLE001
                 continue
-            if d is None or d["src"] != q["src"] or d["where"] != q["where"]:
+            if d is None or d["src"] != q["src"]:
                 continue
             mv_keys = dict(d["keys"])
             mv_aggs = {(fn, inner): alias for fn, inner, alias in d["aggs"]}
+            refine = None
+            if d["where"] != q["where"]:
+                # not byte-identical: still routable when the query
+                # only ADDS key-column conjuncts (group-constant
+                # predicates commute with grouping -> filter the
+                # stored groups instead of the source rows)
+                refine = self._mv_where_refinement(
+                    q["where"], d["where"], mv_keys
+                )
+                if refine is None:
+                    continue
             if not all(expr in mv_keys for expr, _ in q["keys"]):
                 continue
             if not all(
@@ -1110,6 +1171,11 @@ class WarehouseSQL:
                 sdf.columns
             ):
                 continue  # storage predates an OR REPLACE: not servable
+            if refine is not None:
+                try:
+                    sdf = sdf.filter(F.expr(refine))
+                except Exception:  # noqa: BLE001
+                    continue  # un-analyzable refinement: never guess
             if len(q["keys"]) == len(d["keys"]):
                 # every MV group visible 1:1: project + rename
                 out = sdf.select(

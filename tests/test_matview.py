@@ -689,3 +689,52 @@ def test_mv_route_order_by_limit_tail(env):
     rows2 = sql.execute(q2).collect()
     assert sql.mv_route_count == 1  # unchanged: fell through
     assert [r.parity for r in rows2] == [0, 1]
+
+
+def test_mv_route_where_refinement_on_keys(env):
+    """A query that ADDS key-column conjuncts on top of the MV's WHERE
+    still routes: the extra predicate filters the STORED GROUPS (key
+    predicates commute with grouping). Filtering on an MV key absent
+    from the query's GROUP BY filters partials before re-aggregation."""
+    wh, sql, spark = env
+    _mk_routed_mv(sql)  # keys: id, v % 2 AS parity; WHERE v >= 1
+    direct = WarehouseSQL(wh, mv_routing=False)
+    # refine on the bare-column key id while grouping by the key
+    # SUBSET {id}; the conjunct order also differs from the MV's
+    q = (
+        "SELECT id, SUM(v) AS total, COUNT(*) AS n FROM ns.t "
+        "WHERE id IN ('k2', 'k4') AND v >= 1 GROUP BY id"
+    )
+    got = {tuple(r) for r in sql.execute(q).collect()}
+    assert sql.mv_route_count == 1
+    assert got == {tuple(r) for r in direct.execute(q).collect()}
+    assert got == {("k2", 2, 1), ("k4", 4, 1)}
+    # filter on the OTHER key (parity), grouped out of the result:
+    # partials are filtered before re-aggregation
+    q2 = (
+        "SELECT COUNT(*) AS n, SUM(v) AS total FROM ns.t "
+        "WHERE v >= 1 AND v % 2 = 1"
+    )
+    row = sql.execute(q2).collect()[0]
+    # 'v % 2' is an EXPRESSION key, not a bare column: must NOT route
+    assert sql.mv_route_count == 1
+    assert (row.n, row.total) == (3, 9)
+
+
+def test_mv_route_where_refinement_rejects_non_keys(env):
+    wh, sql, spark = env
+    _mk_routed_mv(sql)
+    direct = WarehouseSQL(wh, mv_routing=False)
+    for q in [
+        # refinement on a NON-key column (v aggregated, not a key)
+        "SELECT id, SUM(v) AS total FROM ns.t "
+        "WHERE v >= 1 AND v < 4 GROUP BY id",
+        # function call over a key
+        "SELECT id, SUM(v) AS total FROM ns.t "
+        "WHERE v >= 1 AND UPPER(id) = 'K2' GROUP BY id",
+        # MV's WHERE conjunct missing from the query (wants rows back)
+        "SELECT id, SUM(v) AS total FROM ns.t WHERE id = 'k2' GROUP BY id",
+    ]:
+        got = {tuple(r) for r in sql.execute(q).collect()}
+        assert sql.mv_route_count == 0, q
+        assert got == {tuple(r) for r in direct.execute(q).collect()}, q
