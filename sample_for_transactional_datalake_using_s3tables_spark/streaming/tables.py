@@ -106,6 +106,8 @@ def stream_table_to_table(
     auto_compact: bool = False,
     auto_compact_min_files: int = 8,
     auto_compact_small_bytes: int = 32 << 20,
+    refresh_mvs: list[str] | None = None,
+    on_refresh=None,
 ):
     """Tail ``src``'s append stream and write each micro-batch into
     ``dst`` (optionally through ``transform``, an arbitrary
@@ -134,7 +136,18 @@ def stream_table_to_table(
     ``auto_compact=True`` (Delta autoCompact analog) runs a
     threshold-gated bin-packing compaction after each micro-batch
     commit, bounding the destination's file count under continuous
-    small-batch traffic; the check is metadata-only per trigger."""
+    small-batch traffic; the check is metadata-only per trigger.
+
+    ``refresh_mvs=["ns.mv", ...]`` refreshes the named materialized
+    views after each micro-batch commit -- the continuously-fresh
+    rollup: with ``mode="append"`` and a re-aggregable GROUP BY
+    definition every per-batch refresh takes the aggregate-merge path
+    (O(batch + groups), see sqlexec._mv_incremental_agg), so a
+    dashboard MV tracks the stream at micro-batch latency without ever
+    rescanning the table. ``mode="merge"`` commits are not appends, so
+    those refreshes fall back to the always-correct full recompute.
+    ``on_refresh(ref, status)`` (optional) observes each refresh --
+    monitoring hooks assert the incremental path stayed engaged."""
     if mode not in ("merge", "append"):
         raise ValueError(f"unknown sink mode {mode!r}")
     stream = read_table_stream(
@@ -160,6 +173,14 @@ def stream_table_to_table(
                 wh, dst_ns, dst_table,
                 auto_compact_min_files, auto_compact_small_bytes,
             )
+        if refresh_mvs:
+            from ..sources.sqlexec import WarehouseSQL
+
+            sql = WarehouseSQL(wh)
+            for ref in refresh_mvs:
+                st = sql.execute(f"REFRESH MATERIALIZED VIEW {ref}")
+                if on_refresh is not None:
+                    on_refresh(ref, st)
 
     trigger = trigger or {"availableNow": True}
     return (

@@ -695,3 +695,68 @@ def test_stream_mid_stream_rename_uses_adding_snapshots_mapping(
     # must survive the later rename (pre-fix: NULL); 'c' was added
     # under 'val2', which the fixed stream schema (val) null-fills
     assert rows["a"] == 1 and rows["b"] == 2
+
+
+def test_stream_table_to_table_keeps_mv_continuously_fresh(
+    registered, wh, spark
+):
+    """Streaming MV maintenance: a keyless (append-mode) medallion hop
+    with ``refresh_mvs`` keeps a GROUP BY rollup fresh after every
+    micro-batch -- and every refresh after the first materialization
+    takes the O(batch + groups) aggregate-merge path (observed via
+    on_refresh), never a table rescan."""
+    import tempfile as _tf
+
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import (
+        WarehouseSQL,
+    )
+    from sample_for_transactional_datalake_using_s3tables_spark.streaming.tables import (
+        stream_table_to_table,
+    )
+
+    wh.create_table("ns", "silver", S)  # keyless: append-mode sink
+    sql = WarehouseSQL(wh)
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.rollup AS "
+        "SELECT day, COUNT(*) AS n, SUM(v) AS total "
+        "FROM ns.silver GROUP BY day"
+    )
+    ckpt = _tf.mkdtemp()
+    seen: list[tuple[str, bool, str | None]] = []
+
+    def hop():
+        q = stream_table_to_table(
+            spark, wh, ("ns", "t"), ("ns", "silver"), ckpt,
+            mode="append",
+            refresh_mvs=["ns.rollup"],
+            on_refresh=lambda ref, st: seen.append(
+                (ref, st["incremental"], st.get("incremental_mode"))
+            ),
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None, q.exception()
+
+    wh.insert("ns", "t", _rows(spark, [("k1", "d0", 1), ("k2", "d1", 2)]))
+    hop()
+    assert wh.mv_status("ns", "rollup")["fresh"]
+    got = {
+        (r.day, r.n, r.total)
+        for r in sql.execute("SELECT * FROM ns.rollup").collect()
+    }
+    assert got == {("d0", 1, 1), ("d1", 1, 2)}
+
+    wh.insert("ns", "t", _rows(spark, [("k3", "d0", 30), ("k4", "d2", 4)]))
+    hop()
+    assert wh.mv_status("ns", "rollup")["fresh"]
+    got = {
+        (r.day, r.n, r.total)
+        for r in sql.execute("SELECT * FROM ns.rollup").collect()
+    }
+    assert got == {("d0", 2, 31), ("d1", 1, 2), ("d2", 1, 4)}
+    # first refresh materializes (full); every later one merges
+    assert seen[0][1] is False
+    assert all(
+        inc is True and mode == "aggregate-merge"
+        for _, inc, mode in seen[1:]
+    ), seen
+    assert len(seen) >= 2
