@@ -1210,16 +1210,22 @@ class WarehouseSQL:
                     ]
                 )
             # pin the routed output to the EXACT schema the unrouted
-            # query produces (re-aggregation widens SUM's decimal)
-            expected = self.spark.sql(self._rewrite_tables(core)).schema
-            if set(expected.fieldNames()) != set(out.columns):
-                continue  # classifier/alias drift: never route wrong
-            out = out.select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in expected.fields
-                ]
-            )
+            # query produces (re-aggregation widens SUM's decimal);
+            # anything surprising here (duplicate output names make the
+            # cast-select ambiguous, ...) falls through to the source
+            # scan rather than erroring a legal query
+            try:
+                expected = self.spark.sql(self._rewrite_tables(core)).schema
+                if set(expected.fieldNames()) != set(out.columns):
+                    continue  # classifier/alias drift: never route wrong
+                out = out.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in expected.fields
+                    ]
+                )
+            except Exception:  # noqa: BLE001
+                return None
             if tail:
                 # re-apply ORDER BY / LIMIT over the routed frame; a
                 # tail referencing something storage can't resolve
@@ -1293,7 +1299,23 @@ class WarehouseSQL:
             return self.spark.sql(self._rewrite_tables(s))
         if head == "EXPLAIN":
             # EXPLAIN [EXTENDED|FORMATTED] SELECT ... -> one-row plan
-            # DataFrame (Spark's own EXPLAIN over the rewritten query)
+            # DataFrame (Spark's own EXPLAIN over the rewritten query).
+            # A query MV routing would serve reports the routed plan --
+            # EXPLAIN must describe the plan that WOULD run.
+            body = re.sub(
+                r"^EXPLAIN\s+(?:(?:EXTENDED|FORMATTED|CODEGEN|COST)\s+)?",
+                "", s, flags=re.IGNORECASE,
+            )
+            if body.split(None, 1)[0].upper() in ("SELECT", "WITH"):
+                routed = self._mv_route(body)
+                if routed is not None:
+                    self.mv_route_count -= 1  # explain only: not a serve
+                    plan = routed._jdf.queryExecution().toString()
+                    return self.spark.createDataFrame(
+                        [(f"== MV-Routed (from {self._last_mv_route}) "
+                          f"==\n{plan}",)],
+                        "plan STRING",
+                    )
             return self.spark.sql(self._rewrite_tables(s))
         if head == "SHOW":
             return self._show(s)

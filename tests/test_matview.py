@@ -738,3 +738,65 @@ def test_mv_route_where_refinement_rejects_non_keys(env):
         got = {tuple(r) for r in sql.execute(q).collect()}
         assert sql.mv_route_count == 0, q
         assert got == {tuple(r) for r in direct.execute(q).collect()}, q
+
+
+def test_mv_route_explain_shows_routed_plan(env):
+    wh, sql, spark = env
+    _mk_routed_mv(sql)
+    plan = sql.execute(
+        "EXPLAIN SELECT v % 2 AS parity, SUM(v) AS total FROM ns.t "
+        "WHERE v >= 1 GROUP BY v % 2"
+    ).collect()[0].plan
+    assert "MV-Routed (from ns.r)" in plan
+    assert sql.mv_route_count == 0  # explain alone is not a serve
+    # a non-routable query explains the ordinary source plan
+    plan = sql.execute(
+        "EXPLAIN SELECT v % 3 AS m, SUM(v) AS total FROM ns.t GROUP BY v % 3"
+    ).collect()[0].plan
+    assert "MV-Routed" not in plan
+
+
+def test_mv_route_duplicate_output_names_fall_through(env):
+    """Spark allows duplicate output column names; the router's
+    schema-pinning select can't, so the query must fall through to the
+    source scan instead of erroring."""
+    wh, sql, spark = env
+    _mk_routed_mv(sql)
+    rows = sql.execute(
+        "SELECT SUM(v) AS x, COUNT(*) AS x FROM ns.t WHERE v >= 1"
+    ).collect()
+    assert sql.mv_route_count == 0
+    assert tuple(rows[0]) == (15, 5)
+
+
+def test_mv_route_systematic_subset_battery(env):
+    """Routed == direct for every (key-subset, agg-subset, refinement)
+    combination over one MV -- the space the router navigates."""
+    wh, sql, spark = env
+    _mk_routed_mv(sql)  # keys id, parity(v%2); WHERE v >= 1
+    direct = WarehouseSQL(wh, mv_routing=False)
+    keysets = ["id, v % 2 AS parity", "id", "v % 2 AS parity", None]
+    aggsets = [
+        "COUNT(*) AS n, SUM(v) AS total, MIN(v) AS mn, MAX(v) AS mx",
+        "SUM(v) AS total",
+        "MAX(v) AS mx, COUNT(*) AS n",
+    ]
+    refinements = ["", " AND id != 'k4'"]
+    n_expected = 0
+    for ks in keysets:
+        for ags in aggsets:
+            for ref in refinements:
+                sel = f"{ks}, {ags}" if ks else ags
+                gb = (
+                    " GROUP BY " + ", ".join(
+                        k.split(" AS ")[0] for k in ks.split(", ")
+                    ) if ks else ""
+                )
+                q = (
+                    f"SELECT {sel} FROM ns.t WHERE v >= 1{ref}{gb}"
+                )
+                got = {tuple(r) for r in sql.execute(q).collect()}
+                n_expected += 1
+                assert sql.mv_route_count == n_expected, q
+                want = {tuple(r) for r in direct.execute(q).collect()}
+                assert got == want, q
