@@ -47,6 +47,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+# Per-copy key stride. 10M is the historical value (safe for the
+# driver's sf0.1, whose keys all sit far below it) and is kept as the
+# MINIMUM so earlier rounds' sf1/sf10 artifacts stay byte-identical.
+# main() RAISES it to the next power of 10 above the source's actual
+# max key, so chaining gen_sf output into gen_sf again (sf1 -> sf10)
+# keeps copies key-disjoint -- with the fixed stride, sf1's ids (up to
+# copy*10M + 100k) COLLIDE with the next run's shifted copies, the key
+# column silently stops being unique, and every keyed-merge downstream
+# legitimately collapses the duplicates (caught by the round-11 sf10
+# DML sweep: 10M rows, only 1.9M distinct event_ids).
 OFFSET = 10_000_000
 KEYED = {
     "customer": ["c_custkey"],
@@ -174,6 +184,22 @@ def main() -> None:
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
     names = COPY_ONCE + tuple(KEYED)
+    # key-disjointness guarantee: stride strictly above EVERY source
+    # key, rounded to a power of 10 (>= the historical 10M so driver
+    # sf0.1 sources reproduce earlier artifacts byte-identically)
+    global OFFSET
+    max_key = 0
+    for name, cols in KEYED.items():
+        t = pq.read_table(os.path.join(args.src, f"{name}.parquet"),
+                          columns=cols)
+        for col in cols:
+            m = pc.max(t.column(col)).as_py()
+            if m is not None:
+                max_key = max(max_key, int(m))
+    while OFFSET <= max_key:
+        OFFSET *= 10
+    print(f"# copy stride {OFFSET} (source max key {max_key})",
+          flush=True)
     for name in names:
         src = os.path.join(args.src, f"{name}.parquet")
         base = pq.read_table(src)
