@@ -892,9 +892,17 @@ class WarehouseSQL:
 
         def _norm(expr: str) -> str:
             folded = " ".join(expr.split()).lower()
+            # adversarial input can CONTAIN placeholder-shaped bytes
+            # (execute() rejects NULs up front, but this classifier
+            # must be total on arbitrary text): an index past the real
+            # literal list stays verbatim
             return re.sub(
                 r"\x00lit(\d+)\x00",
-                lambda g: lits[int(g.group(1))], folded,
+                lambda g: (
+                    lits[int(g.group(1))]
+                    if int(g.group(1)) < len(lits) else g.group(0)
+                ),
+                folded,
             )
 
         items = [

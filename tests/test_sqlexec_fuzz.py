@@ -389,3 +389,97 @@ def test_insert_values_matches_python_oracle(
     }
     assert got == want
     wh.drop_table("ns", name)
+
+
+# -- MV shape classifier invariants (pure text, no Spark) --------------------
+
+
+_SHAPE_KEYS = st.sampled_from(["a", "b", "x % 4", "UPPER(c)"])
+_SHAPE_FNS = st.sampled_from(["SUM", "COUNT", "MIN", "MAX"])
+
+
+@st.composite
+def _shape_query(draw):
+    keys = draw(st.lists(_SHAPE_KEYS, min_size=1, max_size=3, unique=True))
+    fns = draw(st.lists(_SHAPE_FNS, min_size=1, max_size=3))
+    where = draw(st.sampled_from(
+        [None, "v >= 1", "name = 'a WHERE b''s'", "v >= 1 AND a != 'X'"]
+    ))
+    items = []
+    for i, k in enumerate(keys):
+        items.append(k if k.isidentifier() else f"{k} AS k{i}")
+    for i, fn in enumerate(fns):
+        items.append(f"{fn}(v) AS agg{i}")
+    q = f"SELECT {', '.join(items)} FROM ns.t"
+    if where:
+        q += f" WHERE {where}"
+    q += " GROUP BY " + ", ".join(keys)
+    return q
+
+
+@given(q=_shape_query(), seed=st.integers(0, 2**16))
+@settings(max_examples=300, deadline=None)
+def test_mv_shape_classifier_is_layout_insensitive(q, seed):
+    """The classifier must (a) accept every query from the accepted
+    grammar, (b) never crash on whitespace/case mutations, and (c)
+    classify a mutated-but-equivalent layout IDENTICALLY -- the
+    property transparent routing's query-vs-definition matching rests
+    on. Mutations never touch string literals (masked before any
+    folding)."""
+    import random
+
+    base = WarehouseSQL._mv_select_shape(q, require_group_by=True)
+    assert base is not None, q
+    # mutate layout outside literals: random case on keywords, extra
+    # whitespace at token boundaries
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import (
+        _mask_literals,
+        _unmask,
+    )
+
+    masked, lits = _mask_literals(q)
+    rng = random.Random(seed)
+    out = []
+    import re as _re
+    # mutate only OUTSIDE placeholder spans (corrupting a placeholder
+    # is not a layout mutation, it is different text)
+    for part in _re.split(r"(\x00LIT\d+\x00)", masked):
+        if part.startswith("\x00"):
+            out.append(part)
+            continue
+        for ch in part:
+            if ch == " ":
+                out.append(" " * rng.randint(1, 3))
+            elif ch.isalpha() and rng.random() < 0.5:
+                out.append(ch.swapcase())
+            else:
+                out.append(ch)
+    mutated = _unmask("".join(out), lits)
+    got = WarehouseSQL._mv_select_shape(mutated, require_group_by=True)
+    assert got is not None, (q, mutated)
+
+    def canon(shape):
+        # aliases are OUTPUT names and legitimately case-preserving --
+        # compare everything the ROUTER's match depends on
+        return (
+            shape["src"], shape["where"],
+            sorted(e for e, _ in shape["keys"]),
+            sorted((fn, inner) for fn, inner, _ in shape["aggs"]),
+            [a.lower() for _, a in shape["keys"]],
+            [a.lower() for _, _, a in shape["aggs"]],
+        )
+
+    assert canon(got) == canon(base), (q, mutated)
+
+
+@given(junk=st.text(min_size=0, max_size=120), seed=st.integers(0, 99))
+@settings(max_examples=300, deadline=None)
+def test_mv_shape_classifier_never_crashes(junk, seed):
+    """Arbitrary text (including NULs, quotes, parens) must classify to
+    a dict or None -- never raise. The router runs this on every SELECT
+    a user types."""
+    for prefix in ("", "SELECT ", "SELECT a, SUM(v) AS s FROM "):
+        got = WarehouseSQL._mv_select_shape(
+            prefix + junk, require_group_by=(seed % 2 == 0)
+        )
+        assert got is None or isinstance(got, dict)
