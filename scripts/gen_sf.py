@@ -181,17 +181,30 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default=os.path.join(here, ".localdata", "sf1"))
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset to generate (e.g. 'events' for a "
+             "DML-sweep-only scale step); default: all tables",
+    )
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
     names = COPY_ONCE + tuple(KEYED)
+    if args.tables:
+        wanted = set(args.tables.split(","))
+        unknown = wanted - set(names)
+        if unknown:
+            raise SystemExit(f"unknown tables: {sorted(unknown)}")
+        names = tuple(n for n in names if n in wanted)
     # key-disjointness guarantee: stride strictly above EVERY source
     # key, rounded to a power of 10 (>= the historical 10M so driver
     # sf0.1 sources reproduce earlier artifacts byte-identically)
     global OFFSET
     max_key = 0
     for name, cols in KEYED.items():
-        t = pq.read_table(os.path.join(args.src, f"{name}.parquet"),
-                          columns=cols)
+        src = os.path.join(args.src, f"{name}.parquet")
+        if not os.path.exists(src):  # partial source (--tables chain)
+            continue
+        t = pq.read_table(src, columns=cols)
         for col in cols:
             m = pc.max(t.column(col)).as_py()
             if m is not None:
