@@ -1314,7 +1314,7 @@ class WarehouseSQL:
                 r"^EXPLAIN\s+(?:(?:EXTENDED|FORMATTED|CODEGEN|COST)\s+)?",
                 "", s, flags=re.IGNORECASE,
             )
-            if body.split(None, 1)[0].upper() in ("SELECT", "WITH"):
+            if body and body.split(None, 1)[0].upper() in ("SELECT", "WITH"):
                 routed = self._mv_route(body)
                 if routed is not None:
                     self.mv_route_count -= 1  # explain only: not a serve
