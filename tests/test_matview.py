@@ -800,3 +800,42 @@ def test_mv_route_systematic_subset_battery(env):
                 assert sql.mv_route_count == n_expected, q
                 want = {tuple(r) for r in direct.execute(q).collect()}
                 assert got == want, q
+
+
+def test_mv_incremental_agg_stamp_covers_only_computed_delta(env):
+    """Aggregate-merge twin of the row-local watermark-race test: a
+    source commit landing between delta computation and the stamp must
+    stay AHEAD of the watermark -- the next refresh folds it in,
+    nothing is skipped."""
+    wh, sql, spark = env
+    _mk_mv_agg(sql)
+    sql.execute("REFRESH MATERIALIZED VIEW ns.agg")
+    wh.insert("ns", "t", spark.createDataFrame([("k7", 7)], S).coalesce(1))
+
+    storage = Warehouse.mv_storage_table("agg")
+    real_insert = wh.insert
+    raced = {"done": False}
+
+    def racing_insert(ns_, tbl, df, **kw):
+        # the storage overwrite marks the point AFTER the delta was
+        # computed; sneak a source commit in right there
+        if tbl == storage and not raced["done"]:
+            raced["done"] = True
+            real_insert(
+                "ns", "t",
+                spark.createDataFrame([("k9", 9)], S).coalesce(1),
+            )
+        return real_insert(ns_, tbl, df, **kw)
+
+    wh.insert = racing_insert
+    try:
+        st = sql.execute("REFRESH MATERIALIZED VIEW ns.agg")
+    finally:
+        wh.insert = real_insert
+    assert st["incremental_mode"] == "aggregate-merge" and raced["done"]
+    wm = wh.mv_doc("ns", "agg")["watermarks"]
+    assert wm["ns.t"] < wh.current_version("ns", "t")
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.agg")
+    assert st["incremental_mode"] == "aggregate-merge"
+    got = {tuple(r) for r in sql.execute("SELECT * FROM ns.agg").collect()}
+    assert got == _full_recompute(spark, wh)  # k9 folded in, not skipped
