@@ -175,9 +175,25 @@ def _split_top_level_and(text: str) -> list[str]:
     """Split a WHERE text on ``AND`` outside parentheses and string
     literals -- the conjunct decomposition that lets simple comparisons
     keep feeding manifest pruning even when a sibling conjunct is an
-    IN/EXISTS subquery."""
+    IN/EXISTS subquery. BETWEEN-aware: the ``AND`` that pairs with a
+    pending same-depth ``BETWEEN`` is part of that conjunct, never a
+    split point (``k BETWEEN 1 AND 2`` stays one conjunct -- ADVICE
+    r11: splitting it produced a bare-numeric fragment that slipped the
+    refinement identifier whitelist)."""
+
+    def _word_at(i: int, w: str) -> bool:
+        return (
+            up.startswith(w, i)
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+            and (
+                i + len(w) >= len(text)
+                or not (text[i + len(w)].isalnum()
+                        or text[i + len(w)] == "_")
+            )
+        )
+
     parts: list[str] = []
-    depth, in_str, start, i = 0, False, 0, 0
+    depth, in_str, start, i, pending_between = 0, False, 0, 0, 0
     up = text.upper()
     while i < len(text):
         ch = text[i]
@@ -190,17 +206,16 @@ def _split_top_level_and(text: str) -> list[str]:
             depth += 1
         elif ch in ")]":
             depth -= 1
-        elif (
-            depth == 0
-            and up.startswith("AND", i)
-            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
-            and (
-                i + 3 >= len(text)
-                or not (text[i + 3].isalnum() or text[i + 3] == "_")
-            )
-        ):
-            parts.append(text[start:i])
-            start = i + 3
+        elif depth == 0 and _word_at(i, "BETWEEN"):
+            pending_between += 1
+            i += 7
+            continue
+        elif depth == 0 and _word_at(i, "AND"):
+            if pending_between:
+                pending_between -= 1
+            else:
+                parts.append(text[start:i])
+                start = i + 3
             i += 3
             continue
         i += 1
@@ -258,6 +273,7 @@ class WarehouseSQL:
         # to always read the source
         self.mv_routing = mv_routing
         self.mv_route_count = 0
+        self._mv_view_seq = 0  # per-route unique temp-view suffix
         self._last_mv_route: str | None = None
         # while a REFRESH MATERIALIZED VIEW rewrite runs, every resolved
         # source table records {"ns.tbl": version} here -- the snapshot
@@ -828,9 +844,40 @@ class WarehouseSQL:
     _MV_AGG_COMBINE = {
         "SUM": F.sum, "COUNT": F.sum, "MIN": F.min, "MAX": F.max,
     }
-    _MV_AGG_ITEM_RE = re.compile(
-        r"^(SUM|COUNT|MIN|MAX)\s*\((.*)\)$", re.IGNORECASE | re.DOTALL
+    _MV_AGG_FN_RE = re.compile(
+        r"^(SUM|COUNT|MIN|MAX)\s*\(", re.IGNORECASE | re.DOTALL
     )
+
+    @classmethod
+    def _mv_agg_call(cls, expr: str) -> tuple[str, str] | None:
+        """``(FN, inner)`` when ``expr`` is EXACTLY one SUM/COUNT/MIN/
+        MAX call -- the ``(`` after the function name must close at the
+        item's FINAL character. ``SUM(x)/SUM(y)`` and ``SUM(a)+MAX(b)``
+        are compound expressions, not single re-aggregable calls: the
+        previous greedy regex (``\\((.*)\\)$``) classified them as one
+        aggregate, and folding stored ratios with F.sum returned wrong
+        values on both the refresh and routing paths (ADVICE r11 high).
+        Callers pass literal-MASKED text, so paren depth tracking needs
+        no string-state."""
+        expr = expr.strip()
+        m = cls._MV_AGG_FN_RE.match(expr)
+        if m is None:
+            return None
+        depth = 0
+        for i in range(m.end() - 1, len(expr)):
+            ch = expr[i]
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+                if depth == 0:
+                    # the call's own close-paren: anything after it
+                    # (operators, a second call, ...) makes the item a
+                    # compound expression the combiners can't re-fold
+                    if ch != ")" or i != len(expr) - 1:
+                        return None
+                    return m.group(1).upper(), expr[m.end():i]
+        return None  # unbalanced: never classify
     # any of these anywhere in the masked definition text disqualifies
     # the aggregate-merge shape outright (set ops / HAVING / a second
     # query level / window functions / non-deterministic group rows)
@@ -912,14 +959,16 @@ class WarehouseSQL:
         key_exprs: dict[str, str] = {}  # normalized expr -> output alias
         aggs: list[tuple[str, str, str]] = []
         for expr, alias in items:
-            am = cls._MV_AGG_ITEM_RE.match(expr)
+            am = cls._mv_agg_call(expr)
             if am is not None:
                 if alias is None:
                     return None  # output column name must be explicit
-                aggs.append(
-                    (am.group(1).upper(), _norm(am.group(2)), alias)
-                )
+                aggs.append((am[0], _norm(am[1]), alias))
                 continue
+            if cls._MV_AGG_FN_RE.match(expr):
+                # starts like an aggregate but isn't exactly one call
+                # (SUM(x)/SUM(y), SUM(a)+MAX(b), ...): not a key either
+                return None
             if alias is None:
                 if not re.fullmatch(r"\w+", expr):
                     return None  # complex key with no declared name
@@ -942,7 +991,7 @@ class WarehouseSQL:
                 if not (0 <= i < len(items)):
                     return None
                 gk = items[i][0]
-                if cls._MV_AGG_ITEM_RE.match(gk):
+                if cls._mv_agg_call(gk) is not None:
                     return None  # GROUP BY <ordinal of an aggregate>
             if _norm(gk) not in key_exprs:
                 return None  # an unprojected (or reworded) group key
@@ -1233,19 +1282,26 @@ class WarehouseSQL:
                     ]
                 )
             except Exception:  # noqa: BLE001
-                return None
+                continue  # this candidate failed; a later MV may serve
             if tail:
                 # re-apply ORDER BY / LIMIT over the routed frame; a
                 # tail referencing something storage can't resolve
-                # (e.g. ORDER BY a raw source expression) falls through
-                out.createOrReplaceTempView("__wh_mv_routed")
+                # (e.g. ORDER BY a raw source expression) falls through.
+                # Per-route unique view name (and dropped once analysis
+                # binds the plan) so concurrent sessions sharing one
+                # SparkSession never race a fixed name.
+                self._mv_view_seq += 1
+                vname = f"__wh_mv_routed_{self._mv_view_seq}"
+                out.createOrReplaceTempView(vname)
                 try:
-                    out = self.spark.sql(
-                        f"SELECT * FROM __wh_mv_routed {tail}"
-                    )
+                    out = self.spark.sql(f"SELECT * FROM {vname} {tail}")
                     out.schema  # force analysis inside the try
                 except Exception:  # noqa: BLE001
-                    return None
+                    continue  # tail unservable from storage: next MV
+                finally:
+                    # analysis resolved the view into the plan; the
+                    # name is no longer needed (and must not linger)
+                    self.spark.catalog.dropTempView(vname)
             self.mv_route_count += 1
             self._last_mv_route = f"{s_ns}.{name}"
             return out

@@ -504,8 +504,174 @@ def test_mv_agg_spec_parser_battery():
         "SELECT a, SUM(x) AS s FROM ns.t GROUP BY 2",  # ordinal of an agg
         "SELECT a, SUM(x) AS s FROM ns.t GROUP BY 9",  # ordinal overflow
         "SELECT a, SUM(x) FROM ns.t GROUP BY a",  # agg without a name
+        # compound items that merely END in ')' (ADVICE r11 high: the
+        # greedy regex classified each as ONE re-aggregable call and
+        # folded stored ratios into wrong refresh/routing results)
+        "SELECT a, SUM(x)/SUM(y) AS r FROM ns.t GROUP BY a",
+        "SELECT a, SUM(x) + MAX(y) AS z FROM ns.t GROUP BY a",
+        "SELECT a, MAX(x)-MIN(x) AS spread FROM ns.t GROUP BY a",
+        "SELECT a, SUM(x) + 1 AS s1 FROM ns.t GROUP BY a",
+        "SELECT a, COUNT(*)*2 AS n2 FROM ns.t GROUP BY a",
     ]:
         assert spec(bad) is None, bad
+    # nested parens INSIDE one call stay a single re-aggregable item
+    keys, aggs = spec(
+        "SELECT a, SUM((x)/(y)) AS r, MAX(COALESCE(x, 0)) AS mx "
+        "FROM ns.t GROUP BY a"
+    )
+    assert keys == ["a"] and [a for a, _ in aggs] == ["r", "mx"]
+
+
+def test_mv_agg_call_rejects_compound_items():
+    """Unit surface of the depth-tracking call matcher itself."""
+    call = WarehouseSQL._mv_agg_call
+    assert call("SUM(x)") == ("SUM", "x")
+    assert call("count(*)") == ("COUNT", "*")
+    assert call("MAX( CAST(x AS INT) )") == ("MAX", " CAST(x AS INT) ")
+    assert call("SUM((a)+(b))") == ("SUM", "(a)+(b)")
+    for compound in [
+        "SUM(x)/SUM(y)", "SUM(a)+MAX(b)", "MAX(a)-MIN(a)",
+        "SUM(x) + 1", "COUNT(*)*2", "SUM(x) AS s, MAX(y)",
+        "SUM(x", "SUMMARY(x)", "minutes(x)", "x",
+    ]:
+        assert call(compound) is None, compound
+
+
+def test_split_top_level_and_is_between_aware():
+    """``k BETWEEN 1 AND 2`` is ONE conjunct (ADVICE r11: splitting it
+    produced a bare-numeric fragment that slipped the refinement
+    identifier whitelist)."""
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import _split_top_level_and as split
+    assert split("k BETWEEN 1 AND 2") == ["k BETWEEN 1 AND 2"]
+    assert split("k BETWEEN 1 AND 2 AND v > 0") == [
+        "k BETWEEN 1 AND 2", "v > 0"
+    ]
+    assert split("v > 0 AND k NOT BETWEEN 1 AND 2 AND w = 3") == [
+        "v > 0", "k NOT BETWEEN 1 AND 2", "w = 3"
+    ]
+    assert split(
+        "a BETWEEN 1 AND 2 AND b BETWEEN 3 AND 4"
+    ) == ["a BETWEEN 1 AND 2", "b BETWEEN 3 AND 4"]
+    # parenthesized BETWEEN never consumes a top-level AND
+    assert split("(k BETWEEN 1 AND 2) AND v > 0") == [
+        "(k BETWEEN 1 AND 2)", "v > 0"
+    ]
+
+
+def test_mv_refresh_compound_aggregate_full_recomputes(env):
+    """End-to-end twin of the ADVICE r11 repro: an MV whose item is
+    SUM(x)/SUM(y) must take the FULL recompute on every refresh (the
+    ratio of sums is not a semigroup over stored ratios) and stay
+    bit-correct vs the direct recompute."""
+    wh, sql, spark = env
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.ratio AS "
+        "SELECT id, SUM(v)/SUM(1) AS r FROM ns.t GROUP BY id"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.ratio")
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("k2", 50), ("k2", 2)], S).coalesce(1),
+    )
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.ratio")
+    assert st["incremental"] is False  # never the aggregate-merge path
+    wh.read("ns", "t").createOrReplaceTempView("__ratio_oracle_src")
+    expect = {
+        tuple(r) for r in spark.sql(
+            "SELECT id, SUM(v)/SUM(1) AS r FROM __ratio_oracle_src "
+            "GROUP BY id"
+        ).collect()
+    }
+    got = {tuple(r) for r in sql.execute("SELECT * FROM ns.ratio").collect()}
+    assert got == expect
+    assert ("k2", 18.0) in got  # (2+50+2)/3, not a folded stored ratio
+
+
+def test_mv_route_compound_aggregate_never_routes(env):
+    """Routing twin: neither an MV DEFINED with a compound item nor a
+    QUERY asking for one may route -- both fall to the source scan."""
+    wh, sql, spark = env
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.cr AS "
+        "SELECT id, SUM(v)/SUM(1) AS r FROM ns.t GROUP BY id"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.cr")
+    direct = WarehouseSQL(wh, mv_routing=False)
+    # coarser query against the compound-item MV: must scan the source
+    q = "SELECT SUM(v)/SUM(1) AS r FROM ns.t"
+    got = {tuple(r) for r in sql.execute(q).collect()}
+    assert sql.mv_route_count == 0
+    assert got == {tuple(r) for r in direct.execute(q).collect()}
+    # a compound query item against a CLEAN SUM/COUNT MV: still no route
+    _mk_routed_mv(sql)
+    q2 = (
+        "SELECT id, SUM(v) + COUNT(*) AS z FROM ns.t WHERE v >= 1 "
+        "GROUP BY id"
+    )
+    got2 = {tuple(r) for r in sql.execute(q2).collect()}
+    assert sql.mv_route_count == 0
+    assert got2 == {tuple(r) for r in direct.execute(q2).collect()}
+
+
+def test_mv_route_between_refinement_on_key(env):
+    """BETWEEN over a bare-column key is a routable refinement now that
+    the conjunct splitter keeps it whole."""
+    wh, sql, spark = env
+    _mk_routed_mv(sql)  # keys: id, v % 2 AS parity; WHERE v >= 1
+    direct = WarehouseSQL(wh, mv_routing=False)
+    q = (
+        "SELECT id, SUM(v) AS total FROM ns.t "
+        "WHERE id BETWEEN 'k2' AND 'k4' AND v >= 1 GROUP BY id"
+    )
+    got = {tuple(r) for r in sql.execute(q).collect()}
+    assert sql.mv_route_count == 1
+    assert got == {tuple(r) for r in direct.execute(q).collect()}
+    assert got == {("k2", 2), ("k3", 3), ("k4", 4)}
+
+
+def test_mv_route_candidate_failure_tries_later_candidates(env):
+    """A candidate that fails mid-route (here: its storage column types
+    can't cast to the query's schema) must be SKIPPED, not abort the
+    whole route -- a later legal candidate still serves (ADVICE r11:
+    'return None' in the exception handlers abandoned the loop)."""
+    from pyspark.sql.types import ArrayType
+    wh, sql, spark = env
+    # candidate 'aaa' sorts first; sabotage its storage types so the
+    # schema-pin cast raises (long -> array is not castable)
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.aaa AS "
+        "SELECT id, SUM(v) AS total FROM ns.t WHERE v >= 1 GROUP BY id"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.aaa")
+    storage = Warehouse.mv_storage_table("aaa")
+    wh.drop_table("ns", storage)
+    bad = StructType([
+        StructField("id", StringType(), False),
+        StructField("total", ArrayType(LongType())),
+    ])
+    wh.create_table("ns", storage, bad)
+    wh.insert(
+        "ns", storage,
+        spark.createDataFrame([("k1", [1])], bad).coalesce(1),
+    )
+    # candidate 'zzz' is healthy and must serve despite 'aaa' failing,
+    # including through the ORDER BY/LIMIT tail path
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.zzz AS "
+        "SELECT id, SUM(v) AS total FROM ns.t WHERE v >= 1 GROUP BY id"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.zzz")
+    direct = WarehouseSQL(wh, mv_routing=False)
+    for q in [
+        "SELECT id, SUM(v) AS total FROM ns.t WHERE v >= 1 GROUP BY id",
+        "SELECT id, SUM(v) AS total FROM ns.t WHERE v >= 1 GROUP BY id "
+        "ORDER BY total DESC LIMIT 2",
+    ]:
+        before = sql.mv_route_count
+        got = [tuple(r) for r in sql.execute(q).collect()]
+        assert sql.mv_route_count == before + 1, q
+        assert sql._last_mv_route == "ns.zzz"
+        assert got == [tuple(r) for r in direct.execute(q).collect()], q
 
 
 # -- transparent aggregate routing (round 11) --------------------------------
