@@ -1146,6 +1146,80 @@ def warehouse_rest_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
                 wh.count_rows("q", "agg_final")
                 == wh.read("q", "agg_final").count()
             )
+            # external READ of an MoR-PENDING snapshot (VERDICT r11
+            # #1): MoR-delete the external row, leaving a pending
+            # equality-delete file; the facade summary flags it, the
+            # documented recipe (external_scan: files + deletes)
+            # matches the engine read, and the NAIVE files-only scan
+            # visibly resurrects the deleted row. Then MERGE the same
+            # row back (more pending MoR) and re-certify -- the final
+            # state folds into the unchanged oracle hash.
+            from ..sources.restcatalog import external_scan
+
+            wh.delete_where(
+                "q", "agg_final",
+                [("event_type", "=", "EXTERNAL_APPEND")],
+                strategy="mor",
+            )
+            mor_meta = client.load_table("q", "agg_final")["metadata"]
+            mor_snap = {
+                s["snapshot-id"]: s for s in mor_meta["snapshots"]
+            }[mor_meta["current-snapshot-id"]]
+            checks.append(
+                mor_snap["summary"]["total-delete-files"] != "0"
+            )
+            engine_rows = {
+                (r.event_type, r.n, r.total)
+                for r in wh.read("q", "agg_final").collect()
+            }
+            ext_tbl = external_scan(
+                mor_snap["manifest-list"], mor_meta["location"]
+            )
+            ext_rows = set(
+                zip(*(ext_tbl.column(c).to_pylist()
+                      for c in ("event_type", "n", "total")))
+            )
+            checks.append(ext_rows == engine_rows)
+            naive_rows = set()
+            with open(mor_snap["manifest-list"]) as fh:
+                mor_man = json.load(fh)
+            for e in mor_man["files"]:
+                for r in pq.read_table(
+                    os.path.join(mor_meta["location"], e["path"])
+                ).to_pylist():
+                    naive_rows.add(
+                        (r["event_type"], r["n"], r["total"])
+                    )
+            checks.append(
+                naive_rows > ext_rows
+                and ("EXTERNAL_APPEND" in {t for t, _, _ in naive_rows})
+                and ("EXTERNAL_APPEND" not in {t for t, _, _ in ext_rows})
+            )
+            import decimal as _dec
+
+            wh.merge_upsert(
+                "q", "agg_final",
+                spark.createDataFrame(
+                    [("EXTERNAL_APPEND", 42, _dec.Decimal("4242.00"))],
+                    wh.schema("q", "agg_final"),
+                ).coalesce(1),
+                strategy="mor",
+            )
+            fin_meta = client.load_table("q", "agg_final")["metadata"]
+            fin_snap = {
+                s["snapshot-id"]: s for s in fin_meta["snapshots"]
+            }[fin_meta["current-snapshot-id"]]
+            fin_ext = external_scan(
+                fin_snap["manifest-list"], fin_meta["location"]
+            )
+            checks.append(
+                set(zip(*(fin_ext.column(c).to_pylist()
+                          for c in ("event_type", "n", "total"))))
+                == {
+                    (r.event_type, r.n, r.total)
+                    for r in wh.read("q", "agg_final").collect()
+                }
+            )
         out = wh.read("q", "agg_final").withColumn(
             "rest_ok", F.lit(bool(all(checks)))
         )

@@ -1782,6 +1782,10 @@ class Warehouse:
             "bytes": sum(e.get("bytes", 0) for e in files),
             "records": sum(e.get("records", 0) for e in files),
             "n_partitions": len({_scope_key(e) for e in files}),
+            # pending MoR delete files: lets metadata consumers (the
+            # REST facade's snapshot summaries) say "this snapshot needs
+            # its deletes section applied" without opening the manifest
+            "n_deletes": len(deletes or []),
         }
         if txn:
             idx_row["txn"] = doc["txn"]
@@ -1842,7 +1846,8 @@ class Warehouse:
         except (FileNotFoundError, ValueError):
             rows = {}
         if set(rows) != set(versions) or any(
-            "records" not in r for r in rows.values()
+            "records" not in r or "n_deletes" not in r
+            for r in rows.values()
         ):
             rows = {}
             for v in versions:
@@ -1854,6 +1859,7 @@ class Warehouse:
                     "bytes": sum(e.get("bytes", 0) for e in files),
                     "records": sum(e.get("records", 0) for e in files),
                     "n_partitions": len({_scope_key(e) for e in files}),
+                    "n_deletes": len(doc.get("deletes") or []),
                 }
                 if doc.get("txn"):
                     rows[v]["txn"] = doc["txn"]

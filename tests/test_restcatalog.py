@@ -821,3 +821,96 @@ def test_external_append_concurrent_cas(cat, spark):
     )
     got = {r.id for r in wh.read("q", "t").collect()}
     assert got == {"c1", "c2"}
+
+
+def test_external_mor_read_applies_deletes(cat, spark):
+    """VERDICT r11 #1: an external client reading an MoR-pending
+    snapshot through the facade must apply the manifest's ``deletes``
+    section -- scanning the file set alone RESURRECTS deleted rows.
+    ``external_scan`` (pure json+pyarrow, the documented recipe) must
+    equal the engine's own read after equality MERGE deletes, an
+    equality predicate delete, AND a positional delete; the naive
+    files-only recipe must visibly disagree; summaries must say the
+    snapshot carries delete files."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.restcatalog import external_scan
+    from .test_warehouse import _df
+
+    client, wh = cat
+    client.create_namespace("q")
+    client.create_table("q", "t", SCHEMA, properties={"primary-key": "id"})
+    # two base commits so equality deletes span multiple files
+    wh.insert(
+        "q", "t",
+        _df(spark, [(f"k{i}", "d1", i) for i in range(8)]).coalesce(1),
+    )
+    wh.insert(
+        "q", "t",
+        _df(spark, [(f"k{i}", "d2", i) for i in range(8, 14)]).coalesce(1),
+    )
+    # MoR MERGE: update k1/k9, insert k99 (equality-delete + new file)
+    wh.merge_upsert(
+        "q", "t",
+        _df(spark, [("k1", "dM", 100), ("k9", "dM", 900),
+                    ("k99", "dM", 990)]).coalesce(1),
+        strategy="mor",
+    )
+    # MoR predicate delete (equality): v in [3, 5]
+    wh.delete_where("q", "t", [("v", ">=", 3), ("v", "<=", 5)],
+                    strategy="mor")
+    # positional delete: row-granular, keyless addressing
+    wh.delete_where("q", "t", [("v", "=", 12)], strategy="mor-pos")
+
+    meta = client.load_table("q", "t")["metadata"]
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    cur = meta["current-snapshot-id"]
+    assert by_id[cur]["summary"]["total-delete-files"] != "0"
+
+    engine = {
+        (r.id, r.day, r.v) for r in wh.read("q", "t").collect()
+    }
+    assert ("k1", "dM", 100) in engine and ("k3", "d1", 3) not in engine
+    assert ("k12", "d2", 12) not in engine
+
+    ext = external_scan(by_id[cur]["manifest-list"], meta["location"])
+    got = set(zip(*(ext.column(c).to_pylist() for c in ("id", "day", "v"))))
+    assert got == engine
+    assert list(ext.column_names) == ["id", "day", "v"]
+
+    # the OLD documented recipe (files only, no deletes) resurrects:
+    man = _json.load(open(by_id[cur]["manifest-list"]))
+    naive = set()
+    for e in man["files"]:
+        for r in _pq.read_table(
+            _os.path.join(meta["location"], e["path"])
+        ).to_pylist():
+            naive.add((r["id"], r["day"], r["v"]))
+    assert naive > engine  # strictly more rows: resurrection
+    assert ("k3", "d1", 3) in naive and ("k1", "d1", 1) in naive
+
+    # time travel to the pre-delete snapshot still matches the engine
+    pre = 2  # after the two inserts, before the MERGE
+    ext_pre = external_scan(by_id[pre]["manifest-list"], meta["location"])
+    got_pre = set(
+        zip(*(ext_pre.column(c).to_pylist() for c in ("id", "day", "v")))
+    )
+    assert got_pre == {
+        (r.id, r.day, r.v) for r in wh.read("q", "t", version=pre).collect()
+    }
+    assert by_id[pre]["summary"]["total-delete-files"] == "0"
+
+    # compaction folds the deletes in; the recipe keeps agreeing
+    wh.compact("q", "t")
+    meta2 = client.load_table("q", "t")["metadata"]
+    by_id2 = {s["snapshot-id"]: s for s in meta2["snapshots"]}
+    cur2 = meta2["current-snapshot-id"]
+    assert by_id2[cur2]["summary"]["total-delete-files"] == "0"
+    ext2 = external_scan(by_id2[cur2]["manifest-list"], meta2["location"])
+    got2 = set(
+        zip(*(ext2.column(c).to_pylist() for c in ("id", "day", "v")))
+    )
+    assert got2 == engine
