@@ -1604,12 +1604,18 @@ def warehouse_mv_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sqlexec._mv_route; Trino/Calcite MV rewrite): a per-(type, user)
     MV is materialized, then a COARSER per-type query is served by
     re-aggregating the stored partials -- never rescanning the source.
-    ``route_ok`` folds in what SQL can't see: the query really took the
-    routed path (mv_route_count), a deliberately mismatched-WHERE twin
-    did NOT, and after a source append (stale MV) the same query fell
-    back to the source scan. The returned rows are the routed result
-    UNION the post-append fallback result, so the oracle certifies both
-    the partial re-aggregation AND the staleness fallback values."""
+    ``route_ok`` folds in what SQL can't see: each query really took
+    the routed path (mv_route_count), routed == direct bit-equality
+    held, a deliberately mismatched-WHERE twin did NOT route, and
+    after a source append (stale MV) the same query fell back to the
+    source scan. Round 12 (VERDICT r11 #2): the queries carry
+    ``AVG(value)`` -- served by SUM/COUNT decomposition over the
+    stored partials -- and a ``having_routed`` stage filters groups
+    through a HAVING whose COUNT(value) the query doesn't project
+    (computed as a hidden routed column and dropped). The returned
+    rows are routed UNION having_routed UNION post-append fallback, so
+    the oracle certifies partial re-aggregation, AVG decomposition,
+    HAVING post-filtering, AND the staleness fallback values."""
     from ..sources.sqlexec import WarehouseSQL
 
     events = load_table(spark, sf_dir, "events").select(
@@ -1623,22 +1629,39 @@ def warehouse_mv_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         wh.create_table("q", "fact", events.schema, key="event_id")
         wh.insert("q", "fact", events.filter(F.col("event_id") % 10 != 0))
         sql = WarehouseSQL(wh)
+        direct = WarehouseSQL(wh, mv_routing=False)
         sql.execute(
             "CREATE MATERIALIZED VIEW q.by_type_user AS "
             "SELECT event_type, user_id, COUNT(*) AS n, "
-            "SUM(value) AS total FROM q.fact "
+            "COUNT(value) AS nv, SUM(value) AS total FROM q.fact "
             "WHERE event_id % 3 != 0 GROUP BY event_type, user_id"
         )
         sql.execute("REFRESH MATERIALIZED VIEW q.by_type_user")
+
+        def _shape(df):
+            return df.select(
+                "event_type", "n_events",
+                F.col("total").cast("decimal(18,2)").alias("total"),
+                F.col("avg_val").cast("decimal(18,6)").alias("avg_val"),
+            )
+
         coarse = (
-            "SELECT event_type, COUNT(*) AS n_events, SUM(value) AS total "
+            "SELECT event_type, COUNT(*) AS n_events, SUM(value) AS total, "
+            "AVG(value) AS avg_val "
             "FROM q.fact WHERE event_id % 3 != 0 GROUP BY event_type"
         )
-        routed = sql.execute(coarse).select(
-            "event_type", "n_events",
-            F.col("total").cast("decimal(18,2)").alias("total"),
-        )
+        having_q = coarse + " HAVING COUNT(value) >= 1 AND SUM(value) > 0"
+        routed = _shape(sql.execute(coarse))
+        having_routed = _shape(sql.execute(having_q))
         routed_hits = sql.mv_route_count
+        # routed == direct bit-equality (the transparency contract)
+        biteq = (
+            sorted(map(tuple, _shape(direct.execute(coarse)).collect()))
+            == sorted(map(tuple, routed.collect()))
+        ) and (
+            sorted(map(tuple, _shape(direct.execute(having_q)).collect()))
+            == sorted(map(tuple, having_routed.collect()))
+        )
         # mismatched WHERE must NOT route
         sql.execute(
             "SELECT event_type, COUNT(*) AS n_events FROM q.fact "
@@ -1648,16 +1671,16 @@ def warehouse_mv_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         # source append -> MV stale -> the SAME query falls back to the
         # source scan and sees the new rows
         wh.insert("q", "fact", events.filter(F.col("event_id") % 10 == 0))
-        fallback = sql.execute(coarse).select(
-            "event_type", "n_events",
-            F.col("total").cast("decimal(18,2)").alias("total"),
-        )
+        fallback = _shape(sql.execute(coarse))
         route_ok = bool(
-            routed_hits == 1
+            routed_hits == 2
+            and biteq
             and no_route_ok
             and sql.mv_route_count == routed_hits  # stale: no new route
         )
         out = routed.withColumn("stage", F.lit("routed")).unionByName(
+            having_routed.withColumn("stage", F.lit("having_routed"))
+        ).unionByName(
             fallback.withColumn("stage", F.lit("fallback"))
         ).withColumn("route_ok", F.lit(route_ok))
         return _lazy_snapshot(spark, root, out)
@@ -1673,12 +1696,22 @@ WITH base AS (
 )
 SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(value) AS DECIMAL(18,2)) AS total,
+       CAST(AVG(value) AS DECIMAL(18,6)) AS avg_val,
        'routed' AS stage, TRUE AS route_ok
 FROM base WHERE event_id % 10 != 0 AND event_id % 3 != 0
 GROUP BY event_type
 UNION ALL
 SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(value) AS DECIMAL(18,2)) AS total,
+       CAST(AVG(value) AS DECIMAL(18,6)) AS avg_val,
+       'having_routed' AS stage, TRUE AS route_ok
+FROM base WHERE event_id % 10 != 0 AND event_id % 3 != 0
+GROUP BY event_type
+HAVING COUNT(value) >= 1 AND SUM(value) > 0
+UNION ALL
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(value) AS DECIMAL(18,2)) AS total,
+       CAST(AVG(value) AS DECIMAL(18,6)) AS avg_val,
        'fallback' AS stage, TRUE AS route_ok
 FROM base WHERE event_id % 3 != 0
 GROUP BY event_type

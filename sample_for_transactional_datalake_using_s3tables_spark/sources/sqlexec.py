@@ -516,8 +516,9 @@ class WarehouseSQL:
                 # point of materializing); a never-refreshed MV expands
                 # inline like a plain view (always correct, never fast)
                 storage = Warehouse.mv_storage_table(tbl)
+                mv_doc = self.wh.mv_doc(ns, tbl)
                 if (
-                    self.wh.mv_doc(ns, tbl).get("watermarks") is not None
+                    mv_doc.get("watermarks") is not None
                     and storage in self.wh.list_tables(ns)
                 ):
                     view = f"__wh_mv_{ns}__{tbl}"
@@ -525,7 +526,13 @@ class WarehouseSQL:
                         self._mv_refs[f"{ns}.{storage}"] = (
                             self.wh.current_version(ns, storage)
                         )
-                    self._read(ns, storage).createOrReplaceTempView(view)
+                    sdf = self._read(ns, storage)
+                    vis = mv_doc.get("visible")
+                    if vis and set(vis) < set(sdf.columns):
+                        # storage carries hidden AVG partials: reads
+                        # serve exactly the definition's output
+                        sdf = sdf.select(*vis)
+                    sdf.createOrReplaceTempView(view)
                     return view
                 if _depth >= 8:
                     raise ValueError(
@@ -764,15 +771,37 @@ class WarehouseSQL:
             st["incremental_mode"] = "aggregate-merge"
             return st
 
+        # full recompute. An AVG-bearing re-aggregable definition
+        # materializes hidden SUM/COUNT partials alongside its visible
+        # columns (the decomposition future incremental refreshes and
+        # coarser-grain routing fold through); the ``visible`` stamp
+        # keeps MV reads serving exactly the definition's output.
+        store_df = df
+        rw_shape = self._mv_select_shape(rewritten, require_group_by=True)
+        if (
+            rw_shape is not None
+            and rw_shape["keys"]
+            and any(fn == "AVG" for fn, _, _ in rw_shape["aggs"])
+            and all(
+                fn in self._MV_AGG_COMBINE or fn == "AVG"
+                for fn, _, _ in rw_shape["aggs"]
+            )
+        ):
+            store_df = self.spark.sql(self._mv_augmented_sql(rw_shape))
         if storage in self.wh.list_tables(ns):
-            if self.wh.schema(ns, storage).jsonValue() != df.schema.jsonValue():
+            if (
+                self.wh.schema(ns, storage).jsonValue()
+                != store_df.schema.jsonValue()
+            ):
                 # OR REPLACE changed the output shape: rebuild storage
                 self.wh.drop_table(ns, storage)
-                self.wh.create_table(ns, storage, df.schema)
+                self.wh.create_table(ns, storage, store_df.schema)
         else:
-            self.wh.create_table(ns, storage, df.schema)
-        self.wh.insert(ns, storage, df, overwrite=True)
-        self.wh.mv_record_refresh(ns, name, refs)
+            self.wh.create_table(ns, storage, store_df.schema)
+        self.wh.insert(ns, storage, store_df, overwrite=True)
+        self.wh.mv_record_refresh(
+            ns, name, refs, visible=list(df.schema.fieldNames())
+        )
         st = self.wh.mv_status(ns, name)
         st["incremental"] = False
         return st
@@ -839,14 +868,61 @@ class WarehouseSQL:
     # re-aggregable combiners: how a stored group partial folds with a
     # delta partial. SUM/COUNT fold by SUM (COUNT partials are counts,
     # their union re-counts by summing); MIN/MAX fold by themselves.
-    # AVG is deliberately absent (not a semigroup without a carried
-    # count) -- it falls back to the full recompute.
+    # AVG is not itself a semigroup -- it decomposes: the storage
+    # carries hidden SUM/COUNT partials per AVG item (auto-added at
+    # refresh, see _mv_augmented_sql) and the visible column is
+    # re-derived as partial_sum / partial_count (VERDICT r11 #2).
     _MV_AGG_COMBINE = {
         "SUM": F.sum, "COUNT": F.sum, "MIN": F.min, "MAX": F.max,
     }
     _MV_AGG_FN_RE = re.compile(
-        r"^(SUM|COUNT|MIN|MAX)\s*\(", re.IGNORECASE | re.DOTALL
+        r"^(SUM|COUNT|MIN|MAX|AVG)\s*\(", re.IGNORECASE | re.DOTALL
     )
+
+    @staticmethod
+    def _avg_sum_col(alias: str) -> str:
+        return f"__avg_sum__{alias}"
+
+    @staticmethod
+    def _avg_cnt_col(alias: str) -> str:
+        return f"__avg_cnt__{alias}"
+
+    @classmethod
+    def _mv_avg_partials(cls, aggs) -> list[str]:
+        """Hidden storage column names backing the shape's AVG items."""
+        out: list[str] = []
+        for fn, _inner, alias in aggs:
+            if fn == "AVG":
+                out += [cls._avg_sum_col(alias), cls._avg_cnt_col(alias)]
+        return out
+
+    @classmethod
+    def _mv_augmented_sql(cls, shape: dict) -> str:
+        """Canonical re-statement of a classified shape with hidden
+        ``SUM(inner) AS __avg_sum__<alias>, COUNT(inner) AS
+        __avg_cnt__<alias>`` partials appended for every AVG item --
+        what the storage table materializes so AVG folds incrementally
+        (``AVG`` over a union of groups is ``sum of sums / sum of
+        counts``; ``COUNT(inner)``, not ``COUNT(*)``: AVG ignores
+        NULLs). Built from NORMALIZED shape texts, so it must be run
+        against the same resolved temp views the shape was classified
+        from."""
+        items = [f"{expr} AS {alias}" for expr, alias in shape["keys"]]
+        items += [
+            f"{fn}({inner}) AS {alias}" for fn, inner, alias in shape["aggs"]
+        ]
+        for fn, inner, alias in shape["aggs"]:
+            if fn == "AVG":
+                items.append(f"SUM({inner}) AS {cls._avg_sum_col(alias)}")
+                items.append(
+                    f"COUNT({inner}) AS {cls._avg_cnt_col(alias)}"
+                )
+        sql = f"SELECT {', '.join(items)} FROM {shape['src']}"
+        if shape["where"]:
+            sql += f" WHERE {shape['where']}"
+        if shape["keys"]:
+            sql += " GROUP BY " + ", ".join(e for e, _ in shape["keys"])
+        return sql
 
     @classmethod
     def _mv_agg_call(cls, expr: str) -> tuple[str, str] | None:
@@ -1004,18 +1080,22 @@ class WarehouseSQL:
 
     @classmethod
     def _mv_agg_spec(cls, sql_text: str):
-        """``(key_aliases, [(agg_alias, combiner)])`` when the
-        definition classifies as the re-aggregable GROUP BY shape with
-        at least one group key (see _mv_select_shape), else None."""
+        """``(key_aliases, [(agg_alias, FN)])`` when the definition
+        classifies as the re-aggregable GROUP BY shape with at least
+        one group key (see _mv_select_shape) and every aggregate is a
+        known combiner or AVG (which decomposes through stored
+        partials), else None."""
         shape = cls._mv_select_shape(sql_text, require_group_by=True)
         if shape is None or not shape["keys"]:
             return None
+        if any(
+            fn not in cls._MV_AGG_COMBINE and fn != "AVG"
+            for fn, _, _ in shape["aggs"]
+        ):
+            return None
         return (
             [alias for _, alias in shape["keys"]],
-            [
-                (alias, cls._MV_AGG_COMBINE[fn])
-                for fn, _, alias in shape["aggs"]
-            ],
+            [(alias, fn) for fn, _, alias in shape["aggs"]],
         )
 
 
@@ -1024,7 +1104,10 @@ class WarehouseSQL:
         aggregate-merge incremental path is provably safe, else None
         (see _refresh_mv). The merged frame is the stored groups
         unioned with the delta's partial groups, re-combined -- cost
-        O(stored groups + delta), never O(source table)."""
+        O(stored groups + delta), never O(source table). AVG items
+        merge through the storage's hidden SUM/COUNT partials and the
+        visible column is re-derived as partial/partial
+        (``try_divide``: an all-NULL group has count 0 and AVG NULL)."""
         win = self._mv_append_window(ns, name, refs)
         if win is None:
             return None
@@ -1043,28 +1126,51 @@ class WarehouseSQL:
         )
         if plan.count("Aggregate") != 1 or any(n in plan for n in blockers):
             return None
+        rw_shape = self._mv_select_shape(rewritten, require_group_by=True)
+        if rw_shape is None:
+            return None
+        avg_aliases = [a for a, fn in aggs if fn == "AVG"]
+        partials = self._mv_avg_partials(rw_shape["aggs"])
         storage = Warehouse.mv_storage_table(name)
         sch = self.wh.schema(ns, storage)
-        if set(sch.fieldNames()) != set(keys) | {a for a, _ in aggs}:
-            return None  # OR REPLACE changed the shape: full path only
+        expected_cols = (
+            set(keys) | {a for a, _ in aggs} | set(partials)
+        )
+        if set(sch.fieldNames()) != expected_cols:
+            # OR REPLACE changed the shape, or pre-partials legacy
+            # storage: full path only (it rebuilds with partials)
+            return None
         s_ns, s_tbl = src_ref.split(".", 1)
         delta = self._mv_insert_delta(src_ref, from_v, tip)
-        # the SAME rewritten definition over the delta only: partial
-        # groups with identical aliases and types as storage
+        # the SAME (canonicalized, partial-augmented) definition over
+        # the delta only: partial groups with identical aliases and
+        # types as storage
         delta.createOrReplaceTempView(f"__wh_{s_ns}__{s_tbl}")
-        delta_groups = self.spark.sql(rewritten)
+        delta_groups = self.spark.sql(self._mv_augmented_sql(rw_shape))
+        combiners = [
+            (a, self._MV_AGG_COMBINE[fn])
+            for a, fn in aggs if fn != "AVG"
+        ] + [(p, F.sum) for p in partials]
         merged = (
             self.wh.read(ns, storage)
-            .unionByName(delta_groups)
+            .unionByName(delta_groups.select(*sch.fieldNames()))
             .groupBy(*[F.col(k) for k in keys])
-            .agg(*[comb(a).alias(a) for a, comb in aggs])
+            .agg(*[comb(a).alias(a) for a, comb in combiners])
+        )
+        for a in avg_aliases:
+            merged = merged.withColumn(
+                a,
+                F.try_divide(
+                    F.col(self._avg_sum_col(a)),
+                    F.col(self._avg_cnt_col(a)),
+                ),
+            )
+        merged = merged.select(*[
             # re-combining widens SUM's decimal precision; pin the
             # storage schema's exact types and column order back
-            .select(*[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                for f in sch.fields
-            ])
-        )
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in sch.fields
+        ])
         return src_ref, merged, tip
 
     # words allowed (besides bare-column MV key names and literal
@@ -1114,6 +1220,103 @@ class WarehouseSQL:
         return " AND ".join(f"({c})" for c in extra)
 
     @staticmethod
+    def _split_having(core: str) -> tuple[str, str]:
+        """(core_sans_having, having_cond): detach a top-level
+        ``HAVING <cond>`` from a SELECT core (the ORDER BY/LIMIT tail
+        must already be split off). HAVING commutes with aggregate
+        routing -- it filters GROUPS, which is a post-filter over the
+        routed frame (VERDICT r11 #2)."""
+        masked, lits = _mask_literals(core)
+        for w, start, end in _top_level_words(masked):
+            if w == "HAVING":
+                return (
+                    _unmask(masked[:start].rstrip(), lits),
+                    _unmask(masked[end:].strip(), lits),
+                )
+        return core, ""
+
+    @classmethod
+    def _mv_having_rewrite(cls, having: str, q_keys, q_aggs):
+        """Rewrite a HAVING condition into a filter over the ROUTED
+        frame's output columns, or None when any part of it can't be
+        proven group-local.
+
+        Each aggregate call ``FN(inner)`` is replaced by the matching
+        query output alias, or by a fresh hidden alias (returned in
+        ``extra_aggs`` for the router to compute and drop after the
+        filter) when the query doesn't project it (``SELECT k, SUM(v)
+        ... HAVING COUNT(*) > 2``). Every remaining identifier must be
+        a bare-column group key or a boolean/comparison connective --
+        anything else (a raw source column, a function call) refuses
+        the rewrite.
+
+        Returns ``(filter_text, extra_aggs)`` where extra_aggs is
+        ``[(FN, norm_inner, hidden_alias)]``."""
+        masked, lits = _mask_literals(having)
+
+        def _norm(expr: str) -> str:
+            folded = " ".join(expr.split()).lower()
+            return re.sub(
+                r"\x00lit(\d+)\x00",
+                lambda g: (
+                    lits[int(g.group(1))]
+                    if int(g.group(1)) < len(lits) else g.group(0)
+                ),
+                folded,
+            )
+
+        by_sig = {(fn, inner): alias for fn, inner, alias in q_aggs}
+        extra: list[tuple[str, str, str]] = []
+        out: list[str] = []
+        agg_aliases: set[str] = set()
+        i = 0
+        fn_re = re.compile(
+            r"\b(SUM|COUNT|MIN|MAX|AVG)\s*\(", re.IGNORECASE
+        )
+        while i < len(masked):
+            m = fn_re.search(masked, i)
+            if m is None:
+                out.append(masked[i:])
+                break
+            out.append(masked[i:m.start()])
+            # depth-match the call's own close paren
+            depth, j = 0, m.end() - 1
+            while j < len(masked):
+                if masked[j] in "([":
+                    depth += 1
+                elif masked[j] in ")]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= len(masked) or masked[j] != ")":
+                return None  # unbalanced: refuse
+            sig = (m.group(1).upper(), _norm(masked[m.end():j]))
+            alias = by_sig.get(sig)
+            if alias is None:
+                alias = f"__hv{len(extra)}"
+                extra.append((sig[0], sig[1], alias))
+                by_sig[sig] = alias
+            agg_aliases.add(alias)
+            out.append(alias)
+            i = j + 1
+        rewritten = "".join(out)
+        bare_keys = {
+            alias for expr, alias in q_keys if expr == alias
+        }
+        for w in _WORD_RE.findall(rewritten):
+            up = w.upper()
+            if (
+                up in cls._MV_REFINE_WORDS
+                or re.fullmatch(r"LIT\d+", up)
+                or w in bare_keys
+                or w in agg_aliases
+            ):
+                continue
+            return None
+        return _unmask(rewritten, lits), extra
+
+    @staticmethod
     def _split_select_tail(s: str) -> tuple[str, str]:
         """(core, tail): detach a trailing top-level ``ORDER BY ... /
         LIMIT ...`` from a SELECT. Both commute with aggregate routing
@@ -1161,7 +1364,15 @@ class WarehouseSQL:
           navigation a date-grained MV serves month-grained queries
           with; empty set -> global re-aggregation);
         - every query aggregate present in the MV (same function,
-          same normalized inner expression);
+          same normalized inner expression), or -- AVG decomposition
+          (VERDICT r11 #2) -- AVG(x) served as SUM/COUNT: from the
+          MV's SUM(x)+COUNT(x) columns when it stores both, or from
+          the hidden partials an AVG-bearing MV materializes
+          (try_divide: an all-NULL group averages to NULL);
+        - a top-level HAVING, when present, rewrites into a filter
+          over the routed frame (group keys + aggregate calls only;
+          aggregates the query doesn't project are computed as hidden
+          columns and dropped after the filter);
         - the MV FRESH (exact source-version equality, metadata-only
           check -- a stale MV never routes, so results are identical
           to the source scan by construction);
@@ -1176,9 +1387,18 @@ class WarehouseSQL:
         if not self.mv_routing or self.principal is not None:
             return None
         core, tail = self._split_select_tail(s)
-        q = self._mv_select_shape(core, require_group_by=False)
+        core_sans, having = self._split_having(core)
+        q = self._mv_select_shape(core_sans, require_group_by=False)
         if q is None or "." not in q["src"]:
             return None
+        extra_aggs: list[tuple[str, str, str]] = []
+        having_filter = None
+        if having:
+            hv = self._mv_having_rewrite(having, q["keys"], q["aggs"])
+            if hv is None:
+                return None  # HAVING not provably group-local
+            having_filter, extra_aggs = hv
+        want_aggs = q["aggs"] + extra_aggs
         s_ns, s_tbl = q["src"].split(".", 1)
         try:
             if (
@@ -1213,10 +1433,6 @@ class WarehouseSQL:
                     continue
             if not all(expr in mv_keys for expr, _ in q["keys"]):
                 continue
-            if not all(
-                (fn, inner) in mv_aggs for fn, inner, _ in q["aggs"]
-            ):
-                continue
             storage = Warehouse.mv_storage_table(name)
             if storage not in self.wh.list_tables(s_ns):
                 continue
@@ -1224,16 +1440,64 @@ class WarehouseSQL:
             if not st.get("fresh"):
                 continue
             sdf = self.wh.read(s_ns, storage)
-            if not set(mv_keys.values()) | set(mv_aggs.values()) <= set(
-                sdf.columns
+            storage_cols = set(sdf.columns)
+            if not set(mv_keys.values()) | set(mv_aggs.values()) <= (
+                storage_cols
             ):
                 continue  # storage predates an OR REPLACE: not servable
+            equal_grain = len(q["keys"]) == len(d["keys"])
+
+            def _serve(fn: str, inner: str):
+                """Column expression answering ``FN(inner)`` from this
+                MV's storage at the query's grain, or None."""
+                direct = mv_aggs.get((fn, inner))
+                if equal_grain:
+                    if direct is not None:
+                        return F.col(direct)
+                    if fn == "AVG":
+                        s_col = mv_aggs.get(("SUM", inner))
+                        c_col = mv_aggs.get(("COUNT", inner))
+                        if s_col is not None and c_col is not None:
+                            return F.try_divide(
+                                F.col(s_col), F.col(c_col)
+                            )
+                    return None
+                if fn in self._MV_AGG_COMBINE and direct is not None:
+                    # COUNT partials fold by SUM but a global COUNT
+                    # over zero groups must be 0, not NULL
+                    folded = self._MV_AGG_COMBINE[fn](direct)
+                    if fn == "COUNT":
+                        folded = F.coalesce(folded, F.lit(0))
+                    return folded
+                if fn == "AVG":
+                    # sum of sums / sum of counts -- from explicit
+                    # SUM/COUNT columns, or from the hidden partials
+                    # an AVG-bearing MV materializes
+                    s_col = mv_aggs.get(("SUM", inner))
+                    c_col = mv_aggs.get(("COUNT", inner))
+                    if s_col is None or c_col is None:
+                        avg_alias = mv_aggs.get(("AVG", inner))
+                        if avg_alias is not None:
+                            ps = self._avg_sum_col(avg_alias)
+                            pc = self._avg_cnt_col(avg_alias)
+                            if {ps, pc} <= storage_cols:
+                                s_col, c_col = ps, pc
+                    if s_col is not None and c_col is not None:
+                        return F.try_divide(F.sum(s_col), F.sum(c_col))
+                return None
+
+            served = {
+                (fn, inner): _serve(fn, inner)
+                for fn, inner, _ in want_aggs
+            }
+            if any(c is None for c in served.values()):
+                continue  # an aggregate this MV can't answer
             if refine is not None:
                 try:
                     sdf = sdf.filter(F.expr(refine))
                 except Exception:  # noqa: BLE001
                     continue  # un-analyzable refinement: never guess
-            if len(q["keys"]) == len(d["keys"]):
+            if equal_grain:
                 # every MV group visible 1:1: project + rename
                 out = sdf.select(
                     *[
@@ -1241,20 +1505,12 @@ class WarehouseSQL:
                         for expr, alias in q["keys"]
                     ],
                     *[
-                        F.col(mv_aggs[(fn, inner)]).alias(alias)
-                        for fn, inner, alias in q["aggs"]
+                        served[(fn, inner)].alias(alias)
+                        for fn, inner, alias in want_aggs
                     ],
                 )
             else:
-                # coarser grain: re-aggregate the stored partials.
-                # COUNT partials fold by SUM but a global COUNT over
-                # zero groups must be 0, not NULL.
-                def _fold(fn: str, col: str):
-                    folded = self._MV_AGG_COMBINE[fn](col)
-                    if fn == "COUNT":
-                        folded = F.coalesce(folded, F.lit(0))
-                    return folded
-
+                # coarser grain: re-aggregate the stored partials
                 out = sdf.groupBy(
                     *[
                         F.col(mv_keys[expr]).alias(alias)
@@ -1262,10 +1518,19 @@ class WarehouseSQL:
                     ]
                 ).agg(
                     *[
-                        _fold(fn, mv_aggs[(fn, inner)]).alias(alias)
-                        for fn, inner, alias in q["aggs"]
+                        served[(fn, inner)].alias(alias)
+                        for fn, inner, alias in want_aggs
                     ]
                 )
+            if having_filter is not None:
+                # HAVING filters GROUPS: apply over the routed frame,
+                # then drop any hidden aggregates it needed
+                try:
+                    out = out.filter(F.expr(having_filter))
+                except Exception:  # noqa: BLE001
+                    continue
+                if extra_aggs:
+                    out = out.drop(*[a for _, _, a in extra_aggs])
             # pin the routed output to the EXACT schema the unrouted
             # query produces (re-aggregation widens SUM's decimal);
             # anything surprising here (duplicate output names make the

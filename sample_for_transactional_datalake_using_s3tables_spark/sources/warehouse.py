@@ -1180,15 +1180,25 @@ class Warehouse:
         return doc["versions"][doc["current"]]["sql"]
 
     def mv_record_refresh(
-        self, ns: str, name: str, watermarks: dict[str, int]
+        self,
+        ns: str,
+        name: str,
+        watermarks: dict[str, int],
+        visible: list[str] | None = None,
     ) -> None:
         """Stamp the source-table snapshot versions a refresh read
-        (``{"ns.tbl": version}``); freshness is exact version equality."""
+        (``{"ns.tbl": version}``); freshness is exact version equality.
+        ``visible`` records the definition's OUTPUT column list when
+        storage carries extra hidden partial columns (AVG
+        decomposition) -- MV reads project it; None keeps the prior
+        stamp (incremental refreshes never change the shape)."""
         import time as _time
 
         path = self._mv_path(ns, name)
         doc = self.mv_doc(ns, name)
         doc["watermarks"] = watermarks
+        if visible is not None:
+            doc["visible"] = visible
         doc["refreshed_ts"] = _time.time()
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:

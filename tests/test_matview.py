@@ -442,8 +442,6 @@ def test_mv_incremental_agg_falls_back_after_source_delete(env):
 @pytest.mark.parametrize(
     "definition",
     [
-        # AVG is not a semigroup without a carried count
-        "SELECT id, AVG(v) AS a FROM ns.t GROUP BY id",
         # COUNT(DISTINCT) partials don't sum
         "SELECT id, COUNT(DISTINCT v) AS d FROM ns.t GROUP BY id",
         # HAVING filters groups below threshold out of storage --
@@ -495,7 +493,6 @@ def test_mv_agg_spec_parser_battery():
         "SELECT a, SUM(x) AS s FROM ns.t JOIN ns.u ON 1=1 GROUP BY a",
         "SELECT a, SUM(x) AS s FROM ns.t GROUP BY a HAVING SUM(x) > 0",
         "SELECT a, SUM(DISTINCT x) AS s FROM ns.t GROUP BY a",
-        "SELECT a, AVG(x) AS s FROM ns.t GROUP BY a",
         "SELECT a, SUM(x) AS s FROM (SELECT * FROM ns.t) GROUP BY a",
         "SELECT SUM(x) AS s FROM ns.t",  # no GROUP BY: global agg
         "SELECT a + 1, SUM(x) AS s FROM ns.t GROUP BY a + 1",  # unnamed key
@@ -520,6 +517,12 @@ def test_mv_agg_spec_parser_battery():
         "FROM ns.t GROUP BY a"
     )
     assert keys == ["a"] and [a for a, _ in aggs] == ["r", "mx"]
+    # AVG is eligible (VERDICT r11 #2): it decomposes through hidden
+    # SUM/COUNT partials the storage materializes
+    keys, aggs = spec(
+        "SELECT a, AVG(x) AS m, SUM(x) AS s FROM ns.t GROUP BY a"
+    )
+    assert keys == ["a"] and aggs == [("m", "AVG"), ("s", "SUM")]
 
 
 def test_mv_agg_call_rejects_compound_items():
@@ -1005,3 +1008,195 @@ def test_mv_incremental_agg_stamp_covers_only_computed_delta(env):
     assert st["incremental_mode"] == "aggregate-merge"
     got = {tuple(r) for r in sql.execute("SELECT * FROM ns.agg").collect()}
     assert got == _full_recompute(spark, wh)  # k9 folded in, not skipped
+
+
+# -- AVG decomposition + HAVING routing (round 12, VERDICT r11 #2) ----------
+
+
+def test_mv_incremental_agg_avg_decomposes(env):
+    """An AVG-bearing re-aggregable MV refreshes INCREMENTALLY: storage
+    materializes hidden SUM/COUNT partials, the visible column
+    re-derives as partial/partial, reads serve exactly the definition's
+    output, and values equal the full recompute -- including NULL
+    handling (AVG ignores NULLs; an all-NULL group averages NULL)."""
+    wh, sql, spark = env
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("k1", None), ("knull", None)], S)
+        .coalesce(1),
+    )
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.avgmv AS "
+        "SELECT id, AVG(v) AS m, COUNT(*) AS n FROM ns.t GROUP BY id"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.avgmv")
+    storage = Warehouse.mv_storage_table("avgmv")
+    st_cols = set(wh.schema("ns", storage).fieldNames())
+    assert {"__avg_sum__m", "__avg_cnt__m"} <= st_cols
+    # reads project the hidden partials away
+    assert sql.execute("SELECT * FROM ns.avgmv").columns == ["id", "m", "n"]
+
+    # append: a new value for k1 (whose history includes a NULL), a new
+    # key, and another all-NULL row for knull
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame(
+            [("k1", 10), ("knew", 7), ("knull", None)], S
+        ).coalesce(1),
+    )
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.avgmv")
+    assert st["incremental"] is True
+    assert st["incremental_mode"] == "aggregate-merge"
+    wh.read("ns", "t").createOrReplaceTempView("__avg_oracle_src")
+    expect = {
+        tuple(r) for r in spark.sql(
+            "SELECT id, AVG(v) AS m, COUNT(*) AS n FROM __avg_oracle_src "
+            "GROUP BY id"
+        ).collect()
+    }
+    got = {
+        tuple(r) for r in sql.execute("SELECT * FROM ns.avgmv").collect()
+    }
+    assert got == expect
+    by_id = dict((r[0], (r[1], r[2])) for r in got)
+    assert by_id["k1"] == (5.5, 3)      # AVG(1, 10) ignores the NULL
+    assert by_id["knull"] == (None, 2)  # all-NULL group: NULL, COUNT 2
+
+    # second incremental round on top of merged partials
+    wh.insert(
+        "ns", "t", spark.createDataFrame([("k1", 22)], S).coalesce(1)
+    )
+    st = sql.execute("REFRESH MATERIALIZED VIEW ns.avgmv")
+    assert st["incremental"] is True
+    row = sql.execute(
+        "SELECT m, n FROM ns.avgmv WHERE id = 'k1'"
+    ).collect()[0]
+    assert (row.m, row.n) == (11.0, 4)  # (1+10+22)/3 values, 4 rows
+
+
+def test_mv_route_avg_from_sum_count_columns(env):
+    """A query's AVG(x) routes against an MV that stores SUM(x) and
+    COUNT(x) -- equal grain divides the stored columns, coarser grain
+    divides the folded partials; both equal the direct scan."""
+    wh, sql, spark = env
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.sc AS "
+        "SELECT id, v % 2 AS parity, SUM(v) AS s, COUNT(v) AS c "
+        "FROM ns.t WHERE v >= 1 GROUP BY id, v % 2"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.sc")
+    direct = WarehouseSQL(wh, mv_routing=False)
+    for i, q in enumerate([
+        # equal grain
+        "SELECT id, v % 2 AS parity, AVG(v) AS a FROM ns.t "
+        "WHERE v >= 1 GROUP BY id, v % 2",
+        # coarser grain (and mixed with a served SUM)
+        "SELECT id, AVG(v) AS a, SUM(v) AS total FROM ns.t "
+        "WHERE v >= 1 GROUP BY id",
+        # global
+        "SELECT AVG(v) AS a FROM ns.t WHERE v >= 1",
+    ]):
+        got = sql.execute(q)
+        assert sql.mv_route_count == i + 1, q
+        g = [tuple(r) for r in got.orderBy(*got.columns).collect()]
+        dd = direct.execute(q)
+        assert g == [tuple(r) for r in dd.orderBy(*dd.columns).collect()], q
+        assert got.schema == dd.schema, q
+    # COUNT(*) is NOT COUNT(v): an MV with only COUNT(*) cannot serve
+    # AVG(v) (NULLs would skew the mean) -- falls through
+    _mk_routed_mv(sql)  # stores COUNT(*), SUM(v)
+    sql.execute("DROP MATERIALIZED VIEW ns.sc")
+    q = (
+        "SELECT id, AVG(v) AS a FROM ns.t WHERE v >= 1 GROUP BY id"
+    )
+    before = sql.mv_route_count
+    got = {tuple(r) for r in sql.execute(q).collect()}
+    assert sql.mv_route_count == before
+    assert got == {tuple(r) for r in direct.execute(q).collect()}
+
+
+def test_mv_route_avg_bearing_mv_coarser_grain(env):
+    """An AVG-bearing MV serves a COARSER AVG query through its hidden
+    partials (sum of sums / sum of counts, never mean-of-means)."""
+    wh, sql, spark = env
+    # groups of unequal size so mean-of-means would be WRONG:
+    # k1 -> 1, 10, 100 (parity split 1|10,100); mean 37.0
+    wh.insert(
+        "ns", "t",
+        spark.createDataFrame([("k1", 10), ("k1", 100)], S).coalesce(1),
+    )
+    sql.execute(
+        "CREATE MATERIALIZED VIEW ns.am AS "
+        "SELECT id, v % 2 AS parity, AVG(v) AS m FROM ns.t GROUP BY "
+        "id, v % 2"
+    )
+    sql.execute("REFRESH MATERIALIZED VIEW ns.am")
+    direct = WarehouseSQL(wh, mv_routing=False)
+    q = "SELECT id, AVG(v) AS m FROM ns.t GROUP BY id"
+    got = {tuple(r) for r in sql.execute(q).collect()}
+    assert sql.mv_route_count == 1
+    assert got == {tuple(r) for r in direct.execute(q).collect()}
+    assert ("k1", 37.0) in got  # (1+10+100)/3, not mean of (1, 55)
+    # equal grain serves the stored AVG column directly
+    q2 = (
+        "SELECT id, v % 2 AS parity, AVG(v) AS m FROM ns.t "
+        "GROUP BY id, v % 2"
+    )
+    got2 = {tuple(r) for r in sql.execute(q2).collect()}
+    assert sql.mv_route_count == 2
+    assert got2 == {tuple(r) for r in direct.execute(q2).collect()}
+
+
+def test_mv_route_having_post_filter(env):
+    """HAVING routes as a post-filter over the stored groups: on a
+    projected aggregate, on an UNPROJECTED aggregate (computed as a
+    hidden column and dropped), combined with key predicates, at
+    coarser grain, and under an ORDER BY/LIMIT tail."""
+    wh, sql, spark = env
+    _mk_routed_mv(sql)  # keys id, parity; aggs n, total, mn, mx; v >= 1
+    direct = WarehouseSQL(wh, mv_routing=False)
+    for i, q in enumerate([
+        # projected aggregate
+        "SELECT id, SUM(v) AS total FROM ns.t WHERE v >= 1 "
+        "GROUP BY id HAVING SUM(v) > 2",
+        # unprojected aggregate -> hidden column
+        "SELECT id, SUM(v) AS total FROM ns.t WHERE v >= 1 "
+        "GROUP BY id HAVING COUNT(*) >= 1 AND MIN(v) > 1",
+        # key reference + aggregate, coarser grain
+        "SELECT v % 2 AS parity, SUM(v) AS total FROM ns.t "
+        "WHERE v >= 1 GROUP BY v % 2 HAVING SUM(v) > 4",
+        # with an ORDER BY / LIMIT tail after the HAVING
+        "SELECT id, SUM(v) AS total FROM ns.t WHERE v >= 1 "
+        "GROUP BY id HAVING SUM(v) >= 2 ORDER BY total DESC LIMIT 2",
+    ]):
+        got = sql.execute(q)
+        assert sql.mv_route_count == i + 1, q
+        g = [tuple(r) for r in got.collect()]
+        d = [tuple(r) for r in direct.execute(q).collect()]
+        if "ORDER BY" not in q:
+            g, d = sorted(g), sorted(d)
+        assert g == d, q
+        assert got.columns == direct.execute(q).columns, q
+
+
+def test_mv_route_having_refusals_fall_through(env):
+    """HAVING shapes that aren't provably group-local never route --
+    and still answer correctly from the source."""
+    wh, sql, spark = env
+    _mk_routed_mv(sql)
+    direct = WarehouseSQL(wh, mv_routing=False)
+    for q in [
+        # expression group key in HAVING (legal SQL, but not a
+        # bare-column storage alias -> not provably group-local)
+        "SELECT v % 2 AS parity, SUM(v) AS total FROM ns.t "
+        "WHERE v >= 1 GROUP BY v % 2 HAVING v % 2 = 1",
+        # function call over a key
+        "SELECT id, SUM(v) AS total FROM ns.t WHERE v >= 1 "
+        "GROUP BY id HAVING LENGTH(id) > 1",
+        # aggregate the MV doesn't store
+        "SELECT id, SUM(v) AS total FROM ns.t WHERE v >= 1 "
+        "GROUP BY id HAVING SUM(v + 1) > 3",
+    ]:
+        got = {tuple(r) for r in sql.execute(q).collect()}
+        assert sql.mv_route_count == 0, q
+        assert got == {tuple(r) for r in direct.execute(q).collect()}, q
