@@ -1569,17 +1569,56 @@ def warehouse_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         st2 = sql.execute("REFRESH MATERIALIZED VIEW q.by_type")
+        # -- delete-bearing window via stored CDF (VERDICT r11 #3):
+        # with change_feed on and a SUM/COUNT/AVG-only shape, a window
+        # holding a MoR MERGE and a CoW DELETE still refreshes
+        # incrementally -- changelog deletes fold as negative partials
+        wh.set_change_feed("q", "fact", True)
+        sql.execute(
+            "CREATE MATERIALIZED VIEW q.by_type_cdf AS "
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "SUM(value) AS total_value, AVG(value) AS avg_value "
+            "FROM q.fact WHERE event_id % 7 != 0 GROUP BY event_type"
+        )
+        st3 = sql.execute("REFRESH MATERIALIZED VIEW q.by_type_cdf")
+        wh.merge_upsert(
+            "q", "fact",
+            events.filter(F.col("event_id") % 11 == 0).withColumn(
+                "value",
+                (F.col("value") + 1000).cast("decimal(12,2)"),
+            ),
+            strategy="mor",
+        )
+        wh.delete_where("q", "fact", F.expr("event_id % 13 = 0"))
+        st4 = sql.execute("REFRESH MATERIALIZED VIEW q.by_type_cdf")
         inc_ok = (
             st0["incremental"] is False
             and st1.get("incremental_mode") == "aggregate-merge"
             and st2.get("incremental_mode") == "aggregate-merge"
             and st2["fresh"]
+            and st3["incremental"] is False
+            and st4.get("incremental_mode") == "aggregate-merge-cdf"
+            and st4["fresh"]
         )
-        final = sql.execute("SELECT * FROM q.by_type").select(
+        dec6 = "decimal(18,6)"
+        append_stage = sql.execute("SELECT * FROM q.by_type").select(
             "event_type", "n_events",
             F.col("total_value").cast("decimal(18,2)").alias("total_value"),
             "min_id", "max_id",
-        ).withColumn("inc_ok", F.lit(bool(inc_ok)))
+            F.lit(None).cast(dec6).alias("avg_value"),
+            F.lit("append").alias("stage"),
+        )
+        cdf_stage = sql.execute("SELECT * FROM q.by_type_cdf").select(
+            "event_type", "n_events",
+            F.col("total_value").cast("decimal(18,2)").alias("total_value"),
+            F.lit(None).cast("long").alias("min_id"),
+            F.lit(None).cast("long").alias("max_id"),
+            F.col("avg_value").cast(dec6).alias("avg_value"),
+            F.lit("cdf").alias("stage"),
+        )
+        final = append_stage.unionByName(cdf_stage).withColumn(
+            "inc_ok", F.lit(bool(inc_ok))
+        )
         return _lazy_snapshot(spark, root, final)
     except BaseException:
         shutil.rmtree(root, ignore_errors=True)
@@ -1587,13 +1626,38 @@ def warehouse_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WAREHOUSE_MV_INCREMENTAL_SQL = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS value
+  FROM events
+),
+after_dml AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 11 = 0
+              THEN CAST(value + 1000 AS DECIMAL(12,2))
+              ELSE value END AS value
+  FROM base WHERE event_id % 13 != 0
+)
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_value,
+       CAST(SUM(value) AS DECIMAL(18,2)) AS total_value,
        MIN(event_id) AS min_id,
        MAX(event_id) AS max_id,
+       CAST(NULL AS DECIMAL(18,6)) AS avg_value,
+       'append' AS stage,
        TRUE AS inc_ok
-FROM events
+FROM base
+WHERE event_id % 7 != 0
+GROUP BY event_type
+UNION ALL
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(value) AS DECIMAL(18,2)) AS total_value,
+       CAST(NULL AS BIGINT) AS min_id,
+       CAST(NULL AS BIGINT) AS max_id,
+       CAST(AVG(value) AS DECIMAL(18,6)) AS avg_value,
+       'cdf' AS stage,
+       TRUE AS inc_ok
+FROM after_dml
 WHERE event_id % 7 != 0
 GROUP BY event_type
 """
