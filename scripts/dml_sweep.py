@@ -24,6 +24,14 @@ That certifies the stored-CDF path and the MoR-aware derived diff at
 the sweep's scale, against the same interleavings that broke the
 round-10 read path.
 
+Round-12 rungs (VERDICT r11 #5): POSITIONAL deletes -- mor-pos DELETE
+and mor-pos UPDATE, plus an equality MoR delete stacked over the
+positional backlog (the mixed-kind read path) -- and a branch/WAP
+interleave: an audit branch takes a MoR merge (updates + delete-marks)
+while main must stay oracle-identical, then ``fast_forward`` promotes
+the branch and the survivor set + whole-history CDF replay must hold
+across the replayed commits.
+
 Usage: python scripts/dml_sweep.py [sf_dir]   (default .localdata/sf1)
 Prints one JSON line; exit 0 iff every step matched.
 """
@@ -260,6 +268,76 @@ def main() -> int:
         interleave_wall = round(time.perf_counter() - t0, 2)
         check("compact_2", full_set=True)
 
+        # 6. POSITIONAL deletes (round 12, VERDICT r11 #5): row-
+        # granular keyless addressing -- mor-pos DELETE, mor-pos
+        # UPDATE, then an EQUALITY MoR delete stacked over the
+        # positional backlog (the mixed-kind read path), then compact
+        t0 = time.perf_counter()
+        wh.delete_where(
+            "s", "t", F.col("event_id") % 7 == 2, strategy="mor-pos"
+        )
+        con.execute("DELETE FROM shadow WHERE event_id % 7 = 2")
+        check("mor_pos_delete")
+        wh.update_where(
+            "s", "t",
+            {"value": (F.col("value") + 5).cast("decimal(12,2)")},
+            [("event_id", "<", 2000)],
+            strategy="mor-pos",
+        )
+        con.execute(
+            "UPDATE shadow SET value = CAST(value + 5 AS DECIMAL(12,2)) "
+            "WHERE event_id < 2000"
+        )
+        check("mor_pos_update", full_set=True)
+        wh.delete_where(
+            "s", "t", F.col("event_id") % 11 == 3, strategy="mor"
+        )
+        con.execute("DELETE FROM shadow WHERE event_id % 11 = 3")
+        check("mor_eq_over_pos_backlog", full_set=True)
+        wh.compact("s", "t", min_files_per_partition=1)
+        pos_wall = round(time.perf_counter() - t0, 2)
+        check("compact_3", full_set=True)
+
+        # 7. branch/WAP (write-audit-publish): MoR merge-update +
+        # delete-marks land on an AUDIT BRANCH; main must stay
+        # byte-identical to the oracle while the branch diverges;
+        # fast_forward publishes the branch commits onto main (original
+        # timestamps preserved) and the full survivor set + the whole-
+        # history CDF replay must hold ACROSS the promoted commits
+        t0 = time.perf_counter()
+        wh.create_branch("s", "t", "audit")
+        upd = events.filter(F.col("event_id") % 17 == 4).withColumn(
+            "value", (F.col("value") + 7).cast("decimal(12,2)")
+        ).withColumn("_del", F.lit(False))
+        marks = events.filter(
+            (F.col("event_id") % 17 != 4) & (F.col("event_id") % 19 == 5)
+        ).withColumn("_del", F.lit(True))
+        wh.merge_upsert(
+            "s", "t", upd.unionByName(marks), delete_col="_del",
+            strategy="mor", branch="audit",
+        )
+        # main untouched while the branch diverges: the PRE-branch
+        # oracle state must still match main exactly
+        check("wap_branch_diverged", full_set=True)
+        wh.fast_forward("s", "t", "audit")
+        # oracle replay of the branch batch: upsert = replace-or-insert
+        # of %17==4 keys at source value + 7; delete-marks remove the
+        # (disjoint) %19==5 slice
+        con.execute("DELETE FROM shadow WHERE event_id % 17 = 4")
+        con.execute(
+            "INSERT INTO shadow SELECT event_id, event_type, "
+            "CAST(CAST(value AS DECIMAL(12,2)) + 7 AS DECIMAL(12,2)) "
+            f"FROM '{sf_dir}/events.parquet' WHERE event_id % 17 = 4"
+        )
+        con.execute(
+            "DELETE FROM shadow WHERE event_id % 17 != 4 "
+            "AND event_id % 19 = 5"
+        )
+        check("wap_fast_forward", full_set=True)
+        wh.compact("s", "t", min_files_per_partition=1)
+        wap_wall = round(time.perf_counter() - t0, 2)
+        check("compact_4", full_set=True)
+
         # prove the STORED-CDF path was exercised (not just derived
         # diffs): the CoW UPDATE above must have persisted change files
         tdir = wh._table_dir("s", "t")
@@ -283,6 +361,8 @@ def main() -> int:
                 "mor_merge_revive": merge2_wall,
                 "compact_1": compact_wall,
                 "delete2_update_compact2": interleave_wall,
+                "pos_delete_update_compact3": pos_wall,
+                "wap_branch_ff_compact4": wap_wall,
             },
         }
         print(json.dumps(out))
