@@ -256,7 +256,19 @@ class WarehouseSQL:
     grants prune the projection, row filters push into manifest
     pruning), INSERT requires INSERT, and MERGE/DELETE/UPDATE require
     ALL -- exactly the programmatic ``*_as`` surface, now reachable
-    from SQL text."""
+    from SQL text.
+
+    Threading contract: statements on ONE WarehouseSQL are not
+    thread-safe -- REFRESH MATERIALIZED VIEW's incremental paths
+    re-point the shared ``__wh_{ns}__{tbl}`` temp view at the delta
+    (safe sequentially: analysis binds at each ``spark.sql()`` call),
+    and ``_rewrite_tables`` re-registers views per statement. Use one
+    WarehouseSQL per thread; the underlying Warehouse commits via
+    link() CAS, so concurrent WRITERS on separate instances are safe
+    (tests/test_concurrency_mp.py). Routed SELECTs are safe across
+    instances sharing a SparkSession: the ORDER BY/LIMIT tail view is
+    per-route unique and dropped once analysis binds
+    (tests/test_matview.py::test_mv_route_two_instances_concurrent)."""
 
     def __init__(
         self,

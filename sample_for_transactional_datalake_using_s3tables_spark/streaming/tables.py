@@ -68,12 +68,22 @@ def read_table_stream(
     from_version: int | None = None,
     skip_replace: bool = True,
     on_delete: str = "raise",
+    max_versions_per_trigger: int | None = None,
 ) -> DataFrame:
     """``readStream`` over a warehouse table (Iceberg streaming read):
     registers the warehouse-appends data source and returns the
     streaming DataFrame. ``from_version`` starts the stream AFTER that
     snapshot (exclusive); by default the stream begins at the table's
-    creation, replaying all current rows in the first batch."""
+    creation, replaying all current rows in the first batch.
+    ``max_versions_per_trigger`` (Iceberg
+    streaming-max-files-per-micro-batch analog) bounds each micro-batch
+    to at most N source commits -- a deep backlog drains in paced
+    batches instead of one giant catch-up batch. Pacing is for
+    CONTINUOUS triggers (processingTime): ``availableNow`` captures
+    the reader's next offset ONCE at query start, so a paced
+    availableNow run stops after at most N commits (scripts/
+    stream_sweep.py drives paced drains with processingTime + stop-on-
+    idle; leave pacing unset under availableNow)."""
     from ..sources.streamsource import WarehouseAppendsDataSource
 
     spark.dataSource.register(WarehouseAppendsDataSource)
@@ -87,6 +97,10 @@ def read_table_stream(
     )
     if from_version is not None:
         reader = reader.option("from_version", str(from_version))
+    if max_versions_per_trigger is not None:
+        reader = reader.option(
+            "max_versions_per_trigger", str(max_versions_per_trigger)
+        )
     return reader.load()
 
 
@@ -108,6 +122,7 @@ def stream_table_to_table(
     auto_compact_small_bytes: int = 32 << 20,
     refresh_mvs: list[str] | None = None,
     on_refresh=None,
+    max_versions_per_trigger: int | None = None,
 ):
     """Tail ``src``'s append stream and write each micro-batch into
     ``dst`` (optionally through ``transform``, an arbitrary
@@ -151,7 +166,8 @@ def stream_table_to_table(
     if mode not in ("merge", "append"):
         raise ValueError(f"unknown sink mode {mode!r}")
     stream = read_table_stream(
-        spark, wh, *src, from_version=from_version, on_delete=on_delete
+        spark, wh, *src, from_version=from_version, on_delete=on_delete,
+        max_versions_per_trigger=max_versions_per_trigger,
     )
     dst_ns, dst_table = dst
     if app_id is None:
