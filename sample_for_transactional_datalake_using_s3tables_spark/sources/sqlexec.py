@@ -1602,7 +1602,11 @@ class WarehouseSQL:
           to the source scan by construction);
         - an ungoverned session (a governed reader's grants are
           enforced against the SOURCE scan; silently reading storage
-          would bypass row/column filters).
+          would bypass row/column filters);
+        - the query written directly against the source TABLE --
+          view-wrapped aggregates never route (sound composition
+          needs expression-tree substitution, not text; see
+          ROUND12_NOTES.md 'Design note: MV routing through views').
 
         The routed frame is cast to the EXACT schema the unrouted
         query would produce (one driver-side analysis of the original
