@@ -1091,14 +1091,18 @@ class WarehouseSQL:
     @classmethod
     def _mv_agg_call(cls, expr: str) -> tuple[str, str] | None:
         """``(FN, inner)`` when ``expr`` is EXACTLY one SUM/COUNT/MIN/
-        MAX call -- the ``(`` after the function name must close at the
-        item's FINAL character. ``SUM(x)/SUM(y)`` and ``SUM(a)+MAX(b)``
-        are compound expressions, not single re-aggregable calls: the
-        previous greedy regex (``\\((.*)\\)$``) classified them as one
-        aggregate, and folding stored ratios with F.sum returned wrong
-        values on both the refresh and routing paths (ADVICE r11 high).
-        Callers pass literal-MASKED text, so paren depth tracking needs
-        no string-state."""
+        MAX/AVG call -- the ``(`` after the function name must close at
+        the item's FINAL character. ``SUM(x)/SUM(y)`` and
+        ``SUM(a)+MAX(b)`` are compound expressions, not single
+        re-aggregable calls: the previous greedy regex (``\\((.*)\\)$``)
+        classified them as one aggregate, and folding stored ratios
+        with F.sum returned wrong values on both the refresh and
+        routing paths (ADVICE r11 high). ``COUNT(DISTINCT x)``
+        classifies as the distinct pseudo-function COUNT_DISTINCT
+        (servable only at EQUAL grain -- distinct counts don't
+        re-aggregate); DISTINCT inside any other call rejects. Callers
+        pass literal-MASKED text, so paren depth tracking needs no
+        string-state."""
         expr = expr.strip()
         m = cls._MV_AGG_FN_RE.match(expr)
         if m is None:
@@ -1116,13 +1120,28 @@ class WarehouseSQL:
                     # compound expression the combiners can't re-fold
                     if ch != ")" or i != len(expr) - 1:
                         return None
-                    return m.group(1).upper(), expr[m.end():i]
+                    fn = m.group(1).upper()
+                    inner = expr[m.end():i]
+                    dm = re.match(
+                        r"\s*DISTINCT\b(.*)$", inner,
+                        re.IGNORECASE | re.DOTALL,
+                    )
+                    if dm is not None:
+                        if fn != "COUNT":
+                            return None  # SUM/AVG(DISTINCT): refuse
+                        return "COUNT_DISTINCT", dm.group(1)
+                    return fn, inner
         return None  # unbalanced: never classify
     # any of these anywhere in the masked definition text disqualifies
     # the aggregate-merge shape outright (set ops / HAVING / a second
-    # query level / window functions / non-deterministic group rows)
+    # query level / window functions / non-deterministic group rows).
+    # DISTINCT is NOT blocked here: COUNT(DISTINCT x) classifies as the
+    # COUNT_DISTINCT pseudo-function (equal-grain routing only), and
+    # every other DISTINCT position -- SELECT DISTINCT (the first item
+    # fails the bare-column test), SUM/AVG(DISTINCT ...) (rejected in
+    # _mv_agg_call, which then fails the whole shape) -- still refuses.
     _MV_AGG_BLOCKED_RE = re.compile(
-        r"\b(JOIN|HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT|DISTINCT"
+        r"\b(JOIN|HAVING|ORDER|LIMIT|UNION|INTERSECT|EXCEPT"
         r"|OVER|WINDOW|LATERAL|QUALIFY|ALL)\b|\(\s*SELECT\b",
         re.IGNORECASE,
     )
@@ -1515,7 +1534,10 @@ class WarehouseSQL:
                 j += 1
             if j >= len(masked) or masked[j] != ")":
                 return None  # unbalanced: refuse
-            sig = (m.group(1).upper(), _norm(masked[m.end():j]))
+            call = cls._mv_agg_call(masked[m.start():j + 1])
+            if call is None:
+                return None  # e.g. SUM(DISTINCT ...): refuse
+            sig = (call[0], _norm(call[1]))
             alias = by_sig.get(sig)
             if alias is None:
                 alias = f"__hv{len(extra)}"
