@@ -159,8 +159,14 @@ def stream_table_to_table(
     definition every per-batch refresh takes the aggregate-merge path
     (O(batch + groups), see sqlexec._mv_incremental_agg), so a
     dashboard MV tracks the stream at micro-batch latency without ever
-    rescanning the table. ``mode="merge"`` commits are not appends, so
-    those refreshes fall back to the always-correct full recompute.
+    rescanning the table. ``mode="merge"`` commits are not appends --
+    but with ``change_feed`` ON for the destination and a
+    SUM/COUNT/AVG-only MV, each per-batch refresh takes the
+    delete-folding merge path (``aggregate-merge-cdf``: changelog
+    deletes fold as negative partials, O(changed rows + groups)) --
+    the reference's whole CDC-upsert-then-rollup flow stays
+    incremental end to end. Other shapes fall back to the
+    always-correct full recompute.
     ``on_refresh(ref, status)`` (optional) observes each refresh --
     monitoring hooks assert the incremental path stayed engaged."""
     if mode not in ("merge", "append"):
