@@ -630,6 +630,38 @@ def bench_mv(spark, sf_dir: str) -> dict[str, float]:
             out["query_routed"] = wall
         else:
             print("# mv: query did not route", file=sys.stderr)
+        # -- delete-folding refresh economics (round 12, VERDICT r11
+        # #3): change-feed source + SUM/COUNT/AVG-only MV; a window
+        # holding a MoR MERGE (~1% of keys) and a CoW DELETE (~0.5%)
+        # must refresh via aggregate-merge-cdf (changelog deletes fold
+        # as negative partials) -- reported only if it actually did.
+        # refresh_cdf_full is the same MV's first materialization, the
+        # honest O(table) comparator.
+        wh.set_change_feed("b", "fact", True)
+        sql.execute(
+            "CREATE MATERIALIZED VIEW b.rollup_cdf AS "
+            "SELECT event_type, user_id % 1000 AS user_bucket, "
+            "COUNT(*) AS n, SUM(value) AS total, AVG(value) AS avg_v "
+            "FROM b.fact GROUP BY event_type, user_id % 1000"
+        )
+        t0 = time.perf_counter()
+        sql.execute("REFRESH MATERIALIZED VIEW b.rollup_cdf")
+        out["refresh_cdf_full"] = round(time.perf_counter() - t0, 3)
+        wh.merge_upsert(
+            "b", "fact",
+            events.filter(F.col("event_id") % 97 == 0).withColumn(
+                "value", (F.col("value") + 1).cast("decimal(12,2)")
+            ),
+            strategy="mor",
+        )
+        wh.delete_where("b", "fact", F.expr("event_id % 211 = 0"))
+        t0 = time.perf_counter()
+        st = sql.execute("REFRESH MATERIALIZED VIEW b.rollup_cdf")
+        wall = round(time.perf_counter() - t0, 3)
+        if st.get("incremental_mode") == "aggregate-merge-cdf":
+            out["refresh_cdf_incremental"] = wall
+        else:
+            print("# mv: cdf refresh did not engage", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"# mv bench: {type(e).__name__}: {e}"[:300], file=sys.stderr)
     finally:

@@ -2112,6 +2112,7 @@ class Warehouse:
         copied: list[str] | None = None,
         copied_exclusive: bool = True,
         identity_guard=None,
+        change_files: list[dict] | None = None,
     ) -> int:
         """Publish an append (or overwrite), rebasing onto the tip on a
         concurrent commit: an append conflicts with nothing -- its file
@@ -2185,7 +2186,7 @@ class Warehouse:
                     tdir, version + 1, base + stamped, schema=schema, phys=phys,
                     deletes=_live_deletes(dels, base + stamped), branch=branch,
                     op=op or ("overwrite" if overwrite else "append"),
-                    txn=txn, copied=copied,
+                    txn=txn, copied=copied, change_files=change_files,
                 )
                 return version + 1
             except CommitConflictError:
@@ -3732,15 +3733,20 @@ class Warehouse:
     def set_change_feed(self, ns: str, table: str, enabled: bool) -> None:
         """Toggle stored Change Data Feed for the table (Delta
         ``delta.enableChangeDataFeed`` analog): while on, copy-on-write
-        UPDATE and DELETE commits persist their logical change set
-        (pre-images as 'delete', post-images as 'insert') as change
-        files riding the commit manifest, and :meth:`changelog` serves
-        those commits by READING the stored files -- O(changed rows) --
-        instead of re-deriving pre-images from data-file diffs. The
-        write pays one extra pass over the MATCHED rows (Delta's
-        documented CDF trade). Commits from other paths (MERGE,
-        merge-on-read strategies, appends) keep the derived changelog,
-        which remains exact; the two sources mix freely in one range.
+        UPDATE and DELETE commits, merge-on-read MERGE commits, and
+        merge-on-read equality DELETE commits persist their logical
+        change set (pre-images as 'delete', post-images as 'insert')
+        as change files riding the commit manifest, and
+        :meth:`changelog` serves those commits by READING the stored
+        files -- O(changed rows) -- instead of re-deriving pre-images
+        from data-file diffs. The write pays one extra pruned pass over
+        the MATCHED rows (Delta's documented CDF trade; for MoR MERGE
+        this is the commit's ONLY read of existing data, bounded by
+        Bloom/min-max key pruning, and a concurrent commit that may
+        touch the batch keys conflicts rather than letting the stored
+        pre-images go stale). Appends and positional-delete commits
+        keep the derived changelog, which remains exact; stored and
+        derived commits mix freely in one range.
 
         ``net=False`` nuance: a stored commit returns its raw matched
         pre/post pairs (including no-op updates, which ``net=True``
@@ -4497,6 +4503,59 @@ class Warehouse:
         if not kp:
             return version  # empty batch: no empty commit
         small = len(kp) <= self._MERGE_COLLECT_KEYS_MAX
+        change_files = None
+        rebase_validate = None
+        if meta.get("change_feed"):
+            # stored CDF for MoR MERGE (Delta's documented CDF-on-MERGE
+            # trade): one pruned, deletes-aware pre-image pass at write
+            # time -- bounded by the files the batch keys may touch
+            # (Bloom/min-max pruning for CDC-sized batches) -- buys an
+            # O(changed rows) changelog read instead of a derived diff
+            # that re-reads those files on EVERY changelog consumer
+            # (incremental MV refreshes, CDF replays). Pre-images =
+            # live rows holding batch keys (updates AND delete-marks);
+            # post-images = the batch's upsert rows.
+            key = meta["key"]
+            doc = self._manifest_doc(tdir, version, branch)
+            schema = StructType.fromJson(meta["schema"])
+            phys = self._snapshot_phys(doc, meta)
+            phys_key = phys.get(key, key)
+            key_vals = {r[0] for r in kp} if small else None
+            candidates = (
+                self._prune_entries_by_keys(doc["files"], phys_key, key_vals)
+                if key_vals is not None
+                else doc["files"]
+            )
+            mk = match_keys.withColumnRenamed(
+                match_keys.columns[0], "__cdc_mk"
+            )
+            if small:
+                mk = F.broadcast(mk)
+            pre = self._read_entries(
+                tdir, candidates, schema, phys, doc.get("deletes"), key
+            ).join(mk, F.col(key) == F.col("__cdc_mk"), "left_semi")
+            change_files = self._write_change_files(
+                tdir,
+                pre.withColumn(
+                    "_change_type", F.lit("delete")
+                ).unionByName(
+                    source.withColumn("_change_type", F.lit("insert"))
+                ),
+                meta,
+            ) or None
+
+            def rebase_validate(fresh: list[dict]) -> bool:
+                # the stored change set's pre-images bind to the READ
+                # snapshot: a concurrent commit whose new files may
+                # hold batch keys would make them stale -- conflict
+                # instead of publishing a lying changelog
+                cand = (
+                    self._prune_entries_by_keys(fresh, phys_key, key_vals)
+                    if key_vals is not None
+                    else fresh
+                )
+                return not cand
+
         data_files = self._write_table_files(tdir, source, meta)
         del_files = self._write_delete_files(
             tdir, match_keys, meta, coalesce_one=small
@@ -4508,7 +4567,8 @@ class Warehouse:
         return self._publish_append(
             tdir, version, data_files, meta["schema"],
             phys=meta.get("physical"), new_deletes=del_files, branch=branch,
-            op="merge",
+            op="merge", change_files=change_files,
+            rebase_validate=rebase_validate,
         )
 
     def _touched_by_predicate(
@@ -4729,17 +4789,24 @@ class Warehouse:
         }
         if not candidates:
             return {"version": version, "deleted_rows": 0, "delete_files": 0, **stats}
-        matched = (
-            self._read_entries(
-                tdir, candidates, schema, phys, doc.get("deletes"), key
-            )
-            .filter(F.coalesce(predicate, F.lit(False)))
-            .select(key)
-            .distinct()
-        )
+        probe = self._read_entries(
+            tdir, candidates, schema, phys, doc.get("deletes"), key
+        ).filter(F.coalesce(predicate, F.lit(False)))
+        matched = probe.select(key).distinct()
         del_files = self._write_delete_files(tdir, matched, meta, coalesce_one=False)
         if not del_files:
             return {"version": version, "deleted_rows": 0, "delete_files": 0, **stats}
+        change_files = None
+        if meta.get("change_feed"):
+            # stored CDF (Delta's documented trade: one extra pass over
+            # the matched rows): the deleted pre-images ARE the commit's
+            # change set -- changelog consumers read them directly
+            # instead of re-deriving pre-images from the delete keys
+            change_files = self._write_change_files(
+                tdir,
+                probe.withColumn("_change_type", F.lit("delete")),
+                meta,
+            ) or None
         deleted = sum(d.get("records", 0) for d in del_files)
         key_vals: set | None = None
         if deleted <= self._MERGE_COLLECT_KEYS_MAX:
@@ -4774,7 +4841,7 @@ class Warehouse:
         v = self._publish_append(
             tdir, version, [], meta["schema"], phys=meta.get("physical"),
             new_deletes=del_files, rebase_validate=validate_rebase,
-            op="delete",
+            op="delete", change_files=change_files,
         )
         return {
             "version": v, "deleted_rows": deleted,

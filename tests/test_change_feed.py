@@ -132,3 +132,68 @@ def test_change_feed_off_by_default(spark, tmp_path):
     tdir = wh._table_dir("ns", "t")
     docs = [wh._manifest_doc(tdir, v) for v in wh._versions(tdir)]
     assert not any(d.get("change_files") for d in docs)
+
+
+def test_stored_cdf_mor_merge_and_delete_match_derived(spark, tmp_path):
+    """Round 12: merge-on-read MERGE and equality-DELETE commits also
+    store their change set when the feed is on (one pruned pre-image
+    pass at write time -- the commit's only read of existing data).
+    Differential contract: over the same keyed MoR history, the stored
+    path returns exactly what the derived path returns."""
+    stored = Warehouse(spark, str(tmp_path / "stored"))
+    derived = Warehouse(spark, str(tmp_path / "derived"))
+    for w in (stored, derived):
+        w.create_namespace("ns")
+        w.create_table("ns", "t", S, key="id")
+    stored.set_change_feed("ns", "t", True)
+
+    def hist(wh):
+        wh.insert("ns", "t", spark.createDataFrame(ROWS, S).coalesce(2))
+        batch = spark.createDataFrame(
+            [
+                ("k2", "dM", 200, False),   # update
+                ("k3", "dM", 300, False),   # update
+                ("k50", "dM", 500, False),  # brand-new key
+                ("k4", "dM", 0, True),      # delete-mark
+                ("k77", "dM", 0, True),     # delete-mark of a GHOST key
+            ],
+            "id string, day string, v int, _del boolean",
+        )
+        wh.merge_upsert(
+            "ns", "t", batch, delete_col="_del", strategy="mor"
+        )
+        wh.delete_where("ns", "t", [("v", ">=", 9)], strategy="mor")
+
+    hist(stored)
+    hist(derived)
+    got = _changes(stored.changelog("ns", "t", 0))
+    want = _changes(derived.changelog("ns", "t", 0))
+    shifted = sorted((i, d, v, t, cv + 1) for i, d, v, t, cv in want)
+    assert got == shifted
+    # both MoR commits persisted their change sets
+    tdir = stored._table_dir("ns", "t")
+    by_op = {
+        doc.get("op"): bool(doc.get("change_files"))
+        for v in stored._versions(tdir)
+        for doc in [stored._manifest_doc(tdir, v)]
+    }
+    assert by_op.get("merge") is True and by_op.get("delete") is True
+    # the MERGE commit's change set is semantically right: k2/k3
+    # update pairs, k4 deleted with NO insert, ghost k77 contributes
+    # nothing, k50 insert-only
+    merge_v = next(
+        v for v in stored._versions(tdir)
+        if stored._manifest_doc(tdir, v).get("op") == "merge"
+    )
+    per_key: dict[str, set] = {}
+    for i, _d, _v, t, cv in got:
+        if cv == merge_v:
+            per_key.setdefault(i, set()).add(t)
+    assert per_key["k2"] == {"delete", "insert"}
+    assert per_key["k4"] == {"delete"}
+    assert per_key["k50"] == {"insert"}
+    assert "k77" not in per_key
+    # table state itself matches the derived twin
+    assert {tuple(r) for r in stored.read("ns", "t").collect()} == {
+        tuple(r) for r in derived.read("ns", "t").collect()
+    }
