@@ -2113,6 +2113,7 @@ class Warehouse:
         copied_exclusive: bool = True,
         identity_guard=None,
         change_files: list[dict] | None = None,
+        rebase_validate_changes=None,
     ) -> int:
         """Publish an append (or overwrite), rebasing onto the tip on a
         concurrent commit: an append conflicts with nothing -- its file
@@ -2139,13 +2140,31 @@ class Warehouse:
         payload semantics depend on the read snapshot (an MoR
         predicate-DELETE computed its key set from it), called on rebase
         with the data files the tip added since ``read_version``;
-        returning False turns the rebase into a conflict."""
+        returning False turns the rebase into a conflict.
+
+        When ``change_files`` are pending, rebasing additionally guards
+        against concurrent commits that ADDED delete files or REMOVED
+        data files since ``read_version``: such commits carry no fresh
+        data files for ``rebase_validate`` to probe, yet they can remove
+        rows this commit's stored pre-images still describe --
+        publishing would double-count the delete in the changelog (and
+        double-subtract it in CDF-folded MV refreshes).
+        ``rebase_validate_changes(fresh_deletes, removed_entries) ->
+        bool`` lets the caller prove the concurrent delete/removal is
+        key-disjoint from its change set (delete files carry key
+        stats + Blooms; removed data files are immutable on disk, so
+        both prune and probe like fresh data files); absent a
+        validator, any such commit is a conflict."""
         version = read_version
-        known = (
-            {e["path"] for e in self._manifest(tdir, read_version, branch)}
-            if rebase_validate is not None
-            else set()
-        )
+        if rebase_validate is not None:
+            base_doc0 = self._manifest_doc(tdir, read_version, branch)
+            known = {e["path"] for e in base_doc0["files"]}
+            base_paths = frozenset(known)
+            known_dels = {
+                d["path"] for d in (base_doc0.get("deletes") or [])
+            }
+        else:
+            known, base_paths, known_dels = set(), frozenset(), set()
         for _ in range(self._MAX_COMMIT_RETRIES):
             if txn is not None:
                 # Delta txnAppId/txnVersion idempotence, re-checked per
@@ -2192,6 +2211,32 @@ class Warehouse:
             except CommitConflictError:
                 version = self._versions(tdir, branch)[-1]
                 tip_doc = self._manifest_doc(tdir, version, branch)
+                if change_files and rebase_validate is not None:
+                    # stored pre-images bind to the read snapshot: a
+                    # concurrent deletes-only commit (MoR equality /
+                    # positional DELETE adds ZERO data files) or a
+                    # whole-file CoW removal would stale them without
+                    # ever reaching the fresh-data-file probe below
+                    fresh_dels = [
+                        d for d in (tip_doc.get("deletes") or [])
+                        if d["path"] not in known_dels
+                    ]
+                    tip_paths = {e["path"] for e in tip_doc["files"]}
+                    removed = [
+                        e for e in base_doc0["files"]
+                        if e["path"] in base_paths - tip_paths
+                    ]
+                    if (fresh_dels or removed) and (
+                        rebase_validate_changes is None
+                        or not rebase_validate_changes(fresh_dels, removed)
+                    ):
+                        raise CommitConflictError(
+                            "concurrent delete-bearing commit since read "
+                            "snapshot would stale this commit's stored "
+                            "change-feed pre-images; re-run on the new "
+                            "snapshot"
+                        ) from None
+                    known_dels |= {d["path"] for d in fresh_dels}
                 if rebase_validate is not None:
                     fresh = [
                         e for e in tip_doc["files"] if e["path"] not in known
@@ -4505,6 +4550,7 @@ class Warehouse:
         small = len(kp) <= self._MERGE_COLLECT_KEYS_MAX
         change_files = None
         rebase_validate = None
+        rebase_validate_changes = None
         if meta.get("change_feed"):
             # stored CDF for MoR MERGE (Delta's documented CDF-on-MERGE
             # trade): one pruned, deletes-aware pre-image pass at write
@@ -4546,15 +4592,32 @@ class Warehouse:
 
             def rebase_validate(fresh: list[dict]) -> bool:
                 # the stored change set's pre-images bind to the READ
-                # snapshot: a concurrent commit whose new files may
-                # hold batch keys would make them stale -- conflict
-                # instead of publishing a lying changelog
+                # snapshot: a concurrent commit whose new files HOLD a
+                # batch key would make them stale -- conflict instead of
+                # publishing a lying changelog. Blooms/min-max pre-prune;
+                # survivors get a bounded existence probe (a fresh file
+                # with fully disjoint keys must NOT abort the merge --
+                # concurrent disjoint MoR merges stay conflict-free
+                # even with the change feed on)
                 cand = (
                     self._prune_entries_by_keys(fresh, phys_key, key_vals)
                     if key_vals is not None
                     else fresh
                 )
-                return not cand
+                if not cand:
+                    return True
+                df = self._read_files(
+                    tdir, cand, schema, phys=phys
+                ).select(key)
+                if key_vals:
+                    df = df.filter(F.col(key).isin(*key_vals))
+                else:
+                    df = df.join(match_keys, key, "left_semi")
+                return df.limit(1).count() == 0
+
+            rebase_validate_changes = self._cdf_change_validator(
+                tdir, schema, phys, key, key_vals, match_keys
+            )
 
         data_files = self._write_table_files(tdir, source, meta)
         del_files = self._write_delete_files(
@@ -4569,6 +4632,7 @@ class Warehouse:
             phys=meta.get("physical"), new_deletes=del_files, branch=branch,
             op="merge", change_files=change_files,
             rebase_validate=rebase_validate,
+            rebase_validate_changes=rebase_validate_changes,
         )
 
     def _touched_by_predicate(
@@ -4752,6 +4816,56 @@ class Warehouse:
         )
         return {"version": v, "deleted_rows": n_match, **stats}
 
+    def _cdf_change_validator(
+        self,
+        tdir: str,
+        schema: StructType,
+        phys: dict,
+        key: str,
+        key_vals: set | None,
+        keys_df: DataFrame,
+    ):
+        """Build a ``rebase_validate_changes`` callback for commits with
+        stored change files pending: True iff a concurrent commit's
+        fresh equality-delete files and removed data files are provably
+        key-disjoint from this commit's change set (Bloom/min-max
+        pre-prune, then a bounded existence probe -- the same ladder the
+        fresh-data-file validator runs). Positional deletes bind to
+        (file, pos) addresses, not keys, and conflict conservatively."""
+        phys_key = phys.get(key, key)
+
+        def validate(fresh_dels: list[dict], removed: list[dict]) -> bool:
+            if any(d.get("kind") == "pos" for d in fresh_dels):
+                return False
+            for ents, is_del in ((fresh_dels, True), (removed, False)):
+                cand = (
+                    self._prune_entries_by_keys(ents, phys_key, key_vals)
+                    if key_vals is not None
+                    else ents
+                )
+                if not cand:
+                    continue
+                if is_del:
+                    col = cand[0].get("col", phys_key)
+                    df = self.spark.read.parquet(
+                        *[os.path.join(tdir, e["path"]) for e in cand]
+                    ).select(F.col(col).alias(key))
+                else:
+                    # removed data files are immutable on disk; the
+                    # manifest-level removal doesn't unlink them
+                    df = self._read_files(
+                        tdir, cand, schema, phys=phys
+                    ).select(key)
+                if key_vals:
+                    df = df.filter(F.col(key).isin(*key_vals))
+                else:
+                    df = df.join(keys_df, key, "left_semi")
+                if df.limit(1).count() > 0:
+                    return False
+            return True
+
+        return validate
+
     def _delete_where_mor(
         self, tdir: str, meta: dict, predicate, predicates
     ) -> dict:
@@ -4842,6 +4956,9 @@ class Warehouse:
             tdir, version, [], meta["schema"], phys=meta.get("physical"),
             new_deletes=del_files, rebase_validate=validate_rebase,
             op="delete", change_files=change_files,
+            rebase_validate_changes=self._cdf_change_validator(
+                tdir, schema, phys, key, key_vals, matched
+            ),
         )
         return {
             "version": v, "deleted_rows": deleted,

@@ -197,3 +197,153 @@ def test_stored_cdf_mor_merge_and_delete_match_derived(spark, tmp_path):
     assert {tuple(r) for r in stored.read("ns", "t").collect()} == {
         tuple(r) for r in derived.read("ns", "t").collect()
     }
+
+
+# -- stored-CDF pre-image staleness across rebase (concurrent races) --
+#
+# The stored change set binds to the READ snapshot. A concurrent commit
+# that removes one of the batch's keys -- an MoR equality DELETE adds
+# ZERO data files, so the fresh-data-file probe alone never sees it --
+# must turn the rebase into a conflict: publishing would double-delete
+# the key in the changelog and double-subtract it in CDF-folded MV
+# refreshes. Key-DISJOINT concurrent commits, by contrast, must rebase
+# cleanly (steady-state CDC concurrency stays conflict-free).
+
+
+def _mor_cdf_table(spark, tmp_path, name="w"):
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / name))
+    wh.create_namespace("ns")
+    wh.create_table("ns", "t", S, key="id")
+    wh.set_change_feed("ns", "t", True)
+    wh.insert("ns", "t", spark.createDataFrame(ROWS, S).coalesce(2))
+    return wh
+
+
+def _race_merge(wh, spark, batch_rows, read_version):
+    """Drive the MoR MERGE internals against a pinned (stale) read
+    snapshot -- exactly what losing the CAS race looks like."""
+    tdir = wh._table_dir("ns", "t")
+    meta = wh.table_meta("ns", "t")
+    src = spark.createDataFrame(batch_rows, S)
+    keys = src.select("id").distinct()
+    wh.last_merge_stats = {}
+    return wh._merge_upsert_mor(tdir, meta, src, keys, read_version)
+
+
+def test_stored_cdf_merge_conflicts_with_concurrent_delete_of_batch_key(
+    spark, tmp_path
+):
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import (
+        CommitConflictError,
+    )
+
+    wh = _mor_cdf_table(spark, tmp_path)
+    tdir = wh._table_dir("ns", "t")
+    read_version = wh._versions(tdir)[-1]
+    # concurrent deletes-only commit lands after our read: removes k2
+    r = wh.delete_where("ns", "t", [("id", "=", "k2")], strategy="mor")
+    assert r["deleted_rows"] == 1
+    # our batch also touches k2 -> its stored 'delete' pre-image would
+    # duplicate the concurrent delete; the rebase must conflict
+    with pytest.raises(CommitConflictError, match="change-feed"):
+        _race_merge(wh, spark, [("k2", "d9", 999)], read_version)
+    # and the changelog over the real history holds exactly ONE
+    # delete of k2 (the concurrent commit's)
+    dels = [
+        t for t in _changes(wh.changelog("ns", "t", 0))
+        if t[0] == "k2" and t[3] == "delete"
+    ]
+    assert len(dels) == 1
+
+
+def test_stored_cdf_merge_rebases_past_disjoint_deletes_only_commit(
+    spark, tmp_path
+):
+    wh = _mor_cdf_table(spark, tmp_path)
+    tdir = wh._table_dir("ns", "t")
+    read_version = wh._versions(tdir)[-1]
+    wh.delete_where("ns", "t", [("id", "=", "k7")], strategy="mor")
+    # batch touches k2 only -- disjoint from the concurrent delete of
+    # k7: the Bloom/probe ladder must let the rebase through
+    v = _race_merge(wh, spark, [("k2", "d9", 999)], read_version)
+    assert v == wh._versions(tdir)[-1]
+    rows = {tuple(r) for r in wh.read("ns", "t").collect()}
+    assert ("k2", "d9", 999) in rows
+    assert not any(r[0] == "k7" for r in rows)
+    # stored changelog for the merge commit is exact: one delete
+    # pre-image (old k2) + one insert post-image (new k2)
+    merge_changes = [
+        t for t in _changes(wh.changelog("ns", "t", 0)) if t[4] == v
+    ]
+    assert sorted(t[3] for t in merge_changes) == ["delete", "insert"]
+    assert all(t[0] == "k2" for t in merge_changes)
+
+
+def test_stored_cdf_merge_rebases_past_disjoint_concurrent_merge(
+    spark, tmp_path
+):
+    """Concurrent key-disjoint MoR merges must not conflict even with
+    the change feed on: the concurrent commit adds data files AND an
+    equality-delete file, and both probes must clear it."""
+    wh = _mor_cdf_table(spark, tmp_path)
+    tdir = wh._table_dir("ns", "t")
+    read_version = wh._versions(tdir)[-1]
+    wh.merge_upsert(
+        "ns", "t",
+        spark.createDataFrame([("k7", "dX", 700)], S),
+        strategy="mor",
+    )
+    v = _race_merge(wh, spark, [("k2", "d9", 999)], read_version)
+    assert v == wh._versions(tdir)[-1]
+    rows = {tuple(r) for r in wh.read("ns", "t").collect()}
+    assert ("k2", "d9", 999) in rows and ("k7", "dX", 700) in rows
+
+
+def test_stored_cdf_merge_conflicts_with_concurrent_overlapping_merge(
+    spark, tmp_path
+):
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import (
+        CommitConflictError,
+    )
+
+    wh = _mor_cdf_table(spark, tmp_path)
+    tdir = wh._table_dir("ns", "t")
+    read_version = wh._versions(tdir)[-1]
+    wh.merge_upsert(
+        "ns", "t",
+        spark.createDataFrame([("k2", "dX", 700)], S),
+        strategy="mor",
+    )
+    with pytest.raises(CommitConflictError):
+        _race_merge(wh, spark, [("k2", "d9", 999)], read_version)
+
+
+def test_stored_cdf_mor_delete_conflicts_with_concurrent_delete_overlap(
+    spark, tmp_path
+):
+    """Two concurrent MoR DELETEs whose key sets overlap: the loser's
+    stored pre-images would double-delete the shared key."""
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import (
+        CommitConflictError,
+    )
+
+    wh = _mor_cdf_table(spark, tmp_path)
+    tdir = wh._table_dir("ns", "t")
+    meta = wh.table_meta("ns", "t")
+    read_version = wh._versions(tdir)[-1]
+    wh.delete_where("ns", "t", [("id", "=", "k3")], strategy="mor")
+    # replay the loser against the stale snapshot via the internal
+    # (the public API would re-read the tip and see k3 already gone)
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        wh, "_versions", side_effect=[[read_version]] + [
+            wh._versions(tdir)
+        ] * 50,
+    ):
+        with pytest.raises(CommitConflictError, match="change-feed"):
+            wh._delete_where_mor(
+                tdir, meta, F.col("id").isin("k3", "k4"), None
+            )
