@@ -76,7 +76,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import StructType
 
-from .warehouse import Warehouse
+from .warehouse import CommitConflictError, Warehouse
 
 # -- tokenizer-first clause splitting (VERDICT r8 #7) -----------------------
 # The DML clause boundaries (DELETE's WHERE, UPDATE's SET/WHERE, MERGE's
@@ -717,6 +717,18 @@ class WarehouseSQL:
         )
 
     def _refresh_mv(self, ns: str, name: str) -> dict:
+        """Serialized entry: the refresh's storage commit carries the
+        watermark stamp with a CAS precondition on the base watermark
+        (``mv_stamp`` in the commit manifest -- stamp and data are one
+        atomic publish). Losing the race to a concurrent refresher (a
+        second process' cron) re-plans once against the winner's
+        watermark, which is usually a no-op."""
+        try:
+            return self._refresh_mv_once(ns, name)
+        except CommitConflictError:
+            return self._refresh_mv_once(ns, name)
+
+    def _refresh_mv_once(self, ns: str, name: str) -> dict:
         """Refresh a materialized view with DEFINER rights (like Trino,
         the refresh writes data the owner computed; readers then need
         SELECT on the STORAGE table, not the sources).
@@ -764,6 +776,10 @@ class WarehouseSQL:
         finally:
             self._mv_refs = None
         storage = Warehouse.mv_storage_table(name)
+        base_doc = self.wh.mv_doc(ns, name)
+        def_v = base_doc.get("current")
+        base_wm = base_doc.get("watermarks")
+        vis_cache = base_doc.get("visible")
 
         inc = self._mv_incremental_delta(ns, name, refs, rewritten)
         if inc is not None:
@@ -773,10 +789,18 @@ class WarehouseSQL:
             s_ns, s_tbl = src_ref.split(".", 1)
             delta.createOrReplaceTempView(f"__wh_{s_ns}__{s_tbl}")
             new_rows = self.spark.sql(rewritten)
-            self.wh.insert(ns, storage, new_rows)  # APPEND, not overwrite
-            # stamp the version the delta actually COVERED -- a commit
-            # landing between delta computation and this stamp must
-            # stay ahead of the watermark or it is skipped forever
+            # the stamp rides the storage commit (atomic with the
+            # appended delta) and records the version the delta
+            # actually COVERED; ``base`` is the CAS precondition -- a
+            # concurrent refresh that already folded past it turns
+            # this commit into a conflict instead of duplicate rows
+            self.wh.insert(
+                ns, storage, new_rows,
+                mv_stamp={
+                    "def": def_v, "watermarks": {src_ref: covered_v},
+                    "visible": vis_cache, "base": base_wm,
+                },
+            )
             self.wh.mv_record_refresh(ns, name, {src_ref: covered_v})
             st = self.wh.mv_status(ns, name)
             st["incremental"] = True
@@ -786,7 +810,13 @@ class WarehouseSQL:
         agg = self._mv_incremental_agg(ns, name, refs, rewritten)
         if agg is not None:
             src_ref, merged, covered_v, mode = agg
-            self.wh.insert(ns, storage, merged, overwrite=True)
+            self.wh.insert(
+                ns, storage, merged, overwrite=True,
+                mv_stamp={
+                    "def": def_v, "watermarks": {src_ref: covered_v},
+                    "visible": vis_cache, "base": base_wm,
+                },
+            )
             self.wh.mv_record_refresh(ns, name, {src_ref: covered_v})
             st = self.wh.mv_status(ns, name)
             st["incremental"] = True
@@ -833,15 +863,25 @@ class WarehouseSQL:
                 self.wh.schema(ns, storage).jsonValue()
                 != store_df.schema.jsonValue()
             ):
-                # OR REPLACE changed the output shape: rebuild storage
+                # OR REPLACE changed the output shape: rebuild storage.
+                # Invalidate the cached watermark FIRST -- a crash
+                # between drop and the stamped overwrite must leave the
+                # MV "unrefreshed" (reads recompute), never a stale
+                # visible list projected against rebuilt storage
+                self.wh.mv_record_refresh(ns, name, None)
                 self.wh.drop_table(ns, storage)
                 self.wh.create_table(ns, storage, store_df.schema)
         else:
             self.wh.create_table(ns, storage, store_df.schema)
-        self.wh.insert(ns, storage, store_df, overwrite=True)
-        self.wh.mv_record_refresh(
-            ns, name, refs, visible=list(df.schema.fieldNames())
+        visible = list(df.schema.fieldNames())
+        # no ``base`` precondition: a full recompute is correct from
+        # any starting state (concurrent full recomputes serialize by
+        # commit order; each overwrite+stamp is internally consistent)
+        self.wh.insert(
+            ns, storage, store_df, overwrite=True,
+            mv_stamp={"def": def_v, "watermarks": refs, "visible": visible},
         )
+        self.wh.mv_record_refresh(ns, name, refs, visible=visible)
         st = self.wh.mv_status(ns, name)
         st["incremental"] = False
         return st

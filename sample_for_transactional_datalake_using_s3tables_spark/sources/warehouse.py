@@ -1168,12 +1168,45 @@ class Warehouse:
             if f.endswith(suffix)
         )
 
-    def mv_doc(self, ns: str, name: str) -> dict:
+    def _mv_doc_raw(self, ns: str, name: str) -> dict:
         path = self._mv_path(ns, name)
         if not os.path.exists(path):
             raise ValueError(f"unknown materialized view {ns}.{name}")
         with open(path) as f:
             return json.load(f)
+
+    def mv_storage_stamp(self, ns: str, name: str) -> dict | None:
+        """The last ``mv_stamp`` riding the MV storage table's commit
+        chain -- the authoritative refresh watermark record. Every
+        refresh commit carries one, so the reverse walk opens one or
+        two manifests, never the history."""
+        storage = self.mv_storage_table(name)
+        tdir = self._table_dir(ns, storage)
+        if not os.path.exists(tdir):
+            return None
+        for v in reversed(self._versions(tdir)):
+            doc = self._manifest_doc(tdir, v)
+            if "mv_stamp" in doc:
+                return doc["mv_stamp"]
+        return None
+
+    def mv_doc(self, ns: str, name: str) -> dict:
+        """MV metadata with the storage-commit stamp overlaid: the
+        watermark/visible stamp rides the storage table's commit
+        manifest (atomic with the data it describes), so a crash or a
+        lost stamp-file race can never make reads trust a watermark the
+        storage doesn't embody. The ``.mv.json`` values are a cache; a
+        stamp bound to a SUPERSEDED definition version (OR REPLACE
+        since) is ignored."""
+        doc = self._mv_doc_raw(ns, name)
+        stamp = self.mv_storage_stamp(ns, name)
+        if stamp is not None and stamp.get("def") == doc.get("current"):
+            doc["watermarks"] = stamp.get("watermarks")
+            if stamp.get("visible") is not None:
+                doc["visible"] = stamp["visible"]
+            if stamp.get("ts") is not None:
+                doc["refreshed_ts"] = stamp["ts"]
+        return doc
 
     def mv_definition(self, ns: str, name: str) -> str:
         doc = self.mv_doc(ns, name)
@@ -1183,19 +1216,23 @@ class Warehouse:
         self,
         ns: str,
         name: str,
-        watermarks: dict[str, int],
+        watermarks: dict[str, int] | None,
         visible: list[str] | None = None,
     ) -> None:
-        """Stamp the source-table snapshot versions a refresh read
+        """Cache the source-table snapshot versions a refresh read
         (``{"ns.tbl": version}``); freshness is exact version equality.
+        The AUTHORITATIVE stamp rides the storage table's commit
+        manifest (``mv_stamp``, overlaid by ``mv_doc``); this ``.mv.
+        json`` write is a cache/fallback for storage-less states.
         ``visible`` records the definition's OUTPUT column list when
         storage carries extra hidden partial columns (AVG
         decomposition) -- MV reads project it; None keeps the prior
-        stamp (incremental refreshes never change the shape)."""
+        stamp (incremental refreshes never change the shape).
+        ``watermarks=None`` invalidates (MV reads as unrefreshed)."""
         import time as _time
 
         path = self._mv_path(ns, name)
-        doc = self.mv_doc(ns, name)
+        doc = self._mv_doc_raw(ns, name)
         doc["watermarks"] = watermarks
         if visible is not None:
             doc["visible"] = visible
@@ -1724,6 +1761,7 @@ class Warehouse:
         txn: tuple[str, int] | None = None,
         copied: list[str] | None = None,
         change_files: list[dict] | None = None,
+        mv_stamp: dict | None = None,
     ) -> None:
         """Atomic optimistic commit: link() fails if the version exists
         (the reference's versionToken CAS, scripts/update_metadata.py:135-141).
@@ -1761,6 +1799,12 @@ class Warehouse:
             # changelog() reads O(changed rows) instead of re-deriving
             # pre-images from data-file diffs
             doc["change_files"] = change_files
+        if mv_stamp:
+            # materialized-view refresh watermark: rides the storage
+            # commit so the stamp and the data it describes are ONE
+            # atomic publish (a crash can never leave storage holding a
+            # delta the watermark doesn't record, or vice versa)
+            doc["mv_stamp"] = mv_stamp
         if schema is not None:
             doc["schema"] = schema
         if phys:
@@ -2114,6 +2158,7 @@ class Warehouse:
         identity_guard=None,
         change_files: list[dict] | None = None,
         rebase_validate_changes=None,
+        mv_stamp: dict | None = None,
     ) -> int:
         """Publish an append (or overwrite), rebasing onto the tip on a
         concurrent commit: an append conflicts with nothing -- its file
@@ -2190,6 +2235,26 @@ class Warehouse:
                         f"COPY sources already loaded concurrently: "
                         f"{sorted(clash)[:3]}"
                     )
+            if mv_stamp is not None and "base" in mv_stamp:
+                # MV refresh serialization, re-checked per attempt: an
+                # incremental refresh folded the window (base, covered];
+                # if a concurrent refresh already advanced the stamp
+                # past ``base``, committing would re-fold the window
+                # (double-counted groups / duplicate appended rows)
+                cur = None
+                for pv in reversed(self._versions(tdir, branch)):
+                    pdoc = self._manifest_doc(tdir, pv, branch)
+                    if "mv_stamp" in pdoc:
+                        cur = pdoc["mv_stamp"]
+                        break
+                if cur is not None and (
+                    cur.get("watermarks") != mv_stamp["base"]
+                    or cur.get("def") != mv_stamp.get("def")
+                ):
+                    raise CommitConflictError(
+                        "MV refresh base is stale: a concurrent refresh "
+                        "committed first; re-read the watermark"
+                    )
             base_doc = (
                 {"files": []}
                 if overwrite
@@ -2206,6 +2271,11 @@ class Warehouse:
                     deletes=_live_deletes(dels, base + stamped), branch=branch,
                     op=op or ("overwrite" if overwrite else "append"),
                     txn=txn, copied=copied, change_files=change_files,
+                    mv_stamp=(
+                        {k: v for k, v in mv_stamp.items() if k != "base"}
+                        if mv_stamp is not None
+                        else None
+                    ),
                 )
                 return version + 1
             except CommitConflictError:
@@ -3883,6 +3953,7 @@ class Warehouse:
         merge_schema: bool = False,
         branch: str | None = None,
         txn: tuple[str, int] | None = None,
+        mv_stamp: dict | None = None,
     ) -> int:
         """Append (or overwrite) a batch; returns the new version.
         ``merge_schema`` adds the batch's new columns to the table
@@ -3894,8 +3965,15 @@ class Warehouse:
         no-op returning the current tip -- the exactly-once primitive
         for keyless streaming appends (replayed micro-batches carry the
         same epoch). The stamp rides the commit manifest, so the check
-        and the data are atomic."""
+        and the data are atomic. ``mv_stamp`` (MV storage tables only)
+        embeds the refresh watermark in the same commit; its ``base``
+        key is the CAS precondition -- the commit conflicts if a
+        concurrent refresh already advanced the stamp past it."""
+        import time as _time
+
         tdir = self._table_dir(ns, table)
+        if mv_stamp is not None:
+            mv_stamp = dict(mv_stamp, ts=_time.time())
         if txn is not None:
             last = self._last_txn(tdir, branch, txn[0])
             if last is not None and last >= int(txn[1]):
@@ -3942,7 +4020,7 @@ class Warehouse:
         return self._publish_append(
             tdir, self._versions(tdir, branch)[-1], new_files, meta["schema"],
             overwrite=overwrite, phys=meta.get("physical"), branch=branch,
-            txn=txn,
+            txn=txn, mv_stamp=mv_stamp,
         )
 
     def insert_overwrite(
