@@ -879,14 +879,15 @@ def test_mv_route_where_refinement_on_keys(env):
     assert got == {tuple(r) for r in direct.execute(q).collect()}
     assert got == {("k2", 2, 1), ("k4", 4, 1)}
     # filter on the OTHER key (parity), grouped out of the result:
-    # partials are filtered before re-aggregation
+    # partials are filtered before re-aggregation. 'v % 2' is an
+    # EXPRESSION key: the text path refuses but the tree matcher
+    # (round 13) substitutes the whole key subtree and routes
     q2 = (
         "SELECT COUNT(*) AS n, SUM(v) AS total FROM ns.t "
         "WHERE v >= 1 AND v % 2 = 1"
     )
     row = sql.execute(q2).collect()[0]
-    # 'v % 2' is an EXPRESSION key, not a bare column: must NOT route
-    assert sql.mv_route_count == 1
+    assert sql.mv_route_count == 2
     assert (row.n, row.total) == (3, 9)
 
 
@@ -894,18 +895,25 @@ def test_mv_route_where_refinement_rejects_non_keys(env):
     wh, sql, spark = env
     _mk_routed_mv(sql)
     direct = WarehouseSQL(wh, mv_routing=False)
-    for q in [
-        # refinement on a NON-key column (v aggregated, not a key)
-        "SELECT id, SUM(v) AS total FROM ns.t "
-        "WHERE v >= 1 AND v < 4 GROUP BY id",
-        # function call over a key
-        "SELECT id, SUM(v) AS total FROM ns.t "
-        "WHERE v >= 1 AND UPPER(id) = 'K2' GROUP BY id",
+    hits = 0
+    for q, should_route in [
+        # refinement on a NON-key column (v aggregated, not a key):
+        # never routable -- row-level predicates don't commute with
+        # grouping
+        ("SELECT id, SUM(v) AS total FROM ns.t "
+         "WHERE v >= 1 AND v < 4 GROUP BY id", False),
+        # function call over a key: a GROUP-CONSTANT predicate -- the
+        # tree matcher (round 13) substitutes the key leaf and filters
+        # the stored groups; the text path still refuses
+        ("SELECT id, SUM(v) AS total FROM ns.t "
+         "WHERE v >= 1 AND UPPER(id) = 'K2' GROUP BY id", True),
         # MV's WHERE conjunct missing from the query (wants rows back)
-        "SELECT id, SUM(v) AS total FROM ns.t WHERE id = 'k2' GROUP BY id",
+        ("SELECT id, SUM(v) AS total FROM ns.t WHERE id = 'k2' GROUP BY id",
+         False),
     ]:
         got = {tuple(r) for r in sql.execute(q).collect()}
-        assert sql.mv_route_count == 0, q
+        hits += int(should_route)
+        assert sql.mv_route_count == hits, q
         assert got == {tuple(r) for r in direct.execute(q).collect()}, q
 
 
@@ -926,15 +934,18 @@ def test_mv_route_explain_shows_routed_plan(env):
 
 
 def test_mv_route_duplicate_output_names_fall_through(env):
-    """Spark allows duplicate output column names; the router's
-    schema-pinning select can't, so the query must fall through to the
-    source scan instead of erroring."""
+    """Spark allows duplicate output column names; the TEXT router's
+    by-name schema pinning can't serve them, but the tree matcher
+    (round 13) pins POSITIONALLY, so the shape now routes -- with the
+    same values and column names the source scan produces."""
     wh, sql, spark = env
     _mk_routed_mv(sql)
-    rows = sql.execute(
+    df = sql.execute(
         "SELECT SUM(v) AS x, COUNT(*) AS x FROM ns.t WHERE v >= 1"
-    ).collect()
-    assert sql.mv_route_count == 0
+    )
+    rows = df.collect()
+    assert sql.mv_route_count == 1
+    assert df.columns == ["x", "x"]
     assert tuple(rows[0]) == (15, 5)
 
 
@@ -1180,25 +1191,30 @@ def test_mv_route_having_post_filter(env):
 
 
 def test_mv_route_having_refusals_fall_through(env):
-    """HAVING shapes that aren't provably group-local never route --
-    and still answer correctly from the source."""
+    """HAVING shapes the TEXT classifier can't prove group-local now
+    route through the expression-tree matcher when they really are
+    (round 13: key-expression and key-function HAVING become post-
+    filters over the routed groups); shapes needing an aggregate the
+    MV doesn't store still refuse -- and answer correctly either way."""
     wh, sql, spark = env
     _mk_routed_mv(sql)
     direct = WarehouseSQL(wh, mv_routing=False)
-    for q in [
-        # expression group key in HAVING (legal SQL, but not a
-        # bare-column storage alias -> not provably group-local)
-        "SELECT v % 2 AS parity, SUM(v) AS total FROM ns.t "
-        "WHERE v >= 1 GROUP BY v % 2 HAVING v % 2 = 1",
-        # function call over a key
-        "SELECT id, SUM(v) AS total FROM ns.t WHERE v >= 1 "
-        "GROUP BY id HAVING LENGTH(id) > 1",
-        # aggregate the MV doesn't store
-        "SELECT id, SUM(v) AS total FROM ns.t WHERE v >= 1 "
-        "GROUP BY id HAVING SUM(v + 1) > 3",
-    ]:
+    routes = [
+        # expression group key in HAVING: tree-routable post-filter
+        ("SELECT v % 2 AS parity, SUM(v) AS total FROM ns.t "
+         "WHERE v >= 1 GROUP BY v % 2 HAVING v % 2 = 1", True),
+        # function call over a key: post-filter over the key column
+        ("SELECT id, SUM(v) AS total FROM ns.t WHERE v >= 1 "
+         "GROUP BY id HAVING LENGTH(id) > 1", True),
+        # aggregate the MV doesn't store: must NOT route
+        ("SELECT id, SUM(v) AS total FROM ns.t WHERE v >= 1 "
+         "GROUP BY id HAVING SUM(v + 1) > 3", False),
+    ]
+    hits = 0
+    for q, should_route in routes:
         got = {tuple(r) for r in sql.execute(q).collect()}
-        assert sql.mv_route_count == 0, q
+        hits += int(should_route)
+        assert sql.mv_route_count == hits, q
         assert got == {tuple(r) for r in direct.execute(q).collect()}, q
 
 
@@ -1531,7 +1547,10 @@ def test_mv_count_distinct_routes_equal_grain_only(env):
     assert WarehouseSQL._mv_select_shape(
         "SELECT DISTINCT a, SUM(x) AS s FROM ns.t GROUP BY a"
     ) is None
+    # SELECT DISTINCT over the key: routed from stored group keys by
+    # the tree matcher (round 13) -- one storage row per group, so the
+    # distinct IS the key projection
     q_sd = "SELECT DISTINCT id FROM ns.t"
     got_sd = {tuple(r) for r in sql.execute(q_sd).collect()}
-    assert sql.mv_route_count == 2
+    assert sql.mv_route_count == 3
     assert got_sd == {tuple(r) for r in direct.execute(q_sd).collect()}
