@@ -718,6 +718,11 @@ def warehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         sql.execute(  # v4: CoW DELETE -- stored change files
             "DELETE FROM q.state WHERE event_id % 4 = 0"
         )
+        # v5: POSITIONAL MoR DELETE (round 13, VERDICT r12 #3) -- the
+        # keyless row-granular path now stores its pre-images too
+        wh.delete_where(
+            "q", "state", F.col("event_id") % 9 == 1, strategy="mor-pos"
+        )
         tdir = wh._table_dir("q", "state")
         n_stored = sum(
             1
@@ -727,7 +732,7 @@ def warehouse_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = sql.execute(
             "SELECT event_id, event_type, value, _change_type, "
             "_commit_version FROM table_changes('q.state', 0)"
-        ).withColumn("stored_ok", F.lit(n_stored == 2))
+        ).withColumn("stored_ok", F.lit(n_stored == 3))
         return _lazy_snapshot(spark, root, out)
     except BaseException:
         shutil.rmtree(root, ignore_errors=True)
@@ -758,6 +763,9 @@ FROM base WHERE event_id % 7 = 0
 UNION ALL
 SELECT event_id, event_type, value, 'delete', 4, TRUE
 FROM updated WHERE event_id % 4 = 0
+UNION ALL
+SELECT event_id, event_type, value, 'delete', 5, TRUE
+FROM updated WHERE event_id % 4 != 0 AND event_id % 9 = 1
 """
 
 
@@ -1717,6 +1725,17 @@ def warehouse_mv_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         having_q = coarse + " HAVING COUNT(value) >= 1 AND SUM(value) > 0"
         routed = _shape(sql.execute(coarse))
         having_routed = _shape(sql.execute(having_q))
+        # round 13 (VERDICT r12 #1): the dashboard shape -- a VIEW
+        # wrapping the aggregate, queried with an extra WHERE -- routes
+        # through the expression-tree matcher (text can't see through
+        # the view); the view-WHERE splits into a group-key refinement
+        # (IS NOT NULL) and a post-filter on an aggregate output
+        sql.execute(f"CREATE VIEW q.dash AS {coarse}")
+        view_q = (
+            "SELECT * FROM q.dash "
+            "WHERE event_type IS NOT NULL AND total > 0"
+        )
+        view_routed = _shape(sql.execute(view_q))
         routed_hits = sql.mv_route_count
         # routed == direct bit-equality (the transparency contract)
         biteq = (
@@ -1725,6 +1744,9 @@ def warehouse_mv_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) and (
             sorted(map(tuple, _shape(direct.execute(having_q)).collect()))
             == sorted(map(tuple, having_routed.collect()))
+        ) and (
+            sorted(map(tuple, _shape(direct.execute(view_q)).collect()))
+            == sorted(map(tuple, view_routed.collect()))
         )
         # mismatched WHERE must NOT route
         sql.execute(
@@ -1737,13 +1759,15 @@ def warehouse_mv_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         wh.insert("q", "fact", events.filter(F.col("event_id") % 10 == 0))
         fallback = _shape(sql.execute(coarse))
         route_ok = bool(
-            routed_hits == 2
+            routed_hits == 3
             and biteq
             and no_route_ok
             and sql.mv_route_count == routed_hits  # stale: no new route
         )
         out = routed.withColumn("stage", F.lit("routed")).unionByName(
             having_routed.withColumn("stage", F.lit("having_routed"))
+        ).unionByName(
+            view_routed.withColumn("stage", F.lit("view_routed"))
         ).unionByName(
             fallback.withColumn("stage", F.lit("fallback"))
         ).withColumn("route_ok", F.lit(route_ok))
@@ -1772,6 +1796,15 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM base WHERE event_id % 10 != 0 AND event_id % 3 != 0
 GROUP BY event_type
 HAVING COUNT(value) >= 1 AND SUM(value) > 0
+UNION ALL
+SELECT * FROM (
+  SELECT event_type, COUNT(*) AS n_events,
+         CAST(SUM(value) AS DECIMAL(18,2)) AS total,
+         CAST(AVG(value) AS DECIMAL(18,6)) AS avg_val,
+         'view_routed' AS stage, TRUE AS route_ok
+  FROM base WHERE event_id % 10 != 0 AND event_id % 3 != 0
+  GROUP BY event_type
+) WHERE event_type IS NOT NULL AND total > 0
 UNION ALL
 SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(value) AS DECIMAL(18,2)) AS total,

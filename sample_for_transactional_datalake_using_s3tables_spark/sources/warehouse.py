@@ -5085,20 +5085,16 @@ class Warehouse:
                 "version": version, "deleted_rows": 0, "delete_files": 0,
                 **stats,
             }
-        addr = (
-            self._read_entries(
-                tdir, candidates, schema, phys, doc.get("deletes"),
-                meta.get("key"), keep_pos=True,
-            )
-            .filter(F.coalesce(predicate, F.lit(False)))
-            .join(
-                F.broadcast(self._basename_relpath_map(candidates)),
-                "__abase",
-            )
-            .select(
-                F.col("__relpath").alias("file"),
-                F.col("__pos").alias("pos"),
-            )
+        probe = self._read_entries(
+            tdir, candidates, schema, phys, doc.get("deletes"),
+            meta.get("key"), keep_pos=True,
+        ).filter(F.coalesce(predicate, F.lit(False)))
+        addr = probe.join(
+            F.broadcast(self._basename_relpath_map(candidates)),
+            "__abase",
+        ).select(
+            F.col("__relpath").alias("file"),
+            F.col("__pos").alias("pos"),
         )
         del_files = self._write_pos_delete_files(tdir, addr)
         if not del_files:
@@ -5106,6 +5102,19 @@ class Warehouse:
                 "version": version, "deleted_rows": 0, "delete_files": 0,
                 **stats,
             }
+        change_files = None
+        if meta.get("change_feed"):
+            # stored CDF for positional deletes (VERDICT r12 #3): the
+            # matched rows ARE the commit's change set -- exactly the
+            # rows the addresses kill, row-granular (no key needed).
+            # One extra pruned pass, the documented CDF-at-write trade.
+            change_files = self._write_change_files(
+                tdir,
+                probe.select(*schema.fieldNames()).withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                meta,
+            ) or None
         deleted = sum(d.get("records", 0) for d in del_files)
         target_set = set(del_files[0]["targets"])
 
@@ -5114,10 +5123,13 @@ class Warehouse:
             live = {e["path"] for e in self._manifest(tdir, tip)}
             return target_set <= live
 
+        # no rebase_validate_changes: position pre-images bind to
+        # addresses, not keys -- any concurrent delete-bearing commit
+        # conflicts conservatively when change files are pending
         v = self._publish_append(
             tdir, version, [], meta["schema"], phys=meta.get("physical"),
             new_deletes=del_files, rebase_validate=validate_rebase,
-            op="delete",
+            op="delete", change_files=change_files,
         )
         return {
             "version": v, "deleted_rows": deleted,
@@ -5209,6 +5221,31 @@ class Warehouse:
                         os.path.join(tdir, d["path"]), columns=[d["col"]]
                     ).column(0).to_pylist()
                 )
+        change_files = None
+        if meta.get("change_feed"):
+            # stored CDF: the equality delete is KEY-granular, so the
+            # pre-images are every live row holding a matched key --
+            # including copies the predicate didn't match (pruned by
+            # key over the WHOLE manifest: the predicate's candidates
+            # may miss other copies of a matched key)
+            kcand = (
+                self._prune_entries_by_keys(entries, phys_key, key_vals)
+                if key_vals is not None
+                else entries
+            )
+            pre = self._read_entries(
+                tdir, kcand, schema, phys, doc.get("deletes"), key
+            ).join(kdf, key, "left_semi")
+            post = self._read_files(
+                tdir, data_files, schema, phys=meta.get("physical")
+            )
+            change_files = self._write_change_files(
+                tdir,
+                pre.withColumn("_change_type", F.lit("delete")).unionByName(
+                    post.withColumn("_change_type", F.lit("insert"))
+                ),
+                meta,
+            ) or None
 
         def validate_rebase(fresh: list[dict]) -> bool:
             cand = (
@@ -5229,6 +5266,10 @@ class Warehouse:
             tdir, version, data_files, meta["schema"],
             phys=meta.get("physical"), new_deletes=del_files,
             rebase_validate=validate_rebase, op="update",
+            change_files=change_files,
+            rebase_validate_changes=self._cdf_change_validator(
+                tdir, schema, phys, key, key_vals, kdf
+            ),
         )
         return {
             "version": v, "updated_rows": n_updated,
@@ -5296,6 +5337,7 @@ class Warehouse:
             F.col("__pos"),
         )
         stage = os.path.join(tdir, "data", f".upd-{uuid.uuid4().hex[:12]}")
+        change_files = None
         try:
             staged.write.mode("overwrite").parquet(stage)
             snap = self.spark.read.parquet(stage)
@@ -5308,6 +5350,21 @@ class Warehouse:
                 F.col("__file").alias("file"), F.col("__pos").alias("pos")
             )
             del_files = self._write_pos_delete_files(tdir, addr)
+            if meta.get("change_feed"):
+                # stored CDF (VERDICT r12 #3): pre-images re-read from
+                # the probe (immutable files -- deterministic second
+                # pass), post-images from the staged updated rows;
+                # row-granular like the addresses themselves
+                pre = matched.select(*schema.fieldNames())
+                change_files = self._write_change_files(
+                    tdir,
+                    pre.withColumn(
+                        "_change_type", F.lit("delete")
+                    ).unionByName(
+                        updated.withColumn("_change_type", F.lit("insert"))
+                    ),
+                    meta,
+                ) or None
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         n_updated = sum(e.get("records", 0) for e in data_files)
@@ -5322,6 +5379,7 @@ class Warehouse:
             tdir, version, data_files, meta["schema"],
             phys=meta.get("physical"), new_deletes=del_files,
             rebase_validate=validate_rebase, op="update",
+            change_files=change_files,
         )
         return {
             "version": v, "updated_rows": n_updated,

@@ -347,3 +347,54 @@ def test_stored_cdf_mor_delete_conflicts_with_concurrent_delete_overlap(
             wh._delete_where_mor(
                 tdir, meta, F.col("id").isin("k3", "k4"), None
             )
+
+
+def test_stored_cdf_mixed_pos_equality_history_matches_derived(spark, tmp_path):
+    """VERDICT r12 #3: mor-pos DELETE/UPDATE and mor equality UPDATE
+    commits now persist their change sets. Differential contract over a
+    MIXED history (pos delete, pos update, equality update, equality
+    delete): the stored path returns exactly what the derived path
+    returns on a twin warehouse without the feed."""
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
+
+    stored = Warehouse(spark, str(tmp_path / "stored"))
+    derived = Warehouse(spark, str(tmp_path / "derived"))
+    for w in (stored, derived):
+        w.create_namespace("ns")
+        w.create_table("ns", "t", S, key="id")
+    stored.set_change_feed("ns", "t", True)
+
+    def hist(wh):
+        wh.insert("ns", "t", wh.spark.createDataFrame(ROWS, S).coalesce(2))
+        wh.delete_where("ns", "t", [("v", "=", 3)], strategy="mor-pos")
+        wh.update_where(
+            "ns", "t", {"v": F.col("v") + 100}, [("day", "=", "d1")],
+            strategy="mor-pos",
+        )
+        wh.update_where(
+            "ns", "t", {"day": F.lit("dX")}, [("v", ">=", 108)],
+            strategy="mor",
+        )
+        wh.delete_where("ns", "t", [("id", "=", "k2")], strategy="mor")
+
+    hist(stored)
+    hist(derived)
+    got = _changes(stored.changelog("ns", "t", 0))
+    want = _changes(derived.changelog("ns", "t", 0))
+    shifted = sorted((i, d, v, t, cv + 1) for i, d, v, t, cv in want)
+    assert got == shifted
+    # every DML commit persisted a change set (4 of them)
+    tdir = stored._table_dir("ns", "t")
+    docs = [stored._manifest_doc(tdir, v) for v in stored._versions(tdir)]
+    assert sum(1 for d in docs if d.get("change_files")) == 4
+    # and the table state itself matches the derived twin
+    assert {tuple(r) for r in stored.read("ns", "t").collect()} == {
+        tuple(r) for r in derived.read("ns", "t").collect()
+    }
+    # plan check: full-range changelog over the stored history carries
+    # no exceptAll file-diff netting (O(changed rows), not O(files))
+    plan = (
+        stored.changelog("ns", "t", 0, net=False)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Except" not in plan
