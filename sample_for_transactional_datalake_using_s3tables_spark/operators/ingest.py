@@ -1553,6 +1553,11 @@ def warehouse_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         wh = Warehouse(spark, root)
         wh.create_namespace("q")
         wh.create_table("q", "fact", events.schema, key="event_id")
+        # feed on from birth: a mid-window property toggle is a
+        # "schema" commit, which conservatively forces one full
+        # recompute (windows only stay incremental across ops whose
+        # row effect the changelog can replay)
+        wh.set_change_feed("q", "fact", True)
         wh.insert("q", "fact", events.filter(F.col("event_id") % 5 != 0))
         sql = WarehouseSQL(wh)
         sql.execute(
@@ -1581,7 +1586,6 @@ def warehouse_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with change_feed on and a SUM/COUNT/AVG-only shape, a window
         # holding a MoR MERGE and a CoW DELETE still refreshes
         # incrementally -- changelog deletes fold as negative partials
-        wh.set_change_feed("q", "fact", True)
         sql.execute(
             "CREATE MATERIALIZED VIEW q.by_type_cdf AS "
             "SELECT event_type, COUNT(*) AS n_events, "
@@ -1599,15 +1603,6 @@ def warehouse_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         wh.delete_where("q", "fact", F.expr("event_id % 13 = 0"))
         st4 = sql.execute("REFRESH MATERIALIZED VIEW q.by_type_cdf")
-        inc_ok = (
-            st0["incremental"] is False
-            and st1.get("incremental_mode") == "aggregate-merge"
-            and st2.get("incremental_mode") == "aggregate-merge"
-            and st2["fresh"]
-            and st3["incremental"] is False
-            and st4.get("incremental_mode") == "aggregate-merge-cdf"
-            and st4["fresh"]
-        )
         dec6 = "decimal(18,6)"
         append_stage = sql.execute("SELECT * FROM q.by_type").select(
             "event_type", "n_events",
@@ -1615,6 +1610,19 @@ def warehouse_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_id", "max_id",
             F.lit(None).cast(dec6).alias("avg_value"),
             F.lit("append").alias("stage"),
+        )
+        # -- round 13 (VERDICT r12 #4): the MIN/MAX MV refreshes over
+        # the SAME delete-bearing window via affected-group recompute
+        # (deletes touched groups are recomputed from the pinned
+        # source; untouched groups fold inserts) -- read AFTER the
+        # append_stage frame pinned its pre-refresh snapshot
+        st5 = sql.execute("REFRESH MATERIALIZED VIEW q.by_type")
+        minmax_stage = sql.execute("SELECT * FROM q.by_type").select(
+            "event_type", "n_events",
+            F.col("total_value").cast("decimal(18,2)").alias("total_value"),
+            "min_id", "max_id",
+            F.lit(None).cast(dec6).alias("avg_value"),
+            F.lit("minmax").alias("stage"),
         )
         cdf_stage = sql.execute("SELECT * FROM q.by_type_cdf").select(
             "event_type", "n_events",
@@ -1624,9 +1632,20 @@ def warehouse_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("avg_value").cast(dec6).alias("avg_value"),
             F.lit("cdf").alias("stage"),
         )
-        final = append_stage.unionByName(cdf_stage).withColumn(
-            "inc_ok", F.lit(bool(inc_ok))
+        inc_ok = (
+            st0["incremental"] is False
+            and st1.get("incremental_mode") == "aggregate-merge"
+            and st2.get("incremental_mode") == "aggregate-merge"
+            and st2["fresh"]
+            and st3["incremental"] is False
+            and st4.get("incremental_mode") == "aggregate-merge-cdf"
+            and st4["fresh"]
+            and st5.get("incremental_mode") == "aggregate-merge-recompute"
+            and st5["fresh"]
         )
+        final = append_stage.unionByName(minmax_stage).unionByName(
+            cdf_stage
+        ).withColumn("inc_ok", F.lit(bool(inc_ok)))
         return _lazy_snapshot(spark, root, final)
     except BaseException:
         shutil.rmtree(root, ignore_errors=True)
@@ -1654,6 +1673,18 @@ SELECT event_type,
        'append' AS stage,
        TRUE AS inc_ok
 FROM base
+WHERE event_id % 7 != 0
+GROUP BY event_type
+UNION ALL
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(value) AS DECIMAL(18,2)) AS total_value,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id,
+       CAST(NULL AS DECIMAL(18,6)) AS avg_value,
+       'minmax' AS stage,
+       TRUE AS inc_ok
+FROM after_dml
 WHERE event_id % 7 != 0
 GROUP BY event_type
 UNION ALL

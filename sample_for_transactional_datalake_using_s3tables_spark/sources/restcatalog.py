@@ -211,8 +211,12 @@ def external_scan(manifest_list: str, location: str):
          are newer and survive;
        - a POSITION delete file (``kind="pos"``; parquet of
          ``(file, pos)``) removes row ordinal ``pos`` of the data file
-         whose path it names -- matched on basename, which is unique
-         per table (Spark part-file names embed a per-job UUID).
+         whose path it names -- matched on the MANIFEST-RELATIVE path
+         (separator-normalized), exactly as stored in the delete
+         file. Basename matching would be ambiguous here: the facade's
+         external-write path accepts CLIENT-NAMED files, and two
+         external commits reusing a conventional name (data/ext/
+         ext-00000.parquet) must not cross-kill each other's rows.
 
     Columns come back under the snapshot's LOGICAL names in schema
     order (data files store physical names; the manifest's
@@ -234,14 +238,14 @@ def external_scan(manifest_list: str, location: str):
     )] or None
 
     eq_sets: list[tuple[int, str, set]] = []
-    pos_by_base: dict[str, set[int]] = {}
+    pos_by_path: dict[str, set[int]] = {}
     for d in dels:
         t = pq.read_table(os.path.join(location, d["path"]))
         if d.get("kind") == "pos":
             for fp, p in zip(
                 t.column("file").to_pylist(), t.column("pos").to_pylist()
             ):
-                pos_by_base.setdefault(fp.split("/")[-1], set()).add(p)
+                pos_by_path.setdefault(fp.replace("\\", "/"), set()).add(p)
         else:
             eq_sets.append(
                 (d["seq"], d["col"], set(t.column(d["col"]).to_pylist()))
@@ -257,7 +261,7 @@ def external_scan(manifest_list: str, location: str):
                 for i, v in enumerate(t.column(col).to_pylist()):
                     if v in keys:
                         keep[i] = False
-        dead_pos = pos_by_base.get(os.path.basename(e["path"]))
+        dead_pos = pos_by_path.get(e["path"].replace("\\", "/"))
         if dead_pos:
             for p in dead_pos:
                 if 0 <= p < len(keep):
@@ -275,6 +279,63 @@ def external_scan(manifest_list: str, location: str):
         parts.append(t)
     if not parts:
         return pa.table({n: pa.nulls(0) for n in (logical or [])})
+    return pa.concat_tables(parts, promote_options="permissive")
+
+
+def external_changes(doc: dict, location: str):
+    """Executable client recipe for the facade's ``GET .../changes``
+    response (VERDICT r12 #7) -- pure json + pyarrow, no engine
+    imports, mirroring :func:`external_scan`. For each entry:
+
+    - ``stored: true`` -- read the commit's change files verbatim;
+      each row carries ``_change_type`` ('insert' | 'delete') beside
+      the table columns (stored under PHYSICAL names);
+    - ``stored: false`` (pure append) -- read the commit's
+      added-data-files; every row is an 'insert'.
+
+    Rows come back under the response's LOGICAL schema (nulls for
+    columns a pre-evolution file predates) plus ``_change_type`` and
+    ``_commit_version``. The result equals the engine's raw
+    (``net=False``) ``table_changes`` output over the same range as a
+    multiset."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    logical = [
+        f_["name"] for f_ in (doc.get("manifest-schema") or {}).get(
+            "fields", []
+        )
+    ]
+    phys = doc.get("physical") or {}
+    out_names = logical + ["_change_type", "_commit_version"]
+    parts: list[pa.Table] = []
+    for entry in doc.get("changes") or []:
+        v = entry["version"]
+        stored = bool(entry.get("stored"))
+        refs = (
+            entry.get("change-files")
+            if stored
+            else entry.get("added-data-files")
+        ) or []
+        for ref in refs:
+            t = pq.read_table(os.path.join(location, ref["path"]))
+            ct = (
+                t.column("_change_type")
+                if stored
+                else pa.array(["insert"] * t.num_rows)
+            )
+            cols = []
+            for name in logical:
+                p = phys.get(name, name)
+                cols.append(
+                    t.column(p) if p in t.column_names
+                    else pa.nulls(t.num_rows)
+                )
+            cols.append(ct)
+            cols.append(pa.array([v] * t.num_rows, type=pa.int64()))
+            parts.append(pa.table(cols, names=out_names))
+    if not parts:
+        return pa.table({n: pa.nulls(0) for n in out_names})
     return pa.concat_tables(parts, promote_options="permissive")
 
 
@@ -482,6 +543,7 @@ class IcebergRestCatalogServer:
         ("DELETE", r"^/v1/namespaces/([\w.-]+)/tables/([\w.-]+)$", "drop_table"),
         ("POST", r"^/v1/namespaces/([\w.-]+)/tables/([\w.-]+)$", "commit_table"),
         ("POST", r"^/v1/namespaces/([\w.-]+)/tables/([\w.-]+)/metrics$", "metrics"),
+        ("GET", r"^/v1/namespaces/([\w.-]+)/tables/([\w.-]+)/changes$", "table_changes"),
         ("POST", r"^/v1/tables/rename$", "rename"),
         ("GET", r"^/v1/namespaces/([\w.-]+)/views$", "list_views"),
         ("POST", r"^/v1/namespaces/([\w.-]+)/views$", "create_view"),
@@ -492,7 +554,7 @@ class IcebergRestCatalogServer:
 
     _PAGED = {"list_ns", "list_tables", "list_views"}
     # non-paged routes that also read query params
-    _WANT_PARAMS = _PAGED | {"load_table"}
+    _WANT_PARAMS = _PAGED | {"load_table", "table_changes"}
 
     def _route(
         self, method: str, path: str, body: dict, principal: str
@@ -876,6 +938,90 @@ class IcebergRestCatalogServer:
             )
         except CommitConflictError as e:
             raise _HttpError(409, "CommitFailedException", str(e)) from e
+
+    def _r_table_changes(self, ns, tbl, body, principal, params=None):
+        """Incremental change consumption through the facade (VERDICT
+        r12 #7; the Iceberg ``changes`` metadata-table analog,
+        mirroring the engine's ``table_changes`` TVF): for every
+        commit in ``(from, to]``, serve either the commit's STORED
+        change files (tables with the change feed on persist their
+        logical change set at write time) or, for pure appends, the
+        commit's ADDED data files (each row an insert). Compaction
+        (``replace``) commits change no rows and are skipped by stamp.
+        A row-level commit that stored no change set cannot be served
+        incrementally -- 409 tells the client to enable the feed or
+        fall back to snapshot diffing. Row data: SELECT-gated.
+        :func:`external_changes` is the executable client recipe."""
+        self._require(principal, "SELECT", ns, tbl)
+        self._table_meta_or_404(ns, tbl)
+        tdir = self.wh._table_dir(ns, tbl)
+        versions = self.wh._versions(tdir)
+        try:
+            v_from = int((params or {}).get("from", 0))
+            v_to = int((params or {}).get("to", versions[-1]))
+        except ValueError:
+            raise _HttpError(
+                400, "BadRequestException", "from/to must be integers"
+            ) from None
+        if v_from > v_to or v_to > versions[-1] or v_from < 0:
+            raise _HttpError(
+                400, "BadRequestException",
+                f"invalid change range ({v_from}, {v_to}]",
+            )
+        prev = {
+            e["path"]
+            for e in (
+                self.wh._manifest(tdir, v_from) if v_from in versions else []
+            )
+        }
+        changes: list[dict] = []
+        doc = None
+        for v in versions:
+            if v <= v_from or v > v_to:
+                continue
+            doc = self.wh._manifest_doc(tdir, v)
+            paths = {e["path"] for e in doc["files"]}
+            op = doc.get("op", "append")
+            if doc.get("change_files"):
+                changes.append({
+                    "version": v, "operation": op, "stored": True,
+                    "change-files": [
+                        {"path": c["path"],
+                         "records": c.get("records", 0)}
+                        for c in doc["change_files"]
+                    ],
+                })
+            elif op in ("replace", "schema"):
+                # compaction rewrites no rows; schema/property swaps
+                # are metadata-only -- both skipped by stamp
+                pass
+            elif op in ("append", "copy"):
+                changes.append({
+                    "version": v, "operation": op, "stored": False,
+                    "added-data-files": [
+                        {"path": e["path"],
+                         "records": e.get("records", 0)}
+                        for e in doc["files"] if e["path"] not in prev
+                    ],
+                })
+            else:
+                raise _HttpError(
+                    409, "CommitStateUnknownException",
+                    f"commit {v} ({op}) stores no change set; enable "
+                    "the table's change_feed property or consume via "
+                    "snapshot diff",
+                )
+            prev = paths
+        tip_doc = self.wh._manifest_doc(tdir, v_to)
+        return 200, {
+            "table": f"{ns}.{tbl}",
+            "from-version": v_from,
+            "to-version": v_to,
+            "changes": changes,
+            "manifest-schema": tip_doc.get("schema"),
+            "physical": tip_doc.get("physical") or {},
+            "location": tdir,
+        }
 
     def _r_rename(self, body, principal):
         src, dst = body.get("source") or {}, body.get("destination") or {}

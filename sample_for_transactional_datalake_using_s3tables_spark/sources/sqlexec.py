@@ -1347,7 +1347,17 @@ class WarehouseSQL:
         falling back on every MERGE. The storage's _mv_cdf_partials
         repair the two non-foldable observables: a SUM whose last
         non-null contribution left goes back to NULL, and a group
-        whose liveness count hits zero VANISHES."""
+        whose liveness count hits zero VANISHES.
+
+        MIN/MAX over delete-bearing windows (VERDICT r12 #4) -- the
+        classic deferred-view-maintenance hybrid: MIN/MAX are not
+        invertible (removing the current minimum needs the runner-up,
+        which partials don't carry), so groups the changelog's deletes
+        TOUCHED are recomputed from the source pinned at the window
+        tip -- restricted by a semi-join on the group-key expressions,
+        O(changed groups x group size), never O(table) -- while
+        untouched groups fold the window's inserts exactly as the
+        append path does. Mode: ``aggregate-merge-recompute``."""
         win = self._mv_change_window(ns, name, refs)
         if win is None:
             return None
@@ -1372,10 +1382,12 @@ class WarehouseSQL:
         if rw_shape is None:
             return None
         s_ns, s_tbl = src_ref.split(".", 1)
-        cdf_storage = bool(
-            self.wh.table_meta(s_ns, s_tbl).get("change_feed")
-        ) and self._mv_cdf_eligible(rw_shape["aggs"])
-        if not pure_append and not cdf_storage:
+        has_cdf = bool(self.wh.table_meta(s_ns, s_tbl).get("change_feed"))
+        cdf_storage = has_cdf and self._mv_cdf_eligible(rw_shape["aggs"])
+        # hybrid: deletes landed, MIN/MAX present (not negative-
+        # foldable) -- affected-group recompute, needs the changelog
+        hybrid = (not pure_append) and (not cdf_storage) and has_cdf
+        if not pure_append and not cdf_storage and not hybrid:
             return None  # deletes landed but this MV can't fold them
         avg_aliases = [a for a, fn in aggs if fn == "AVG"]
         partials = self._mv_avg_partials(rw_shape["aggs"])
@@ -1396,11 +1408,13 @@ class WarehouseSQL:
         # the delta only: partial groups with identical aliases and
         # types as storage. Re-pointing the resolved view is safe
         # sequentially -- analysis binds at each spark.sql() call.
+        touched_ren = None
+        anti_cond = None
         if pure_append:
             self._mv_insert_delta(src_ref, from_v, tip) \
                 .createOrReplaceTempView(view)
             parts = [self.spark.sql(aug).select(*sch.fieldNames())]
-        else:
+        elif cdf_storage:
             chg = self.wh.changelog(s_ns, s_tbl, from_v, tip)
             drop = ["_change_type", "_commit_version"]
             chg.filter(F.col("_change_type") == "insert").drop(*drop) \
@@ -1418,7 +1432,43 @@ class WarehouseSQL:
                 for c in sch.fieldNames()
             ])
             parts = [pos, neg]
+        else:
+            # hybrid (MIN/MAX + deletes): groups the deletes touched
+            # are recomputed from the pinned source below; here the
+            # window's INSERTS fold for the UNTOUCHED groups only
+            # (touched groups' inserts are covered by the recompute,
+            # which reads the tip). Null-safe key joins: GROUP BY
+            # groups NULL keys together, so a NULL-keyed delete must
+            # anti-match the NULL-keyed stored group.
+            import functools
+            import operator
+
+            chg = self.wh.changelog(s_ns, s_tbl, from_v, tip)
+            drop = ["_change_type", "_commit_version"]
+            key_sel = [
+                F.expr(e).alias(a) for e, a in rw_shape["keys"]
+            ]
+            touched_ren = (
+                chg.filter(F.col("_change_type") == "delete")
+                .drop(*drop)
+                .select(*key_sel)
+                .distinct()
+                .select(*[F.col(a).alias(f"__mvt_{a}") for a in keys])
+            )
+            anti_cond = functools.reduce(
+                operator.and_,
+                [
+                    F.col(a).eqNullSafe(F.col(f"__mvt_{a}"))
+                    for a in keys
+                ],
+            )
+            chg.filter(F.col("_change_type") == "insert").drop(*drop) \
+                .createOrReplaceTempView(view)
+            pos = self.spark.sql(aug).select(*sch.fieldNames())
+            parts = [pos.join(touched_ren, anti_cond, "left_anti")]
         merged = self.wh.read(ns, storage)
+        if touched_ren is not None:
+            merged = merged.join(touched_ren, anti_cond, "left_anti")
         for p in parts:
             merged = merged.unionByName(p)
         if cdf_storage:
@@ -1459,8 +1509,36 @@ class WarehouseSQL:
             F.col(f.name).cast(f.dataType).alias(f.name)
             for f in sch.fields
         ])
+        if touched_ren is not None:
+            # affected-group recompute: run the SAME augmented
+            # definition over the source pinned at the window tip,
+            # restricted (semi-join on the key EXPRESSIONS) to the
+            # touched groups; a fully-deleted group yields no row and
+            # vanishes, a SUM whose last non-null value left returns
+            # NULL -- both exact by construction
+            import functools
+            import operator
+
+            src_cond = functools.reduce(
+                operator.and_,
+                [
+                    F.expr(e).eqNullSafe(F.col(f"__mvt_{a}"))
+                    for e, a in rw_shape["keys"]
+                ],
+            )
+            self.wh.read(s_ns, s_tbl, version=tip).join(
+                touched_ren, src_cond, "left_semi"
+            ).createOrReplaceTempView(view)
+            rec = self.spark.sql(aug).select(*[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in sch.fields
+            ])
+            merged = merged.unionByName(rec)
         return src_ref, merged, tip, (
-            "aggregate-merge" if pure_append else "aggregate-merge-cdf"
+            "aggregate-merge"
+            if pure_append
+            else ("aggregate-merge-cdf" if cdf_storage
+                  else "aggregate-merge-recompute")
         )
 
     # words allowed (besides bare-column MV key names and literal

@@ -3848,8 +3848,9 @@ class Warehouse:
     def set_change_feed(self, ns: str, table: str, enabled: bool) -> None:
         """Toggle stored Change Data Feed for the table (Delta
         ``delta.enableChangeDataFeed`` analog): while on, copy-on-write
-        UPDATE and DELETE commits, merge-on-read MERGE commits, and
-        merge-on-read equality DELETE commits persist their logical
+        UPDATE and DELETE commits, merge-on-read MERGE commits,
+        merge-on-read equality DELETE/UPDATE commits, and positional
+        (mor-pos) DELETE/UPDATE commits persist their logical
         change set (pre-images as 'delete', post-images as 'insert')
         as change files riding the commit manifest, and
         :meth:`changelog` serves those commits by READING the stored
@@ -3859,8 +3860,8 @@ class Warehouse:
         this is the commit's ONLY read of existing data, bounded by
         Bloom/min-max key pruning, and a concurrent commit that may
         touch the batch keys conflicts rather than letting the stored
-        pre-images go stale). Appends and positional-delete commits
-        keep the derived changelog, which remains exact; stored and
+        pre-images go stale). Appends keep the derived changelog,
+        which remains exact for them by construction; stored and
         derived commits mix freely in one range.
 
         ``net=False`` nuance: a stored commit returns its raw matched
