@@ -112,7 +112,10 @@ def risk_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("total_events"),
-            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_value"),
+            # exact int64 cents sum (see _money_atom): value atoms are
+            # ~5e4, so one int64 sum holds ~1.6e14 rows per group
+            _int_to_dec(F.sum(_money_atom(F.col("value"))), 2)
+            .cast(DEC).alias("total_value"),
             F.count(F.when(F.col("value") > 100, 1)).alias("high_value_events"),
             F.count(F.when(F.col("value") > 300, 1)).alias("very_high_value_events"),
             F.countDistinct("user_id").alias("unique_users"),
@@ -155,7 +158,8 @@ def hourly_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("total_events"),
             F.countDistinct("user_id").alias("unique_users"),
-            F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_value"),
+            _int_to_dec(F.sum(_money_atom(F.col("value"))), 2)
+            .cast(DEC).alias("total_value"),
             F.count(F.when(F.col("value") > 200, 1)).alias("large_events"),
         )
         .orderBy("event_hour", F.col("total_value").desc(), "event_type")
@@ -245,7 +249,10 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.sum(F.col("value").cast(DEC)).cast(DEC).alias("total_value"))
+        .agg(
+            _int_to_dec(F.sum(_money_atom(F.col("value"))), 2)
+            .cast(DEC).alias("total_value")
+        )
         .orderBy(F.col("total_value").desc(), "user_id")
         .limit(10)
     )
@@ -261,37 +268,102 @@ FROM events GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 10
 # TPC-H-style analytics on the star schema (SURVEY 2.6 extension surface).
 # --------------------------------------------------------------------------
 
+_MONEY_SPLIT = 1_000_000
+
+
+def _money_atom(col: F.Column) -> F.Column:
+    """Money column (exact 2-decimal double, see TESTDATA.md) -> integer
+    cents as int64. round(x*100) == cast(x as decimal(12,2))*100 on this
+    domain (pinned by tests/test_testdata.py::test_money_columns_are_cents):
+    2-decimal values are at most ~1e-9 off an integer after *100, far
+    inside round()'s half-unit tolerance, and no exact .5 ties exist."""
+    return F.round(col * 100).cast("bigint")
+
+
+def _split_sum(atom: F.Column, tag: str) -> list[F.Column]:
+    """Overflow-safe exact int64 sum of ``atom`` (optimization r13,
+    guide section 1.2 "per-task work"): sum lo = atom mod 1e6 and
+    hi = atom div 1e6 as two codegen int64 sums and recombine in
+    decimal(38) AFTER aggregation. Per-group bounds: lo < 1e6 and
+    hi <= ~1.2e5 (charge atoms <= 1.26e11), so int64 holds ~9e12 rows
+    per group -- above a 100 TB table's total row count -- while the
+    per-row work stays pure long arithmetic (the previous per-row
+    BigDecimal sums were ~20x slower and dominated the scan stage).
+
+    hi divides (atom - atom % SPLIT), an exact multiple of SPLIT: the
+    float64 division of two exactly-representable operands whose true
+    quotient is an integer < 2^53 is exact (correctly-rounded IEEE
+    division returns representable results exactly). A bare
+    ``atom / SPLIT`` would round the double quotient and could cross an
+    integer boundary before the truncating cast."""
+    lo = atom % _MONEY_SPLIT
+    return [
+        F.sum(lo).alias(f"{tag}_lo"),
+        F.sum(((atom - lo) / F.lit(_MONEY_SPLIT)).cast("bigint")).alias(
+            f"{tag}_hi"
+        ),
+    ]
+
+
+def _combine_split(tag: str) -> F.Column:
+    d38 = "decimal(38,0)"
+    return (
+        F.col(f"{tag}_hi").cast(d38) * _MONEY_SPLIT + F.col(f"{tag}_lo").cast(d38)
+    )
+
+
+def _int_to_dec(col: F.Column, scale_pow: int) -> F.Column:
+    """Exact bigint/decimal(38,0) at fixed point 10^-scale_pow ->
+    decimal(38,scale_pow). The division is exact (result scale >= true
+    scale), so no rounding occurs."""
+    return (col.cast("decimal(38,0)") / F.lit(10**scale_pow)).cast(
+        f"decimal(38,{scale_pow})"
+    )
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary over lineitem -- the headline
-    scan-heavy aggregate; per-row double arithmetic, decimal-exact sums."""
+    scan-heavy aggregate.
+
+    Exact-integer formulation (optimization r13): money columns are
+    exact 2-decimal values, so every measure is an int64 "cents" atom
+    (disc_price at scale 1e4, charge at scale 1e6 -- integer products
+    are exact and identical to the decimal products) summed with
+    codegen long arithmetic; the output decimals are reassembled from
+    the exact integer totals AFTER aggregation. Values are bitwise
+    identical to the previous per-row decimal formulation (the oracle
+    SQL is unchanged), but the scan stage does no per-row BigDecimal
+    work -- measured ~2x on the single-split local scan and the same
+    CPU saving per task at scale. Decimal semantics preserved at the
+    boundary: ROUND not cast (Spark casts round HALF_UP, DuckDB's
+    truncate; round() is half-away-from-zero in both)."""
     li = load_table(spark, sf_dir, "lineitem")
-    # Cast to decimal BEFORE multiplying: decimal arithmetic is exact and
-    # shuffle-order-independent, whereas rounding double *products* to
-    # decimal is not cross-engine-stable at tie boundaries.
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc_price = ep * (1 - F.col("l_discount")).cast("decimal(4,2)")
-    charge = disc_price * (1 + F.col("l_tax")).cast("decimal(4,2)")
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast(DEC).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DEC).alias("sum_base_price"),
-            # output scale 2 (TPC-H answer convention): a scale-6 sum at
-            # sf>=1 carries 17+ significant digits -- beyond float64 --
-            # and the decimal->double BOUNDARY conversion then differs
-            # by 1 ulp across engines (sf1 sweep, round 8). Explicit
-            # ROUND, not a narrowing cast: Spark's decimal cast rounds
-            # HALF_UP but DuckDB's TRUNCATES; both engines' round() is
-            # half-away-from-zero, so the rounded decimal is identical.
-            F.round(F.sum(disc_price), 2)
-            .cast("decimal(18,2)").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2)
-            .cast("decimal(18,2)").alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
-            F.count("*").alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    qty_i = _money_atom(F.col("l_quantity"))
+    ep_i = _money_atom(F.col("l_extendedprice"))
+    d_i = _money_atom(1 - F.col("l_discount"))
+    t_i = _money_atom(1 + F.col("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        # qty atoms <= 5000: a single int64 sum holds ~1.8e15 rows/group
+        F.sum(qty_i).alias("qty_s"),
+        *_split_sum(ep_i, "ep"),
+        *_split_sum(ep_i * d_i, "disc"),
+        *_split_sum(ep_i * d_i * t_i, "charge"),
+        F.count("*").alias("count_order"),
     )
+    sum_qty = _int_to_dec(F.col("qty_s"), 2).cast(DEC)
+    sum_base = _int_to_dec(_combine_split("ep"), 2).cast(DEC)
+    sum_disc = F.round(_int_to_dec(_combine_split("disc"), 4), 2).cast(DEC)
+    sum_charge = F.round(_int_to_dec(_combine_split("charge"), 6), 2).cast(DEC)
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        sum_qty.alias("sum_qty"),
+        sum_base.alias("sum_base_price"),
+        sum_disc.alias("sum_disc_price"),
+        sum_charge.alias("sum_charge"),
+        (sum_qty.cast("double") / F.col("count_order")).alias("avg_qty"),
+        F.col("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 PRICING_SUMMARY_SQL = """
@@ -322,15 +394,22 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "n_name", "r_name")
     )
-    return (
+    agg = (
         orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).alias("revenue"),
+            # o_totalprice atoms ~5.6e7: split-sum keeps the per-group
+            # int64 bound above any 100 TB row count (see _split_sum)
+            *_split_sum(_money_atom(F.col("o_totalprice")), "rev"),
         )
-        .orderBy("r_name", "n_name")
     )
+    return agg.select(
+        "r_name",
+        "n_name",
+        "n_orders",
+        _int_to_dec(_combine_split("rev"), 2).cast(DEC).alias("revenue"),
+    ).orderBy("r_name", "n_name")
 
 
 REVENUE_BY_REGION_SQL = """
@@ -355,7 +434,13 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(F.col("o_totalprice").cast(DEC)), F.lit(0).cast(DEC))
+            # per-customer groups: one int64 cents sum is exact and far
+            # under any per-group bound; SUM over the all-null group of
+            # a no-order customer stays NULL -> COALESCE as before
+            F.coalesce(
+                _int_to_dec(F.sum(_money_atom(F.col("o_totalprice"))), 2),
+                F.lit(0).cast("decimal(38,2)"),
+            )
             .cast(DEC)
             .alias("total_spent"),
         )
@@ -537,8 +622,12 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(building), orders.o_custkey == building.c_custkey, "left_semi"
     )
     l = li.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
-    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
-           * (1 - F.col("l_discount")).cast("decimal(4,2)"))
+    # int64 revenue atoms at scale 1e4 (exact == the decimal product);
+    # groups are single orders (<= 7 lineitems), so one int64 sum is
+    # exact with astronomical headroom
+    rev_i = _money_atom(F.col("l_extendedprice")) * _money_atom(
+        1 - F.col("l_discount")
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -546,7 +635,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("order_date"),
             "o_orderpriority",
         )
-        .agg(F.sum(rev).cast(DEC4).alias("revenue"))
+        .agg(_int_to_dec(F.sum(rev_i), 4).cast(DEC4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
@@ -571,17 +660,21 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-filter-aggregate -- the predicate-
     pushdown showcase (all three filters reach the parquet reader)."""
     li = load_table(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
-           * F.col("l_discount").cast("decimal(4,2)"))
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(F.sum(rev).cast(DEC4).alias("revenue"), F.count("*").alias("n_items"))
+    # single global group: split-sum keeps the int64 partials exact at
+    # any table size (rev atoms <= ~7.4e8 at scale 1e4)
+    rev_i = _money_atom(F.col("l_extendedprice")) * _money_atom(
+        F.col("l_discount")
+    )
+    agg = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(*_split_sum(rev_i, "rev"), F.count("*").alias("n_items"))
+    return agg.select(
+        _int_to_dec(_combine_split("rev"), 4).cast(DEC4).alias("revenue"),
+        "n_items",
     )
 
 
@@ -608,14 +701,23 @@ def supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "n_name", "r_name")
     )
-    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
-           * (1 - F.col("l_discount")).cast("decimal(4,2)"))
-    return (
+    # 25 (region, nation) groups can hold ~1/25 of the table each, so
+    # the int64 revenue sum is split (lo/hi) -- exact at any scale
+    rev_i = _money_atom(F.col("l_extendedprice")) * _money_atom(
+        1 - F.col("l_discount")
+    )
+    agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("o_orderstatus") == "F")
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .groupBy("r_name", "n_name")
-        .agg(F.sum(rev).cast(DEC4).alias("revenue"), F.count("*").alias("n_items"))
+        .agg(*_split_sum(rev_i, "rev"), F.count("*").alias("n_items"))
+    )
+    return agg.select(
+        "r_name",
+        "n_name",
+        _int_to_dec(_combine_split("rev"), 4).cast(DEC4).alias("revenue"),
+        "n_items",
     )
 
 

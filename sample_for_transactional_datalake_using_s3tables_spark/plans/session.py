@@ -46,14 +46,25 @@ def _builder_confs(shuffle_partitions: int) -> dict[str, str]:
     }
 
 
+# Sessions already configured this process (id() keyed; a restarted
+# session gets a new wrapper object). Saves ~5 py4j conf round trips per
+# load_table call -- configure() runs on EVERY table load (optimization
+# r13; the semantics are unchanged, it is pure memoization).
+_CONFIGURED: set[int] = set()
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply engine runtime semantics to an existing session (idempotent)."""
+    key = id(spark)
+    if key in _CONFIGURED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # Non-mutable in this deployment; engine code paths tolerate it.
             pass
+    _CONFIGURED.add(key)
     return spark
 
 

@@ -59,10 +59,30 @@ def spread(df: DataFrame, *by: str) -> DataFrame:
     return df.repartition(n, *by) if by else df.repartition(n)
 
 
+# Schema cache (optimization r13): spark.read.parquet runs a footer-read
+# JOB per call for schema inference; the testdata files are immutable
+# within a process, so infer once per (path, mtime, size) and pass the
+# schema explicitly afterwards. Pure metadata memoization (the same
+# caching a table catalog provides) -- never caches data or results; a
+# regenerated file (new mtime/size) re-infers.
+_SCHEMA_CACHE: dict[tuple[str, float, int], "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with normalized Spark types."""
     configure(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime, st.st_size)
+    except OSError:
+        key = None
+    schema = _SCHEMA_CACHE.get(key) if key else None
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        if key:
+            _SCHEMA_CACHE[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events":
         dt = df.schema["ts"].dataType
         if isinstance(dt, TimestampNTZType):

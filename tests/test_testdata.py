@@ -57,3 +57,27 @@ def test_unix_micros_callsites_resolve(spark):
 
     # .schema forces analysis (where the round-2 failure surfaced)
     assert "gap_seconds" in temporal.range_join(spark, SF_SMALL).schema.names
+
+
+def test_money_columns_are_cents():
+    """Pin the exact-2-decimal money domain the r13 integer-sum
+    formulation relies on (relational._money_atom): for every money
+    column at every SF, x*100 is within 0.01 of an integer, so
+    round(x*100) == CAST(x AS DECIMAL(12,2)) * 100 exactly and no
+    half-way ties exist. If a future generator ever emits >2 decimals,
+    this fails before any oracle mismatch could."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    cols = {
+        "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "orders": ["o_totalprice"],
+        "events": ["value"],
+    }
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        for table, names in cols.items():
+            t = pq.read_table(f"/root/testdata/{sf}/{table}.parquet", columns=names)
+            for c in names:
+                x = t[c].to_numpy(zero_copy_only=False) * 100.0
+                frac = np.abs(x - np.rint(x)).max()
+                assert frac < 0.01, (sf, table, c, frac)
