@@ -95,12 +95,26 @@ def cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(F.encode(F.col("_env"), "utf-8")).alias("value")
     )
     typed = good_rows(parse_cdc(raw, base64_encoded=True))
-    w = Window.partitionBy("transaction_id").orderBy(
-        F.col("processing_timestamp").desc()
-    )
+    # latest-wins as a hash aggregate (optimization r13, guide 2.3
+    # "aggregate before you shuffle"): max_by(struct, proc_ts) does
+    # map-side partial merging and no per-partition sort, where the
+    # former row_number window sorted the whole batch after the
+    # shuffle. No proc_ts ties exist by construction (INSERT and
+    # MODIFY of one key carry distinct offsets), so the winner is the
+    # same row the window picked.
+    from ..streaming.cdc import TRANSACTIONS_SCHEMA
+
+    others = [
+        f.name for f in TRANSACTIONS_SCHEMA.fields if f.name != "transaction_id"
+    ]
     latest = (
-        typed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        typed.groupBy("transaction_id")
+        .agg(
+            F.max_by(
+                F.struct(*others), F.col("processing_timestamp")
+            ).alias("_r")
+        )
+        .select("transaction_id", "_r.*")
     )
     return latest.select(
         "transaction_id",

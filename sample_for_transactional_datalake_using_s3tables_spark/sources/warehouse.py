@@ -282,6 +282,102 @@ def _entry_may_hold_any(entry: dict, col: str, values) -> bool:
     return any(_entry_may_match(entry, [(col, "=", v)]) for v in values)
 
 
+class _BulkKeyProbe:
+    """Vectorized batch-keys-vs-manifest pruning (optimization r13).
+
+    The scalar loop above costs O(|values|) bloom probes PER ENTRY --
+    fine for a few thousand keys, but a 100k-key CDC batch against a
+    100-file manifest would run 10M md5/bit probes on the driver. This
+    probe precomputes, once per batch: the sorted value list (stats
+    range check by bisect) and the values' bloom bit positions as one
+    numpy matrix; each entry then costs two bisects plus one vectorized
+    gather over its 8 KiB bloom. Semantics are identical to
+    any(_entry_may_match(entry, [(col, "=", v)])): conservative
+    (missing stats/blooms or cross-type values keep the entry)."""
+
+    def __init__(self, values) -> None:
+        import numpy as np
+
+        self._np = np
+        vals = [v for v in values if v is not None]
+        tags = {_bloom_tag(v) for v in vals}
+        # mixed/bloom-unsafe batches: fall back to "keep" on the bloom
+        # side; the range side still prunes per-type below when uniform
+        self.tag = tags.pop() if len(tags) == 1 else None
+        self.sorted_vals = None
+        self.pos = None
+        if self.tag is not None:
+            canon = (
+                [int(v) for v in vals]
+                if self.tag == "int"
+                else [str(v) for v in vals]
+            )
+            self.sorted_vals = sorted(canon)
+            import hashlib
+
+            rows = []
+            # positions are built over the SORTED values so the range
+            # check's index slice selects the matching bloom rows
+            for v in self.sorted_vals:
+                h = hashlib.md5(f"{self.tag}:{v}".encode()).digest()
+                rows.append(
+                    [
+                        int.from_bytes(h[i * 4 : i * 4 + 4], "big") % _BLOOM_M
+                        for i in range(_BLOOM_K)
+                    ]
+                )
+            self.pos = np.array(rows, dtype=np.int64)
+        # scalar parity: a None key value makes _entry_may_match keep
+        # every entry (an "=" predicate with a None value never prunes)
+        self.keep_all = any(v is None for v in values)
+
+    def _range_candidates(self, stats) -> "slice | None":
+        """Index slice of sorted_vals within [lo, hi], or None when the
+        range check cannot prune (missing/mistyped stats)."""
+        import bisect
+        import datetime
+
+        if self.sorted_vals is None or not stats:
+            return None
+        lo_hi = stats
+        lo, hi = lo_hi
+        if isinstance(lo, bool) or type(lo).__name__ == "bool_":
+            return None
+        sample = self.sorted_vals[0]
+        if isinstance(sample, datetime.date):  # never: canon is int/str
+            return None
+        if not isinstance(sample, type(lo)) and not (
+            isinstance(sample, (int, float)) and isinstance(lo, (int, float))
+        ):
+            return None
+        i = bisect.bisect_left(self.sorted_vals, lo)
+        j = bisect.bisect_right(self.sorted_vals, hi)
+        return slice(i, j)
+
+    def entry_may_hold_any(self, entry: dict, col: str) -> bool:
+        if self.keep_all:
+            return True
+        stats = (entry.get("stats") or {}).get(col)
+        blooms = (entry.get("blooms") or {}).get(col)
+        cand = self._range_candidates(stats)
+        if cand is not None and cand.start >= cand.stop:
+            return False  # no batch key inside the file's [min, max]
+        if (
+            blooms is None
+            or isinstance(blooms, str)  # legacy bare-hex bloom: no prune
+            or self.pos is None
+            or blooms.get("type") != self.tag
+        ):
+            return True
+        np = self._np
+        bits = np.frombuffer(_bloom_bits(blooms["bits"]), dtype=np.uint8)
+        pos = self.pos if cand is None else self.pos[cand]
+        if pos.size == 0:
+            return True  # uniform-type check failed upstream; keep
+        hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return bool(hit.all(axis=1).any())
+
+
 def _entry_may_match(entry: dict, predicates: list[tuple]) -> bool:
     """Conservative data skipping: False only when the file's min/max
     PROVE no row can satisfy every predicate. Missing stats, unknown
@@ -1931,10 +2027,23 @@ class Warehouse:
     _MAX_COMMIT_RETRIES = 10
 
     # MERGE batches up to this many distinct keys collect their key set
-    # to the driver (bounded memory: ~5k scalars) to drive manifest
-    # Bloom/min-max pruning of the match probe; larger batches probe
-    # with a distributed semi-join only.
-    _MERGE_COLLECT_KEYS_MAX = 5000
+    # to the driver to drive manifest Bloom/min-max pruning of the match
+    # probe; larger batches probe with a distributed semi-join only.
+    # Raised 5k -> 200k in optimization r13: ~200k scalars is a few MB
+    # of driver memory (guide section 5 bound), the per-batch pruning
+    # cost is now vectorized (_BulkKeyProbe, O(entries) gathers instead
+    # of O(keys x entries) scalar bloom probes), and the alternative --
+    # probing EVERY data file's key column per MERGE -- made steady-
+    # state CDC throughput decay linearly with table size (each 10k-row
+    # trigger re-read the whole key column). Parameterized for
+    # deployments with thinner drivers.
+    _MERGE_COLLECT_KEYS_MAX = int(
+        os.environ.get("SPARK_GRAFT_MERGE_KEYS_MAX", "200000")
+    )
+
+    # Above this many batch keys, _prune_entries_by_keys switches from
+    # the scalar early-exit loop to the vectorized _BulkKeyProbe.
+    _BULK_KEY_PROBE_MIN = 2048
 
     # Manifest-matching loops (stats/Bloom skipping) run driver-side up
     # to this many entries; above it they distribute over executors so
@@ -1963,12 +2072,24 @@ class Warehouse:
     ) -> list[dict]:
         """Keep entries that may hold ANY of the key values; distributed
         for very large manifests (the driver never runs the
-        keys x files Bloom loop over a huge file list)."""
+        keys x files Bloom loop over a huge file list). Large key sets
+        use the vectorized probe (see _BulkKeyProbe) on either path."""
+        bulk = len(values) > self._BULK_KEY_PROBE_MIN
         if len(entries) <= self._PLAN_DISTRIBUTE_THRESHOLD:
+            if bulk:
+                probe = _BulkKeyProbe(values)
+                return [e for e in entries if probe.entry_may_hold_any(e, col)]
             return [e for e in entries if _entry_may_hold_any(e, col, values)]
         sc = self.spark.sparkContext
         n = max(1, min(len(entries) // 1024, sc.defaultParallelism))
         vals = frozenset(values)
+        if bulk:
+
+            def _part(it):
+                probe = _BulkKeyProbe(vals)
+                return [e for e in it if probe.entry_may_hold_any(e, col)]
+
+            return sc.parallelize(entries, n).mapPartitions(_part).collect()
         return (
             sc.parallelize(entries, n)
             .filter(lambda e: _entry_may_hold_any(e, col, vals))
@@ -4569,14 +4690,23 @@ class Warehouse:
         )
         # matched -> source row wins entirely (UPDATE SET *); unmatched
         # source -> INSERT *; unmatched target -> keep.
-        merged = merged.select(
-            *[
-                F.when(F.col(f"s.{key}").isNotNull(), F.col(f"s.{c.name}"))
-                .otherwise(F.col(f"t.{c.name}"))
-                .alias(c.name)
-                for c in schema.fields
-            ]
-        )
+        if not rewrite:
+            # insert-only fast path (optimization r13, guide 2.4
+            # "remove shuffles outright"): no file holds a matched key,
+            # so `current` is empty by construction and the full-outer
+            # join would only re-shuffle the batch to produce itself --
+            # the merge result IS the deduped source. The steady-state
+            # CDC trigger (all-new keys) takes this path.
+            merged = source.select(*[F.col(c.name) for c in schema.fields])
+        else:
+            merged = merged.select(
+                *[
+                    F.when(F.col(f"s.{key}").isNotNull(), F.col(f"s.{c.name}"))
+                    .otherwise(F.col(f"t.{c.name}"))
+                    .alias(c.name)
+                    for c in schema.fields
+                ]
+            )
         if deletes is not None:
             merged = merged.join(deletes, key, "left_anti")
 

@@ -98,3 +98,66 @@ def test_bloom_unsafe_or_mixed_columns_yield_no_bloom():
     assert _build_bloom([1, "a"]) is None  # mixed types
     assert _build_bloom([True, False]) is None  # bool: distinct SQL type
     assert _build_bloom([None, None]) is None  # all-null: no information
+
+
+def test_bulk_key_probe_matches_scalar():
+    """_BulkKeyProbe (vectorized large-batch pruning, r13) must keep
+    exactly the entries the scalar any(_entry_may_match) loop keeps,
+    across: str and int keys, range-prunable and bloom-prunable
+    entries, missing stats/blooms, legacy bare-hex blooms, cross-type
+    blooms, None keys (keep-all), and mixed-type batches (bloom
+    no-prune)."""
+    import random
+
+    from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import (
+        _BulkKeyProbe,
+        _build_bloom,
+        _entry_may_hold_any,
+    )
+
+    rng = random.Random(7)
+
+    def entry(vals, with_stats=True, with_bloom=True, legacy=False):
+        e = {}
+        svals = [v for v in vals if v is not None]
+        if with_stats and svals:
+            e["stats"] = {"k": [min(svals), max(svals)]}
+        if with_bloom:
+            b = _build_bloom(vals)
+            if b is not None:
+                e["blooms"] = {"k": "deadbeef" if legacy else b}
+        return e
+
+    str_entries = [
+        entry([f"TXN_{i}" for i in range(lo, lo + 50)])
+        for lo in range(0, 1000, 50)
+    ] + [
+        entry([f"TXN_{i}" for i in range(0, 1000, 7)], with_stats=False),
+        entry([f"TXN_{i}" for i in range(3, 60)], with_bloom=False),
+        entry(["TXN_1", "TXN_2"], legacy=True),
+        {"stats": {"other": [0, 9]}},  # no info on k at all
+        entry([5, 6, 7]),  # int bloom vs str batch: cross-type keep
+    ]
+    int_entries = [
+        entry(list(range(lo, lo + 50))) for lo in range(0, 1000, 50)
+    ] + [entry(list(range(0, 5000, 13)), with_stats=False)]
+
+    batches = [
+        {f"TXN_{i}" for i in rng.sample(range(5000), 3000)},
+        {f"TXN_{i}" for i in range(4000, 7000)},  # all-miss batch
+        set(rng.sample(range(20000), 4000)),
+        set(rng.sample(range(100), 50)) | {None},  # None -> keep all
+        {f"TXN_{i}" for i in range(2500)} | set(range(100)),  # mixed
+    ]
+    for batch in batches:
+        probe = _BulkKeyProbe(batch)
+        for entries in (str_entries, int_entries):
+            for e in entries:
+                scalar = _entry_may_hold_any(e, "k", batch)
+                bulk = probe.entry_may_hold_any(e, "k")
+                # exact parity, except bulk may be conservative (keep)
+                # where scalar pruned ONLY for mixed-type batches
+                if len({type(v) for v in batch if v is not None}) == 1:
+                    assert bulk == scalar, (e.keys(), sorted(batch)[:3])
+                else:
+                    assert bulk or not scalar

@@ -751,11 +751,16 @@ def test_mor_delete_where_multifile_commit(spark, wh):
     _assert_count_invariant(wh)
 
 
-def test_mor_merge_large_batch_multifile_commit(spark, wh):
+def test_mor_merge_large_batch_multifile_commit(spark, wh, monkeypatch):
     """merge_upsert mor past _MERGE_COLLECT_KEYS_MAX keeps the delete
     key set distributed (coalesce_one=False) -> several delete files in
-    one commit; every older copy of every batch key must die."""
+    one commit; every older copy of every batch key must die.
+
+    The cap is lowered for the test (r13 raised the default to 200k,
+    which no sf-sized fixture exceeds) -- the over-cap path itself is
+    what's under test."""
     n = 6000
+    monkeypatch.setattr(whmod.Warehouse, "_MERGE_COLLECT_KEYS_MAX", 5000)
     assert n > whmod.Warehouse._MERGE_COLLECT_KEYS_MAX
     _base(spark, wh, n=n)
     batch = [(f"k{i}", f"d{i % 2}", i + 100_000) for i in range(n)]
