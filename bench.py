@@ -898,7 +898,17 @@ def main() -> None:
             timings_min[name] = min(runs)
 
     # second section: warehouse DML path (kept OUT of "value" so the
-    # 20-query headline series stays comparable across rounds)
+    # 20-query headline series stays comparable across rounds).
+    # One untimed sf0.001 warmup pass first (measurement fix, r13): the
+    # DML section was single-shot and its first-ever partitioned
+    # write/merge/compact paid size-independent JIT/codegen -- measured
+    # insert 4.99 s cold vs 0.93 s warm on identical code, a 30%+ swing
+    # on the whole section. This extends the query series' existing
+    # warmup rationale ("cold-compile cost is size-independent") to the
+    # DML surface; the numbers measure the steady-state cost a
+    # deployment pays. Pre-warmup records: BENCH_r12* and
+    # BENCH_r13_baseline_preopt.json.
+    bench_dml(spark, "/root/testdata/sf0.001")
     dml = bench_dml(spark, sf_dir)
 
     # third section: streaming ingest (rows/s + commit-to-queryable

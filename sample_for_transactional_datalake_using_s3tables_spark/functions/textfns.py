@@ -76,9 +76,21 @@ SHINGLE_A = 1000003  # prime multiplier
 _H30_MASK = (1 << 30) - 1
 
 
-def token_hashes(tok: Column) -> Column:
+def token_hashes(tok: Column | str) -> Column:
     """30-bit md5-derived hash per token (the only string hashing the
-    shingle pipeline performs -- one md5 per token, not per shingle)."""
+    shingle pipeline performs -- one md5 per token, not per shingle).
+
+    Pass a column NAME (or SQL fragment) to build via one JVM-parsed
+    expression string: constructing higher-order lambdas through py4j
+    costs ~100 ms PER LAMBDA in driver round trips (optimization r13 --
+    the minhash pipeline's Column-built lambdas alone were 1.4+ s of
+    every call's wall; the expr-string build is ~0.07 s). The Column
+    form is kept for composed callers; both yield the same plan."""
+    if isinstance(tok, str):
+        return F.expr(
+            f"transform({tok}, t -> CAST(conv(substring(md5(t), 1, 15),"
+            f" 16, 10) AS BIGINT) & {_H30_MASK})"
+        )
     return F.transform(
         tok,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
@@ -93,13 +105,28 @@ TOKEN_HASHES_SQL = (
 )
 
 
-def hashed_shingles(ht: Column, n: int = 3) -> Column:
+def hashed_shingles(ht: Column | str, n: int = 3) -> Column:
     """n-gram shingle hashes from a token-hash array: rolling polynomial
     ``((h1*A + h2) % P * A + h3) % P`` over ``zip_with`` of shifted
     slices. Each slice references ``ht`` once PER ROW (an indexed
     ``transform(sequence(...), i -> ht[i])`` formulation would re-evaluate
     the token-hash expression per ELEMENT when Catalyst collapses
-    projections -- measured 25x slower). Empty array if < n tokens."""
+    projections -- measured 25x slower). Empty array if < n tokens.
+
+    String input builds the identical plan via one JVM-parsed
+    expression (see token_hashes: py4j lambda construction cost)."""
+    if isinstance(ht, str):
+        m = f"greatest(size({ht}) - {n - 1}, 0)"
+        acc = f"slice({ht}, 1, {m})"
+        for j in range(2, n + 1):
+            acc = (
+                f"zip_with({acc}, slice({ht}, {j}, {m}),"
+                f" (a, b) -> (a * {SHINGLE_A} + b) % {SHINGLE_P})"
+            )
+        return F.expr(
+            f"CASE WHEN size({ht}) >= {n} THEN {acc}"
+            " ELSE CAST(array() AS array<bigint>) END"
+        )
     sz = F.size(ht)
     m = F.greatest(sz - (n - 1), F.lit(0))
     acc = F.slice(ht, 1, m)

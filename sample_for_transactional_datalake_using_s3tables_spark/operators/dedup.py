@@ -141,10 +141,13 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
     instead of re-tokenizing the corpus."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toked = docs.select("doc_id", *extra, tokens(F.col("text")).alias("tok"))
+    # string-built higher-order expressions (r13): identical plan, but
+    # JVM-parsed in one shot instead of ~100 ms of py4j round trips per
+    # lambda (see textfns.token_hashes)
     hdf = toked.select(
-        "doc_id", *extra, token_hashes(F.col("tok")).alias("ht")
+        "doc_id", *extra, token_hashes("tok").alias("ht")
     ).localCheckpoint()
-    sh = F.array_distinct(hashed_shingles(F.col("ht")))
+    sh = F.array_distinct(hashed_shingles("ht"))
     out = hdf.select("doc_id", *extra, sh.alias("sh")).filter(F.size("sh") > 0)
     return out.localCheckpoint()
 
@@ -161,10 +164,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to string-shingle Jaccard up to ~2^-31 hash collisions,
     and bit-identical to the DuckDB oracle either way)."""
     base = _doc_shingles(spark, sf_dir)
-    sig = base.select(
+    sig = base.selectExpr(
         "doc_id",
         *[
-            F.array_min(F.transform(F.col("sh"), _remix(a, b))).alias(f"mh{i}")
+            f"array_min(transform(sh, h -> (h * {a} + {b}) % {MINHASH_P}))"
+            f" as mh{i}"
             for i, (a, b) in enumerate(MINHASH_COEF)
         ],
     )
@@ -267,22 +271,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equal signatures cluster near-identical bags of words."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toked = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
-    hs = F.transform(
-        F.col("tok"),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    # expr-string build (r13): same plan as the 17 py4j-built lambdas
+    # (one per-token md5 transform + one filter per bit), parsed in the
+    # JVM instead (see textfns.token_hashes)
+    d = toked.selectExpr(
+        "doc_id",
+        "transform(tok, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10)"
+        " AS BIGINT)) as hs",
+        "size(tok) as n",
     )
-    d = toked.select("doc_id", hs.alias("hs"), F.size("tok").alias("n"))
-
-    def bit_set(mask: int):
-        # single-arg lambda (two params would mean (element, index))
-        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
-
-    simhash = None
-    for b in range(SIMHASH_BITS):
-        cnt = F.size(F.filter(F.col("hs"), bit_set(1 << b)))
-        bit = F.when(2 * cnt > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
-        simhash = bit if simhash is None else simhash + bit
-    return d.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    bits = " + ".join(
+        f"(CASE WHEN 2 * size(filter(hs, h -> (h & {1 << b}) != 0)) > n"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return d.selectExpr("doc_id", f"CAST({bits} AS BIGINT) as simhash")
 
 
 def _simhash_sql() -> str:
@@ -320,23 +323,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. The oracle mirrors the same candidate generation verbatim, so
     the pair set is deterministic and engine-independent."""
     base = _doc_shingles(spark, sf_dir, "lang", "source")
-    bands = base.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_id"),
-                        F.array_min(F.transform(F.col("sh"), _remix(a, b))).alias(
-                            "band_key"
-                        ),
-                    )
-                    for i, (a, b) in enumerate(MINHASH_COEF)
-                ]
-            )
-        ).alias("bk"),
+    band_structs = ", ".join(
+        f"struct({i} as band_id,"
+        f" array_min(transform(sh, h -> (h * {a} + {b}) % {MINHASH_P}))"
+        f" as band_key)"
+        for i, (a, b) in enumerate(MINHASH_COEF)
+    )
+    bands = base.selectExpr(
+        "doc_id", "lang", "source", f"explode(array({band_structs})) as bk"
     ).select("doc_id", "lang", "source", "bk.band_id", "bk.band_key")
     cand = (
         bands.alias("a")

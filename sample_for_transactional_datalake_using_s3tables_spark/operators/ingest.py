@@ -38,34 +38,34 @@ def _attr_n(col) -> F.Column:
     return F.create_map(F.lit("N"), col.cast("string"))
 
 
-def _image(amount, proc_offset: int):
-    """NewImage map for one synthetic transaction derived from an event."""
-    return F.map_from_arrays(
-        F.array(
-            F.lit("transaction_id"),
-            F.lit("timestamp"),
-            F.lit("customer_id"),
-            F.lit("amount"),
-            F.lit("status"),
-            F.lit("processing_timestamp"),
-        ),
-        F.array(
-            _attr_s(F.concat(F.lit("TXN_"), F.col("event_id"))),
-            _attr_n(_ms()),
-            _attr_s(F.concat(F.lit("CUST_"), F.col("user_id"))),
-            _attr_n(amount),
-            _attr_s(F.upper("event_type")),
-            _attr_n(_ms() + F.lit(proc_offset)),
-        ),
-    )
-
-
 def _envelope(event: str, amount, proc_offset: int):
-    return F.to_json(
-        F.struct(
-            F.lit(event).alias("eventName"),
-            F.struct(_image(amount, proc_offset).alias("NewImage")).alias("dynamodb"),
-        )
+    """One DynamoDB-Streams envelope JSON line per event row.
+
+    Assembled with string concat instead of to_json over nested maps
+    (optimization r13, guide section 1.2 "per-task work"): byte-
+    identical output -- every value is alphanumeric (ids, digit
+    strings, upper-cased event types, double-cast-to-string amounts),
+    so no JSON escaping can apply, and map_from_arrays preserved the
+    same key order this literal spells out. Verified byte-equal against
+    the to_json formulation across all variants at sf0.1; ~2x less
+    per-row CPU and far lower run-to-run variance (Jackson map
+    serialization was the envelope stage's dominant cost)."""
+    ms = _ms().cast("string")
+    return F.concat(
+        F.lit('{"eventName":"' + event + '","dynamodb":{"NewImage":{'),
+        F.lit('"transaction_id":{"S":"TXN_'),
+        F.col("event_id").cast("string"),
+        F.lit('"},"timestamp":{"N":"'),
+        ms,
+        F.lit('"},"customer_id":{"S":"CUST_'),
+        F.col("user_id").cast("string"),
+        F.lit('"},"amount":{"N":"'),
+        amount.cast("string"),
+        F.lit('"},"status":{"S":"'),
+        F.upper("event_type"),
+        F.lit('"},"processing_timestamp":{"N":"'),
+        (_ms() + F.lit(proc_offset)).cast("string"),
+        F.lit('"}}}}'),
     )
 
 
