@@ -21,8 +21,17 @@ from pyspark.sql import Column
 SCALE = 1_000_000
 
 
-def quantize(col: Column) -> Column:
-    """array<float> -> array<bigint> fixed-point at 1e-6 resolution."""
+def quantize(col: Column | str) -> Column:
+    """array<float> -> array<bigint> fixed-point at 1e-6 resolution.
+
+    A column-name string builds the identical plan via one JVM-parsed
+    expression (py4j lambda construction costs ~100 ms per lambda --
+    optimization r13, see textfns.token_hashes)."""
+    if isinstance(col, str):
+        return F.expr(
+            f"transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE})"
+            " AS BIGINT))"
+        )
     return F.transform(col, lambda x: F.floor(x.cast("double") * SCALE).cast("bigint"))
 
 
@@ -31,8 +40,16 @@ QUANTIZE_SQL = (
 )
 
 
-def dot_int(a: Column, b: Column) -> Column:
-    """Exact int64 dot product of two quantized vectors."""
+def dot_int(a: Column | str, b: Column | str) -> Column:
+    """Exact int64 dot product of two quantized vectors. String inputs
+    (column names or SQL fragments) build via one JVM-parsed expression
+    -- the Column-lambda form costs two py4j lambda constructions per
+    call (see quantize)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("bigint"),

@@ -44,8 +44,8 @@ _HYPERPLANES = hyperplanes(LSH_TABLES, LSH_BITS)
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
-    q = emb.select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
-    return q.withColumn("n2", dot_int(F.col("qv"), F.col("qv")))
+    q = emb.select("vec_id", "label", quantize("embedding").alias("qv"))
+    return q.withColumn("n2", dot_int("qv", "qv"))
 
 
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,13 +92,18 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 def bucket_expr(table_id: int, col: str = "qv"):
     """Spark Column: LSH bucket id for table ``table_id`` (sum of sign bits
     against literal hyperplanes -- constants folded into codegen). Shared
-    with dedup_embedding's candidate prefilter."""
-    bucket = F.lit(0)
+    with dedup_embedding's candidate prefilter. Built as one JVM-parsed
+    expression string: the Column formulation was 64 literal arrays +
+    2 py4j lambdas per bit (~0.3 s of driver time per table set, r13)."""
+    bits = []
     for b in range(LSH_BITS):
-        plane = F.array(*[F.lit(c) for c in _HYPERPLANES[table_id][b]])
-        d = dot_int(F.col(col), plane)
-        bucket = bucket + F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return bucket
+        lit = "array(" + ", ".join(str(c) for c in _HYPERPLANES[table_id][b]) + ")"
+        d = (
+            f"aggregate(zip_with({col}, {lit}, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {d} > 0 THEN {1 << b} ELSE 0 END)")
+    return F.expr("0 + " + " + ".join(bits))
 
 
 _bucket_expr = bucket_expr

@@ -40,6 +40,16 @@ def _builder_confs(shuffle_partitions: int) -> dict[str, str]:
         # 128 MB split targets hold at 100 TB: ~800k input splits, fine for
         # a 1000-executor cluster; local runs simply get fewer, larger tasks.
         "spark.sql.files.maxPartitionBytes": "134217728",
+        # No minimum-split inflation (optimization r13, guide 2.2 "fewer,
+        # larger map tasks"): the default floor (= default parallelism)
+        # shreds small scans into per-core slivers -- a multi-branch DML
+        # changelog ran 42-task scan stages whose tasks measured ~330 ms
+        # wall at 7 ms CPU (pure scheduling/lock wait), 131 s of executor
+        # time for a 100k-row table. With the floor at 1, splits derive
+        # from bytes alone (openCost + maxPartitionBytes), which also
+        # holds at cluster scale: a 10 GB scan still gets ~80 128 MB
+        # splits rather than one sliver per core.
+        "spark.sql.files.minPartitionNum": "1",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
