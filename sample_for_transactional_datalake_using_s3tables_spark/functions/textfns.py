@@ -40,8 +40,18 @@ def tokens(col: Column) -> Column:
 TOKENS_SQL = "string_split(lower({col}), ' ')"
 
 
-def shingles(tok: Column, n: int = 3) -> Column:
-    """n-gram (word) shingles as strings; empty array if < n tokens."""
+def shingles(tok: Column | str, n: int = 3) -> Column:
+    """n-gram (word) shingles as strings; empty array if < n tokens.
+
+    String input builds the identical plan via one JVM-parsed
+    expression (see token_hashes: py4j lambda construction cost)."""
+    if isinstance(tok, str):
+        return F.expr(
+            f"CASE WHEN size({tok}) >= {n} THEN"
+            f" transform(sequence(1, size({tok}) - {n - 1}),"
+            f" i -> concat_ws(' ', slice({tok}, i, {n})))"
+            " ELSE CAST(array() AS array<string>) END"
+        )
     return F.when(
         F.size(tok) >= n,
         F.transform(

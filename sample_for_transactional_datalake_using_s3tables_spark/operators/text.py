@@ -312,7 +312,7 @@ def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
     from ..functions.textfns import shingles
 
-    ng = toked.select("doc_id", F.explode(shingles(F.col("tok"), 2)).alias("ngram"))
+    ng = toked.select("doc_id", F.explode(shingles("tok", 2)).alias("ngram"))
     return (
         ng.groupBy("ngram")
         .agg(
@@ -361,7 +361,7 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", split_col().alias("split"), tokens(F.col("text")).alias("tok")
     )
     sh = toked.select(
-        "doc_id", "split", F.array_distinct(shingles(F.col("tok"))).alias("sh")
+        "doc_id", "split", F.array_distinct(shingles("tok")).alias("sh")
     )
     train_sh = (
         sh.filter(F.col("split") == "train")
