@@ -944,23 +944,35 @@ def main() -> None:
     print(line)
     # ALSO persist the record to a file (VERDICT r10 #6: the r10
     # driver record lost its headline to stdout tail-truncation --
-    # `parsed: null`). Round number inferred from the newest BENCH_r*
-    # record on disk; falls back to a fixed name, never fails the run.
+    # `parsed: null`). Naming (VERDICT r13 #9): the old
+    # BENCH_r{max+1}_builder.json scheme let driver re-runs clobber
+    # committed records; now honor $SPARK_GRAFT_BENCH_OUT, else name by
+    # git SHA + core count so no run ever shadows a committed BENCH_r*.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        import re as _re
+        out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+        if out_path:
+            if not os.path.isabs(out_path):
+                out_path = os.path.join(here, out_path)
+        else:
+            sha = "nogit"
+            try:
+                import subprocess
 
-        rounds = [
-            int(m.group(1))
-            for fn in os.listdir(here)
-            for m in [_re.match(r"BENCH_r(\d+)\.json$", fn)]
-            if m
-        ]
-        name = (
-            f"BENCH_r{max(rounds) + 1:02d}_builder.json"
-            if rounds else "BENCH_latest_run.json"
-        )
-        with open(os.path.join(here, name), "w") as f:
+                sha = (
+                    subprocess.run(
+                        ["git", "-C", here, "rev-parse", "--short", "HEAD"],
+                        capture_output=True, text=True, timeout=10,
+                    ).stdout.strip()
+                    or "nogit"
+                )
+            except Exception:  # noqa: BLE001
+                pass
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            out_path = os.path.join(
+                here, f"BENCH_run_{sha}_c{cpus}.json"
+            )
+        with open(out_path, "w") as f:
             f.write(line + "\n")
     except OSError as e:
         print(f"# bench record write failed: {e}", file=sys.stderr)

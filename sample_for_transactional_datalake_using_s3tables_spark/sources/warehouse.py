@@ -3340,6 +3340,50 @@ class Warehouse:
             tdir, added_all, schema, phys=self._snapshot_phys(doc, meta)
         )
 
+    @staticmethod
+    def _net_changes(ins: DataFrame, dels: DataFrame) -> DataFrame:
+        """Net insert/delete pre-image pairs in ONE pass and tag the
+        survivors with ``_change_type``.
+
+        Semantically identical to the former
+        ``ins.exceptAll(dels), dels.exceptAll(ins)`` pair followed by a
+        tagged union -- exact multiset netting, duplicate rows and
+        keyless tables included -- but planned as a single signed-count
+        aggregate: union the sides with +1/-1 weights, sum per distinct
+        row, keep rows whose net count is non-zero, and replicate each
+        |net| times on its surviving side. The exceptAll pair planned
+        each input subtree TWICE (Spark lowers exceptAll to its own
+        union/aggregate/generate, and the two directions tag the union
+        branches with opposite weights, so their exchanges never
+        reuse) and ran two full-width aggregate exchanges; this runs
+        one (guide §2.3 aggregate before you shuffle / §2.4 remove
+        shuffles outright). Pre-image reconstruction -- the expensive
+        ghost-aware file reads + delete-key semi-joins feeding ``dels``
+        -- therefore executes once instead of twice.
+        """
+        cols = ins.columns
+        both = ins.withColumn("__w", F.lit(1)).unionByName(
+            dels.select(*cols).withColumn("__w", F.lit(-1))
+        )
+        net = (
+            both.groupBy(*cols)
+            .agg(F.sum("__w").alias("__net"))
+            .filter(F.col("__net") != 0)
+        )
+        return (
+            net.withColumn(
+                "_change_type",
+                F.when(F.col("__net") > 0, F.lit("insert")).otherwise(
+                    F.lit("delete")
+                ),
+            )
+            .withColumn(
+                "__i",
+                F.explode(F.sequence(F.lit(1), F.abs(F.col("__net")))),
+            )
+            .drop("__net", "__i")
+        )
+
     def changelog(
         self,
         ns: str,
@@ -3557,12 +3601,13 @@ class Warehouse:
                     # UPDATE whose assignment left a row unchanged emits
                     # nothing (pairs cancel) -- cheap here, the stored
                     # sets are O(matched rows)
-                    ins, dels = ins.exceptAll(dels), dels.exceptAll(ins)
-                changed = ins.withColumn(
-                    "_change_type", F.lit("insert")
-                ).unionByName(
-                    dels.withColumn("_change_type", F.lit("delete"))
-                )
+                    changed = self._net_changes(ins, dels)
+                else:
+                    changed = ins.withColumn(
+                        "_change_type", F.lit("insert")
+                    ).unionByName(
+                        dels.withColumn("_change_type", F.lit("delete"))
+                    )
                 changed = changed.withColumn(
                     "_commit_version", F.lit(v).cast("int")
                 ).select(*cols)
@@ -3645,10 +3690,13 @@ class Warehouse:
             for part in del_parts:
                 dels = dels.unionByName(part)
             if net and del_parts:
-                ins, dels = ins.exceptAll(dels), dels.exceptAll(ins)
-            changed = ins.withColumn(
-                "_change_type", F.lit("insert")
-            ).unionByName(dels.withColumn("_change_type", F.lit("delete")))
+                changed = self._net_changes(ins, dels)
+            else:
+                changed = ins.withColumn(
+                    "_change_type", F.lit("insert")
+                ).unionByName(
+                    dels.withColumn("_change_type", F.lit("delete"))
+                )
             changed = changed.withColumn(
                 "_commit_version", F.lit(v).cast("int")
             ).select(*cols)
