@@ -333,7 +333,23 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
         # so every pass re-ingests the full shard set; the LAST run's
         # table/checkpoint feed the latency probes below.
         N_STREAM_RUNS = 3
+
+        def _phase_medians(prefix: str, phases: dict) -> dict[str, float]:
+            """Per-trigger phase walls -> flat median entries
+            (optimization r14, VERDICT r13 #3: make the per-trigger
+            MERGE wall driver-visible instead of builder-box claims)."""
+            res: dict[str, float] = {}
+            for k, xs in phases.items():
+                if xs:
+                    res[f"{prefix}_{k}_median"] = _median(xs)
+            if phases:
+                res[f"{prefix}_triggers"] = float(
+                    max(len(xs) for xs in phases.values())
+                )
+            return res
+
         cdc_runs: list[float] = []
+        cdc_phases: dict = {}
         try:
             for r in range(N_STREAM_RUNS):
                 last = r == N_STREAM_RUNS - 1
@@ -347,7 +363,8 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
                     create_transactions_table(wh, table=tname)
                 t0 = time.perf_counter()
                 q = stream_cdc_to_table(
-                    spark, src, wh, ckpt, table=tname, quarantine_table=qt
+                    spark, src, wh, ckpt, table=tname, quarantine_table=qt,
+                    phase_sink=cdc_phases if last else None,
                 )
                 if not _await(q, 1800, f"cdc run {r}"):
                     break
@@ -357,6 +374,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
                 out["cdc_rows_per_sec"] = _median(cdc_runs)
                 out["cdc_rows_per_sec_runs"] = cdc_runs
                 out["cdc_wall_sec"] = round(n_rows / _median(cdc_runs), 3)
+                out.update(_phase_medians("cdc_phase", cdc_phases))
         except Exception as e:  # noqa: BLE001
             print(f"# streaming cdc: {type(e).__name__}: {e}"[:300],
                   file=sys.stderr)
@@ -422,6 +440,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
         # same 100-row commit-to-queryable probe.
         try:
             mor_runs: list[float] = []
+            mor_phases: dict = {}
             for r in range(N_STREAM_RUNS):
                 last = r == N_STREAM_RUNS - 1
                 tname = (
@@ -437,6 +456,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
                 q = stream_cdc_to_table(
                     spark, src, wh, ckpt, table=tname, strategy="mor",
                     quarantine_table=f"{tname}_errors",
+                    phase_sink=mor_phases if last else None,
                 )
                 if not _await(q, 1800, f"cdc mor run {r}"):
                     break
@@ -446,6 +466,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
             if len(mor_runs) == N_STREAM_RUNS:
                 out["cdc_mor_rows_per_sec"] = _median(mor_runs)
                 out["cdc_mor_rows_per_sec_runs"] = mor_runs
+                out.update(_phase_medians("cdc_mor_phase", mor_phases))
                 t0 = time.perf_counter()
                 wh.auto_maintain("analytics", "transactions_mor")
                 out["cdc_mor_maintain_sec"] = round(

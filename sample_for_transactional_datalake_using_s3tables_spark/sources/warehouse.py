@@ -36,6 +36,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 
 import pyspark.sql.functions as F
@@ -2045,6 +2046,13 @@ class Warehouse:
     # the scalar early-exit loop to the vectorized _BulkKeyProbe.
     _BULK_KEY_PROBE_MIN = 2048
 
+    # Commits at or below this many files AND bytes extract footer
+    # stats/blooms in-process instead of scheduling a Spark job: a CDC
+    # trigger's handful of small local files costs less to read than a
+    # job round-trip (optimization r14). Large commits stay distributed.
+    _META_LOCAL_MAX_FILES = 16
+    _META_LOCAL_MAX_BYTES = 64 << 20
+
     # Manifest-matching loops (stats/Bloom skipping) run driver-side up
     # to this many entries; above it they distribute over executors so
     # metadata-only planning never serializes a million-file manifest
@@ -2746,13 +2754,35 @@ class Warehouse:
         key_col = bloom_col if (bloom_col and bloom_col in df.columns) else None
         if key_col:
             key_col = phys.get(key_col, key_col)  # files store physical names
-        sc = self.spark.sparkContext
-        n_slices = max(1, min(len(paths), sc.defaultParallelism))
-        metas = (
-            sc.parallelize(paths, n_slices)
-            .map(lambda fp: {**_extract_file_meta(fp[0], key_col), "partition": fp[1]})
-            .collect()
-        )
+        if (
+            len(paths) <= self._META_LOCAL_MAX_FILES
+            and sum(os.path.getsize(p) for p, _ in paths)
+            <= self._META_LOCAL_MAX_BYTES
+        ):
+            # small commit (the per-trigger CDC steady state): footer +
+            # bloom extraction in-process -- scheduling a Spark job to
+            # read a few local footers costs more than the reads
+            # (optimization r14; guide §1.2 per-task work). Large
+            # commits keep the distributed build below, so driver-side
+            # work stays bounded by the byte cap as files-per-commit
+            # grows.
+            metas = [
+                {**_extract_file_meta(fp, key_col), "partition": part}
+                for fp, part in paths
+            ]
+        else:
+            sc = self.spark.sparkContext
+            n_slices = max(1, min(len(paths), sc.defaultParallelism))
+            metas = (
+                sc.parallelize(paths, n_slices)
+                .map(
+                    lambda fp: {
+                        **_extract_file_meta(fp[0], key_col),
+                        "partition": fp[1],
+                    }
+                )
+                .collect()
+            )
         entries = []
         for m in metas:
             full = m.pop("abs")
@@ -2792,6 +2822,64 @@ class Warehouse:
             df = df.coalesce(1)
         entries = self._write_files(tdir, df, None, bloom_col=phys_key)
         return [dict(e, col=phys_key, content="deletes") for e in entries]
+
+    def _write_delete_files_from_keys(
+        self, tdir: str, key_vals: set, meta: dict
+    ) -> list[dict] | None:
+        """Equality-delete file written IN-PROCESS from an
+        already-known batch key set (optimization r14, guide §2.4
+        remove work outright): the MoR CDC trigger already holds its
+        batch's distinct keys on the driver (bounded by
+        ``_MERGE_COLLECT_KEYS_MAX``), so the delete file is one pyarrow
+        write of a sorted single-column table -- no Spark
+        distinct+coalesce job, no footer re-read job. Stats come from
+        the sorted values (exact bounds, same contract as footer
+        min/max) and the Bloom from the same ``_build_bloom`` the
+        distributed path uses, so the manifest entry is
+        indistinguishable from a ``_write_delete_files`` one.
+
+        Returns None when the key type has no supported arrow mapping
+        (caller falls back to the distributed write); [] for an empty
+        key set (no file, matching the distributed path's no-rows
+        behavior)."""
+        import pyarrow as pa
+
+        key = meta["key"]
+        phys_key = (meta.get("physical") or {}).get(key, key)
+        key_type = StructType.fromJson(meta["schema"])[key].dataType
+        pa_type = {
+            "string": pa.string(),
+            "long": pa.int64(),
+            "integer": pa.int32(),
+        }.get(key_type.typeName())
+        if pa_type is None:
+            return None
+        vals = sorted(v for v in key_vals if v is not None)
+        if not vals:
+            return []
+        try:
+            arr = pa.array(vals, type=pa_type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+            return None  # out-of-range / mistyped values: distributed path
+        import pyarrow.parquet as pq
+
+        commit_id = uuid.uuid4().hex[:12]
+        stage = os.path.join(tdir, "data", commit_id)
+        os.makedirs(stage, exist_ok=True)
+        full = os.path.join(stage, f"{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.table({phys_key: arr}), full)
+        entry = {
+            "path": os.path.relpath(full, tdir),
+            "bytes": os.path.getsize(full),
+            "records": len(vals),
+            "stats": {phys_key: [vals[0], vals[-1]]},
+            "col": phys_key,
+            "content": "deletes",
+        }
+        bloom = _build_bloom(vals)
+        if bloom is not None:
+            entry["blooms"] = {phys_key: bloom}
+        return [entry]
 
     def _write_pos_delete_files(
         self, tdir: str, addr_df: DataFrame
@@ -4645,7 +4733,11 @@ class Warehouse:
                 ).distinct()
                 match_keys = match_keys.union(stale)
             return self._merge_upsert_mor(
-                tdir, meta, source, match_keys, version, branch=branch
+                tdir, meta, source, match_keys, version, branch=branch,
+                # no delete-marked rows and no by-source stale keys ==
+                # match_keys is exactly the deduped source's key set,
+                # recoverable from the written data files (fast path)
+                keys_equal_source=(deletes is None and not sync_deletes),
             )
         if strategy != "cow":
             raise ValueError(f"unknown MERGE strategy {strategy!r}")
@@ -4696,6 +4788,7 @@ class Warehouse:
         # no matched key carry over by manifest reference even inside
         # partitions that receive inserts; at 100 TB a CDC batch
         # rewrites the handful of files with matches, never a partition.
+        t_probe = time.perf_counter()
         candidates = (
             self._prune_entries_by_keys(entries, phys_key, key_vals)
             if key_vals is not None
@@ -4758,7 +4851,14 @@ class Warehouse:
         if deletes is not None:
             merged = merged.join(deletes, key, "left_anti")
 
+        t_write = time.perf_counter()
+        self.last_merge_stats["walls"] = {
+            "probe_sec": round(t_write - t_probe, 3)
+        }
         new_files = self._write_table_files(tdir, merged, meta)
+        self.last_merge_stats["walls"]["write_data_sec"] = round(
+            time.perf_counter() - t_write, 3
+        )
 
         def validate_rebase(fresh: list[dict]) -> bool:
             # A concurrent append into an untouched partition may hold a
@@ -4777,11 +4877,16 @@ class Warehouse:
                 df = df.join(match_keys, key, "left_semi")
             return df.limit(1).count() == 0
 
-        return self._publish_rewrite(
+        t_pub = time.perf_counter()
+        out = self._publish_rewrite(
             tdir, version, touched if pcol else None, rewrite, untouched,
             new_files, meta["schema"], phys=meta.get("physical"),
             rebase_validate=validate_rebase, branch=branch, op="merge",
         )
+        self.last_merge_stats["walls"]["publish_sec"] = round(
+            time.perf_counter() - t_pub, 3
+        )
+        return out
 
     def _merge_upsert_mor(
         self,
@@ -4791,6 +4896,7 @@ class Warehouse:
         match_keys: DataFrame,
         version: int,
         branch: str | None = None,
+        keys_equal_source: bool = False,
     ) -> int:
         """Merge-on-read MERGE commit: append the (already deduped,
         validated) batch as data files plus one equality-delete file of
@@ -4800,7 +4906,65 @@ class Warehouse:
         rows -- same seq, not < -- survive: exactly latest-wins upsert,
         with zero reads of existing data. Commits never conflict with
         each other (pure appends; a lost version race rebases and
-        re-stamps, serializing by final commit order)."""
+        re-stamps, serializing by final commit order).
+
+        ``keys_equal_source`` (optimization r14): the caller asserts
+        ``match_keys`` is exactly the deduped source's key set (no
+        delete-marked rows, no by-source stale keys). The steady-state
+        CDC trigger then commits ONE Spark job: write the data files,
+        recover the batch's key values from the just-written local
+        footers (the same column the Bloom build already reads), and
+        write the equality-delete file in-process from those values --
+        the former flow ran a collect job for the keys (recomputing the
+        within-batch dedup), a distinct+coalesce job, a write job and a
+        footer job for the delete file, every trigger."""
+        t0 = time.perf_counter()
+        walls: dict[str, float] = {}
+        if keys_equal_source and not meta.get("change_feed"):
+            data_files = self._write_table_files(tdir, source, meta)
+            walls["write_data_sec"] = round(time.perf_counter() - t0, 3)
+            if not data_files:
+                return version  # empty batch: no empty commit
+            t1 = time.perf_counter()
+            key = meta["key"]
+            phys_key = (meta.get("physical") or {}).get(key, key)
+            del_files = None
+            if (
+                sum(e["records"] for e in data_files)
+                <= self._MERGE_COLLECT_KEYS_MAX
+            ):
+                import pyarrow.parquet as pq
+
+                vals: list = []
+                for e in data_files:
+                    vals += (
+                        pq.read_table(
+                            os.path.join(tdir, e["path"]), columns=[phys_key]
+                        )
+                        .column(0)
+                        .to_pylist()
+                    )
+                del_files = self._write_delete_files_from_keys(
+                    tdir, {v for v in vals if v is not None}, meta
+                )
+            if del_files is None:  # over-cap batch or unmapped key type
+                del_files = self._write_delete_files(
+                    tdir, match_keys, meta, coalesce_one=False
+                )
+            walls["write_deletes_sec"] = round(time.perf_counter() - t1, 3)
+            t2 = time.perf_counter()
+            self.last_merge_stats.update(
+                mode="mor", probed_files=0, rewritten_files=0,
+                data_files=len(data_files), delete_files=len(del_files),
+            )
+            out = self._publish_append(
+                tdir, version, data_files, meta["schema"],
+                phys=meta.get("physical"), new_deletes=del_files,
+                branch=branch, op="merge",
+            )
+            walls["publish_sec"] = round(time.perf_counter() - t2, 3)
+            self.last_merge_stats["walls"] = walls
+            return out
         kp = match_keys.limit(self._MERGE_COLLECT_KEYS_MAX + 1).collect()
         if not kp:
             return version  # empty batch: no empty commit
@@ -4876,21 +5040,37 @@ class Warehouse:
                 tdir, schema, phys, key, key_vals, match_keys
             )
 
+        t1 = time.perf_counter()
         data_files = self._write_table_files(tdir, source, meta)
-        del_files = self._write_delete_files(
-            tdir, match_keys, meta, coalesce_one=small
-        )
+        walls["write_data_sec"] = round(time.perf_counter() - t1, 3)
+        t1 = time.perf_counter()
+        del_files = None
+        if small:
+            # keys already on the driver: one in-process pyarrow write
+            # instead of a distinct+coalesce job + write job + footer job
+            del_files = self._write_delete_files_from_keys(
+                tdir, {r[0] for r in kp}, meta
+            )
+        if del_files is None:
+            del_files = self._write_delete_files(
+                tdir, match_keys, meta, coalesce_one=small
+            )
+        walls["write_deletes_sec"] = round(time.perf_counter() - t1, 3)
         self.last_merge_stats.update(
             mode="mor", probed_files=0, rewritten_files=0,
             data_files=len(data_files), delete_files=len(del_files),
         )
-        return self._publish_append(
+        t1 = time.perf_counter()
+        out = self._publish_append(
             tdir, version, data_files, meta["schema"],
             phys=meta.get("physical"), new_deletes=del_files, branch=branch,
             op="merge", change_files=change_files,
             rebase_validate=rebase_validate,
             rebase_validate_changes=rebase_validate_changes,
         )
+        walls["publish_sec"] = round(time.perf_counter() - t1, 3)
+        self.last_merge_stats["walls"] = walls
+        return out
 
     def _touched_by_predicate(
         self,

@@ -223,6 +223,7 @@ def merge_cdc_batch(
     quarantine_table: str = "transactions_errors",
     strategy: str = "cow",
     txn: tuple[str, int] | None = None,
+    phase_sink: dict | None = None,
 ) -> None:
     """One micro-batch: parse -> quarantine split -> latest-wins MERGE.
 
@@ -238,14 +239,31 @@ def merge_cdc_batch(
     split sizes (fully populating the cache), and the sinks read from
     cache -- ``parse_cdc`` evaluates exactly once per trigger instead of
     once per emptiness probe + sink.
+
+    ``phase_sink`` (optimization r14, driver-visible evidence): a
+    mutable dict that accumulates per-trigger phase walls -- parse+agg,
+    quarantine append, MERGE, and the warehouse's own merge sub-walls
+    (probe / data write / delete write / publish) -- as
+    ``{phase: [sec, ...]}`` lists, one element per trigger.
     """
+    import time as _time
+
+    def _mark(name: str, t0: float) -> None:
+        if phase_sink is not None:
+            phase_sink.setdefault(name, []).append(
+                round(_time.perf_counter() - t0, 3)
+            )
+
+    t0 = _time.perf_counter()
     parsed = parse_cdc(batch).cache()
     try:
         n_bad, n_good = parsed.agg(
             F.count(F.col("_corrupt")).alias("n_bad"),
             F.count(F.when(F.col("_keep"), 1)).alias("n_good"),
         ).first()
+        _mark("parse_agg_sec", t0)
         if n_bad:
+            t0 = _time.perf_counter()
             # idempotent: create_table defaults if_not_exists=True
             wh.create_table(
                 ns,
@@ -253,11 +271,19 @@ def merge_cdc_batch(
                 StructType([StructField("raw_record", StringType())]),
             )
             wh.insert(ns, quarantine_table, quarantine_rows(parsed), txn=txn)
+            _mark("quarantine_sec", t0)
         if n_good:
+            t0 = _time.perf_counter()
             wh.merge_upsert(
                 ns, table, good_rows(parsed),
                 order_col="processing_timestamp", strategy=strategy,
             )
+            _mark("merge_sec", t0)
+            if phase_sink is not None:
+                for k, v in (
+                    wh.last_merge_stats.get("walls") or {}
+                ).items():
+                    phase_sink.setdefault(f"merge_{k}", []).append(v)
     finally:
         parsed.unpersist()
 
@@ -272,6 +298,7 @@ def stream_cdc_to_table(
     trigger: dict | None = None,
     strategy: str = "cow",
     quarantine_table: str = "transactions_errors",
+    phase_sink: dict | None = None,
 ):
     """S1/S6: file-source CDC stream (simulating the shard poller,
     reference stack/firehose.py:249-257) -> 60 s-style micro-batches ->
@@ -295,7 +322,7 @@ def stream_cdc_to_table(
             lambda batch, epoch: merge_cdc_batch(
                 wh, batch, ns, table, strategy=strategy,
                 quarantine_table=quarantine_table,
-                txn=(app_id, epoch),
+                txn=(app_id, epoch), phase_sink=phase_sink,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
