@@ -39,6 +39,10 @@ def tokens(col: Column) -> Column:
 
 TOKENS_SQL = "string_split(lower({col}), ' ')"
 
+# Spark-SQL twin of :func:`tokens` for expr-string builders (a single
+# space is a literal under both engines' split semantics).
+TOKENS_SPARK_SQL = "split(lower({col}), ' ')"
+
 
 def shingles(tok: Column | str, n: int = 3) -> Column:
     """n-gram (word) shingles as strings; empty array if < n tokens.

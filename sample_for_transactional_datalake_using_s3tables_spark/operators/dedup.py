@@ -413,8 +413,8 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs only. The oracle mirrors the identical bucketing,
     keeping the pair set engine-independent."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
-    q = emb.select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
-    q = q.withColumn("n2", dot_int(F.col("qv"), F.col("qv")))
+    q = emb.select("vec_id", "label", quantize("embedding").alias("qv"))
+    q = q.withColumn("n2", dot_int("qv", "qv"))
     buckets = q.select(
         "vec_id",
         "label",
@@ -442,7 +442,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cos = cosine_from_ints(
-        dot_int(F.col("qa.qv"), F.col("qb.qv")), F.col("qa.n2"), F.col("qb.n2")
+        dot_int("qa.qv", "qb.qv"), F.col("qa.n2"), F.col("qb.n2")
     )
     return (
         cand.join(q.alias("qa"), F.col("vec_a") == F.col("qa.vec_id"))

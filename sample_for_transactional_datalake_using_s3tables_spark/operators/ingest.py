@@ -49,7 +49,15 @@ def _envelope(event: str, amount, proc_offset: int):
     same key order this literal spells out. Verified byte-equal against
     the to_json formulation across all variants at sf0.1; ~2x less
     per-row CPU and far lower run-to-run variance (Jackson map
-    serialization was the envelope stage's dominant cost)."""
+    serialization was the envelope stage's dominant cost).
+
+    PRECONDITION (ADVICE r13): every referenced column (event_id,
+    user_id, event_type, value, ts) must be NON-NULL -- F.concat
+    null-propagates, so a NULL component would null the whole envelope
+    and array_compact would silently drop that event, where the old
+    to_json form emitted a record with a null attribute. The testdata
+    generator guarantees this (gen_sf.py emits no NULLs in these
+    columns); a future nullable source must coalesce explicitly."""
     ms = _ms().cast("string")
     return F.concat(
         F.lit('{"eventName":"' + event + '","dynamodb":{"NewImage":{'),
@@ -101,7 +109,14 @@ def cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # former row_number window sorted the whole batch after the
     # shuffle. No proc_ts ties exist by construction (INSERT and
     # MODIFY of one key carry distinct offsets), so the winner is the
-    # same row the window picked.
+    # same row the window picked. NULL-ordering caveat (ADVICE r13):
+    # max_by skips rows whose ordering value is NULL, so a key whose
+    # rows ALL carry null processing_timestamp would yield a null
+    # struct where a desc_nulls_last window kept the row -- safe here
+    # because _envelope always sets processing_timestamp (non-null ts
+    # precondition above); lifting this pattern elsewhere requires a
+    # coalesce on the ordering column (the production trigger path,
+    # warehouse.merge_upsert, keeps nulls-last window semantics).
     from ..streaming.cdc import TRANSACTIONS_SCHEMA
 
     others = [

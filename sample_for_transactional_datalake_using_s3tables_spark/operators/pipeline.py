@@ -27,7 +27,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.textfns import TOKENS_SQL, md5_int, md5_int_sql, tokens
+from ..functions.textfns import (
+    TOKENS_SPARK_SQL,
+    TOKENS_SQL,
+    md5_int,
+    md5_int_sql,
+)
 from ..sources.testdata import load_table, spread
 from .text import (
     _STOP_LIST_SQL,
@@ -46,7 +51,8 @@ _SAMPLE_PCT = 50
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     d = docs.select(
-        "doc_id", "lang", "source", "text", *quality_stat_cols(tokens(F.col("text")))
+        "doc_id", "lang", "source", "text",
+        *quality_stat_cols(TOKENS_SPARK_SQL.format(col="text")),
     )
     ok = d.where(
         (F.col("n_tokens") >= QUALITY_MIN_TOKENS)

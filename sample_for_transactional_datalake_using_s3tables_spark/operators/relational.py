@@ -114,7 +114,7 @@ def risk_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("total_events"),
             # exact int64 cents sum (see _money_atom): value atoms are
             # ~5e4, so one int64 sum holds ~1.6e14 rows per group
-            _int_to_dec(F.sum(_money_atom(F.col("value"))), 2)
+            money_sum(F.col("value"), ("events", "value"))
             .cast(DEC).alias("total_value"),
             F.count(F.when(F.col("value") > 100, 1)).alias("high_value_events"),
             F.count(F.when(F.col("value") > 300, 1)).alias("very_high_value_events"),
@@ -158,7 +158,7 @@ def hourly_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("total_events"),
             F.countDistinct("user_id").alias("unique_users"),
-            _int_to_dec(F.sum(_money_atom(F.col("value"))), 2)
+            money_sum(F.col("value"), ("events", "value"))
             .cast(DEC).alias("total_value"),
             F.count(F.when(F.col("value") > 200, 1)).alias("large_events"),
         )
@@ -250,7 +250,7 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            _int_to_dec(F.sum(_money_atom(F.col("value"))), 2)
+            money_sum(F.col("value"), ("events", "value"))
             .cast(DEC).alias("total_value")
         )
         .orderBy(F.col("total_value").desc(), "user_id")
@@ -270,14 +270,65 @@ FROM events GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 10
 
 _MONEY_SPLIT = 1_000_000
 
+# The documented exact-2-decimal money domain (TESTDATA.md; pinned
+# per-SF by tests/test_testdata.py::test_money_columns_are_cents).
+# _money_atom's round(x*100) trick is ONLY exact on such domains: a
+# 3-decimal value (or one near a .5-cent tie) silently diverges from
+# the declared decimal semantics. Membership here is the authorization
+# to take the int64 atom path; anything else must use decimal sums
+# (``money_sum`` routes automatically). Affine transforms of a contract
+# column with small exact-decimal literals (1 - l_discount, 1 + l_tax)
+# stay exact-2-decimal, so they inherit the source column's domain.
+_MONEY_2DP_COLUMNS = frozenset(
+    {
+        ("events", "value"),
+        ("lineitem", "l_quantity"),
+        ("lineitem", "l_extendedprice"),
+        ("lineitem", "l_discount"),
+        ("lineitem", "l_tax"),
+        ("orders", "o_totalprice"),
+        ("part", "p_retailprice"),
+        ("supplier", "s_acctbal"),
+        ("customer", "c_acctbal"),
+    }
+)
 
-def _money_atom(col: F.Column) -> F.Column:
+
+def _money_atom(
+    col: F.Column, domain: tuple[str, str], strict: bool = True
+) -> F.Column | None:
     """Money column (exact 2-decimal double, see TESTDATA.md) -> integer
     cents as int64. round(x*100) == cast(x as decimal(12,2))*100 on this
     domain (pinned by tests/test_testdata.py::test_money_columns_are_cents):
     2-decimal values are at most ~1e-9 off an integer after *100, far
-    inside round()'s half-unit tolerance, and no exact .5 ties exist."""
+    inside round()'s half-unit tolerance, and no exact .5 ties exist.
+
+    ``domain`` names the (table, column) whose membership in
+    ``_MONEY_2DP_COLUMNS`` authorizes the atom path (optimization r14
+    guard): outside the contract the rewrite is NOT exact, so strict
+    callers fail loudly at plan-build time and ``money_sum`` falls back
+    to decimal sums instead."""
+    if domain not in _MONEY_2DP_COLUMNS:
+        if strict:
+            raise ValueError(
+                f"money column {domain!r} is outside the documented "
+                "exact-2-decimal contract; use decimal sums "
+                "(money_sum falls back automatically)"
+            )
+        return None
     return F.round(col * 100).cast("bigint")
+
+
+def money_sum(col: F.Column, domain: tuple[str, str]) -> F.Column:
+    """SUM of a money column: exact int64 cent atoms when ``domain`` is
+    inside the documented exact-2-decimal contract (the fast path every
+    testdata money column takes -- identical expression to the r13
+    formulation, so plans are unchanged), exact decimal(18,2) sums
+    otherwise (correct on any numeric domain, ~20x more per-row work)."""
+    atom = _money_atom(col, domain, strict=False)
+    if atom is None:
+        return F.sum(col.cast("decimal(18,2)")).cast("decimal(38,2)")
+    return _int_to_dec(F.sum(atom), 2)
 
 
 def _split_sum(atom: F.Column, tag: str) -> list[F.Column]:
@@ -338,10 +389,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary: ROUND not cast (Spark casts round HALF_UP, DuckDB's
     truncate; round() is half-away-from-zero in both)."""
     li = load_table(spark, sf_dir, "lineitem")
-    qty_i = _money_atom(F.col("l_quantity"))
-    ep_i = _money_atom(F.col("l_extendedprice"))
-    d_i = _money_atom(1 - F.col("l_discount"))
-    t_i = _money_atom(1 + F.col("l_tax"))
+    qty_i = _money_atom(F.col("l_quantity"), ("lineitem", "l_quantity"))
+    ep_i = _money_atom(
+        F.col("l_extendedprice"), ("lineitem", "l_extendedprice")
+    )
+    d_i = _money_atom(1 - F.col("l_discount"), ("lineitem", "l_discount"))
+    t_i = _money_atom(1 + F.col("l_tax"), ("lineitem", "l_tax"))
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
         # qty atoms <= 5000: a single int64 sum holds ~1.8e15 rows/group
         F.sum(qty_i).alias("qty_s"),
@@ -401,7 +454,12 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             # o_totalprice atoms ~5.6e7: split-sum keeps the per-group
             # int64 bound above any 100 TB row count (see _split_sum)
-            *_split_sum(_money_atom(F.col("o_totalprice")), "rev"),
+            *_split_sum(
+                _money_atom(
+                    F.col("o_totalprice"), ("orders", "o_totalprice")
+                ),
+                "rev",
+            ),
         )
     )
     return agg.select(
@@ -438,7 +496,9 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             # under any per-group bound; SUM over the all-null group of
             # a no-order customer stays NULL -> COALESCE as before
             F.coalesce(
-                _int_to_dec(F.sum(_money_atom(F.col("o_totalprice"))), 2),
+                money_sum(
+                    F.col("o_totalprice"), ("orders", "o_totalprice")
+                ),
                 F.lit(0).cast("decimal(38,2)"),
             )
             .cast(DEC)
@@ -625,9 +685,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int64 revenue atoms at scale 1e4 (exact == the decimal product);
     # groups are single orders (<= 7 lineitems), so one int64 sum is
     # exact with astronomical headroom
-    rev_i = _money_atom(F.col("l_extendedprice")) * _money_atom(
-        1 - F.col("l_discount")
-    )
+    rev_i = _money_atom(
+        F.col("l_extendedprice"), ("lineitem", "l_extendedprice")
+    ) * _money_atom(1 - F.col("l_discount"), ("lineitem", "l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -662,9 +722,9 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # single global group: split-sum keeps the int64 partials exact at
     # any table size (rev atoms <= ~7.4e8 at scale 1e4)
-    rev_i = _money_atom(F.col("l_extendedprice")) * _money_atom(
-        F.col("l_discount")
-    )
+    rev_i = _money_atom(
+        F.col("l_extendedprice"), ("lineitem", "l_extendedprice")
+    ) * _money_atom(F.col("l_discount"), ("lineitem", "l_discount"))
     agg = li.filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -703,9 +763,9 @@ def supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 25 (region, nation) groups can hold ~1/25 of the table each, so
     # the int64 revenue sum is split (lo/hi) -- exact at any scale
-    rev_i = _money_atom(F.col("l_extendedprice")) * _money_atom(
-        1 - F.col("l_discount")
-    )
+    rev_i = _money_atom(
+        F.col("l_extendedprice"), ("lineitem", "l_extendedprice")
+    ) * _money_atom(1 - F.col("l_discount"), ("lineitem", "l_discount"))
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("o_orderstatus") == "F")

@@ -57,7 +57,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("q_n2"),
     )
     cos = cosine_from_ints(
-        dot_int(F.col("q_qv"), F.col("qv")), F.col("q_n2"), F.col("n2")
+        dot_int("q_qv", "qv"), F.col("q_n2"), F.col("n2")
     )
     scored = (
         base.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
@@ -197,7 +197,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["query_id", "vec_id"])
     )
     cos = cosine_from_ints(
-        dot_int(F.col("q_qv"), F.col("qv")), F.col("q_n2"), F.col("n2")
+        dot_int("q_qv", "qv"), F.col("q_n2"), F.col("n2")
     )
     scored = cand.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
@@ -253,7 +253,7 @@ def similarity_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _quantized(spark, sf_dir)
     a, b = q.alias("a"), q.alias("b")
     cos = cosine_from_ints(
-        dot_int(F.col("a.qv"), F.col("b.qv")), F.col("a.n2"), F.col("b.n2")
+        dot_int("a.qv", "b.qv"), F.col("a.n2"), F.col("b.n2")
     )
     return (
         a.join(
@@ -313,7 +313,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("c_n2"),
     )
     c_cos = cosine_from_ints(
-        dot_int(F.col("qv"), F.col("c_qv")), F.col("n2"), F.col("c_n2")
+        dot_int("qv", "c_qv"), F.col("n2"), F.col("c_n2")
     )
     scored = base.crossJoin(F.broadcast(cent)).select(
         "vec_id", "qv", "n2", "cent_id", c_cos.alias("c_cos")
@@ -336,7 +336,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cos = cosine_from_ints(
-        dot_int(F.col("q_qv"), F.col("qv")), F.col("q_n2"), F.col("n2")
+        dot_int("q_qv", "qv"), F.col("q_n2"), F.col("n2")
     )
     cand = assigned.join(F.broadcast(probes), "cluster_id").filter(
         F.col("query_id") != F.col("vec_id")
@@ -402,7 +402,7 @@ def similarity_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vector, map-side partial sums; the per-label rollup is tiny. No
     vector ever moves whole through a shuffle."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
-    q = emb.select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
+    q = emb.select("vec_id", "label", quantize("embedding").alias("qv"))
     dims = q.select("label", F.posexplode("qv").alias("dim", "v"))
     per_dim = dims.groupBy("label", "dim").agg(F.sum("v").alias("s"))
     sdec = F.col("s").cast("decimal(19,0)")
@@ -456,7 +456,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         "qv",
-        F.array_max(F.transform(F.col("qv"), F.abs)).alias("maxabs_q"),
+        F.expr("array_max(transform(qv, x -> abs(x)))").alias("maxabs_q"),
     )
     codes = q.withColumn(
         "codes",
@@ -466,16 +466,21 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE (abs(v) * 127) div maxabs_q END)"
         ),
     )
-    c = F.col("codes")
+    # expr-string aggregates (optimization r14): same plan, no py4j
+    # lambda construction (~100 ms each, see functions/vectors.py)
     return codes.select(
         "vec_id",
         "label",
         "maxabs_q",
-        F.aggregate(c, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("code_sum"),
-        F.aggregate(c, F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)).alias(
-            "code_l1"
+        F.expr(
+            "aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("code_sum"),
+        F.expr(
+            "aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + abs(x))"
+        ).alias("code_l1"),
+        F.expr("size(filter(codes, x -> abs(x) = 127))").alias(
+            "n_saturated"
         ),
-        F.size(F.filter(c, lambda x: F.abs(x) == 127)).alias("n_saturated"),
     )
 
 
@@ -640,16 +645,19 @@ def _kmeans_assign(
     lowest cluster id, so which path ran is invisible to results."""
     if cents and len(cents) * len(cents[0]) > CENTROID_LITERAL_BUDGET:
         return _kmeans_assign_broadcast(q, cents, bc_holder)
-    carr = F.array(
-        *[F.array(*[F.lit(int(c)) for c in cent]) for cent in cents]
+    # one JVM-parsed expression instead of 3 nested py4j lambdas per
+    # Lloyd iteration (optimization r14; identical plan -- centroids
+    # are int literals either way, see functions/vectors.py)
+    carr_sql = "array({})".format(
+        ", ".join(
+            "array({})".format(", ".join(str(int(c)) for c in cent))
+            for cent in cents
+        )
     )
-    dists = F.transform(
-        carr,
-        lambda c: F.aggregate(
-            F.zip_with(F.col("qv"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ),
+    dists = F.expr(
+        f"transform({carr_sql}, c -> aggregate("
+        "zip_with(qv, c, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x))"
     )
     return q.select(
         "vec_id",
@@ -737,7 +745,7 @@ def _kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     return emb.select(
-        "vec_id", quantize(F.col("embedding")).alias("qv")
+        "vec_id", quantize("embedding").alias("qv")
     ).localCheckpoint()
 
 

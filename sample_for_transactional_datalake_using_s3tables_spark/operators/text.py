@@ -71,7 +71,21 @@ QUALITY_MAX_STOP_RATIO = 0.5
 
 
 def quality_stat_cols(tok) -> list:
-    """The three per-document counters the quality grade derives from."""
+    """The three per-document counters the quality grade derives from.
+
+    A SQL-fragment string builds the identical plan via JVM-parsed
+    expressions instead of a py4j ``filter`` lambda (~100 ms of driver
+    wall per lambda -- optimization r13/r14 pattern, see
+    textfns.shingles)."""
+    if isinstance(tok, str):
+        stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+        return [
+            F.expr(f"size({tok})").alias("n_tokens"),
+            F.expr(f"size(array_distinct({tok}))").alias("n_distinct"),
+            F.expr(f"size(filter({tok}, t -> t IN ({stop})))").alias(
+                "n_stop"
+            ),
+        ]
     return [
         F.size(tok).alias("n_tokens"),
         F.size(F.array_distinct(tok)).alias("n_distinct"),
@@ -84,7 +98,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact-int divisions -> portable doubles), bucketed into a grade."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toked = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
-    d = toked.select("doc_id", *quality_stat_cols(F.col("tok")))
+    d = toked.select("doc_id", *quality_stat_cols("tok"))
     distinct_ratio = F.col("n_distinct") / F.col("n_tokens")
     stop_ratio = F.col("n_stop") / F.col("n_tokens")
     return d.select(

@@ -77,7 +77,7 @@ def udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas_udf (scalar iterator) over quantized embedding vectors."""
     norm2 = F.pandas_udf(_norm_batches, "long")
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
-    q = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    q = emb.select("vec_id", quantize("embedding").alias("qv"))
     return q.select(
         "vec_id",
         norm2(F.col("qv")).alias("norm2"),

@@ -56,17 +56,18 @@ def _builder_confs(shuffle_partitions: int) -> dict[str, str]:
     }
 
 
-# Sessions already configured this process (id() keyed; a restarted
-# session gets a new wrapper object). Saves ~5 py4j conf round trips per
-# load_table call -- configure() runs on EVERY table load (optimization
-# r13; the semantics are unchanged, it is pure memoization).
-_CONFIGURED: set[int] = set()
-
-
 def configure(spark: SparkSession) -> SparkSession:
-    """Apply engine runtime semantics to an existing session (idempotent)."""
-    key = id(spark)
-    if key in _CONFIGURED:
+    """Apply engine runtime semantics to an existing session (idempotent).
+
+    Memoized by marking the session OBJECT itself (ADVICE r13: an
+    id()-keyed module set could alias a new wrapper allocated at a
+    dead session's address and silently skip configuring it -- a
+    foreign session would then run without UTC/AQE and diverge
+    date/hour derivations from the oracle; it also leaked ids).
+    Liveness is tied to the actual object, and the mark costs no py4j
+    round trip. Saves ~5 conf round trips per load_table call
+    (optimization r13; semantics unchanged, pure memoization)."""
+    if getattr(spark, "_graft_configured", False):
         return spark
     for k, v in RUNTIME_CONFS.items():
         try:
@@ -74,7 +75,10 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             # Non-mutable in this deployment; engine code paths tolerate it.
             pass
-    _CONFIGURED.add(key)
+    try:
+        spark._graft_configured = True
+    except Exception:
+        pass  # exotic session proxy refusing attributes: just re-run
     return spark
 
 

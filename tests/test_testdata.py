@@ -62,10 +62,17 @@ def test_unix_micros_callsites_resolve(spark):
 def test_money_columns_are_cents():
     """Pin the exact-2-decimal money domain the r13 integer-sum
     formulation relies on (relational._money_atom): for every money
-    column at every SF, x*100 is within 0.01 of an integer, so
-    round(x*100) == CAST(x AS DECIMAL(12,2)) * 100 exactly and no
-    half-way ties exist. If a future generator ever emits >2 decimals,
-    this fails before any oracle mismatch could."""
+    column at EVERY SF present in the testdata dir (ADVICE r13: derive
+    the list instead of hand-typing three, so a bench/verify run at a
+    larger SF never rests on an unpinned assumption), x*100 is within
+    0.01 of an integer, so round(x*100) == CAST(x AS DECIMAL(12,2))*100
+    exactly and no half-way ties exist. Also asserts the physical
+    parquet type is float64: a float32 column at another SF would break
+    round(x*100) exactness long before the 2-decimal check could see
+    it. If a future generator ever emits >2 decimals, this fails before
+    any oracle mismatch could."""
+    import os
+
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -74,10 +81,63 @@ def test_money_columns_are_cents():
         "orders": ["o_totalprice"],
         "events": ["value"],
     }
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+    sfs = sorted(
+        d for d in os.listdir("/root/testdata")
+        if d.startswith("sf")
+        and os.path.isdir(os.path.join("/root/testdata", d))
+    )
+    assert sfs, "no sf* dirs under /root/testdata"
+    for sf in sfs:
         for table, names in cols.items():
             t = pq.read_table(f"/root/testdata/{sf}/{table}.parquet", columns=names)
             for c in names:
+                assert str(t.schema.field(c).type) == "double", (
+                    sf, table, c, t.schema.field(c).type,
+                )
                 x = t[c].to_numpy(zero_copy_only=False) * 100.0
                 frac = np.abs(x - np.rint(x)).max()
                 assert frac < 0.01, (sf, table, c, frac)
+
+
+def test_money_atom_guard_and_fallback(spark):
+    """The int64 atom path is gated on the documented exact-2-decimal
+    contract (VERDICT r13 #6): a column OUTSIDE the contract must (a)
+    raise loudly from the strict _money_atom, and (b) route money_sum
+    to the decimal fallback -- exercised here with an injected
+    3-decimal row on which the atom formulation would silently diverge
+    from the declared decimal semantics."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from sample_for_transactional_datalake_using_s3tables_spark.operators import (
+        relational as R,
+    )
+
+    with pytest.raises(ValueError, match="exact-2-decimal contract"):
+        R._money_atom(F.col("x"), ("not_a_table", "x"))
+
+    # injected 3-decimal rows: 1.005 is the canonical divergence --
+    # round(1.005*100) = 100 (the float product is 100.499...) while
+    # CAST(1.005 AS DECIMAL(18,2)) = 1.01 (shortest-repr HALF_UP)
+    df = spark.createDataFrame([(1.005,), (2.0,), (0.335,)], "x double")
+    fallback = df.agg(
+        R.money_sum(F.col("x"), ("injected", "x")).alias("s")
+    ).first()["s"]
+    atom_sum = df.agg(
+        R._int_to_dec(
+            F.sum(F.round(F.col("x") * 100).cast("bigint")), 2
+        ).alias("s")
+    ).first()["s"]
+    decimal_ref = df.agg(
+        F.sum(F.col("x").cast("decimal(18,2)")).alias("s")
+    ).first()["s"]
+    assert fallback == decimal_ref  # fallback == declared semantics
+    assert atom_sum != fallback  # the guard matters on this domain
+
+    # contract columns keep the EXACT r13 atom expression (bench plans
+    # unchanged): money_sum compiles to the same _int_to_dec(sum(atom))
+    a = R.money_sum(F.col("value"), ("events", "value"))
+    b = R._int_to_dec(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")), 2
+    )
+    assert str(a) == str(b)
