@@ -38,8 +38,13 @@ def _attr_n(col) -> F.Column:
     return F.create_map(F.lit("N"), col.cast("string"))
 
 
-def _envelope(event: str, amount, proc_offset: int):
+def _envelope(event: str, amount_sql: str, proc_offset: int):
     """One DynamoDB-Streams envelope JSON line per event row.
+
+    Built as ONE JVM-parsed expression (optimization r14): the Column
+    concat of ~16 pieces cost dozens of py4j round trips per variant;
+    the parsed tree is identical (same concat/cast/upper calls).
+    ``amount_sql`` is a SQL fragment (e.g. ``"value"``, ``"value * 2"``).
 
     Assembled with string concat instead of to_json over nested maps
     (optimization r13, guide section 1.2 "per-task work"): byte-
@@ -58,22 +63,23 @@ def _envelope(event: str, amount, proc_offset: int):
     to_json form emitted a record with a null attribute. The testdata
     generator guarantees this (gen_sf.py emits no NULLs in these
     columns); a future nullable source must coalesce explicitly."""
-    ms = _ms().cast("string")
-    return F.concat(
-        F.lit('{"eventName":"' + event + '","dynamodb":{"NewImage":{'),
-        F.lit('"transaction_id":{"S":"TXN_'),
-        F.col("event_id").cast("string"),
-        F.lit('"},"timestamp":{"N":"'),
-        ms,
-        F.lit('"},"customer_id":{"S":"CUST_'),
-        F.col("user_id").cast("string"),
-        F.lit('"},"amount":{"N":"'),
-        amount.cast("string"),
-        F.lit('"},"status":{"S":"'),
-        F.upper("event_type"),
-        F.lit('"},"processing_timestamp":{"N":"'),
-        (_ms() + F.lit(proc_offset)).cast("string"),
-        F.lit('"}}}}'),
+    ms = "CAST(unix_micros(ts) div 1000 AS STRING)"
+    head = '{"eventName":"' + event + '","dynamodb":{"NewImage":{'
+    return F.expr(
+        "concat("
+        f"'{head}\"transaction_id\":{{\"S\":\"TXN_', "
+        "CAST(event_id AS STRING), "
+        "'\"},\"timestamp\":{\"N\":\"', "
+        f"{ms}, "
+        "'\"},\"customer_id\":{\"S\":\"CUST_', "
+        "CAST(user_id AS STRING), "
+        "'\"},\"amount\":{\"N\":\"', "
+        f"CAST({amount_sql} AS STRING), "
+        "'\"},\"status\":{\"S\":\"', "
+        "upper(event_type), "
+        "'\"},\"processing_timestamp\":{\"N\":\"', "
+        f"CAST((unix_micros(ts) div 1000) + {proc_offset} AS STRING), "
+        "'\"}}}}')"
     )
 
 
@@ -91,12 +97,12 @@ def cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spread(load_table(spark, sf_dir, "events"), "event_id")
     variants = F.array_compact(
         F.array(
-            _envelope("INSERT", F.col("value"), 1),
+            _envelope("INSERT", "value", 1),
             F.when(
                 F.col("event_id") % 5 == 0,
-                _envelope("MODIFY", F.col("value") * 2, 2),
+                _envelope("MODIFY", "value * 2", 2),
             ),
-            F.when(F.col("event_id") % 10 == 0, _envelope("REMOVE", F.col("value"), 3)),
+            F.when(F.col("event_id") % 10 == 0, _envelope("REMOVE", "value", 3)),
         )
     )
     raw = events.select(F.explode(variants).alias("_env")).select(
@@ -179,13 +185,13 @@ def cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spread(load_table(spark, sf_dir, "events"), "event_id")
     variants = F.array_compact(
         F.array(
-            _envelope("INSERT", F.col("value"), 1),
+            _envelope("INSERT", "value", 1),
             F.when(
                 F.col("event_id") % 10 == 0,
                 F.concat(F.lit("NOTJSON|"), F.col("event_id").cast("string")),
             ),
             F.when(F.col("event_id") % 15 == 0, _keyless_envelope()),
-            F.when(F.col("event_id") % 7 == 0, _envelope("REMOVE", F.col("value"), 3)),
+            F.when(F.col("event_id") % 7 == 0, _envelope("REMOVE", "value", 3)),
         )
     )
     raw = events.select(F.explode(variants).alias("value"))

@@ -107,18 +107,29 @@ def risk_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _with_week_window(spark, sf_dir)
         .groupBy(
-            F.col("ts").cast("date").alias("event_date"),
+            F.expr("CAST(ts AS DATE) AS event_date"),
             F.col("event_type"),
         )
         .agg(
-            F.count("*").alias("total_events"),
+            # expr-string aggregates (optimization r14): identical
+            # expressions, one JVM parse per column instead of dozens
+            # of py4j round trips (see _money_atom_sql)
+            F.expr("COUNT(*) AS total_events"),
             # exact int64 cents sum (see _money_atom): value atoms are
             # ~5e4, so one int64 sum holds ~1.6e14 rows per group
-            money_sum(F.col("value"), ("events", "value"))
-            .cast(DEC).alias("total_value"),
-            F.count(F.when(F.col("value") > 100, 1)).alias("high_value_events"),
-            F.count(F.when(F.col("value") > 300, 1)).alias("very_high_value_events"),
-            F.countDistinct("user_id").alias("unique_users"),
+            F.expr(
+                f"CAST({money_sum_sql('value', ('events', 'value'))}"
+                f" AS {DEC}) AS total_value"
+            ),
+            F.expr(
+                "COUNT(CASE WHEN value > 100 THEN 1 END)"
+                " AS high_value_events"
+            ),
+            F.expr(
+                "COUNT(CASE WHEN value > 300 THEN 1 END)"
+                " AS very_high_value_events"
+            ),
+            F.expr("COUNT(DISTINCT user_id) AS unique_users"),
         )
         .filter(F.col("high_value_events") > 0)
         .orderBy(F.col("high_value_events").desc(), "event_date", "event_type")
@@ -151,16 +162,20 @@ def hourly_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.crossJoin(F.broadcast(mx))
         .filter(F.col("ts").cast("date") == F.col("_mxd"))
         .groupBy(
-            F.col("ts").cast("date").alias("event_date"),
-            F.hour("ts").alias("event_hour"),
+            F.expr("CAST(ts AS DATE) AS event_date"),
+            F.expr("hour(ts) AS event_hour"),
             "event_type",
         )
         .agg(
-            F.count("*").alias("total_events"),
-            F.countDistinct("user_id").alias("unique_users"),
-            money_sum(F.col("value"), ("events", "value"))
-            .cast(DEC).alias("total_value"),
-            F.count(F.when(F.col("value") > 200, 1)).alias("large_events"),
+            F.expr("COUNT(*) AS total_events"),
+            F.expr("COUNT(DISTINCT user_id) AS unique_users"),
+            F.expr(
+                f"CAST({money_sum_sql('value', ('events', 'value'))}"
+                f" AS {DEC}) AS total_value"
+            ),
+            F.expr(
+                "COUNT(CASE WHEN value > 200 THEN 1 END) AS large_events"
+            ),
         )
         .orderBy("event_hour", F.col("total_value").desc(), "event_type")
     )
@@ -250,8 +265,10 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            money_sum(F.col("value"), ("events", "value"))
-            .cast(DEC).alias("total_value")
+            F.expr(
+                f"CAST({money_sum_sql('value', ('events', 'value'))}"
+                f" AS {DEC}) AS total_value"
+            )
         )
         .orderBy(F.col("total_value").desc(), "user_id")
         .limit(10)
@@ -363,6 +380,61 @@ def _combine_split(tag: str) -> F.Column:
     )
 
 
+# ---- Spark-SQL fragment twins of the money helpers (optimization r14,
+# guide §1.1 driver-side wall): each bench money query built its
+# aggregate list from dozens of composed Column operations, and every
+# Column operation is one or more py4j round trips (~0.4 ms each;
+# risk_analysis alone was 622 round trips, ~0.3 s of pure driver wall
+# per build). These fragments spell out the IDENTICAL expressions --
+# same functions, same literal types, same casts, so the analyzed plan
+# is unchanged -- and each output column costs ONE JVM parse. Contract
+# enforcement is unchanged: callers obtain atoms via _money_atom_sql,
+# which applies the same _MONEY_2DP_COLUMNS gate.
+
+
+def _money_atom_sql(frag: str, domain: tuple[str, str]) -> str:
+    """SQL twin of :func:`_money_atom` (same contract gate)."""
+    if domain not in _MONEY_2DP_COLUMNS:
+        raise ValueError(
+            f"money column {domain!r} is outside the documented "
+            "exact-2-decimal contract; use decimal sums"
+        )
+    return f"CAST(ROUND(({frag}) * 100) AS BIGINT)"
+
+
+def _split_sum_sql(atom: str, tag: str) -> list[str]:
+    """SQL twin of :func:`_split_sum` (same lo/hi exactness argument)."""
+    lo = f"(({atom}) % {_MONEY_SPLIT})"
+    return [
+        f"SUM({lo}) AS {tag}_lo",
+        f"SUM(CAST((({atom}) - {lo}) / {_MONEY_SPLIT} AS BIGINT))"
+        f" AS {tag}_hi",
+    ]
+
+
+def _int_to_dec_sql(frag: str, scale_pow: int) -> str:
+    """SQL twin of :func:`_int_to_dec`."""
+    return (
+        f"CAST(CAST(({frag}) AS DECIMAL(38,0)) / {10 ** scale_pow}"
+        f" AS DECIMAL(38,{scale_pow}))"
+    )
+
+
+def _combine_split_sql(tag: str) -> str:
+    """SQL twin of :func:`_combine_split`."""
+    return (
+        f"(CAST({tag}_hi AS DECIMAL(38,0)) * {_MONEY_SPLIT}"
+        f" + CAST({tag}_lo AS DECIMAL(38,0)))"
+    )
+
+
+def money_sum_sql(frag: str, domain: tuple[str, str]) -> str:
+    """SQL twin of :func:`money_sum` (same contract routing)."""
+    if domain not in _MONEY_2DP_COLUMNS:
+        return f"CAST(SUM(CAST(({frag}) AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+    return _int_to_dec_sql(f"SUM({_money_atom_sql(frag, domain)})", 2)
+
+
 def _int_to_dec(col: F.Column, scale_pow: int) -> F.Column:
     """Exact bigint/decimal(38,0) at fixed point 10^-scale_pow ->
     decimal(38,scale_pow). The division is exact (result scale >= true
@@ -389,32 +461,41 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary: ROUND not cast (Spark casts round HALF_UP, DuckDB's
     truncate; round() is half-away-from-zero in both)."""
     li = load_table(spark, sf_dir, "lineitem")
-    qty_i = _money_atom(F.col("l_quantity"), ("lineitem", "l_quantity"))
-    ep_i = _money_atom(
-        F.col("l_extendedprice"), ("lineitem", "l_extendedprice")
+    qty_i = _money_atom_sql("l_quantity", ("lineitem", "l_quantity"))
+    ep_i = _money_atom_sql(
+        "l_extendedprice", ("lineitem", "l_extendedprice")
     )
-    d_i = _money_atom(1 - F.col("l_discount"), ("lineitem", "l_discount"))
-    t_i = _money_atom(1 + F.col("l_tax"), ("lineitem", "l_tax"))
+    d_i = _money_atom_sql("1 - l_discount", ("lineitem", "l_discount"))
+    t_i = _money_atom_sql("1 + l_tax", ("lineitem", "l_tax"))
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
         # qty atoms <= 5000: a single int64 sum holds ~1.8e15 rows/group
-        F.sum(qty_i).alias("qty_s"),
-        *_split_sum(ep_i, "ep"),
-        *_split_sum(ep_i * d_i, "disc"),
-        *_split_sum(ep_i * d_i * t_i, "charge"),
-        F.count("*").alias("count_order"),
+        F.expr(f"SUM({qty_i}) AS qty_s"),
+        *[F.expr(e) for e in _split_sum_sql(ep_i, "ep")],
+        *[F.expr(e) for e in _split_sum_sql(f"({ep_i} * {d_i})", "disc")],
+        *[
+            F.expr(e)
+            for e in _split_sum_sql(f"({ep_i} * {d_i} * {t_i})", "charge")
+        ],
+        F.expr("COUNT(*) AS count_order"),
     )
-    sum_qty = _int_to_dec(F.col("qty_s"), 2).cast(DEC)
-    sum_base = _int_to_dec(_combine_split("ep"), 2).cast(DEC)
-    sum_disc = F.round(_int_to_dec(_combine_split("disc"), 4), 2).cast(DEC)
-    sum_charge = F.round(_int_to_dec(_combine_split("charge"), 6), 2).cast(DEC)
+    sum_qty = f"CAST({_int_to_dec_sql('qty_s', 2)} AS {DEC})"
+    sum_base = f"CAST({_int_to_dec_sql(_combine_split_sql('ep'), 2)} AS {DEC})"
+    sum_disc = (
+        f"CAST(ROUND({_int_to_dec_sql(_combine_split_sql('disc'), 4)}, 2)"
+        f" AS {DEC})"
+    )
+    sum_charge = (
+        f"CAST(ROUND({_int_to_dec_sql(_combine_split_sql('charge'), 6)}, 2)"
+        f" AS {DEC})"
+    )
     return agg.select(
         "l_returnflag",
         "l_linestatus",
-        sum_qty.alias("sum_qty"),
-        sum_base.alias("sum_base_price"),
-        sum_disc.alias("sum_disc_price"),
-        sum_charge.alias("sum_charge"),
-        (sum_qty.cast("double") / F.col("count_order")).alias("avg_qty"),
+        F.expr(f"{sum_qty} AS sum_qty"),
+        F.expr(f"{sum_base} AS sum_base_price"),
+        F.expr(f"{sum_disc} AS sum_disc_price"),
+        F.expr(f"{sum_charge} AS sum_charge"),
+        F.expr(f"CAST({sum_qty} AS DOUBLE) / count_order AS avg_qty"),
         F.col("count_order"),
     ).orderBy("l_returnflag", "l_linestatus")
 
@@ -451,22 +532,28 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.count("*").alias("n_orders"),
+            F.expr("COUNT(*) AS n_orders"),
             # o_totalprice atoms ~5.6e7: split-sum keeps the per-group
             # int64 bound above any 100 TB row count (see _split_sum)
-            *_split_sum(
-                _money_atom(
-                    F.col("o_totalprice"), ("orders", "o_totalprice")
-                ),
-                "rev",
-            ),
+            *[
+                F.expr(e)
+                for e in _split_sum_sql(
+                    _money_atom_sql(
+                        "o_totalprice", ("orders", "o_totalprice")
+                    ),
+                    "rev",
+                )
+            ],
         )
     )
     return agg.select(
         "r_name",
         "n_name",
         "n_orders",
-        _int_to_dec(_combine_split("rev"), 2).cast(DEC).alias("revenue"),
+        F.expr(
+            f"CAST({_int_to_dec_sql(_combine_split_sql('rev'), 2)}"
+            f" AS {DEC}) AS revenue"
+        ),
     ).orderBy("r_name", "n_name")
 
 
@@ -491,18 +578,15 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
-            F.count("o_orderkey").alias("n_orders"),
+            F.expr("COUNT(o_orderkey) AS n_orders"),
             # per-customer groups: one int64 cents sum is exact and far
             # under any per-group bound; SUM over the all-null group of
             # a no-order customer stays NULL -> COALESCE as before
-            F.coalesce(
-                money_sum(
-                    F.col("o_totalprice"), ("orders", "o_totalprice")
-                ),
-                F.lit(0).cast("decimal(38,2)"),
-            )
-            .cast(DEC)
-            .alias("total_spent"),
+            F.expr(
+                "CAST(COALESCE("
+                + money_sum_sql("o_totalprice", ("orders", "o_totalprice"))
+                + f", CAST(0 AS DECIMAL(38,2))) AS {DEC}) AS total_spent"
+            ),
         )
     )
 
@@ -685,17 +769,23 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int64 revenue atoms at scale 1e4 (exact == the decimal product);
     # groups are single orders (<= 7 lineitems), so one int64 sum is
     # exact with astronomical headroom
-    rev_i = _money_atom(
-        F.col("l_extendedprice"), ("lineitem", "l_extendedprice")
-    ) * _money_atom(1 - F.col("l_discount"), ("lineitem", "l_discount"))
+    rev_i = "({} * {})".format(
+        _money_atom_sql("l_extendedprice", ("lineitem", "l_extendedprice")),
+        _money_atom_sql("1 - l_discount", ("lineitem", "l_discount")),
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(
             "l_orderkey",
-            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.expr("CAST(o_orderdate AS DATE) AS order_date"),
             "o_orderpriority",
         )
-        .agg(_int_to_dec(F.sum(rev_i), 4).cast(DEC4).alias("revenue"))
+        .agg(
+            F.expr(
+                f"CAST({_int_to_dec_sql(f'SUM({rev_i})', 4)} AS {DEC4})"
+                " AS revenue"
+            )
+        )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
@@ -722,18 +812,25 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # single global group: split-sum keeps the int64 partials exact at
     # any table size (rev atoms <= ~7.4e8 at scale 1e4)
-    rev_i = _money_atom(
-        F.col("l_extendedprice"), ("lineitem", "l_extendedprice")
-    ) * _money_atom(F.col("l_discount"), ("lineitem", "l_discount"))
+    rev_i = "({} * {})".format(
+        _money_atom_sql("l_extendedprice", ("lineitem", "l_extendedprice")),
+        _money_atom_sql("l_discount", ("lineitem", "l_discount")),
+    )
     agg = li.filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(*_split_sum(rev_i, "rev"), F.count("*").alias("n_items"))
+    ).agg(
+        *[F.expr(e) for e in _split_sum_sql(rev_i, "rev")],
+        F.expr("COUNT(*) AS n_items"),
+    )
     return agg.select(
-        _int_to_dec(_combine_split("rev"), 4).cast(DEC4).alias("revenue"),
+        F.expr(
+            f"CAST({_int_to_dec_sql(_combine_split_sql('rev'), 4)}"
+            f" AS {DEC4}) AS revenue"
+        ),
         "n_items",
     )
 
@@ -763,20 +860,27 @@ def supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 25 (region, nation) groups can hold ~1/25 of the table each, so
     # the int64 revenue sum is split (lo/hi) -- exact at any scale
-    rev_i = _money_atom(
-        F.col("l_extendedprice"), ("lineitem", "l_extendedprice")
-    ) * _money_atom(1 - F.col("l_discount"), ("lineitem", "l_discount"))
+    rev_i = "({} * {})".format(
+        _money_atom_sql("l_extendedprice", ("lineitem", "l_extendedprice")),
+        _money_atom_sql("1 - l_discount", ("lineitem", "l_discount")),
+    )
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("o_orderstatus") == "F")
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .groupBy("r_name", "n_name")
-        .agg(*_split_sum(rev_i, "rev"), F.count("*").alias("n_items"))
+        .agg(
+            *[F.expr(e) for e in _split_sum_sql(rev_i, "rev")],
+            F.expr("COUNT(*) AS n_items"),
+        )
     )
     return agg.select(
         "r_name",
         "n_name",
-        _int_to_dec(_combine_split("rev"), 4).cast(DEC4).alias("revenue"),
+        F.expr(
+            f"CAST({_int_to_dec_sql(_combine_split_sql('rev'), 4)}"
+            f" AS {DEC4}) AS revenue"
+        ),
         "n_items",
     )
 
