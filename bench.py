@@ -848,6 +848,13 @@ def main() -> None:
     ap.add_argument(
         "--sf-dir", default=None, help="explicit table directory"
     )
+    ap.add_argument(
+        "--queries-only", action="store_true",
+        help="run only the 20-query headline series (skip the DML/"
+        "streaming/planning/MV sections) -- used for the 8c/32c scaling"
+        " pairs at larger SFs where the full sections would dominate the"
+        " run; the driver's default invocation is unchanged",
+    )
     args = ap.parse_args()
     if args.sf_dir:
         sf_dir = args.sf_dir
@@ -929,20 +936,23 @@ def main() -> None:
     # DML surface; the numbers measure the steady-state cost a
     # deployment pays. Pre-warmup records: BENCH_r12* and
     # BENCH_r13_baseline_preopt.json.
-    bench_dml(spark, "/root/testdata/sf0.001")
-    dml = bench_dml(spark, sf_dir)
+    if args.queries_only:
+        dml, streaming, planning, mv = {}, {}, {}, {}
+    else:
+        bench_dml(spark, "/root/testdata/sf0.001")
+        dml = bench_dml(spark, sf_dir)
 
-    # third section: streaming ingest (rows/s + commit-to-queryable
-    # latency vs the reference's 60-120 s buffer-bound ingest --
-    # BASELINE.md; also kept out of "value")
-    streaming = bench_streaming(spark, sf_dir)
+        # third section: streaming ingest (rows/s + commit-to-queryable
+        # latency vs the reference's 60-120 s buffer-bound ingest --
+        # BASELINE.md; also kept out of "value")
+        streaming = bench_streaming(spark, sf_dir)
 
-    # fourth section: manifest-planning scale (100k stats-only entries;
-    # SF-independent, driver-side metadata cost)
-    planning = bench_planning(spark)
+        # fourth section: manifest-planning scale (100k stats-only
+        # entries; SF-independent, driver-side metadata cost)
+        planning = bench_planning(spark)
 
-    # fifth section: MV maintenance + routing economics (round 11)
-    mv = bench_mv(spark, sf_dir)
+        # fifth section: MV maintenance + routing economics (round 11)
+        mv = bench_mv(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -181,7 +181,10 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         "source",
-        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"CAST(size({TOKENS_SPARK_SQL.format(col='text')}) AS BIGINT)"
+            " AS n_tokens"
+        ),
     )
     return toks.groupBy("source").applyInPandas(
         _pack_group, "doc_id long, source string, n_tokens long, pack_id long"

@@ -466,7 +466,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice", ("lineitem", "l_extendedprice")
     )
     d_i = _money_atom_sql("1 - l_discount", ("lineitem", "l_discount"))
-    t_i = _money_atom_sql("1 + l_tax", ("lineitem", "l_tax"))
+    # "l_tax + 1", not "1 + l_tax": the Column form 1 + F.col went
+    # through __radd__ and planned (l_tax + 1.0); spelling it the same
+    # keeps the plan text byte-stable (addition is commutative, so this
+    # is cosmetic either way)
+    t_i = _money_atom_sql("l_tax + 1", ("lineitem", "l_tax"))
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
         # qty atoms <= 5000: a single int64 sum holds ~1.8e15 rows/group
         F.expr(f"SUM({qty_i}) AS qty_s"),

@@ -1,9 +1,10 @@
 #!/usr/bin/env python3
-"""Capture .explain("formatted") for bench queries into plans/r13/.
+"""Capture .explain("formatted") for bench queries into plans/<round>/.
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
-Writes plans/r13/<query>_<suffix>.txt for each query (default: the
-bench series). Plan-only -- nothing is executed.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt for each
+query (default round r14, default queries: the bench series).
+Plan-only -- nothing is executed.
 """
 from __future__ import annotations
 
@@ -32,7 +33,9 @@ def main() -> None:
     names = sys.argv[2:] or list(BENCH_QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r13")
+    out_dir = os.path.join(
+        here, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="plan-capture")
     spark.sparkContext.setLogLevel("ERROR")

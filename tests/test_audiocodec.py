@@ -22,6 +22,12 @@ from sample_for_transactional_datalake_using_s3tables_spark.operators.audiocodec
     ulaw_encode,
 )
 
+# Long-tail battery: excluded from the default gate (VERDICT r13 #4
+# -- the full suite outgrew the driver's verification budget). Run
+# everything with:  python -m pytest tests/ -q -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 with warnings.catch_warnings():
     warnings.simplefilter("ignore", DeprecationWarning)
     import audioop  # stdlib reference (3.11; removed in 3.13)

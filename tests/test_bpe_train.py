@@ -16,6 +16,14 @@ from sample_for_transactional_datalake_using_s3tables_spark.operators.text impor
     bpe_train_encode,
 )
 
+import pytest
+
+# Long-tail battery: excluded from the default gate (VERDICT r13 #4
+# -- the full suite outgrew the driver's verification budget). Run
+# everything with:  python -m pytest tests/ -q -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 
 def _reference_learn(wordfreq, n_merges):
     """Deliberately different implementation: re-tokenize every step

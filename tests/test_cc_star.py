@@ -18,6 +18,12 @@ from sample_for_transactional_datalake_using_s3tables_spark.operators.dedup impo
     connected_components,
 )
 
+# Long-tail battery: excluded from the default gate (VERDICT r13 #4
+# -- the full suite outgrew the driver's verification budget). Run
+# everything with:  python -m pytest tests/ -q -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 
 def _uf_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
     """Union-find oracle: node -> min node id of its component."""

@@ -134,6 +134,7 @@ def test_change_feed_off_by_default(spark, tmp_path):
     assert not any(d.get("change_files") for d in docs)
 
 
+@pytest.mark.slow
 def test_stored_cdf_mor_merge_and_delete_match_derived(spark, tmp_path):
     """Round 12: merge-on-read MERGE and equality-DELETE commits also
     store their change set when the feed is on (one pruned pre-image
@@ -349,6 +350,7 @@ def test_stored_cdf_mor_delete_conflicts_with_concurrent_delete_overlap(
             )
 
 
+@pytest.mark.slow
 def test_stored_cdf_mixed_pos_equality_history_matches_derived(spark, tmp_path):
     """VERDICT r12 #3: mor-pos DELETE/UPDATE and mor equality UPDATE
     commits now persist their change sets. Differential contract over a

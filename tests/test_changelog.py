@@ -212,6 +212,7 @@ def _stream(spark, root, **opts):
     return r.load()
 
 
+@pytest.mark.slow
 def test_stream_appends_exactly_once_across_restarts(registered, wh, spark):
     root = wh.root
     ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp() + "/out"
@@ -228,6 +229,7 @@ def test_stream_appends_exactly_once_across_restarts(registered, wh, spark):
     assert got == ["k0", "k1", "k2", "k3"]
 
 
+@pytest.mark.slow
 def test_stream_raises_on_row_level_dml(registered, wh, spark):
     root = wh.root
     ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp() + "/out"
@@ -265,6 +267,7 @@ def test_stream_from_version_and_column_mapping(registered, wh, spark):
     assert [(r.id, r.val) for r in rows.collect()] == [("k2", 2)]
 
 
+@pytest.mark.slow
 def test_stream_table_to_table_medallion_hop(registered, wh, spark):
     """Bronze -> silver: tail one table's appends, transform, MERGE
     into another -- exactly-once across restarts, zero duplicate keys."""
@@ -362,6 +365,7 @@ def test_changelog_mixed_range_segments(wh, spark):
     }
 
 
+@pytest.mark.slow
 def test_stream_rate_limit_max_versions_per_trigger(registered, wh, spark):
     """max_versions_per_trigger bounds each catch-up batch to N commits
     (Iceberg's streaming read limit): a backlog of 6 single-row commits
@@ -421,6 +425,7 @@ def test_stream_across_type_widening(registered, wh, spark):
     assert got == [("k1", 7), ("k2", 5_000_000_000)]
 
 
+@pytest.mark.slow
 def test_stream_cursor_never_regresses(registered, wh, spark):
     """Offset safety must not depend on Spark's engine call order after
     a restart: whatever call arrives first (latestOffset, partitions
@@ -464,6 +469,7 @@ def test_stream_cursor_never_regresses(registered, wh, spark):
     assert seen == [2, 4, 6]
 
 
+@pytest.mark.slow
 def test_changelog_append_run_opens_constant_manifests(wh, spark, monkeypatch):
     """Driver-side metadata cost: a range of N append commits must
     classify from the _commits.idx sidecar and resolve its added files
@@ -490,6 +496,7 @@ def test_changelog_append_run_opens_constant_manifests(wh, spark, monkeypatch):
     assert calls["n"] <= 3, f"changelog parsed {calls['n']} manifests for {n} appends"
 
 
+@pytest.mark.slow
 def test_fast_forward_links_manifests_without_parsing(wh, spark, monkeypatch):
     """Happy-path fast-forward (main still at the fork) replays the
     branch by HARD-LINKING its manifest JSONs -- zero manifest parses
@@ -580,6 +587,7 @@ def test_idempotent_txn_insert(wh, spark):
     assert wh.count_rows("ns", "t") == 3
 
 
+@pytest.mark.slow
 def test_stream_append_mode_keyless_exactly_once(registered, wh, spark):
     """mode="append": a KEYLESS destination stays exactly-once via the
     txn stamp riding each micro-batch commit -- restarts with nothing
@@ -697,6 +705,7 @@ def test_stream_mid_stream_rename_uses_adding_snapshots_mapping(
     assert rows["a"] == 1 and rows["b"] == 2
 
 
+@pytest.mark.slow
 def test_stream_table_to_table_keeps_mv_continuously_fresh(
     registered, wh, spark
 ):
@@ -762,6 +771,7 @@ def test_stream_table_to_table_keeps_mv_continuously_fresh(
     assert len(seen) >= 2
 
 
+@pytest.mark.slow
 def test_stream_merge_keeps_cdf_mv_incrementally_fresh(
     registered, wh, spark
 ):

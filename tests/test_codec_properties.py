@@ -10,6 +10,14 @@ import numpy as np
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
+
+# Long-tail battery: excluded from the default gate (VERDICT r13 #4
+# -- the full suite outgrew the driver's verification budget). Run
+# everything with:  python -m pytest tests/ -q -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 _fast = settings(
     max_examples=25,
     deadline=None,

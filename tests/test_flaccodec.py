@@ -20,6 +20,12 @@ from sample_for_transactional_datalake_using_s3tables_spark.operators.flaccodec 
     encode_flac,
 )
 
+# Long-tail battery: excluded from the default gate (VERDICT r13 #4
+# -- the full suite outgrew the driver's verification budget). Run
+# everything with:  python -m pytest tests/ -q -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 
 def test_lossless_roundtrip_shapes():
     rng = np.random.RandomState(9)

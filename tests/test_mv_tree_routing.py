@@ -30,6 +30,11 @@ from pyspark.sql.types import (
 from sample_for_transactional_datalake_using_s3tables_spark.sources.sqlexec import WarehouseSQL
 from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
 
+# Long-tail battery: excluded from the default gate (VERDICT r13 #4).
+# Run everything with:  python -m pytest tests/ -q -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 S = StructType(
     [
         StructField("k", StringType(), False),

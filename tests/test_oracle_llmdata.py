@@ -15,6 +15,12 @@ from sample_for_transactional_datalake_using_s3tables_spark.operators import (
 from .conftest import SF_DIR
 from .oracle_utils import compare, duckdb_connection
 
+# Long-tail battery: excluded from the default gate (VERDICT r13 #4
+# -- the full suite outgrew the driver's verification budget). Run
+# everything with:  python -m pytest tests/ -q -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 MODULES = {
     "text": text,
     "dedup": dedup,

@@ -8,6 +8,7 @@ contracts so a future operator can't silently regress them.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
 from sample_for_transactional_datalake_using_s3tables_spark.operators import (
@@ -65,6 +66,7 @@ def test_priority_window_covers_every_module():
         assert m.QUERIES.keys() & window, f"{m.__name__} has no driver-checked query"
 
 
+@pytest.mark.slow  # resolves all 155 registry schemas: ~2 min alone
 def test_output_schemas_are_canonicalizable(spark):
     """No DecimalType / array / map / struct in any final projection --
     the exact types that broke the round-1 harness comparison."""

@@ -24,6 +24,11 @@ from sample_for_transactional_datalake_using_s3tables_spark.sources.restcatalog 
 )
 from sample_for_transactional_datalake_using_s3tables_spark.sources.warehouse import Warehouse
 
+# Long-tail battery: excluded from the default gate (VERDICT r13 #4).
+# Run everything with:  python -m pytest tests/ -q -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 SCHEMA = T.StructType(
     [
         T.StructField("id", T.StringType(), False),

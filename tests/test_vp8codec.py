@@ -43,6 +43,12 @@ from sample_for_transactional_datalake_using_s3tables_spark.operators.webpcodec 
     decode_webp,
 )
 
+# Long-tail battery: excluded from the default gate (VERDICT r13 #4
+# -- the full suite outgrew the driver's verification budget). Run
+# everything with:  python -m pytest tests/ -q -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 
 def decode_vp8(data):
     """Fixture round-trips decode their own encoder's streams, so the

@@ -829,6 +829,7 @@ def test_bloom_filter_point_lookup_skipping(spark, wh):
     assert wh.read("ns", "t", predicates=[("id", "=", "nope")]).count() == 0
 
 
+@pytest.mark.slow
 class TestShallowClone:
     """SHALLOW CLONE (Delta CLONE semantics): zero-copy snapshot
     reference, full independence afterwards."""
@@ -1262,6 +1263,7 @@ class TestCloneBackrefHygiene:
         assert wh.read("n", "dev").count() == 1
 
 
+@pytest.mark.slow
 class TestCloneMaintenanceCost:
     """VERDICT r8 'what's wrong' #2 + ADVICE r9 #2/#4: clone-aware
     maintenance must be O(changed) on clone manifests, back-refs must

@@ -346,6 +346,7 @@ def test_add_struct_field_nested_evolution(wh, spark):
         wh.add_struct_field("ns", "t", "geo", StructField("geo", IntegerType()))
 
 
+@pytest.mark.slow
 def test_uri_escapable_warehouse_root(spark):
     """A warehouse root containing a SPACE and a ``%`` -- characters
     Spark URI-encodes in ``_metadata.file_path`` / ``input_file_name``

@@ -18,6 +18,12 @@ from sample_for_transactional_datalake_using_s3tables_spark.operators.webpcodec 
     encode_webp_lossless,
 )
 
+# Long-tail battery: excluded from the default gate (VERDICT r13 #4
+# -- the full suite outgrew the driver's verification budget). Run
+# everything with:  python -m pytest tests/ -q -m "slow or not slow"
+pytestmark = pytest.mark.slow
+
+
 
 def _roundtrip(img: np.ndarray, **kw) -> None:
     out = decode_webp(encode_webp_lossless(img, **kw))
