@@ -40,16 +40,20 @@ def _builder_confs(shuffle_partitions: int) -> dict[str, str]:
         # 128 MB split targets hold at 100 TB: ~800k input splits, fine for
         # a 1000-executor cluster; local runs simply get fewer, larger tasks.
         "spark.sql.files.maxPartitionBytes": "134217728",
-        # No minimum-split inflation (optimization r13, guide 2.2 "fewer,
-        # larger map tasks"): the default floor (= default parallelism)
-        # shreds small scans into per-core slivers -- a multi-branch DML
-        # changelog ran 42-task scan stages whose tasks measured ~330 ms
-        # wall at 7 ms CPU (pure scheduling/lock wait), 131 s of executor
-        # time for a 100k-row table. With the floor at 1, splits derive
-        # from bytes alone (openCost + maxPartitionBytes), which also
-        # holds at cluster scale: a 10 GB scan still gets ~80 128 MB
-        # splits rather than one sliver per core.
-        "spark.sql.files.minPartitionNum": "1",
+        # minPartitionNum: back to the DEFAULT (= parallelism) in
+        # optimization r14. r13 pinned it to 1 because the multi-branch
+        # DML changelog -- 20 exceptAll-doubled scan branches -- shredded
+        # into per-core slivers (42-task stages at 7 ms CPU/task, 131 s
+        # executor time on a 100k-row table). r14's single-pass netting
+        # halved those scan branches, and re-measurement shows the pin
+        # now costs far more than it saves: with the floor at 1, a
+        # single ~100 MB file (the sf1 testdata shape) is ONE scan task
+        # on 32 cores (splits come only from maxPartitionBytes), so
+        # sf1 pricing_summary ran 8.2 s vs 1.1 s at the default, while
+        # the changelog is now EQUAL-best at the default (3.03 s vs
+        # 3.13 s pinned; measured A/B/C/D sweep, OPTIMIZATION_r14.md).
+        # The default also self-scales: bytes/parallelism floored by
+        # openCost, capped by maxPartitionBytes.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",

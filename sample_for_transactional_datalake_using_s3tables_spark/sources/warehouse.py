@@ -114,10 +114,36 @@ def _file_stats(md) -> dict:
     return {k: v for k, v in agg.items() if k not in bad}
 
 
-# Per-file key Bloom filter (Iceberg bloom-filter file-metrics analog):
-# m bits / k hashes sized for ~5% FPR at a few thousand keys per file.
+# Per-file key Bloom filter (Iceberg bloom-filter file-metrics analog).
+# Sizing is ADAPTIVE per file since optimization r14: the old fixed
+# 8192-bit / 4-hash bloom could not prune a CDC-sized batch -- pruning
+# keeps a file if ANY batch key may hit, so with 50k batch keys even a
+# 0.7 %-per-key FPR keeps every file, and the CoW MERGE probe re-read
+# the whole table's key column per trigger (measured: probe wall 3.8 s
+# per trigger at sf1 and growing linearly with table size). Now
+# m grows with the file's key count (~24 bits/key, capped so manifests
+# stay small) and k with m/n, so a trigger-sized file (~1k keys) gets
+# a 32768-bit / 16-hash bloom whose any-of-50k-keys keep probability
+# is ~4 % instead of ~100 %. Positions use standard double hashing
+# (h1 + i*h2 mod m, Kirsch-Mitzenmacher) so k is free to vary; blooms
+# store their (m, k) and legacy 4x4-byte-scheme entries (no "m" field)
+# are still probed with the legacy positions -- never mis-pruned.
 _BLOOM_M = 8192
 _BLOOM_K = 4
+_BLOOM_M_MAX = 262144  # 32 KiB of bits -> 64 KiB hex per manifest entry
+_BLOOM_BITS_PER_KEY = 24
+_U64 = (1 << 64) - 1
+
+
+def _bloom_params(n: int) -> tuple[int, int]:
+    """(m, k) for a file holding ``n`` keys: m = pow2 >= 24*n within
+    [8192, 262144]; k ~ 0.7*m/n capped to [2, 16]."""
+    m = _BLOOM_M
+    target = _BLOOM_BITS_PER_KEY * max(1, n)
+    while m < target and m < _BLOOM_M_MAX:
+        m *= 2
+    k = max(2, min(16, round(0.7 * m / max(1, n))))
+    return m, k
 
 
 def _bloom_tag(value) -> str | None:
@@ -138,11 +164,38 @@ def _bloom_tag(value) -> str | None:
 
 
 @functools.lru_cache(maxsize=65536)
+def _bloom_h12(value) -> tuple[int, int] | None:
+    """(h1, h2) double-hash bases for a key value, or None if not
+    bloom-safe. Memoized: planning probes every (file, key) pair of a
+    MERGE batch against the manifest, so each key's md5 must be
+    computed once per batch, not once per file."""
+    import hashlib
+
+    tag = _bloom_tag(value)
+    if tag is None:
+        return None
+    canon = int(value) if tag == "int" else str(value)
+    h = hashlib.md5(f"{tag}:{canon}".encode()).digest()
+    return (
+        int.from_bytes(h[:8], "big"),
+        int.from_bytes(h[8:], "big") | 1,
+    )
+
+
+def _bloom_positions(value, m: int, k: int) -> list[int] | None:
+    """k bit positions via double hashing; arithmetic wraps at 2^64 so
+    the scalar path matches _BulkKeyProbe's numpy uint64 exactly."""
+    h12 = _bloom_h12(value)
+    if h12 is None:
+        return None
+    h1, h2 = h12
+    return [((h1 + i * h2) & _U64) % m for i in range(k)]
+
+
 def _bloom_hashes(value) -> list[int] | None:
-    """k bit positions for a key value, or None if not bloom-safe.
-    Memoized: planning probes every (file, key) pair of a MERGE batch
-    against the manifest, so each key's md5 must be computed once per
-    batch, not once per file."""
+    """LEGACY positions (pre-r14 4x4-byte scheme) for blooms that carry
+    no "m" field -- probing an old bloom with the new double-hash
+    positions would wrongly prune present keys."""
     import hashlib
 
     tag = _bloom_tag(value)
@@ -157,27 +210,29 @@ def _bloom_hashes(value) -> list[int] | None:
 
 
 def _build_bloom(values) -> dict | None:
-    """``{"type": tag, "bits": hex}`` bloom over a file's key values;
-    None if any value is bloom-unsafe or the column mixes value types
-    (a partial bloom would wrongly prune present keys). The stored type
-    tag lets readers skip the bloom on cross-type predicates -- a
-    predicate value of a different type would never hash-match, and
-    pruning on it would break the 'prune only when provably no match'
-    invariant (Spark's row filter may still match via implicit cast)."""
-    bits = bytearray(_BLOOM_M // 8)
+    """``{"type": tag, "bits": hex, "m": M, "k": K}`` bloom over a
+    file's key values; None if any value is bloom-unsafe or the column
+    mixes value types (a partial bloom would wrongly prune present
+    keys). (m, k) are sized to the key count (see _bloom_params). The
+    stored type tag lets readers skip the bloom on cross-type
+    predicates -- a predicate value of a different type would never
+    hash-match, and pruning on it would break the 'prune only when
+    provably no match' invariant (Spark's row filter may still match
+    via implicit cast)."""
+    nn = [v for v in values if v is not None]
+    if not nn:
+        return None  # all-null column: no information, store nothing
+    m, k = _bloom_params(len(nn))
+    bits = bytearray(m // 8)
     tag: str | None = None
-    for v in values:
-        if v is None:
-            continue
+    for v in nn:
         vtag = _bloom_tag(v)
         if vtag is None or (tag is not None and vtag != tag):
             return None
         tag = vtag
-        for p in _bloom_hashes(v):
+        for p in _bloom_positions(v, m, k):
             bits[p // 8] |= 1 << (p % 8)
-    if tag is None:
-        return None  # all-null column: no information, store nothing
-    return {"type": tag, "bits": bytes(bits).hex()}
+    return {"type": tag, "bits": bytes(bits).hex(), "m": m, "k": k}
 
 
 @functools.lru_cache(maxsize=256)
@@ -196,7 +251,12 @@ def _bloom_may_contain(bloom, value) -> bool:
     tag = _bloom_tag(value)
     if tag is None or tag != bloom.get("type"):
         return True  # cross-type predicate: bloom can't prove absence
-    pos = _bloom_hashes(value)
+    m = bloom.get("m")
+    if m is None:
+        # pre-r14 bloom: legacy fixed (m, k) + 4x4-byte positions
+        pos = _bloom_hashes(value)
+    else:
+        pos = _bloom_positions(value, m, bloom.get("k", _BLOOM_K))
     bits = _bloom_bits(bloom["bits"])
     return all(bits[p // 8] & (1 << (p % 8)) for p in pos)
 
@@ -306,7 +366,8 @@ class _BulkKeyProbe:
         # side; the range side still prunes per-type below when uniform
         self.tag = tags.pop() if len(tags) == 1 else None
         self.sorted_vals = None
-        self.pos = None
+        self.h12 = None
+        self._pos_cache: dict[tuple[int, int], "np.ndarray"] = {}
         if self.tag is not None:
             canon = (
                 [int(v) for v in vals]
@@ -317,20 +378,32 @@ class _BulkKeyProbe:
             import hashlib
 
             rows = []
-            # positions are built over the SORTED values so the range
-            # check's index slice selects the matching bloom rows
+            # (h1, h2) double-hash bases built over the SORTED values so
+            # the range check's index slice selects the matching rows;
+            # per-(m, k) positions are derived lazily (blooms are sized
+            # per file since r14) and cached per distinct (m, k)
             for v in self.sorted_vals:
                 h = hashlib.md5(f"{self.tag}:{v}".encode()).digest()
                 rows.append(
-                    [
-                        int.from_bytes(h[i * 4 : i * 4 + 4], "big") % _BLOOM_M
-                        for i in range(_BLOOM_K)
-                    ]
+                    (
+                        int.from_bytes(h[:8], "big"),
+                        int.from_bytes(h[8:], "big") | 1,
+                    )
                 )
-            self.pos = np.array(rows, dtype=np.int64)
+            self.h12 = np.array(rows, dtype=np.uint64)
         # scalar parity: a None key value makes _entry_may_match keep
         # every entry (an "=" predicate with a None value never prunes)
         self.keep_all = any(v is None for v in values)
+
+    def _pos0(self, m: int) -> "np.ndarray":
+        """First-hash positions (h1 % m) for ALL keys, cached per m --
+        the only full-width position vector an entry probe needs; later
+        hashes run on the (geometrically shrinking) survivor subset."""
+        pos = self._pos_cache.get(m)
+        if pos is None:
+            pos = (self.h12[:, 0] % self._np.uint64(m)).astype(self._np.int64)
+            self._pos_cache[m] = pos
+        return pos
 
     def _range_candidates(self, stats) -> "slice | None":
         """Index slice of sorted_vals within [lo, hi], or None when the
@@ -366,17 +439,144 @@ class _BulkKeyProbe:
         if (
             blooms is None
             or isinstance(blooms, str)  # legacy bare-hex bloom: no prune
-            or self.pos is None
+            or self.h12 is None
             or blooms.get("type") != self.tag
+            or blooms.get("m") is None  # pre-r14 positions scheme: keep
         ):
             return True
         np = self._np
+        m, k = blooms["m"], blooms.get("k", _BLOOM_K)
         bits = np.frombuffer(_bloom_bits(blooms["bits"]), dtype=np.uint8)
-        pos = self.pos if cand is None else self.pos[cand]
+        # survivor-chained probe (optimization r14): a key survives only
+        # if ALL k hash bits are set, so test hash j on just the keys
+        # that survived hashes < j. The survivor set shrinks
+        # geometrically (each hash keeps ~ the bloom's set-bit fraction
+        # of non-members), so the per-entry cost is ~1 gather over the
+        # batch plus a small tail, instead of the former full
+        # (n_keys x k) position-matrix gather -- which at a 50k-key CDC
+        # batch against a few hundred manifest entries was seconds of
+        # driver CPU per trigger (the measured probe wall).
+        if cand is None:
+            pos = self._pos0(m)
+            h = self.h12
+        else:
+            h = self.h12[cand]
+            if h.shape[0] == 0:
+                return True  # uniform-type check failed upstream; keep
+            pos = self._pos0(m)[cand]  # slice of the cached vector
         if pos.size == 0:
-            return True  # uniform-type check failed upstream; keep
-        hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
-        return bool(hit.all(axis=1).any())
+            return True
+        h1, h2 = h[:, 0], h[:, 1]
+        # m is always a power of two (_bloom_params doubles from 8192),
+        # so "% m" == "& (m-1)" -- identical positions, no uint64 mod
+        mask = np.uint64(m - 1)
+        lut = np.left_shift(np.uint8(1), np.arange(8, dtype=np.uint8))
+        pos = pos.astype(np.uint64)
+        for j in range(k):
+            if j:  # uint64 wrap matches _bloom_positions' & _U64
+                pos = (h1 + np.uint64(j) * h2) & mask
+            alive = (
+                bits[(pos >> np.uint64(3)).astype(np.intp)]
+                & lut[(pos & np.uint64(7)).astype(np.uint8)]
+            ) != 0
+            if not alive.any():
+                return False
+            if j + 1 < k and not alive.all():
+                h1, h2 = h1[alive], h2[alive]
+        return True
+
+    _BATCH_ENTRIES = 64  # bloom-matrix chunk: 64 x |batch| bytes
+
+    def entries_may_hold_any(self, entries: list[dict], col: str) -> list[bool]:
+        """Batched probe across entries (optimization r14): the
+        per-entry probe pays ~4-6 numpy passes over the WHOLE key batch
+        just for the first hash, so a 50k-key CDC batch against a few
+        hundred manifest entries was ~2 ms x entries of driver CPU per
+        MERGE (the measured per-trigger probe wall). Here the first two
+        hashes run as (chunk x keys) matrix gathers over the stacked
+        bloom bit arrays -- one pass per hash for 64 entries at a time
+        -- and only the (geometrically small) per-entry survivor sets
+        pay the remaining k-2 hashes. Semantics identical to
+        entry_may_hold_any on every entry (same positions, same
+        conservative keeps)."""
+        if self.keep_all or self.h12 is None or self.h12.shape[0] == 0:
+            return [self.entry_may_hold_any(e, col) for e in entries]
+        np = self._np
+        out: list[bool] = [True] * len(entries)
+        groups: dict[tuple[int, int], list] = {}
+        for i, e in enumerate(entries):
+            stats = (e.get("stats") or {}).get(col)
+            cand = self._range_candidates(stats)
+            if cand is not None and cand.start >= cand.stop:
+                out[i] = False  # no batch key inside the file's range
+                continue
+            b = (e.get("blooms") or {}).get(col)
+            if (
+                b is None
+                or isinstance(b, str)
+                or b.get("type") != self.tag
+                or b.get("m") is None
+            ):
+                continue  # conservative keep (out[i] stays True)
+            groups.setdefault(
+                (b["m"], b.get("k", _BLOOM_K)), []
+            ).append((i, cand, b))
+        n = self.h12.shape[0]
+        lut = np.left_shift(np.uint8(1), np.arange(8, dtype=np.uint8))
+        for (m, k), members in groups.items():
+            mask = np.uint64(m - 1)
+            nb = min(k, 4)  # batched hash count: survivors after 4 are
+            # ~fill^4 of the batch (a few %), so the per-entry tail is
+            # negligible while the matrix passes stay memory-bounded
+            idxs, sels = [], []
+            for j in range(nb):
+                pos = (
+                    self._pos0(m).astype(np.uint64)
+                    if j == 0
+                    else (self.h12[:, 0] + np.uint64(j) * self.h12[:, 1])
+                    & mask
+                )
+                idxs.append((pos >> np.uint64(3)).astype(np.intp))
+                sels.append(lut[(pos & np.uint64(7)).astype(np.uint8)])
+            for c0 in range(0, len(members), self._BATCH_ENTRIES):
+                chunk = members[c0 : c0 + self._BATCH_ENTRIES]
+                bmat = np.stack(
+                    [
+                        np.frombuffer(_bloom_bits(b["bits"]), dtype=np.uint8)
+                        for _i, _c, b in chunk
+                    ]
+                )
+                alive = (bmat[:, idxs[0]] & sels[0][None, :]) != 0
+                for j in range(1, nb):
+                    alive &= (bmat[:, idxs[j]] & sels[j][None, :]) != 0
+                for row, (i, cand, b) in enumerate(chunk):
+                    a = alive[row]
+                    if cand is not None:
+                        surv = np.nonzero(a[cand])[0] + cand.start
+                    else:
+                        surv = np.nonzero(a)[0]
+                    if surv.size == 0:
+                        out[i] = False
+                        continue
+                    # remaining hashes on the survivor tail only
+                    ok = False
+                    h1 = self.h12[surv, 0]
+                    h2 = self.h12[surv, 1]
+                    bits = bmat[row]
+                    for j in range(nb, k):
+                        pos = (h1 + np.uint64(j) * h2) & mask
+                        al = (
+                            bits[(pos >> np.uint64(3)).astype(np.intp)]
+                            & lut[(pos & np.uint64(7)).astype(np.uint8)]
+                        ) != 0
+                        if not al.any():
+                            break
+                        if not al.all():
+                            h1, h2 = h1[al], h2[al]
+                    else:
+                        ok = True
+                    out[i] = ok
+        return out
 
 
 def _entry_may_match(entry: dict, predicates: list[tuple]) -> bool:
@@ -2086,7 +2286,8 @@ class Warehouse:
         if len(entries) <= self._PLAN_DISTRIBUTE_THRESHOLD:
             if bulk:
                 probe = _BulkKeyProbe(values)
-                return [e for e in entries if probe.entry_may_hold_any(e, col)]
+                keep = probe.entries_may_hold_any(entries, col)
+                return [e for e, k in zip(entries, keep) if k]
             return [e for e in entries if _entry_may_hold_any(e, col, values)]
         sc = self.spark.sparkContext
         n = max(1, min(len(entries) // 1024, sc.defaultParallelism))
@@ -4802,9 +5003,27 @@ class Warehouse:
                 for e in candidates
             }
             probe = self._read_files(tdir, candidates, schema, phys=phys_map)
+            # collected-key batches probe against a LOCAL relation of
+            # the already-collected keys instead of the match_keys
+            # DataFrame -- whose semi-join would otherwise recompute
+            # the within-batch dedup window per probe (optimization
+            # r14; ~0.5 s per CDC trigger). Arrow path (pandas) -- the
+            # pickled-tuples path costs ~0.5 s at 200k keys. Nulls are
+            # dropped: an equality semi-join never matches them anyway.
+            if key_vals is not None:
+                import pandas as pd
+
+                probe_keys = self.spark.createDataFrame(
+                    pd.DataFrame(
+                        {key: sorted(v for v in key_vals if v is not None)}
+                    ),
+                    StructType([schema[key]]),
+                )
+            else:
+                probe_keys = match_keys
             per_file = (
                 probe.select(key, F.input_file_name().alias("_f"))
-                .join(match_keys, key, "left_semi")
+                .join(probe_keys, key, "left_semi")
                 .select("_f")
                 .distinct()
                 .collect()
